@@ -1,0 +1,39 @@
+"""Body text transforms.
+
+Reference behaviors covered:
+- split a request body into N events on a single-char delimiter
+  (HttpSource.scala:60-72,116-117) -> explode(split(...)).
+- long-line policy: truncate at a byte/char cap, or drop the line
+  (DirectoryWatchSourceSemantics.scala:224-245).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_body(df: DataFrame, body_col: str, delimiter: str = "\n",
+               out_col: str = "value", pos_col: str | None = None) -> DataFrame:
+    """Explode ``body_col`` into one row per delimited segment.
+
+    ``pos_col`` adds a 0-based segment ordinal (the reference keeps
+    arrival order implicitly; an explicit ordinal is the set-oriented
+    equivalent).
+    """
+    parts = F.split(F.col(body_col), F.lit(delimiter), -1)
+    other = [c for c in df.columns if c != body_col]
+    if pos_col is None:
+        return df.select(*other, F.explode(parts).alias(out_col))
+    return df.select(*other, F.posexplode(parts).alias(pos_col, out_col))
+
+
+def truncate_lines(col: Column | str, max_len: int) -> Column:
+    """Truncate-at-cap policy (max-line-truncate=true)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, max_len)
+
+
+def drop_long_lines(df: DataFrame, col: str, max_len: int) -> DataFrame:
+    """Drop-over-cap policy (max-line-truncate=false, the default)."""
+    return df.filter(F.length(F.col(col)) <= max_len)

@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are pure DataFrame compositions (no Python UDFs, no driver
+state) so they scale to 100 TB: dedup is shuffle-on-hash; MinHash/LSH
+turns the O(n^2) pair problem into band-bucket joins; hash functions are
+md5-based so results are engine-independent (checkable against a SQL
+oracle) and cluster-deterministic.
+
+Scale notes:
+- exact_dedup: one shuffle on a 128-bit hash — the canonical first pass.
+- shingles: explode is linear in text size; at 100 TB, cap shingle count
+  per doc (``max_positions``) to bound row blowup.
+- minhash_lsh_pairs: shuffle keys are (seed) then (band, band_sig);
+  band buckets are the skew risk — a degenerate signature (e.g. empty
+  text) would collect all docs into one bucket, so empty shingle sets
+  are filtered out up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by md5: (h, keep_id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct character k-shingles per document: (id_col, sh).
+
+    Built-ins only: sequence + transform + explode stay in codegen.
+    """
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(k)))
+            ).alias("sh"),
+        )
+        .filter(F.length("sh") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (the O(n^2)-ish verifier).
+
+    Shingle-join computes |A∩B| without materializing the cross product;
+    still quadratic in cluster terms — use minhash_lsh_pairs as the
+    candidate filter at scale, this as the verify step on candidates.
+    Output: (id_1, id_2, jaccard) with id_1 < id_2.
+    """
+    sh = char_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_1"), "sh")
+    b = sh.select(F.col(id_col).alias("id_2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sz1, "id_1")
+        .join(sz2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.round(F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures: (id_col, seed, mh).
+
+    Hash family: md5(seed ':' shingle); min is taken lexicographically
+    over the hex digest — deterministic, engine-independent, and as
+    uniform as needed for banding.
+    """
+    sh = char_shingles(df, id_col, text_col, k)
+    seeded = sh.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    mh = F.md5(
+        F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")
+    )
+    return seeded.groupBy(id_col, "seed").agg(F.min(mh).alias("mh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 identical signature band.
+
+    bands x rows layout (rows = num_hashes/bands); band signature is the
+    md5 of the seed-ordered row minhashes. The pair join runs per
+    (band, band_sig) bucket — linear shuffle, no cross product.
+    Output: distinct (id_1, id_2), id_1 < id_2.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_sigs = (
+        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    "|",
+                ).cast("binary")
+            ).alias("band_sig")
+        )
+    )
+    left = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
+    right = band_sigs.select(F.col(id_col).alias("id_2"), "band", "band_sig")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash fingerprints: (id_col, simhash bigint).
+
+    Token hash = first 60 bits of md5 (fits a signed 64-bit long); each
+    token votes +1/-1 per bit position; majority (strictly positive) sets
+    the bit. Tokens weighted by frequency (standard SimHash).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    th = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+    bit_votes = (
+        toks.select(F.col(id_col), th.alias("th"))
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
+        .groupBy(id_col, "b")
+        .agg(F.sum(F.expr("(shiftright(th, b) & 1) * 2 - 1")).alias("votes"))
+    )
+    bitval = F.when(
+        F.col("votes") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
+    ).otherwise(F.lit(0).cast("long"))
+    return bit_votes.select(F.col(id_col), bitval.alias("bitval")).groupBy(id_col).agg(
+        F.sum("bitval").alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    total_bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Blocked on the top ``prefix_bits`` of the fingerprint (docs differing
+    there can still be near — standard multi-probe tradeoff, documented) so
+    the join is per-block, not all-pairs.
+    Output: (id_1, id_2, hamming).
+    """
+    blocked = sim_df.withColumn(
+        "block", F.expr(f"shiftright(simhash, {total_bits - prefix_bits})")
+    )
+    a = blocked.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("s1"), "block")
+    b = blocked.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("s2"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("hamming", F.bit_count(F.expr("s1 ^ s2")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

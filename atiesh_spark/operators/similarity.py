@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB engine needs both:
+- brute_force_topk: exact cosine top-k — the correctness baseline. The
+  query vector is broadcast; score computation is built-in array algebra
+  (zip_with + aggregate) inside codegen, no Python. Linear scan; fine
+  whenever the corpus fits a full pass (and the only exact option).
+- lsh_bucket_*: random-hyperplane LSH — sub-linear candidate retrieval.
+  Hyperplane signs are derived from md5 (deterministic across engines and
+  runs, no RNG seed shipping); vectors hash to a signature bucket and
+  search touches only the query's bucket.
+
+Dot products fold left-to-right via F.aggregate (deterministic order);
+callers round scores before ranking so ties break identically everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k against one corpus vector: (vec_id, sim)."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        as_double(vec_col).alias("__q")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), F.col("__q")), round_to).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplane_sign(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random sign in {-1.0, +1.0} from md5(plane:dim).
+
+    First hex nibble's low bit decides the sign — identical in any engine
+    with md5, so LSH bucketing is reproducible cluster-wide with zero
+    coordination (no broadcast RNG state).
+    """
+    nibble = F.conv(
+        F.substring(F.md5(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string")).cast("binary")), 1, 1),
+        16,
+        10,
+    ).cast("int")
+    return (nibble % 2 * 2 - 1).cast("double")
+
+
+def lsh_bucket_signatures(
+    emb: DataFrame,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature per vector: (id_col, bucket string).
+
+    bucket = concat of sign bits of <v, h_p> for p in 0..num_planes-1.
+    Projections are rounded before the sign test so the zero boundary is
+    stable across summation orders.
+    """
+    v = as_double(vec_col)
+    sig_bits = []
+    for p in range(num_planes):
+        dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
+        signs = F.transform(dims, lambda d: _hyperplane_sign(F.lit(p), d))
+        proj = F.round(dot(v, signs), 6)
+        sig_bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return emb.select(F.col(id_col), F.concat(*sig_bits).alias("bucket"))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN top-k: exact cosine ranking within the query's LSH bucket.
+
+    Recall < 1 by design (bucket boundary misses); at scale, multi-probe
+    or repeated tables raise recall. Output: (vec_id, sim).
+    """
+    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col)
+    with_sig = emb.join(sigs, id_col)
+    q = with_sig.filter(F.col(id_col) == query_vec_id).select(
+        as_double(vec_col).alias("__q"), F.col("bucket").alias("__qb")
+    )
+    candidates = with_sig.join(
+        F.broadcast(q), F.col("bucket") == F.col("__qb"), "inner"
+    )
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), F.col("__q")), round_to).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    method: str = "lsh",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_1, id_2, sim).
+
+    method='lsh' (the scale path): all-pairs within LSH buckets only —
+    vectors with cosine >= threshold collide with high probability, and
+    the join is per-bucket, never a full cross product.
+    method='brute': exact all-pairs — the correctness oracle / verifier
+    for candidate sets; quadratic, small corpora only.
+    """
+    if method == "brute":
+        a = emb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"))
+        b = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"))
+        pairs = a.join(F.broadcast(b), F.col("id_1") < F.col("id_2"))
+    else:
+        sigs = lsh_bucket_signatures(emb, num_planes=4, id_col=id_col, vec_col=vec_col)
+        with_sig = emb.join(sigs, id_col)
+        a = with_sig.select(
+            F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"), "bucket"
+        )
+        b = with_sig.select(
+            F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"), "bucket"
+        )
+        pairs = a.join(b, "bucket").filter(F.col("id_1") < F.col("id_2"))
+    return (
+        pairs.select(
+            "id_1",
+            "id_2",
+            F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

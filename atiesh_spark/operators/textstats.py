@@ -1,0 +1,92 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all built-in
+expressions (regex/array functions in codegen), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "that", "it"]
+FR_STOPWORDS = ["le", "la", "les", "et", "de", "un", "une", "est", "que", "dans"]
+
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality stats: (id, n_chars_calc, n_tokens, avg_token_len,
+    punct_ratio, stopword_ratio)."""
+    text = F.col(text_col)
+    toks = _ws_tokens(text)
+    n_tokens = F.size(toks)
+    punct_count = F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS))
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(n_tokens, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(punct_count / F.greatest(F.length(text), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID: (id, en_hits, fr_hits, lang_id).
+
+    The n-gram/stopword heuristic family; extend by adding stopword
+    tables (they compile to the same array-filter expressions).
+    """
+    toks = _ws_tokens(F.col(text_col))
+    en = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
+    fr = F.size(F.filter(toks, lambda t: F.lower(t).isin(FR_STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        en.alias("en_hits"),
+        fr.alias("fr_hits"),
+        F.when((en > fr) & (en > 0), F.lit("en"))
+        .when((fr > en) & (fr > 0), F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_id"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts: (id, n_ws_tokens, n_bpe_tokens)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_ws_tokens(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized content fingerprint: (id, fp).
+
+    lower -> collapse non-alphanumerics to single spaces -> trim -> md5.
+    Stable under whitespace/punctuation/case noise — the batch analog of a
+    rolling-hash document fingerprint.
+    """
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return df.select(
+        F.col(id_col), F.md5(normalized.cast("binary")).alias("fp")
+    )

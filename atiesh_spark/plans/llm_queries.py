@@ -1,0 +1,327 @@
+"""LLM training-data pipeline queries (dedup / similarity / text analysis).
+
+Beyond the reference's surface (SURVEY.md §2.9 Q21-Q23 block): the
+operators a 100 TB data pipeline needs, each checkable against a DuckDB
+oracle because every hash is md5-derived (engine-independent) and every
+float is rounded before comparison/ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from atiesh_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from atiesh_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from atiesh_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    text_stats,
+    token_counts,
+)
+from atiesh_spark.plans.registry import register
+from atiesh_spark.sources.tables import load_table
+
+# Shared oracle CTE fragments -------------------------------------------------
+
+_SHINGLES_CTE = """
+sh0 AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                                 i -> substring(text, i, 3))) AS sh
+    FROM documents
+),
+shingles AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE length(sh) > 0)
+"""
+
+_SIMHASH_CTE = """
+toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS th
+    FROM toks WHERE length(tok) > 0
+),
+bitvotes AS (
+    SELECT doc_id, b,
+           CASE WHEN SUM(((th >> b) & 1) * 2 - 1) > 0
+                THEN (1::BIGINT << b) ELSE 0 END AS bitval
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+    GROUP BY doc_id, b
+),
+sims AS (
+    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bitvotes GROUP BY doc_id
+)
+"""
+
+_BUCKETS_CTE = """
+v AS (
+    SELECT vec_id,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS d,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+),
+signs AS (
+    SELECT p, d,
+           ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2) * 2 - 1)::DOUBLE AS sgn
+    FROM (SELECT unnest(generate_series(0, 3)) AS p),
+         (SELECT unnest(generate_series(0, 63)) AS d)
+),
+proj AS (
+    SELECT v.vec_id, s.p, round(SUM(v.x * s.sgn), 6) AS pr
+    FROM v JOIN signs s ON v.d = s.d
+    GROUP BY v.vec_id, s.p
+),
+buckets AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM proj GROUP BY vec_id
+)
+"""
+
+
+@register(
+    "q24_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    headline=True,
+    doc="Exact dedup by content hash: one shuffle on md5, min-id survivor "
+    "policy. The canonical 100 TB first pass.",
+)
+def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q25_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_1, id_2,
+           round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_1
+    JOIN sizes sb ON sb.doc_id = id_2
+    WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.7
+    """,
+    doc="Exact char-3-gram Jaccard near-dup pairs (threshold 0.7). The "
+    "verifier for MinHash candidates; quadratic in the worst case — the "
+    "scale path is q26.",
+)
+def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.7)
+
+
+@register(
+    "q26_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    )
+    SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    headline=True,
+    doc="MinHash+LSH near-dup candidates: 32 md5-family hashes, 4 bands x "
+    "8 rows (r=8 keeps j~0.5 collision odds under 2% while j>=0.9 pairs "
+    "collide at ~80%); pair join runs per (band, band_sig) bucket — "
+    "linear shuffle, no cross product. The 100 TB dedup workhorse.",
+)
+def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+
+
+@register(
+    "q27_simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sims",
+    doc="SimHash 60-bit fingerprints (token-frequency weighted, md5 token "
+    "hashes). Fingerprinting is a map-side pass + one small shuffle.",
+)
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=60)
+
+
+@register(
+    "q28_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b
+      ON (a.simhash >> 48) = (b.simhash >> 48) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="SimHash near-dup pairs: hamming <= 6, blocked on the top 12 bits "
+    "of the 60-bit fingerprint so the join is per-block (multi-probe "
+    "raises recall at scale; blocking is part of the contract).",
+)
+def q28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=60)
+    return simhash_near_pairs(sims, "doc_id", max_hamming=6, prefix_bits=12, total_bits=60)
+
+
+@register(
+    "q29_embedding_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))), 4) AS sim
+    FROM (SELECT vec_id,
+                 unnest(CAST(embedding AS DOUBLE[])) AS a,
+                 unnest((SELECT qe FROM q)) AS b
+          FROM embeddings)
+    GROUP BY vec_id
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    headline=True,
+    doc="Brute-force cosine top-k (query vec_id=0): broadcast query vector, "
+    "zip_with/aggregate array algebra in codegen, TakeOrdered top-k. The "
+    "exact baseline for ANN.",
+)
+def q29_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+@register(
+    "q30_ann_lsh_topk",
+    oracle=f"""
+    WITH {_BUCKETS_CTE},
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve
+        FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+        WHERE b.bucket = (SELECT bucket FROM buckets WHERE vec_id = 0)
+    )
+    SELECT vec_id, round(SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))), 4) AS sim
+    FROM (SELECT vec_id, unnest(ve) AS a, unnest((SELECT qe FROM qv)) AS b FROM cand)
+    GROUP BY vec_id
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="ANN top-k via random-hyperplane LSH (4 md5-derived planes, 16 "
+    "buckets): search touches only the query's bucket — the sub-linear "
+    "scale path; q29 is its exact baseline.",
+)
+def q30_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=4)
+
+
+@register(
+    "q31_embedding_near_dup",
+    oracle="""
+    SELECT id_1, id_2, sim FROM (
+        SELECT id_1, id_2,
+               round(SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))), 4) AS sim
+        FROM (SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                     unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+                     unnest(CAST(b.embedding AS DOUBLE[])) AS y
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        GROUP BY id_1, id_2
+    ) WHERE sim >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs (exact, threshold 0.35). The "
+    "operator library's 'lsh' method is the scale path; exact mode is the "
+    "oracle-checkable verifier.",
+)
+def q31_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, method="brute")
+
+
+@register(
+    "q32_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS n_tokens,
+           round(CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0), t -> length(t))) AS DOUBLE)
+                 / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)), 1), 4) AS avg_token_len,
+           round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> lower(t) IN ('the','a','an','and','of','to','in','is','that','it'))) AS DOUBLE)
+                 / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)), 1), 4) AS stopword_ratio
+    FROM documents
+    """,
+    headline=True,
+    doc="Per-doc quality scoring: char/token counts, avg token length, "
+    "punctuation + stopword ratios — all codegen'd regex/array exprs.",
+)
+def q32_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q33_language_id",
+    oracle="""
+    SELECT doc_id, en_hits, fr_hits,
+           CASE WHEN en_hits > fr_hits AND en_hits > 0 THEN 'en'
+                WHEN fr_hits > en_hits AND fr_hits > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_id
+    FROM (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> lower(t) IN ('the','a','an','and','of','to','in','is','that','it'))) AS en_hits,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> lower(t) IN ('le','la','les','et','de','un','une','est','que','dans'))) AS fr_hits
+        FROM documents
+    )
+    """,
+    doc="Stopword-vote language ID heuristic.",
+)
+def q33_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q34_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish pre-tokenizer regex.",
+)
+def q34_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q35_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Normalized content fingerprint: case/punctuation/whitespace-"
+    "insensitive md5 — the batch analog of a rolling-hash fingerprint.",
+)
+def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the same config block is
+what we would ship to a 1000-executor cluster (AQE, skew-join handling,
+partition coalescing) — only ``master`` and memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "atiesh-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    Config choices (all hold at cluster scale, not just local):
+
+    - AQE on: runtime coalescing of post-shuffle partitions, skew-join
+      splitting, and dynamic join-strategy switches (sort-merge ->
+      broadcast when the built side turns out small).
+    - ``shuffle.partitions`` sized to the core count locally; on a real
+      cluster this would be ~2-3x total cores — AQE coalesces the excess.
+    - Arrow enabled for every pandas UDF / toPandas hop.
+    - ``mapKeyDedupPolicy=LAST_WIN``: the reference's header-merge is an
+      upsert fold (SimpleEvent.scala:23-26); map_concat must keep the
+      last value for duplicate keys to match.
+    - Session timezone pinned to UTC so timestamp semantics match the
+      (naive-timestamp) parquet testdata and the DuckDB oracle.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read the raw int64 and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

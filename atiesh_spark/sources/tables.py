@@ -1,0 +1,53 @@
+"""Batch parquet table loaders for the driver testdata.
+
+Plain ``spark.read.parquet`` — declarative scans so Catalyst gets predicate
+pushdown, column pruning and (on partitioned layouts) partition pruning for
+free. At 100 TB these would be the same calls against a partitioned/
+bucketed warehouse path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64
+        # nanos (legacy.parquet.nanosAsLong); convert to micros with
+        # integer division (ns magnitudes exceed double precision) and
+        # present as TIMESTAMP_NTZ, matching the naive wall-clock
+        # semantics every other engine gives this column.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
