@@ -31,6 +31,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before an explode-heavy stage.
+
+    A compact input (one parquet file, a broadcast result) arrives in few
+    partitions; exploding it there serializes the whole fan-out on one
+    task. Cost: one round-robin shuffle of the *narrow* pre-explode rows —
+    orders of magnitude smaller than the post-explode data it parallelizes.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct character k-shingles per document: (id_col, sh).
 
@@ -38,7 +50,7 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     """
     positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
     return (
-        df.select(
+        _fanout(df.select(id_col, text_col)).select(
             F.col(id_col),
             F.explode(
                 F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(k)))
@@ -50,13 +62,21 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (the O(n^2)-ish verifier).
+    """Exact n-gram Jaccard similarity pairs.
 
-    Shingle-join computes |A∩B| without materializing the cross product;
-    still quadratic in cluster terms — use minhash_lsh_pairs as the
-    candidate filter at scale, this as the verify step on candidates.
+    Without ``candidates`` this is the O(n^2)-ish exact verifier: the
+    shingle self-join explodes when shingles are common to many docs
+    (cost ~ sum over shingles of n_s^2) — small corpora / oracle checks
+    only. At scale, pass ``candidates`` = (id_1, id_2) from
+    minhash_lsh_pairs: the join is then semi-filtered to candidate pairs
+    and the whole pipeline stays near-linear.
     Output: (id_1, id_2, jaccard) with id_1 < id_2.
     """
     sh = char_shingles(df, id_col, text_col, k)
@@ -69,6 +89,8 @@ def ngram_jaccard_pairs(
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_1", "id_2"), ["id_1", "id_2"], "left_semi")
     sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz2"))
     return (
@@ -83,23 +105,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signatures: (id_col, seed, mh).
+    """MinHash signatures, wide layout: (id_col, mh_0 .. mh_{n-1}).
 
-    Hash family: md5(seed ':' shingle); min is taken lexicographically
-    over the hex digest — deterministic, engine-independent, and as
-    uniform as needed for banding.
+    Hash family: md5(seed ':' shingle); min taken lexicographically over
+    the hex digest — deterministic and engine-independent.
+
+    Physical strategy (the 100 TB shape): the hash family is evaluated
+    once per DISTINCT shingle (distinct char-k-grams are bounded by
+    |charset|^k, e.g. ~1e5 for k=3 English text — a broadcastable dim no
+    matter how big the corpus), then joined back and reduced with one
+    column-min per seed. No row explosion by seed, one shuffle on id.
     """
     sh = char_shingles(df, id_col, text_col, k)
-    seeded = sh.withColumn(
-        "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    hash_arr = F.array(
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary"))
+            for s in range(num_hashes)
+        ]
     )
-    mh = F.md5(
-        F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")
+    sh_hashes = sh.select("sh").distinct().select("sh", hash_arr.alias("hs"))
+    joined = sh.join(F.broadcast(sh_hashes) if k <= 4 else sh_hashes, "sh")
+    return joined.groupBy(id_col).agg(
+        *[F.min(F.col("hs")[s]).alias(f"mh_{s}") for s in range(num_hashes)]
     )
-    return seeded.groupBy(id_col, "seed").agg(F.min(mh).alias("mh"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures, long layout: (id_col, seed, mh)."""
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
+    pairs = ", ".join(f"{s}, mh_{s}" for s in range(num_hashes))
+    return wide.selectExpr(id_col, f"stack({num_hashes}, {pairs}) AS (seed, mh)")
 
 
 def minhash_lsh_pairs(
@@ -120,22 +160,28 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    band_sigs = (
-        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-        .groupBy(id_col, "band")
-        .agg(
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
+    # band signature = md5 of the seed-ordered row minhashes; built from
+    # the wide layout with zero extra shuffles, then unpivoted to
+    # (id, band, band_sig) rows for the bucket join.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
+                F.concat_ws(
                     "|",
+                    *[
+                        F.col(f"mh_{s}")
+                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
                 ).cast("binary")
-            ).alias("band_sig")
+            ).alias("band_sig"),
         )
-    )
+        for b in range(bands)
+    ]
+    band_sigs = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     left = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
     right = band_sigs.select(F.col(id_col).alias("id_2"), "band", "band_sig")
     return (
@@ -153,7 +199,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     token votes +1/-1 per bit position; majority (strictly positive) sets
     the bit. Tokens weighted by frequency (standard SimHash).
     """
-    toks = df.select(
+    toks = _fanout(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
     th = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
