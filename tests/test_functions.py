@@ -1,0 +1,130 @@
+"""Unit + property tests for the scalar function library (SURVEY.md §5.2
+items 2, 5): codec round-trips, header-map merge laws, split/join
+inverses, line policies — edge cases distilled from reference behavior."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from atiesh_spark.functions.codec import (
+    base64_decode,
+    base64_encode,
+    gzip_compress,
+    gzip_decompress,
+)
+from atiesh_spark.functions.maps import (
+    header_lookup,
+    header_prefix_filter,
+    merge_headers,
+)
+from atiesh_spark.functions.text import drop_long_lines, split_body, truncate_lines
+
+
+def events_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+def test_gzip_roundtrip(spark):
+    df = events_df(spark, ["hello", "", "utf8: éè€", None])
+    out = df.select(
+        F.decode(gzip_decompress(gzip_compress(F.encode("value", "UTF-8"))), "UTF-8").alias("rt"),
+        "value",
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["value"]
+
+
+def test_base64_roundtrip_multibyte(spark):
+    vals = ["abc", "", "日本語", "line1\nline2", "a;b,c"]
+    df = events_df(spark, vals)
+    out = df.select(base64_decode(base64_encode("value")).alias("rt"), "value").collect()
+    for r in out:
+        assert r["rt"] == r["value"]
+
+
+def test_base64_unchunked(spark):
+    # >76 encoded chars must not contain MIME soft breaks
+    df = events_df(spark, ["x" * 200])
+    b64 = df.select(base64_encode("value").alias("b")).collect()[0]["b"]
+    assert "\r" not in b64 and "\n" not in b64
+
+
+def test_header_merge_upsert_last_wins(spark):
+    """SimpleEvent.setHeaders fold: duplicate key takes the NEW value
+    (SimpleEvent.scala:23-26)."""
+    df = spark.createDataFrame([({"a": "1", "b": "2"},)], "headers map<string,string>")
+    merged = df.select(
+        merge_headers("headers", F.create_map(F.lit("b"), F.lit("9"), F.lit("c"), F.lit("3"))).alias("m")
+    ).collect()[0]["m"]
+    assert merged == {"a": "1", "b": "9", "c": "3"}
+
+
+def test_header_prefix_filter_case_insensitive(spark):
+    """HTTP header capture lowercases before prefix match
+    (HttpSource.scala:119-126)."""
+    df = spark.createDataFrame(
+        [({"X-Atiesh-Id": "7", "x-atiesh-type": "t", "Content-Type": "x"},)],
+        "headers map<string,string>",
+    )
+    out = df.select(header_prefix_filter("headers", "X-ATIESH-").alias("m")).collect()[0]["m"]
+    assert set(out) == {"X-Atiesh-Id", "x-atiesh-type"}
+
+
+def test_header_lookup_default(spark):
+    df = spark.createDataFrame([({"t": "x"},), ({},)], "headers map<string,string>")
+    out = [r[0] for r in df.select(header_lookup("headers", "t", "dflt")).collect()]
+    assert sorted(out) == ["dflt", "x"]
+
+
+def test_split_body_trailing_delimiter(spark):
+    """Trailing separator produces a trailing empty segment — the
+    reference's split keeps it (HttpSource.scala:116-117 uses a raw
+    split on the delimiter char)."""
+    df = spark.createDataFrame([(1, "a\nb\n")], "id int, body string")
+    out = split_body(df, "body", "\n", pos_col="pos").collect()
+    assert [(r["pos"], r["value"]) for r in sorted(out, key=lambda r: r["pos"])] == [
+        (0, "a"), (1, "b"), (2, ""),
+    ]
+
+
+def test_truncate_and_drop_policies(spark):
+    df = spark.createDataFrame([("short",), ("x" * 50,)], "value string")
+    truncated = df.select(truncate_lines("value", 10).alias("v")).collect()
+    assert sorted(len(r["v"]) for r in truncated) == [5, 10]
+    kept = drop_long_lines(df, "value", 10).collect()
+    assert [r["value"] for r in kept] == ["short"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)), max_size=20), min_size=1, max_size=5))
+def test_split_join_inverse_property(spark, parts):
+    """join(sep) then split(sep) is the identity on delimiter-free parts."""
+    body = "\n".join(parts)
+    df = spark.createDataFrame([(body,)], "body string")
+    out = split_body(df, "body", "\n", pos_col="pos").collect()
+    recovered = [r["value"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert recovered == parts
+
+
+def test_route_unmatched_discarded(spark):
+    from atiesh_spark.operators.routing import route_first_accepted
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "value string")
+    routed = route_first_accepted(
+        df, [("s1", F.col("value") == "a"), ("s2", F.col("value") == "b")]
+    ).collect()
+    assert {(r["value"], r["route"]) for r in routed} == {("a", "s1"), ("b", "s2")}
+
+
+def test_batch_assembly_max_size(spark):
+    from atiesh_spark.operators.batching import assemble_batches
+
+    df = spark.createDataFrame(
+        [("t", i) for i in range(5)], "tag string, value int"
+    )
+    out = assemble_batches(df, "tag", value_col="value", order_col="value", max_batch_size=2).collect()
+    bodies = sorted(r["body"] for r in out)
+    assert bodies == ["0\n1", "2\n3", "4"]
+    assert sorted(r["n_events"] for r in out) == [1, 2, 2]

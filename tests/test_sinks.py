@@ -1,0 +1,163 @@
+"""Unit tests for sink writers: HTTP retry/response policy, syslog
+framing, kafka frame shaping — reference edge cases from SURVEY.md §5.2."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from atiesh_spark.streaming.sinks import (
+    HttpSinkWriter,
+    format_syslog,
+    kafka_sink_frame,
+    kafka_sink_options,
+)
+
+
+class FakeTransport:
+    """Scripted HTTP transport: pops one status per call."""
+
+    def __init__(self, statuses):
+        self.statuses = list(statuses)
+        self.calls = []
+
+    def __call__(self, method, url, body, headers, timeout):
+        self.calls.append({"method": method, "url": url, "body": body, "headers": dict(headers)})
+        s = self.statuses.pop(0)
+        if s == "boom":
+            raise ConnectionError("transport down")
+        return s, b""
+
+
+def make_writer(transport, **kw):
+    kw.setdefault("sleeper", lambda d: None)
+    return HttpSinkWriter("http://example.test/ingest", transport=transport, **kw)
+
+
+def test_http_200_ok():
+    t = FakeTransport([200])
+    assert make_writer(t)._send("hello") == "ok"
+    assert t.calls[0]["body"] == b"hello"
+    assert t.calls[0]["method"] == "POST"
+
+
+def test_http_4xx_drops_without_retry():
+    t = FakeTransport([404])
+    assert make_writer(t)._send("x") == "dropped"
+    assert len(t.calls) == 1
+
+
+def test_http_5xx_retries_then_succeeds():
+    t = FakeTransport([500, 503, 201])
+    assert make_writer(t)._send("x") == "ok"
+    assert len(t.calls) == 3
+
+
+def test_http_transport_error_retries_and_exhausts():
+    t = FakeTransport(["boom", "boom", "boom", "boom"])
+    with pytest.raises(RuntimeError, match="exhausted 3 retries"):
+        make_writer(t)._send("x")
+    assert len(t.calls) == 4  # initial + 3 retries
+
+
+def test_http_backoff_is_capped():
+    delays = []
+    t = FakeTransport([500] * 8 + [200])
+    w = HttpSinkWriter(
+        "http://example.test", transport=t, max_retries=8, sleeper=delays.append
+    )
+    w._send("x")
+    assert all(d <= 32.0 for d in delays)
+    assert delays[-1] >= 31.0  # hit the cap region: min(2^7+r, 32)
+
+
+def test_http_gzip_and_auth_headers():
+    t = FakeTransport([200])
+    w = make_writer(t, use_gzip=True, auth=("user", "pass"))
+    w._send("payload")
+    call = t.calls[0]
+    assert gzip.decompress(call["body"]) == b"payload"
+    assert call["headers"]["Content-Encoding"] == "gzip"
+    assert call["headers"]["Authorization"].startswith("Basic dXNlcjpwYXNz")
+
+
+def test_http_get_carries_query_param():
+    t = FakeTransport([200])
+    w = make_writer(t, method="GET", query_key="ev")
+    w._send("a b")
+    assert t.calls[0]["url"].endswith("?ev=a%20b")
+    assert t.calls[0]["body"] is None
+
+
+def test_http_batch_join():
+    t = FakeTransport([200, 200])
+    w = make_writer(t, batch_size=2)
+    w._send_partition(iter(["a", "b", "c"]))
+    assert t.calls[0]["body"] == b"a\nb"
+    assert t.calls[1]["body"] == b"c"
+
+
+def test_http_rejects_bad_method():
+    with pytest.raises(ValueError, match="unsupported method"):
+        HttpSinkWriter("http://x", method="DELETE")
+
+
+def test_syslog_rfc3164_framing():
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 3, 5, 12, 30, 45, tzinfo=timezone.utc)
+    msg = format_syslog("boom", rfc="3164", facility="local0", severity="err",
+                        hostname="h1", appname="app", ts=ts)
+    assert msg == b"<131>Mar  5 12:30:45 h1 app: boom"
+
+
+def test_syslog_rfc5424_framing():
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 3, 5, 12, 30, 45, 123000, tzinfo=timezone.utc)
+    msg = format_syslog("hi", rfc="5424", facility="user", severity="info",
+                        hostname="h1", appname="app", ts=ts)
+    assert msg == b"<14>1 2024-03-05T12:30:45.123Z h1 app - - - hi"
+
+
+def test_syslog_rejects_unknown_rfc():
+    with pytest.raises(ValueError, match="unsupported syslog rfc"):
+        format_syslog("x", rfc="9999")
+
+
+def test_kafka_sink_frame_dynamic_topic(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", {"topic": "t1"}), ("b", {})],
+        "value string, headers map<string,string>",
+    )
+    out = kafka_sink_frame(df, static_topic="fallback", topic_header="topic")
+    rows = {r["value"]: r for r in out.collect()}
+    assert rows["a"]["topic"] == "t1"
+    assert rows["b"]["topic"] == "fallback"
+    # key is a uuid per record (KafkaSink.scala:18-21)
+    assert len(rows["a"]["key"]) == 36 and rows["a"]["key"] != rows["b"]["key"]
+    assert sorted(out.columns) == ["key", "topic", "value"]
+
+
+def test_kafka_sink_frame_requires_topic():
+    with pytest.raises(ValueError, match="static_topic and/or topic_header"):
+        kafka_sink_frame(None)
+
+
+def test_kafka_must_send_options():
+    opts = kafka_sink_options("broker:9092", must_send=True)
+    assert opts["kafka.enable.idempotence"] == "true"
+    assert int(opts["kafka.retries"]) > 1_000_000
+
+
+def test_kafka_source_options_seek_validation():
+    from atiesh_spark.streaming.sources import kafka_source_options
+
+    opts = kafka_source_options("b:9092", ["t1", "t2"], seek="beginning")
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["subscribe"] == "t1,t2"
+    with pytest.raises(ValueError, match="seek must be"):
+        kafka_source_options("b:9092", ["t"], seek="middle")

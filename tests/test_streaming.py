@@ -1,0 +1,148 @@
+"""Streaming end-to-end tests (SURVEY.md §5.2 items 3-4).
+
+File-watch source -> interceptor chain -> routed sinks via the pipeline
+assembler, with availableNow triggers; checkpoint restart proves the
+at-least-once/resume contract that replaces the reference's dump/replay.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from atiesh_spark.pipeline import Pipeline
+
+
+def write_lines(path, lines):
+    path.write_text("\n".join(lines) + "\n")
+
+
+def base_spec(src_dir, collected, checkpoint):
+    return {
+        "sources": {
+            "dir": {"type": "dirwatch", "path": str(src_dir), "max_line_length": 100}
+        },
+        "interceptors": {
+            "keep_nonempty": {"type": "filter", "predicate": "length(value) > 0", "priority": 10},
+            "upper": {"type": "transform", "exprs": {"value": "upper(value)"}, "priority": 5},
+        },
+        "sinks": {"mem": {"type": "memory", "collected": collected}},
+        "pipelines": [
+            {
+                "source": "dir",
+                "interceptors": ["keep_nonempty", "upper"],
+                "sinks": ["mem"],
+                "trigger": {"availableNow": True},
+                "checkpoint": str(checkpoint),
+            }
+        ],
+    }
+
+
+def test_dirwatch_pipeline_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    write_lines(src / "a.txt", ["hello", "", "world", "x" * 200])
+    collected: list = []
+    p = Pipeline(spark, base_spec(src, collected, tmp_path / "ckpt"))
+    p.start()
+    p.await_all()
+
+    values = sorted(r["value"] for r in collected)
+    # empty line filtered, >100-char line dropped (reference drop policy),
+    # remainder uppercased, fn header captured
+    assert values == ["HELLO", "WORLD"]
+    assert all("a.txt" in r["headers"]["fn"] for r in collected)
+
+
+def test_checkpoint_resume_no_reprocess(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    write_lines(src / "one.txt", ["r1", "r2"])
+    collected: list = []
+    spec = base_spec(src, collected, tmp_path / "ckpt")
+
+    p = Pipeline(spark, spec)
+    p.start()
+    p.await_all()
+    assert sorted(r["value"] for r in collected) == ["R1", "R2"]
+
+    # restart with the same checkpoint + a new file: only the new file runs
+    write_lines(src / "two.txt", ["r3"])
+    p2 = Pipeline(spark, spec)
+    p2.start()
+    p2.await_all()
+    assert sorted(r["value"] for r in collected) == ["R1", "R2", "R3"]
+
+
+def test_first_accepted_routing(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    write_lines(src / "a.txt", ["click:1", "view:2", "click:3", "other:4"])
+    got_a: list = []
+    got_b: list = []
+    spec = {
+        "sources": {"dir": {"type": "dirwatch", "path": str(src), "with_headers": False}},
+        "interceptors": {},
+        "sinks": {
+            "a": {"type": "memory", "collected": got_a, "accept": "value LIKE 'click%'"},
+            "b": {"type": "memory", "collected": got_b, "accept": "value LIKE 'view%' OR value LIKE 'click%'"},
+        },
+        "pipelines": [
+            {
+                "source": "dir",
+                "sinks": ["a", "b"],
+                "trigger": {"availableNow": True},
+                "checkpoint": str(tmp_path / "ckpt"),
+            }
+        ],
+    }
+    p = Pipeline(spark, spec)
+    p.start()
+    p.await_all()
+    # first-accepted: clicks go ONLY to a (first match), views to b,
+    # 'other' discarded
+    assert sorted(r["value"] for r in got_a) == ["click:1", "click:3"]
+    assert sorted(r["value"] for r in got_b) == ["view:2"]
+
+
+def test_devzero_rate_source(spark, tmp_path):
+    collected: list = []
+    spec = {
+        "sources": {"gen": {"type": "devzero", "rows_per_second": 100, "payload": "0"}},
+        "interceptors": {},
+        "sinks": {"mem": {"type": "memory", "collected": collected}},
+        "pipelines": [
+            {
+                "source": "gen",
+                "sinks": ["mem"],
+                "trigger": {"processingTime": "1 seconds"},
+                "checkpoint": str(tmp_path / "ckpt"),
+            }
+        ],
+    }
+    p = Pipeline(spark, spec)
+    p.start()
+    deadline = time.time() + 20
+    while not collected and time.time() < deadline:
+        time.sleep(0.5)
+    p.stop()
+    assert collected, "rate source produced no rows in 20s"
+    assert all(r["value"] == "0" for r in collected)
+
+
+def test_spec_validation_errors(spark):
+    with pytest.raises(ValueError, match="unknown source"):
+        Pipeline(spark, {"sources": {}, "sinks": {}, "pipelines": [{"source": "x", "sinks": ["y"]}]})
+    with pytest.raises(ValueError, match="unknown sink"):
+        Pipeline(
+            spark,
+            {
+                "sources": {"g": {"type": "devzero"}},
+                "sinks": {},
+                "pipelines": [{"source": "g", "sinks": ["y"]}],
+            },
+        )
+    with pytest.raises(ValueError, match="no pipelines"):
+        Pipeline(spark, {"sources": {}, "sinks": {}, "pipelines": []})
