@@ -143,7 +143,23 @@ _SOURCE_BUILDERS = {
         seek=cfg.get("seek"),
         max_offsets_per_trigger=cfg.get("max_offsets_per_trigger"),
     ),
+    "http_push": lambda spark, cfg: _http_push_source(spark, cfg),
 }
+
+
+def _http_push_source(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Passive HTTP ingress (custom Python data source, sources/http_push.py)."""
+    from atiesh_spark.sources.http_push import register_http_push
+
+    register_http_push(spark)
+    reader = spark.readStream.format("http_push").option("port", cfg.get("port", 0))
+    if cfg.get("delimiter"):
+        reader = reader.option("delimiter", cfg["delimiter"])
+    if cfg.get("capture_prefix"):
+        reader = reader.option("capturePrefix", cfg["capture_prefix"])
+    if cfg.get("max_queue"):
+        reader = reader.option("maxQueue", cfg["max_queue"])
+    return reader.load()
 
 
 def build_source(spark: SparkSession, cfg: dict) -> DataFrame:

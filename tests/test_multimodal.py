@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, fan-out —
+the decode step is stubbed (no media libs in container), the Spark side
+is real."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.multimodal import (
+    attach_media_metadata,
+    byte_histogram_features,
+    decode_media,
+    resize_image,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, b"\x89PNG-fake-bytes-1", 5000),
+        (2, b"\x89PNG-other-bytes", 12000),
+        (3, b"", 0),
+    ]
+    return spark.createDataFrame(rows, "media_id long, blob binary, dur long")
+
+
+def test_attach_metadata_struct(media_df):
+    out = attach_media_metadata(media_df, "blob", "image/png", duration_ms_col="dur")
+    assert out.schema["media_meta"].dataType.simpleString() == (
+        "struct<mime:string,width:int,height:int,duration_ms:bigint>"
+    )
+    r = out.filter("media_id = 1").collect()[0]["media_meta"]
+    assert r["mime"] == "image/png" and r["duration_ms"] == 5000
+
+
+def test_decode_media_stub_is_deterministic(media_df, spark):
+    out1 = {r["media_id"]: r for r in decode_media(media_df, "media_id", "blob").collect()}
+    out2 = {r["media_id"]: r for r in decode_media(media_df, "media_id", "blob").collect()}
+    assert out1.keys() == {1, 2, 3}
+    for k in out1:
+        assert out1[k]["pixels_sample"] == out2[k]["pixels_sample"]
+        assert out1[k]["mode"] == "FAKE"  # stub path marked
+        assert len(out1[k]["pixels_sample"]) == 16
+    assert out1[1]["pixels_sample"] != out1[2]["pixels_sample"]
+
+
+def test_byte_histogram_features(media_df):
+    out = media_df.select(
+        "media_id", byte_histogram_features("blob").alias("feat")
+    ).collect()
+    feats = {r["media_id"]: r["feat"] for r in out}
+    assert len(feats[1]) == 16
+    assert abs(sum(feats[1]) - 1.0) < 1e-6  # normalized histogram
+    assert sum(feats[3]) == 0.0  # empty blob -> zero vector (len guard)
+
+
+def test_resize_is_cleanly_stubbed(media_df):
+    with pytest.raises(Exception) as exc_info:
+        resize_image(media_df, "media_id", "blob", 32, 32).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_sample_frames_fanout(media_df):
+    out = sample_frames(
+        media_df, "media_id", "blob", "dur", every_ms=1000, max_frames=8
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 5      # 5000ms / 1000ms
+    assert len(by_id[2]) == 8      # capped at max_frames
+    assert len(by_id[3]) == 1      # zero duration -> at least one frame
+    f = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [x["ts_ms"] for x in f] == [0, 1000, 2000, 3000, 4000]
+    assert f[0]["frame_blob"] != f[1]["frame_blob"]  # per-frame stub payloads
