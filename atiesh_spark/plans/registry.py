@@ -47,3 +47,4 @@ def register(
 from atiesh_spark.plans import core_queries  # noqa: E402,F401
 from atiesh_spark.plans import relational_queries  # noqa: E402,F401
 from atiesh_spark.plans import llm_queries  # noqa: E402,F401
+from atiesh_spark.plans import window_queries  # noqa: E402,F401

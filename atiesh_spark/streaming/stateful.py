@@ -1,0 +1,136 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+stateful_count_batcher gives EXACT parity for the reference's
+BatchSinkSemantics (BatchSinkSemantics.scala:25-39,155-214): per-tag
+buffers flushed when they reach `batch-size` OR when `batch-timeout`
+(processing-time) fires — the two flush paths the micro-batch trigger
+alone cannot reproduce exactly (SURVEY.md §7.4 "count-based flush").
+
+State per tag: the buffered values. Emitted rows: one per flushed batch,
+(tag, body, n_events, flush_reason) with the newline body join of
+HttpSink.scala:151-154. Like the reference, size 1 and size=0 with
+timeout=0 are rejected at build time (BatchSinkSemantics.scala:135-146).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BATCH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("tag", StringType()),
+        StructField("body", StringType()),
+        StructField("n_events", IntegerType()),
+        StructField("flush_reason", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("buffered", ArrayType(StringType())), StructField("opened_at", LongType())]
+)
+
+
+def _make_batcher(batch_size: int, timeout_ms: int):
+    def batch_fn(
+        key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        tag = key[0]
+        buffered: list[str] = list(state.get[0]) if state.exists else []
+        out: list[dict[str, Any]] = []
+
+        if state.hasTimedOut:
+            # timeout flush (BatchSinkSemantics.scala:164-171)
+            if buffered:
+                out.append(
+                    {"tag": tag, "body": "\n".join(buffered),
+                     "n_events": len(buffered), "flush_reason": "timeout"}
+                )
+            state.remove()
+        else:
+            for pdf in pdfs:
+                buffered.extend(pdf["value"].astype(str).tolist())
+            # size flush, possibly multiple full batches per trigger
+            while batch_size > 0 and len(buffered) >= batch_size:
+                chunk, buffered = buffered[:batch_size], buffered[batch_size:]
+                out.append(
+                    {"tag": tag, "body": "\n".join(chunk),
+                     "n_events": len(chunk), "flush_reason": "size"}
+                )
+            if buffered:
+                state.update((buffered, 0))
+                if timeout_ms > 0:
+                    state.setTimeoutDuration(timeout_ms)
+            elif state.exists:
+                state.remove()
+
+        yield pd.DataFrame(out, columns=["tag", "body", "n_events", "flush_reason"])
+
+    return batch_fn
+
+
+def stateful_count_batcher(
+    events: DataFrame,
+    tag_col: str = "tag",
+    value_col: str = "value",
+    batch_size: int = 0,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Per-tag count/timeout batch assembly on a streaming DataFrame.
+
+    Validation mirrors the reference init errors
+    (BatchSinkSemantics.scala:135-146).
+    """
+    if batch_size == 1:
+        raise ValueError("batch_size 1 is rejected (use the plain sink path)")
+    if batch_size <= 0 and timeout_ms <= 0:
+        raise ValueError("need batch_size > 1 and/or timeout_ms > 0")
+    shaped = events.select(
+        F.col(tag_col).cast("string").alias("tag"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return shaped.groupBy("tag").applyInPandasWithState(
+        _make_batcher(batch_size, timeout_ms),
+        outputStructType=BATCH_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def with_watermark_window(
+    events: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the late-data policy the
+    reference never had (SURVEY.md §2.7).
+
+    Contract (Spark split watermarks, SPARK-24634): window state is
+    EVICTED and emitted (append mode) once the eviction watermark passes
+    the window end; input rows are DROPPED as late against the previous
+    batch's eviction watermark — so a closed window is emitted exactly
+    once and never re-opened, but a row arriving in the same batch that
+    closes its window still counts."""
+    gcols = group_cols or []
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), *gcols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), *gcols, "cnt")
+    )

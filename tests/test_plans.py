@@ -1,0 +1,93 @@
+"""Physical plan quality gates.
+
+Correctness tests prove the WHAT; these prove the HOW survives
+refactors: filters reach the parquet scan, small dims broadcast, top-k
+never full-sorts, and relational paths stay off the Python-UDF slow
+path. A plan regression here is a 100 TB incident that a row-count test
+would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from atiesh_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF_SMALL)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q15_revenue_filter")
+    assert "PushedFilters:" in plan
+    # shipdate/discount/quantity predicates pushed, not just IsNotNull
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThan" in pushed or "LessThan" in pushed
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q01_null_drop")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" in read_schema and "props" in read_schema
+    # untouched columns must not be read
+    assert "user_id" not in read_schema and "event_type" not in read_schema
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(spark, "q16_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    plan13 = plan_of(spark, "q13_enrich_broadcast")
+    assert "BroadcastHashJoin" in plan13
+    assert "SortMergeJoin" not in plan13
+
+
+def test_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "q19_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "q17_semi_join")
+    assert "LeftAnti" in plan_of(spark, "q18_anti_join")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q14_pricing_summary",
+        "q16_revenue_by_nation",
+        "q19_topk_orders",
+        "q22_window_rank",
+        "q24_exact_dedup",
+        "q26_minhash_lsh",
+        "q29_embedding_topk",
+        "q32_text_stats",
+    ],
+)
+def test_no_python_udf_in_hot_paths(spark, name):
+    """Every headline operator stays JVM-side (no row/Arrow Python eval)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Hash aggs must map-side combine (partial_ functions) so the
+    shuffle carries group states, not raw rows."""
+    plan = plan_of(spark, "q14_pricing_summary")
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_single_shuffle_for_grouped_agg(spark):
+    df = QUERIES["q14_pricing_summary"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # one exchange for the groupBy; AQE may add none beyond it
+    assert plan.count("Exchange hashpartitioning") == 1
