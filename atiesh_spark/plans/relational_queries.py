@@ -148,13 +148,21 @@ def q17_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
-    doc="Left-anti join (customers with no orders).",
+    doc="Left-anti join: customers with no large orders (the totalprice "
+    "filter keeps the result discriminating at every SF — every customer "
+    "has SOME order in this data).",
 )
 def q18_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -206,18 +214,22 @@ def q20_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
      UNION
      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
     """,
     doc="Set operations: UNION (distinct) then EXCEPT (distinct) — "
-    "customer key sets minus customers who ordered.",
+    "rich/BUILDING customer keys minus big-order customers (filter keeps "
+    "all three branches non-trivial at every SF).",
 )
 def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     rich = customer.filter(F.col("c_acctbal") > 7000).select("c_custkey")
     building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
-    return rich.union(building).distinct().exceptAll(with_orders.distinct())
+    big_orders = (
+        orders.filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.union(building).distinct().exceptAll(big_orders.distinct())
 
 
 @register(
