@@ -43,13 +43,19 @@ def _fanout(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct character k-shingles per document: (id_col, sh).
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Character k-shingles per document: (id_col, sh).
 
     Built-ins only: sequence + transform + explode stay in codegen.
+    ``distinct=True`` (needed for Jaccard set sizes) costs a full shuffle
+    of the exploded rows; operators that are idempotent over duplicates
+    (MinHash: min over a multiset == min over its set) pass False and
+    skip it.
     """
     positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
-    return (
+    out = (
         _fanout(df.select(id_col, text_col)).select(
             F.col(id_col),
             F.explode(
@@ -57,8 +63,8 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
             ).alias("sh"),
         )
         .filter(F.length("sh") > 0)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -119,7 +125,11 @@ def _minhash_wide(
     matter how big the corpus), then joined back and reduced with one
     column-min per seed. No row explosion by seed, one shuffle on id.
     """
-    sh = char_shingles(df, id_col, text_col, k)
+    # distinct halves-or-better the rows feeding the 32-column min agg
+    # whenever shingles repeat within documents (measured faster here);
+    # min is idempotent over duplicates, so either setting is correct —
+    # on low-duplication corpora distinct=False skips a shuffle.
+    sh = char_shingles(df, id_col, text_col, k, distinct=True)
     hash_arr = F.array(
         *[
             F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary"))

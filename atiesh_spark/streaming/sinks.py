@@ -247,13 +247,41 @@ def format_syslog(
     raise ValueError(f"unsupported syslog rfc {rfc!r}")
 
 
+def udp_syslog_sender(host: str, port: int):
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    addr = (host, port)
+
+    def send(b: bytes) -> None:
+        sock.sendto(b, addr)
+
+    return send
+
+
+def tcp_syslog_sender(host: str, port: int, use_tls: bool = False,
+                      cafile: str | None = None):
+    """Stream transport with RFC 6587 LF framing; TLS via stdlib ssl
+    (covers the reference's TCP/TLS sender variants + CA-cert option,
+    SyslogSinkSemantics.scala:49-135, PKI.scala:20-74)."""
+    sock = socket.create_connection((host, port), timeout=10)
+    if use_tls:
+        import ssl
+
+        ctx = ssl.create_default_context(cafile=cafile)
+        sock = ctx.wrap_socket(sock, server_hostname=host)
+
+    def send(b: bytes) -> None:
+        sock.sendall(b + b"\n")
+
+    return send
+
+
 class SyslogSinkWriter:
     """Sends each event body as one syslog message.
 
     Reference ships 8 transport variants (RFC x TCP/UDP/TLS,
-    SyslogSinkSemantics.scala:19-42); here the transport is an
-    injectable ``sender(bytes)`` with UDP as the built-in default —
-    TCP/TLS senders plug in without touching the framing logic.
+    SyslogSinkSemantics.scala:19-42); here framing (RFC 3164/5424) and
+    transport (udp/tcp/tls senders above, or any injected
+    ``sender(bytes)``) compose to the same matrix.
     """
 
     def __init__(
@@ -264,19 +292,23 @@ class SyslogSinkWriter:
         facility: str = "user",
         severity: str = "info",
         appname: str = "atiesh",
+        transport: str = "udp",
+        use_tls: bool = False,
+        cafile: str | None = None,
         sender: Callable[[bytes], None] | None = None,
     ) -> None:
         self.host, self.port = host, port
         self.rfc, self.facility, self.severity = rfc, facility, severity
         self.appname = appname
+        self.transport, self.use_tls, self.cafile = transport, use_tls, cafile
         self.sender = sender
 
     def _make_sender(self) -> Callable[[bytes], None]:
         if self.sender is not None:
             return self.sender
-        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        addr = (self.host, self.port)
-        return lambda b: sock.sendto(b, addr) and None
+        if self.transport == "tcp" or self.use_tls:
+            return tcp_syslog_sender(self.host, self.port, self.use_tls, self.cafile)
+        return udp_syslog_sender(self.host, self.port)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         rfc, fac, sev, app = self.rfc, self.facility, self.severity, self.appname
@@ -289,6 +321,68 @@ class SyslogSinkWriter:
                     send(format_syslog(r[0], rfc=rfc, facility=fac, severity=sev, appname=app))
 
         batch_df.select(F.col("value").cast("string")).foreachPartition(send_rows)
+
+
+# --- log-service (SLS-shaped) sink -------------------------------------------
+
+
+class LogServiceSinkWriter:
+    """Log-service producer in the shape of AliyunSLSSinkSemantics
+    (AliyunSLSSinkSemantics.scala:89-214): events become (topic, source,
+    shard_key, fields) records, sent singly or as one grouped batch per
+    partition, with success/failure counters fed by the send outcome.
+
+    The vendor SDK is injected as ``client(records: list[dict]) -> None``
+    (raises on failure) — the reference likewise ships semantics only,
+    no concrete component (SURVEY.md §2.4).
+    """
+
+    def __init__(
+        self,
+        client: Callable[[list[dict]], None],
+        topic: str | None = None,
+        source: str | None = None,
+        shard_key_header: str | None = None,
+        grouped: bool = True,
+    ) -> None:
+        self.client = client
+        self.topic, self.source = topic, source
+        self.shard_key_header = shard_key_header
+        self.grouped = grouped
+        self.success_count = 0
+        self.failure_count = 0
+
+    def _records(self, rows) -> list[dict]:
+        out = []
+        for r in rows:
+            headers = r["headers"] or {}
+            out.append(
+                {
+                    "topic": self.topic,
+                    "source": self.source,
+                    "shard_key": headers.get(self.shard_key_header)
+                    if self.shard_key_header
+                    else None,
+                    "fields": {"value": r["value"], **headers},
+                }
+            )
+        return out
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # driver-side counters need collected outcomes; the send itself
+        # is batched per micro-batch like the reference's grouped LogItem
+        # path (single-record mode mirrors its per-event path)
+        records = self._records(batch_df.select("value", "headers").collect())
+        groups = [records] if self.grouped else [[r] for r in records]
+        for group in groups:
+            if not group:
+                continue
+            try:
+                self.client(group)
+                self.success_count += len(group)
+            except Exception:
+                self.failure_count += len(group)
+                raise  # fail the batch -> checkpoint replay (at-least-once)
 
 
 # --- registry ----------------------------------------------------------------
@@ -323,6 +417,17 @@ def build_sink_writer(cfg: dict) -> Callable[[DataFrame, int], None]:
             facility=cfg.get("facility", "user"),
             severity=cfg.get("severity", "info"),
             appname=cfg.get("appname", "atiesh"),
+            transport=cfg.get("transport", "udp"),
+            use_tls=cfg.get("tls", False),
+            cafile=cfg.get("cafile"),
             sender=cfg.get("sender"),
+        )
+    if stype == "logservice":
+        return LogServiceSinkWriter(
+            client=cfg["client"],
+            topic=cfg.get("topic"),
+            source=cfg.get("source"),
+            shard_key_header=cfg.get("shard_key_header"),
+            grouped=cfg.get("grouped", True),
         )
     raise ValueError(f"unknown sink type {stype!r}")

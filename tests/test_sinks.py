@@ -161,3 +161,79 @@ def test_kafka_source_options_seek_validation():
     assert opts["subscribe"] == "t1,t2"
     with pytest.raises(ValueError, match="seek must be"):
         kafka_source_options("b:9092", ["t"], seek="middle")
+
+
+# --- log-service (SLS-shaped) sink -------------------------------------------
+
+
+class FakeLogClient:
+    def __init__(self, fail_times=0):
+        self.batches = []
+        self.fail_times = fail_times
+
+    def __call__(self, records):
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise ConnectionError("log service down")
+        self.batches.append(records)
+
+
+def _events_df(spark):
+    return spark.createDataFrame(
+        [("a", {"shard": "s1", "x": "1"}), ("b", {"shard": "s2"})],
+        "value string, headers map<string,string>",
+    )
+
+
+def test_logservice_grouped_send(spark):
+    from atiesh_spark.streaming.sinks import LogServiceSinkWriter
+
+    client = FakeLogClient()
+    w = LogServiceSinkWriter(client, topic="t", source="host1", shard_key_header="shard")
+    w(_events_df(spark), 0)
+    assert len(client.batches) == 1 and len(client.batches[0]) == 2
+    rec = {r["fields"]["value"]: r for r in client.batches[0]}
+    assert rec["a"]["shard_key"] == "s1" and rec["a"]["topic"] == "t"
+    assert rec["a"]["fields"]["x"] == "1"
+    assert w.success_count == 2 and w.failure_count == 0
+
+
+def test_logservice_single_mode_and_failure_counters(spark):
+    from atiesh_spark.streaming.sinks import LogServiceSinkWriter
+
+    client = FakeLogClient(fail_times=1)
+    w = LogServiceSinkWriter(client, grouped=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        w(_events_df(spark), 0)
+    assert w.failure_count == 1  # first record failed, batch aborted
+    assert w.success_count == 0
+
+
+def test_syslog_tcp_sender_framing():
+    """TCP sender appends LF framing (RFC 6587); verified against a real
+    local socket."""
+    import socket as s
+    import threading
+
+    from atiesh_spark.streaming.sinks import tcp_syslog_sender
+
+    srv = s.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    got = []
+
+    def accept():
+        conn, _ = srv.accept()
+        got.append(conn.recv(1024))
+        conn.close()
+
+    t = threading.Thread(target=accept, daemon=True)
+    t.start()
+    send = tcp_syslog_sender("127.0.0.1", port)
+    send(b"<14>msg")
+    t.join(timeout=5)
+    srv.close()
+    assert got == [b"<14>msg\n"]
