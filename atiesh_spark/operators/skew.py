@@ -1,0 +1,70 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most cases at
+runtime; these explicit utilities cover the two shapes AQE cannot fix:
+
+- salted_aggregate: a groupBy where one key holds a large share of all
+  rows — partial aggregation helps but the final shuffle still lands the
+  hot key on one task. Two-phase: aggregate on (key, salt), then merge.
+  Correct for any algebraic aggregate expressed as (partial, merge).
+- salted_broadcast_join: joining a huge skewed fact side against a
+  medium dim that must shuffle: replicate the dim per salt instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, col_name: str = "__salt") -> DataFrame:
+    """Uniform random salt in [0, buckets). Used only as a shuffle-key
+    suffix — never in results — so nondeterminism is invisible."""
+    return df.withColumn(col_name, (F.rand() * buckets).cast("int"))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    partial_aggs compute per (key, salt); merge_aggs combine the bucket
+    partials per key (e.g. partial count -> sum of counts, partial sum
+    -> sum of sums, partial min -> min of mins). The hot key's work
+    spreads over ``buckets`` tasks; the merge shuffle moves only
+    buckets-per-key rows.
+    """
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[c.alias(n) for n, c in merge_aggs.items()]
+    )
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact-dim join without shuffling the fact side.
+
+    The dim is exploded ``buckets``x with a salt column and the join key
+    becomes (on, salt): every fact partition finds its dim rows locally
+    (broadcast), and no single reducer owns a hot key. Use when the dim
+    is too big for a plain broadcast to be free but replication x
+    buckets still fits executor memory.
+    """
+    salted_fact = with_salt(fact, buckets)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = salted_fact.join(F.broadcast(salted_dim), [on, "__salt"], how)
+    return out.drop("__salt")

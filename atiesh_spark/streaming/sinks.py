@@ -45,6 +45,25 @@ def parquet_writer(path: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def idempotent_parquet_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Exactly-once parquet sink: partition by batch_id, overwrite only
+    that partition. A replayed micro-batch (sink failed before the
+    checkpoint committed) rewrites its own partition instead of
+    appending duplicates — at-least-once replay + idempotent write =
+    effectively exactly-once output."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    return write
+
+
 def memory_rows(collected: list) -> Callable[[DataFrame, int], None]:
     """Test sink: append collected rows to a driver-side list."""
 
@@ -395,6 +414,8 @@ def build_sink_writer(cfg: dict) -> Callable[[DataFrame, int], None]:
         return devnull_writer
     if stype == "parquet":
         return parquet_writer(cfg["path"])
+    if stype == "parquet_exactly_once":
+        return idempotent_parquet_writer(cfg["path"])
     if stype == "memory":
         return memory_rows(cfg["collected"])
     if stype == "http":
