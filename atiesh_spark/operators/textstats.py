@@ -77,6 +77,40 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tf_idf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, round_to: int = 4
+) -> DataFrame:
+    """Top-k TF-IDF tokens per document: (id, tok, tfidf, rank).
+
+    tfidf = tf * ln((N + 1) / (df + 1)) with add-one smoothing; scores
+    are rounded BEFORE ranking so tie-breaks (then token asc) are
+    engine-independent. Two shuffles: (doc, tok) counts and the per-doc
+    window rank; df/N ride along as a broadcast-joined token dim and a
+    scalar.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        F.col(id_col),
+        "tok",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), round_to
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "tok", "tfidf", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized content fingerprint: (id, fp).
 

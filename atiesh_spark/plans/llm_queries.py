@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from atiesh_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -26,6 +27,7 @@ from atiesh_spark.operators.textstats import (
     fingerprint,
     language_id,
     text_stats,
+    tf_idf_topk,
     token_counts,
 )
 from atiesh_spark.plans.registry import register
@@ -156,6 +158,84 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+
+
+@register(
+    "q41_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_1 AS a, id_2 AS b FROM pairs
+        UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    doc="Dedup clustering: MinHash-LSH candidate pairs -> connected "
+    "components via distributed min-label propagation (data stays "
+    "distributed; driver loop carries only the converged bit). "
+    "cluster_id = min doc id = the dedup survivor. Oracle: recursive-CTE "
+    "transitive closure over the same pairs.",
+)
+def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+    return connected_components(pairs, docs.select("doc_id"), "doc_id")
+
+
+@register(
+    "q42_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE length(tok) > 0 GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rank FROM (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Top-5 TF-IDF tokens per doc (add-one smoothed, scores rounded "
+    "before ranking for engine-independent tie-breaks). df table is a "
+    "broadcast dim; two shuffles total.",
+)
+def q42_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tf_idf_topk(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5)
 
 
 @register(
