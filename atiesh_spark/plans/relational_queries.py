@@ -259,6 +259,63 @@ def q22_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q43_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Cube: all 4 grouping-set combinations in one pass (Expand "
+    "operator, single shuffle) — completes the rollup/cube/grouping-sets "
+    "family with q23.",
+)
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q44_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont, verified bit-equal after rounding). At 100 TB "
+    "the approximate path is q45.",
+)
+def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "q45_approx_sketches",
+    oracle=None,
+    doc="Sketch aggregates: approx_count_distinct (HLL++) and "
+    "approx percentile (KLL-ish) — the constant-memory 100 TB path for "
+    "q20/q44. Rows-only check: sketch estimates are engine-specific by "
+    "construction (DuckDB's HLL differs), so no value oracle exists.",
+)
+def q45_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).alias("approx_p50"),
+    )
+
+
+@register(
     "q23_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -111,6 +111,26 @@ def stateful_count_batcher(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication on key columns.
+
+    With ``ts_col`` + ``watermark_delay``, state is bounded: duplicates
+    arriving within the watermark horizon are dropped and older state is
+    evicted (dropDuplicatesWithinWatermark) — the only sane shape at
+    100 TB. Without a watermark, state grows forever (small keyspaces
+    only); offered because the reference-style pipelines may lack event
+    time entirely.
+    """
+    if ts_col is not None and watermark_delay is not None:
+        return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)
+
+
 def with_watermark_window(
     events: DataFrame,
     ts_col: str,

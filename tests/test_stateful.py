@@ -163,3 +163,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert dropped >= 1  # the 11:59 row
     finally:
         q.stop()
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Duplicate keys arriving in LATER micro-batches are dropped
+    (state carries across batches within the watermark horizon)."""
+    import os
+
+    from atiesh_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f1.txt").write_text("2024-01-01 12:00:00,k1\n2024-01-01 12:00:30,k2\n")
+    (src / "f2.txt").write_text(
+        "2024-01-01 12:01:00,k1\n2024-01-01 12:01:30,k3\n"  # k1 is a dup
+    )
+    now = time.time()
+    os.utime(src / "f1.txt", (now - 10, now - 10))
+    os.utime(src / "f2.txt", (now, now))
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(
+            F.split("value", ",").getItem(0).cast("timestamp").alias("ts"),
+            F.split("value", ",").getItem(1).alias("k"),
+        )
+    )
+    deduped = streaming_dedup(raw, ["k"], ts_col="ts", watermark_delay="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM dedup_sink").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+        keys = sorted(r["k"] for r in rows)
+        assert keys == ["k1", "k2", "k3"]  # second k1 dropped
+    finally:
+        q.stop()
