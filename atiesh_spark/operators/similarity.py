@@ -124,6 +124,61 @@ def lsh_ann_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells + probe-nearest-cells search.
+
+    The other classic ANN layout besides hyperplane LSH: vectors are
+    assigned to their nearest of ``n_cells`` centroids (MLlib KMeans,
+    fixed seed); a query scans only the ``n_probe`` cells whose
+    centroids are nearest to it. Recall grows with n_probe; n_probe ==
+    n_cells degrades to exact. Centroids are a broadcastable dim at any
+    corpus size; per-cell scans are ordinary pruned partitions.
+
+    Not oracle-checkable (k-means cell assignment is library-specific);
+    tests assert recall against brute_force_topk instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), array_to_vector(as_double(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        id_col, F.col("prediction").alias("cell")
+    )
+    with_cell = emb.join(assigned, id_col)
+
+    # rank cells by centroid distance to the query vector (driver-side:
+    # n_cells rows, not data)
+    centroids = [list(c) for c in model.clusterCenters()]
+    qvec = emb.filter(F.col(id_col) == query_vec_id).select(
+        as_double(vec_col).alias("q")
+    )
+    qarr = qvec.first()["q"]
+    dists = sorted(
+        (sum((a - b) ** 2 for a, b in zip(c, qarr)), i) for i, c in enumerate(centroids)
+    )
+    probe_cells = [i for _, i in dists[:n_probe]]
+
+    candidates = with_cell.filter(F.col("cell").isin(probe_cells))
+    scored = candidates.crossJoin(F.broadcast(qvec)).select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), F.col("q")), round_to).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

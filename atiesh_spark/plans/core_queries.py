@@ -210,6 +210,29 @@ def q11_header_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_schema_on_read",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    """,
+    doc="Schema-on-read: the reference treats payloads as opaque strings "
+    "parsed ad hoc by components (SURVEY §1.1); here the JSON props "
+    "column is parsed declaratively (get_json_object) with the extracted "
+    "field usable in predicates — Catalyst still prunes/pushes the scan.",
+)
+def q46_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_id", k.alias("k"), "event_type")
+        .filter(F.col("k") >= 50)
+    )
+
+
+@register(
     "q12_window_tumbling",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,

@@ -21,6 +21,7 @@ from atiesh_spark.operators.dedup import (
 from atiesh_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from atiesh_spark.operators.textstats import (
@@ -311,6 +312,19 @@ def q29_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=4)
+
+
+@register(
+    "q47_ivf_ann_topk",
+    oracle=None,
+    doc="IVF ANN: k-means cells (fixed seed) + 2-probe search, the "
+    "inverted-file counterpart to q30's hyperplane LSH. Rows-only check "
+    "(cell assignment is library-specific); recall vs the exact q29 "
+    "baseline is asserted in tests.",
+)
+def q47_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, query_vec_id=0, k=10, n_cells=8, n_probe=2)
 
 
 @register(
