@@ -218,6 +218,7 @@ def q11_header_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
     """,
+    headline=True,
     doc="Schema-on-read: the reference treats payloads as opaque strings "
     "parsed ad hoc by components (SURVEY §1.1); here the JSON props "
     "column is parsed declaratively (get_json_object) with the extracted "

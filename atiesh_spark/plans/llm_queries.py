@@ -231,6 +231,7 @@ def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) WHERE rank <= 5
     """,
+    headline=True,
     doc="Top-5 TF-IDF tokens per doc (add-one smoothed, scores rounded "
     "before ranking for engine-independent tie-breaks). df table is a "
     "broadcast dim; two shuffles total.",

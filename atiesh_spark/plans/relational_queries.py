@@ -286,6 +286,7 @@ def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(o_totalprice, 0.99), 2) AS p99
     FROM orders GROUP BY o_orderpriority
     """,
+    headline=True,
     doc="Exact interpolated percentiles per group (Spark percentile == "
     "DuckDB quantile_cont, verified bit-equal after rounding). At 100 TB "
     "the approximate path is q45.",

@@ -1,0 +1,83 @@
+"""Property-style invariants for the dedup family (SURVEY §5.2 item 5).
+
+Run on small synthesized corpora (one Spark job per case, so cases are
+hand-picked rather than hypothesis-generated — each example costs a
+distributed job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def corpus(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home"
+
+
+def test_identical_texts_always_minhash_candidates(spark):
+    """Identical texts have identical signatures in every band -> the
+    pair MUST be produced (LSH has false positives, never false
+    negatives for exact duplicates)."""
+    df = corpus(spark, [BASE, BASE, "completely different words here entirely", BASE])
+    pairs = {(r["id_1"], r["id_2"]) for r in
+             minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert {(0, 1), (0, 3), (1, 3)} <= pairs
+
+
+def test_identical_texts_jaccard_one(spark):
+    df = corpus(spark, [BASE, BASE])
+    rows = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.99).collect()
+    assert [(r["id_1"], r["id_2"], r["jaccard"]) for r in rows] == [(0, 1, 1.0)]
+
+
+def test_identical_texts_same_simhash(spark):
+    df = corpus(spark, [BASE, BASE, "unrelated content z z z"])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    assert sims[0] == sims[1]
+    assert sims[0] != sims[2]
+
+
+def test_exact_dedup_groups_identical_only(spark):
+    df = corpus(spark, [BASE, BASE, BASE + "!", "other"])
+    rows = {r["keep_id"]: r["n_dups"] for r in
+            exact_dedup(df, "doc_id", "text").collect()}
+    assert rows == {0: 2, 2: 1, 3: 1}
+
+
+def test_connected_components_transitivity(spark):
+    """a-b and b-c pairs must place a, b, c in ONE cluster even though
+    (a, c) was never a direct pair."""
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_1 long, id_2 long")
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    labels = {r["doc_id"]: r["cluster_id"] for r in
+              connected_components(pairs, ids, "doc_id").collect()}
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[5] == labels[6] == 5
+    for singleton in (3, 4, 7):
+        assert labels[singleton] == singleton
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph is the worst case for label propagation — pointer
+    jumping must still converge within max_iter."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_1 long, id_2 long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    labels = connected_components(pairs, ids, "doc_id", max_iter=10)
+    assert labels.select(F.countDistinct("cluster_id")).first()[0] == 1
+    assert labels.agg(F.max("cluster_id")).first()[0] == 0

@@ -84,6 +84,20 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "partial_sum" in plan or "Partial" in plan
 
 
+def test_no_cartesian_in_bucketed_pair_joins(spark):
+    """The LSH/bucket family must never degrade to a cross product —
+    that's the whole point of bucketing."""
+    for name in ("q26_minhash_lsh", "q28_simhash_pairs", "q41_dedup_clusters"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tfidf_dfreq_broadcast(spark):
+    plan = plan_of(spark, "q42_tfidf_topk")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_single_shuffle_for_grouped_agg(spark):
     df = QUERIES["q14_pricing_summary"].spark(spark, SF_SMALL)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
