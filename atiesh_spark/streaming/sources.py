@@ -110,9 +110,21 @@ def kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
     Record value becomes the payload; kafkaTopic/kafkaPartition headers
     mirror KafkaSourceSenmantics.scala:32-35,149-152; null-value records
     are dropped (lines 147-156).
+
+    Requires the Kafka connector on the classpath (not bundled with
+    PySpark): ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``.
     """
     opts = kafka_source_options(**kwargs)
-    df = spark.readStream.format("kafka").options(**opts).load()
+    try:
+        df = spark.readStream.format("kafka").options(**opts).load()
+    except Exception as exc:
+        if "Failed to find data source: kafka" in str(exc):
+            raise RuntimeError(
+                "Kafka connector not on the classpath. Start Spark with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                f"{spark.version} (or add the jar to spark.jars)."
+            ) from exc
+        raise
     return df.filter(F.col("value").isNotNull()).select(
         F.col("value").cast("string").alias("value"),
         F.create_map(

@@ -237,3 +237,12 @@ def test_syslog_tcp_sender_framing():
     t.join(timeout=5)
     srv.close()
     assert got == [b"<14>msg\n"]
+
+
+def test_kafka_source_missing_connector_message(spark):
+    """Without the connector jar the builder must fail with actionable
+    guidance, not Spark's bare lookup error."""
+    from atiesh_spark.streaming.sources import kafka_source
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
+        kafka_source(spark, bootstrap_servers="localhost:9092", topics=["t"])
