@@ -85,7 +85,8 @@ def ngram_jaccard_pairs(
     and the whole pipeline stays near-linear.
     Output: (id_1, id_2, jaccard) with id_1 < id_2.
     """
-    sh = char_shingles(df, id_col, text_col, k)
+    # sh feeds three branches (sizes + both join sides) — materialize once
+    sh = char_shingles(df, id_col, text_col, k).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_1"), "sh")
     b = sh.select(F.col(id_col).alias("id_2"), "sh")
@@ -129,6 +130,12 @@ def _minhash_wide(
     # whenever shingles repeat within documents (measured faster here);
     # min is idempotent over duplicates, so either setting is correct —
     # on low-duplication corpora distinct=False skips a shuffle.
+    #
+    # The shingle stream feeds both the hash-family dim and the join
+    # probe side and IS recomputed (branch re-aliasing defeats
+    # ReuseExchange) — but materializing it costs about what the
+    # recompute does (measured), so it stays lazy; the self-join-level
+    # checkpoint in minhash_lsh_pairs is where materialization pays.
     sh = char_shingles(df, id_col, text_col, k, distinct=True)
     hash_arr = F.array(
         *[
@@ -189,9 +196,14 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # materialize once: both sides of the bucket self-join otherwise
+    # recompute the whole signature pipeline (branch re-aliasing defeats
+    # ReuseExchange). bands x docs rows only — tiny.
     band_sigs = wide.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    ).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    ).localCheckpoint()
     left = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
     right = band_sigs.select(F.col(id_col).alias("id_2"), "band", "band_sig")
     return (
@@ -306,7 +318,7 @@ def simhash_near_pairs(
     """
     blocked = sim_df.withColumn(
         "block", F.expr(f"shiftright(simhash, {total_bits - prefix_bits})")
-    )
+    ).localCheckpoint()  # both self-join sides reuse the fingerprints
     a = blocked.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("s1"), "block")
     b = blocked.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("s2"), "block")
     return (
