@@ -1,0 +1,76 @@
+"""Dataset splitting and budgeted sampling for training pipelines.
+
+Both are deterministic (hash- or order-based, never RNG) so the same
+input always yields the same split on any cluster size — a hard
+requirement for reproducible training data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Stable [0, buckets) bucket from md5 of the key — engine- and
+    partitioning-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket.
+
+    fractions: {"train": 0.9, "val": 0.1} (must sum to 1). The same key
+    always lands in the same split — across runs, engines, and
+    partitionings — and adding rows never reshuffles existing
+    assignments (the property random splits lack).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, 10_000)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        bound = int(round(cum * 10_000))
+        cond = bucket < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)
+
+
+def budgeted_take(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Take rows per group, in a deterministic order, until the group's
+    cumulative cost exceeds ``budget`` (the first row over the line is
+    kept, so every non-empty group yields at least one row).
+
+    The token-budget sampler: cap each language/source at N tokens.
+    One shuffle (window over group); no driver state.
+    """
+    order = order_col or cost_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__running", F.sum(cost_col).over(w))
+        .filter((F.col("__running") - F.col(cost_col)) < budget)
+        .drop("__running")
+    )

@@ -9,6 +9,7 @@ float is rounded before comparison/ranking.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from atiesh_spark.operators.dedup import (
     connected_components,
@@ -159,6 +160,58 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+
+
+@register(
+    "q48_deterministic_split",
+    oracle="""
+    SELECT split, lang, count(*) AS cnt FROM (
+        SELECT lang,
+               CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ) GROUP BY split, lang
+    """,
+    doc="Deterministic 90/10 train/val split by md5 hash bucket of the "
+    "key: the same doc lands in the same split on any engine, run, or "
+    "partitioning, and new rows never reshuffle old assignments.",
+)
+def q48_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id", {"train": 0.9, "val": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q49_token_budget_take",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (
+        SELECT lang, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running
+        FROM documents
+    ) WHERE (running - n_chars) < 5000
+    GROUP BY lang
+    """,
+    doc="Token-budget sampling: per language, take docs in deterministic "
+    "doc_id order until ~5000 chars are accumulated (first row over the "
+    "line kept). One window shuffle, no driver state — the per-source "
+    "cap step of a data-mixture pipeline.",
+)
+def q49_token_budget_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import budgeted_take
+
+    docs = load_table(spark, sf_dir, "documents")
+    taken = budgeted_take(docs, "lang", "n_chars", budget=5000, order_col="doc_id")
+    return taken.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
 
 
 @register(

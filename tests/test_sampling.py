@@ -1,0 +1,42 @@
+"""Sampling operator tests: split determinism/stability, budget takes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.sampling import budgeted_take, deterministic_split
+
+
+def test_split_is_deterministic_and_stable(spark):
+    df = spark.range(1000).select(F.col("id"))
+    s1 = {r["id"]: r["split"] for r in
+          deterministic_split(df, "id", {"train": 0.9, "val": 0.1}).collect()}
+    s2 = {r["id"]: r["split"] for r in
+          deterministic_split(df.repartition(7), "id", {"train": 0.9, "val": 0.1}).collect()}
+    assert s1 == s2  # partitioning-independent
+    # growing the dataset never reshuffles existing assignments
+    s3 = {r["id"]: r["split"] for r in
+          deterministic_split(spark.range(2000), "id", {"train": 0.9, "val": 0.1}).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.85 < frac < 0.95
+
+
+def test_split_fractions_validated(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="must sum to 1"):
+        deterministic_split(df, "id", {"train": 0.5, "val": 0.1})
+
+
+def test_budgeted_take_per_group(spark):
+    rows = [("a", i, 10) for i in range(10)] + [("b", i, 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, ord int, cost int")
+    taken = budgeted_take(df, "g", "cost", budget=35, order_col="ord").collect()
+    by_g = {}
+    for r in taken:
+        by_g.setdefault(r["g"], []).append(r["ord"])
+    # group a: rows 0..3 (running-before 0,10,20,30 < 35)
+    assert sorted(by_g["a"]) == [0, 1, 2, 3]
+    # group b: first row exceeds budget alone but is kept (at least one)
+    assert sorted(by_g["b"]) == [0]
