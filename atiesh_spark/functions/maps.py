@@ -21,8 +21,18 @@ def _c(col: Column | str) -> Column:
 
 
 def merge_headers(headers: Column | str, updates: Column) -> Column:
-    """Upsert ``updates`` into ``headers`` (duplicate keys: update wins)."""
-    return F.map_concat(_c(headers), updates)
+    """Upsert ``updates`` into ``headers`` (duplicate keys: update wins).
+
+    Keys present in ``updates`` are removed from ``headers`` BEFORE the
+    concat, so the result never contains duplicates — correct under any
+    ``spark.sql.mapKeyDedupPolicy`` (the default EXCEPTION policy would
+    throw on a naive map_concat; the caller's session config must not
+    change this function's semantics).
+    """
+    base = F.map_filter(
+        _c(headers), lambda k, v: ~F.array_contains(F.map_keys(updates), k)
+    )
+    return F.map_concat(base, updates)
 
 
 def header_prefix_filter(headers: Column | str, prefix: str) -> Column:

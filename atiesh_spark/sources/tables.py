@@ -31,6 +31,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # the caller's session may not come from get_spark() (the driver
+        # passes its own); the nanos conf is runtime-settable, so pin it
+        # here — without it the TIMESTAMP(NANOS) footer is rejected.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64
