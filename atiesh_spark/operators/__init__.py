@@ -1,4 +1,55 @@
 from atiesh_spark.operators.batching import assemble_batches
+from atiesh_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from atiesh_spark.operators.enrichment import RefreshingLookup, enrich_with_lookup
+from atiesh_spark.operators.quality import assert_quality, check_quality
 from atiesh_spark.operators.routing import route_first_accepted
+from atiesh_spark.operators.sampling import budgeted_take, deterministic_split
+from atiesh_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from atiesh_spark.operators.skew import salted_aggregate, salted_broadcast_join
+from atiesh_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    text_stats,
+    tf_idf_topk,
+    token_counts,
+)
 
-__all__ = ["assemble_batches", "route_first_accepted"]
+__all__ = [
+    "assemble_batches",
+    "connected_components",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+    "RefreshingLookup",
+    "enrich_with_lookup",
+    "assert_quality",
+    "check_quality",
+    "route_first_accepted",
+    "budgeted_take",
+    "deterministic_split",
+    "brute_force_topk",
+    "embedding_near_dup_pairs",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "salted_aggregate",
+    "salted_broadcast_join",
+    "fingerprint",
+    "language_id",
+    "text_stats",
+    "tf_idf_topk",
+    "token_counts",
+]

@@ -122,6 +122,16 @@ class Pipeline:
         for q in self._queries:
             q.stop()
 
+    def drain_and_stop(self, timeout: float | None = None) -> None:
+        """Graceful shutdown: process everything already available, then
+        stop — the reference's ordered drain-on-close
+        (AtieshServer.scala:166-196, delayed closes in §2.7) without its
+        bespoke machinery; checkpoints make a hard stop equally safe,
+        this just avoids replaying the tail on next boot."""
+        for q in self._queries:
+            q.processAllAvailable()
+        self.stop()
+
 
 def run_pipeline(spark: SparkSession, spec: dict[str, Any]) -> Pipeline:
     p = Pipeline(spark, spec)

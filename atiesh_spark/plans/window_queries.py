@@ -41,6 +41,80 @@ def q36_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q50_session_funnel",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, event_type, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               min(ts) AS session_start,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               round(sum(value), 2) AS session_value
+        FROM islands GROUP BY user_id, session_id
+    ),
+    ranked AS (
+        SELECT user_id, n_events, n_purchases, session_value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY session_value DESC, n_events DESC,
+                                           session_start) AS rn
+        FROM sessions
+    )
+    SELECT n.n_name, count(*) AS n_users,
+           round(sum(r.session_value), 2) AS top_session_value,
+           CAST(sum(r.n_purchases) AS BIGINT) AS purchases
+    FROM ranked r JOIN nation n ON r.user_id % 25 = n.n_nationkey
+    WHERE r.rn = 1
+    GROUP BY n.n_name
+    """,
+    headline=True,
+    doc="Composite flagship: sessionize (session_window) -> per-session "
+    "funnel aggregates -> top session per user (window rank) -> broadcast "
+    "dim enrichment -> final rollup. Exercises stateful windowing, "
+    "ranking, broadcast join, and two hash aggs in ONE plan; shuffles "
+    "only on user_id and the 25-row group key.",
+)
+def q50_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    sessions = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .withColumn("session_start", F.col("w.start"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("session_value").desc(), F.col("n_events").desc(), F.col("session_start")
+    )
+    top = sessions.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.join(F.broadcast(nation), top.user_id % 25 == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("session_value"), 2).alias("top_session_value"),
+            F.sum("n_purchases").alias("purchases"),
+        )
+    )
+
+
+@register(
     "q37_session_window",
     oracle="""
     WITH marked AS (

@@ -156,7 +156,35 @@ _SOURCE_BUILDERS = {
         max_offsets_per_trigger=cfg.get("max_offsets_per_trigger"),
     ),
     "http_push": lambda spark, cfg: _http_push_source(spark, cfg),
+    "json": lambda spark, cfg: _structured_file_source(spark, cfg, "json"),
+    "csv": lambda spark, cfg: _structured_file_source(spark, cfg, "csv"),
 }
+
+
+def _structured_file_source(spark: SparkSession, cfg: dict, fmt: str) -> DataFrame:
+    """Schema'd file stream (json/csv) -> canonical events.
+
+    The reference only reads raw lines; structured file formats are the
+    engine-native upgrade: a user schema (DDL string) parses records at
+    scan time, and ``value_col`` picks the payload column (others become
+    headers if listed). Streaming file sources REQUIRE an explicit
+    schema — inference would race the data.
+    """
+    reader = spark.readStream.format(fmt).schema(cfg["schema"])
+    if cfg.get("max_files_per_trigger") is not None:
+        reader = reader.option("maxFilesPerTrigger", cfg["max_files_per_trigger"])
+    if fmt == "csv":
+        reader = reader.option("header", str(cfg.get("header", False)).lower())
+    df = reader.load(cfg["path"])
+    value_col = cfg.get("value_col", "value")
+    header_cols = cfg.get("header_cols", [])
+    pairs: list = []
+    for h in header_cols:
+        pairs.extend([F.lit(h), F.col(h).cast("string")])
+    return df.select(
+        F.col(value_col).cast("string").alias("value"),
+        (F.create_map(*pairs) if pairs else F.create_map()).alias("headers"),
+    )
 
 
 def _http_push_source(spark: SparkSession, cfg: dict) -> DataFrame:

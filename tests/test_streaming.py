@@ -146,3 +146,68 @@ def test_spec_validation_errors(spark):
         )
     with pytest.raises(ValueError, match="no pipelines"):
         Pipeline(spark, {"sources": {}, "sinks": {}, "pipelines": []})
+
+
+def test_json_file_source_pipeline(spark, tmp_path):
+    """Schema'd JSON file source -> canonical events with header capture."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"msg": "hello", "origin": "svc1"}\n{"msg": "world", "origin": "svc2"}\n'
+    )
+    collected: list = []
+    spec = {
+        "sources": {
+            "j": {
+                "type": "json",
+                "path": str(src),
+                "schema": "msg string, origin string",
+                "value_col": "msg",
+                "header_cols": ["origin"],
+            }
+        },
+        "interceptors": {},
+        "sinks": {"mem": {"type": "memory", "collected": collected}},
+        "pipelines": [
+            {
+                "source": "j",
+                "sinks": ["mem"],
+                "trigger": {"availableNow": True},
+                "checkpoint": str(tmp_path / "ck"),
+            }
+        ],
+    }
+    from atiesh_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, spec)
+    p.start()
+    p.await_all()
+    rows = {r["value"]: r["headers"]["origin"] for r in collected}
+    assert rows == {"hello": "svc1", "world": "svc2"}
+
+
+def test_drain_and_stop(spark, tmp_path):
+    """Graceful shutdown processes already-available input before stopping."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("x\ny\n")
+    collected: list = []
+    from atiesh_spark.pipeline import Pipeline
+
+    spec = {
+        "sources": {"d": {"type": "dirwatch", "path": str(src), "with_headers": False}},
+        "interceptors": {},
+        "sinks": {"mem": {"type": "memory", "collected": collected}},
+        "pipelines": [
+            {
+                "source": "d",
+                "sinks": ["mem"],
+                "trigger": {"processingTime": "10 seconds"},
+                "checkpoint": str(tmp_path / "ck"),
+            }
+        ],
+    }
+    p = Pipeline(spark, spec)
+    p.start()
+    p.drain_and_stop()
+    assert sorted(r["value"] for r in collected) == ["x", "y"]
