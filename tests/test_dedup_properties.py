@@ -81,3 +81,18 @@ def test_connected_components_long_chain(spark):
     labels = connected_components(pairs, ids, "doc_id", max_iter=10)
     assert labels.select(F.countDistinct("cluster_id")).first()[0] == 1
     assert labels.agg(F.max("cluster_id")).first()[0] == 0
+
+
+def test_jaccard_candidate_filter_mode(spark):
+    """The scale path: exact Jaccard restricted to LSH candidate pairs
+    returns exactly the candidate subset of the full result."""
+    texts = [BASE, BASE + " extra", "totally different tokens qq ww ee rr", BASE + " more"]
+    df = corpus(spark, texts)
+    full = {(r["id_1"], r["id_2"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2).collect()}
+    cands = spark.createDataFrame([(0, 1)], "id_1 long, id_2 long")
+    filtered = {(r["id_1"], r["id_2"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2,
+                                    candidates=cands).collect()}
+    assert set(filtered) == {(0, 1)}
+    assert filtered[(0, 1)] == full[(0, 1)]
