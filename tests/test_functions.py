@@ -128,3 +128,26 @@ def test_batch_assembly_max_size(spark):
     bodies = sorted(r["body"] for r in out)
     assert bodies == ["0\n1", "2\n3", "4"]
     assert sorted(r["n_events"] for r in out) == [1, 2, 2]
+
+
+def test_to_events_canonical_shape(spark):
+    from atiesh_spark.model import EVENT_SCHEMA, to_events
+
+    df = spark.createDataFrame(
+        [(1, "hello", "click"), (2, None, "view")],
+        "event_id long, payload string, kind string",
+    )
+    out = to_events(df, "payload", {"id": "event_id", "type": "kind"})
+    # same names/types; nullability flags differ by construction
+    assert out.schema.simpleString() == EVENT_SCHEMA.simpleString()
+    rows = {r["headers"]["id"]: r for r in out.collect()}
+    assert rows["1"]["value"] == "hello" and rows["1"]["headers"]["type"] == "click"
+    assert rows["2"]["value"] is None  # null payload preserved, headers stringified
+
+
+def test_to_events_no_headers(spark):
+    from atiesh_spark.model import to_events
+
+    df = spark.createDataFrame([(42,)], "v int")
+    out = to_events(df, "v").collect()
+    assert out[0]["value"] == "42" and out[0]["headers"] == {}
