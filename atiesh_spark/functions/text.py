@@ -9,6 +9,8 @@ Reference behaviors covered:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -17,11 +19,14 @@ def split_body(df: DataFrame, body_col: str, delimiter: str = "\n",
                out_col: str = "value", pos_col: str | None = None) -> DataFrame:
     """Explode ``body_col`` into one row per delimited segment.
 
+    ``delimiter`` is a LITERAL string (the reference's single delimiter
+    char, HttpSource.scala:60-72) — it is regex-escaped before reaching
+    F.split, so '|', '.', '+' etc. split on the character itself.
     ``pos_col`` adds a 0-based segment ordinal (the reference keeps
     arrival order implicitly; an explicit ordinal is the set-oriented
     equivalent).
     """
-    parts = F.split(F.col(body_col), F.lit(delimiter), -1)
+    parts = F.split(F.col(body_col), F.lit(re.escape(delimiter)), -1)
     other = [c for c in df.columns if c != body_col]
     if pos_col is None:
         return df.select(*other, F.explode(parts).alias(out_col))

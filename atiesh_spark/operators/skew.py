@@ -61,7 +61,15 @@ def salted_broadcast_join(
     (broadcast), and no single reducer owns a hot key. Use when the dim
     is too big for a plain broadcast to be free but replication x
     buckets still fits executor memory.
+
+    Only fact-preserving join types are allowed: right/full outer would
+    emit one row PER SALT for every unmatched dim key (the dim side is
+    replicated by construction).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_broadcast_join supports fact-preserving joins only, got {how!r}"
+        )
     salted_fact = with_salt(fact, buckets)
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -84,7 +84,14 @@ class _IngressServer:
         capture_prefix: str | None,
         max_queue: int,
     ) -> None:
-        self.events: queue.Queue = queue.Queue(maxsize=max_queue)
+        # unbounded Queue + explicit admission lock: a bounded queue's
+        # blocking put could hang handler threads at capacity (the only
+        # consumer is the micro-batch drain), and qsize() checks race
+        # across ThreadingHTTPServer threads. The lock makes
+        # check-then-enqueue atomic, so requests are admitted fully or
+        # 503'd — never partially enqueued, never blocked.
+        self.events: queue.Queue = queue.Queue()
+        self._admission = threading.Lock()
         ingress = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -107,12 +114,13 @@ class _IngressServer:
                     self.send_response(500)
                     self.end_headers()
                     return
-                if ingress.events.qsize() + len(evs) > max_queue:
-                    self.send_response(503)  # admission control
-                    self.end_headers()
-                    return
-                for ev in evs:
-                    ingress.events.put(ev)
+                with ingress._admission:
+                    if ingress.events.qsize() + len(evs) > max_queue:
+                        self.send_response(503)  # admission control
+                        self.end_headers()
+                        return
+                    for ev in evs:
+                        ingress.events.put_nowait(ev)
                 self.send_response(201)
                 self.end_headers()
 
@@ -182,6 +190,14 @@ class HttpPushStreamReader(SimpleDataSourceStreamReader):
         return {"idx": 0}
 
     def read(self, start: dict):
+        # A restarted query resumes from its checkpointed offset with a
+        # FRESH reader (_base=0, empty buffer). Events from the previous
+        # incarnation are gone (in-memory source); fast-forward the base
+        # so offsets stay monotonic and only newly ingested events are
+        # served, instead of mis-slicing the empty buffer.
+        if start["idx"] > self._base + len(self._buffer):
+            self._base = start["idx"]
+            self._buffer = []
         new = self.ingress.drain() if self.ingress is not None else []
         self._buffer.extend(new)
         end_idx = self._base + len(self._buffer)

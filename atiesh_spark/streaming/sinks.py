@@ -168,6 +168,11 @@ class HttpSinkWriter:
     ) -> None:
         if method not in ("POST", "PUT", "GET"):
             raise ValueError(f"unsupported method {method!r}")
+        if method == "GET" and use_gzip:
+            # GET carries the payload in the query string — a gzip
+            # Content-Encoding header with no body would make compliant
+            # servers reject every request
+            raise ValueError("gzip is only valid for body-carrying methods (POST/PUT)")
         self.url = url
         self.method = method
         self.batch_size = batch_size

@@ -53,11 +53,13 @@ def dirwatch_source(
 ) -> DataFrame:
     """Watched-directory line source (reference DirectoryWatchSource).
 
-    New files are discovered and read line-by-line; `fn` (file name) and
-    `off` headers mirror DirectoryWatchSourceSemanticsHeaders (lines
-    50-53); `off` here is a monotonic per-file line id derived from text
-    line ordering — byte offsets don't survive parallel splits, which is
-    the honest distributed equivalent.
+    New files are discovered and read line-by-line; the `fn` (file name)
+    header mirrors DirectoryWatchSourceSemanticsHeaders (lines 50-53).
+    The reference's `off` byte-offset header is intentionally NOT
+    provided: offsets don't survive parallel file splits, and faking a
+    line ordinal would require a per-file global sort each micro-batch —
+    callers needing provenance get `fn` plus the checkpointed file
+    position Spark already tracks.
 
     Long-line policy (lines 224-245): truncate=True caps the value;
     truncate=False (reference default) drops the line.

@@ -48,8 +48,12 @@ def _make_batcher(batch_size: int, timeout_ms: int):
     def batch_fn(
         key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        import time as _time
+
         tag = key[0]
-        buffered: list[str] = list(state.get[0]) if state.exists else []
+        buffered, opened_at = (
+            (list(state.get[0]), state.get[1]) if state.exists else ([], None)
+        )
         out: list[dict[str, Any]] = []
 
         if state.hasTimedOut:
@@ -70,10 +74,19 @@ def _make_batcher(batch_size: int, timeout_ms: int):
                     {"tag": tag, "body": "\n".join(chunk),
                      "n_events": len(chunk), "flush_reason": "size"}
                 )
+                opened_at = None  # a size flush closes the open buffer
             if buffered:
-                state.update((buffered, 0))
+                now_ms = int(_time.time() * 1000)
+                if opened_at is None or opened_at == 0:
+                    opened_at = now_ms  # buffer (re)opened this trigger
+                state.update((buffered, opened_at))
                 if timeout_ms > 0:
-                    state.setTimeoutDuration(timeout_ms)
+                    # anchor to buffer-open time: re-arming happens every
+                    # trigger (GroupState clears the timer on invocation),
+                    # but always with the REMAINING time, so a steady
+                    # trickle cannot postpone the flush forever
+                    remaining = max(timeout_ms - (now_ms - opened_at), 1)
+                    state.setTimeoutDuration(int(remaining))
             elif state.exists:
                 state.remove()
 

@@ -96,3 +96,15 @@ def test_jaccard_candidate_filter_mode(spark):
                                     candidates=cands).collect()}
     assert set(filtered) == {(0, 1)}
     assert filtered[(0, 1)] == full[(0, 1)]
+
+
+def test_connected_components_ignores_foreign_pair_ids(spark):
+    """Pairs referencing ids outside all_ids must not drop known nodes
+    from the output or leak foreign labels."""
+    pairs = spark.createDataFrame([(0, 1), (1, 999)], "id_1 long, id_2 long")
+    ids = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    labels = {r["doc_id"]: r["cluster_id"] for r in
+              connected_components(pairs, ids, "doc_id").collect()}
+    assert set(labels) == {0, 1, 2}         # every known id present
+    assert labels[0] == labels[1] == 0      # known edge still clusters
+    assert labels[2] == 2

@@ -151,3 +151,10 @@ def test_to_events_no_headers(spark):
     df = spark.createDataFrame([(42,)], "v int")
     out = to_events(df, "v").collect()
     assert out[0]["value"] == "42" and out[0]["headers"] == {}
+
+
+def test_split_body_regex_metachar_delimiter(spark):
+    """Delimiter is literal: '|' must split on pipes, not on every char."""
+    df = spark.createDataFrame([(1, "a|b|c")], "id int, body string")
+    out = sorted(r["value"] for r in split_body(df, "body", "|").collect())
+    assert out == ["a", "b", "c"]

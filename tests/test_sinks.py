@@ -246,3 +246,8 @@ def test_kafka_source_missing_connector_message(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
         kafka_source(spark, bootstrap_servers="localhost:9092", topics=["t"])
+
+
+def test_http_get_with_gzip_rejected():
+    with pytest.raises(ValueError, match="gzip is only valid"):
+        HttpSinkWriter("http://x", method="GET", use_gzip=True)

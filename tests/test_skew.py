@@ -64,3 +64,12 @@ def test_idempotent_parquet_replay(spark, tmp_path):
     w(spark.createDataFrame([("c",)], "value string"), 1)
     rows = sorted(r["value"] for r in spark.read.parquet(out).collect())
     assert rows == ["a", "b", "c"]
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    fact = spark.createDataFrame([("k1", 1)], "k string, v int")
+    dim = spark.createDataFrame([("k1", "x")], "k string, label string")
+    with pytest.raises(ValueError, match="fact-preserving joins only"):
+        salted_broadcast_join(fact, dim, "k", how="full")
