@@ -258,10 +258,21 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    def _label_digest(lbls: DataFrame):
+        # type-agnostic convergence scalar: labels only ever decrease, so
+        # an unchanged hash-sum means no label changed (a false equality
+        # needs a 64-bit hash-sum collision, ~2^-64 per round). A plain
+        # sum('label') would NumberFormatException on string ids under
+        # ANSI mode, or silently return null and fake convergence.
+        # Summed in decimal: full-range int64 hashes overflow a long sum.
+        return lbls.agg(
+            F.sum(F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)"))
+        ).first()[0]
+
     labels = all_ids.select(
         F.col(id_col).alias("src"), F.col(id_col).alias("label")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = _label_digest(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -284,9 +295,7 @@ def connected_components(
             .select("src", F.least("label", "p_label").alias("label"))
             .localCheckpoint()  # cut the growing lineage
         )
-        # labels only ever decrease, so an unchanged sum IS convergence —
-        # one scalar agg instead of a join-based diff count.
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = _label_digest(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -300,10 +309,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     token votes +1/-1 per bit position; majority (strictly positive) sets
     the bit. Tokens weighted by frequency (standard SimHash).
     """
+    from atiesh_spark.functions.hashing import md5_long
+
     toks = _fanout(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
-    th = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+    th = md5_long(F.col("tok"), 15)
     bit_votes = (
         toks.select(F.col(id_col), th.alias("th"))
         .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))

@@ -116,6 +116,10 @@ def decode_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # null blobs are dropped, mirroring the null-record drop of
+            # the ingestion path (bytes(None) would fail the whole task)
+            mask = pdf[blob_col].notna()
+            pdf = pdf[mask]
             decoded = [_decode_blob(bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
@@ -201,7 +205,9 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, blobs = [], [], [], []
             for mid, blob, dur in zip(pdf[id_col], pdf[blob_col], pdf[duration_ms_col]):
-                dur = int(dur) if dur is not None else 0
+                if blob is None or mid is None:
+                    continue  # null media dropped (see decode_media)
+                dur = int(dur) if dur is not None and not pd.isna(dur) else 0
                 n = min(max(dur // every_ms, 1), max_frames)
                 for i in range(int(n)):
                     ids.append(int(mid))

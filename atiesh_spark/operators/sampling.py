@@ -15,11 +15,10 @@ from pyspark.sql.window import Window
 def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
     """Stable [0, buckets) bucket from md5 of the key — engine- and
     partitioning-independent."""
+    from atiesh_spark.functions.hashing import md5_long
+
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % buckets
-    )
+    return md5_long(c.cast("string"), 15) % buckets
 
 
 def deterministic_split(
@@ -54,19 +53,24 @@ def budgeted_take(
     group_col: str,
     cost_col: str,
     budget: int,
-    order_col: str | None = None,
+    order_col: str,
 ) -> DataFrame:
-    """Take rows per group, in a deterministic order, until the group's
+    """Take rows per group, in ``order_col`` order, until the group's
     cumulative cost exceeds ``budget`` (the first row over the line is
     kept, so every non-empty group yields at least one row).
+
+    ``order_col`` MUST be unique within each group (a doc id, not a
+    cost): ties would make the running sum depend on partition layout,
+    and which rows survive the cutoff would change between runs — the
+    determinism this module guarantees. ``cost_col`` is used as a
+    tiebreak-free secondary guard by never being the sort key.
 
     The token-budget sampler: cap each language/source at N tokens.
     One shuffle (window over group); no driver state.
     """
-    order = order_col or cost_col
     w = (
         Window.partitionBy(group_col)
-        .orderBy(order)
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -65,11 +65,11 @@ def _hyperplane_sign(plane: Column, dim: Column) -> Column:
     with md5, so LSH bucketing is reproducible cluster-wide with zero
     coordination (no broadcast RNG state).
     """
-    nibble = F.conv(
-        F.substring(F.md5(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string")).cast("binary")), 1, 1),
-        16,
-        10,
-    ).cast("int")
+    from atiesh_spark.functions.hashing import md5_long
+
+    nibble = md5_long(
+        F.concat(plane.cast("string"), F.lit(":"), dim.cast("string")), 1
+    )
     return (nibble % 2 * 2 - 1).cast("double")
 
 

@@ -18,9 +18,19 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int, col_name: str = "__salt") -> DataFrame:
-    """Uniform random salt in [0, buckets). Used only as a shuffle-key
-    suffix — never in results — so nondeterminism is invisible."""
-    return df.withColumn(col_name, (F.rand() * buckets).cast("int"))
+    """Deterministic salt in [0, buckets) from a hash of the full row.
+
+    NOT F.rand(): a random salt is assigned pre-shuffle, and if a map
+    task is re-executed after some reducers already fetched its output
+    (routine at scale), recomputed rows could draw different salts and
+    be double-counted or lost. A content hash re-salts identically on
+    retry. Caveat: fully identical duplicate rows share a salt bucket —
+    for hot keys whose rows differ in any column (the normal case) the
+    spread is uniform.
+    """
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(buckets)).cast("int")
+    )
 
 
 def salted_aggregate(

@@ -103,13 +103,20 @@ def tf_idf_topk(
     ).filter(F.length("tok") > 0)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
-        F.col(id_col),
-        "tok",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), round_to
-        ).alias("tfidf"),
+    # N rides along as a broadcast 1-row aggregate: keeps the whole
+    # operator one lazy plan (an eager .first() here would run a second
+    # full corpus scan per call and break plan-builder laziness)
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), round_to
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (

@@ -409,7 +409,7 @@ def q31_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_chars_calc,
            len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS n_tokens,
-           round(CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0), t -> length(t))) AS DOUBLE)
+           round(CAST(coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0), t -> length(t))), 0) AS DOUBLE)
                  / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)), 1), 4) AS avg_token_len,
            round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
                  / greatest(length(text), 1), 4) AS punct_ratio,

@@ -69,9 +69,18 @@ def extract_events(
     captured: dict[str, str] = {}
     if capture_prefix:
         p = capture_prefix.lower()
-        captured = {k: v for k, v in req_headers.items() if k.lower().startswith(p)}
+        # keys stored lowercased, like the reference's k.toLowerCase
+        # (HttpSource.scala:119-126)
+        captured = {
+            k.lower(): v for k, v in req_headers.items() if k.lower().startswith(p)
+        }
     text = body.decode(charset)
-    return [(seg, captured) for seg in text.split(delimiter)]
+    segments = text.split(delimiter)
+    # Scala's String.split(char) drops TRAILING empty segments
+    # (HttpSource.scala:116-117) — 'rec1\nrec2\n' is two events, not three
+    while segments and segments[-1] == "":
+        segments.pop()
+    return [(seg, captured) for seg in segments]
 
 
 class _IngressServer:

@@ -193,8 +193,14 @@ def _http_push_source(spark: SparkSession, cfg: dict) -> DataFrame:
     """Passive HTTP ingress (custom Python data source, sources/http_push.py)."""
     from atiesh_spark.sources.http_push import register_http_push
 
+    if not cfg.get("port"):
+        # port 0 (ephemeral) is a test-only mode: Spark instantiates the
+        # data source in several Python workers, and each port-0 instance
+        # would bind a DIFFERENT ephemeral port that no producer can
+        # discover — a pipeline would silently ingest nothing.
+        raise ValueError("http_push pipelines require an explicit 'port'")
     register_http_push(spark)
-    reader = spark.readStream.format("http_push").option("port", cfg.get("port", 0))
+    reader = spark.readStream.format("http_push").option("port", cfg["port"])
     if cfg.get("delimiter"):
         reader = reader.option("delimiter", cfg["delimiter"])
     if cfg.get("capture_prefix"):

@@ -79,9 +79,10 @@ def test_header_lookup_default(spark):
 
 
 def test_split_body_trailing_delimiter(spark):
-    """Trailing separator produces a trailing empty segment — the
-    reference's split keeps it (HttpSource.scala:116-117 uses a raw
-    split on the delimiter char)."""
+    """The batch split keeps trailing empty segments (SQL split
+    semantics, matching the DuckDB oracle of q04). Note this differs
+    from the HTTP ingest path, which mirrors the reference's Scala
+    split and DROPS trailing empties — see sources/http_push.py."""
     df = spark.createDataFrame([(1, "a\nb\n")], "id int, body string")
     out = split_body(df, "body", "\n", pos_col="pos").collect()
     assert [(r["pos"], r["value"]) for r in sorted(out, key=lambda r: r["pos"])] == [

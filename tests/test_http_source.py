@@ -22,9 +22,13 @@ def test_extract_plain_split():
     assert [v for v, _ in evs] == ["a", "b", "c"]
 
 
-def test_extract_trailing_delimiter_keeps_empty():
+def test_extract_trailing_delimiter_dropped():
+    """Scala String.split(char) drops trailing empties — 'rec\\n' is one
+    event (HttpSource.scala:116-117), not an event plus an empty one."""
     evs = extract_events(b"a\n", None, {})
-    assert [v for v, _ in evs] == ["a", ""]
+    assert [v for v, _ in evs] == ["a"]
+    evs = extract_events(b"a\n\nb\n\n", None, {})
+    assert [v for v, _ in evs] == ["a", "", "b"]  # interior empties kept
 
 
 def test_extract_gzip_body():
@@ -38,12 +42,14 @@ def test_extract_unsupported_encoding_is_400_path():
 
 
 def test_extract_header_capture_lowercase_prefix():
+    """Captured keys are stored lowercased (k.toLowerCase,
+    HttpSource.scala:119-126), not in wire case."""
     evs = extract_events(
         b"x", None,
         {"X-Atiesh-Id": "9", "x-atiesh-tag": "t", "Content-Type": "text/plain"},
         capture_prefix="X-ATIESH-",
     )
-    assert evs[0][1] == {"X-Atiesh-Id": "9", "x-atiesh-tag": "t"}
+    assert evs[0][1] == {"x-atiesh-id": "9", "x-atiesh-tag": "t"}
 
 
 def test_extract_custom_delimiter_and_charset():
@@ -114,7 +120,7 @@ def test_http_push_stream_end_to_end(spark, tmp_path):
         values = sorted(r["value"] for r in rows)
         assert values == ["e1", "e2", "e3"]
         tagged = {r["value"]: r["headers"] for r in rows}
-        assert tagged["e1"].get("X-Atiesh-Origin") == "t1"
+        assert tagged["e1"].get("x-atiesh-origin") == "t1"
         assert tagged["e3"] == {}
     finally:
         q.stop()
