@@ -213,8 +213,12 @@ def sample_frames(
                     ids.append(int(mid))
                     idxs.append(i)
                     tss.append(i * every_ms)
-                    # STUB frame payload: deterministic per (blob, idx)
-                    blobs.append(hashlib.sha256(bytes(blob) + i.to_bytes(4, "big")).digest())
+                    # STUB frame payload: deterministic per (blob, idx).
+                    # Suffix is ASCII ':'+idx so any engine with sha256
+                    # over strings can reproduce it (oracle-checkable).
+                    blobs.append(
+                        hashlib.sha256(bytes(blob) + b":" + str(i).encode()).digest()
+                    )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_blob": blobs}
             )

@@ -252,6 +252,7 @@ def q49_token_budget_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed; driver loop carries only the converged bit). "
     "cluster_id = min doc id = the dedup survivor. Oracle: recursive-CTE "
     "transitive closure over the same pairs.",
+    headline=True,
 )
 def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -370,15 +371,23 @@ def q30_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q47_ivf_ann_topk",
-    oracle=None,
+    oracle="SELECT true AS recall_ge_30pct, true AS self_hit",
     doc="IVF ANN: k-means cells (fixed seed) + 2-probe search, the "
-    "inverted-file counterpart to q30's hyperplane LSH. Rows-only check "
-    "(cell assignment is library-specific); recall vs the exact q29 "
-    "baseline is asserted in tests.",
+    "inverted-file counterpart to q30's hyperplane LSH. Cell assignment "
+    "is library-specific, so the checkable contract is the recall bound: "
+    "the query joins the IVF top-10 against the exact (q29) top-10 "
+    "in-plan and emits booleans (>=30% recall; query vector recovered); "
+    "the oracle is the constant truth table.",
 )
 def q47_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, query_vec_id=0, k=10, n_cells=8, n_probe=2)
+    ivf = ivf_ann_topk(emb, query_vec_id=0, k=10, n_cells=8, n_probe=2).select("vec_id")
+    exact = brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    hits = ivf.join(exact, "vec_id")
+    return hits.agg(
+        (F.count(F.lit(1)) >= 3).alias("recall_ge_30pct"),
+        (F.max((F.col("vec_id") == 0).cast("int")) == 1).alias("self_hit"),
+    )
 
 
 @register(
@@ -473,3 +482,84 @@ def q34_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q51_jaccard_verified_candidates",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_1, c.id_2, count(*) AS i
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.id_1
+        JOIN shingles b ON b.doc_id = c.id_2 AND b.sh = a.sh
+        GROUP BY c.id_1, c.id_2
+    )
+    SELECT id_1, id_2,
+           round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_1
+    JOIN sizes sb ON sb.doc_id = id_2
+    WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.7
+    """,
+    headline=True,
+    doc="The 100 TB near-dup pipeline end-to-end: MinHash-LSH candidate "
+    "generation (q26's linear bucket join) followed by exact Jaccard "
+    "verification computed ONLY on the candidate pairs — shingles join "
+    "onto candidates, so cost is |candidates| x shingles/doc and the "
+    "quadratic shingle self-join of q25 never happens. This is the "
+    "graded scale path; q25 remains the exhaustive verifier.",
+)
+def q51_jaccard_verified_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.7, candidates=cands)
+
+
+@register(
+    "q52_embedding_near_dup_lsh",
+    oracle=f"""
+    WITH {_BUCKETS_CTE},
+    cand AS (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_1, id_2, sim FROM (
+        SELECT c.id_1, c.id_2,
+               round(SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))), 4) AS sim
+        FROM (SELECT c0.id_1, c0.id_2,
+                     unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+                     unnest(CAST(b.embedding AS DOUBLE[])) AS y
+              FROM cand c0
+              JOIN embeddings a ON a.vec_id = c0.id_1
+              JOIN embeddings b ON b.vec_id = c0.id_2) c
+        GROUP BY c.id_1, c.id_2
+    ) WHERE sim >= 0.35
+    """,
+    headline=True,
+    doc="Embedding near-dup pairs, LSH mode (the scale path): cosine is "
+    "evaluated only within hyperplane-LSH buckets (16 buckets, md5 "
+    "planes), never as a full cross product — recall tradeoff at bucket "
+    "boundaries is the standard LSH contract. q31's brute mode is the "
+    "exhaustive verifier; this is what runs at 100 TB.",
+)
+def q52_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, method="lsh")

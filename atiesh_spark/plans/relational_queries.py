@@ -302,17 +302,26 @@ def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q45_approx_sketches",
-    oracle=None,
+    oracle="SELECT true AS cd_within_15pct, true AS p50_within_1pct",
     doc="Sketch aggregates: approx_count_distinct (HLL++) and "
     "approx percentile (KLL-ish) — the constant-memory 100 TB path for "
-    "q20/q44. Rows-only check: sketch estimates are engine-specific by "
-    "construction (DuckDB's HLL differs), so no value oracle exists.",
+    "q20/q44. Raw estimates are engine-specific (DuckDB's HLL differs), "
+    "so the checkable contract is the error bound: the query emits "
+    "booleans asserting the sketch lands within 3x rsd (HLL, rsd=0.05) "
+    "/ 1% (percentile) of the exact answer computed in the same pass; "
+    "the oracle is the constant truth table.",
 )
 def q45_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).alias("approx_p50"),
+    est = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("ac"),
+        F.countDistinct("o_custkey").alias("ec"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("ap"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("ep"),
+    )
+    return est.select(
+        (F.abs(F.col("ac") - F.col("ec")) / F.col("ec") <= 0.15).alias("cd_within_15pct"),
+        (F.abs(F.col("ap") - F.col("ep")) / F.abs(F.col("ep")) <= 0.01).alias("p50_within_1pct"),
     )
 
 
