@@ -52,8 +52,17 @@ def _rule_exprs(rules: dict) -> dict[str, Column]:
                 F.when(c.isNotNull() & ~c.rlike(rule["pattern"]), 1)
             )
         elif kind == "unique":
-            # duplicates = rows minus distinct keys
-            out[name] = F.count(F.col(rule["col"])) - F.countDistinct(F.col(rule["col"]))
+            # duplicates = rows minus distinct keys, with NULL treated as
+            # one key value (count/countDistinct both skip NULLs, so
+            # null-keyed duplicates would otherwise pass the gate)
+            c = F.col(rule["col"])
+            out[name] = (
+                F.count(c)
+                - F.countDistinct(c)
+                + F.greatest(
+                    F.count(F.when(c.isNull(), 1)) - F.lit(1), F.lit(0)
+                )
+            )
         elif kind == "min_rows":
             # scalar rule: resolved after the aggregate
             out[name] = F.count(F.lit(1))

@@ -36,6 +36,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # passes its own); the nanos conf is runtime-settable, so pin it
         # here — without it the TIMESTAMP(NANOS) footer is rejected.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros below goes through an instant rendered in the
+        # session timezone; pin UTC so a non-UTC caller session gets the
+        # same wall-clock values (session-independent driver contract).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64

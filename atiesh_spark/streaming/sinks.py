@@ -121,12 +121,69 @@ def kafka_sink_options(bootstrap_servers: str, must_send: bool = False) -> dict[
 def _default_http_transport(
     method: str, url: str, body: bytes | None, headers: dict[str, str], timeout: float
 ) -> tuple[int, bytes]:
+    """One-shot transport: fresh connection per request (kept for injection
+    compatibility; the writer's hot path uses PersistentHttpTransport)."""
     req = urllib.request.Request(url, data=body, headers=headers, method=method)
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             return resp.status, resp.read()
     except urllib.error.HTTPError as e:
         return e.code, e.read()
+
+
+class PersistentHttpTransport:
+    """Keep-alive transport: one TCP (or TLS) connection per host, reused
+    across requests — the reference's host connection pool semantics
+    (HttpSinkSemantics.scala:121-190, 32 pooled connections + bounded
+    queue). Spark's unit of parallelism is the partition, so the pool
+    collapses to one persistent connection per partition-task; N parallel
+    partitions give the pooling fan-out. Broken connections are dropped
+    and the error surfaces to the caller's retry policy (which reconnects
+    on the next attempt).
+
+    Created inside the partition task (never pickled); call ``close()``
+    when the partition ends.
+    """
+
+    def __init__(self) -> None:
+        self._conns: dict[tuple[str, str], object] = {}
+
+    def __call__(
+        self, method: str, url: str, body: bytes | None,
+        headers: dict[str, str], timeout: float,
+    ) -> tuple[int, bytes]:
+        import http.client
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(url)
+        key = (u.scheme, u.netloc)
+        conn = self._conns.get(key)
+        if conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if u.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = cls(u.netloc, timeout=timeout)
+            self._conns[key] = conn
+        path = u.path or "/"
+        if u.query:
+            path = f"{path}?{u.query}"
+        try:
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+            return resp.status, resp.read()
+        except Exception:
+            # connection is in an unknown state: drop it so the caller's
+            # retry gets a fresh one
+            conn.close()
+            self._conns.pop(key, None)
+            raise
+
+    def close(self) -> None:
+        for conn in self._conns.values():
+            conn.close()
+        self._conns.clear()
 
 
 class HttpSinkWriter:
@@ -182,7 +239,9 @@ class HttpSinkWriter:
         self.max_retries = max_retries
         self.backoff_cap = backoff_cap
         self.timeout = timeout
-        self.transport = transport or _default_http_transport
+        # None -> a PersistentHttpTransport per partition (keep-alive);
+        # injected transports are used as-is (tests, custom senders)
+        self.transport = transport
         self.sleeper = sleeper
         self.headers: dict[str, str] = {"Content-Type": content_type}
         if auth is not None:
@@ -192,7 +251,8 @@ class HttpSinkWriter:
             self.headers["Content-Encoding"] = "gzip"
 
     # -- single request with the reference's retry/backoff policy
-    def _send(self, payload: str) -> str:
+    def _send(self, payload: str, transport: Callable[..., tuple[int, bytes]] | None = None) -> str:
+        transport = transport or self.transport or _default_http_transport
         attempt = 0
         while True:
             if self.method == "GET":
@@ -204,7 +264,7 @@ class HttpSinkWriter:
                 if self.use_gzip:
                     body = _gzip.compress(body, mtime=0)
             try:
-                status, _ = self.transport(self.method, url, body, self.headers, self.timeout)
+                status, _ = transport(self.method, url, body, self.headers, self.timeout)
             except Exception:
                 status = None  # transport error -> retry path
             if status in (200, 201):
@@ -220,18 +280,28 @@ class HttpSinkWriter:
             attempt += 1
 
     def _send_partition(self, values: Iterable[str]) -> None:
-        if self.batch_size is None:
+        # connection reuse: when no transport was injected, the whole
+        # partition shares one persistent keep-alive connection instead
+        # of a fresh TCP handshake per request (the dominant cost at any
+        # real send rate; mirrors HttpSinkSemantics.scala:121-190)
+        owned = None if self.transport is not None else PersistentHttpTransport()
+        transport = self.transport or owned
+        try:
+            if self.batch_size is None:
+                for v in values:
+                    self._send(v, transport)
+                return
+            buf: list[str] = []
             for v in values:
-                self._send(v)
-            return
-        buf: list[str] = []
-        for v in values:
-            buf.append(v)
-            if len(buf) >= self.batch_size:
-                self._send("\n".join(buf))
-                buf.clear()
-        if buf:
-            self._send("\n".join(buf))
+                buf.append(v)
+                if len(buf) >= self.batch_size:
+                    self._send("\n".join(buf), transport)
+                    buf.clear()
+            if buf:
+                self._send("\n".join(buf), transport)
+        finally:
+            if owned is not None:
+                owned.close()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         send_partition = self._send_partition
@@ -281,20 +351,33 @@ def udp_syslog_sender(host: str, port: int):
     return send
 
 
+def octet_count_frame(b: bytes) -> bytes:
+    """RFC 5425 octet-counting frame: 'MSG-LEN SP SYSLOG-MSG'."""
+    return str(len(b)).encode("ascii") + b" " + b
+
+
 def tcp_syslog_sender(host: str, port: int, use_tls: bool = False,
-                      cafile: str | None = None):
-    """Stream transport with RFC 6587 LF framing; TLS via stdlib ssl
-    (covers the reference's TCP/TLS sender variants + CA-cert option,
-    SyslogSinkSemantics.scala:49-135, PKI.scala:20-74)."""
+                      cafile: str | None = None, framing: str = "auto"):
+    """Stream transport; TLS via stdlib ssl (covers the reference's
+    TCP/TLS sender variants + CA-cert option,
+    SyslogSinkSemantics.scala:49-135, PKI.scala:20-74).
+
+    Framing: plain TCP uses RFC 6587 LF (non-transparent) framing; TLS
+    uses RFC 5425 octet-counting (strict 5425 receivers reject LF).
+    ``framing`` overrides: 'lf' | 'octet' | 'auto' (by transport).
+    """
+    if framing not in ("auto", "lf", "octet"):
+        raise ValueError(f"framing must be auto|lf|octet, got {framing!r}")
     sock = socket.create_connection((host, port), timeout=10)
     if use_tls:
         import ssl
 
         ctx = ssl.create_default_context(cafile=cafile)
         sock = ctx.wrap_socket(sock, server_hostname=host)
+    octet = framing == "octet" or (framing == "auto" and use_tls)
 
     def send(b: bytes) -> None:
-        sock.sendall(b + b"\n")
+        sock.sendall(octet_count_frame(b) if octet else b + b"\n")
 
     return send
 
@@ -319,19 +402,23 @@ class SyslogSinkWriter:
         transport: str = "udp",
         use_tls: bool = False,
         cafile: str | None = None,
+        framing: str = "auto",
         sender: Callable[[bytes], None] | None = None,
     ) -> None:
         self.host, self.port = host, port
         self.rfc, self.facility, self.severity = rfc, facility, severity
         self.appname = appname
         self.transport, self.use_tls, self.cafile = transport, use_tls, cafile
+        self.framing = framing
         self.sender = sender
 
     def _make_sender(self) -> Callable[[bytes], None]:
         if self.sender is not None:
             return self.sender
         if self.transport == "tcp" or self.use_tls:
-            return tcp_syslog_sender(self.host, self.port, self.use_tls, self.cafile)
+            return tcp_syslog_sender(
+                self.host, self.port, self.use_tls, self.cafile, self.framing
+            )
         return udp_syslog_sender(self.host, self.port)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -357,8 +444,16 @@ class LogServiceSinkWriter:
     partition, with success/failure counters fed by the send outcome.
 
     The vendor SDK is injected as ``client(records: list[dict]) -> None``
-    (raises on failure) — the reference likewise ships semantics only,
-    no concrete component (SURVEY.md §2.4).
+    (raises on failure; must be picklable — it runs inside partition
+    tasks) — the reference likewise ships semantics only, no concrete
+    component (SURVEY.md §2.4).
+
+    Scale shape: record building and client sends run per partition on
+    the executors; only one (ok, failed, err) counter tuple per
+    partition returns to the driver — never the rows. A failed group
+    aborts its partition's remaining sends; the driver then raises to
+    fail the batch -> checkpoint replay (at-least-once), mirroring the
+    reference's transaction-nack path.
     """
 
     def __init__(
@@ -376,37 +471,49 @@ class LogServiceSinkWriter:
         self.success_count = 0
         self.failure_count = 0
 
-    def _records(self, rows) -> list[dict]:
-        out = []
-        for r in rows:
-            headers = r["headers"] or {}
-            out.append(
-                {
-                    "topic": self.topic,
-                    "source": self.source,
-                    "shard_key": headers.get(self.shard_key_header)
-                    if self.shard_key_header
-                    else None,
-                    "fields": {"value": r["value"], **headers},
-                }
-            )
-        return out
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        # driver-side counters need collected outcomes; the send itself
-        # is batched per micro-batch like the reference's grouped LogItem
-        # path (single-record mode mirrors its per-event path)
-        records = self._records(batch_df.select("value", "headers").collect())
-        groups = [records] if self.grouped else [[r] for r in records]
-        for group in groups:
-            if not group:
-                continue
-            try:
-                self.client(group)
-                self.success_count += len(group)
-            except Exception:
-                self.failure_count += len(group)
-                raise  # fail the batch -> checkpoint replay (at-least-once)
+        client, grouped = self.client, self.grouped
+        topic, source, skh = self.topic, self.source, self.shard_key_header
+
+        def send_partition(rows) -> Iterable[tuple[int, int, str | None]]:
+            records = []
+            for r in rows:
+                headers = r["headers"] or {}
+                records.append(
+                    {
+                        "topic": topic,
+                        "source": source,
+                        "shard_key": headers.get(skh) if skh else None,
+                        "fields": {"value": r["value"], **headers},
+                    }
+                )
+            n_ok = n_fail = 0
+            err: str | None = None
+            groups = [records] if grouped else [[r] for r in records]
+            for group in groups:
+                if not group:
+                    continue
+                try:
+                    client(group)
+                    n_ok += len(group)
+                except Exception as exc:  # abort partition, report outcome
+                    n_fail += len(group)
+                    err = repr(exc)
+                    break
+            yield (n_ok, n_fail, err)
+
+        # O(num_partitions) counter tuples — not data — come back to the
+        # driver; the exception is re-raised driver-side so the counter
+        # updates survive (executor-raised errors would fail the task
+        # before its counters ship).
+        stats = (
+            batch_df.select("value", "headers").rdd.mapPartitions(send_partition).collect()
+        )
+        self.success_count += sum(s[0] for s in stats)
+        self.failure_count += sum(s[1] for s in stats)
+        errs = [s[2] for s in stats if s[2] is not None]
+        if errs:
+            raise RuntimeError(f"log service sink failed: {errs[0]}")
 
 
 # --- registry ----------------------------------------------------------------
@@ -446,6 +553,7 @@ def build_sink_writer(cfg: dict) -> Callable[[DataFrame, int], None]:
             transport=cfg.get("transport", "udp"),
             use_tls=cfg.get("tls", False),
             cafile=cfg.get("cafile"),
+            framing=cfg.get("framing", "auto"),
             sender=cfg.get("sender"),
         )
     if stype == "logservice":

@@ -52,6 +52,19 @@ def test_violations_counted(spark):
     }
 
 
+def test_unique_rule_counts_null_keyed_duplicates(spark):
+    """NULL keys are one key value: k nulls = k-1 duplicates (count/
+    countDistinct both skip NULLs, so this needs the explicit term)."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (1,), (2,)], "k bigint"
+    )
+    report = check_quality(df, {"k_unique": {"kind": "unique", "col": "k"}})
+    assert report.violations == {"k_unique": 2}
+
+    clean = spark.createDataFrame([(None,), (1,), (2,)], "k bigint")
+    assert check_quality(clean, {"k_unique": {"kind": "unique", "col": "k"}}).ok
+
+
 def test_assert_quality_raises_with_report(spark):
     df = spark.createDataFrame([(None,)], "v string")
     with pytest.raises(QualityGateError) as ei:

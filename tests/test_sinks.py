@@ -166,49 +166,91 @@ def test_kafka_source_options_seek_validation():
 # --- log-service (SLS-shaped) sink -------------------------------------------
 
 
-class FakeLogClient:
-    def __init__(self, fail_times=0):
-        self.batches = []
-        self.fail_times = fail_times
+def fake_log_client(workdir, fail_times=0):
+    """Executor-safe fake SDK: the writer runs the client inside partition
+    tasks (separate worker processes), so it must be a closure (cloudpickled
+    by value — a test-module class would hit ModuleNotFoundError on the
+    workers). Received batches land on the filesystem; failures are claimed
+    atomically via mkdir so fail_times is global across workers."""
 
-    def __call__(self, records):
-        if self.fail_times > 0:
-            self.fail_times -= 1
+    def client(records):
+        import json
+        import os
+        import uuid
+
+        for i in range(fail_times):
+            try:
+                os.mkdir(os.path.join(workdir, f"fail_{i}"))  # atomic claim
+            except FileExistsError:
+                continue
             raise ConnectionError("log service down")
-        self.batches.append(records)
+        path = os.path.join(workdir, f"batch_{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            json.dump(records, f)
+
+    return client
+
+
+def received_batches(workdir):
+    import glob
+    import json
+
+    out = []
+    for path in glob.glob(f"{workdir}/batch_*.json"):
+        with open(path) as f:
+            out.append(json.load(f))
+    return out
 
 
 def _events_df(spark):
+    # one partition: grouped mode then sends exactly one group per batch
     return spark.createDataFrame(
         [("a", {"shard": "s1", "x": "1"}), ("b", {"shard": "s2"})],
         "value string, headers map<string,string>",
-    )
+    ).repartition(1)
 
 
-def test_logservice_grouped_send(spark):
+def test_logservice_grouped_send(spark, tmp_path):
     from atiesh_spark.streaming.sinks import LogServiceSinkWriter
 
-    client = FakeLogClient()
+    client = fake_log_client(str(tmp_path))
     w = LogServiceSinkWriter(client, topic="t", source="host1", shard_key_header="shard")
     w(_events_df(spark), 0)
-    assert len(client.batches) == 1 and len(client.batches[0]) == 2
-    rec = {r["fields"]["value"]: r for r in client.batches[0]}
+    batches = received_batches(str(tmp_path))
+    assert len(batches) == 1 and len(batches[0]) == 2
+    rec = {r["fields"]["value"]: r for r in batches[0]}
     assert rec["a"]["shard_key"] == "s1" and rec["a"]["topic"] == "t"
     assert rec["a"]["fields"]["x"] == "1"
     assert w.success_count == 2 and w.failure_count == 0
 
 
-def test_logservice_single_mode_and_failure_counters(spark):
+def test_logservice_single_mode_and_failure_counters(spark, tmp_path):
     from atiesh_spark.streaming.sinks import LogServiceSinkWriter
 
-    client = FakeLogClient(fail_times=1)
+    client = fake_log_client(str(tmp_path), fail_times=1)
     w = LogServiceSinkWriter(client, grouped=False)
     import pytest as _pytest
 
-    with _pytest.raises(ConnectionError):
+    with _pytest.raises(RuntimeError, match="log service down"):
         w(_events_df(spark), 0)
-    assert w.failure_count == 1  # first record failed, batch aborted
+    assert w.failure_count == 1  # first record failed, partition aborted
     assert w.success_count == 0
+
+
+def test_logservice_never_collects_rows(spark, tmp_path, monkeypatch):
+    """The scale contract: batch rows must not be collected to the driver
+    (only per-partition counter tuples come back)."""
+    from pyspark.sql import DataFrame
+
+    from atiesh_spark.streaming.sinks import LogServiceSinkWriter
+
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: pytest.fail("sink collected batch rows")
+    )
+    client = fake_log_client(str(tmp_path))
+    w = LogServiceSinkWriter(client, topic="t")
+    w(_events_df(spark), 0)
+    assert w.success_count == 2
 
 
 def test_syslog_tcp_sender_framing():
@@ -237,6 +279,120 @@ def test_syslog_tcp_sender_framing():
     t.join(timeout=5)
     srv.close()
     assert got == [b"<14>msg\n"]
+
+
+def test_syslog_tcp_octet_count_framing():
+    """RFC 5425 octet-counting: 'LEN SP MSG', no trailing LF — the
+    framing strict 5425 (TLS) receivers require."""
+    import socket as s
+    import threading
+
+    from atiesh_spark.streaming.sinks import octet_count_frame, tcp_syslog_sender
+
+    assert octet_count_frame(b"<14>msg") == b"7 <14>msg"
+
+    srv = s.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    got = []
+
+    def accept():
+        conn, _ = srv.accept()
+        got.append(conn.recv(1024))
+        conn.close()
+
+    t = threading.Thread(target=accept, daemon=True)
+    t.start()
+    send = tcp_syslog_sender("127.0.0.1", port, framing="octet")
+    send(b"<14>hello")
+    t.join(timeout=5)
+    srv.close()
+    assert got == [b"9 <14>hello"]
+
+
+def test_syslog_framing_validation():
+    from atiesh_spark.streaming.sinks import tcp_syslog_sender
+
+    with pytest.raises(ValueError, match="framing must be"):
+        tcp_syslog_sender("127.0.0.1", 1, framing="bogus")
+
+
+def test_http_persistent_transport_reuses_connection():
+    """All requests in a partition must ride one keep-alive connection
+    (reference pool semantics) — counted via distinct client ports on a
+    live HTTP/1.1 server."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from atiesh_spark.streaming.sinks import PersistentHttpTransport
+
+    peers = []
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive
+
+        def do_POST(self):
+            peers.append(self.client_address)
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        tr = PersistentHttpTransport()
+        for i in range(5):
+            status, _ = tr(
+                "POST", f"http://127.0.0.1:{port}/ingest", b"x",
+                {"Content-Type": "text/plain"}, 5.0,
+            )
+            assert status == 200
+        tr.close()
+    finally:
+        srv.shutdown()
+    assert len(peers) == 5
+    assert len({p[1] for p in peers}) == 1  # one client port == one connection
+
+
+def test_http_writer_uses_one_connection_per_partition():
+    """HttpSinkWriter._send_partition with no injected transport opens a
+    single persistent connection for the whole partition."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    peers = []
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_POST(self):
+            peers.append(self.client_address)
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        w = HttpSinkWriter(f"http://127.0.0.1:{port}/ingest")
+        w._send_partition(iter(["a", "b", "c"]))
+    finally:
+        srv.shutdown()
+    assert len(peers) == 3
+    assert len({p[1] for p in peers}) == 1
 
 
 def test_kafka_source_missing_connector_message(spark):
