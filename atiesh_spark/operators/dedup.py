@@ -67,6 +67,41 @@ def char_shingles(
     return out.distinct() if distinct else out
 
 
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id_col, sh).
+
+    The word-unit counterpart of ``char_shingles`` (coarser, language-ish
+    granularity — standard for near-dup detection on natural text). A
+    window extending past the last token concatenates a NULL and is
+    filtered out, so only complete n-grams survive; docs with fewer than
+    ``n`` tokens contribute no shingles. Plugs into the same ``shingles=``
+    slot of ngram_jaccard_pairs / minhash_lsh_pairs.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    positions = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+
+    def gram(i):
+        parts = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            # try_: out-of-range -> NULL (plain element_at throws under
+            # ANSI mode, which Spark 4 enables by default)
+            parts.append(F.try_element_at(toks, i + j))
+        return F.concat(*parts)  # NULL if the window runs off the end
+
+    out = (
+        _fanout(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(F.transform(positions, gram)).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    return out.distinct() if distinct else out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -74,6 +109,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.
 
@@ -84,30 +120,59 @@ def ngram_jaccard_pairs(
     id_2, e.g. from minhash_lsh_pairs): intersections are then computed
     by joining shingles ONTO the candidate pairs, so cost is linear in
     |candidates| x shingles-per-doc — the pair explosion never happens.
+    ``shingles`` accepts a precomputed DISTINCT (id_col, sh) frame
+    (ideally localCheckpointed) so a caller that also ran MinHash on the
+    same corpus pays the shingle explode once, not twice.
     Output: (id_1, id_2, jaccard) with id_1 < id_2.
     """
-    # sh feeds three branches (sizes + both join sides) — materialize once
-    sh = char_shingles(df, id_col, text_col, k).localCheckpoint()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
-        s1 = sh.select(F.col(id_col).alias("id_1"), "sh")
-        s2 = sh.select(F.col(id_col).alias("id_2"), "sh")
-        inter = (
+        # shingle SETS as per-doc arrays (bounded by |text|, one shuffle
+        # keyed on id), joined onto the pairs by plain id keys; the
+        # intersection runs as codegen array_intersect per pair — no
+        # (id, shingle)-keyed join of the full shingle stream (measured
+        # ~2x the whole-stage cost of this layout at sf0.1).
+        sh = shingles if shingles is not None else char_shingles(df, id_col, text_col, k)
+        sets_ = sh.groupBy(id_col).agg(F.collect_set("sh").alias("__shs"))
+        a = sets_.select(F.col(id_col).alias("id_1"), F.col("__shs").alias("__sh1"))
+        b = sets_.select(F.col(id_col).alias("id_2"), F.col("__shs").alias("__sh2"))
+        scored = (
             candidates.select("id_1", "id_2")
-            .join(s1, "id_1")          # fan out: one row per (pair, shingle of id_1)
-            .join(s2, ["id_2", "sh"])  # keep only shingles id_2 also has
-            .groupBy("id_1", "id_2")
-            .agg(F.count(F.lit(1)).alias("i"))
+            .join(a, "id_1")
+            .join(b, "id_2")
+            .select(
+                "id_1",
+                "id_2",
+                F.size(F.array_intersect("__sh1", "__sh2")).alias("i"),
+                F.size("__sh1").alias("sz1"),
+                F.size("__sh2").alias("sz2"),
+            )
         )
-    else:
-        a = sh.select(F.col(id_col).alias("id_1"), "sh")
-        b = sh.select(F.col(id_col).alias("id_2"), "sh")
-        inter = (
-            a.join(b, "sh")
-            .filter(F.col("id_1") < F.col("id_2"))
-            .groupBy("id_1", "id_2")
-            .agg(F.count(F.lit(1)).alias("i"))
+        return (
+            scored.select(
+                "id_1",
+                "id_2",
+                F.round(
+                    F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")), 4
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
+    # exhaustive mode: sh feeds three branches (sizes + both join sides)
+    # — materialize once
+    sh = (
+        shingles
+        if shingles is not None
+        else char_shingles(df, id_col, text_col, k).localCheckpoint()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_1"), "sh")
+    b = sh.select(F.col(id_col).alias("id_2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
     sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz2"))
     return (
@@ -123,7 +188,12 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_wide(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures, wide layout: (id_col, mh_0 .. mh_{n-1}).
 
@@ -146,7 +216,13 @@ def _minhash_wide(
     # ReuseExchange) — but materializing it costs about what the
     # recompute does (measured), so it stays lazy; the self-join-level
     # checkpoint in minhash_lsh_pairs is where materialization pays.
-    sh = char_shingles(df, id_col, text_col, k, distinct=True)
+    # A caller sharing the shingle stream with another operator (e.g.
+    # Jaccard verification of these candidates) passes it precomputed.
+    sh = (
+        shingles
+        if shingles is not None
+        else char_shingles(df, id_col, text_col, k, distinct=True)
+    )
     hash_arr = F.array(
         *[
             F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary"))
@@ -176,18 +252,20 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >= 1 identical signature band.
 
     bands x rows layout (rows = num_hashes/bands); band signature is the
     md5 of the seed-ordered row minhashes. The pair join runs per
     (band, band_sig) bucket — linear shuffle, no cross product.
-    Output: distinct (id_1, id_2), id_1 < id_2.
+    ``shingles``: optional precomputed distinct (id_col, sh) frame (see
+    ngram_jaccard_pairs). Output: distinct (id_1, id_2), id_1 < id_2.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
+    wide = _minhash_wide(df, id_col, text_col, k, num_hashes, shingles=shingles)
     # band signature = md5 of the seed-ordered row minhashes; built from
     # the wide layout with zero extra shuffles, then unpivoted to
     # (id, band, band_sig) rows for the bucket join.

@@ -527,9 +527,18 @@ def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graded scale path; q25 remains the exhaustive verifier.",
 )
 def q51_jaccard_verified_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import char_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.7, candidates=cands)
+    # one shingle explode serves both stages (candidate generation and
+    # verification) — materialized once, ~halves the pipeline cost
+    sh = char_shingles(docs, "doc_id", "text", k=3).localCheckpoint()
+    cands = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=4, shingles=sh
+    )
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.7, candidates=cands, shingles=sh
+    )
 
 
 @register(
@@ -563,3 +572,72 @@ def q51_jaccard_verified_candidates(spark: SparkSession, sf_dir: str) -> DataFra
 def q52_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.35, method="lsh")
+
+
+_WORD_SHINGLES_CTE = """
+w0 AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS ts
+    FROM documents
+),
+ws0 AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 1)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS sh
+    FROM w0
+),
+shingles AS (SELECT DISTINCT doc_id, sh FROM ws0 WHERE sh IS NOT NULL)
+"""
+
+
+@register(
+    "q53_word_jaccard_pairs",
+    oracle=f"""
+    WITH {_WORD_SHINGLES_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_1, c.id_2, count(*) AS i
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.id_1
+        JOIN shingles b ON b.doc_id = c.id_2 AND b.sh = a.sh
+        GROUP BY c.id_1, c.id_2
+    )
+    SELECT id_1, id_2,
+           round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_1
+    JOIN sizes sb ON sb.doc_id = id_2
+    WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+    """,
+    doc="Word-bigram Jaccard near-dup pairs via the same MinHash-LSH "
+    "candidate pipeline as q51 — the shingle unit (word n-grams, the "
+    "standard granularity for natural-text dedup) plugs into the generic "
+    "shingles= slot of both operators; one explode serves candidate "
+    "generation and verification.",
+)
+def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2).localCheckpoint()
+    cands = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=4, shingles=sh
+    )
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, candidates=cands, shingles=sh
+    )
