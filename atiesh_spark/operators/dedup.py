@@ -336,6 +336,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Propagation can only change labels of nodes that HAVE an edge, so
+    # the iteration runs over the edge-node set only and singletons are
+    # stitched back at the end. Real dedup corpora are singleton-
+    # dominant, so every per-round join and digest shrinks by that
+    # fraction (neutral on the driver testdata, whose synthetic docs are
+    # near-dup-heavy; the win appears when singletons dominate).
+    edge_nodes = edges.select("src").distinct()
     def _label_digest(lbls: DataFrame):
         # type-agnostic convergence scalar: labels only ever decrease, so
         # an unchanged hash-sum means no label changed (a false equality
@@ -347,8 +354,8 @@ def connected_components(
             F.sum(F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)"))
         ).first()[0]
 
-    labels = all_ids.select(
-        F.col(id_col).alias("src"), F.col(id_col).alias("label")
+    labels = edge_nodes.select(
+        F.col("src"), F.col("src").alias("label")
     ).localCheckpoint()
     prev_sum = _label_digest(labels)
     for _ in range(max_iter):
@@ -377,7 +384,15 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
+    # stitch singletons (no edges -> label = own id) back in
+    return (
+        all_ids.select(id_col)
+        .join(labels.withColumnRenamed("src", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:

@@ -55,11 +55,10 @@ def dirwatch_source(
 
     New files are discovered and read line-by-line; the `fn` (file name)
     header mirrors DirectoryWatchSourceSemanticsHeaders (lines 50-53).
-    The reference's `off` byte-offset header is intentionally NOT
-    provided: offsets don't survive parallel file splits, and faking a
-    line ordinal would require a per-file global sort each micro-batch —
-    callers needing provenance get `fn` plus the checkpointed file
-    position Spark already tracks.
+    The reference's `off` byte-offset header is NOT provided here:
+    offsets don't survive parallel file splits. Callers needing full
+    provenance use ``dirwatch_source_with_offsets`` (sequential per-file
+    split with exact byte offsets, at the cost of a Python ingest pass).
 
     Long-line policy (lines 224-245): truncate=True caps the value;
     truncate=False (reference default) drops the line.
@@ -79,6 +78,70 @@ def dirwatch_source(
     if max_line_length is not None and not truncate:
         out = out.filter(F.length("value") <= max_line_length)
     return out
+
+
+def dirwatch_source_with_offsets(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    max_line_length: int | None = None,
+    truncate: bool = False,
+) -> DataFrame:
+    """Dirwatch with full provenance: `fn` AND `off` (byte offset) headers.
+
+    The reference tracks each line's byte offset while reading the file
+    sequentially (DirectoryWatchSourceSemanticsHeaders `off`,
+    DirectoryWatchSourceSemantics.scala:220-223). Spark's parallel text
+    source cannot know byte positions, so this variant reads each file as
+    ONE row (wholetext) and splits lines in an Arrow-batched mapInPandas
+    pass that carries the running byte offset — exact parity with the
+    reference's sequential reader, at the cost of a Python ingest pass
+    and one-file-per-row memory (the same whole-file granularity the
+    reference's reader has). Use plain ``dirwatch_source`` (JVM-only)
+    when `off` provenance isn't needed.
+
+    Long-line policy mirrors the reference: a truncated line keeps its
+    offset; a dropped line is skipped but its bytes still advance the
+    offset of subsequent lines.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    reader = spark.readStream.format("text").option("wholetext", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path).select(F.input_file_name().alias("fn"), "value")
+
+    def split_with_offsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values: list[str] = []
+            headers: list[dict[str, str]] = []
+            for fn, content in zip(pdf["fn"], pdf["value"]):
+                if content is None:
+                    continue
+                lines = content.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()  # artifact of the trailing newline, not a line
+                off = 0
+                for raw in lines:
+                    nbytes = len(raw.encode("utf-8")) + 1  # +1: the '\n'
+                    line = raw[:-1] if raw.endswith("\r") else raw
+                    keep = True
+                    if max_line_length is not None and len(line) > max_line_length:
+                        if truncate:
+                            line = line[:max_line_length]
+                        else:
+                            keep = False
+                    if keep:
+                        values.append(line)
+                        headers.append({"fn": fn, "off": str(off)})
+                    off += nbytes
+            yield pd.DataFrame({"value": values, "headers": headers})
+
+    return df.mapInPandas(
+        split_with_offsets, "value string, headers map<string,string>"
+    )
 
 
 def kafka_source_options(
@@ -156,6 +219,13 @@ _SOURCE_BUILDERS = {
         topics=cfg["topics"],
         seek=cfg.get("seek"),
         max_offsets_per_trigger=cfg.get("max_offsets_per_trigger"),
+    ),
+    "dirwatch_offsets": lambda spark, cfg: dirwatch_source_with_offsets(
+        spark,
+        path=cfg["path"],
+        max_files_per_trigger=cfg.get("max_files_per_trigger"),
+        max_line_length=cfg.get("max_line_length"),
+        truncate=cfg.get("truncate", False),
     ),
     "http_push": lambda spark, cfg: _http_push_source(spark, cfg),
     "json": lambda spark, cfg: _structured_file_source(spark, cfg, "json"),

@@ -56,6 +56,54 @@ def test_dirwatch_pipeline_end_to_end(spark, tmp_path):
     assert all("a.txt" in r["headers"]["fn"] for r in collected)
 
 
+def test_dirwatch_offsets_header(spark, tmp_path):
+    """`off` byte-offset provenance (reference dirwatch `off` header):
+    exact byte positions, multibyte-aware; dropped long lines still
+    advance the offset; truncated lines keep theirs."""
+    from atiesh_spark.streaming.sources import dirwatch_source_with_offsets
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # 'héllo' = 6 bytes utf-8 -> 'world' at off 7; the 20-byte line is
+    # dropped but still advances: 'tail' at 7 + (5+1) + (20+1) = 34
+    (src / "a.txt").write_text("héllo\nworld\n" + "x" * 20 + "\ntail\n", encoding="utf-8")
+
+    df = dirwatch_source_with_offsets(spark, str(src), max_line_length=10)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("offsets_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["value"]: r["headers"] for r in spark.sql("SELECT * FROM offsets_sink").collect()}
+    assert set(rows) == {"héllo", "world", "tail"}  # long line dropped
+    assert rows["héllo"]["off"] == "0"
+    assert rows["world"]["off"] == "7"    # 6 bytes + \n
+    assert rows["tail"]["off"] == "34"    # 7 + 5+1 + 20+1
+    assert all("a.txt" in h["fn"] for h in rows.values())
+
+
+def test_dirwatch_offsets_truncate_keeps_offset(spark, tmp_path):
+    from atiesh_spark.streaming.sources import dirwatch_source_with_offsets
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.txt").write_text("aaaa\nbbbbbbbb\ncc\n")
+    df = dirwatch_source_with_offsets(spark, str(src), max_line_length=4, truncate=True)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("offsets_sink2")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["headers"]["off"]: r["value"] for r in spark.sql("SELECT * FROM offsets_sink2").collect()}
+    assert rows == {"0": "aaaa", "5": "bbbb", "14": "cc"}
+
+
 def test_checkpoint_resume_no_reprocess(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
