@@ -179,6 +179,51 @@ def ivf_ann_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    emb: DataFrame,
+    k: int = 3,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k nearest neighbors for EVERY vector (all-to-all similarity
+    search): (id_1, id_2, sim, rank), rank 1..k per id_1.
+
+    The batch workhorse behind near-dup clustering and retrieval-corpus
+    construction. Candidates come from the shared LSH bucket (per-bucket
+    pairs only — the join never goes all-pairs); ranking is a window
+    partitioned by the query id with scores rounded BEFORE ranking and
+    id tie-breaks, so the result is engine-deterministic. Vectors whose
+    bucket has no other member produce no rows (standard LSH recall
+    contract; more planes/tables tighten it).
+    """
+    from pyspark.sql import Window
+
+    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col)
+    with_sig = emb.join(sigs, id_col).localCheckpoint()  # both join sides reuse
+    a = with_sig.select(
+        F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"), "bucket"
+    )
+    b = with_sig.select(
+        F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("id_1") != F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("id_1").orderBy(F.col("sim").desc(), F.col("id_2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

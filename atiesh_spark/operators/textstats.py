@@ -23,6 +23,37 @@ def _ws_tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
 
 
+#: PII patterns: simple shapes valid in both Java regex and RE2, so the
+#: same redaction is reproducible in any engine (oracle-checkable).
+#: Ordered dict = replacement order (applied first to last).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Redact PII spans to typed placeholders — pure chained
+    regexp_replace, whole-stage codegen, no Python. The pre-training
+    scrub step of a text pipeline."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or list(PII_PATTERNS):
+        pattern, token = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(text: Column | str, kinds: list[str] | None = None) -> dict[str, Column]:
+    """Per-kind PII hit counts (regexp_count), for audit/reporting gates."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(c, F.lit(PII_PATTERNS[kind][0]))
+        for kind in (kinds or list(PII_PATTERNS))
+    }
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc quality stats: (id, n_chars_calc, n_tokens, avg_token_len,
     punct_ratio, stopword_ratio).

@@ -641,3 +641,98 @@ def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.5, candidates=cands, shingles=sh
     )
+
+
+@register(
+    "q54_pii_redaction",
+    oracle="""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or ' ||
+               (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) || '.1 tel ' ||
+               lpad((doc_id % 900 + 100)::VARCHAR, 3, '0') || '-555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phone
+    FROM pii
+    """,
+    doc="PII scrubbing (the pre-training redaction pass): emails, IPv4s, "
+    "phone-shaped and SSN-shaped numbers collapse to typed placeholders "
+    "via chained codegen regexp_replace; per-kind hit counts audit the "
+    "scrub. Deterministic synthetic PII is injected from doc_id so the "
+    "redaction is exercised on every row and the oracle reproduces it "
+    "byte-for-byte (patterns restricted to the Java-regex ∩ RE2 dialect).",
+)
+def q54_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or "), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(".1 tel "),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    staged = docs.select("doc_id", pii_text.alias("__t"))
+    counts = pii_counts("__t", kinds=["email", "ipv4", "phone"])
+    return staged.select(
+        "doc_id",
+        F.md5(redact_pii("__t").cast("binary")).alias("redacted_md5"),
+        counts["email"].cast("int").alias("n_email"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        counts["phone"].cast("int").alias("n_phone"),
+    )
+
+
+@register(
+    "q55_knn_join",
+    oracle=f"""
+    WITH {_BUCKETS_CTE},
+    pairs AS (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT id_1, id_2,
+               round(SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))), 4) AS sim
+        FROM (SELECT p.id_1, p.id_2,
+                     unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+                     unnest(CAST(b.embedding AS DOUBLE[])) AS y
+              FROM pairs p
+              JOIN embeddings a ON a.vec_id = p.id_1
+              JOIN embeddings b ON b.vec_id = p.id_2)
+        GROUP BY id_1, id_2
+    )
+    SELECT id_1, id_2, sim, rank FROM (
+        SELECT id_1, id_2, sim,
+               row_number() OVER (PARTITION BY id_1
+                                  ORDER BY sim DESC, id_2) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    headline=True,
+    doc="All-to-all k-NN join (top-3 neighbors for EVERY vector): the "
+    "batch similarity-search workhorse behind near-dup clustering and "
+    "retrieval-corpus construction. Candidates restricted to shared LSH "
+    "buckets (never all-pairs); scores rounded before window ranking "
+    "with id tie-breaks for engine determinism.",
+)
+def q55_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=3, num_planes=4)
