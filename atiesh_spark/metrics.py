@@ -19,6 +19,7 @@ SinkMetrics.scala, InterceptorMetrics.scala). Spark equivalents:
 
 from __future__ import annotations
 
+import math
 import time
 from collections import defaultdict
 
@@ -51,7 +52,9 @@ class Histogram:
         self.sum += value
         self.min = value if self.min is None else min(self.min, value)
         self.max = value if self.max is None else max(self.max, value)
-        self.buckets[max(int(value) - 1, 0).bit_length()] += 1
+        # ceil first: fractional samples (timer ms) must round UP so the
+        # bucket's 'value <= 2^k' contract holds (2.5 -> le_2^2, not 2^1)
+        self.buckets[max(math.ceil(value) - 1, 0).bit_length()] += 1
 
     @property
     def mean(self) -> float:

@@ -194,6 +194,7 @@ def _minhash_wide(
     k: int = 3,
     num_hashes: int = 32,
     shingles: DataFrame | None = None,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """MinHash signatures, wide layout: (id_col, mh_0 .. mh_{n-1}).
 
@@ -229,8 +230,16 @@ def _minhash_wide(
             for s in range(num_hashes)
         ]
     )
+    # broadcast the hash-family dim only when the shingle universe is
+    # provably bounded: char k-grams with small k (~|charset|^k). An
+    # INJECTED shingle frame may be word n-grams (universe ~vocab^n,
+    # unbounded), which this function cannot see — there the caller
+    # decides via broadcast_dim (None = auto: broadcast only the
+    # self-built bounded case; AQE picks the strategy otherwise).
     sh_hashes = sh.select("sh").distinct().select("sh", hash_arr.alias("hs"))
-    joined = sh.join(F.broadcast(sh_hashes) if k <= 4 else sh_hashes, "sh")
+    if broadcast_dim is None:
+        broadcast_dim = shingles is None and k <= 4
+    joined = sh.join(F.broadcast(sh_hashes) if broadcast_dim else sh_hashes, "sh")
     return joined.groupBy(id_col).agg(
         *[F.min(F.col("hs")[s]).alias(f"mh_{s}") for s in range(num_hashes)]
     )
@@ -253,6 +262,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 4,
     shingles: DataFrame | None = None,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >= 1 identical signature band.
 
@@ -265,7 +275,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    wide = _minhash_wide(df, id_col, text_col, k, num_hashes, shingles=shingles)
+    wide = _minhash_wide(
+        df, id_col, text_col, k, num_hashes,
+        shingles=shingles, broadcast_dim=broadcast_dim,
+    )
     # band signature = md5 of the seed-ordered row minhashes; built from
     # the wide layout with zero extra shuffles, then unpivoted to
     # (id, band, band_sig) rows for the bucket join.

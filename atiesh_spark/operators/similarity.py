@@ -208,18 +208,28 @@ def knn_join(
     b = with_sig.select(
         F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"), "bucket"
     )
-    scored = (
+    # cosine is symmetric: score each unordered pair ONCE (id_1 < id_2),
+    # materialize the small scored frame, and mirror it — half the
+    # cosine evaluations and pre-rank shuffle volume of scoring both
+    # orientations.
+    half = (
         a.join(b, "bucket")
-        .filter(F.col("id_1") != F.col("id_2"))
+        .filter(F.col("id_1") < F.col("id_2"))
         .select(
             "id_1",
             "id_2",
             F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
         )
+        .localCheckpoint()  # both union branches reuse the scores
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"), "sim"
+        )
     )
     w = Window.partitionBy("id_1").orderBy(F.col("sim").desc(), F.col("id_2"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

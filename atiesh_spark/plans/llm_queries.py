@@ -533,8 +533,12 @@ def q51_jaccard_verified_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     # one shingle explode serves both stages (candidate generation and
     # verification) — materialized once, ~halves the pipeline cost
     sh = char_shingles(docs, "doc_id", "text", k=3).localCheckpoint()
+    # broadcast_dim: the injected shingles are char 3-grams, so the
+    # distinct-shingle universe is bounded (~|charset|^3) and the
+    # hash-family dim broadcast is safe (measured 2x on this query)
     cands = minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=32, bands=4, shingles=sh
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=4,
+        shingles=sh, broadcast_dim=True,
     )
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.7, candidates=cands, shingles=sh

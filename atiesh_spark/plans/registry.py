@@ -4,8 +4,11 @@ The driver runs each ``spark`` callable at sf0.01 and hash-compares the
 result with the ``oracle`` SQL run in DuckDB over the same parquet views
 (order-insensitive, columns sorted by name) — so column names and value
 canonicalization (explicit rounding of float aggregates) must match
-exactly on both sides. ``oracle=None`` marks genuinely non-SQL ops
-(rows-only check).
+exactly on both sides. ``oracle=None`` would mark a genuinely
+non-SQL-expressible op (rows-only check); as of round 2 every
+registered query has an oracle — non-deterministic outputs (sketches,
+k-means cells) are graded via bounded-error/recall booleans against a
+constant truth table instead.
 """
 
 from __future__ import annotations

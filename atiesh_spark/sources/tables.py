@@ -36,22 +36,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # passes its own); the nanos conf is runtime-settable, so pin it
         # here — without it the TIMESTAMP(NANOS) footer is rejected.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros below goes through an instant rendered in the
-        # session timezone; pin UTC so a non-UTC caller session gets the
-        # same wall-clock values (session-independent driver contract).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64
         # nanos (legacy.parquet.nanosAsLong); convert to micros with
         # integer division (ns magnitudes exceed double precision) and
         # present as TIMESTAMP_NTZ, matching the naive wall-clock
-        # semantics every other engine gives this column.
+        # semantics every other engine gives this column. The NTZ value
+        # is BUILT from epoch arithmetic (date_add + make_timestamp_ntz)
+        # rather than cast through an instant, because instant->NTZ casts
+        # render in spark.sql.session.timeZone — a non-UTC caller session
+        # would silently shift every wall-clock value and break the
+        # session-independent driver contract (and pinning the session
+        # zone here would mutate the caller's session for everything
+        # else).
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        df = (
+            df.withColumn("__us", F.expr("ts div 1000"))
+            .withColumn(
+                "__d",
+                F.expr("date_add(DATE '1970-01-01', CAST(__us div 86400000000 AS INT))"),
+            )
+            .withColumn("__tm", F.expr("__us % 86400000000"))
+            .withColumn(
+                "ts",
+                F.expr(
+                    "make_timestamp_ntz(year(__d), month(__d), day(__d), "
+                    "CAST(__tm div 3600000000 AS INT), "
+                    "CAST((__tm % 3600000000) div 60000000 AS INT), "
+                    "CAST(__tm % 60000000 AS DECIMAL(8,0)) / 1000000)"
+                ),
+            )
+            .drop("__us", "__d", "__tm")
         )
     return df
 

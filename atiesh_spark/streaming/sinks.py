@@ -357,24 +357,27 @@ def octet_count_frame(b: bytes) -> bytes:
 
 
 def tcp_syslog_sender(host: str, port: int, use_tls: bool = False,
-                      cafile: str | None = None, framing: str = "auto"):
+                      cafile: str | None = None, framing: str = "lf"):
     """Stream transport; TLS via stdlib ssl (covers the reference's
     TCP/TLS sender variants + CA-cert option,
     SyslogSinkSemantics.scala:49-135, PKI.scala:20-74).
 
-    Framing: plain TCP uses RFC 6587 LF (non-transparent) framing; TLS
-    uses RFC 5425 octet-counting (strict 5425 receivers reject LF).
-    ``framing`` overrides: 'lf' | 'octet' | 'auto' (by transport).
+    Framing: 'lf' (RFC 6587 non-transparent, the default — matching the
+    reference, which pairs TLS with LF framing in its rfc3164tls/
+    rfc6587tls variants) or 'octet' (RFC 5425 octet counting — required
+    by strict RFC 5425 TLS receivers, which reject LF framing). Framing
+    and transport compose freely, like the reference's format x sender
+    matrix.
     """
-    if framing not in ("auto", "lf", "octet"):
-        raise ValueError(f"framing must be auto|lf|octet, got {framing!r}")
+    if framing not in ("lf", "octet"):
+        raise ValueError(f"framing must be lf|octet, got {framing!r}")
     sock = socket.create_connection((host, port), timeout=10)
     if use_tls:
         import ssl
 
         ctx = ssl.create_default_context(cafile=cafile)
         sock = ctx.wrap_socket(sock, server_hostname=host)
-    octet = framing == "octet" or (framing == "auto" and use_tls)
+    octet = framing == "octet"
 
     def send(b: bytes) -> None:
         sock.sendall(octet_count_frame(b) if octet else b + b"\n")
@@ -402,7 +405,7 @@ class SyslogSinkWriter:
         transport: str = "udp",
         use_tls: bool = False,
         cafile: str | None = None,
-        framing: str = "auto",
+        framing: str = "lf",
         sender: Callable[[bytes], None] | None = None,
     ) -> None:
         self.host, self.port = host, port
@@ -553,7 +556,7 @@ def build_sink_writer(cfg: dict) -> Callable[[DataFrame, int], None]:
             transport=cfg.get("transport", "udp"),
             use_tls=cfg.get("tls", False),
             cafile=cfg.get("cafile"),
-            framing=cfg.get("framing", "auto"),
+            framing=cfg.get("framing", "lf"),
             sender=cfg.get("sender"),
         )
     if stype == "logservice":

@@ -66,6 +66,17 @@ def test_histogram_buckets_and_stats():
         h.record(-1)
 
 
+def test_histogram_fractional_values_round_up():
+    """Fractional samples (timer ms) must land in the bucket whose
+    'value <= 2^k' contract actually holds."""
+    h = Histogram()
+    h.record(2.5)   # > 2 -> le_2^2, not le_2^1
+    h.record(1.5)   # > 1 -> le_2^1
+    h.record(2.0)   # == 2 -> le_2^1
+    h.record(0.25)  # <= 1 -> le_2^0
+    assert h.snapshot()["buckets"] == {"le_2^0": 1, "le_2^1": 2, "le_2^2": 1}
+
+
 def test_timer_context_manager_records_ms():
     t = Timer()
     with t:

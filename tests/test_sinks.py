@@ -315,7 +315,7 @@ def test_syslog_framing_validation():
     from atiesh_spark.streaming.sinks import tcp_syslog_sender
 
     with pytest.raises(ValueError, match="framing must be"):
-        tcp_syslog_sender("127.0.0.1", 1, framing="bogus")
+        tcp_syslog_sender("127.0.0.1", 1, framing="auto")
 
 
 def test_http_persistent_transport_reuses_connection():
