@@ -1,11 +1,14 @@
 from atiesh_spark.operators.batching import assemble_batches
+from atiesh_spark.operators.compaction import compact_dataset, write_sized_parquet
 from atiesh_spark.operators.dedup import (
+    char_shingles,
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
+    word_shingles,
 )
 from atiesh_spark.operators.enrichment import RefreshingLookup, enrich_with_lookup
 from atiesh_spark.operators.quality import assert_quality, check_quality
@@ -15,12 +18,15 @@ from atiesh_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     ivf_ann_topk,
+    knn_join,
     lsh_ann_topk,
 )
 from atiesh_spark.operators.skew import salted_aggregate, salted_broadcast_join
 from atiesh_spark.operators.textstats import (
     fingerprint,
     language_id,
+    pii_counts,
+    redact_pii,
     text_stats,
     tf_idf_topk,
     token_counts,
@@ -28,6 +34,13 @@ from atiesh_spark.operators.textstats import (
 
 __all__ = [
     "assemble_batches",
+    "compact_dataset",
+    "write_sized_parquet",
+    "char_shingles",
+    "word_shingles",
+    "knn_join",
+    "pii_counts",
+    "redact_pii",
     "connected_components",
     "exact_dedup",
     "minhash_lsh_pairs",
