@@ -48,6 +48,53 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def mixture_take(
+    df: DataFrame,
+    strata_col: str,
+    cost_col: str,
+    budgets: dict[str, int],
+    order_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Assemble a data MIXTURE: per-stratum cost budgets in one pass.
+
+    ``budgets`` maps stratum value -> budget (e.g. {"en": 80_000,
+    "fr": 20_000} chars — the 80/20 mixture recipe of a pretraining
+    run). Rows are taken per stratum in deterministic ``order_col``
+    order until that stratum's cumulative cost passes its own budget
+    (first row over the line kept); strata not in ``budgets`` get
+    ``default_budget`` (0 = excluded entirely). Same single window
+    shuffle as ``budgeted_take`` — the budget just varies by key via a
+    literal map lookup, so recipes of any width cost one pass.
+    """
+    if default_budget < 0 or any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be >= 0")
+    pairs: list = []
+    for k, v in budgets.items():
+        pairs.extend([F.lit(k), F.lit(int(v))])
+    budget_col = F.coalesce(
+        # try_: ANSI element_at raises on missing map keys
+        F.try_element_at(F.create_map(*pairs), F.col(strata_col).cast("string"))
+        if pairs
+        else F.lit(None).cast("int"),
+        F.lit(int(default_budget)),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__budget", budget_col)
+        .withColumn("__running", F.sum(cost_col).over(w))
+        .filter(
+            (F.col("__budget") > 0)
+            & ((F.col("__running") - F.col(cost_col)) < F.col("__budget"))
+        )
+        .drop("__budget", "__running")
+    )
+
+
 def budgeted_take(
     df: DataFrame,
     group_col: str,

@@ -648,6 +648,42 @@ def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q56_mixture_take",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running,
+               CASE lang WHEN 'en' THEN 8000 WHEN 'fr' THEN 3000
+                         WHEN 'zh' THEN 2000 ELSE 0 END AS budget
+        FROM documents
+    )
+    WHERE budget > 0 AND (running - n_chars) < budget
+    GROUP BY lang
+    """,
+    doc="Data-mixture assembly: per-language char budgets (en 8000 / fr "
+    "3000 / zh 2000, others excluded) applied in ONE window pass — the "
+    "mixture-recipe step of a pretraining pipeline (q49 is the "
+    "single-budget special case). Deterministic doc_id order; first row "
+    "over each line kept.",
+)
+def q56_mixture_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import mixture_take
+
+    docs = load_table(spark, sf_dir, "documents")
+    taken = mixture_take(
+        docs, "lang", "n_chars",
+        budgets={"en": 8000, "fr": 3000, "zh": 2000},
+        order_col="doc_id",
+    )
+    return taken.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "q54_pii_redaction",
     oracle="""
     WITH pii AS (

@@ -36,24 +36,29 @@ def main() -> None:
     materialize(QUERIES["q19_topk_orders"].spark(spark, SF_DIR))
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        materialize(QUERIES[name].spark(spark, SF_DIR))
+        try:
+            materialize(QUERIES[name].spark(spark, SF_DIR))
+        except Exception as exc:  # isolate: one broken query must not
+            errors[name] = repr(exc)  # void the whole bench record
+            print(f"  {name}: ERROR {exc!r}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -40,3 +40,37 @@ def test_budgeted_take_per_group(spark):
     assert sorted(by_g["a"]) == [0, 1, 2, 3]
     # group b: first row exceeds budget alone but is kept (at least one)
     assert sorted(by_g["b"]) == [0]
+
+
+def test_mixture_take_per_stratum_budgets(spark):
+    from atiesh_spark.operators.sampling import mixture_take
+
+    rows = (
+        [("en", i, 10) for i in range(10)]
+        + [("fr", i, 10) for i in range(10)]
+        + [("xx", i, 10) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "lang string, ord int, cost int")
+    taken = mixture_take(
+        df, "lang", "cost", budgets={"en": 35, "fr": 15}, order_col="ord"
+    ).collect()
+    by_lang = {}
+    for r in taken:
+        by_lang.setdefault(r["lang"], []).append(r["ord"])
+    assert sorted(by_lang["en"]) == [0, 1, 2, 3]   # budget 35 -> 4 rows
+    assert sorted(by_lang["fr"]) == [0, 1]         # budget 15 -> 2 rows
+    assert "xx" not in by_lang                     # default budget 0 -> excluded
+
+
+def test_mixture_take_default_budget_and_validation(spark):
+    from atiesh_spark.operators.sampling import mixture_take
+
+    df = spark.createDataFrame([("aa", 0, 10), ("bb", 0, 10)], "lang string, ord int, cost int")
+    got = {r["lang"] for r in
+           mixture_take(df, "lang", "cost", budgets={"aa": 5}, order_col="ord",
+                        default_budget=5).collect()}
+    assert got == {"aa", "bb"}  # default budget admits unlisted strata
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budgets must be >= 0"):
+        mixture_take(df, "lang", "cost", budgets={"aa": -1}, order_col="ord")
