@@ -4,6 +4,8 @@ from atiesh_spark.operators.dedup import (
     char_shingles,
     connected_components,
     exact_dedup,
+    incremental_lsh_candidates,
+    minhash_band_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -27,6 +29,7 @@ from atiesh_spark.operators.textstats import (
     language_id,
     pii_counts,
     redact_pii,
+    repetition_stats,
     text_stats,
     tf_idf_topk,
     token_counts,
@@ -44,6 +47,9 @@ __all__ = [
     "redact_pii",
     "connected_components",
     "exact_dedup",
+    "incremental_lsh_candidates",
+    "minhash_band_signatures",
+    "repetition_stats",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",

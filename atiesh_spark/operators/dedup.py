@@ -254,7 +254,7 @@ def minhash_signatures(
     return wide.selectExpr(id_col, f"stack({num_hashes}, {pairs}) AS (seed, mh)")
 
 
-def minhash_lsh_pairs(
+def minhash_band_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -264,13 +264,14 @@ def minhash_lsh_pairs(
     shingles: DataFrame | None = None,
     broadcast_dim: bool | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing >= 1 identical signature band.
+    """LSH band signatures: (id_col, band, band_sig) — bands rows per doc.
 
     bands x rows layout (rows = num_hashes/bands); band signature is the
-    md5 of the seed-ordered row minhashes. The pair join runs per
-    (band, band_sig) bucket — linear shuffle, no cross product.
-    ``shingles``: optional precomputed distinct (id_col, sh) frame (see
-    ngram_jaccard_pairs). Output: distinct (id_1, id_2), id_1 < id_2.
+    md5 of the seed-ordered row minhashes, built from the wide layout
+    with zero extra shuffles, then unpivoted. This is the PERSISTENT
+    dedup state of an incremental pipeline: store it (parquet, bucketed
+    by band_sig) and join each new batch's signatures against it — old
+    docs are never re-shingled.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -279,9 +280,6 @@ def minhash_lsh_pairs(
         df, id_col, text_col, k, num_hashes,
         shingles=shingles, broadcast_dim=broadcast_dim,
     )
-    # band signature = md5 of the seed-ordered row minhashes; built from
-    # the wide layout with zero extra shuffles, then unpivoted to
-    # (id, band, band_sig) rows for the bucket join.
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -297,13 +295,36 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # materialize once: both sides of the bucket self-join otherwise
-    # recompute the whole signature pipeline (branch re-aliasing defeats
-    # ReuseExchange). bands x docs rows only — tiny.
-    band_sigs = wide.select(
+    return wide.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
     ).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingles: DataFrame | None = None,
+    broadcast_dim: bool | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 identical signature band.
+
+    The pair join runs per (band, band_sig) bucket — linear shuffle, no
+    cross product. ``shingles``: optional precomputed distinct (id_col,
+    sh) frame (see ngram_jaccard_pairs). Output: distinct (id_1, id_2),
+    id_1 < id_2.
+    """
+    # materialize once: both sides of the bucket self-join otherwise
+    # recompute the whole signature pipeline (branch re-aliasing defeats
+    # ReuseExchange). bands x docs rows only — tiny.
+    band_sigs = minhash_band_signatures(
+        df, id_col, text_col, k, num_hashes, bands,
+        shingles=shingles, broadcast_dim=broadcast_dim,
     ).localCheckpoint()
     left = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
     right = band_sigs.select(F.col(id_col).alias("id_2"), "band", "band_sig")
@@ -313,6 +334,42 @@ def minhash_lsh_pairs(
         .select("id_1", "id_2")
         .distinct()
     )
+
+
+def incremental_lsh_candidates(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup candidates for a NEW batch against a corpus.
+
+    Inputs are (id, band, band_sig) frames from
+    ``minhash_band_signatures`` — ``old_bands`` typically read back from
+    the persistent signature store. Returns distinct (id_1, id_2) where
+    id_2 is always the NEW doc and id_1 the matched OLD doc (directional
+    — the survivor policy keeps the old copy), plus new-vs-new pairs
+    (id_1 < id_2) for duplicates arriving within the same batch. Cost is
+    |new| x bucket width: the old corpus is joined, never re-hashed —
+    the only shape that works when the corpus is 100 TB and the batch is
+    1 GB.
+    """
+    new_ck = new_bands.localCheckpoint()  # feeds three join sides
+    old_new = (
+        old_bands.select(F.col(id_col).alias("id_1"), "band", "band_sig")
+        .join(
+            new_ck.select(F.col(id_col).alias("id_2"), "band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .select("id_1", "id_2")
+    )
+    left = new_ck.select(F.col(id_col).alias("id_1"), "band", "band_sig")
+    right = new_ck.select(F.col(id_col).alias("id_2"), "band", "band_sig")
+    new_new = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+    )
+    return old_new.unionByName(new_new).distinct()
 
 
 def connected_components(

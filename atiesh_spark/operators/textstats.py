@@ -23,6 +23,59 @@ def _ws_tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document:
+    (id, n_lines, dup_line_frac, top_bigram, top_bigram_char_frac).
+
+    - dup_line_frac: fraction of non-empty lines that repeat an earlier
+      line (1 - distinct/total) — boilerplate/navigation detector;
+    - top_bigram_char_frac: characters covered by the most frequent word
+      2-gram over total characters — the classic repeated-phrase rule.
+    Deterministic tie-break (count desc, bigram asc); docs with fewer
+    than two words report frac 0 and an empty bigram. All exploded
+    stages _fanout first; everything stays in codegen + two shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.dedup import _fanout, word_shingles
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    lines = (
+        _fanout(base)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("__line"))
+        .filter(F.length("__line") > 0)
+    )
+    line_stats = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            1 - F.countDistinct("__line") / F.count(F.lit(1)), 4
+        ).alias("dup_line_frac"),
+    )
+    bigrams = word_shingles(df, id_col, text_col, n=2, distinct=False)
+    counts = bigrams.groupBy(id_col, "sh").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__c").desc(), F.col("sh"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("sh").alias("__top"), F.col("__c").alias("__topc"))
+    )
+    return (
+        base.join(line_stats, id_col)
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce(F.col("__top"), F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(F.col("__topc") * F.length("__top"), F.lit(0))
+                / F.greatest(F.length(text_col), F.lit(1)),
+                4,
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
 #: PII patterns: simple shapes valid in both Java regex and RE2, so the
 #: same redaction is reproducible in any engine (oracle-checkable).
 #: Ordered dict = replacement order (applied first to last).

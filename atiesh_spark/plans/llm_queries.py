@@ -648,6 +648,108 @@ def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_incremental_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    old_new AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+    ),
+    new_new AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+    )
+    SELECT DISTINCT id_1, id_2 FROM
+    (SELECT * FROM old_new UNION ALL SELECT * FROM new_new)
+    """,
+    doc="Incremental dedup (the production ingestion mode): a NEW batch "
+    "(doc_id % 5 = 0 here) joins its MinHash band signatures against the "
+    "persisted signature store of the OLD corpus (directional — old doc "
+    "is the survivor) plus new-vs-new pairs within the batch. The old "
+    "corpus is never re-shingled; cost scales with the batch, not the "
+    "100 TB corpus.",
+)
+def q58_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    old_bands = minhash_band_signatures(old_docs, "doc_id", "text", k=3)
+    new_bands = minhash_band_signatures(new_docs, "doc_id", "text", k=3)
+    return incremental_lsh_candidates(new_bands, old_bands)
+
+
+@register(
+    "q57_repetition_stats",
+    oracle="""
+    WITH l0 AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+    ),
+    l1 AS (SELECT doc_id, line FROM l0 WHERE length(line) > 0),
+    ls AS (
+        SELECT doc_id, count(*) AS n_lines,
+               round(1 - CAST(count(DISTINCT line) AS DOUBLE) / count(*), 4) AS dup_line_frac
+        FROM l1 GROUP BY doc_id
+    ),
+    w0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS ts
+        FROM documents
+    ),
+    ws AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 1)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS sh
+        FROM w0
+    ),
+    bg AS (SELECT doc_id, sh, count(*) AS c FROM ws WHERE sh IS NOT NULL GROUP BY doc_id, sh),
+    top AS (
+        SELECT doc_id, sh, c FROM (
+            SELECT doc_id, sh, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sh) AS rn
+            FROM bg
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, ls.n_lines, ls.dup_line_frac,
+           coalesce(t.sh, '') AS top_bigram,
+           round(CAST(coalesce(t.c * length(t.sh), 0) AS DOUBLE)
+                 / greatest(length(d.text), 1), 4) AS top_bigram_char_frac
+    FROM documents d
+    JOIN ls ON ls.doc_id = d.doc_id
+    LEFT JOIN top t ON t.doc_id = d.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: duplicate-line "
+    "fraction (boilerplate detector) and characters covered by the most "
+    "frequent word bigram (repeated-phrase rule), deterministic "
+    "tie-breaks — the repetition filters every pretraining cleanup "
+    "applies after q32's surface stats.",
+)
+def q57_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+@register(
     "q56_mixture_take",
     oracle="""
     SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

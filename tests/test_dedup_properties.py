@@ -108,3 +108,36 @@ def test_connected_components_ignores_foreign_pair_ids(spark):
     assert set(labels) == {0, 1, 2}         # every known id present
     assert labels[0] == labels[1] == 0      # known edge still clusters
     assert labels[2] == 2
+
+
+def test_incremental_candidates_cover_batch_pairs(spark):
+    """Incremental (old-store + new-batch) candidates must equal the
+    full-corpus LSH pairs restricted to pairs touching a new doc, with
+    old->new direction normalized."""
+    from atiesh_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+    )
+    from atiesh_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    new_pred = "doc_id % 5 = 0"
+    old_bands = minhash_band_signatures(docs.filter(f"NOT ({new_pred})"), "doc_id", "text")
+    new_bands = minhash_band_signatures(docs.filter(new_pred), "doc_id", "text")
+    inc = {(r["id_1"], r["id_2"]) for r in
+           incremental_lsh_candidates(new_bands, old_bands).collect()}
+
+    full = {(r["id_1"], r["id_2"]) for r in
+            minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    expected = set()
+    for a, b in full:
+        a_new, b_new = a % 5 == 0, b % 5 == 0
+        if a_new and b_new:
+            expected.add((min(a, b), max(a, b)))
+        elif a_new:
+            expected.add((b, a))   # old first
+        elif b_new:
+            expected.add((a, b))
+    assert inc == expected and len(inc) > 0

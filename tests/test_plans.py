@@ -68,6 +68,11 @@ def test_semi_anti_join_strategies(spark):
         "q26_minhash_lsh",
         "q29_embedding_topk",
         "q32_text_stats",
+        "q51_jaccard_verified_candidates",
+        "q52_embedding_near_dup_lsh",
+        "q54_pii_redaction",
+        "q55_knn_join",
+        "q56_mixture_take",
     ],
 )
 def test_no_python_udf_in_hot_paths(spark, name):
@@ -87,7 +92,15 @@ def test_partial_aggregation_before_shuffle(spark):
 def test_no_cartesian_in_bucketed_pair_joins(spark):
     """The LSH/bucket family must never degrade to a cross product —
     that's the whole point of bucketing."""
-    for name in ("q26_minhash_lsh", "q28_simhash_pairs", "q41_dedup_clusters"):
+    for name in (
+        "q26_minhash_lsh",
+        "q28_simhash_pairs",
+        "q41_dedup_clusters",
+        "q51_jaccard_verified_candidates",
+        "q52_embedding_near_dup_lsh",
+        "q53_word_jaccard_pairs",
+        "q55_knn_join",
+    ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
