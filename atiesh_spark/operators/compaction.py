@@ -78,13 +78,20 @@ def compact_dataset(
     dst_path: str,
     target_file_mb: int = 128,
     compression_ratio: float = 3.0,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Small-file compaction: read a fragmented parquet dataset and
     rewrite it with target-sized files (the maintenance job every
-    streaming sink needs — each micro-batch appends its own files)."""
+    streaming sink needs — each micro-batch appends its own files).
+
+    Pass the source's ``partition_cols`` to PRESERVE its directory
+    layout — omitting them on a partitioned dataset flattens it, losing
+    partition pruning for every downstream reader.
+    """
     write_sized_parquet(
         spark.read.parquet(src_path),
         dst_path,
         target_file_mb=target_file_mb,
         compression_ratio=compression_ratio,
+        partition_cols=partition_cols,
     )

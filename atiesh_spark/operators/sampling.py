@@ -113,15 +113,11 @@ def budgeted_take(
     tiebreak-free secondary guard by never being the sort key.
 
     The token-budget sampler: cap each language/source at N tokens.
-    One shuffle (window over group); no driver state.
+    One shuffle (window over group); no driver state. The single-budget
+    special case of ``mixture_take`` (delegates, so the cumulative-take
+    semantics live in exactly one place).
     """
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        df.withColumn("__running", F.sum(cost_col).over(w))
-        .filter((F.col("__running") - F.col(cost_col)) < budget)
-        .drop("__running")
+    return mixture_take(
+        df, group_col, cost_col, budgets={}, order_col=order_col,
+        default_budget=budget,
     )

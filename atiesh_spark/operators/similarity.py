@@ -209,9 +209,10 @@ def knn_join(
         F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"), "bucket"
     )
     # cosine is symmetric: score each unordered pair ONCE (id_1 < id_2),
-    # materialize the small scored frame, and mirror it — half the
-    # cosine evaluations and pre-rank shuffle volume of scoring both
-    # orientations.
+    # then emit both orientations from the same row via explode — half
+    # the cosine evaluations of scoring both directions, one streaming
+    # pass, and nothing materialized (the per-bucket pair frame is
+    # O(sum bucket_size^2) — far too big to checkpoint at scale).
     half = (
         a.join(b, "bucket")
         .filter(F.col("id_1") < F.col("id_2"))
@@ -220,13 +221,21 @@ def knn_join(
             "id_2",
             F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
         )
-        .localCheckpoint()  # both union branches reuse the scores
     )
-    sym = half.unionByName(
-        half.select(
-            F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"), "sim"
-        )
-    )
+    sym = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_1").alias("id_1"), F.col("id_2").alias("id_2"),
+                    F.col("sim").alias("sim"),
+                ),
+                F.struct(
+                    F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"),
+                    F.col("sim").alias("sim"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.*")
     w = Window.partitionBy("id_1").orderBy(F.col("sim").desc(), F.col("id_2"))
     return (
         sym.withColumn("rank", F.row_number().over(w))

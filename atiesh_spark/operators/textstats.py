@@ -32,8 +32,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     - top_bigram_char_frac: characters covered by the most frequent word
       2-gram over total characters — the classic repeated-phrase rule.
     Deterministic tie-break (count desc, bigram asc); docs with fewer
-    than two words report frac 0 and an empty bigram. All exploded
-    stages _fanout first; everything stays in codegen + two shuffles.
+    than two words report frac 0 and an empty bigram, and docs with no
+    non-empty lines report n_lines 0 (degenerate docs are exactly what a
+    quality filter must SEE, so none are dropped). All exploded stages
+    _fanout first; everything stays in codegen + two shuffles.
     """
     from pyspark.sql.window import Window
 
@@ -60,12 +62,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col), F.col("sh").alias("__top"), F.col("__c").alias("__topc"))
     )
     return (
-        base.join(line_stats, id_col)
+        base.join(line_stats, id_col, "left")
         .join(top, id_col, "left")
         .select(
             F.col(id_col),
-            "n_lines",
-            "dup_line_frac",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias("dup_line_frac"),
             F.coalesce(F.col("__top"), F.lit("")).alias("top_bigram"),
             F.round(
                 F.coalesce(F.col("__topc") * F.length("__top"), F.lit(0))

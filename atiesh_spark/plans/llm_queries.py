@@ -728,12 +728,14 @@ def q58_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bg
         ) WHERE rn = 1
     )
-    SELECT d.doc_id, ls.n_lines, ls.dup_line_frac,
+    SELECT d.doc_id,
+           coalesce(ls.n_lines, 0) AS n_lines,
+           coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
            coalesce(t.sh, '') AS top_bigram,
            round(CAST(coalesce(t.c * length(t.sh), 0) AS DOUBLE)
                  / greatest(length(d.text), 1), 4) AS top_bigram_char_frac
     FROM documents d
-    JOIN ls ON ls.doc_id = d.doc_id
+    LEFT JOIN ls ON ls.doc_id = d.doc_id
     LEFT JOIN top t ON t.doc_id = d.doc_id
     """,
     doc="Gopher-style repetition quality signals: duplicate-line "

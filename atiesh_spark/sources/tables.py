@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 TABLES = [
     "region",
@@ -28,6 +28,38 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def epoch_nanos_to_ntz(nanos_col: str) -> Column:
+    """int64 epoch nanoseconds -> TIMESTAMP_NTZ (UTC wall clock),
+    session-timezone-INDEPENDENT.
+
+    Built from epoch arithmetic (floor-div to a date + make_timestamp_ntz)
+    rather than cast through an instant, because instant->NTZ casts render
+    in ``spark.sql.session.timeZone`` — a non-UTC caller session would
+    silently shift every wall-clock value (and pinning the session zone
+    would mutate the caller's session for everything else). Nanos are
+    first floored to micros with integer division (ns magnitudes exceed
+    double precision). ``div`` truncates toward zero and ``%`` keeps the
+    dividend's sign, so pre-epoch instants use explicit FLOOR division —
+    else the day is off by one and the time-of-day goes negative (an ANSI
+    error in make_timestamp_ntz).
+    """
+    from pyspark.sql import functions as F
+
+    us = f"(({nanos_col} - (({nanos_col} % 1000 + 1000) % 1000)) div 1000)"
+    days = (
+        f"(CASE WHEN {us} >= 0 THEN {us} div 86400000000 "
+        f"ELSE (({us} + 1) div 86400000000) - 1 END)"
+    )
+    d = f"date_add(DATE '1970-01-01', CAST({days} AS INT))"
+    tm = f"({us} - {days} * 86400000000)"
+    return F.expr(
+        f"make_timestamp_ntz(year({d}), month({d}), day({d}), "
+        f"CAST({tm} div 3600000000 AS INT), "
+        f"CAST(({tm} % 3600000000) div 60000000 AS INT), "
+        f"CAST({tm} % 60000000 AS DECIMAL(8,0)) / 1000000)"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -39,37 +71,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64
-        # nanos (legacy.parquet.nanosAsLong); convert to micros with
-        # integer division (ns magnitudes exceed double precision) and
-        # present as TIMESTAMP_NTZ, matching the naive wall-clock
-        # semantics every other engine gives this column. The NTZ value
-        # is BUILT from epoch arithmetic (date_add + make_timestamp_ntz)
-        # rather than cast through an instant, because instant->NTZ casts
-        # render in spark.sql.session.timeZone — a non-UTC caller session
-        # would silently shift every wall-clock value and break the
-        # session-independent driver contract (and pinning the session
-        # zone here would mutate the caller's session for everything
-        # else).
-        from pyspark.sql import functions as F
-
-        df = (
-            df.withColumn("__us", F.expr("ts div 1000"))
-            .withColumn(
-                "__d",
-                F.expr("date_add(DATE '1970-01-01', CAST(__us div 86400000000 AS INT))"),
-            )
-            .withColumn("__tm", F.expr("__us % 86400000000"))
-            .withColumn(
-                "ts",
-                F.expr(
-                    "make_timestamp_ntz(year(__d), month(__d), day(__d), "
-                    "CAST(__tm div 3600000000 AS INT), "
-                    "CAST((__tm % 3600000000) div 60000000 AS INT), "
-                    "CAST(__tm % 60000000 AS DECIMAL(8,0)) / 1000000)"
-                ),
-            )
-            .drop("__us", "__d", "__tm")
-        )
+        # nanos (legacy.parquet.nanosAsLong); present as TIMESTAMP_NTZ,
+        # matching the naive wall-clock semantics every other engine
+        # gives this column (see epoch_nanos_to_ntz for why the
+        # conversion avoids instant casts and session timezones).
+        df = df.withColumn("ts", epoch_nanos_to_ntz("ts"))
     return df
 
 

@@ -56,3 +56,16 @@ def test_advisory_conf_restored(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents")
     write_sized_parquet(docs, str(tmp_path / "o2"), target_file_mb=64)
     assert spark.conf.get(key, None) == before
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    docs = load_table(spark, SF_SMALL, "documents")
+    frag = str(tmp_path / "pfrag")
+    docs.repartition(8).write.partitionBy("lang").parquet(frag)
+
+    out = str(tmp_path / "pcompact")
+    compact_dataset(spark, frag, out, partition_cols=["lang"])
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    for lang in langs:
+        assert len(_parquet_files(f"{out}/lang={lang}")) >= 1  # dirs kept
+    assert spark.read.parquet(out).count() == docs.count()

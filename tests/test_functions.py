@@ -159,3 +159,36 @@ def test_split_body_regex_metachar_delimiter(spark):
     df = spark.createDataFrame([(1, "a|b|c")], "id int, body string")
     out = sorted(r["value"] for r in split_body(df, "body", "|").collect())
     assert out == ["a", "b", "c"]
+
+
+def test_epoch_nanos_to_ntz_including_pre_epoch(spark):
+    """Session-tz-independent ns->NTZ conversion: exact micros, correct
+    floor behavior for pre-epoch instants (div truncates toward zero,
+    which would otherwise shift pre-epoch days and crash ANSI
+    make_timestamp_ntz with negative seconds)."""
+    from datetime import datetime
+
+    from atiesh_spark.sources.tables import epoch_nanos_to_ntz
+
+    cases = [
+        0,
+        1705312496123456789,       # 2024-01-15T...
+        999,                       # sub-microsecond -> floors to 0 us
+        -1,                        # 1 ns before epoch
+        -86400000000000,           # exactly -1 day
+        -1000,                     # -1 us
+    ]
+    df = spark.createDataFrame([(n,) for n in cases], "ns long")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = [r["ts"] for r in df.select(epoch_nanos_to_ntz("ns").alias("ts")).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # compare against python's own floor-div epoch arithmetic
+    from datetime import timedelta
+
+    for n, ts in zip(cases, got):
+        us = n // 1000
+        expect = datetime(1970, 1, 1) + timedelta(microseconds=us)
+        assert ts == expect, f"ns={n}: {ts} != {expect}"
