@@ -15,7 +15,7 @@ from atiesh_spark.operators.dedup import (
 from atiesh_spark.operators.enrichment import RefreshingLookup, enrich_with_lookup
 from atiesh_spark.operators.quality import assert_quality, check_quality
 from atiesh_spark.operators.routing import route_first_accepted
-from atiesh_spark.operators.sampling import budgeted_take, deterministic_split, mixture_take
+from atiesh_spark.operators.sampling import budgeted_take, deterministic_split, mixture_take, pack_documents
 from atiesh_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -43,6 +43,7 @@ __all__ = [
     "word_shingles",
     "knn_join",
     "mixture_take",
+    "pack_documents",
     "pii_counts",
     "redact_pii",
     "connected_components",

@@ -95,6 +95,40 @@ def mixture_take(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    shards: int = 64,
+    shard_col: str = "shard",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Sequence packing: assign docs to fixed-cost packs (shard, pack_id).
+
+    The step that turns a filtered corpus into training sequences: docs
+    accumulate (in deterministic ``id_col`` order) into packs of
+    ~``budget`` cost; a doc straddling a boundary belongs to the pack
+    where it starts (capacity packing with overflow — the standard
+    greedy rule). Packing runs PER SHARD (md5 hash of the id), so the
+    running-sum scan parallelizes instead of being one global sequential
+    pass — real pipelines pack per output shard anyway, and the shard
+    assignment is engine/partitioning-independent like every hash here.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    out = df.withColumn(shard_col, hash_bucket(id_col, shards))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(cost_col).over(w)
+    return out.withColumn(
+        pack_col, F.floor((running - F.col(cost_col)) / budget).cast("int")
+    )
+
+
 def budgeted_take(
     df: DataFrame,
     group_col: str,

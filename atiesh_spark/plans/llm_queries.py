@@ -648,6 +648,41 @@ def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q59_sequence_packing",
+    oracle="""
+    SELECT shard, pack_id, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT shard, n_chars,
+               CAST(floor((SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                           - n_chars) / 2000.0) AS INT) AS pack_id
+        FROM (
+            SELECT doc_id, n_chars,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard
+            FROM documents
+        )
+    )
+    GROUP BY shard, pack_id
+    """,
+    doc="Sequence packing: docs greedily packed into ~2000-char bins per "
+    "md5 shard (16 shards) — the corpus-to-training-sequences step. "
+    "Capacity packing with overflow (a straddling doc stays in the pack "
+    "where it starts); per-shard windows keep the running-sum scan "
+    "parallel. Grading aggregates per-pack doc counts and costs.",
+)
+def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(docs, "doc_id", "n_chars", budget=2000, shards=16)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "q58_incremental_dedup",
     oracle=f"""
     WITH {_SHINGLES_CTE},

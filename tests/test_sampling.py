@@ -74,3 +74,37 @@ def test_mixture_take_default_budget_and_validation(spark):
 
     with _pytest.raises(ValueError, match="budgets must be >= 0"):
         mixture_take(df, "lang", "cost", budgets={"aa": -1}, order_col="ord")
+
+
+def test_pack_documents_greedy_per_shard(spark):
+    from atiesh_spark.operators.sampling import pack_documents
+
+    # one shard (shards=1) makes the greedy packing easy to assert
+    rows = [(i, 30) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, cost int")
+    packed = {r["doc_id"]: r["pack_id"]
+              for r in pack_documents(df, "doc_id", "cost", budget=100, shards=1).collect()}
+    # cumulative-before: 0,30,60,90 -> pack 0; 120.. -> pack 1; etc.
+    assert packed == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
+
+    # oversized doc still gets a pack (starts where it lands)
+    big = spark.createDataFrame([(0, 500), (1, 10)], "doc_id long, cost int")
+    got = {r["doc_id"]: r["pack_id"]
+           for r in pack_documents(big, "doc_id", "cost", budget=100, shards=1).collect()}
+    assert got[0] == 0 and got[1] == 5  # cumulative-before 500 -> pack 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget must be > 0"):
+        pack_documents(df, "doc_id", "cost", budget=0)
+
+
+def test_pack_documents_partitioning_independent(spark):
+    from atiesh_spark.operators.sampling import pack_documents
+
+    df = spark.range(200).selectExpr("id AS doc_id", "CAST(10 + id % 37 AS INT) AS cost")
+    a = {(r["doc_id"]): (r["shard"], r["pack_id"])
+         for r in pack_documents(df, "doc_id", "cost", budget=150, shards=8).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pack_id"])
+         for r in pack_documents(df.repartition(13), "doc_id", "cost", budget=150, shards=8).collect()}
+    assert a == b
