@@ -648,6 +648,37 @@ def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q60_asof_join",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts, max(event_id) AS marker_id
+        FROM events WHERE event_id % 20 = 0
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, m.marker_id
+    FROM events e
+    ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+    doc="As-of (point-in-time) join: every event picks up the latest "
+    "marker event (event_id % 20 = 0, deduped per (user, ts)) at or "
+    "before it for the same user — the temporal-dimension attach Spark "
+    "lacks natively, built as union + per-key window (one shuffle, "
+    "codegen; see operators/asof.py). Oracle: DuckDB's native ASOF "
+    "LEFT JOIN.",
+)
+def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    markers = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("marker_id"))
+    )
+    return asof_join(ev, markers, on="ts", by="user_id")
+
+
+@register(
     "q59_sequence_packing",
     oracle="""
     SELECT shard, pack_id, count(*) AS n_docs,

@@ -1,0 +1,65 @@
+"""As-of join semantics: inclusive boundary, direction, no-match NULLs,
+atomic right-row fill, collision suffixing."""
+
+from __future__ import annotations
+
+import pytest
+
+from atiesh_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 5, "z"), (2, 7, "c")],
+        "uid long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "m1", 100), (1, 20, "m2", 200), (2, 50, "m3", 300)],
+        "uid long, t long, m string, score long",
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_null_on_no_match(sides):
+    left, right = sides
+    out = {r["ev"]: (r["m"], r["score"]) for r in
+           asof_join(left, right, on="t", by="uid").collect()}
+    assert out["a"] == ("m1", 100)   # equal timestamp matches (inclusive)
+    assert out["b"] == ("m2", 200)   # latest at-or-before 25
+    assert out["z"] == (None, None)  # before any marker
+    assert out["c"] == (None, None)  # marker only at t=50 > 7
+
+
+def test_forward_direction(sides):
+    left, right = sides
+    out = {r["ev"]: r["m"] for r in
+           asof_join(left, right, on="t", by="uid", direction="forward").collect()}
+    assert out["a"] == "m1"   # inclusive at equal t
+    assert out["b"] is None   # nothing at-or-after 25 for uid 1
+    assert out["z"] == "m1"
+    assert out["c"] == "m3"
+
+
+def test_atomic_right_row_fill(spark):
+    """A NULL attribute inside the matched right row must stay NULL —
+    never backfilled per-column from an older right row."""
+    left = spark.createDataFrame([(1, 30, "x")], "uid long, t long, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, "old", 1), (1, 20, None, None)],
+        "uid long, t long, m string, score long",
+    )
+    row = asof_join(left, right, on="t", by="uid").collect()[0]
+    assert row["m"] is None and row["score"] is None  # the t=20 row, intact
+
+
+def test_collision_suffix_and_validation(spark, sides):
+    left, right = sides
+    right2 = right.withColumnRenamed("m", "ev")  # collides with left.ev
+    cols = asof_join(left, right2, on="t", by="uid").columns
+    assert "ev" in cols and "ev_r" in cols
+
+    with pytest.raises(ValueError, match="direction must be"):
+        asof_join(left, right, on="t", by="uid", direction="nearest")
+    with pytest.raises(ValueError, match="no value columns"):
+        asof_join(left, right.select("uid", "t"), on="t", by="uid")
