@@ -1,4 +1,4 @@
-from atiesh_spark.operators.asof import asof_join
+from atiesh_spark.operators.asof import asof_join, range_join
 from atiesh_spark.operators.batching import assemble_batches
 from atiesh_spark.operators.compaction import compact_dataset, write_sized_parquet
 from atiesh_spark.operators.dedup import (
@@ -38,6 +38,7 @@ from atiesh_spark.operators.textstats import (
 
 __all__ = [
     "asof_join",
+    "range_join",
     "assemble_batches",
     "compact_dataset",
     "write_sized_parquet",

@@ -87,3 +87,60 @@ def asof_join(
         name = c if c not in taken else f"{c}{suffix}"
         out_cols.append(F.col(f"__match.{c}").alias(name))
     return filled.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    start_col: str,
+    end_col: str,
+    bin_size: int,
+) -> DataFrame:
+    """Interval join: left POINTS matched to right INTERVALS containing
+    them (``start <= on <= end``, closed) within a key — the other
+    temporal join Spark mishandles (a naive non-equi join degrades to a
+    nested-loop cross product).
+
+    Scale-safe strategy: time is cut into fixed ``bin_size`` bins; each
+    interval EXPLODES to the bins it overlaps, each point lands in
+    exactly one bin, and the join runs on (key, bin) equality with the
+    range predicate as a post-filter. A qualifying pair meets in exactly
+    the point's bin, so no dedup pass is needed. ``on``/``start_col``/
+    ``end_col`` must be numeric (convert timestamps to epoch units
+    first, timezone-independently). Pick ``bin_size`` near the typical
+    interval length: the explode factor is ~len/bin_size + 1, and a
+    pathological interval spanning the whole timeline fans out to every
+    bin — cap interval lengths upstream.
+
+    Output: all left columns + all right columns (right's key columns
+    dropped; collisions get a ``_r`` suffix).
+    """
+    if bin_size <= 0:
+        raise ValueError("bin_size must be > 0")
+    by = [by] if isinstance(by, str) else list(by)
+    lp = left.withColumn("__bin", F.floor(F.col(on) / bin_size))
+    rvals = [c for c in right.columns if c not in by]
+    ri = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_size),
+                F.floor(F.col(end_col) / bin_size),
+            )
+        ),
+    )
+    taken = set(left.columns)
+    r_sel = [F.col(c) for c in by] + [F.col("__bin")] + [
+        F.col(c).alias(c if c not in taken else f"{c}_r") for c in rvals
+    ]
+    start_out = start_col if start_col not in taken else f"{start_col}_r"
+    end_out = end_col if end_col not in taken else f"{end_col}_r"
+    return (
+        lp.join(ri.select(*r_sel), [*by, "__bin"])
+        .filter(
+            (F.col(start_out) <= F.col(on)) & (F.col(on) <= F.col(end_out))
+        )
+        .drop("__bin")
+    )

@@ -648,6 +648,53 @@ def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q61_range_join",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') * 86400
+               + hour(ts) * 3600 + minute(ts) * 60 + CAST(date_part('second', ts) AS BIGINT) AS t
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id AS marker_id, t AS t0, t + 1800 AS t1
+        FROM pts WHERE event_id % 20 = 0
+    )
+    SELECT m.marker_id, count(*) AS n_events
+    FROM m JOIN pts p
+      ON p.user_id = m.user_id AND p.t BETWEEN m.t0 AND m.t1
+    GROUP BY m.marker_id
+    """,
+    doc="Range (interval) join: events counted into the 30-minute "
+    "attribution window opening at each marker event, per user. "
+    "Bin-bucketed equality join + range post-filter (operators/asof.py "
+    "range_join) — never a nested-loop non-equi join. Timestamps become "
+    "epoch seconds via timezone-free field arithmetic so both engines "
+    "compute identical bins.",
+)
+def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') * 86400L"
+        " + hour(ts) * 3600L + minute(ts) * 60L + second(ts)"
+    )
+    pts = ev.select("user_id", "event_id", secs.alias("t"))
+    markers = pts.filter(F.col("event_id") % 20 == 0).select(
+        "user_id",
+        F.col("event_id").alias("marker_id"),
+        F.col("t").alias("t0"),
+        (F.col("t") + 1800).alias("t1"),
+    )
+    joined = range_join(
+        pts, markers, on="t", by="user_id",
+        start_col="t0", end_col="t1", bin_size=1800,
+    )
+    return joined.groupBy("marker_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
     "q60_asof_join",
     oracle="""
     WITH m AS (

@@ -63,3 +63,32 @@ def test_collision_suffix_and_validation(spark, sides):
         asof_join(left, right, on="t", by="uid", direction="nearest")
     with pytest.raises(ValueError, match="no value columns"):
         asof_join(left, right.select("uid", "t"), on="t", by="uid")
+
+
+def test_range_join_bins_and_boundaries(spark):
+    from atiesh_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0, "p0"), (1, 100, "p1"), (1, 250, "p2"), (1, 251, "p3"), (2, 100, "p4")],
+        "uid long, t long, tag string",
+    )
+    iv = spark.createDataFrame(
+        [(1, 50, 250, "w1"), (2, 0, 99, "w2")],
+        "uid long, lo long, hi long, w string",
+    )
+    out = {(r["tag"], r["w"]) for r in
+           range_join(pts, iv, on="t", by="uid", start_col="lo", end_col="hi",
+                      bin_size=64).collect()}
+    # closed interval: 100 and 250 match w1; 0 and 251 don't; uid 2's
+    # point at 100 is outside [0, 99]
+    assert out == {("p1", "w1"), ("p2", "w1")}
+
+    # a pair is emitted exactly once even when the interval spans many bins
+    rows = range_join(pts, iv, on="t", by="uid", start_col="lo", end_col="hi",
+                      bin_size=8).collect()
+    assert len(rows) == len({(r["tag"], r["w"]) for r in rows}) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_size must be > 0"):
+        range_join(pts, iv, on="t", by="uid", start_col="lo", end_col="hi", bin_size=0)
