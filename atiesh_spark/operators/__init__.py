@@ -15,6 +15,7 @@ from atiesh_spark.operators.dedup import (
 )
 from atiesh_spark.operators.enrichment import RefreshingLookup, enrich_with_lookup
 from atiesh_spark.operators.quality import assert_quality, check_quality
+from atiesh_spark.operators.rollup import cascade_rollup
 from atiesh_spark.operators.routing import route_first_accepted
 from atiesh_spark.operators.sampling import budgeted_take, deterministic_split, mixture_take, pack_documents
 from atiesh_spark.operators.similarity import (
@@ -39,6 +40,7 @@ from atiesh_spark.operators.textstats import (
 __all__ = [
     "asof_join",
     "range_join",
+    "cascade_rollup",
     "assemble_batches",
     "compact_dataset",
     "write_sized_parquet",

@@ -648,6 +648,42 @@ def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q62_cascade_rollup",
+    oracle="""
+    SELECT '10 minutes' AS level,
+           time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+           count(*) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY bucket
+    UNION ALL
+    SELECT '1 hour' AS level,
+           time_bucket(INTERVAL '1 hour', ts) AS bucket,
+           count(*) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY bucket
+    """,
+    doc="Hypertable-style cascade rollup: 10-minute buckets from raw "
+    "events, then HOURLY buckets re-aggregated from the 10-minute frame "
+    "(never from raw — the continuous-aggregate maintenance pattern; at "
+    "100 TB the hourly pass reads the tiny finer rollup). Oracle "
+    "aggregates each level directly from raw, proving the cascade is "
+    "exact for cascade-safe aggregates.",
+)
+def q62_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.rollup import cascade_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cascade_rollup(
+        ev, "ts", ["10 minutes", "1 hour"],
+        aggs={"n_events": ("event_id", "count"), "sum_value": ("value", "sum")},
+    )
+    return out.select(
+        "level", "bucket", "n_events",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+@register(
     "q61_range_join",
     oracle="""
     WITH pts AS (
