@@ -1,21 +1,26 @@
-"""As-of (point-in-time) join — the temporal join Spark lacks natively.
+"""As-of (point-in-time) and range (interval) joins — the temporal joins
+Spark lacks natively.
 
-Joins each left row to the nearest right row at-or-before (backward) or
-at-or-after (forward) it on an ordering column, within a key. The
-classic uses: attach the latest dimension version to an event, the last
-sensor reading to a trade, the active config to a log line.
+as-of: each left row matched to the nearest right row at-or-before
+(backward) or at-or-after (forward) it on an ordering column, within a
+key. The classic uses: attach the latest dimension version to an event,
+the last sensor reading to a trade, the active config to a log line.
 
 Spark-first physical strategy (no pandas, no range explosion): tag and
 UNION both sides, then one window per key ordered by (on, side) fills
 each left row with the last non-null packed right row. One shuffle on
 the key; whole-stage codegen throughout; at equal timestamps the right
 row sorts first, so the match is inclusive (l.on >= r.on), matching
-DuckDB/pandas ASOF semantics. Both sides are packed into structs so a
-matched right row is atomic (no per-column fill mixing two right rows).
+DuckDB/pandas ASOF semantics. Right value columns are packed into ONE
+struct so a matched right row is atomic (no per-column fill mixing two
+right rows); left key/on columns ride the union top-level only (packing
+them again would double the shuffled bytes for narrow tables).
 
-Right rows with duplicate (key, on) values are ambiguous — which one
-wins depends on partition layout; dedup the right side first (the
-operator raises nothing but the contract is stated here and tested).
+NULL semantics follow SQL: right rows with a NULL key or NULL ``on``
+can never match (filtered up front), and a left row with NULL ``on``
+matches nothing. Right rows with duplicate (key, on) values are
+ambiguous — which one wins depends on partition layout; dedup the right
+side first.
 """
 
 from __future__ import annotations
@@ -23,6 +28,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _suffixed(name: str, taken: set[str], suffix: str) -> str:
+    if name not in taken:
+        return name
+    cand = f"{name}{suffix}"
+    if cand in taken:
+        raise ValueError(
+            f"cannot suffix column {name!r}: {cand!r} also exists; "
+            "rename columns before joining"
+        )
+    return cand
 
 
 def asof_join(
@@ -48,28 +65,35 @@ def asof_join(
     rvals = [c for c in right.columns if c != on and c not in by]
     if not rvals:
         raise ValueError("right side has no value columns beyond key/on")
+    # SQL join semantics: NULL keys / NULL on never match anything
+    right = right.filter(F.col(on).isNotNull())
+    for c in by:
+        right = right.filter(F.col(c).isNotNull())
 
-    lrow_t = left.select(F.struct(*left.columns).alias("s")).schema[0].dataType
+    lrest = [c for c in left.columns if c != on and c not in by]
     rrow_t = right.select(F.struct(*rvals).alias("s")).schema[0].dataType
 
-    l = left.select(
-        *[F.col(c) for c in by],
+    l_cols = [F.col(c) for c in by] + [
         F.col(on).alias("__on"),
         F.lit(1).alias("__side"),
-        F.struct(*left.columns).alias("__lrow"),
         F.lit(None).cast(rrow_t).alias("__rrow"),
-    )
-    r = right.select(
-        *[F.col(c) for c in by],
+    ]
+    r_cols = [F.col(c) for c in by] + [
         F.col(on).alias("__on"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(lrow_t).alias("__lrow"),
         F.struct(*rvals).alias("__rrow"),
-    )
+    ]
+    if lrest:
+        lrow_t = left.select(F.struct(*lrest).alias("s")).schema[0].dataType
+        l_cols.append(F.struct(*lrest).alias("__lrow"))
+        r_cols.append(F.lit(None).cast(lrow_t).alias("__lrow"))
+    l = left.select(*l_cols)
+    r = right.select(*r_cols)
+
     order = (
-        [F.col("__on").asc(), F.col("__side").asc()]
+        [F.col("__on").asc_nulls_first(), F.col("__side").asc()]
         if direction == "backward"
-        else [F.col("__on").desc(), F.col("__side").asc()]
+        else [F.col("__on").desc_nulls_first(), F.col("__side").asc()]
     )
     w = (
         Window.partitionBy(*by)
@@ -78,14 +102,29 @@ def asof_join(
     )
     filled = (
         l.unionByName(r)
-        .withColumn("__match", F.last("__rrow", ignorenulls=True).over(w))
+        .withColumn(
+            "__match",
+            # a left row with NULL on matches nothing (SQL comparison
+            # semantics); nulls_first ordering alone would leak matches
+            # in one of the two directions
+            F.when(
+                F.col("__on").isNotNull(),
+                F.last("__rrow", ignorenulls=True).over(w),
+            ),
+        )
         .filter(F.col("__side") == 1)
     )
-    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols = []
+    for c in left.columns:
+        if c == on:
+            out_cols.append(F.col("__on").alias(c))
+        elif c in by:
+            out_cols.append(F.col(c))
+        else:
+            out_cols.append(F.col(f"__lrow.{c}").alias(c))
     taken = set(left.columns)
     for c in rvals:
-        name = c if c not in taken else f"{c}{suffix}"
-        out_cols.append(F.col(f"__match.{c}").alias(name))
+        out_cols.append(F.col(f"__match.{c}").alias(_suffixed(c, taken, suffix)))
     return filled.select(*out_cols)
 
 
@@ -112,7 +151,9 @@ def range_join(
     first, timezone-independently). Pick ``bin_size`` near the typical
     interval length: the explode factor is ~len/bin_size + 1, and a
     pathological interval spanning the whole timeline fans out to every
-    bin — cap interval lengths upstream.
+    bin — cap interval lengths upstream. Inverted intervals
+    (start > end) match nothing and are dropped BEFORE the explode
+    (Spark's sequence() would otherwise fan them out descending).
 
     Output: all left columns + all right columns (right's key columns
     dropped; collisions get a ``_r`` suffix).
@@ -122,7 +163,7 @@ def range_join(
     by = [by] if isinstance(by, str) else list(by)
     lp = left.withColumn("__bin", F.floor(F.col(on) / bin_size))
     rvals = [c for c in right.columns if c not in by]
-    ri = right.withColumn(
+    ri = right.filter(F.col(start_col) <= F.col(end_col)).withColumn(
         "__bin",
         F.explode(
             F.sequence(
@@ -132,15 +173,15 @@ def range_join(
         ),
     )
     taken = set(left.columns)
+    renames = {c: _suffixed(c, taken, "_r") for c in rvals}
     r_sel = [F.col(c) for c in by] + [F.col("__bin")] + [
-        F.col(c).alias(c if c not in taken else f"{c}_r") for c in rvals
+        F.col(c).alias(renames[c]) for c in rvals
     ]
-    start_out = start_col if start_col not in taken else f"{start_col}_r"
-    end_out = end_col if end_col not in taken else f"{end_col}_r"
     return (
         lp.join(ri.select(*r_sel), [*by, "__bin"])
         .filter(
-            (F.col(start_out) <= F.col(on)) & (F.col(on) <= F.col(end_out))
+            (F.col(renames[start_col]) <= F.col(on))
+            & (F.col(on) <= F.col(renames[end_col]))
         )
         .drop("__bin")
     )

@@ -32,7 +32,9 @@ def cascade_rollup(
     """Roll ``df`` up through ``levels`` (finest first, e.g. ["10
     minutes", "1 hour"]); each level after the first re-aggregates the
     previous level's frame. ``aggs``: output name -> (source column,
-    'count'|'sum'|'min'|'max'). Returns the UNION of all levels:
+    'count'|'sum'|'min'|'max'); count follows SQL count(col) semantics
+    (NULLs skipped) — pass ``None`` as the column for count(*). Returns
+    the UNION of all levels:
     (level, bucket, *group_cols, *agg names) — ``bucket`` is the
     window start. Levels must nest (each duration a multiple of the
     previous) for the cascade to be exact; bucket alignment is Spark's
@@ -52,7 +54,11 @@ def cascade_rollup(
     names = list(aggs)
 
     first = [
-        (F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(col)).alias(name)
+        (
+            F.count(F.lit(1) if col is None else F.col(col))
+            if kind == "count"
+            else getattr(F, kind)(col)
+        ).alias(name)
         for name, (col, kind) in aggs.items()
     ]
     cur = (

@@ -92,3 +92,49 @@ def test_range_join_bins_and_boundaries(spark):
 
     with _pytest.raises(ValueError, match="bin_size must be > 0"):
         range_join(pts, iv, on="t", by="uid", start_col="lo", end_col="hi", bin_size=0)
+
+
+def test_null_on_and_null_key_never_match(spark):
+    """SQL semantics: NULL timestamps and NULL keys match nothing —
+    in either direction."""
+    left = spark.createDataFrame(
+        [(1, 5, "early"), (1, None, "no_ts"), (None, 7, "no_key")],
+        "uid long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "null_ts"), (1, 100, "m"), (None, 3, "null_key")],
+        "uid long, t long, m string",
+    )
+    back = {r["ev"]: r["m"] for r in asof_join(left, right, on="t", by="uid").collect()}
+    assert back == {"early": None, "no_ts": None, "no_key": None}
+    fwd = {r["ev"]: r["m"] for r in
+           asof_join(left, right, on="t", by="uid", direction="forward").collect()}
+    assert fwd == {"early": "m", "no_ts": None, "no_key": None}
+
+
+def test_suffix_collision_rejected(spark):
+    left = spark.createDataFrame([(1, 10, "a", "b")], "uid long, t long, m string, m_r string")
+    right = spark.createDataFrame([(1, 5, "x")], "uid long, t long, m string")
+    with pytest.raises(ValueError, match="cannot suffix"):
+        asof_join(left, right, on="t", by="uid")
+
+    from atiesh_spark.operators.asof import range_join
+
+    left2 = spark.createDataFrame([(1, 10, 0, 0)], "uid long, t long, lo long, lo_r long")
+    iv = spark.createDataFrame([(1, 0, 20)], "uid long, lo long, hi long")
+    with pytest.raises(ValueError, match="cannot suffix"):
+        range_join(left2, iv, on="t", by="uid", start_col="lo", end_col="hi", bin_size=8)
+
+
+def test_inverted_interval_matches_nothing_cheaply(spark):
+    from atiesh_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, 10, "p")], "uid long, t long, tag string")
+    iv = spark.createDataFrame(
+        [(1, 1_000_000, 0, "bad"), (1, 5, 15, "good")],
+        "uid long, lo long, hi long, w string",
+    )
+    out = range_join(pts, iv, on="t", by="uid", start_col="lo", end_col="hi",
+                     bin_size=8)
+    # the inverted row is dropped BEFORE the explode: no 125k-bin fanout
+    assert [r["w"] for r in out.collect()] == ["good"]

@@ -49,3 +49,15 @@ def test_cascade_with_group_cols_and_validation(spark):
         cascade_rollup(ev, "ts", ["1 hour"], aggs={"a": ("value", "avg")})
     with pytest.raises(ValueError, match="at least one level"):
         cascade_rollup(ev, "ts", [], aggs={"n": ("event_id", "count")})
+
+
+def test_count_skips_nulls_and_star_variant(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:01:00", 1.0), ("2024-01-01 00:02:00", None)],
+        "ts_s string, v double",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP_NTZ) AS ts", "v")
+    out = cascade_rollup(
+        df, "ts", ["1 hour"],
+        aggs={"n_v": ("v", "count"), "n_all": (None, "count")},
+    ).collect()[0]
+    assert out["n_v"] == 1 and out["n_all"] == 2
