@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from atiesh_spark.plans import QUERIES
+from atiesh_spark.plans import QUERIES, ordered_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,10 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Order is deliberate (registry.DRIVER_ORDER): the driver grades only the
+    first 50 entries, so not-yet-driver-verified queries lead the dict.
+    """
+    return {name: spec.spark for name, spec in ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query."""
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in ordered_queries().items()
+        if spec.oracle is not None
+    }

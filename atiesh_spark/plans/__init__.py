@@ -1,3 +1,3 @@
-from atiesh_spark.plans.registry import QUERIES, QuerySpec
+from atiesh_spark.plans.registry import DRIVER_ORDER, QUERIES, QuerySpec, ordered_queries
 
-__all__ = ["QUERIES", "QuerySpec"]
+__all__ = ["DRIVER_ORDER", "QUERIES", "QuerySpec", "ordered_queries"]

@@ -1,0 +1,80 @@
+"""Hand-run the driver's correctness gate: every queries() entry at sf0.01
+vs its oracle_sql() in DuckDB (order-insensitive, columns sorted by name).
+
+Usage: python scripts/verify_parity.py [query ...]   (default: all)
+Exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from atiesh_spark import get_spark  # noqa: E402
+import __spark_entry__ as e  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            return round(v, 6)
+        if isinstance(v, list):
+            return tuple(v)
+        return v
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    spark = get_spark(app_name="verify_parity", cpus=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    df = e.entry(spark)
+    print(f"entry: {df.count()} rows, schema {df.schema.simpleString()}", flush=True)
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    wanted = sys.argv[1:] or list(qs)
+    failed = []
+    for name in wanted:
+        sdf = qs[name](spark, SF_DIR)
+        srows = canon([tuple(r) for r in sdf.collect()], sdf.columns)
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)})", flush=True)
+            continue
+        res = con.sql(oracles[name])
+        drows = canon(res.fetchall(), res.columns)
+        ok = srows == drows
+        if not ok:
+            failed.append(name)
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(srows, drows)) if a != b),
+                min(len(srows), len(drows)),
+            )
+            print(
+                f"{name}: MISMATCH spark={len(srows)} duck={len(drows)} "
+                f"first-diff@{diff}: "
+                f"{srows[diff] if diff < len(srows) else '<none>'} vs "
+                f"{drows[diff] if diff < len(drows) else '<none>'}",
+                flush=True,
+            )
+        else:
+            print(f"{name}: MATCH ({len(srows)} rows)", flush=True)
+    print(f"\n{len(wanted) - len(failed)}/{len(wanted)} match; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

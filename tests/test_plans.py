@@ -9,9 +9,12 @@ would never catch.
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 import pytest
 
-from atiesh_spark.plans import QUERIES
+from atiesh_spark.plans import DRIVER_ORDER, QUERIES, ordered_queries
 from tests.conftest import SF_SMALL
 
 
@@ -109,6 +112,42 @@ def test_no_cartesian_in_bucketed_pair_joins(spark):
 def test_tfidf_dfreq_broadcast(spark):
     plan = plan_of(spark, "q42_tfidf_topk")
     assert "BroadcastHashJoin" in plan
+
+
+def test_driver_order_covers_registry():
+    """DRIVER_ORDER and QUERIES must stay in exact 1:1 sync (the sync is
+    also enforced at runtime by ordered_queries, but failing here is a
+    clearer signal than the driver's verify blowing up)."""
+    assert sorted(DRIVER_ORDER) == sorted(QUERIES)
+    assert list(ordered_queries()) == DRIVER_ORDER
+
+
+def test_unverified_queries_inside_driver_window():
+    """The correctness driver grades only the first 50 entries of
+    ``queries()``. Round 2 learned this the hard way: 12 queries
+    registered past position 50 got no correctness row at all. Guard:
+    every query that has never had a driver-green CORRECTNESS row must
+    sit inside the window so the NEXT run grades it.
+
+    The ledger is the union of all CORRECTNESS_r*.json rows that passed
+    all three checks. A brand-new query added without updating
+    DRIVER_ORDER fails ordered_queries() sync first; one appended past
+    the boundary fails here.
+    """
+    window = 50
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    verified: set[str] = set()
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rows = json.loads(path.read_text())
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                verified.add(name)
+    unverified = [n for n in DRIVER_ORDER if n not in verified]
+    stragglers = [n for n in unverified if DRIVER_ORDER.index(n) >= window]
+    assert not stragglers, (
+        f"queries never driver-verified but registered past position {window} "
+        f"(they will get NO correctness row): {stragglers}"
+    )
 
 
 def test_single_shuffle_for_grouped_agg(spark):
