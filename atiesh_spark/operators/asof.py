@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+_ASOF_INTERNAL = ("__on", "__side", "__rrow", "__lrow", "__match")
+_RANGE_INTERNAL = ("__bin",)
+
+
+def _check_reserved(cols: list[str], reserved: tuple[str, ...], side: str) -> None:
+    clash = sorted(set(cols) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"{side} columns {clash} collide with this join's internal "
+            f"column names {list(reserved)}; rename them before joining"
+        )
+
+
 def _suffixed(name: str, taken: set[str], suffix: str) -> str:
     if name not in taken:
         return name
@@ -58,9 +71,20 @@ def asof_join(
     row at-or-before the left row — the default everywhere) or
     'forward' (at-or-after). Right value columns colliding with left
     column names get ``suffix``.
+
+    Scale note — key-cardinality skew: the physical plan is ONE window
+    per ``by`` key, so parallelism equals the number of distinct keys.
+    A low-cardinality key set (worst case: one global key) serializes
+    the whole sort onto a handful of tasks regardless of cluster size.
+    Correctness is unaffected (see the single-key test), but at scale
+    prefer a higher-granularity key, or pre-bucket time into coarse
+    ranges and as-of join within (bucket, key) with a boundary-carry
+    pass — the standard range-bucketed fallback.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    _check_reserved(left.columns, _ASOF_INTERNAL, "left")
+    _check_reserved(right.columns, _ASOF_INTERNAL, "right")
     by = [by] if isinstance(by, str) else list(by)
     rvals = [c for c in right.columns if c != on and c not in by]
     if not rvals:
@@ -160,6 +184,8 @@ def range_join(
     """
     if bin_size <= 0:
         raise ValueError("bin_size must be > 0")
+    _check_reserved(left.columns, _RANGE_INTERNAL, "left")
+    _check_reserved(right.columns, _RANGE_INTERNAL, "right")
     by = [by] if isinstance(by, str) else list(by)
     lp = left.withColumn("__bin", F.floor(F.col(on) / bin_size))
     rvals = [c for c in right.columns if c not in by]

@@ -71,7 +71,10 @@ def mixture_take(
         raise ValueError("budgets must be >= 0")
     pairs: list = []
     for k, v in budgets.items():
-        pairs.extend([F.lit(k), F.lit(int(v))])
+        # key stringified so the map key type always matches the string
+        # lookup below — an int stratum key would otherwise depend on
+        # implicit coercion (or raise AnalysisException)
+        pairs.extend([F.lit(str(k)), F.lit(int(v))])
     budget_col = F.coalesce(
         # try_: ANSI element_at raises on missing map keys
         F.try_element_at(F.create_map(*pairs), F.col(strata_col).cast("string"))
@@ -124,8 +127,10 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = F.sum(cost_col).over(w)
+    # pack_id stays long: at 100 TB with few shards and a small budget the
+    # running-sum // budget exceeds int32 and an ANSI cast would fail.
     return out.withColumn(
-        pack_col, F.floor((running - F.col(cost_col)) / budget).cast("int")
+        pack_col, F.floor((running - F.col(cost_col)) / budget)
     )
 
 

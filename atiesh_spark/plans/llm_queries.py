@@ -386,7 +386,11 @@ def q47_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = ivf.join(exact, "vec_id")
     return hits.agg(
         (F.count(F.lit(1)) >= 3).alias("recall_ge_30pct"),
-        (F.max((F.col("vec_id") == 0).cast("int")) == 1).alias("self_hit"),
+        # coalesce: max() over an empty join is NULL — a total recall
+        # collapse must grade as a clean false, not a NULL hash mismatch
+        F.coalesce(
+            F.max((F.col("vec_id") == 0).cast("int")) == 1, F.lit(False)
+        ).alias("self_hit"),
     )
 
 
@@ -770,7 +774,7 @@ def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT shard, n_chars,
                CAST(floor((SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
                                               ROWS UNBOUNDED PRECEDING)
-                           - n_chars) / 2000.0) AS INT) AS pack_id
+                           - n_chars) / 2000.0) AS BIGINT) AS pack_id
         FROM (
             SELECT doc_id, n_chars,
                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard

@@ -126,6 +126,40 @@ def test_suffix_collision_rejected(spark):
         range_join(left2, iv, on="t", by="uid", start_col="lo", end_col="hi", bin_size=8)
 
 
+def test_reserved_internal_names_rejected(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="collide with this join's internal"):
+        asof_join(left.withColumnRenamed("ev", "__side"), right, on="t", by="uid")
+    with pytest.raises(ValueError, match="collide with this join's internal"):
+        asof_join(left, right.withColumnRenamed("m", "__rrow"), on="t", by="uid")
+
+    from atiesh_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, 10, "p")], "uid long, t long, __bin string")
+    iv = spark.createDataFrame([(1, 0, 20)], "uid long, lo long, hi long")
+    with pytest.raises(ValueError, match="collide with this join's internal"):
+        range_join(pts, iv, on="t", by="uid", start_col="lo", end_col="hi", bin_size=8)
+
+
+def test_single_key_correct_despite_skew(spark):
+    """One global `by` key serializes the window onto one task — a
+    documented scale hazard, but the ANSWER must stay exact. 1k left
+    rows against 100 right markers, all under a single key, across a
+    multi-partition layout."""
+    left = spark.range(1000).selectExpr(
+        "CAST(1 AS LONG) AS uid", "id * 3 AS t", "CAST(id AS STRING) AS ev"
+    ).repartition(16)
+    right = spark.range(100).selectExpr(
+        "CAST(1 AS LONG) AS uid", "id * 31 AS t", "concat('m', id) AS m"
+    ).repartition(16)
+    out = {int(r["ev"]): r["m"] for r in
+           asof_join(left, right, on="t", by="uid").collect()}
+    assert len(out) == 1000
+    for i in (0, 1, 500, 999):
+        expect = (i * 3) // 31  # latest marker at-or-before i*3
+        assert out[i] == f"m{expect}", i
+
+
 def test_inverted_interval_matches_nothing_cheaply(spark):
     from atiesh_spark.operators.asof import range_join
 

@@ -76,6 +76,39 @@ def test_mixture_take_default_budget_and_validation(spark):
         mixture_take(df, "lang", "cost", budgets={"aa": -1}, order_col="ord")
 
 
+def test_mixture_take_int_strata_keys(spark):
+    """Non-string budget keys (int strata values) must work: the map is
+    built with stringified keys so the string lookup never depends on
+    implicit coercion."""
+    from atiesh_spark.operators.sampling import mixture_take
+
+    rows = [(1, i, 10) for i in range(5)] + [(2, i, 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp int, ord int, cost int")
+    taken = mixture_take(df, "grp", "cost", budgets={1: 25, 2: 5}, order_col="ord").collect()
+    by_g = {}
+    for r in taken:
+        by_g.setdefault(r["grp"], []).append(r["ord"])
+    assert sorted(by_g[1]) == [0, 1, 2]
+    assert sorted(by_g[2]) == [0]
+
+
+def test_pack_id_is_long(spark):
+    """pack_id must stay BIGINT: a 100 TB corpus with few shards makes
+    running_sum // budget exceed int32 (an ANSI cast would fail there)."""
+    from atiesh_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame([(0, 10)], "doc_id long, cost int")
+    out = pack_documents(df, "doc_id", "cost", budget=100, shards=1)
+    assert dict(out.dtypes)["pack_id"] == "bigint"
+    # int32-overflow regression: a doc landing past 2^31 packs still packs
+    big = spark.createDataFrame(
+        [(0, 2**40), (1, 10)], "doc_id long, cost long"
+    )
+    got = {r["doc_id"]: r["pack_id"]
+           for r in pack_documents(big, "doc_id", "cost", budget=100, shards=1).collect()}
+    assert got[1] == 2**40 // 100
+
+
 def test_pack_documents_greedy_per_shard(spark):
     from atiesh_spark.operators.sampling import pack_documents
 
