@@ -73,9 +73,33 @@ def _hyperplane_sign(plane: Column, dim: Column) -> Column:
     return (nibble % 2 * 2 - 1).cast("double")
 
 
+def auto_num_planes(n_vectors: int, target_bucket_size: int = 1024) -> int:
+    """Hyperplane count sized to the corpus: planes ~= log2(n / target).
+
+    Every operator that joins within LSH buckets pays O(bucket_size^2)
+    per bucket, and the bucket count is fixed at 2^num_planes — so a
+    plane count tuned on test data silently turns quadratic as the
+    corpus grows (at 10^9 vectors, 4 planes = 16 buckets of ~6e7
+    vectors: hopeless). The expected bucket size is n / 2^planes;
+    holding it at ``target_bucket_size`` gives
+
+        num_planes = ceil(log2(n / target_bucket_size))
+
+    e.g. 1e6 vectors -> 10 planes (~1k/bucket), 1e9 -> 20 planes.
+    More planes also LOWER recall per table (near neighbors split
+    across boundary buckets more often); compensate with multi-probe
+    or repeated tables, not a smaller plane count.
+    """
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return max(1, math.ceil(math.log2(max(n_vectors / max(target_bucket_size, 1), 2.0))))
+
+
 def lsh_bucket_signatures(
     emb: DataFrame,
-    num_planes: int = 4,
+    num_planes: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -84,7 +108,14 @@ def lsh_bucket_signatures(
     bucket = concat of sign bits of <v, h_p> for p in 0..num_planes-1.
     Projections are rounded before the sign test so the zero boundary is
     stable across summation orders.
+
+    ``num_planes=None`` sizes the plane count from the corpus via
+    ``auto_num_planes`` (one count() — parquet metadata, not a scan).
+    The default 4 is a small-corpus/test setting; see ``auto_num_planes``
+    for why fixed plane counts go quadratic at scale.
     """
+    if num_planes is None:
+        num_planes = auto_num_planes(emb.count())
     v = as_double(vec_col)
     sig_bits = []
     for p in range(num_planes):
@@ -99,7 +130,7 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    num_planes: int = 4,
+    num_planes: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
@@ -182,7 +213,7 @@ def ivf_ann_topk(
 def knn_join(
     emb: DataFrame,
     k: int = 3,
-    num_planes: int = 4,
+    num_planes: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
@@ -197,6 +228,12 @@ def knn_join(
     id tie-breaks, so the result is engine-deterministic. Vectors whose
     bucket has no other member produce no rows (standard LSH recall
     contract; more planes/tables tighten it).
+
+    SIZING: per-bucket pairing is O(bucket_size^2); with a fixed
+    ``num_planes`` the expected bucket size grows linearly with the
+    corpus, so the default 4 (16 buckets) is a testdata setting only.
+    Pass ``num_planes=None`` to size planes ~= log2(n/1024) from the
+    corpus, or see ``auto_num_planes`` to pick explicitly.
     """
     from pyspark.sql import Window
 
@@ -250,12 +287,15 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     method: str = "lsh",
+    num_planes: int | None = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_1, id_2, sim).
 
     method='lsh' (the scale path): all-pairs within LSH buckets only —
     vectors with cosine >= threshold collide with high probability, and
-    the join is per-bucket, never a full cross product.
+    the join is per-bucket, never a full cross product. Size
+    ``num_planes`` to the corpus (None = auto; see ``auto_num_planes``
+    for the bucket-size-quadratic cost argument).
     method='brute': exact all-pairs — the correctness oracle / verifier
     for candidate sets; quadratic, small corpora only.
     """
@@ -264,7 +304,7 @@ def embedding_near_dup_pairs(
         b = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"))
         pairs = a.join(F.broadcast(b), F.col("id_1") < F.col("id_2"))
     else:
-        sigs = lsh_bucket_signatures(emb, num_planes=4, id_col=id_col, vec_col=vec_col)
+        sigs = lsh_bucket_signatures(emb, num_planes=num_planes, id_col=id_col, vec_col=vec_col)
         with_sig = emb.join(sigs, id_col)
         a = with_sig.select(
             F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"), "bucket"

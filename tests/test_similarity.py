@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from atiesh_spark.operators.similarity import (
     brute_force_topk,
     ivf_ann_topk,
@@ -40,3 +42,46 @@ def test_lsh_bucket_contains_query(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     ann = lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=4).collect()
     assert ann[0]["vec_id"] == 0  # query is in its own bucket, sim 1.0
+
+
+def test_auto_num_planes_sizing():
+    """planes ~= log2(n / target): holds expected bucket size constant as
+    the corpus grows — the rule that keeps per-bucket pairing from going
+    quadratic at scale."""
+    from atiesh_spark.operators.similarity import auto_num_planes
+
+    assert auto_num_planes(1_000_000, 1024) == 10
+    assert auto_num_planes(10**9, 1024) == 20
+    assert auto_num_planes(0) == 1  # degenerate corpora stay valid
+    assert auto_num_planes(10) == 1
+    # expected bucket size n / 2^planes stays <= ~target
+    for n in (10**4, 10**6, 10**8):
+        p = auto_num_planes(n, 1024)
+        assert n / 2**p <= 1024
+
+
+def test_more_planes_shrink_max_bucket(spark):
+    """The sizing rule's premise, observed on real vectors: raising the
+    plane count monotonically shrinks the largest LSH bucket."""
+    from atiesh_spark.operators.similarity import lsh_bucket_signatures
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    def max_bucket(planes):
+        sigs = lsh_bucket_signatures(emb, num_planes=planes)
+        return sigs.groupBy("bucket").count().agg(F.max("count")).first()[0]
+
+    m2, m4, m8 = max_bucket(2), max_bucket(4), max_bucket(8)
+    assert m2 >= m4 >= m8
+    assert m8 < m2  # strictly shrinks across the sweep
+
+
+def test_num_planes_none_autosizes(spark):
+    from atiesh_spark.operators.similarity import auto_num_planes, lsh_bucket_signatures
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    sigs = lsh_bucket_signatures(emb, num_planes=None)
+    expected = auto_num_planes(n)
+    # bucket string length == plane count
+    assert sigs.select(F.length("bucket").alias("l")).distinct().collect()[0]["l"] == expected
