@@ -452,11 +452,12 @@ class LogServiceSinkWriter:
     component (SURVEY.md §2.4).
 
     Scale shape: record building and client sends run per partition on
-    the executors; only one (ok, failed, err) counter tuple per
-    partition returns to the driver — never the rows. A failed group
-    aborts its partition's remaining sends; the driver then raises to
-    fail the batch -> checkpoint replay (at-least-once), mirroring the
-    reference's transaction-nack path.
+    the executors via Arrow-batched ``mapInPandas`` (no RDD hop — rows
+    never round-trip through row-at-a-time Python pickling); only one
+    (ok, failed, err) counter row per partition returns to the driver —
+    never the data rows. A failed group aborts its partition's remaining
+    sends; the driver then raises to fail the batch -> checkpoint replay
+    (at-least-once), mirroring the reference's transaction-nack path.
     """
 
     def __init__(
@@ -478,18 +479,25 @@ class LogServiceSinkWriter:
         client, grouped = self.client, self.grouped
         topic, source, skh = self.topic, self.source, self.shard_key_header
 
-        def send_partition(rows) -> Iterable[tuple[int, int, str | None]]:
+        def send_partition(pdfs) -> Iterable:
+            import pandas as pd
+
+            # one send pass per PARTITION, not per Arrow batch: grouped
+            # mode's contract is one group per partition, so records
+            # accumulate across the iterator before sending (the same
+            # buffering the per-partition group build always needed)
             records = []
-            for r in rows:
-                headers = r["headers"] or {}
-                records.append(
-                    {
-                        "topic": topic,
-                        "source": source,
-                        "shard_key": headers.get(skh) if skh else None,
-                        "fields": {"value": r["value"], **headers},
-                    }
-                )
+            for pdf in pdfs:
+                for value, headers in zip(pdf["value"], pdf["headers"]):
+                    headers = headers or {}
+                    records.append(
+                        {
+                            "topic": topic,
+                            "source": source,
+                            "shard_key": headers.get(skh) if skh else None,
+                            "fields": {"value": value, **headers},
+                        }
+                    )
             n_ok = n_fail = 0
             err: str | None = None
             groups = [records] if grouped else [[r] for r in records]
@@ -503,18 +511,20 @@ class LogServiceSinkWriter:
                     n_fail += len(group)
                     err = repr(exc)
                     break
-            yield (n_ok, n_fail, err)
+            yield pd.DataFrame({"ok": [n_ok], "fail": [n_fail], "err": [err]})
 
-        # O(num_partitions) counter tuples — not data — come back to the
+        # O(num_partitions) counter rows — not data — come back to the
         # driver; the exception is re-raised driver-side so the counter
         # updates survive (executor-raised errors would fail the task
         # before its counters ship).
         stats = (
-            batch_df.select("value", "headers").rdd.mapPartitions(send_partition).collect()
+            batch_df.select("value", "headers")
+            .mapInPandas(send_partition, "ok long, fail long, err string")
+            .collect()
         )
-        self.success_count += sum(s[0] for s in stats)
-        self.failure_count += sum(s[1] for s in stats)
-        errs = [s[2] for s in stats if s[2] is not None]
+        self.success_count += sum(s["ok"] for s in stats)
+        self.failure_count += sum(s["fail"] for s in stats)
+        errs = [s["err"] for s in stats if s["err"] is not None]
         if errs:
             raise RuntimeError(f"log service sink failed: {errs[0]}")
 

@@ -238,19 +238,35 @@ def test_logservice_single_mode_and_failure_counters(spark, tmp_path):
 
 
 def test_logservice_never_collects_rows(spark, tmp_path, monkeypatch):
-    """The scale contract: batch rows must not be collected to the driver
-    (only per-partition counter tuples come back)."""
+    """The scale contract: batch DATA rows must not be collected to the
+    driver — only the O(num_partitions) counter frame may. Guarded by
+    failing any collect() whose schema still carries the data columns."""
     from pyspark.sql import DataFrame
 
     from atiesh_spark.streaming.sinks import LogServiceSinkWriter
 
-    monkeypatch.setattr(
-        DataFrame, "collect", lambda self: pytest.fail("sink collected batch rows")
-    )
+    real_collect = DataFrame.collect
+
+    def guarded(self):
+        if {"value", "headers"} & set(self.columns):
+            pytest.fail("sink collected batch data rows")
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
     client = fake_log_client(str(tmp_path))
     w = LogServiceSinkWriter(client, topic="t")
     w(_events_df(spark), 0)
     assert w.success_count == 2
+
+
+def test_logservice_writer_has_no_rdd_hop():
+    """The writer must stay on the Arrow-batched DataFrame path: a .rdd
+    hop deserializes every row to Python one at a time."""
+    import inspect
+
+    from atiesh_spark.streaming.sinks import LogServiceSinkWriter
+
+    assert ".rdd" not in inspect.getsource(LogServiceSinkWriter)
 
 
 def test_syslog_tcp_sender_framing():
