@@ -4,7 +4,9 @@ The continuous-aggregate pattern of time-series stores: raw events roll
 up to the finest bucket once, and every coarser resolution re-aggregates
 the NEXT-FINER level, never the raw data — at 100 TB the hourly rollup
 reads the (tiny) 10-minute frame instead of re-scanning the raw table,
-and the same cascade maintains materialized rollups incrementally.
+and the same cascade maintains materialized rollups incrementally
+(``StreamingCascadeRollup`` is that maintenance loop, run from
+``foreachBatch``).
 
 Only cascade-safe aggregates are offered (count and sum re-aggregate as
 sum; min/max as themselves). Averages are derived downstream as
@@ -14,7 +16,7 @@ see q45 for the sketch path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _REAGG = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
@@ -79,3 +81,103 @@ def cascade_rollup(
         )
         out = out.unionByName(cur.select(F.lit(lvl).alias(level_col), "*"))
     return out
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+class StreamingCascadeRollup:
+    """Maintain a multi-level cascade rollup incrementally from a stream:
+    the continuous-aggregate loop the batch operator's docstring promises.
+
+    Use as the ``foreachBatch`` function of any micro-batch stream of raw
+    events. Each batch's delta is rolled up with ``cascade_rollup`` and
+    MERGED into the persisted store per (level, bucket, group) — every
+    offered aggregate is distributive over disjoint row subsets (counts
+    and sums merge as sum, min/max as themselves), so after N batches
+    the store exactly equals the batch cascade over the union of all
+    batches. Late rows need no watermark: they merge into their original
+    bucket whenever they arrive (the store IS the state, keyed by
+    bucket).
+
+    The store is a versioned parquet directory: batch ``B`` reads the
+    newest version with id < B, merges, and overwrites ``v{B}``. Replays
+    after a failure re-read the same pre-``B`` state, so the merge is
+    idempotent (effectively-once on top of the checkpointed source, the
+    same contract as ``idempotent_parquet_writer``); the scan cost per
+    batch is the (small) rollup store, never the raw history. Old
+    versions are pruned, keeping ``keep_versions``.
+
+    Read the current rollup with ``read()`` (or point any reader at the
+    ``latest_path()`` directory).
+    """
+
+    def __init__(
+        self,
+        ts_col: str,
+        levels: list[str],
+        aggs: dict[str, tuple[str | None, str]],
+        path: str,
+        group_cols: list[str] | None = None,
+        bucket_col: str = "bucket",
+        level_col: str = "level",
+        keep_versions: int = 2,
+    ) -> None:
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        self.ts_col, self.levels, self.aggs = ts_col, levels, aggs
+        self.path, self.group_cols = path.rstrip("/"), group_cols or []
+        self.bucket_col, self.level_col = bucket_col, level_col
+        self.keep_versions = keep_versions
+
+    def _versions(self, spark: SparkSession) -> list[int]:
+        fs, p = _hadoop_path(spark, self.path)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def latest_path(self, spark: SparkSession, before: int | None = None) -> str | None:
+        vs = [v for v in self._versions(spark) if before is None or v < before]
+        return f"{self.path}/v{vs[-1]}" if vs else None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        latest = self.latest_path(spark)
+        if latest is None:
+            raise FileNotFoundError(f"no rollup versions under {self.path}")
+        return spark.read.parquet(latest)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = cascade_rollup(
+            batch_df, self.ts_col, self.levels, self.aggs,
+            group_cols=self.group_cols, bucket_col=self.bucket_col,
+            level_col=self.level_col,
+        )
+        prev = self.latest_path(spark, before=batch_id)
+        if prev is not None:
+            delta = spark.read.parquet(prev).unionByName(delta)
+        merge = [
+            getattr(F, _REAGG[kind])(name).alias(name)
+            for name, (_, kind) in self.aggs.items()
+        ]
+        merged = delta.groupBy(
+            self.level_col, self.bucket_col, *self.group_cols
+        ).agg(*merge)
+        merged.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
+        self._prune(spark, upto=batch_id)
+
+    def _prune(self, spark: SparkSession, upto: int) -> None:
+        vs = [v for v in self._versions(spark) if v <= upto]
+        fs, _ = _hadoop_path(spark, self.path)
+        jvm = spark._jvm
+        for v in vs[: -self.keep_versions]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v{v}"), True)

@@ -51,6 +51,77 @@ def test_cascade_with_group_cols_and_validation(spark):
         cascade_rollup(ev, "ts", [], aggs={"n": ("event_id", "count")})
 
 
+_AGGS = {"n": ("event_id", "count"), "s": ("value", "sum"), "mx": ("value", "max")}
+
+
+def _canon(df):
+    return sorted(
+        (r["level"], r["bucket"], r["n"], round(r["s"], 6), round(r["mx"], 6))
+        for r in df.collect()
+    )
+
+
+def test_streaming_rollup_equals_batch_cascade(spark, tmp_path):
+    """N micro-batches through the foreachBatch maintainer == one batch
+    cascade over the union — and a replayed batch changes nothing
+    (idempotent versioned store)."""
+    from atiesh_spark.operators.rollup import StreamingCascadeRollup
+
+    ev = load_table(spark, SF_SMALL, "events")
+    b1 = ev.filter("event_id % 3 = 0")
+    b2 = ev.filter("event_id % 3 = 1")
+    b3 = ev.filter("event_id % 3 = 2")  # includes "late" ts older than b1's
+
+    roll = StreamingCascadeRollup(
+        "ts", ["10 minutes", "1 hour"], _AGGS, str(tmp_path / "roll")
+    )
+    roll(b1, 0)
+    roll(b2, 1)
+    roll(b3, 2)
+
+    expect = cascade_rollup(ev, "ts", ["10 minutes", "1 hour"], _AGGS)
+    assert _canon(roll.read(spark)) == _canon(expect)
+
+    # failure replay: batch 2 runs again -> reads pre-2 state, same result
+    roll(b3, 2)
+    assert _canon(roll.read(spark)) == _canon(expect)
+
+    # old versions pruned (keep_versions=2)
+    import os
+
+    vs = sorted(os.listdir(tmp_path / "roll"))
+    assert vs == ["v1", "v2"]
+
+
+def test_streaming_rollup_from_real_stream(spark, tmp_path):
+    """End-to-end through Structured Streaming: a file-source stream
+    drained in micro-batches must leave the exact batch-cascade state."""
+    from atiesh_spark.operators.rollup import StreamingCascadeRollup
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "ts", "value")
+    src = str(tmp_path / "src")
+    ev.filter("event_id % 2 = 0").write.parquet(f"{src}/part=a")
+    ev.filter("event_id % 2 = 1").write.parquet(f"{src}/part=b")
+
+    roll = StreamingCascadeRollup(
+        "ts", ["10 minutes", "1 hour"], _AGGS, str(tmp_path / "roll")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(f"{src}/part=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(roll)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    expect = cascade_rollup(ev, "ts", ["10 minutes", "1 hour"], _AGGS)
+    assert _canon(roll.read(spark)) == _canon(expect)
+
+
 def test_count_skips_nulls_and_star_variant(spark):
     df = spark.createDataFrame(
         [("2024-01-01 00:01:00", 1.0), ("2024-01-01 00:02:00", None)],
