@@ -48,6 +48,42 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep each stratum at its
+    own rate (e.g. {"en": 0.5, "fr": 0.2} — upweight scarce languages,
+    cap the dominant one; the 'sampling ratios' knob of a mixture
+    recipe). A row survives iff its md5 hash bucket (of ``key_col``, 10k
+    buckets) falls under its stratum's cutoff — so membership is exactly
+    as stable as ``deterministic_split``: partition-layout-independent,
+    reproducible across engines, and a row kept at 0.2 is STILL kept at
+    0.5 (nested samples for ablations, the property rand() < p lacks).
+    Strata not listed get ``default_fraction`` (0 = dropped). No
+    shuffle at all: a codegen filter over the scan.
+    """
+    for k, v in {**fractions, "default": default_fraction}.items():
+        if not 0 <= v <= 1:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    bucket = hash_bucket(key_col, 10_000)
+    pairs: list = []
+    for k, v in fractions.items():
+        # stringified keys: the lookup casts strata to string (see
+        # mixture_take)
+        pairs.extend([F.lit(str(k)), F.lit(int(round(v * 10_000)))])
+    cutoff = F.coalesce(
+        F.try_element_at(F.create_map(*pairs), F.col(strata_col).cast("string"))
+        if pairs
+        else F.lit(None).cast("int"),
+        F.lit(int(round(default_fraction * 10_000))),
+    )
+    return df.filter(bucket < cutoff)
+
+
 def mixture_take(
     df: DataFrame,
     strata_col: str,

@@ -1033,3 +1033,80 @@ def q55_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_join(emb, k=3, num_planes=4)
+
+
+_SIDE_SHINGLES_CTE = """
+t0 AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS ts
+    FROM documents
+),
+s0 AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 1)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS sh
+    FROM t0
+),
+allsh AS (SELECT DISTINCT doc_id, sh FROM s0 WHERE sh IS NOT NULL),
+doc_sh AS (SELECT * FROM allsh WHERE doc_id % 50 <> 0),
+ben_sh AS (SELECT * FROM allsh WHERE doc_id % 50 = 0)
+"""
+
+
+@register(
+    "q63_decontaminate",
+    oracle=f"""
+    WITH {_SIDE_SHINGLES_CTE},
+    nd AS (SELECT doc_id, count(*) AS n_doc FROM doc_sh GROUP BY doc_id),
+    shared AS (
+        SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        FROM doc_sh d JOIN ben_sh b USING (sh)
+        GROUP BY d.doc_id, b.doc_id
+    ),
+    bad AS (
+        SELECT DISTINCT s.doc_id
+        FROM shared s JOIN nd USING (doc_id)
+        WHERE round(CAST(s.n_shared AS DOUBLE) / nd.n_doc, 4) >= 0.5
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    doc="Benchmark decontamination (operators/decontaminate.py): docs "
+    "whose word-bigram containment in any held-out 'benchmark' doc "
+    "(doc_id % 50 = 0 here) reaches 0.5 are removed before training — "
+    "the eval-leakage hygiene step (GPT-3 App. C). Benchmark shingles "
+    "broadcast; the corpus-side stream never shuffles for the match.",
+)
+def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.decontaminate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, bench, threshold=0.5, n=2).select("doc_id", "lang")
+
+
+@register(
+    "q64_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS bucket,
+               CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 8000 ELSE 500 END AS cutoff
+        FROM documents
+    ) WHERE bucket < cutoff
+    """,
+    doc="Stratified deterministic sampling (operators/sampling.py): "
+    "per-language keep rates (en 20% cap, zh 80% upweight, 5% default) "
+    "via md5 hash buckets — reproducible, nested (a 20% sample is a "
+    "subset of the 50% sample), zero-shuffle codegen filter.",
+)
+def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", fractions={"en": 0.2, "zh": 0.8},
+        default_fraction=0.05,
+    ).select("doc_id", "lang")

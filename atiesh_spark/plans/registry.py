@@ -85,6 +85,9 @@ DRIVER_ORDER: list[str] = [
     "q57_repetition_stats",
     "q58_incremental_dedup",
     "q59_sequence_packing",
+    # -- new in r3 --
+    "q63_decontaminate",
+    "q64_stratified_sample",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -131,11 +134,11 @@ DRIVER_ORDER: list[str] = [
     "q22_window_rank",
     "q23_rollup",
     "q43_cube",
-    "q44_percentiles",
-    "q45_approx_sketches",
     # ----------------- driver window boundary (50) -----------------
     # Long-stable floor, driver-green in BOTH r01 and r02 and covered by
     # tests/test_oracle_parity.py every run; safest to leave unchecked.
+    "q44_percentiles",
+    "q45_approx_sketches",
     "q01_null_drop",
     "q02_transparent",
     "q03_devnull",

@@ -1,0 +1,62 @@
+"""Benchmark decontamination: overlap math, threshold, anti-join."""
+
+from __future__ import annotations
+
+import pytest
+
+from atiesh_spark.operators.decontaminate import contamination_pairs, decontaminate
+
+
+@pytest.fixture()
+def corpus_and_bench(spark):
+    # bigrams of "a b c d e": {a b, b c, c d, d e} (4)
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # 2/4 bigrams in bench doc 100 -> 0.5
+            (2, "a b x y z"),      # 1/4 -> 0.25
+            (3, "q r s t u"),      # 0 overlap
+            (4, "one"),            # <2 tokens: no shingles, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c z z z"), (101, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    return corpus, bench
+
+
+def test_contamination_pairs_fractions(corpus_and_bench):
+    corpus, bench = corpus_and_bench
+    pairs = {
+        (r["doc_id"], r["bench_id"]): (r["n_shared"], r["overlap_frac"])
+        for r in contamination_pairs(corpus, bench, n=2).collect()
+    }
+    assert pairs[(1, 100)] == (2, 0.5)    # {a b, b c} shared
+    assert pairs[(2, 100)] == (1, 0.25)   # {a b}
+    assert (3, 100) not in pairs          # zero-overlap pairs not emitted
+    assert not any(d == 4 for d, _ in pairs)
+
+
+def test_decontaminate_threshold_and_columns(corpus_and_bench):
+    corpus, bench = corpus_and_bench
+    kept = decontaminate(corpus, bench, threshold=0.5, n=2)
+    assert set(kept.columns) == set(corpus.columns)  # all columns survive
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3, 4}
+    # higher threshold keeps everything
+    kept_all = decontaminate(corpus, bench, threshold=0.51, n=2)
+    assert kept_all.count() == 4
+    with pytest.raises(ValueError, match="threshold"):
+        decontaminate(corpus, bench, threshold=0.0)
+
+
+def test_bench_side_broadcast_plan(corpus_and_bench):
+    """The benchmark side must broadcast (the corpus is the 100 TB side;
+    shuffling it on the shingle to meet a tiny eval set is the failure
+    mode this operator exists to avoid)."""
+    corpus, bench = corpus_and_bench
+    pairs = contamination_pairs(corpus, bench, n=2)
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan

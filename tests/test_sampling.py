@@ -76,6 +76,46 @@ def test_mixture_take_default_budget_and_validation(spark):
         mixture_take(df, "lang", "cost", budgets={"aa": -1}, order_col="ord")
 
 
+def test_stratified_sample_rates_and_nesting(spark):
+    from atiesh_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang"
+    )
+    out = stratified_sample(df, "lang", "doc_id", {"en": 0.5, "fr": 0.1})
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.4 < by_lang["en"] / 2000 < 0.6
+    assert 0.05 < by_lang["fr"] / 2000 < 0.15
+
+    # nested: the 10% sample is a subset of the 50% sample (same stratum)
+    small = {r["doc_id"] for r in
+             stratified_sample(df, "lang", "doc_id", {"en": 0.1}).collect()}
+    large = {r["doc_id"] for r in
+             stratified_sample(df, "lang", "doc_id", {"en": 0.5}).collect()}
+    assert small and small <= large
+
+    # unlisted strata follow default_fraction (0 = dropped)
+    assert {r["lang"] for r in
+            stratified_sample(df, "lang", "doc_id", {"en": 0.5}).collect()} == {"en"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be in \\[0, 1\\]"):
+        stratified_sample(df, "lang", "doc_id", {"en": 1.5})
+
+
+def test_stratified_sample_partitioning_independent(spark):
+    from atiesh_spark.operators.sampling import stratified_sample
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "'en' AS lang")
+    a = {r["doc_id"] for r in
+         stratified_sample(df, "lang", "doc_id", {"en": 0.3}).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(df.repartition(11), "lang", "doc_id", {"en": 0.3}).collect()}
+    assert a == b
+
+
 def test_mixture_take_int_strata_keys(spark):
     """Non-string budget keys (int strata values) must work: the map is
     built with stringified keys so the string lookup never depends on
