@@ -465,6 +465,40 @@ def connected_components(
     )
 
 
+def select_representatives(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The corpus AFTER dedup: one surviving row per cluster.
+
+    ``assignments`` is (id_col, cluster_col) — the output of
+    ``connected_components``. The survivor is the cluster's best row by
+    ``score_col`` (descending; ties and ``score_col=None`` fall back to
+    min id — the policy ``cluster_id`` itself encodes). Output: the
+    survivors' full ``docs`` rows plus ``cluster_col``.
+
+    One shuffle: the rank window partitions by cluster. Clusters are
+    near-dup groups — small by construction — so there is no
+    single-giant-partition hazard (a pathological mega-cluster means the
+    dedup threshold upstream is wrong, not this operator).
+    """
+    from pyspark.sql.window import Window
+
+    joined = docs.join(assignments.select(id_col, cluster_col), id_col)
+    order = [F.col(id_col).asc()]
+    if score_col is not None:
+        order.insert(0, F.col(score_col).desc())
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """SimHash fingerprints: (id_col, simhash bigint).
 

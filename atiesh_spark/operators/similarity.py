@@ -134,17 +134,45 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    probe_bits: int = 0,
 ) -> DataFrame:
-    """ANN top-k: exact cosine ranking within the query's LSH bucket.
+    """ANN top-k: exact cosine ranking within the query's LSH bucket(s).
 
-    Recall < 1 by design (bucket boundary misses); at scale, multi-probe
-    or repeated tables raise recall. Output: (vec_id, sim).
+    Recall < 1 by design (bucket boundary misses). ``probe_bits`` is the
+    multi-probe knob — the standard recall remedy that does NOT re-hash
+    the corpus: besides its own bucket, the query probes every bucket
+    within Hamming distance ``probe_bits`` of its signature (1 ->
+    num_planes+1 buckets, the near-boundary neighbors most likely to
+    hold misses). The probe set stays a tiny broadcast dim and the
+    candidate match stays an equi-join on the bucket string — never a
+    distance theta-join. Search cost multiplies by the probe count, so
+    this trades compute for recall at constant memory. Output:
+    (vec_id, sim).
     """
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 or 1 (wider probing: use repeated tables)")
     sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col)
     with_sig = emb.join(sigs, id_col)
     q = with_sig.filter(F.col(id_col) == query_vec_id).select(
         as_double(vec_col).alias("__q"), F.col("bucket").alias("__qb")
     )
+    if probe_bits == 1:
+        # explode the query row into its probe set: own bucket + every
+        # 1-bit flip (computed in-plan from the signature, so the plane
+        # count never needs to be known driver-side)
+        flips = F.transform(
+            F.sequence(F.lit(1), F.length("__qb")),
+            lambda i: F.concat(
+                F.col("__qb").substr(F.lit(1), i - 1),
+                F.when(F.col("__qb").substr(i, F.lit(1)) == "1", F.lit("0"))
+                 .otherwise(F.lit("1")),
+                F.col("__qb").substr(i + 1, F.length("__qb") - i),
+            ),
+        )
+        q = q.select(
+            "__q",
+            F.explode(F.array_union(F.array(F.col("__qb")), flips)).alias("__qb"),
+        )
     candidates = with_sig.join(
         F.broadcast(q), F.col("bucket") == F.col("__qb"), "inner"
     )

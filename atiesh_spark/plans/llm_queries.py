@@ -1110,3 +1110,93 @@ def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", "doc_id", fractions={"en": 0.2, "zh": 0.8},
         default_fraction=0.05,
     ).select("doc_id", "lang")
+
+
+@register(
+    "q65_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_1 AS a, id_2 AS b FROM pairs
+        UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+    clusters AS (
+        SELECT d.doc_id,
+               coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id, n_chars FROM (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM clusters
+    ) WHERE rk = 1
+    """,
+    doc="The corpus AFTER dedup — q41's clusters reduced to one survivor "
+    "each, keeping the LONGEST doc per cluster (content-preserving "
+    "policy) with min-id ties: MinHash-LSH pairs -> connected components "
+    "-> per-cluster rank window. The end-to-end near-dup removal a "
+    "pretraining pipeline actually ships.",
+)
+def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import select_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+    clusters = connected_components(pairs, docs.select("doc_id"), "doc_id")
+    reps = select_representatives(docs, clusters, "doc_id", score_col="n_chars")
+    return reps.select("cluster_id", "doc_id", "n_chars")
+
+
+@register(
+    "q66_ann_multiprobe",
+    oracle="SELECT true AS self_hit, true AS recall_not_below_single_probe",
+    doc="Multi-probe LSH ANN (probe_bits=1): the query searches its own "
+    "bucket plus every 1-bit Hamming neighbor — the constant-memory "
+    "recall remedy (the corpus is never re-hashed; the probe set is an "
+    "exploded broadcast dim and the match stays an equi-join). Bucket "
+    "membership is hash-layout-specific, so the checkable contract is "
+    "the recall booleans vs the exact top-10 (q29), graded against a "
+    "constant truth table like q47.",
+)
+def q66_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    single = lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=4).select("vec_id")
+    multi = lsh_ann_topk(
+        emb, query_vec_id=0, k=10, num_planes=4, probe_bits=1
+    ).select("vec_id")
+    n_single = single.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_s"))
+    n_multi = multi.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_m"))
+    self_hit = multi.agg(
+        F.coalesce(
+            F.max((F.col("vec_id") == 0).cast("int")) == 1, F.lit(False)
+        ).alias("self_hit")
+    )
+    # three single-row aggregates combined in-plan (no driver scalars)
+    return self_hit.crossJoin(n_multi).crossJoin(n_single).select(
+        "self_hit",
+        (F.col("n_m") >= F.col("n_s")).alias("recall_not_below_single_probe"),
+    )

@@ -88,6 +88,8 @@ DRIVER_ORDER: list[str] = [
     # -- new in r3 --
     "q63_decontaminate",
     "q64_stratified_sample",
+    "q65_dedup_survivors",
+    "q66_ann_multiprobe",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -132,11 +134,11 @@ DRIVER_ORDER: list[str] = [
     "q20_distinct_count",
     "q21_set_ops",
     "q22_window_rank",
-    "q23_rollup",
-    "q43_cube",
     # ----------------- driver window boundary (50) -----------------
     # Long-stable floor, driver-green in BOTH r01 and r02 and covered by
     # tests/test_oracle_parity.py every run; safest to leave unchecked.
+    "q23_rollup",
+    "q43_cube",
     "q44_percentiles",
     "q45_approx_sketches",
     "q01_null_drop",

@@ -141,3 +141,26 @@ def test_incremental_candidates_cover_batch_pairs(spark):
         elif b_new:
             expected.add((a, b))
     assert inc == expected and len(inc) > 0
+
+
+def test_select_representatives_policies(spark):
+    from atiesh_spark.operators.dedup import select_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50)],
+        "doc_id long, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    # score policy: longest wins, min-id tie-break (2 vs 3 both 300)
+    reps = {r["cluster_id"]: r["doc_id"] for r in
+            select_representatives(docs, clusters, score_col="n_chars").collect()}
+    assert reps == {1: 2, 4: 4}
+    # no score: min id wins
+    reps_min = {r["cluster_id"]: r["doc_id"] for r in
+                select_representatives(docs, clusters).collect()}
+    assert reps_min == {1: 1, 4: 4}
+    # all doc columns survive
+    cols = select_representatives(docs, clusters, score_col="n_chars").columns
+    assert set(cols) == {"doc_id", "n_chars", "cluster_id"}

@@ -85,3 +85,27 @@ def test_num_planes_none_autosizes(spark):
     expected = auto_num_planes(n)
     # bucket string length == plane count
     assert sigs.select(F.length("bucket").alias("l")).distinct().collect()[0]["l"] == expected
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """probe_bits=1 searches the query bucket plus its 1-bit Hamming
+    neighbors: recall vs the exact top-k can only improve, the query
+    still ranks first, and the probe match must stay an equi-join."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = set(_topk_ids(brute_force_topk(emb, query_vec_id=0, k=10)))
+    single = lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=4)
+    multi = lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=4, probe_bits=1)
+    m_ids = _topk_ids(multi)
+    assert m_ids[0] == 0
+    assert len(exact & set(m_ids)) >= len(exact & set(_topk_ids(single)))
+
+    plan = multi._sc._jvm.PythonSQLUtils.explainString(
+        multi._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe_bits"):
+        lsh_ann_topk(emb, query_vec_id=0, probe_bits=2)
