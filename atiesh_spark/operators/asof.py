@@ -152,6 +152,146 @@ def asof_join(
     return filled.select(*out_cols)
 
 
+_ASOF_BUCKETED_INTERNAL = (
+    "__o", "__bin", "__side", "__rrow", "__lrow", "__match", "__best", "__carry",
+)
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    bucket_size: int,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """``asof_join`` semantics with time-bucketed parallelism — the scale
+    remedy for low-cardinality ``by`` keys (see asof_join's scale note).
+
+    Both sides are cut into fixed ``bucket_size`` bins of the (numeric)
+    ``on`` column and the as-of window runs per (key, bin), so
+    parallelism is #keys x #bins instead of #keys — a single global key
+    no longer serializes onto one task. Correctness is restored by a
+    BOUNDARY CARRY: for every (key, bin) the latest right row from any
+    earlier bin rides along as one extra candidate (for a left row, the
+    match is either in its own bin or is exactly that carry row). The
+    carry is computed on the per-(key, bin) summary frame — #keys x
+    #bins rows, never the data — so the only data-sized shuffles are
+    the two (key, bin) hash partitionings.
+
+    ``on`` must be numeric (convert timestamps to epoch units first,
+    timezone-independently — same contract as ``range_join``). Output
+    and NULL/tie semantics are identical to ``asof_join``; a property
+    test asserts frame equality between the two.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if bucket_size <= 0:
+        raise ValueError("bucket_size must be > 0")
+    _check_reserved(left.columns, _ASOF_BUCKETED_INTERNAL, "left")
+    _check_reserved(right.columns, _ASOF_BUCKETED_INTERNAL, "right")
+    for side_name, df in (("left", left), ("right", right)):
+        dt = dict(df.dtypes)[on]
+        if not dt.startswith(_NUMERIC_PREFIXES):
+            raise ValueError(
+                f"{side_name}.{on} must be numeric for bucketing (got {dt}); "
+                "convert timestamps to epoch units first"
+            )
+    by = [by] if isinstance(by, str) else list(by)
+    rvals = [c for c in right.columns if c != on and c not in by]
+    if not rvals:
+        raise ValueError("right side has no value columns beyond key/on")
+    right = right.filter(F.col(on).isNotNull())
+    for c in by:
+        right = right.filter(F.col(c).isNotNull())
+
+    # direction folds into a sign: forward asof on t == backward on -t
+    # (native numeric type preserved — no double cast that would lose
+    # precision on large epoch longs)
+    sgn = 1 if direction == "backward" else -1
+    o = F.col(on) * F.lit(sgn)
+    lrest = [c for c in left.columns if c not in by]  # incl. on (restored from __lrow)
+    lf = left.select(
+        *by,
+        o.alias("__o"),
+        F.floor(o / bucket_size).alias("__bin"),
+        F.struct(*lrest).alias("__lrow"),
+    )
+    rf = right.select(
+        *by,
+        o.alias("__o"),
+        F.floor(o / bucket_size).alias("__bin"),
+        F.struct(*rvals).alias("__rrow"),
+    )
+
+    # per-(key, bin) latest right row — the summary frame the carry runs on
+    rb = rf.groupBy(*by, "__bin").agg(
+        F.max_by(F.struct(F.col("__o").alias("o"), F.col("__rrow").alias("r")), F.col("__o")).alias("__best")
+    )
+    best_t = rb.schema["__best"].dataType
+    # carry per left bin: last __best from a STRICTLY earlier bin (markers
+    # sort before same-bin right summaries, so own-bin rows are excluded —
+    # they are already in-bin candidates)
+    markers = lf.select(*by, "__bin").distinct()
+    mb = markers.select(
+        *by, "__bin", F.lit(0).alias("__side"), F.lit(None).cast(best_t).alias("__best")
+    )
+    rbb = rb.select(*by, "__bin", F.lit(1).alias("__side"), "__best")
+    wc = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__bin").asc_nulls_first(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        mb.unionByName(rbb)
+        .withColumn("__carry", F.last("__best", ignorenulls=True).over(wc))
+        .filter(F.col("__side") == 0)
+        .filter(F.col("__carry").isNotNull())
+        .select(*by, "__bin", "__carry")
+    )
+    carried = carry.select(
+        *by, "__bin",
+        F.col("__carry.o").alias("__o"),
+        F.col("__carry.r").alias("__rrow"),
+    )
+
+    lrow_t = lf.schema["__lrow"].dataType
+    rrow_t = rf.schema["__rrow"].dataType
+    l_u = lf.select(
+        *by, "__bin", "__o", F.lit(1).alias("__side"),
+        F.lit(None).cast(rrow_t).alias("__rrow"), "__lrow",
+    )
+    r_u = rf.select(*by, "__bin", "__o", F.lit(0).alias("__side"), "__rrow").unionByName(
+        carried.select(*by, "__bin", "__o", F.lit(0).alias("__side"), "__rrow")
+    ).withColumn("__lrow", F.lit(None).cast(lrow_t))
+    w = (
+        Window.partitionBy(*by, "__bin")
+        .orderBy(F.col("__o").asc_nulls_first(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l_u.unionByName(r_u)
+        .withColumn(
+            "__match",
+            F.when(F.col("__o").isNotNull(), F.last("__rrow", ignorenulls=True).over(w)),
+        )
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = []
+    for c in left.columns:
+        if c in by:
+            out_cols.append(F.col(c))
+        else:
+            out_cols.append(F.col(f"__lrow.{c}").alias(c))
+    taken = set(left.columns)
+    for c in rvals:
+        out_cols.append(F.col(f"__match.{c}").alias(_suffixed(c, taken, suffix)))
+    return filled.select(*out_cols)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

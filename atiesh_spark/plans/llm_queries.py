@@ -1200,3 +1200,46 @@ def q66_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "self_hit",
         (F.col("n_m") >= F.col("n_s")).alias("recall_not_below_single_probe"),
     )
+
+
+@register(
+    "q67_asof_join_bucketed",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') * 86400
+               + hour(ts) * 3600 + minute(ts) * 60
+               + CAST(date_part('second', ts) AS BIGINT) AS t
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, t, max(event_id) AS marker_id
+        FROM pts WHERE event_id % 20 = 0
+        GROUP BY user_id, t
+    )
+    SELECT p.event_id, p.user_id, p.t, m.marker_id
+    FROM pts p
+    ASOF LEFT JOIN m ON p.user_id = m.user_id AND p.t >= m.t
+    """,
+    doc="q60's as-of join on the time-bucketed physical path "
+    "(operators/asof.py asof_join_bucketed, 1-hour buckets + boundary "
+    "carry): parallelism #keys x #buckets instead of #keys, answers "
+    "frame-identical — the low-key-cardinality scale remedy, graded "
+    "against DuckDB's native ASOF like q60. Epoch seconds via "
+    "timezone-free field arithmetic (q61's convention).",
+)
+def q67_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.asof import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') * 86400L"
+        " + hour(ts) * 3600L + minute(ts) * 60L + second(ts)"
+    )
+    pts = ev.select("event_id", "user_id", secs.alias("t"))
+    markers = (
+        pts.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "t")
+        .agg(F.max("event_id").alias("marker_id"))
+    )
+    return asof_join_bucketed(pts, markers, on="t", by="user_id", bucket_size=3600)

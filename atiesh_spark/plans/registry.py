@@ -90,6 +90,7 @@ DRIVER_ORDER: list[str] = [
     "q64_stratified_sample",
     "q65_dedup_survivors",
     "q66_ann_multiprobe",
+    "q67_asof_join_bucketed",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -133,10 +134,10 @@ DRIVER_ORDER: list[str] = [
     "q19_topk_orders",
     "q20_distinct_count",
     "q21_set_ops",
-    "q22_window_rank",
     # ----------------- driver window boundary (50) -----------------
     # Long-stable floor, driver-green in BOTH r01 and r02 and covered by
     # tests/test_oracle_parity.py every run; safest to leave unchecked.
+    "q22_window_rank",
     "q23_rollup",
     "q43_cube",
     "q44_percentiles",

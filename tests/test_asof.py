@@ -172,3 +172,53 @@ def test_inverted_interval_matches_nothing_cheaply(spark):
                      bin_size=8)
     # the inverted row is dropped BEFORE the explode: no 125k-bin fanout
     assert [r["w"] for r in out.collect()] == ["good"]
+
+
+def _asof_frames(spark, n_left=400, n_right=60, keys=2):
+    left = spark.range(n_left).selectExpr(
+        f"CAST(id % {keys} AS LONG) AS uid",
+        # gaps + clusters + an exact-equal point; some NULL timestamps
+        "CASE WHEN id % 37 = 0 THEN NULL ELSE (id * 13) % 997 END AS t",
+        "CAST(id AS STRING) AS ev",
+    )
+    right = spark.range(n_right).selectExpr(
+        f"CAST(id % {keys} AS LONG) AS uid",
+        "CASE WHEN id % 29 = 0 THEN NULL ELSE (id * 53) % 997 END AS t",
+        "concat('m', id) AS m",
+        "CAST(id * 2 AS LONG) AS score",
+    ).dropDuplicates(["uid", "t"])  # asof right-side dup-(key,on) is ambiguous
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("bucket_size", [1, 7, 100, 10_000])
+def test_bucketed_asof_equals_plain_asof(spark, direction, bucket_size):
+    """The bucketed variant is a pure physical rewrite: frame-identical
+    to asof_join across directions and bucket sizes (1 row/bin, mid,
+    one-bin-holds-everything) — including empty bins the carry must
+    cross, NULL timestamps, and NULL keys."""
+    from atiesh_spark.operators.asof import asof_join_bucketed
+
+    left, right = _asof_frames(spark)
+    left = left.unionByName(
+        spark.createDataFrame([(None, 5, "nullkey")], "uid long, t long, ev string")
+    )
+    plain = asof_join(left, right, on="t", by="uid", direction=direction)
+    bucketed = asof_join_bucketed(
+        left, right, on="t", by="uid", bucket_size=bucket_size, direction=direction
+    )
+    from collections import Counter
+
+    assert Counter(map(tuple, plain.collect())) == Counter(map(tuple, bucketed.collect()))
+    assert plain.columns == bucketed.columns
+
+
+def test_bucketed_asof_validation(spark, sides):
+    from atiesh_spark.operators.asof import asof_join_bucketed
+
+    left, right = sides
+    with pytest.raises(ValueError, match="bucket_size"):
+        asof_join_bucketed(left, right, on="t", by="uid", bucket_size=0)
+    ts_left = left.selectExpr("uid", "CAST('2024-01-01' AS TIMESTAMP_NTZ) AS t", "ev")
+    with pytest.raises(ValueError, match="must be numeric"):
+        asof_join_bucketed(ts_left, right, on="t", by="uid", bucket_size=10)
