@@ -76,6 +76,10 @@ def test_semi_anti_join_strategies(spark):
         "q54_pii_redaction",
         "q55_knn_join",
         "q56_mixture_take",
+        "q63_decontaminate",
+        "q64_stratified_sample",
+        "q65_dedup_survivors",
+        "q67_asof_join_bucketed",
     ],
 )
 def test_no_python_udf_in_hot_paths(spark, name):
@@ -103,6 +107,11 @@ def test_no_cartesian_in_bucketed_pair_joins(spark):
         "q52_embedding_near_dup_lsh",
         "q53_word_jaccard_pairs",
         "q55_knn_join",
+        "q63_decontaminate",
+        "q65_dedup_survivors",
+        # q66 excluded: its three single-row aggregates combine via an
+        # intentional 1x1 cross join
+        "q67_asof_join_bucketed",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
