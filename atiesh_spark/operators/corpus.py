@@ -1,0 +1,175 @@
+"""Corpus-level text operators: cross-document line dedup, corpus
+n-gram statistics, and document chunking.
+
+These are the steps between raw text and training sequences that look
+at the corpus as a whole rather than one document at a time:
+
+- ``line_dedup`` — C4/RefinedWeb-style boilerplate removal: a line that
+  appears (trimmed-identical) in >= ``max_doc_freq`` distinct documents
+  is navigation/footer boilerplate and is dropped from EVERY document;
+  surviving lines are reassembled in original order. (C4 removes
+  three-sentence spans seen more than once; RefinedWeb drops duplicated
+  lines — same shape, line granularity.)
+- ``top_ngrams`` — corpus-wide most-frequent word n-grams (doc frequency
+  + total count): the vocabulary/contamination report a pipeline prints
+  before choosing filters.
+- ``chunk_documents`` — fixed-size character chunks with overlap
+  (size/stride): the retrieval-indexing and long-doc-splitting step.
+
+All pure DataFrame compositions — codegen expressions, no Python UDFs,
+deterministic (no RNG), so results are engine-independent and
+DuckDB-checkable.
+
+Scale notes (100 TB):
+- line_dedup's frequency pass shuffles md5(line) (16 bytes), never the
+  line text; the boilerplate set is by definition the heavy tail
+  (few distinct lines, many occurrences), so it broadcasts — the corpus
+  line stream is never shuffled for the anti-join. For a pathological
+  corpus where the common set outgrows the broadcast limit, pass
+  ``broadcast_common=False`` and the anti-join becomes an ordinary
+  shuffle hash join on the 16-byte hash.
+- top_ngrams ends in TakeOrderedAndProject (per-partition top-k merged
+  on the driver), never a global single-task window sort.
+- chunk_documents is explode-linear in text size; chunk count per doc is
+  ceil(len/stride), bounded by the documents themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from atiesh_spark.operators.dedup import _fanout, word_shingles
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 2,
+    out_col: str = "clean_text",
+    broadcast_common: bool = True,
+) -> DataFrame:
+    """Remove cross-document boilerplate lines; returns
+    (id_col, out_col, n_lines_kept, n_lines_removed).
+
+    A line is boilerplate when its TRIMMED form is non-empty and occurs
+    in >= ``max_doc_freq`` distinct documents; matching lines are
+    removed from all documents (including the first occurrence — the
+    C4 rule). Empty/whitespace-only lines are never counted and never
+    removed (they are document structure, not content). A document whose
+    every line is boilerplate yields ``out_col = ''``.
+
+    Plan: posexplode lines -> frequency count keyed on md5(trim(line))
+    (16-byte shuffle keys, the line text never shuffles) -> broadcast
+    anti-join -> per-doc reassembly via sort_array(collect_list(struct))
+    so line order is restored without a window sort.
+    """
+    if max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    base = df.select(F.col(id_col), F.col(text_col))
+    lines = _fanout(base).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__ord", "__line"),
+    )
+    norm = F.trim(F.col("__line"))
+    hashed = lines.withColumn(
+        "__h", F.when(norm != "", F.md5(norm.cast("binary")))
+    )
+    common = (
+        hashed.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= max_doc_freq)
+        .select("__h")
+    )
+    if broadcast_common:
+        common = F.broadcast(common)
+    kept = hashed.join(common, "__h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ord", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (n_lines - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: (sh, n_docs, n_total, rank).
+
+    n_docs = documents containing the n-gram, n_total = total
+    occurrences; ranked by n_total desc with n-gram-text tie-break so
+    the cut is engine-deterministic. The ordered limit compiles to
+    TakeOrderedAndProject (per-partition top-k, driver merge of k rows
+    per partition) — no global sort; the final rank window runs over
+    exactly k rows.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n, distinct=False)
+    agg = sh.groupBy("sh").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    topk = agg.orderBy(F.col("n_total").desc(), F.col("sh")).limit(k)
+    w = Window.orderBy(F.col("n_total").desc(), F.col("sh"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int | None = None,
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap:
+    (id_col, chunk_id, chunk_col, n_chunk_chars).
+
+    Chunk i covers [i*stride, i*stride + size); ``stride`` defaults to
+    ``size`` (no overlap), stride < size overlaps consecutive chunks by
+    size - stride chars — the standard retrieval-indexing windowing. The
+    last chunk may be short; every document yields at least one chunk
+    (an empty doc yields one empty chunk, so no document silently
+    disappears from the chunked corpus). sequence + posexplode +
+    Column.substr stay in whole-stage codegen.
+    """
+    if size <= 0:
+        raise ValueError("size must be > 0")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be > 0")
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = _fanout(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        text.alias("__text"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.col("__text").substr(F.col("__start") + 1, F.lit(size))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        chunk.alias(chunk_col),
+        F.length(chunk).alias("n_chunk_chars"),
+    )

@@ -84,6 +84,51 @@ def stratified_sample(
     return df.filter(bucket < cutoff)
 
 
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    cost_col: str,
+    alpha: float = 0.3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Temperature-based mixture weights per stratum:
+    (strata_col, n_cost, weight, epochs_at_parity).
+
+    The multilingual-sampling rule (mBERT/XLM-R exponential smoothing):
+    sample stratum l with probability p_l ∝ n_l^alpha, where n_l is the
+    stratum's total cost (chars/tokens). alpha=1 is proportional
+    (dominant languages swamp the mix), alpha=0 is uniform (tiny
+    languages epoch thousands of times); alpha~0.2-0.5 is the published
+    sweet spot. ``epochs_at_parity`` = weight * total_cost / n_cost —
+    how many times the stratum would repeat if the full corpus budget
+    were drawn under these weights (the overfitting-risk column of the
+    mixture report).
+
+    One groupBy plus a broadcast single-row total: the per-stratum frame
+    is mixture-recipe-sized (dozens of rows), so everything after the
+    first aggregate is negligible at any corpus size.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    per = df.groupBy(strata_col).agg(F.sum(cost_col).alias("n_cost"))
+    powed = per.withColumn("__p", F.pow(F.col("n_cost").cast("double"), F.lit(float(alpha))))
+    tot = powed.agg(
+        F.sum("__p").alias("__z"), F.sum("n_cost").alias("__total")
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(strata_col),
+            F.col("n_cost"),
+            F.round(F.col("__p") / F.col("__z"), round_to).alias("weight"),
+            F.round(
+                (F.col("__p") / F.col("__z")) * F.col("__total") / F.col("n_cost"),
+                round_to,
+            ).alias("epochs_at_parity"),
+        )
+    )
+
+
 def mixture_take(
     df: DataFrame,
     strata_col: str,

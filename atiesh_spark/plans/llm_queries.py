@@ -1243,3 +1243,153 @@ def q67_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("event_id").alias("marker_id"))
     )
     return asof_join_bucketed(pts, markers, on="t", by="user_id", bucket_size=3600)
+
+
+_LINES_CTE = """
+d AS (SELECT doc_id, replace(text, ' batch ', chr(10)) AS text FROM documents),
+t0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+lns AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ls)),
+                  i -> struct_pack(ord := i, line := ls[i]))) AS s
+    FROM t0
+),
+l2 AS (SELECT doc_id, s.ord AS ord, s.line AS line, trim(s.line) AS norm FROM lns)
+"""
+
+
+@register(
+    "q68_line_dedup",
+    oracle=f"""
+    WITH {_LINES_CTE},
+    common AS (
+        SELECT norm FROM l2 WHERE norm <> ''
+        GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT doc_id, ord, line FROM l2
+        WHERE norm NOT IN (SELECT norm FROM common)
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text,
+               count(*) AS n_lines_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t0.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+           coalesce(reb.n_lines_kept, 0) AS n_lines_kept,
+           len(t0.ls) - coalesce(reb.n_lines_kept, 0) AS n_lines_removed
+    FROM t0 LEFT JOIN reb USING (doc_id)
+    """,
+    headline=True,
+    doc="Cross-document line dedup (operators/corpus.py line_dedup): the "
+    "C4/RefinedWeb boilerplate-removal pass — any trimmed line occurring "
+    "in >= 2 distinct docs is dropped from every doc, survivors "
+    "reassembled in order. Docs here are single-line, so the query first "
+    "synthesizes multi-line docs deterministically (' batch ' -> "
+    "newline) in both engines. Frequency pass shuffles md5(line) only; "
+    "the common-line set is broadcast for the anti-join.",
+)
+def q68_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr("replace(text, ' batch ', chr(10))")
+    )
+    return line_dedup(docs, "doc_id", "text", max_doc_freq=2)
+
+
+@register(
+    "q69_top_ngrams",
+    oracle="""
+    WITH t0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> length(t) > 0) AS ts
+        FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 1)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS sh
+        FROM t0
+    ),
+    shn AS (SELECT doc_id, sh FROM s0 WHERE sh IS NOT NULL),
+    agg AS (
+        SELECT sh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+        FROM shn GROUP BY sh
+    ),
+    top AS (SELECT * FROM agg ORDER BY n_total DESC, sh LIMIT 20)
+    SELECT sh, n_docs, n_total,
+           row_number() OVER (ORDER BY n_total DESC, sh) AS rank
+    FROM top
+    """,
+    doc="Corpus-wide top-20 word bigrams by total count with doc-frequency "
+    "(operators/corpus.py top_ngrams): the vocabulary/boilerplate report "
+    "before filter selection. Ordered limit compiles to "
+    "TakeOrderedAndProject (distributed per-partition top-k), never a "
+    "global single-task window sort; the rank window runs over 20 rows.",
+)
+def q69_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, "doc_id", "text", n=2, k=20)
+
+
+@register(
+    "q70_chunk_documents",
+    oracle="""
+    WITH t0 AS (
+        SELECT doc_id, text,
+               generate_series(0, greatest(length(text) - 1, 0), 150) AS starts
+        FROM documents
+    ),
+    c AS (SELECT doc_id, text, unnest(starts) AS strt FROM t0)
+    SELECT doc_id, strt // 150 AS chunk_id,
+           substring(text, strt + 1, 200) AS chunk_text,
+           length(substring(text, strt + 1, 200)) AS n_chunk_chars
+    FROM c
+    """,
+    doc="Fixed-size overlapping chunking (operators/corpus.py "
+    "chunk_documents, size=200 stride=150: 50-char overlap): the "
+    "retrieval-indexing / long-document windowing step. sequence + "
+    "posexplode + substr, all whole-stage codegen; every doc yields >= 1 "
+    "chunk so none silently disappears.",
+)
+def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_chunk_chars").cast("long").alias("n_chunk_chars"),
+    )
+
+
+@register(
+    "q71_temperature_weights",
+    oracle="""
+    WITH per AS (
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_cost
+        FROM documents GROUP BY lang
+    ),
+    p AS (SELECT lang, n_cost, pow(CAST(n_cost AS DOUBLE), 0.3) AS pp FROM per),
+    t AS (SELECT sum(pp) AS z, CAST(sum(n_cost) AS BIGINT) AS total FROM p)
+    SELECT lang, n_cost, round(pp / z, 4) AS weight,
+           round(pp / z * total / n_cost, 4) AS epochs_at_parity
+    FROM p, t
+    """,
+    doc="Temperature-based mixture weights (operators/sampling.py "
+    "temperature_weights, alpha=0.3): p_l proportional to n_l^alpha — the "
+    "mBERT/XLM-R multilingual sampling rule — plus epochs_at_parity, the "
+    "repeat-count each language would see under the full corpus budget. "
+    "One groupBy + a broadcast single-row total.",
+)
+def q71_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, "lang", "n_chars", alpha=0.3)

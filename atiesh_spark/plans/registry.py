@@ -91,6 +91,11 @@ DRIVER_ORDER: list[str] = [
     "q65_dedup_survivors",
     "q66_ann_multiprobe",
     "q67_asof_join_bucketed",
+    "q68_line_dedup",
+    "q69_top_ngrams",
+    "q70_chunk_documents",
+    "q71_temperature_weights",
+    "q72_retention_cohorts",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -129,12 +134,15 @@ DRIVER_ORDER: list[str] = [
     "q14_pricing_summary",
     "q15_revenue_filter",
     "q16_revenue_by_nation",
+    # ----------------- driver window boundary (50) -----------------
+    # q17-q21 were pushed past the boundary by the five r3 additions
+    # (q68-q72) — all five were driver-green in r01 AND r02 and stay in
+    # the in-repo parity suite, so rotating them out loses the least.
     "q17_semi_join",
     "q18_anti_join",
     "q19_topk_orders",
     "q20_distinct_count",
     "q21_set_ops",
-    # ----------------- driver window boundary (50) -----------------
     # Long-stable floor, driver-green in BOTH r01 and r02 and covered by
     # tests/test_oracle_parity.py every run; safest to leave unchecked.
     "q22_window_rank",

@@ -145,3 +145,41 @@ def q37_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@register(
+    "q72_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week
+        FROM events
+    ),
+    c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+    SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
+           count(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY c.cohort_week, uw.week - c.cohort_week
+    """,
+    doc="Cohort retention matrix over events: users bucketed by first-"
+    "active week (epoch-day // 7 — timezone-free field arithmetic, q61's "
+    "convention), counted in each subsequent week they return. The "
+    "classic product-analytics rollup. Plan: one distinct shuffle on "
+    "(user, week); the min-week aggregate and the join both reuse the "
+    "user_id partitioning, then one final aggregate.",
+)
+def q72_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    )
+    uw = events.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1,0 +1,154 @@
+"""Unit tests for corpus-level operators (line dedup, n-gram stats,
+chunking, temperature weights) — edge cases the sf-data parity tests
+don't construct: fully-boilerplate docs, empty lines, short last
+chunks, empty docs, degenerate alpha values.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.corpus import chunk_documents, line_dedup, top_ngrams
+from atiesh_spark.operators.sampling import temperature_weights
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_removes_all_occurrences(spark):
+    # 'FOOTER' appears in 3 docs -> removed everywhere, including doc 1's
+    # first occurrence (the C4 rule); unique lines survive in order.
+    df = _docs(
+        spark,
+        [
+            (1, "alpha\nFOOTER\nbeta"),
+            (2, "FOOTER\ngamma"),
+            (3, "delta\nFOOTER"),
+            (4, "unique only"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, "doc_id", "text", max_doc_freq=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha\nbeta"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_removed"] == 1
+    assert out[2]["clean_text"] == "gamma"
+    assert out[3]["clean_text"] == "delta"
+    assert out[4]["clean_text"] == "unique only"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_line_dedup_fully_boilerplate_doc_yields_empty(spark):
+    df = _docs(spark, [(1, "same"), (2, "same"), (3, "same")])
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    for i in (1, 2, 3):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_lines_kept"] == 0
+        assert out[i]["n_lines_removed"] == 1
+
+
+def test_line_dedup_empty_and_whitespace_lines_never_removed(spark):
+    # blank lines occur in both docs but are structure, not boilerplate
+    df = _docs(spark, [(1, "a\n\nb"), (2, "c\n\nd"), (3, "  \ne")])
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "a\n\nb"
+    assert out[2]["clean_text"] == "c\n\nd"
+    assert out[3]["clean_text"] == "  \ne"
+
+
+def test_line_dedup_trim_normalization_matches_padded_lines(spark):
+    # '  FOOTER' and 'FOOTER ' trim-match -> both removed
+    df = _docs(spark, [(1, "  FOOTER\nkeep1"), (2, "FOOTER \nkeep2")])
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "keep1"
+    assert out[2]["clean_text"] == "keep2"
+
+
+def test_line_dedup_shuffle_join_mode_matches_broadcast(spark):
+    df = _docs(
+        spark,
+        [(1, "x\ncommon"), (2, "common\ny"), (3, "z")],
+    )
+    a = sorted(map(tuple, line_dedup(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, line_dedup(df, "doc_id", "text", broadcast_common=False).collect())
+    )
+    assert a == b
+
+
+def test_chunk_documents_overlap_and_short_tail(spark):
+    df = _docs(spark, [(1, "abcdefghij")])  # 10 chars
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_chunk_chars"])
+        for r in chunk_documents(df, "doc_id", "text", size=4, stride=3).collect()
+    )
+    # starts 0,3,6,9 -> abcd, defg, ghij, j
+    assert rows == [(0, "abcd", 4), (1, "defg", 4), (2, "ghij", 4), (3, "j", 1)]
+
+
+def test_chunk_documents_no_overlap_default_stride(spark):
+    df = _docs(spark, [(1, "abcdef")])
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", size=3).collect()
+    )
+    assert rows == [(0, "abc"), (1, "def")]
+
+
+def test_chunk_documents_empty_doc_yields_one_empty_chunk(spark):
+    df = _docs(spark, [(1, "")])
+    rows = chunk_documents(df, "doc_id", "text", size=5).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "" and rows[0]["n_chunk_chars"] == 0
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b"),   # 'a b' x2, 'b a' x1
+            (2, "a b c"),     # 'a b' x1, 'b c' x1
+        ],
+    )
+    rows = top_ngrams(df, "doc_id", "text", n=2, k=3).collect()
+    by_rank = {r["rank"]: (r["sh"], r["n_docs"], r["n_total"]) for r in rows}
+    assert by_rank[1] == ("a b", 2, 3)
+    # 'b a' and 'b c' tie at 1 total -> lexicographic tie-break
+    assert by_rank[2] == ("b a", 1, 1)
+    assert by_rank[3] == ("b c", 1, 1)
+
+
+def test_temperature_weights_alpha_one_is_proportional(spark):
+    df = spark.createDataFrame(
+        [("en", 900), ("fr", 100)], "lang string, cost long"
+    )
+    out = {r["lang"]: r for r in temperature_weights(df, "lang", "cost", alpha=1.0).collect()}
+    assert math.isclose(out["en"]["weight"], 0.9)
+    assert math.isclose(out["fr"]["weight"], 0.1)
+    # proportional sampling = every stratum seen exactly once at parity
+    assert math.isclose(out["en"]["epochs_at_parity"], 1.0)
+    assert math.isclose(out["fr"]["epochs_at_parity"], 1.0)
+
+
+def test_temperature_weights_alpha_zero_is_uniform(spark):
+    df = spark.createDataFrame(
+        [("en", 900), ("fr", 100)], "lang string, cost long"
+    )
+    out = {r["lang"]: r for r in temperature_weights(df, "lang", "cost", alpha=0.0).collect()}
+    assert math.isclose(out["en"]["weight"], 0.5)
+    assert math.isclose(out["fr"]["weight"], 0.5)
+    # the scarce stratum repeats 5x under a uniform draw of the full budget
+    assert math.isclose(out["fr"]["epochs_at_parity"], 5.0)
+    assert math.isclose(out["en"]["epochs_at_parity"], 0.5556, abs_tol=1e-4)
+
+
+def test_temperature_weights_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 200), ("c", 3000)], "lang string, cost long"
+    )
+    rows = temperature_weights(df, "lang", "cost", alpha=0.3, round_to=6).collect()
+    assert math.isclose(sum(r["weight"] for r in rows), 1.0, abs_tol=1e-4)
