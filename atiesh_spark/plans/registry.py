@@ -96,6 +96,8 @@ DRIVER_ORDER: list[str] = [
     "q70_chunk_documents",
     "q71_temperature_weights",
     "q72_retention_cohorts",
+    "q73_semantic_dedup",
+    "q74_profile_table",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -132,12 +134,12 @@ DRIVER_ORDER: list[str] = [
     "q12_window_tumbling",
     "q46_schema_on_read",
     "q14_pricing_summary",
+    # ----------------- driver window boundary (50) -----------------
+    # q15-q21 were pushed past the boundary by the seven r3 additions
+    # (q68-q74) — all seven were driver-green in r01 AND r02 and stay in
+    # the in-repo parity suite, so rotating them out loses the least.
     "q15_revenue_filter",
     "q16_revenue_by_nation",
-    # ----------------- driver window boundary (50) -----------------
-    # q17-q21 were pushed past the boundary by the five r3 additions
-    # (q68-q72) — all five were driver-green in r01 AND r02 and stay in
-    # the in-repo parity suite, so rotating them out loses the least.
     "q17_semi_join",
     "q18_anti_join",
     "q19_topk_orders",

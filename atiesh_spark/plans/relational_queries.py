@@ -341,3 +341,44 @@ def q23_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q74_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           printf('%.4f', min(o_totalprice)), printf('%.4f', max(o_totalprice))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    doc="Table profiling (operators/profile.py): per-column nulls / "
+    "distinct / min / max in ONE scan (all aggregates evaluate in a "
+    "single multi-distinct pass, then the wide row explodes to the long "
+    "report layout). Floating min/max render via fixed '%.4f' so values "
+    "are engine-portable (Java flips to scientific notation at 1e7). "
+    "The before/after data-quality gate of every pipeline stage.",
+)
+def q74_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )

@@ -166,3 +166,32 @@ def test_single_shuffle_for_grouped_agg(spark):
     )
     # one exchange for the groupBy; AQE may add none beyond it
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_profile_table_counts_nulls_and_renders_floats(spark):
+    from atiesh_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.25), (3, "b", None), (4, "a", 10000000.5)],
+        "k long, s string, v double",
+    )
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 4
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "4"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    # floats render fixed-point, never scientific (1e7 would flip in Java)
+    assert out["v"]["max_value"] == "10000000.5000"
+    assert out["v"]["min_value"] == "1.5000"
+
+
+def test_profile_table_rejects_complex_columns(spark):
+    import pytest as _pytest
+
+    from atiesh_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, [1, 2])], "k long, a array<int>")
+    with _pytest.raises(ValueError):
+        profile_table(df, ["a"])
+    with _pytest.raises(KeyError):
+        profile_table(df, ["missing"])

@@ -109,3 +109,41 @@ def test_multiprobe_recall_at_least_single_probe(spark):
 
     with _pytest.raises(ValueError, match="probe_bits"):
         lsh_ann_topk(emb, query_vec_id=0, probe_bits=2)
+
+
+def test_semantic_dedup_partitions_and_keeps_min_id(spark):
+    from atiesh_spark.operators.similarity import semantic_dedup
+
+    # two tight groups along different axes + one far-out singleton
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),      # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.95, n_cells=3, seed=7).collect()
+    }
+    assert len(out) == 5  # partition: every row present once
+    assert out[1]["keep"] and not out[2]["keep"] and out[2]["cluster_id"] == 1
+    assert out[3]["keep"] and not out[4]["keep"] and out[4]["cluster_id"] == 3
+    assert out[5]["keep"] and out[5]["cluster_id"] == 5
+
+
+def test_semantic_dedup_fit_sample_matches_full_fit_contract(spark):
+    from atiesh_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(1, 31)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        emb, threshold=0.99, n_cells=3, fit_sample_buckets=2
+    )
+    rows_out = out.collect()
+    assert len(rows_out) == 30
+    # the three identical-direction groups each keep exactly their min id
+    keepers = sorted(r["vec_id"] for r in rows_out if r["keep"])
+    assert keepers == [1, 2, 3]
