@@ -67,3 +67,49 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    round_to: int = 4,
+) -> DataFrame:
+    """Percentile clipping: input columns plus ``clipped`` — ``value_col``
+    clipped into the (exact, linearly interpolated) [p_low, p_high]
+    percentile range, computed per ``group_col`` stratum (or globally
+    when None). The outlier-taming step before loss-sensitive statistics
+    (mean quality scores, per-source cost summaries) where a single
+    corrupt value would otherwise dominate.
+
+    Plan: one groupBy computes both percentiles (exact ``percentile``,
+    the interpolation DuckDB's quantile_cont and numpy's linear method
+    share), and the per-group bounds frame — stratum-sized, tiny — is
+    BROADCAST back onto the rows: no second shuffle of the data.
+    NULL values stay NULL (clipping is not imputation).
+    """
+    if not 0.0 <= p_low < p_high <= 1.0:
+        raise ValueError("need 0 <= p_low < p_high <= 1")
+    gcols = [group_col] if group_col else []
+    bounds = df.groupBy(*gcols).agg(
+        F.percentile(F.col(value_col), F.lit(float(p_low))).alias("__lo"),
+        F.percentile(F.col(value_col), F.lit(float(p_high))).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    # guard NULL explicitly: Spark's greatest/least IGNORE nulls, which
+    # would silently impute a null value to the low bound
+    clip = F.when(
+        F.col(value_col).isNotNull(),
+        F.round(
+            F.least(F.col("__hi"), F.greatest(F.col("__lo"), F.col(value_col))),
+            round_to,
+        ),
+    )
+    return joined.select(*df.columns, clip.alias("clipped"))
+

@@ -1,0 +1,106 @@
+"""Time-series rolling aggregates over event streams (batch side).
+
+Trailing time-RANGE window statistics — the moving averages, rolling
+counts, and rolling-z-score anomaly flags of metric pipelines. Frames
+are VALUE-based (`rangeBetween` on epoch microseconds), not row-based:
+ties in the timestamp all land in the same frame, so results are
+deterministic even when event order within a timestamp is not.
+
+Plan shape: one shuffle on the key column; every rolling statistic over
+the same (key, window) pair shares that single sort — Spark evaluates
+all frame aggregates in one `Window` physical operator. The epoch-micros
+order key is wall-clock arithmetic from TIMESTAMP_NTZ
+(`timestampdiff` against the NTZ epoch), session-timezone-independent
+by the same argument as ``sources/tables.epoch_nanos_to_ntz``.
+
+Scale note: a per-key window serializes each key onto one task — the
+right plan when keys are plentiful (users, devices, series ids). For a
+handful of global series, pre-bucket time as in
+``operators/asof.asof_join_bucketed``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def epoch_micros(ts_col: str) -> Column:
+    """TIMESTAMP_NTZ -> epoch microseconds, timezone-independent
+    (wall-clock difference from the NTZ epoch, never through an instant).
+    """
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Trailing-window rolling stats per key: input columns plus
+    ``rolling_avg``, ``rolling_sum``, ``rolling_n`` over the inclusive
+    frame [ts - window_seconds, ts].
+
+    One shuffle (the key partition sort); all three aggregates share a
+    single Window operator.
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(epoch_micros(ts_col))
+        .rangeBetween(-window_seconds * _US, 0)
+    )
+    return df.select(
+        "*",
+        F.round(F.avg(value_col).over(w), round_to).alias("rolling_avg"),
+        F.round(F.sum(value_col).over(w), round_to).alias("rolling_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    z_threshold: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: input columns plus ``zscore``
+    (value's deviation from the trailing-window mean in trailing-window
+    sample standard deviations, rounded) and ``is_outlier``.
+
+    The frame INCLUDES the current row (the streaming-friendly
+    convention: no look-ahead, stats well-defined from the second event
+    per key). Frames with fewer than 2 rows or zero variance yield a
+    NULL zscore and ``is_outlier = false`` — degenerate windows are
+    never flagged.
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(epoch_micros(ts_col))
+        .rangeBetween(-window_seconds * _US, 0)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.round(
+        F.when(sd > 0, (F.col(value_col) - mean) / sd), round_to
+    )
+    return df.select(
+        "*",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )

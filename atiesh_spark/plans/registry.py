@@ -98,6 +98,9 @@ DRIVER_ORDER: list[str] = [
     "q72_retention_cohorts",
     "q73_semantic_dedup",
     "q74_profile_table",
+    "q75_snapshot_diff",
+    "q76_rolling_value",
+    "q77_winsorize",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -130,14 +133,14 @@ DRIVER_ORDER: list[str] = [
     "q42_tfidf_topk",
     "q48_deterministic_split",
     "q49_token_budget_take",
-    # -- relational / event analytics still inside the window --
+    # ----------------- driver window boundary (50) -----------------
+    # q12-q21 + q46 were pushed past the boundary by the ten r3
+    # additions (q68-q77) — all ten were driver-green in r01 AND r02 and
+    # stay in the in-repo parity suite, so rotating them out loses the
+    # least.
     "q12_window_tumbling",
     "q46_schema_on_read",
     "q14_pricing_summary",
-    # ----------------- driver window boundary (50) -----------------
-    # q15-q21 were pushed past the boundary by the seven r3 additions
-    # (q68-q74) — all seven were driver-green in r01 AND r02 and stay in
-    # the in-repo parity suite, so rotating them out loses the least.
     "q15_revenue_filter",
     "q16_revenue_by_nation",
     "q17_semi_join",

@@ -382,3 +382,60 @@ def q74_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         orders, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     )
+
+
+@register(
+    "q75_snapshot_diff",
+    oracle="""
+    WITH oldv AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    newv AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT coalesce(oldv.o_orderkey, newv.o_orderkey) AS o_orderkey,
+           CASE WHEN oldv.o_orderkey IS NULL THEN 'added'
+                WHEN newv.o_orderkey IS NULL THEN 'removed'
+                WHEN (oldv.o_orderstatus IS DISTINCT FROM newv.o_orderstatus)
+                  OR (oldv.o_totalprice IS DISTINCT FROM newv.o_totalprice)
+                THEN 'changed' ELSE 'unchanged' END AS status,
+           CASE WHEN oldv.o_orderkey IS NULL OR newv.o_orderkey IS NULL THEN ''
+                ELSE concat_ws(',',
+                    CASE WHEN oldv.o_orderstatus IS DISTINCT FROM newv.o_orderstatus
+                         THEN 'o_orderstatus' END,
+                    CASE WHEN oldv.o_totalprice IS DISTINCT FROM newv.o_totalprice
+                         THEN 'o_totalprice' END) END AS changed_cols,
+           CASE WHEN oldv.o_orderkey IS NULL OR newv.o_orderkey IS NULL THEN 0
+                ELSE (oldv.o_orderstatus IS DISTINCT FROM newv.o_orderstatus)::INT
+                   + (oldv.o_totalprice IS DISTINCT FROM newv.o_totalprice)::INT
+           END AS n_changed
+    FROM oldv FULL OUTER JOIN newv USING (o_orderkey)
+    """,
+    doc="Snapshot diff (operators/diffing.py snapshot_diff): two synthetic "
+    "versions of orders (some keys dropped on each side, prices perturbed "
+    "on a third stripe) classified added/removed/changed/unchanged with "
+    "the differing-column list. ONE full-outer sort-merge join on the "
+    "key, null-safe codegen comparison, no second pass — the change-data "
+    "report for incremental refresh and re-run regression gating.",
+)
+def q75_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.diffing import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])

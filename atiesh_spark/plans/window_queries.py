@@ -183,3 +183,65 @@ def q72_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q76_rolling_value",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(avg(value) OVER w, 4) AS rolling_avg,
+           round(sum(value) OVER w, 4) AS rolling_sum,
+           count(*) OVER w AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 10-minute rolling stats per user (operators/timeseries.py "
+    "rolling_aggregate): value-based RANGE frames on epoch micros — ties "
+    "share a frame, so results are deterministic under unstable sort "
+    "order. One shuffle; avg/sum/count share a single Window operator. "
+    "The moving-average layer of a metrics pipeline.",
+)
+def q76_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.timeseries import rolling_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_aggregate(
+        events.select("event_id", "user_id", "ts", "value"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_seconds=600,
+    ).select("event_id", "user_id", "value", "rolling_avg", "rolling_sum", "rolling_n")
+
+
+@register(
+    "q77_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type, value,
+           round(least(hi, greatest(lo, value)), 4) AS clipped
+    FROM events JOIN b USING (event_type)
+    """,
+    doc="Percentile winsorization per event_type (operators/profile.py "
+    "winsorize, p05/p95): exact interpolated percentiles from one "
+    "groupBy, bounds broadcast back onto the rows (stratum-sized dim, "
+    "no second data shuffle), codegen least/greatest clip. The "
+    "outlier-taming step before loss-sensitive aggregate reporting.",
+)
+def q77_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import winsorize
+
+    events = load_table(spark, sf_dir, "events")
+    return winsorize(
+        events.select("event_id", "event_type", "value"),
+        value_col="value",
+        group_col="event_type",
+        p_low=0.05,
+        p_high=0.95,
+    ).select("event_id", "event_type", "value", "clipped")

@@ -195,3 +195,34 @@ def test_profile_table_rejects_complex_columns(spark):
         profile_table(df, ["a"])
     with _pytest.raises(KeyError):
         profile_table(df, ["missing"])
+
+
+def test_winsorize_clips_globally_and_keeps_nulls(spark):
+    from atiesh_spark.operators.profile import winsorize
+
+    import pytest as _pytest
+
+    vals = [(i, float(i)) for i in range(1, 11)] + [(99, None)]
+    df = spark.createDataFrame(vals, "k long, v double")
+    out = {r["k"]: r for r in winsorize(df, "v", p_low=0.1, p_high=0.9).collect()}
+    # exact interpolated percentiles over 1..10: p10 = 1.9, p90 = 9.1
+    assert out[1]["clipped"] == 1.9
+    assert out[10]["clipped"] == 9.1
+    assert out[5]["clipped"] == 5.0
+    assert out[99]["clipped"] is None  # clipping is not imputation
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", p_low=0.9, p_high=0.1)
+
+
+def test_winsorize_grouped_uses_per_group_bounds(spark):
+    from atiesh_spark.operators.profile import winsorize
+
+    rows = [("a", float(i)) for i in range(1, 6)] + [("b", float(100 * i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", group_col="g", p_low=0.0, p_high=0.5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["clipped"])
+    # p50 of 1..5 is 3; of 100..500 is 300 — groups clip independently
+    assert max(by_g["a"]) == 3.0 and max(by_g["b"]) == 300.0

@@ -1,0 +1,64 @@
+from datetime import datetime, timedelta
+
+import pytest
+
+from atiesh_spark.operators.timeseries import rolling_aggregate, zscore_outliers
+
+_SCHEMA = "event_id long, user_id long, ts timestamp_ntz, value double"
+
+
+def _ev(i, u, sec, v):
+    return (i, u, datetime(2024, 1, 1) + timedelta(seconds=sec), v)
+
+
+def test_rolling_aggregate_trailing_frame_and_key_isolation(spark):
+    df = spark.createDataFrame(
+        [
+            _ev(1, 1, 0, 10.0),
+            _ev(2, 1, 30, 20.0),
+            _ev(3, 1, 100, 30.0),  # 60s window: only itself + t=100-60..100
+            _ev(4, 2, 30, 99.0),   # other key never mixes in
+        ],
+        _SCHEMA,
+    )
+    out = {
+        r["event_id"]: r
+        for r in rolling_aggregate(df, "user_id", "ts", "value", 60).collect()
+    }
+    assert out[1]["rolling_n"] == 1 and out[1]["rolling_avg"] == 10.0
+    assert out[2]["rolling_n"] == 2 and out[2]["rolling_sum"] == 30.0
+    # frame is [40s, 100s]: event at 30s has fallen out
+    assert out[3]["rolling_n"] == 1 and out[3]["rolling_avg"] == 30.0
+    assert out[4]["rolling_n"] == 1 and out[4]["rolling_sum"] == 99.0
+
+
+def test_rolling_aggregate_ties_share_a_frame(spark):
+    # value-based frames: equal timestamps see each other regardless of
+    # sort-order nondeterminism
+    df = spark.createDataFrame(
+        [_ev(1, 1, 10, 1.0), _ev(2, 1, 10, 3.0)], _SCHEMA
+    )
+    out = rolling_aggregate(df, "user_id", "ts", "value", 60).collect()
+    assert {r["rolling_n"] for r in out} == {2}
+    assert {r["rolling_avg"] for r in out} == {2.0}
+
+
+def test_rolling_aggregate_rejects_bad_window(spark):
+    df = spark.createDataFrame([_ev(1, 1, 0, 1.0)], _SCHEMA)
+    with pytest.raises(ValueError):
+        rolling_aggregate(df, "user_id", "ts", "value", 0)
+
+
+def test_zscore_outliers_flags_spike_not_degenerate_frames(spark):
+    rows = [_ev(i, 1, i, 10.0) for i in range(1, 10)] + [_ev(10, 1, 10, 500.0)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = {
+        r["event_id"]: r
+        for r in zscore_outliers(df, "user_id", "ts", "value", 600, 2.0).collect()
+    }
+    # first frame has n=1 -> NULL z, never flagged
+    assert out[1]["zscore"] is None and out[1]["is_outlier"] is False
+    # constant frames (zero variance) -> NULL z, never flagged
+    assert out[5]["zscore"] is None and out[5]["is_outlier"] is False
+    # the spike is flagged
+    assert out[10]["is_outlier"] is True and out[10]["zscore"] > 2.0
