@@ -80,6 +80,15 @@ def test_semi_anti_join_strategies(spark):
         "q64_stratified_sample",
         "q65_dedup_survivors",
         "q67_asof_join_bucketed",
+        "q68_line_dedup",
+        "q69_top_ngrams",
+        "q70_chunk_documents",
+        "q71_temperature_weights",
+        "q72_retention_cohorts",
+        "q74_profile_table",
+        "q75_snapshot_diff",
+        "q76_rolling_value",
+        "q77_winsorize",
     ],
 )
 def test_no_python_udf_in_hot_paths(spark, name):
@@ -226,3 +235,44 @@ def test_winsorize_grouped_uses_per_group_bounds(spark):
         by_g.setdefault(r["g"], []).append(r["clipped"])
     # p50 of 1..5 is 3; of 100..500 is 300 — groups clip independently
     assert max(by_g["a"]) == 3.0 and max(by_g["b"]) == 300.0
+
+
+def test_snapshot_diff_plan_single_outer_join(spark):
+    """q75 is ONE full-outer join on the key — no second pass, no
+    nested-loop fallback."""
+    df = QUERIES["q75_snapshot_diff"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "FullOuter" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_value_single_shuffle_shared_window(spark):
+    """q76's three rolling stats share one Window operator over one
+    key-partition shuffle."""
+    df = QUERIES["q76_rolling_value"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_winsorize_bounds_broadcast_back(spark):
+    """q77's per-group percentile bounds are a broadcast dim — the data
+    is never shuffled a second time for the clip."""
+    plan = plan_of(spark, "q77_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_table_single_scan(spark):
+    """q74 profiles every column in ONE pass over the table."""
+    df = QUERIES["q74_profile_table"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Scan parquet") == 1
