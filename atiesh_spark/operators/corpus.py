@@ -173,3 +173,53 @@ def chunk_documents(
         chunk.alias(chunk_col),
         F.length(chunk).alias("n_chunk_chars"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 100,
+    min_df: int = 1,
+) -> DataFrame:
+    """Token -> posting-list index: (token, df, n_total, postings) where
+    ``postings`` is the comma-joined list of the ``max_postings``
+    smallest doc ids containing the token. The retrieval-side complement
+    of ``top_ngrams``: boolean search, candidate generation for
+    re-ranking, and the "which documents leaked this string" audit.
+
+    Scale shape: tokens explode through the shared ``_fanout`` guard
+    (one compact parquet partition must not become one giant task), the
+    postings aggregate shuffles (token, doc_id) pairs once, and the
+    per-token list is CAPPED at ``max_postings`` ids — stopword-like
+    tokens appear in most documents, and an uncapped collect would
+    materialize a posting list the size of the corpus on one reducer.
+    ``df``/``n_total`` stay exact regardless of the cap; ``min_df``
+    prunes hapax noise before the list aggregate.
+    """
+    from atiesh_spark.operators.dedup import _fanout
+
+    if max_postings <= 0:
+        raise ValueError("max_postings must be positive")
+    toks = _fanout(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("__tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("__tf").alias("n_total"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_postings),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -113,3 +113,50 @@ def winsorize(
     )
     return joined.select(*df.columns, clip.alias("clipped"))
 
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram: (bin, bin_lo, bin_hi, n) for ``bins``
+    equal-width buckets over [lo, hi] — the distribution report behind
+    every profiling dashboard. NULLs are excluded; values outside an
+    explicit [lo, hi] clamp into the edge bins (so a histogram over a
+    known domain never silently drops rows).
+
+    When bounds are not given they come from a min/max aggregate whose
+    single-row result is BROADCAST into the binning pass — two scans
+    total, no driver round-trip in the plan. Pass literal bounds to make
+    it one scan. Bin arithmetic is plain codegen float math:
+    bin = clamp(floor((v - lo) / width)) — identical in any engine, so
+    the report is oracle-checkable. A degenerate lo == hi domain puts
+    everything in bin 0.
+    """
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(v).cast("double").alias("__lo"), F.max(v).cast("double").alias("__hi")
+        )
+        binned = df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        binned = df.filter(v.isNotNull())
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(bins))
+    raw = F.when(width > 0, F.floor((v - lo_c) / width)).otherwise(F.lit(0))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return (
+        binned.select(
+            b.alias("bin"),
+            F.round(lo_c + b * width, 6).alias("bin_lo"),
+            F.round(lo_c + (b + 1) * width, 6).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -13,7 +13,7 @@ runtime; these explicit utilities cover the two shapes AQE cannot fix:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,3 +86,51 @@ def salted_broadcast_join(
     )
     out = salted_fact.join(F.broadcast(salted_dim), [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Pre-shuffle skew diagnostics: the top-``top_k`` hottest join/agg
+    keys with their row counts, share of the table, ratio to the mean
+    key load, and the salt bucket count that would spread each onto
+    ~``target_rows_per_task``-row tasks.
+
+    Output: (keys..., n_rows, frac_of_total, skew_ratio, suggested_salt,
+    rank) — the report to run BEFORE committing to a join/groupBy
+    strategy on a new dataset: a skew_ratio in the hundreds says "salt
+    this key or let AQE split it"; suggested_salt feeds straight into
+    ``with_salt``/``salted_aggregate``.
+
+    Plan: one partial-aggregated count shuffle on the keys, a
+    TakeOrderedAndProject for the top-k (never a global sort), and the
+    single-row totals frame joined back by broadcast.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.avg("n_rows").alias("__mean")
+    )
+    top = counts.orderBy(F.desc("n_rows"), *key_cols).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("frac_of_total"),
+            F.round(F.col("n_rows") / F.col("__mean"), 2).alias("skew_ratio"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") / F.lit(target_rows_per_task)).cast("int"),
+            ).alias("suggested_salt"),
+        )
+        .withColumn(
+            "rank",
+            # window over <= top_k rows: the single-task sort is fine
+            F.row_number().over(Window.orderBy(F.desc("n_rows"), *key_cols)),
+        )
+    )

@@ -1471,3 +1471,33 @@ def q73_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_least_04"),
         )
     )
+
+
+@register(
+    "q80_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> length(t) > 0)) AS token
+        FROM documents
+    ),
+    pd AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY token, doc_id)
+    SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS n_total,
+           array_to_string(
+               list_transform(list_sort(list(doc_id))[1:10], d -> CAST(d AS VARCHAR)),
+               ',') AS postings
+    FROM pd GROUP BY token HAVING count(*) >= 2
+    """,
+    doc="Inverted token index over documents (operators/corpus.py "
+    "inverted_index, min_df=2, postings capped at 10): token -> exact "
+    "doc-frequency + total count + the 10 smallest posting doc ids. "
+    "One (token, doc) shuffle; the posting list is CAPPED so "
+    "stopword-like tokens never materialize corpus-sized lists on one "
+    "reducer. The retrieval-side complement of q69's n-gram report.",
+)
+def q80_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, max_postings=10, min_df=2)

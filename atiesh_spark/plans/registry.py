@@ -101,6 +101,9 @@ DRIVER_ORDER: list[str] = [
     "q75_snapshot_diff",
     "q76_rolling_value",
     "q77_winsorize",
+    "q78_histogram",
+    "q79_skew_report",
+    "q80_inverted_index",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -130,14 +133,14 @@ DRIVER_ORDER: list[str] = [
     "q33_language_id",
     "q34_token_counts",
     "q35_fingerprint",
+    # ----------------- driver window boundary (50) -----------------
+    # q42/q48/q49 and q12-q21 + q46 were pushed past the boundary by the
+    # thirteen r3 additions (q68-q80) — all were driver-green in r01 AND
+    # r02 and stay in the in-repo parity suite, so rotating them out
+    # loses the least.
     "q42_tfidf_topk",
     "q48_deterministic_split",
     "q49_token_budget_take",
-    # ----------------- driver window boundary (50) -----------------
-    # q12-q21 + q46 were pushed past the boundary by the ten r3
-    # additions (q68-q77) — all ten were driver-green in r01 AND r02 and
-    # stay in the in-repo parity suite, so rotating them out loses the
-    # least.
     "q12_window_tumbling",
     "q46_schema_on_read",
     "q14_pricing_summary",

@@ -439,3 +439,70 @@ def q75_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@register(
+    "q78_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+               CAST(max(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+    ),
+    x AS (
+        SELECT CAST(least(9, greatest(0,
+                   CASE WHEN (hi - lo) / 10.0 > 0
+                        THEN floor((o_totalprice - lo) / ((hi - lo) / 10.0))
+                        ELSE 0 END)) AS INT) AS bin,
+               lo, hi
+        FROM orders, b WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bin,
+           round(lo + bin * ((hi - lo) / 10.0), 6) AS bin_lo,
+           round(lo + (bin + 1) * ((hi - lo) / 10.0), 6) AS bin_hi,
+           count(*) AS n
+    FROM x GROUP BY bin, lo, hi
+    """,
+    doc="Fixed-width 10-bin histogram of o_totalprice (operators/profile.py "
+    "histogram, auto bounds): min/max single-row aggregate BROADCAST into "
+    "the binning pass (no driver round-trip), clamp-to-edge-bins codegen "
+    "float math identical in any engine. The distribution report behind "
+    "every profiling dashboard.",
+)
+def q78_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", bins=10)
+
+
+@register(
+    "q79_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total, avg(n_rows) AS mean FROM c),
+    top AS (SELECT * FROM c ORDER BY n_rows DESC, o_custkey LIMIT 20)
+    SELECT o_custkey, n_rows,
+           round(n_rows / total, 6) AS frac_of_total,
+           round(n_rows / mean, 2) AS skew_ratio,
+           greatest(1, CAST(ceil(n_rows / 10.0) AS INT)) AS suggested_salt,
+           row_number() OVER (ORDER BY n_rows DESC, o_custkey) AS rank
+    FROM top, t
+    """,
+    doc="Join-key skew diagnostics on orders.o_custkey (operators/skew.py "
+    "key_skew_report, target 10 rows/task to exercise the salt column): "
+    "top-20 hottest keys with share-of-table, ratio-to-mean-key, and the "
+    "salt bucket count that feeds with_salt/salted_aggregate. One "
+    "partial-aggregated count shuffle + TakeOrderedAndProject top-k + "
+    "broadcast single-row totals — the report to run before committing "
+    "to a join strategy on a new dataset.",
+)
+def q79_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.skew import key_skew_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew_report(
+        orders, ["o_custkey"], top_k=20, target_rows_per_task=10
+    )

@@ -152,3 +152,32 @@ def test_temperature_weights_sum_to_one(spark):
     )
     rows = temperature_weights(df, "lang", "cost", alpha=0.3, round_to=6).collect()
     assert math.isclose(sum(r["weight"] for r in rows), 1.0, abs_tol=1e-4)
+
+
+def test_inverted_index_caps_postings_exact_df(spark):
+    import pytest as _pytest
+
+    from atiesh_spark.operators.corpus import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "apple banana apple"),
+            (1, "apple cherry"),
+            (2, "apple banana"),
+            (4, "date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in inverted_index(docs, max_postings=2).collect()}
+    # df and n_total stay exact even though the posting list is capped
+    apple = out["apple"]
+    assert apple["df"] == 3 and apple["n_total"] == 4
+    assert apple["postings"] == "1,2"  # smallest ids, capped at 2
+    assert out["banana"]["postings"] == "2,3"
+    assert out["date"]["df"] == 1
+
+    assert "date" not in {
+        r["token"] for r in inverted_index(docs, min_df=2).collect()
+    }
+    with _pytest.raises(ValueError):
+        inverted_index(docs, max_postings=0)

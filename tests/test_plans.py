@@ -89,6 +89,9 @@ def test_semi_anti_join_strategies(spark):
         "q75_snapshot_diff",
         "q76_rolling_value",
         "q77_winsorize",
+        "q78_histogram",
+        "q79_skew_report",
+        "q80_inverted_index",
     ],
 )
 def test_no_python_udf_in_hot_paths(spark, name):
@@ -276,3 +279,52 @@ def test_profile_table_single_scan(spark):
         df._jdf.queryExecution(), "simple"
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_histogram_clamps_and_handles_degenerate_domain(spark):
+    from atiesh_spark.operators.profile import histogram
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (10.0,), (None,), (-3.0,), (99.0,)], "v double"
+    )
+    # explicit bounds: out-of-range values clamp into edge bins
+    out = {r["bin"]: r for r in histogram(df, "v", bins=2, lo=0.0, hi=10.0).collect()}
+    assert out[0]["n"] == 3  # 0.0, 4.9, -3.0(clamped)
+    assert out[1]["n"] == 3  # 5.0, 10.0, 99.0(clamped); NULL dropped
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 5.0
+
+    const = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    rows = histogram(const, "v", bins=4).collect()  # lo == hi
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 2
+
+    with _pytest.raises(ValueError):
+        histogram(df, "v", bins=0)
+
+
+def test_key_skew_report_ranks_and_sizes_salt(spark):
+    from atiesh_spark.operators.skew import key_skew_report
+
+    import pytest as _pytest
+
+    rows = [("hot",)] * 30 + [("warm",)] * 6 + [("cold",)] * 3 + [("cool",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, ["k"], top_k=3, target_rows_per_task=10).collect()
+    assert [r["k"] for r in out] == ["hot", "warm", "cold"]  # cool cut by top_k
+    top = out[0]
+    assert top["n_rows"] == 30 and top["rank"] == 1
+    assert top["suggested_salt"] == 3  # ceil(30/10)
+    assert top["frac_of_total"] == 0.75  # 30/40
+    assert top["skew_ratio"] == 3.0  # 30 / mean(10)
+    assert out[2]["suggested_salt"] == 1  # never below 1
+
+    with _pytest.raises(ValueError):
+        key_skew_report(df, [], top_k=3)
+
+
+def test_skew_report_topk_avoids_global_sort(spark):
+    """q79's top-k must compile to TakeOrderedAndProject; the rank
+    window runs over <= top_k rows only."""
+    plan = plan_of(spark, "q79_skew_report")
+    assert "TakeOrderedAndProject" in plan
