@@ -1501,3 +1501,37 @@ def q80_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return inverted_index(docs, max_postings=10, min_df=2)
+
+
+@register(
+    "q81_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY doc_id) AS p
+        FROM ch GROUP BY doc_id, c
+    ),
+    e AS (
+        SELECT doc_id, round(-sum(p * log2(p)), 4) AS char_entropy,
+               CAST(sum(1) AS INT) AS n_distinct
+        FROM p GROUP BY doc_id
+    )
+    SELECT d.doc_id, length(d.text) AS n_chars_seen,
+           coalesce(e.char_entropy, 0.0) AS char_entropy
+    FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+    doc="Per-document character-distribution Shannon entropy "
+    "(operators/textstats.py char_entropy): the degenerate-text quality "
+    "signal (repeated runs / base64 blobs / template spam sit far from "
+    "the ~3.5-4.5 bit prose band). Computed row-local with nested "
+    "higher-order functions — ZERO shuffles, vs the naive (doc, char) "
+    "exploded groupBy that shuffles |text| rows per document.",
+)
+def q81_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)

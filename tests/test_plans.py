@@ -328,3 +328,14 @@ def test_skew_report_topk_avoids_global_sort(spark):
     window runs over <= top_k rows only."""
     plan = plan_of(spark, "q79_skew_report")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_char_entropy_zero_shuffles(spark):
+    """q81 computes per-document entropy entirely row-local (nested
+    higher-order functions) — the plan must contain NO exchange at all."""
+    df = QUERIES["q81_char_entropy"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
