@@ -1,0 +1,97 @@
+"""End-to-end corpus curation: the whole pre-training data-prep chain
+as ONE declarative plan.
+
+quality gate -> exact dedup -> per-language token budget, reported per
+language with the count surviving each stage. This is the composite the
+individual operators exist for: because every stage is a DataFrame
+transformation (no driver round-trips, no materialization between
+stages), Catalyst sees the WHOLE pipeline — filters fuse into the scan,
+the dedup shuffle carries only gate survivors, and the budget window
+reuses rows already partitioned by language where possible.
+
+At 100 TB each stage is the scale-proven operator it delegates to:
+the gate is codegen predicates, dedup shuffles md5 digests (never full
+text twice), the budget is one window pass. The per-stage report is a
+handful of per-language aggregates over ever-smaller frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.dedup import exact_dedup
+from atiesh_spark.operators.sampling import budgeted_take
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cost_col: str = "n_chars",
+    min_chars: int = 20,
+    max_chars: int = 100_000,
+    max_mean_word_len: float = 20.0,
+    budget: int = 5_000,
+) -> DataFrame:
+    """Curate a document corpus and report per language:
+    (lang, n_candidates, n_after_quality, n_after_dedup, n_selected,
+    cost_selected).
+
+    Stages (all declarative, one plan):
+      1. quality gate — cost in [min_chars, max_chars] and mean
+         whitespace-token length <= ``max_mean_word_len`` (the cheap
+         C4-style screens; spam/base64 blobs fail the word-length one);
+      2. exact dedup — md5(text), min-id survivor per digest;
+      3. budget take — per language in deterministic ``id_col`` order
+         until ``budget`` cost accumulates (first row over the line
+         kept), the q49/budgeted_take contract.
+
+    Languages whose every document fails a stage still report (their
+    later-stage counts are 0) — a silent vanishing language is exactly
+    what the report exists to catch.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    mean_wl = F.when(
+        F.size(words) > 0,
+        (F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+         / F.size(words)),
+    ).otherwise(F.lit(0.0))
+    gated = docs.filter(
+        (F.col(cost_col) >= min_chars)
+        & (F.col(cost_col) <= max_chars)
+        & (mean_wl <= max_mean_word_len)
+    )
+    # exact_dedup emits (digest, keep_id, n_dups); the min-id survivors'
+    # full rows come back via a LEFT SEMI join on the id — the text
+    # column itself never shuffles twice
+    keep = exact_dedup(gated, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    deduped = gated.join(keep, id_col, "left_semi")
+    selected = budgeted_take(deduped, lang_col, cost_col, budget=budget,
+                             order_col=id_col)
+
+    def per_lang(df: DataFrame, *aggs) -> DataFrame:
+        return df.groupBy(lang_col).agg(*aggs)
+
+    report = (
+        per_lang(docs, F.count(F.lit(1)).alias("n_candidates"))
+        .join(per_lang(gated, F.count(F.lit(1)).alias("n_after_quality")),
+              lang_col, "left")
+        .join(per_lang(deduped, F.count(F.lit(1)).alias("n_after_dedup")),
+              lang_col, "left")
+        .join(
+            per_lang(
+                selected,
+                F.count(F.lit(1)).alias("n_selected"),
+                F.sum(cost_col).alias("cost_selected"),
+            ),
+            lang_col,
+            "left",
+        )
+    )
+    fill = {c: 0 for c in
+            ("n_after_quality", "n_after_dedup", "n_selected", "cost_selected")}
+    return report.fillna(fill)

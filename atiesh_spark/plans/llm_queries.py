@@ -1535,3 +1535,66 @@ def q81_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy(docs)
+
+
+@register(
+    "q82_curation_pipeline",
+    oracle="""
+    WITH ws AS (
+        SELECT *, list_filter(regexp_split_to_array(text, '\\s+'),
+                              w -> length(w) > 0) AS __w
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, text, lang, n_chars FROM ws
+        WHERE n_chars BETWEEN 100 AND 450
+          AND (CASE WHEN len(__w) > 0
+                    THEN CAST(list_sum(list_transform(__w, w -> length(w)))
+                              AS DOUBLE) / len(__w)
+                    ELSE 0.0 END) <= 4.6
+    ),
+    deduped AS (
+        SELECT g.* FROM gated g
+        JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)) k
+        USING (doc_id)
+    ),
+    selected AS (
+        SELECT lang, n_chars FROM (
+            SELECT lang, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS running
+            FROM deduped
+        ) WHERE running - n_chars < 5000
+    )
+    SELECT c.lang,
+           c.n_candidates,
+           coalesce(q.n, 0) AS n_after_quality,
+           coalesce(d.n, 0) AS n_after_dedup,
+           coalesce(s.n, 0) AS n_selected,
+           coalesce(s.cost, 0) AS cost_selected
+    FROM (SELECT lang, count(*) AS n_candidates FROM documents GROUP BY lang) c
+    LEFT JOIN (SELECT lang, count(*) AS n FROM gated GROUP BY lang) q USING (lang)
+    LEFT JOIN (SELECT lang, count(*) AS n FROM deduped GROUP BY lang) d USING (lang)
+    LEFT JOIN (SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS cost
+               FROM selected GROUP BY lang) s USING (lang)
+    """,
+    headline=True,
+    doc="The composite LLM-curation flagship (operators/curation.py "
+    "curate_corpus): quality gate (length bounds + mean-word-length "
+    "screen; thresholds 100-450 chars / mean-wl 4.6 picked from the "
+    "testdata quantiles so every stage visibly rejects) "
+    "-> exact dedup (md5 min-id survivors via LEFT SEMI, text never "
+    "shuffles twice) -> per-language 5000-char budget take (q49 "
+    "contract), reported per language with the count surviving each "
+    "stage. ONE declarative plan end-to-end: no materialization between "
+    "stages, filters fused into the scan, ever-smaller frames per "
+    "stage. The 'whole pipeline' counterpart of q50's event flagship.",
+)
+def q82_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, min_chars=100, max_chars=450, max_mean_word_len=4.6,
+        budget=5_000,
+    )

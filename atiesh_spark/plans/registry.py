@@ -105,6 +105,7 @@ DRIVER_ORDER: list[str] = [
     "q79_skew_report",
     "q80_inverted_index",
     "q81_char_entropy",
+    "q82_curation_pipeline",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -132,12 +133,12 @@ DRIVER_ORDER: list[str] = [
     "q31_embedding_near_dup",
     "q32_text_stats",
     "q33_language_id",
-    "q34_token_counts",
     # ----------------- driver window boundary (50) -----------------
-    # q35/q42/q48/q49 and q12-q21 + q46 were pushed past the boundary by
-    # the fourteen r3 additions (q68-q81) — all were driver-green in r01
-    # AND r02 and stay in the in-repo parity suite, so rotating them out
-    # loses the least.
+    # q34/q35/q42/q48/q49 and q12-q21 + q46 were pushed past the boundary
+    # by the fifteen r3 additions (q68-q82) — all were driver-green in
+    # r01 AND r02 and stay in the in-repo parity suite, so rotating them
+    # out loses the least.
+    "q34_token_counts",
     "q35_fingerprint",
     "q42_tfidf_topk",
     "q48_deterministic_split",

@@ -181,3 +181,36 @@ def test_inverted_index_caps_postings_exact_df(spark):
     }
     with _pytest.raises(ValueError):
         inverted_index(docs, max_postings=0)
+
+
+def test_curate_corpus_reports_every_stage(spark):
+    from atiesh_spark.operators.curation import curate_corpus
+
+    rows = [
+        # en: one too-short doc, one dup pair, rest ok
+        (1, "x", "en", 1),                                  # fails min_chars
+        (2, "good words here live", "en", 20),
+        (3, "good words here live", "en", 20),              # exact dup of 2
+        (4, "more fine text lives", "en", 20),
+        # fr: all docs fail the word-length screen -> language must
+        # still appear in the report with zeros
+        (5, "supercalifragilistic expialidocious", "fr", 35),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    out = {
+        r["lang"]: r
+        for r in curate_corpus(
+            df, min_chars=5, max_chars=100, max_mean_word_len=6.0, budget=25
+        ).collect()
+    }
+    en = out["en"]
+    assert en["n_candidates"] == 4
+    assert en["n_after_quality"] == 3      # doc 1 too short
+    assert en["n_after_dedup"] == 2        # 3 is a dup of 2
+    # budget 25: doc 2 (20, running 20) kept; doc 4 crosses the line and
+    # is the first-over kept row -> both selected
+    assert en["n_selected"] == 2 and en["cost_selected"] == 40
+    fr = out["fr"]
+    assert fr["n_candidates"] == 1
+    assert (fr["n_after_quality"], fr["n_after_dedup"], fr["n_selected"]) == (0, 0, 0)
+    assert fr["cost_selected"] == 0
