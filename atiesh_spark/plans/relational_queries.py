@@ -506,3 +506,82 @@ def q79_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(
         orders, ["o_custkey"], top_k=20, target_rows_per_task=10
     )
+
+
+@register(
+    "q83_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-safe two-phase aggregation (operators/skew.py "
+    "salted_aggregate) on lineitem's 3-value l_returnflag — the "
+    "pathological groupBy shape where partial aggregation still lands "
+    "each hot key on ONE reducer. Phase 1 aggregates on (key, salt) so "
+    "the hot key's rows spread over 16 tasks; phase 2 merges the 16 "
+    "bucket partials per key (sum-of-sums / sum-of-counts). The salt is "
+    "a content hash (xxhash64 of the row), never rand(): map-task "
+    "retries re-salt identically, so no row is double-counted or lost "
+    "at scale. Oracle is the plain GROUP BY — salting must be "
+    "semantically invisible.",
+)
+def q83_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return salted_aggregate(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount"),
+        key_cols=["l_returnflag"],
+        partial_aggs={
+            "n": F.count(F.lit(1)),
+            "qty": F.sum("l_quantity"),
+            "rev": F.sum(revenue),
+        },
+        merge_aggs={
+            "n_rows": F.sum("n"),
+            "sum_qty": F.round(F.sum("qty"), 2),
+            "revenue": F.round(F.sum("rev"), 2),
+        },
+        buckets=16,
+    )
+
+
+@register(
+    "q84_salted_broadcast_join",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Skew-safe fact-dim join (operators/skew.py salted_broadcast_join): "
+    "the dim (part) is exploded 16x with a salt column and broadcast, the "
+    "fact (lineitem) joins on (partkey, content-hash salt) — the fact "
+    "side NEVER shuffles and no reducer owns a hot key, the strategy for "
+    "a dim too hot to shuffle against but small enough that 16x "
+    "replication still broadcasts. Plan gate asserts BroadcastHashJoin "
+    "with zero fact-side Exchange before the join. Oracle is the plain "
+    "join + GROUP BY — salting must be semantically invisible.",
+)
+def q84_salted_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.skew import salted_broadcast_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_broadcast_join(li, part, on="l_partkey", buckets=16)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

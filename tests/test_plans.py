@@ -339,3 +339,20 @@ def test_char_entropy_zero_shuffles(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_salted_skew_agg_two_phase_plan(spark):
+    """q83 must show the two-phase shape: one exchange on (key, salt),
+    one on key alone — and nothing else."""
+    plan = plan_of(spark, "q83_salted_skew_agg")
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "__salt" in plan
+
+
+def test_salted_broadcast_join_no_fact_shuffle(spark):
+    """q84's fact side must reach the join without an exchange: the dim
+    is replicated+broadcast; only the final groupBy shuffles."""
+    plan = plan_of(spark, "q84_salted_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one exchange: the post-join groupBy on p_brand
+    assert plan.count("Arguments: hashpartitioning") == 1
