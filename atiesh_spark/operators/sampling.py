@@ -241,3 +241,110 @@ def budgeted_take(
         df, group_col, cost_col, budgets={}, order_col=order_col,
         default_budget=budget,
     )
+
+
+def global_index(
+    df: DataFrame,
+    order_cols: list[str] | str,
+    index_col: str = "global_idx",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous global index (start, start+1, ...) in total
+    ``order_cols`` order — WITHOUT the single-task global window that
+    ``row_number() OVER (ORDER BY ...)`` costs at scale.
+
+    The training-pipeline primitive behind "assign every sample a stable
+    id" and (via a hash sort key) "epoch-seeded reproducible corpus
+    shuffle". Three steps, none of which funnels data through one task:
+
+      1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions``:
+         total order ACROSS partitions, local order within. The frame is
+         ``localCheckpoint``-ed to pin the sampled range boundaries —
+         the count pass and the index pass MUST see identical
+         partitioning (RangePartitioner re-sampling between jobs could
+         otherwise move rows between partitions).
+      2. One tiny aggregation collects per-partition row counts — the
+         only driver-side data is O(num_partitions) longs (same bounded
+         pattern as connected components' convergence digest).
+      3. Cumulative offsets broadcast back; an Arrow-batched
+         ``mapInPandas`` adds offset + local position. No extra shuffle:
+         the window alternative (row_number per partition id) would
+         re-shuffle the full frame on __pid because Catalyst cannot see
+         the frame is already partitioned by it.
+
+    Ties across ``order_cols`` land in one partition (range partitioning
+    guarantees it) but their relative order is not defined — pass a
+    unique key (e.g. the primary id) as the last order column for a
+    fully deterministic index.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if index_col in df.columns:
+        raise ValueError(f"index_col {index_col!r} collides with an input column")
+    if "__pid" in df.columns:
+        raise ValueError("input must not contain the reserved column '__pid'")
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = int(start)
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        [f for f in ranged.schema.fields if f.name != "__pid"]
+        + [StructField(index_col, LongType(), False)]
+    )
+
+    def add_index(batches):
+        pos: int | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = bc.value[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns="__pid")
+            out[index_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(add_index, schema=out_schema)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "epoch-0",
+    index_col: str = "shuffle_idx",
+) -> DataFrame:
+    """Epoch-seeded reproducible global shuffle: order by
+    ``md5(seed || key)`` and assign a contiguous position via
+    :func:`global_index`.
+
+    Changing ``seed`` ("epoch-1", ...) produces an independent
+    permutation of the same corpus; the same seed always yields the
+    same order on any cluster size — the property training-data
+    loaders need and ``ORDER BY rand()`` cannot give (a retried map
+    task would re-draw). md5 is engine-portable, so the permutation is
+    reproducible outside Spark too.
+    """
+    shuffled = df.withColumn(
+        "__shuffle_key", F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")))
+    )
+    out = global_index(shuffled, ["__shuffle_key"], index_col=index_col)
+    return out.drop("__shuffle_key")

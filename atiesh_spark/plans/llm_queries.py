@@ -1598,3 +1598,49 @@ def q82_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, min_chars=100, max_chars=450, max_mean_word_len=4.6,
         budget=5_000,
     )
+
+
+@register(
+    "q85_global_index",
+    oracle="""
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS global_idx
+    FROM documents
+    """,
+    doc="Contiguous global sample ids in (n_chars, doc_id) order via "
+    "operators/sampling.py global_index: repartitionByRange + "
+    "sortWithinPartitions (total order across partitions), O(partitions) "
+    "count collect, broadcast offsets, Arrow mapInPandas position pass — "
+    "NEVER the single-task window the oracle's row_number() OVER "
+    "(ORDER BY ...) implies. The frame is localCheckpoint-pinned so the "
+    "count and index passes see identical range boundaries.",
+)
+def q85_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import global_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_index(docs, ["n_chars", "doc_id"])
+
+
+@register(
+    "q86_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('epoch-1:' || CAST(doc_id AS VARCHAR)))
+               - 1 AS shuffle_idx
+    FROM documents
+    """,
+    doc="Epoch-seeded reproducible global corpus shuffle "
+    "(operators/sampling.py deterministic_shuffle): position = rank of "
+    "md5(seed || doc_id). Same seed => identical permutation on any "
+    "cluster size or engine (md5 is portable — the oracle reproduces it "
+    "in DuckDB); next epoch seed => independent permutation. ORDER BY "
+    "rand() cannot give this: a retried map task re-draws. Executes as "
+    "global_index over the hash key — range shuffle, no single-task "
+    "sort.",
+)
+def q86_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed="epoch-1")

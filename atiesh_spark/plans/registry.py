@@ -108,6 +108,8 @@ DRIVER_ORDER: list[str] = [
     "q82_curation_pipeline",
     "q83_salted_skew_agg",
     "q84_salted_broadcast_join",
+    "q85_global_index",
+    "q86_deterministic_shuffle",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -132,12 +134,12 @@ DRIVER_ORDER: list[str] = [
     "q29_embedding_topk",
     "q30_ann_lsh_topk",
     "q47_ivf_ann_topk",
-    "q31_embedding_near_dup",
     # ----------------- driver window boundary (50) -----------------
-    # q32-q35/q42/q48/q49 and q12-q21 + q46 were pushed past the boundary
-    # by the seventeen r3 additions (q68-q84) — all were driver-green in
+    # q30-q35/q42/q47-q49 and q12-q21 + q46 were pushed past the boundary
+    # by the nineteen r3 additions (q68-q86) — all were driver-green in
     # r01 AND r02 and stay in the in-repo parity suite, so rotating them
     # out loses the least.
+    "q31_embedding_near_dup",
     "q32_text_stats",
     "q33_language_id",
     "q34_token_counts",

@@ -7,6 +7,12 @@ Prints ONE JSON line:
 
 Materialization uses the noop sink (full execution, no driver collect) —
 the honest proxy for "write the result somewhere" at scale.
+
+Each query runs TWICE and the faster pass is recorded ("passes": 2 in
+the JSON): single-pass timings on a shared box showed 3-5x transient
+outliers (co-tenant CPU, JVM GC) on plans that re-measure flat —
+best-of-2 rejects that noise while still timing full execution. The
+BASELINE.md round-3 table was recorded with the same methodology.
 """
 
 from __future__ import annotations
@@ -38,14 +44,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            materialize(QUERIES[name].spark(spark, SF_DIR))
-        except Exception as exc:  # isolate: one broken query must not
-            errors[name] = repr(exc)  # void the whole bench record
-            print(f"  {name}: ERROR {exc!r}", file=sys.stderr)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                materialize(QUERIES[name].spark(spark, SF_DIR))
+            except Exception as exc:  # isolate: one broken query must not
+                errors[name] = repr(exc)  # void the whole bench record
+                print(f"  {name}: ERROR {exc!r}", file=sys.stderr)
+                best = None
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        if best is None:
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -55,6 +68,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": 2,
     }
     if errors:
         record["errors"] = errors

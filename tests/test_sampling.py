@@ -181,3 +181,56 @@ def test_pack_documents_partitioning_independent(spark):
     b = {(r["doc_id"]): (r["shard"], r["pack_id"])
          for r in pack_documents(df.repartition(13), "doc_id", "cost", budget=150, shards=8).collect()}
     assert a == b
+
+
+def test_global_index_matches_window(spark):
+    from atiesh_spark.operators.sampling import global_index
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 17 AS LONG) AS n_chars"
+    ).repartition(7)  # scrambled input partitioning
+    got = {r["doc_id"]: r["global_idx"]
+           for r in global_index(df, ["n_chars", "doc_id"], num_partitions=5).collect()}
+    expect = {
+        r["doc_id"]: i
+        for i, r in enumerate(
+            sorted(df.collect(), key=lambda r: (r["n_chars"], r["doc_id"]))
+        )
+    }
+    assert got == expect
+
+
+def test_global_index_start_offset_and_empty_partitions(spark):
+    from atiesh_spark.operators.sampling import global_index
+
+    # more partitions than rows -> some range partitions are empty
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k long")
+    rows = global_index(df, "k", start=100, num_partitions=8).collect()
+    assert {(r["k"], r["global_idx"]) for r in rows} == {(1, 100), (2, 101), (3, 102)}
+
+
+def test_global_index_rejects_collisions(spark):
+    import pytest as _pytest
+    from atiesh_spark.operators.sampling import global_index
+
+    df = spark.createDataFrame([(1, 0)], "k long, global_idx long")
+    with _pytest.raises(ValueError, match="collides"):
+        global_index(df, "k")
+    with _pytest.raises(ValueError, match="non-empty"):
+        global_index(df.select("k"), [])
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
+    from atiesh_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(500).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["shuffle_idx"]
+         for r in deterministic_shuffle(df, "doc_id", seed="epoch-0").collect()}
+    b = {r["doc_id"]: r["shuffle_idx"]
+         for r in deterministic_shuffle(df.repartition(11), "doc_id", seed="epoch-0").collect()}
+    c = {r["doc_id"]: r["shuffle_idx"]
+         for r in deterministic_shuffle(df, "doc_id", seed="epoch-1").collect()}
+    assert a == b                       # partitioning-independent
+    assert sorted(a.values()) == list(range(500))  # a true permutation
+    assert a != c                       # different epoch, different order
+    assert sorted(c.values()) == list(range(500))
