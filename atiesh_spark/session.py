@@ -51,8 +51,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read the raw int64 and convert in the loader.
+        # Older driver testdata stored events.ts as TIMESTAMP(NANOS),
+        # which Spark's reader rejects; this reads the raw int64 and the
+        # loader converts. Harmless no-op on the current timestamp[us]
+        # layout (load_table branches on the type actually read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

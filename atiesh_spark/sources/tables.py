@@ -70,12 +70,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64
-        # nanos (legacy.parquet.nanosAsLong); present as TIMESTAMP_NTZ,
-        # matching the naive wall-clock semantics every other engine
-        # gives this column (see epoch_nanos_to_ntz for why the
-        # conversion avoids instant casts and session timezones).
-        df = df.withColumn("ts", epoch_nanos_to_ntz("ts"))
+        # The driver's events table has shipped with two physical layouts
+        # for ts: parquet TIMESTAMP(NANOS) (Spark reads raw int64 nanos
+        # under legacy.parquet.nanosAsLong) and plain timestamp[us] with
+        # no zone (Spark reads TIMESTAMP_NTZ directly, same naive
+        # wall-clock DuckDB sees). Branch on the type actually read so
+        # both layouts present the identical TIMESTAMP_NTZ column; only
+        # the int64 layout needs the session-timezone-independent
+        # conversion (see epoch_nanos_to_ntz).
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", epoch_nanos_to_ntz("ts"))
+        elif not isinstance(ts_type, TimestampNTZType):
+            raise TypeError(
+                f"events.ts read as {ts_type}; expected int64 nanos or "
+                "TIMESTAMP_NTZ — an instant (zoned) layout would need a "
+                "session-timezone decision the engine refuses to guess"
+            )
     return df
 
 
