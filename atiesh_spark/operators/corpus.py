@@ -223,3 +223,73 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def window_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 32,
+    stride: int = 8,
+    min_shared: int = 1,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Exact-substring overlap candidates: document pairs sharing >=
+    ``min_shared`` distinct fixed-width character windows, POSITIONALLY
+    sampled every ``stride`` chars: (id_1, id_2, n_shared).
+
+    The detector behind suffix-array-style training-data dedup ("this
+    paragraph was copied verbatim into both pages"): a long shared
+    substring of length >= width + stride - 1 is guaranteed to produce
+    at least one shared sampled window REGARDLESS of alignment (some
+    window of one doc starts within stride of the copy's start in the
+    other; both then sample identical width-char slices at matching
+    offsets... concretely: among any stride consecutive start positions
+    inside the copied span, each doc samples one, and equal text at
+    equal in-span offsets hashes equal). Jaccard/MinHash miss this case
+    when the copy is a small fraction of both documents — bag-of-shingle
+    similarity is low even though the overlap is verbatim.
+
+    Plan shape: windows explode fanout-guarded (ceil(len/stride) per
+    doc), immediately reduced to DISTINCT (doc, md5(window)) 16-byte
+    hashes — window text never shuffles. Hashes in > ``max_doc_freq``
+    docs are dropped before pairing (boilerplate windows would square
+    into max_doc_freq^2 pairs; a real copy pair still matches via its
+    rarer windows). Pairing is the same banded self-join as LSH: join
+    on the hash, id_1 < id_2, count distinct shared hashes.
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError("width and stride must be > 0")
+    if min_shared <= 0 or max_doc_freq < 2:
+        raise ValueError("min_shared must be > 0 and max_doc_freq >= 2")
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text) - width, F.lit(0)), F.lit(stride)
+    )
+    win = (
+        _fanout(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("__start"),
+            text.alias("__text"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(F.col("__text").substr(F.col("__start") + 1, F.lit(width))).alias(
+                "__wh"
+            ),
+        )
+        .distinct()
+    )
+    rare = win.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__wh"))
+    ).filter(F.col("__df") <= max_doc_freq)
+    a = rare.select(F.col(id_col).alias("id_1"), "__wh")
+    b = rare.select(F.col(id_col).alias("id_2"), "__wh")
+    return (
+        a.join(b, "__wh")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -95,3 +95,58 @@ def curate_corpus(
     fill = {c: 0 for c in
             ("n_after_quality", "n_after_dedup", "n_selected", "cost_selected")}
     return report.fillna(fill)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    shards: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    md5 order of the row key — the per-domain document cap crawl corpora
+    apply so no single site dominates the training mix (C4 and friends
+    cap pages per domain for exactly this reason).
+
+    Selection order is ``(md5(key), key)``: an unbiased, reproducible
+    "random" cap — NOT recency- or position-biased the way LIMIT-per-file
+    sampling is — and the same rows survive on any cluster or engine.
+
+    Plan shape — TWO-PHASE to dodge the hot-domain straggler: a plain
+    ``row_number() OVER (PARTITION BY group)`` funnels each group through
+    one task, and at 100 TB the hottest domain is millions of pages.
+    Phase 1 ranks within ``(group, shard)`` — shard = md5(key) mod
+    ``shards`` — and keeps ``cap`` per shard, shrinking every group to
+    <= cap * shards rows no matter how hot it was. Phase 2 re-ranks the
+    bounded survivors within the group and keeps ``cap``. The result is
+    IDENTICAL to the single-window cap (the global top-cap rows in hash
+    order are each in their own shard's top-cap), but the heaviest task
+    holds cap * shards rows instead of a whole domain.
+    """
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.sampling import hash_bucket
+
+    if cap <= 0:
+        raise ValueError("cap must be > 0")
+    if shards <= 0:
+        raise ValueError("shards must be > 0")
+    reserved = {"__h", "__shard", "__rk"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    hashed = df.withColumn(
+        "__h", md5_long(F.col(key_col).cast("string"), 15)
+    ).withColumn("__shard", hash_bucket(key_col, shards))
+    w1 = Window.partitionBy(group_col, "__shard").orderBy("__h", key_col)
+    w2 = Window.partitionBy(group_col).orderBy("__h", key_col)
+    return (
+        hashed.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= cap)
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= cap)
+        .drop("__h", "__shard", "__rk")
+    )

@@ -16,7 +16,7 @@ null-safe codegen (`<=>`), never a Python UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _STATUS_ADDED = "added"
@@ -112,3 +112,59 @@ def snapshot_diff(
             .alias("n_changed"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tracked_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a change log into SCD2 validity intervals per key.
+
+    From a stream of observations (one row per key per observation time),
+    emit one row per *run* of identical tracked values:
+    ``(keys..., tracked..., valid_from, valid_to, is_current)`` with
+    half-open validity ``[valid_from, valid_to)`` and ``valid_to`` NULL on
+    the open current interval — the standard slowly-changing-dimension
+    type-2 build every warehouse maintains from CDC feeds.
+
+    Plan shape: ONE shuffle. Everything runs inside a single window
+    partitioning on ``keys`` ordered by (``order_col``, tiebreaks): a
+    null-safe lag marks run starts, non-starts are filtered out, and
+    ``lead`` on the surviving rows supplies each interval's end — no
+    groupBy, no second exchange, no self-join. Rows between change
+    points never leave their executor. At 100 TB the only scale hazard
+    is key skew (one window task per key-partition); keys here are
+    real entity ids (users, devices), so cardinality is high and AQE
+    handles stragglers.
+
+    ``tiebreak_cols`` (default: none) deterministically orders
+    simultaneous observations — REQUIRED for a stable result when
+    ``order_col`` can tie within a key.
+    """
+    if not keys or not tracked_cols:
+        raise ValueError("keys and tracked_cols must be non-empty")
+    reserved = {"__chg", "valid_from", "valid_to", "is_current"}
+    clash = reserved & set(keys + tracked_cols + [order_col])
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    is_start = F.lit(False)
+    for c in tracked_cols:
+        is_start = is_start | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    # lag over an empty frame is NULL for the first row of each key, so
+    # every eqNullSafe above is False there unless the value itself is
+    # NULL; force the first row to always open an interval.
+    is_start = is_start | F.row_number().over(w).eqNullSafe(F.lit(1))
+
+    starts = df.withColumn("__chg", is_start).filter("__chg")
+    return starts.select(
+        *keys,
+        *tracked_cols,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -160,3 +160,43 @@ def histogram(
         .groupBy("bin", "bin_lo", "bin_hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def group_standardize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group z-score standardization: ``(v - mean) / stddev_pop``,
+    appended as ``out_col`` (rounded; NULL when the group is constant or
+    the value is NULL) — the feature-normalization step of a training
+    pipeline, per language / per source / per tenant.
+
+    Plan shape: one groupBy computes the per-group moments (map-side
+    partial aggregation shrinks each partition to one row per group
+    before the exchange), then the moment table — group-cardinality
+    sized, i.e. tiny — broadcasts back onto the fact rows. The fact
+    table itself NEVER shuffles, which is the difference from the
+    ``AVG(...) OVER (PARTITION BY group)`` formulation: a window would
+    exchange and sort all 100 TB by group and serialize each group
+    through one task.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} collides with an input column")
+    moments = df.groupBy(*group_cols).agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mu"),
+        F.stddev_pop(F.col(value_col).cast("double")).alias("__sigma"),
+    )
+    z = F.when(
+        F.col("__sigma") > 0,
+        F.round((F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sigma"), round_to),
+    )
+    return (
+        df.join(F.broadcast(moments), group_cols)
+        .withColumn(out_col, z)
+        .drop("__mu", "__sigma")
+    )

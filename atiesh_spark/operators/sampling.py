@@ -348,3 +348,54 @@ def deterministic_shuffle(
     )
     out = global_index(shuffled, ["__shuffle_key"], index_col=index_col)
     return out.drop("__shuffle_key")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    key_out: str = "sample_key",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k rows with
+    the smallest Efraimidis-Spirakis keys ``-ln(u) / weight``, where
+    ``u`` in (0, 1] is derived from md5 of the row key instead of an RNG.
+
+    Every property of a true weighted reservoir sample holds (inclusion
+    probability proportional to weight, no replacement), but the draw is
+    a pure function of (key, weight): reruns, retries, cluster resizes
+    and other engines all select the identical rows — ``ORDER BY
+    -ln(random())/w LIMIT k`` gives none of that. Nested like the other
+    samplers here: the k=100 sample is a prefix of the k=1000 one.
+
+    Plan shape: the key is codegen scalar math over the scan; selection
+    is an ``orderBy(...).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — each partition keeps its local top-k and the
+    driver merges k-sized heaps, so no global sort materializes at any
+    corpus size. Rows with weight <= 0 or NULL are excluded (a zero
+    weight cannot be sampled; -ln(u)/0 is undefined).
+
+    The sort ranks on the ROUNDED key (``round_to`` decimals, also the
+    emitted value) with the row key as tiebreak, so ranking never
+    depends on sub-rounding float noise that could differ across
+    engines' libm.
+    """
+    from atiesh_spark.functions.hashing import md5_long
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    if key_out in df.columns:
+        raise ValueError(f"key_out {key_out!r} collides with an input column")
+    # md5_long(hex_chars=15) is uniform on [0, 2^60); +1 shifts to
+    # (0, 2^60] so u is in (0, 1] and ln(u) is finite.
+    u = (md5_long(F.col(key_col).cast("string"), 15) + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    es_key = F.round(-F.log(u) / F.col(weight_col).cast("double"), round_to)
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn(key_out, es_key)
+        .orderBy(F.col(key_out), F.col(key_col))
+        .limit(k)
+    )

@@ -1,0 +1,265 @@
+"""Warehouse-ops and layout queries (round-3b batch): SCD2 builds,
+Z-order layout, weighted sampling, per-source caps, normalization,
+robust outliers, and exact-substring overlap.
+
+Each pairs a scale-shaped operator with a DuckDB value oracle; hashes
+are md5-derived (engine-independent) and floats are rounded on BOTH
+sides before comparison, per the registry contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atiesh_spark.plans.registry import register
+from atiesh_spark.sources.tables import load_table
+
+# DuckDB mirror of functions/hashing.md5_long(col, 15): same digest, same
+# hex width, parsed the same way.
+_MD5_LONG = "('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "q87_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    doc="SCD2 validity intervals from the event change log "
+    "(operators/diffing.py scd2_intervals): one run-collapse per "
+    "(user, event_type streak) with half-open [valid_from, valid_to) "
+    "and NULL-open current rows. ONE shuffle: lag marks run starts, "
+    "non-starts are filtered executor-side, lead on survivors closes "
+    "each interval — no groupBy, no self-join.",
+)
+def q87_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.diffing import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events,
+        keys=["user_id"],
+        order_col="ts",
+        tracked_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+def _zorder_oracle(bits: int = 8, bucket_bits: int = 4) -> str:
+    """Arithmetic (shift-free, engine-portable) mirror of layout.zorder_key
+    for two dims px, py: bit i of px lands at 2i, of py at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((px // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((py // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    z = " + ".join(terms)
+    shift = 1 << (2 * bits - bucket_bits)
+    return f"""
+    WITH dims AS (
+        SELECT l_partkey % 256 AS px, l_suppkey % 256 AS py FROM lineitem
+    ),
+    keyed AS (SELECT px, py, ({z}) // {shift} AS bucket FROM dims)
+    SELECT bucket, count(*) AS n_rows,
+           min(px) AS min_px, max(px) AS max_px,
+           min(py) AS min_py, max(py) AS max_py
+    FROM keyed GROUP BY bucket
+    """
+
+
+@register(
+    "q88_zorder_layout",
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) layout report (operators/layout.py zorder_key "
+    "+ zorder_layout_report): interleave part/supplier dims into one "
+    "codegen bit-math key, bucket by key prefix (NO global sort), "
+    "report per-bucket min/max of EVERY dim — the bounded footer "
+    "ranges multi-dimensional file skipping depends on. The write "
+    "path at scale is repartitionByRange(zkey) into the compaction "
+    "writer; this query grades the key+bucket math exactly.",
+)
+def q88_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.layout import zorder_layout_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = li.select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("py"),
+    )
+    return zorder_layout_report(dims, ["px", "py"], bits=8, bucket_bits=4)
+
+
+@register(
+    "q89_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(-ln(({_MD5_LONG.format(c="doc_id")} + 1)
+                     / 1152921504606846976.0) / n_chars, 6) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY sample_key, doc_id
+    LIMIT 50
+    """,
+    doc="Deterministic weighted sample without replacement "
+    "(operators/sampling.py weighted_sample): Efraimidis-Spirakis keys "
+    "-ln(u)/w with u derived from md5(doc_id) instead of an RNG — "
+    "inclusion probability proportional to n_chars, yet rerun-, "
+    "retry- and engine-stable where ORDER BY rand() is none of those. "
+    "Selection is TakeOrderedAndProject (per-partition top-k, driver "
+    "merges k-row heaps), never a global sort.",
+)
+def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50).select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
+@register(
+    "q90_source_cap",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_MD5_LONG.format(c="doc_id")}, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 30
+    """,
+    doc="Per-source document cap (operators/curation.py cap_per_group): "
+    "keep <= 30 docs per source in unbiased md5 order — the per-domain "
+    "cap crawl corpora apply so one site cannot dominate the mix. "
+    "Two-phase ranking (per (source, shard) then per source over the "
+    "<= cap*shards survivors) gives a result IDENTICAL to the single "
+    "window — the oracle here IS that single window — while bounding "
+    "the hottest task at cap*shards rows instead of a whole domain.",
+)
+def q90_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.curation import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", cap=30, shards=4).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "q91_group_standardize",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CASE WHEN stddev_pop(o_totalprice) OVER w > 0
+                THEN round((o_totalprice - avg(o_totalprice) OVER w)
+                           / stddev_pop(o_totalprice) OVER w, 4)
+           END AS zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+    doc="Per-group z-score standardization (operators/profile.py "
+    "group_standardize): the feature-normalization step, computed as "
+    "one map-side-combined groupBy of moments broadcast back onto the "
+    "fact rows — the fact table NEVER shuffles, unlike the "
+    "AVG(...) OVER (PARTITION BY ...) formulation (which is exactly "
+    "what the oracle runs, proving the two agree).",
+)
+def q91_group_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import group_standardize
+
+    orders = load_table(spark, sf_dir, "orders")
+    return group_standardize(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+
+
+@register(
+    "q92_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m FROM events
+        GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+        FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN mad.d > 0
+                THEN round(0.6745 * abs(e.value - med.m) / mad.d, 4)
+           END AS robust_z,
+           coalesce(
+               CASE WHEN mad.d > 0
+                    THEN round(0.6745 * abs(e.value - med.m) / mad.d, 4)
+               END > 3.5, false) AS is_outlier
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
+    doc="Median-absolute-deviation outlier flags per event type "
+    "(operators/timeseries.py mad_outliers): modified z-score "
+    "0.6745*|v - median|/MAD > 3.5 — robust to the very spikes it "
+    "detects (50% breakdown point vs mean/stddev's 0%). Two exact-"
+    "percentile groupBys broadcast back; the fact rows never shuffle. "
+    "Spark percentile interpolates exactly like quantile_cont, which "
+    "is what the oracle checks.",
+)
+def q92_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.timeseries import mad_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return mad_outliers(
+        events.select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "q93_window_overlap",
+    oracle="""
+    WITH w0 AS (
+        SELECT doc_id,
+               md5(substring(text, s, 32)) AS wh
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 32, 0) + 1, 8))
+                 AS t(s)
+    ),
+    wd AS (SELECT DISTINCT doc_id, wh FROM w0),
+    rare AS (SELECT wh FROM wd GROUP BY wh HAVING count(*) <= 50)
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           count(*) AS n_shared
+    FROM wd a JOIN rare USING (wh) JOIN wd b USING (wh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="Exact-substring overlap candidates (operators/corpus.py "
+    "window_overlap_pairs, width=32 stride=8 min_shared=2): doc pairs "
+    "sharing positionally-sampled verbatim windows — the suffix-array-"
+    "style dedup signal MinHash misses when the copied span is a small "
+    "fraction of both docs. Window text never shuffles (16-byte md5 "
+    "immediately); windows in > 50 docs are dropped before the pair "
+    "join so boilerplate cannot square.",
+)
+def q93_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import window_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return window_overlap_pairs(
+        docs, "doc_id", "text", width=32, stride=8, min_shared=2, max_doc_freq=50
+    )

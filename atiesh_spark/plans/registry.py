@@ -52,6 +52,7 @@ from atiesh_spark.plans import relational_queries  # noqa: E402,F401
 from atiesh_spark.plans import llm_queries  # noqa: E402,F401
 from atiesh_spark.plans import window_queries  # noqa: E402,F401
 from atiesh_spark.plans import multimodal_queries  # noqa: E402,F401
+from atiesh_spark.plans import ops_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver presentation order.
@@ -110,6 +111,13 @@ DRIVER_ORDER: list[str] = [
     "q84_salted_broadcast_join",
     "q85_global_index",
     "q86_deterministic_shuffle",
+    "q87_scd2_intervals",
+    "q88_zorder_layout",
+    "q89_weighted_sample",
+    "q90_source_cap",
+    "q91_group_standardize",
+    "q92_mad_outliers",
+    "q93_window_overlap",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",

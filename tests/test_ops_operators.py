@@ -1,0 +1,215 @@
+"""Edge-case tests for the round-3b operator batch: SCD2, z-order,
+weighted sampling, per-group caps, standardization, MAD outliers, and
+window-overlap detection. (The value parity vs DuckDB is covered by
+test_oracle_parity.py; these pin the semantic corners an oracle diff
+can miss.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.corpus import window_overlap_pairs
+from atiesh_spark.operators.curation import cap_per_group
+from atiesh_spark.operators.diffing import scd2_intervals
+from atiesh_spark.operators.layout import zorder_key, zorder_layout_report
+from atiesh_spark.operators.profile import group_standardize
+from atiesh_spark.operators.sampling import weighted_sample
+from atiesh_spark.operators.timeseries import mad_outliers
+
+
+# ---------------------------------------------------------------- scd2
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "b"), ("u1", 4, "a"),
+        ("u2", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = scd2_intervals(df, ["k"], "t", ["v"]).collect()
+    by_key = sorted((r["k"], r["valid_from"], r["v"], r["valid_to"], r["is_current"]) for r in out)
+    assert by_key == [
+        ("u1", 1, "a", 3, False),
+        ("u1", 3, "b", 4, False),
+        ("u1", 4, "a", None, True),
+        ("u2", 1, "x", None, True),
+    ]
+
+
+def test_scd2_null_tracked_values_open_and_close_intervals(spark):
+    rows = [("u1", 1, None), ("u1", 2, None), ("u1", 3, "a"), ("u1", 4, None)]
+    df = spark.createDataFrame(rows, "k string, t int, v string")
+    out = sorted(
+        (r["valid_from"], r["v"], r["valid_to"]) for r in
+        scd2_intervals(df, ["k"], "t", ["v"]).collect()
+    )
+    # NULL run is ONE interval (null-safe lag), and NULL-after-value reopens
+    assert out == [(1, None, 3), (3, "a", 4), (4, None, None)]
+
+
+def test_scd2_rejects_reserved_and_empty_args(spark):
+    df = spark.createDataFrame([("a", 1, True)], ["k", "t", "is_current"])
+    with pytest.raises(ValueError):
+        scd2_intervals(df, [], "t", ["k"])
+    with pytest.raises(ValueError):
+        scd2_intervals(df, ["k"], "t", ["is_current"])
+
+
+# -------------------------------------------------------------- zorder
+
+def test_zorder_key_interleaves_known_bits(spark):
+    df = spark.createDataFrame([(3, 0), (0, 3), (1, 2)], ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=2)).collect()
+    }
+    # x bits at even positions, y bits at odd: (3,0)->0b0101, (0,3)->0b1010,
+    # (1,2)->x bit0@0 + y bit1@3 = 0b1001
+    assert got == {(3, 0): 5, (0, 3): 10, (1, 2): 9}
+
+
+def test_zorder_buckets_bound_every_dimension(spark):
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, ["px", "py"])
+    rep = zorder_layout_report(df, ["px", "py"], bits=4, bucket_bits=4).collect()
+    assert sum(r["n_rows"] for r in rep) == 256
+    for r in rep:
+        # 16 buckets over a 16x16 grid: each bucket is a 4x4 tile, so BOTH
+        # dims span < 4 — the multi-dim pruning property a 1-D sort lacks.
+        assert r["max_px"] - r["min_px"] <= 3
+        assert r["max_py"] - r["min_py"] <= 3
+
+
+def test_zorder_key_validates_width():
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=32)
+    with pytest.raises(ValueError):
+        zorder_key([], bits=4)
+
+
+# ----------------------------------------------------------- weighted sample
+
+def test_weighted_sample_nested_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(100)], ["id", "w"]
+    )
+    k5 = [r["id"] for r in weighted_sample(df, "id", "w", k=5).collect()]
+    k20 = [r["id"] for r in weighted_sample(df, "id", "w", k=20).collect()]
+    assert k20[:5] == k5  # nested prefix property
+    again = [r["id"] for r in weighted_sample(df, "id", "w", k=20).collect()]
+    assert again == k20
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)], "id int, w double"
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
+    assert got == [4]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row carries ~1000x the weight of each of 200 light rows: it must
+    # land in a k=20 sample with overwhelming probability under E-S keys
+    rows = [(0, 10_000.0)] + [(i, 10.0) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r["id"] for r in weighted_sample(df, "id", "w", k=20).collect()}
+    assert 0 in got
+
+
+# ----------------------------------------------------------------- cap
+
+def test_cap_per_group_matches_single_window(spark):
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.functions.hashing import md5_long
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], ["id", "src"]
+    )
+    two_phase = {
+        (r["id"], r["src"])
+        for r in cap_per_group(df, "src", "id", cap=7, shards=4).collect()
+    }
+    w = Window.partitionBy("src").orderBy(
+        md5_long(F.col("id").cast("string"), 15), "id"
+    )
+    single = {
+        (r["id"], r["src"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 7").drop("rk").collect()
+    }
+    assert two_phase == single
+    counts = cap_per_group(df, "src", "id", cap=7).groupBy("src").count().collect()
+    assert all(r["count"] == 7 for r in counts)
+
+
+def test_cap_per_group_keeps_small_groups_whole(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["id", "src"])
+    assert cap_per_group(df, "src", "id", cap=10).count() == 3
+    with pytest.raises(ValueError):
+        cap_per_group(df, "src", "id", cap=0)
+
+
+# ------------------------------------------------------- standardization
+
+def test_group_standardize_values_and_constant_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)], ["g", "v"]
+    )
+    got = {
+        (r["g"], r["v"]): r["zscore"]
+        for r in group_standardize(df, ["g"], "v").collect()
+    }
+    # group a: mean 2, stddev_pop 1 -> -1/+1; group b constant -> NULL
+    assert got == {("a", 1.0): -1.0, ("a", 3.0): 1.0, ("b", 5.0): None}
+
+
+# ------------------------------------------------------------- mad outliers
+
+def test_mad_outliers_flags_spike_not_mean_dragged(spark):
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 10.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = {r["v"]: r["is_outlier"] for r in mad_outliers(df, "g", "v").collect()}
+    assert out[1000.0] is True
+    assert all(not flag for v, flag in out.items() if v != 1000.0)
+
+
+def test_mad_outliers_constant_group_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0), ("g", None)], "g string, v double"
+    )
+    out = mad_outliers(df, "g", "v").collect()
+    assert all(r["is_outlier"] is False for r in out)
+    assert all(r["robust_z"] is None for r in out)
+
+
+# ------------------------------------------------------------ window overlap
+
+def test_window_overlap_detects_copied_span_any_alignment(spark):
+    copied = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "XXXX " + copied + " YYYYYYYYYYYY"),
+        (2, "z" * 13 + copied + "w" * 40),  # misaligned by a non-stride shift
+        (3, "completely different text with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_1"], r["id_2"])
+        for r in window_overlap_pairs(
+            df, "doc_id", "text", width=32, stride=8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_window_overlap_drops_boilerplate_windows(spark):
+    # the same 40-char footer in EVERY doc must not produce n^2 pairs
+    footer = "standard footer text shared by all docs!"
+    rows = [(i, f"unique body number {i} " * 3 + footer) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = window_overlap_pairs(
+        df, "doc_id", "text", width=32, stride=8, max_doc_freq=5
+    ).count()
+    assert got == 0
