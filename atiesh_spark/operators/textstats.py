@@ -264,3 +264,164 @@ def char_entropy(
             "char_entropy"
         ),
     )
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    smooth: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """CCNet-style LM quality scores from a corpus-trained character
+    n-gram model: (id_col, n_ngrams, bits_per_char).
+
+    The perplexity filter of the CCNet/ccnet-descendant pipelines scores
+    each document under a language model and drops the weird tail
+    (binary junk, keyboard mash, SEO spam score high; prose scores low).
+    A real deployment loads frozen KenLM weights; the self-contained
+    engine-checkable analog here TRAINS the model on the corpus itself
+    in the same plan: add-``smooth`` smoothed conditional char
+    ``k``-gram probabilities p(gram | prefix) = (c_k + s) /
+    (c_{k-1} + s*V), with V the distinct final-char vocabulary.
+    ``bits_per_char`` is the mean -log2 p over the doc's positional
+    ``k``-grams (NULL for docs shorter than ``k`` — nothing to score).
+
+    Plan shape: one fanout-guarded positional shingle explode feeds (a)
+    the count tables and (b) the scoring stream. The model is TINY by
+    construction — |charset|^k rows at most (1e6 for a 100-char
+    alphabet at k=3) — so both count tables BROADCAST back onto the
+    shingle stream: scoring the 100 TB corpus adds zero extra
+    shuffles beyond the per-doc average. The prefix table derives from
+    the k-gram table (sum by prefix), never from a second pass over
+    the corpus.
+    """
+    from atiesh_spark.operators.dedup import char_shingles
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (need a non-empty prefix context)")
+    if smooth <= 0:
+        raise ValueError("smooth must be > 0")
+    grams = char_shingles(df, id_col, text_col, k=k, distinct=False).filter(
+        F.length("sh") == k
+    )
+    ck = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("__ck"))
+    prefix = ck.groupBy(F.substring("sh", 1, k - 1).alias("__pfx")).agg(
+        F.sum("__ck").alias("__cp")
+    )
+    vocab = ck.agg(
+        F.countDistinct(F.substring("sh", k, 1)).alias("__v")
+    )
+    bits = -F.log2(
+        (F.col("__ck") + F.lit(float(smooth)))
+        / (F.col("__cp") + F.lit(float(smooth)) * F.col("__v"))
+    )
+    scored = (
+        grams.join(F.broadcast(ck), "sh")
+        .withColumn("__pfx", F.substring("sh", 1, k - 1))
+        .join(F.broadcast(prefix), "__pfx")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(F.avg(bits), round_to).alias("bits_per_char"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        F.col("bits_per_char"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter: Column,
+    buckets: int = 4096,
+    smooth: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights for targeted data selection:
+    (id_col, n_tokens, log_weight).
+
+    Data Selection via Importance Resampling (Xie et al., 2023,
+    arXiv:2302.03169): estimate target and source distributions over
+    HASHED n-gram features and weight every document by its
+    log-likelihood ratio — documents that look like the target domain
+    get large weights, generic ones get negative. Feed the weights
+    (exponentiated, e.g. after a max-shift) into
+    :func:`atiesh_spark.operators.sampling.weighted_sample` for the
+    full select-then-sample recipe, all deterministic.
+
+    Features are whitespace word unigrams hashed into ``buckets``
+    md5 buckets (hashing IS the DSIR trick: a fixed-size table no
+    matter the vocabulary). Both distributions are add-``smooth``
+    smoothed over the bucket space; ``target_filter`` is any boolean
+    Column over the input rows (a language, a source, a quality flag).
+
+    Plan shape: one fanout-guarded token explode; the two count tables
+    are <= ``buckets`` rows (4096 default) and the per-bucket
+    log-ratio table broadcasts back onto the token stream — like
+    ``ngram_lm_scores``, scoring adds no shuffle beyond the final
+    per-doc sum. Docs with no tokens score 0 with n_tokens 0 (the
+    neutral weight).
+    """
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.dedup import _fanout
+
+    if buckets <= 0:
+        raise ValueError("buckets must be > 0")
+    if smooth <= 0:
+        raise ValueError("smooth must be > 0")
+    base = _fanout(
+        df.select(id_col, text_col, target_filter.cast("boolean").alias("__tgt"))
+    )
+    toks = base.select(
+        F.col(id_col),
+        F.col("__tgt"),
+        F.explode(_ws_tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("__bkt", md5_long(F.col("__tok"), 15) % buckets)
+
+    src = toks.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cs"))
+    tgt = toks.filter("__tgt").groupBy("__bkt").agg(F.count(F.lit(1)).alias("__ct"))
+    ratio = (
+        src.join(tgt, "__bkt", "left")
+        .withColumn("__ct", F.coalesce("__ct", F.lit(0)))
+        .crossJoin(
+            F.broadcast(
+                toks.agg(
+                    F.count(F.lit(1)).alias("__ts"),
+                    F.sum(F.col("__tgt").cast("long")).alias("__tt"),
+                )
+            )
+        )
+        .select(
+            "__bkt",
+            (
+                F.log(
+                    (F.col("__ct") + F.lit(float(smooth)))
+                    / (F.col("__tt") + F.lit(float(smooth) * buckets))
+                )
+                - F.log(
+                    (F.col("__cs") + F.lit(float(smooth)))
+                    / (F.col("__ts") + F.lit(float(smooth) * buckets))
+                )
+            ).alias("__lr"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("__lr"), round_to).alias("log_weight"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )

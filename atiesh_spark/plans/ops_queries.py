@@ -263,3 +263,93 @@ def q93_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_overlap_pairs(
         docs, "doc_id", "text", width=32, stride=8, min_shared=2, max_doc_freq=50
     )
+
+
+@register(
+    "q94_lm_quality",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, substring(text, i, 3) AS sh
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)
+    ),
+    tri3 AS (SELECT doc_id, sh FROM tri WHERE length(sh) = 3),
+    ck AS (SELECT sh, count(*) AS c FROM tri3 GROUP BY sh),
+    cp AS (SELECT substring(sh, 1, 2) AS pfx, sum(c) AS c FROM ck GROUP BY 1),
+    v AS (SELECT count(DISTINCT substring(sh, 3, 1)) AS v FROM ck),
+    scored AS (
+        SELECT t.doc_id, count(*) AS n_ngrams,
+               round(avg(-log2((ck.c + 1.0) / (cp.c + 1.0 * v.v))), 4)
+                   AS bits_per_char
+        FROM tri3 t
+        JOIN ck USING (sh)
+        JOIN cp ON substring(t.sh, 1, 2) = cp.pfx
+        CROSS JOIN v
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_ngrams, 0) AS n_ngrams, s.bits_per_char
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    doc="CCNet-style LM quality scores (operators/textstats.py "
+    "ngram_lm_scores): add-1-smoothed conditional char trigram model "
+    "TRAINED ON THE CORPUS IN THE SAME PLAN, scoring each doc's mean "
+    "-log2 p (bits/char; junk and mash score high, prose low). The "
+    "model is <= |charset|^3 rows so both count tables broadcast — "
+    "scoring 100 TB adds no shuffle beyond the per-doc average; the "
+    "prefix table derives from the trigram table, never a second "
+    "corpus pass.",
+)
+def q94_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import ngram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_lm_scores(docs, "doc_id", "text", k=3, smooth=1.0)
+
+
+@register(
+    "q95_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> length(t) > 0)) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, tgt, {_MD5_LONG.format(c="tok")} % 4096 AS bkt
+        FROM toks
+    ),
+    src AS (SELECT bkt, count(*) AS cs FROM b GROUP BY bkt),
+    tgtc AS (SELECT bkt, count(*) AS ct FROM b WHERE tgt GROUP BY bkt),
+    tot AS (SELECT count(*) AS ts,
+                   sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt FROM b),
+    ratio AS (
+        SELECT src.bkt,
+               ln((coalesce(tgtc.ct, 0) + 1.0) / (tot.tt + 4096.0))
+               - ln((src.cs + 1.0) / (tot.ts + 4096.0)) AS lr
+        FROM src LEFT JOIN tgtc USING (bkt) CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT b.doc_id, count(*) AS n_tokens,
+               round(sum(ratio.lr), 4) AS log_weight
+        FROM b JOIN ratio USING (bkt) GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.log_weight, 0.0) AS log_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    doc="DSIR importance weights (operators/textstats.py "
+    "dsir_log_weights, arXiv:2302.03169): log-likelihood ratio of "
+    "add-1-smoothed target ('en' docs) vs source distributions over "
+    "4096 md5-hashed word-unigram buckets. The per-bucket ratio table "
+    "broadcasts back onto the token stream (no extra shuffle); the "
+    "weights feed weighted_sample (q89) for the full deterministic "
+    "select-then-resample recipe.",
+)
+def q95_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, "doc_id", "text", target_filter=F.col("lang") == "en", buckets=4096
+    )

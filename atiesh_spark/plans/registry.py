@@ -118,6 +118,8 @@ DRIVER_ORDER: list[str] = [
     "q91_group_standardize",
     "q92_mad_outliers",
     "q93_window_overlap",
+    "q94_lm_quality",
+    "q95_dsir_weights",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",

@@ -19,3 +19,77 @@ def test_char_entropy_values_and_degenerate_inputs(spark):
     assert out[3]["char_entropy"] == 0.0 and out[3]["n_chars_seen"] == 0
     assert out[4]["char_entropy"] == 0.0 and out[4]["n_chars_seen"] == 0
     assert out[5]["char_entropy"] == 1.0  # two equiprobable chars: one bit
+
+
+def test_ngram_lm_scores_separate_prose_from_mash(spark):
+    from atiesh_spark.operators.textstats import ngram_lm_scores
+
+    prose = "the cat sat on the mat and the cat sat again " * 4
+    mash = "qzxjvkwpqmzxbvnqjwkxpzmvbqnxjzwkvpmqzbxnvjqw"
+    df = spark.createDataFrame(
+        [(1, prose), (2, mash), (3, "ab")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in ngram_lm_scores(df, "doc_id", "text").collect()}
+    # trigrams repeated across the corpus compress well; one-off mash doesn't
+    assert got[1]["bits_per_char"] < got[2]["bits_per_char"]
+    # too short to score: zero ngrams, NULL score (not 0.0)
+    assert got[3]["n_ngrams"] == 0 and got[3]["bits_per_char"] is None
+
+
+def test_ngram_lm_scores_validates_args(spark):
+    import pytest
+
+    from atiesh_spark.operators.textstats import ngram_lm_scores
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        ngram_lm_scores(df, "doc_id", "text", k=1)
+    with pytest.raises(ValueError):
+        ngram_lm_scores(df, "doc_id", "text", smooth=0)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.textstats import dsir_log_weights
+
+    target_words = "alpha beta gamma delta epsilon"
+    source_words = "uno dos tres cuatro cinco"
+    rows = (
+        [(i, target_words, "en") for i in range(10)]
+        + [(100 + i, source_words, "xx") for i in range(10)]
+        + [(200, target_words, "xx"), (201, source_words, "xx"), (202, "", "xx")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            df, "doc_id", "text", target_filter=F.col("lang") == "en", buckets=512
+        ).collect()
+    }
+    # a doc made of target-distribution words outweighs a source-generic one
+    assert got[200]["log_weight"] > got[201]["log_weight"]
+    # empty doc: neutral weight, zero tokens
+    assert got[202]["n_tokens"] == 0 and got[202]["log_weight"] == 0.0
+
+
+def test_dsir_then_weighted_sample_composes(spark):
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.sampling import weighted_sample
+    from atiesh_spark.operators.textstats import dsir_log_weights
+
+    rows = [(i, ("alpha beta " if i % 2 else "uno dos ") * 5,
+             "en" if i < 10 else "xx") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    weights = dsir_log_weights(
+        df, "doc_id", "text", target_filter=F.col("lang") == "en", buckets=512
+    )
+    # the DSIR recipe: exponentiate shifted log-weights, resample
+    mx = weights.agg(F.max("log_weight")).collect()[0][0]
+    w = weights.withColumn("w", F.exp(F.col("log_weight") - F.lit(mx)))
+    got = weighted_sample(w, "doc_id", "w", k=10).collect()
+    assert len(got) == 10
+    # deterministic: second draw identical
+    again = weighted_sample(w, "doc_id", "w", k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
