@@ -388,7 +388,9 @@ def dsir_log_weights(
     src = toks.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cs"))
     tgt = toks.filter("__tgt").groupBy("__bkt").agg(F.count(F.lit(1)).alias("__ct"))
     ratio = (
-        src.join(tgt, "__bkt", "left")
+        # both count tables are <= `buckets` rows by construction; force
+        # the build side so the planner never SMJs two tiny aggregates
+        src.join(F.broadcast(tgt), "__bkt", "left")
         .withColumn("__ct", F.coalesce("__ct", F.lit(0)))
         .crossJoin(
             F.broadcast(

@@ -356,3 +356,45 @@ def test_salted_broadcast_join_no_fact_shuffle(spark):
     assert "SortMergeJoin" not in plan
     # exactly one exchange: the post-join groupBy on p_brand
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_scd2_single_exchange(spark):
+    # the ONE-shuffle claim: both window passes share the keys partitioning
+    plan = plan_of(spark, "q87_scd2_intervals")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_zorder_layout_no_global_sort(spark):
+    plan = plan_of(spark, "q88_zorder_layout")
+    assert "Arguments: rangepartitioning" not in plan
+    # key + bucket are pure projection math over the scan; the only
+    # exchange is the 16-group aggregation
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_weighted_sample_take_ordered(spark):
+    plan = plan_of(spark, "q89_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Arguments: rangepartitioning" not in plan
+
+
+def test_moments_broadcast_fact_never_shuffles(spark):
+    # q91/q92: per-group stats join back via broadcast; the fact rows
+    # reach the join without a hashpartitioning exchange on the group key
+    for name in ("q91_group_standardize", "q92_mad_outliers"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_lm_and_dsir_model_tables_broadcast(spark):
+    # the model/ratio tables join back onto the shingle/token stream as
+    # broadcasts; only the final doc-sized left join may legitimately
+    # pick a shuffle join at other scales
+    for name in ("q94_lm_quality", "q95_dsir_weights"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # formatted explain prints each node twice (tree + detail), so
+        # <= 2 string hits == at most ONE SortMergeJoin node
+        assert plan.count("SortMergeJoin") <= 2, name
