@@ -306,7 +306,13 @@ def ngram_lm_scores(
     grams = char_shingles(df, id_col, text_col, k=k, distinct=False).filter(
         F.length("sh") == k
     )
-    ck = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("__ck"))
+    # Pre-aggregate to (doc, gram, in-doc count): the positional stream
+    # shuffles ONCE (map-side combined); the corpus tables derive from
+    # the per-doc frame (distinct-sized input), and scoring is a
+    # weighted average over per-doc DISTINCT grams instead of re-joining
+    # every occurrence.
+    per_doc = grams.groupBy(id_col, "sh").agg(F.count(F.lit(1)).alias("__n"))
+    ck = per_doc.groupBy("sh").agg(F.sum("__n").alias("__ck"))
     prefix = ck.groupBy(F.substring("sh", 1, k - 1).alias("__pfx")).agg(
         F.sum("__ck").alias("__cp")
     )
@@ -318,14 +324,16 @@ def ngram_lm_scores(
         / (F.col("__cp") + F.lit(float(smooth)) * F.col("__v"))
     )
     scored = (
-        grams.join(F.broadcast(ck), "sh")
+        per_doc.join(F.broadcast(ck), "sh")
         .withColumn("__pfx", F.substring("sh", 1, k - 1))
         .join(F.broadcast(prefix), "__pfx")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.round(F.avg(bits), round_to).alias("bits_per_char"),
+            F.sum("__n").alias("n_ngrams"),
+            F.round(F.sum(F.col("__n") * bits) / F.sum("__n"), round_to).alias(
+                "bits_per_char"
+            ),
         )
     )
     return df.select(id_col).join(scored, id_col, "left").select(

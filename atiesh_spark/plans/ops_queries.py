@@ -231,6 +231,7 @@ def q92_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q93_window_overlap",
+    headline=True,
     oracle="""
     WITH w0 AS (
         SELECT doc_id,
@@ -267,6 +268,7 @@ def q93_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q94_lm_quality",
+    headline=True,
     oracle="""
     WITH tri AS (
         SELECT doc_id, substring(text, i, 3) AS sh
