@@ -168,3 +168,126 @@ def scd2_intervals(
         F.col(order_col).alias("valid_from"),
         F.lead(order_col).over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def _hadoop_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+class StreamingScd2:
+    """Maintain an SCD2 interval table incrementally from a change
+    stream: the dimension-maintenance loop every CDC-fed warehouse runs,
+    as a ``foreachBatch`` function.
+
+    Merge rule: only keys PRESENT IN THE BATCH are recomputed — the
+    stored intervals for a touched key collapse back to their change
+    points (``valid_from``, tracked values — which is exactly the
+    information :func:`scd2_intervals` kept), union the batch's new
+    observations, and re-run the run-collapse; untouched keys pass
+    through unchanged. Because adjacent stored change points always
+    differ in tracked values, re-collapsing stored points alone is the
+    identity — the merge is idempotent, and a replayed batch (which
+    re-reads the same pre-batch version) leaves the same state.
+
+    Exactness contract: equal to the batch ``scd2_intervals`` over all
+    rows seen, PROVIDED each key's observations arrive in event order
+    across batches (CDC commit order — the normal case). A LATE
+    observation landing between two stored change points updates the
+    interval it falls in, but cannot resurrect an observation that was
+    collapsed away as a non-change — the standard SCD2-maintenance
+    boundary; keep the raw log if full out-of-order rebuilds matter.
+
+    Store layout: versioned parquet directories (``v{batch_id}``), the
+    same idempotent pattern as ``StreamingCascadeRollup`` — batch B
+    reads the newest version < B and overwrites ``v{B}``; replays
+    converge. Per batch the recompute cost is (touched keys' intervals
+    + the batch), never history; the untouched-side rewrite is an
+    anti-join copy — at 100 TB, bucket the store by key hash and use
+    dynamic partition overwrite so untouched buckets are not rewritten
+    at all.
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        order_col: str,
+        tracked_cols: list[str],
+        path: str,
+        tiebreak_cols: list[str] | None = None,
+        keep_versions: int = 2,
+    ) -> None:
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        self.keys, self.order_col = keys, order_col
+        self.tracked_cols = tracked_cols
+        self.tiebreak_cols = tiebreak_cols or []
+        self.path = path.rstrip("/")
+        self.keep_versions = keep_versions
+
+    def _versions(self, spark) -> list[int]:
+        fs, p = _hadoop_path(spark, self.path)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def latest_path(self, spark, before: int | None = None) -> str | None:
+        vs = [v for v in self._versions(spark) if before is None or v < before]
+        return f"{self.path}/v{vs[-1]}" if vs else None
+
+    def read(self, spark) -> DataFrame:
+        latest = self.latest_path(spark)
+        if latest is None:
+            raise FileNotFoundError(f"no scd2 versions under {self.path}")
+        return spark.read.parquet(latest)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        obs_cols = (
+            self.keys + self.tracked_cols + [self.order_col] + self.tiebreak_cols
+        )
+        batch_obs = batch_df.select(*obs_cols)
+        prev = self.latest_path(spark, before=batch_id)
+        if prev is None:
+            merged = scd2_intervals(
+                batch_obs, self.keys, self.order_col, self.tracked_cols,
+                tiebreak_cols=self.tiebreak_cols or None,
+            )
+        else:
+            store = spark.read.parquet(prev)
+            batch_keys = batch_obs.select(*self.keys).distinct()
+            untouched = store.join(F.broadcast(batch_keys), self.keys, "left_anti")
+            touched_points = (
+                store.join(F.broadcast(batch_keys), self.keys, "left_semi")
+                .select(
+                    *self.keys,
+                    *self.tracked_cols,
+                    F.col("valid_from").alias(self.order_col),
+                    # stored change points sort before same-instant batch
+                    # rows on the tiebreaks' NULLS FIRST default, keeping
+                    # re-collapse stable under exact replays
+                    *[F.lit(None).alias(c) for c in self.tiebreak_cols],
+                )
+            )
+            recomputed = scd2_intervals(
+                touched_points.unionByName(batch_obs),
+                self.keys, self.order_col, self.tracked_cols,
+                tiebreak_cols=self.tiebreak_cols or None,
+            )
+            merged = untouched.unionByName(recomputed)
+        merged.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
+        self._prune(spark, upto=batch_id)
+
+    def _prune(self, spark, upto: int) -> None:
+        vs = [v for v in self._versions(spark) if v <= upto]
+        fs, _ = _hadoop_path(spark, self.path)
+        jvm = spark._jvm
+        for v in vs[: -self.keep_versions]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v{v}"), True)
