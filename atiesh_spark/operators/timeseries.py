@@ -160,3 +160,81 @@ def mad_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_cols: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    (from_state, to_state, n, p) — the user-journey / process-mining
+    report ("after search, 62% view, 9% exit").
+
+    ``p`` is row-normalized: transitions out of ``from_state`` sum to 1.
+    Sequence ends (no next event) are not transitions and are excluded.
+
+    Plan shape: one window shuffle on ``key_col`` computes each event's
+    successor (``lead``); the (from, to) pair counts are a map-side-
+    combined groupBy over states^2 rows at most, and row normalization
+    is a window over that tiny matrix — at 100 TB the only full-data
+    stage is the per-key lead, which shares its partitioning with any
+    other per-key sequence feature.
+    """
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__next", F.lead(state_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("__next").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_state")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wrow), round_to)
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    group_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group inter-arrival-time statistics:
+    (group, n_gaps, avg_gap_s, p50_gap_s, p90_gap_s, max_gap_s).
+
+    The gap is seconds since the SAME KEY's previous event (first event
+    per key has none), grouped by ``group_col`` of the later event — the
+    latency/engagement-cadence report ("purchases arrive every ~2 h,
+    errors in bursts of seconds").
+
+    Plan shape: the same single per-key window shuffle as
+    ``transition_matrix`` (lag over epoch micros), then one exact-
+    percentile groupBy over the group-cardinality frame. Exact
+    ``percentile`` interpolates like quantile_cont everywhere, keeping
+    the report engine-checkable.
+    """
+    w = Window.partitionBy(key_col).orderBy(epoch_micros(order_col))
+    gap = (
+        epoch_micros(order_col) - F.lag(epoch_micros(order_col)).over(w)
+    ) / F.lit(float(_US))
+    return (
+        df.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("__gap"), round_to).alias("avg_gap_s"),
+            F.round(F.expr("percentile(__gap, 0.5)"), round_to).alias("p50_gap_s"),
+            F.round(F.expr("percentile(__gap, 0.9)"), round_to).alias("p90_gap_s"),
+            F.round(F.max("__gap"), round_to).alias("max_gap_s"),
+        )
+    )

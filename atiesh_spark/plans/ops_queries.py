@@ -355,3 +355,69 @@ def q95_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(
         docs, "doc_id", "text", target_filter=F.col("lang") == "en", buckets=4096
     )
+
+
+@register(
+    "q96_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_state, next_type AS to_state,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           round(n / sum(n) OVER (PARTITION BY from_state), 4) AS p
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (operators/timeseries.py transition_matrix): the "
+    "user-journey report, row-normalized so each from_state's "
+    "probabilities sum to 1. One full-data window shuffle (per-key "
+    "lead); everything after runs on a states^2-row frame.",
+)
+def q96_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.timeseries import transition_matrix
+
+    events = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        events, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+
+
+@register(
+    "q97_interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+               )) / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           round(max(gap_s), 4) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+    """,
+    doc="Per-event-type inter-arrival-time stats (operators/"
+    "timeseries.py interarrival_stats): seconds since the same user's "
+    "previous event, exact percentiles. Ordering by the epoch-micros "
+    "VALUE makes tied timestamps yield an identical gap multiset under "
+    "any tie permutation, so the report is engine-deterministic without "
+    "a tiebreak column. Same single per-key window shuffle as q96.",
+)
+def q97_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.timeseries import interarrival_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return interarrival_stats(events, "user_id", "ts", "event_type")

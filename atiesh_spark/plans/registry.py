@@ -120,6 +120,8 @@ DRIVER_ORDER: list[str] = [
     "q93_window_overlap",
     "q94_lm_quality",
     "q95_dsir_weights",
+    "q96_transition_matrix",
+    "q97_interarrival_stats",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",

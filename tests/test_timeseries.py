@@ -62,3 +62,48 @@ def test_zscore_outliers_flags_spike_not_degenerate_frames(spark):
     assert out[5]["zscore"] is None and out[5]["is_outlier"] is False
     # the spike is flagged
     assert out[10]["is_outlier"] is True and out[10]["zscore"] > 2.0
+
+
+def test_transition_matrix_row_normalized(spark):
+    from atiesh_spark.operators.timeseries import transition_matrix
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"), ("u1", 4, "c"),
+        ("u2", 1, "a"), ("u2", 2, "b"),
+        ("u3", 1, "x"),  # single event: no transitions
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "s"])
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "k", "t", "s").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 0.6667),
+        ("a", "c"): (1, 0.3333),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_interarrival_stats_known_gaps_and_tie_determinism(spark):
+    from atiesh_spark.operators.timeseries import interarrival_stats
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", "g"),
+        ("u1", "2024-01-01 00:00:10", "g"),
+        ("u1", "2024-01-01 00:00:10", "g"),  # tie: one zero gap
+        ("u1", "2024-01-01 00:00:40", "g"),
+        ("u2", "2024-01-01 00:00:00", "g"),  # single event: no gap
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["k", "ts", "g"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = interarrival_stats(df, "k", "ts", "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    # gaps multiset {10, 0, 30} regardless of tie permutation
+    assert r["n_gaps"] == 3
+    assert r["avg_gap_s"] == round((10 + 0 + 30) / 3, 4)
+    assert r["p50_gap_s"] == 10.0
+    assert r["max_gap_s"] == 30.0
