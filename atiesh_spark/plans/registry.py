@@ -133,7 +133,13 @@ DRIVER_ORDER: list[str] = [
     "q60_asof_join",
     "q61_range_join",
     "q62_cascade_rollup",
-    # -- LLM-pipeline operators --
+    # ----------------- driver window boundary (50) -----------------
+    # The 35 never-driver-checked queries (q54-q59 + the r3 additions
+    # q63-q97) plus the 6 r1-green-but-stale (q36-q40, q50) and the 3
+    # temporal ops fill the window exactly. Everything below was
+    # driver-green in r02 (the LLM/similarity block) or in BOTH r01 and
+    # r02 (the relational/event floor) and stays in the in-repo parity
+    # suite every run, so rotating it out loses the least evidence.
     "q24_exact_dedup",
     "q25_ngram_jaccard",
     "q26_minhash_lsh",
@@ -146,11 +152,6 @@ DRIVER_ORDER: list[str] = [
     "q29_embedding_topk",
     "q30_ann_lsh_topk",
     "q47_ivf_ann_topk",
-    # ----------------- driver window boundary (50) -----------------
-    # q30-q35/q42/q47-q49 and q12-q21 + q46 were pushed past the boundary
-    # by the nineteen r3 additions (q68-q86) — all were driver-green in
-    # r01 AND r02 and stay in the in-repo parity suite, so rotating them
-    # out loses the least.
     "q31_embedding_near_dup",
     "q32_text_stats",
     "q33_language_id",
