@@ -429,3 +429,98 @@ def semantic_dedup(
             (F.col(id_col) == F.col("cluster_id")).alias("keep"),
         )
     )
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int):
+    """Fit a PCA basis over an embedding column at any corpus size:
+    returns ``(mean, components, eigvals, total_var)`` as plain Python
+    lists (mean d floats, components k x d rows of the orthonormal
+    basis, eigvals the top-k variances, descending).
+
+    Distributed part — covariance moments — is pure codegen: each vector
+    row-locally explodes its index PAIRS (posexplode twice, NO join), so
+    the (i, j) -> sum(x_i * x_j) groupBy partial-aggregates every
+    partition down to <= d^2 rows before its only exchange. The driver
+    then sees exactly d^2 + d + 1 numbers (the same bounded-digest
+    budget as connected components) and runs the O(d^3) eigensolve with
+    numpy — d is an embedding width (64-1024), not data. The d^2
+    row-local fan-out caps the practical width at d ~ few hundred for
+    the explode path; wider vectors should batch through mapInArrow
+    partial outer-products instead (same moments, same driver digest).
+
+    Component signs are fixed (largest-|coordinate| positive) so the
+    basis is deterministic across runs and BLAS builds.
+    """
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    v = as_double(vec_col)
+    e1 = df.select(F.posexplode(v).alias("i", "xi"), F.col(vec_col).alias("__v"))
+    e2 = e1.select("i", "xi", F.posexplode(as_double("__v")).alias("j", "xj"))
+    sums2 = {
+        (r["i"], r["j"]): r["sxy"]
+        for r in e2.groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sxy"))
+        .collect()
+    }
+    firsts = (
+        df.select(F.posexplode(v).alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum("xi").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    d = len(firsts)
+    if k > d:
+        raise ValueError(f"k={k} exceeds vector dimension {d}")
+    n = firsts[0]["n"]
+    mean = np.zeros(d)
+    for r in firsts:
+        mean[r["i"]] = r["sx"] / n
+    cov = np.zeros((d, d))
+    for (i, j), sxy in sums2.items():
+        cov[i, j] = sxy / n - mean[i] * mean[j]
+    eigvals, eigvecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = []
+    for idx in order:
+        vcomp = eigvecs[:, idx]
+        if vcomp[int(np.argmax(np.abs(vcomp)))] < 0:
+            vcomp = -vcomp
+        comps.append([float(x) for x in vcomp])
+    return (
+        [float(x) for x in mean],
+        comps,
+        [float(eigvals[i]) for i in order],
+        float(np.trace(cov)),
+    )
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, mean: list, components: list
+) -> DataFrame:
+    """Project vectors onto a fitted PCA basis: (id_col, p0..p{k-1}).
+
+    The basis is a broadcast CONSTANT (literal arrays in the plan), so
+    projection is row-local codegen — centered dot products via
+    zip_with + aggregate, no shuffle, no UDF — and composes with any
+    downstream operator (k-NN on p*, histogram per component, ...).
+    """
+    centered = F.zip_with(
+        as_double(vec_col),
+        F.array(*[F.lit(m) for m in mean]),
+        lambda x, m: x - m,
+    )
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(c) for c in comp]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"p{ci}")
+        for ci, comp in enumerate(components)
+    ]
+    return df.select(F.col(id_col), *cols)

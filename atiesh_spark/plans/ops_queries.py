@@ -421,3 +421,72 @@ def q97_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return interarrival_stats(events, "user_id", "ts", "event_type")
+
+
+@register(
+    "q98_pca_embeddings",
+    oracle="SELECT true AS centered, true AS variance_matches_eigenvalues, "
+    "true AS variance_nonincreasing, true AS reconstruction_tight",
+    doc="Distributed PCA over the embedding column (operators/"
+    "similarity.py pca_fit + pca_project, k=4): covariance moments via "
+    "row-local index-pair explodes (partial-aggregated to <= d^2 rows "
+    "before the only exchange), O(d^3) eigensolve on a d^2-number "
+    "driver digest, codegen projection against the broadcast basis. "
+    "Eigensolves are library-specific, so the checkable contract is "
+    "invariants graded IN-PLAN over the projected corpus (q45/q47 "
+    "pattern): projections are centered, each component's variance "
+    "equals its eigenvalue, variances are non-increasing, and the mean "
+    "squared reconstruction error equals the unexplained variance "
+    "(total - retained) — the Pythagorean identity only a correct "
+    "basis satisfies.",
+)
+def q98_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import as_double, pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigs, total_var = pca_fit(emb, "embedding", k=4)
+    proj = pca_project(emb, "vec_id", "embedding", mean, comps)
+
+    centered = F.zip_with(
+        as_double("embedding"),
+        F.array(*[F.lit(m) for m in mean]),
+        lambda x, m: x - m,
+    )
+    full = emb.join(proj, "vec_id").withColumn("__c", centered)
+    residual = F.col("__c")
+    for ci, comp in enumerate(comps):
+        pc = F.col(f"p{ci}")
+        residual = F.zip_with(
+            residual,
+            F.array(*[F.lit(w) for w in comp]),
+            lambda r, w: r - pc * w,  # noqa: B023 — pc rebound per layer
+        )
+    sqerr = F.aggregate(residual, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    aggs = full.agg(
+        *[F.avg(f"p{c}").alias(f"__m{c}") for c in range(4)],
+        *[F.var_pop(f"p{c}").alias(f"__v{c}") for c in range(4)],
+        F.avg(sqerr).alias("__mse"),
+    )
+    tol = 1e-6
+    centered_ok = F.lit(True)
+    var_ok = F.lit(True)
+    for c in range(4):
+        centered_ok = centered_ok & (F.abs(F.col(f"__m{c}")) < tol)
+        var_ok = var_ok & (
+            F.abs(F.col(f"__v{c}") - F.lit(eigs[c]))
+            <= tol * (1.0 + F.abs(F.lit(eigs[c])))
+        )
+    nonincr = F.lit(True)
+    for c in range(3):
+        nonincr = nonincr & (F.col(f"__v{c}") >= F.col(f"__v{c+1}") - tol)
+    unexplained = total_var - sum(eigs)
+    recon_ok = F.abs(F.col("__mse") - F.lit(unexplained)) <= tol * (
+        1.0 + abs(unexplained)
+    )
+    return aggs.select(
+        F.coalesce(centered_ok, F.lit(False)).alias("centered"),
+        F.coalesce(var_ok, F.lit(False)).alias("variance_matches_eigenvalues"),
+        F.coalesce(nonincr, F.lit(False)).alias("variance_nonincreasing"),
+        F.coalesce(recon_ok, F.lit(False)).alias("reconstruction_tight"),
+    )

@@ -147,3 +147,51 @@ def test_semantic_dedup_fit_sample_matches_full_fit_contract(spark):
     # the three identical-direction groups each keep exactly their min id
     keepers = sorted(r["vec_id"] for r in rows_out if r["keep"])
     assert keepers == [1, 2, 3]
+
+
+def test_pca_recovers_planted_structure(spark):
+    from atiesh_spark.operators.similarity import pca_fit, pca_project
+
+    # 2-D signal planted in 5-D: dim0 has variance ~4, dim2 variance ~1,
+    # other dims constant -> top-2 basis must span dims {0, 2}
+    rows = []
+    for i in range(40):
+        a = (i % 9) - 4.0   # sd ~2.58
+        b = ((i * 7) % 5) - 2.0
+        rows.append((i, [a, 7.0, b, -3.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    mean, comps, eigs, total = pca_fit(df, "embedding", k=2)
+    assert abs(mean[1] - 7.0) < 1e-9 and abs(mean[3] + 3.0) < 1e-9
+    assert eigs[0] >= eigs[1] > 0
+    # retained variance == total (only 2 non-constant dims)
+    assert abs((eigs[0] + eigs[1]) - total) < 1e-9
+    # components live in the {0, 2} plane and are orthonormal
+    for c in comps:
+        assert abs(c[1]) < 1e-9 and abs(c[3]) < 1e-9 and abs(c[4]) < 1e-9
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    assert abs(sum(x * y for x, y in zip(*comps))) < 1e-9
+    # sign convention: dominant coordinate positive
+    assert max(comps[0], key=abs) > 0 and max(comps[1], key=abs) > 0
+
+    proj = {r["vec_id"]: (r["p0"], r["p1"])
+            for r in pca_project(df, "vec_id", "embedding", mean, comps).collect()}
+    # projection preserves pairwise distances in the planted plane
+    import math
+    for i in (0, 5, 17):
+        for j in (3, 11):
+            da = rows[i][1]; db = rows[j][1]
+            d_orig = math.dist([da[0], da[2]], [db[0], db[2]])
+            d_proj = math.dist(proj[i], proj[j])
+            assert abs(d_orig - d_proj) < 1e-9
+
+
+def test_pca_fit_validates_k(spark):
+    import pytest
+
+    from atiesh_spark.operators.similarity import pca_fit
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        pca_fit(df, "embedding", k=0)
+    with pytest.raises(ValueError):
+        pca_fit(df, "embedding", k=3)
