@@ -195,8 +195,19 @@ def group_standardize(
         F.col("__sigma") > 0,
         F.round((F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sigma"), round_to),
     )
+    # null-safe join keys: a NULL group is a group (SQL window semantics),
+    # not a row to silently drop the way a plain equi-join would
+    mom = moments.select(
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)],
+        "__mu",
+        "__sigma",
+    )
+    cond = None
+    for i, c in enumerate(group_cols):
+        e = F.col(c).eqNullSafe(F.col(f"__g{i}"))
+        cond = e if cond is None else cond & e
     return (
-        df.join(F.broadcast(moments), group_cols)
+        df.join(F.broadcast(mom), cond)
         .withColumn(out_col, z)
-        .drop("__mu", "__sigma")
+        .drop(*[f"__g{i}" for i in range(len(group_cols))], "__mu", "__sigma")
     )

@@ -473,6 +473,11 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
     d = len(firsts)
     if k > d:
         raise ValueError(f"k={k} exceeds vector dimension {d}")
+    if len({r["n"] for r in firsts}) > 1:
+        raise ValueError(
+            "ragged or partially-NULL vectors: every row must carry the "
+            "same dimension for covariance moments to be well-defined"
+        )
     n = firsts[0]["n"]
     mean = np.zeros(d)
     for r in firsts:

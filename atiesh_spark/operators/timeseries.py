@@ -134,7 +134,7 @@ def mad_outliers(
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0")
-    reserved = {"__med", "__mad", "robust_z", "is_outlier"}
+    reserved = {"__med", "__mad", "__gm", "__gd", "robust_z", "is_outlier"}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
@@ -142,23 +142,27 @@ def mad_outliers(
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
-    dev = df.join(F.broadcast(med), group_col)
+    # null-safe group joins: a NULL group is a group (SQL window/groupBy
+    # semantics), not rows a plain equi-join may silently drop
+    med_t = med.select(F.col(group_col).alias("__gm"), "__med")
+    dev = df.join(F.broadcast(med_t), F.col(group_col).eqNullSafe(F.col("__gm")))
     mad = dev.groupBy(group_col).agg(
         F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
     )
+    mad_t = mad.select(F.col(group_col).alias("__gd"), "__mad")
     rz = F.when(
         F.col("__mad") > 0,
         F.round(F.lit(0.6745) * F.abs(v - F.col("__med")) / F.col("__mad"), round_to),
     )
     return (
-        df.join(F.broadcast(med), group_col)
-        .join(F.broadcast(mad), group_col)
+        df.join(F.broadcast(med_t), F.col(group_col).eqNullSafe(F.col("__gm")))
+        .join(F.broadcast(mad_t), F.col(group_col).eqNullSafe(F.col("__gd")))
         .withColumn("robust_z", rz)
         .withColumn(
             "is_outlier",
             F.coalesce(F.col("robust_z") > threshold, F.lit(False)),
         )
-        .drop("__med", "__mad")
+        .drop("__gm", "__gd", "__med", "__mad")
     )
 
 

@@ -213,3 +213,33 @@ def test_window_overlap_drops_boilerplate_windows(spark):
         df, "doc_id", "text", width=32, stride=8, max_doc_freq=5
     ).count()
     assert got == 0
+
+
+def test_group_standardize_keeps_null_group_rows(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("b", 2.0)], "g string, v double"
+    )
+    got = {
+        (r["g"], r["v"]): r["zscore"]
+        for r in group_standardize(df, ["g"], "v").collect()
+    }
+    # NULL is a group (window semantics), never silently dropped
+    assert got == {(None, 1.0): -1.0, (None, 3.0): 1.0, ("b", 2.0): None}
+
+
+def test_mad_outliers_keeps_null_group_rows(spark):
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 10.0, 1000.0]
+    df = spark.createDataFrame([(None, v) for v in vals], "g string, v double")
+    out = {r["v"]: r["is_outlier"] for r in mad_outliers(df, "g", "v").collect()}
+    assert len(out) == len(set(vals))
+    assert out[1000.0] is True
+
+
+def test_pca_fit_rejects_ragged_vectors(spark):
+    from atiesh_spark.operators.similarity import pca_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        pca_fit(df, "embedding", k=1)
