@@ -394,7 +394,13 @@ def weighted_sample(
     )
     es_key = F.round(-F.log(u) / F.col(weight_col).cast("double"), round_to)
     return (
-        df.filter(F.col(weight_col).cast("double") > 0)
+        # NULL keys are excluded with the nonpositive weights: a row
+        # without identity has no deterministic draw (and NULL sort
+        # position differs between engines — Spark NULLS FIRST would
+        # silently "win" the sample where DuckDB sorts them last)
+        df.filter(
+            F.col(key_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+        )
         .withColumn(key_out, es_key)
         .orderBy(F.col(key_out), F.col(key_col))
         .limit(k)

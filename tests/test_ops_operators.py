@@ -243,3 +243,11 @@ def test_pca_fit_rejects_ragged_vectors(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         pca_fit(df, "embedding", k=1)
+
+
+def test_weighted_sample_excludes_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None, 5.0), (2, 1.0)], "id int, w double"
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
+    assert got == [2]
