@@ -170,13 +170,6 @@ def scd2_intervals(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
-def _hadoop_path(spark, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, p
-
-
 class StreamingScd2:
     """Maintain an SCD2 interval table incrementally from a change
     stream: the dimension-maintenance loop every CDC-fed warehouse runs,
@@ -200,10 +193,9 @@ class StreamingScd2:
     collapsed away as a non-change — the standard SCD2-maintenance
     boundary; keep the raw log if full out-of-order rebuilds matter.
 
-    Store layout: versioned parquet directories (``v{batch_id}``), the
-    same idempotent pattern as ``StreamingCascadeRollup`` — batch B
+    The state backend is ``sources/versioned.VersionedStore`` (batch B
     reads the newest version < B and overwrites ``v{B}``; replays
-    converge. Per batch the recompute cost is (touched keys' intervals
+    converge). Per batch the recompute cost is (touched keys' intervals
     + the batch), never history; the untouched-side rewrite is an
     anti-join copy — at 100 TB, bucket the store by key hash and use
     dynamic partition overwrite so untouched buckets are not rewritten
@@ -219,34 +211,18 @@ class StreamingScd2:
         tiebreak_cols: list[str] | None = None,
         keep_versions: int = 2,
     ) -> None:
-        if keep_versions < 1:
-            raise ValueError("keep_versions must be >= 1")
+        from atiesh_spark.sources.versioned import VersionedStore
+
         self.keys, self.order_col = keys, order_col
         self.tracked_cols = tracked_cols
         self.tiebreak_cols = tiebreak_cols or []
-        self.path = path.rstrip("/")
-        self.keep_versions = keep_versions
-
-    def _versions(self, spark) -> list[int]:
-        fs, p = _hadoop_path(spark, self.path)
-        if not fs.exists(p):
-            return []
-        out = []
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if name.startswith("v") and name[1:].isdigit():
-                out.append(int(name[1:]))
-        return sorted(out)
+        self.store = VersionedStore(path, keep_versions=keep_versions)
 
     def latest_path(self, spark, before: int | None = None) -> str | None:
-        vs = [v for v in self._versions(spark) if before is None or v < before]
-        return f"{self.path}/v{vs[-1]}" if vs else None
+        return self.store.latest_path(spark, before=before)
 
     def read(self, spark) -> DataFrame:
-        latest = self.latest_path(spark)
-        if latest is None:
-            raise FileNotFoundError(f"no scd2 versions under {self.path}")
-        return spark.read.parquet(latest)
+        return self.store.read(spark)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -254,14 +230,13 @@ class StreamingScd2:
             self.keys + self.tracked_cols + [self.order_col] + self.tiebreak_cols
         )
         batch_obs = batch_df.select(*obs_cols)
-        prev = self.latest_path(spark, before=batch_id)
-        if prev is None:
+        store = self.store.read_before(spark, batch_id)
+        if store is None:
             merged = scd2_intervals(
                 batch_obs, self.keys, self.order_col, self.tracked_cols,
                 tiebreak_cols=self.tiebreak_cols or None,
             )
         else:
-            store = spark.read.parquet(prev)
             batch_keys = batch_obs.select(*self.keys).distinct()
             untouched = store.join(F.broadcast(batch_keys), self.keys, "left_anti")
             touched_points = (
@@ -282,12 +257,4 @@ class StreamingScd2:
                 tiebreak_cols=self.tiebreak_cols or None,
             )
             merged = untouched.unionByName(recomputed)
-        merged.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
-        self._prune(spark, upto=batch_id)
-
-    def _prune(self, spark, upto: int) -> None:
-        vs = [v for v in self._versions(spark) if v <= upto]
-        fs, _ = _hadoop_path(spark, self.path)
-        jvm = spark._jvm
-        for v in vs[: -self.keep_versions]:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v{v}"), True)
+        self.store.write(merged, batch_id)

@@ -211,3 +211,42 @@ def group_standardize(
         .withColumn(out_col, z)
         .drop(*[f"__g{i}" for i in range(len(group_cols))], "__mu", "__sigma")
     )
+
+
+def cdf_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "pct_rank",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group CDF transform: append each value's empirical percentile
+    rank within its group (``percent_rank``, ties share a rank; rounded)
+    — quantile normalization, the scale-free sibling of
+    ``group_standardize`` for heavy-tailed features.
+
+    NULL values take no part in the ranking and come back with a NULL
+    rank (window NULL ordering differs between engines, so excluding
+    them is the only portable semantics).
+
+    Scale note: exact ranks genuinely need the per-group sort — this IS
+    a window over the fact table, unlike the moments-broadcast
+    operators. When an approximate CDF is acceptable at 100 TB, bin
+    against broadcast quantile bounds instead (the ``winsorize`` /
+    ``histogram`` pattern) and no full-data sort happens.
+    """
+    from pyspark.sql.window import Window
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} collides with an input column")
+    v = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(v)
+    ranked = df.filter(v.isNotNull()).withColumn(
+        out_col, F.round(F.percent_rank().over(w), round_to)
+    )
+    skipped = df.filter(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return ranked.unionByName(skipped)

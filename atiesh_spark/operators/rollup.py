@@ -83,13 +83,6 @@ def cascade_rollup(
     return out
 
 
-def _hadoop_path(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, p
-
-
 class StreamingCascadeRollup:
     """Maintain a multi-level cascade rollup incrementally from a stream:
     the continuous-aggregate loop the batch operator's docstring promises.
@@ -104,16 +97,14 @@ class StreamingCascadeRollup:
     bucket whenever they arrive (the store IS the state, keyed by
     bucket).
 
-    The store is a versioned parquet directory: batch ``B`` reads the
-    newest version with id < B, merges, and overwrites ``v{B}``. Replays
-    after a failure re-read the same pre-``B`` state, so the merge is
-    idempotent (effectively-once on top of the checkpointed source, the
-    same contract as ``idempotent_parquet_writer``); the scan cost per
-    batch is the (small) rollup store, never the raw history. Old
-    versions are pruned, keeping ``keep_versions``.
+    The state backend is ``sources/versioned.VersionedStore``: batch
+    ``B`` reads the newest version with id < B, merges, and overwrites
+    ``v{B}``, so failure replays converge (effectively-once on top of
+    the checkpointed source); the scan cost per batch is the (small)
+    rollup store, never the raw history.
 
     Read the current rollup with ``read()`` (or point any reader at the
-    ``latest_path()`` directory).
+    ``store.latest_path()`` directory).
     """
 
     def __init__(
@@ -127,33 +118,18 @@ class StreamingCascadeRollup:
         level_col: str = "level",
         keep_versions: int = 2,
     ) -> None:
-        if keep_versions < 1:
-            raise ValueError("keep_versions must be >= 1")
-        self.ts_col, self.levels, self.aggs = ts_col, levels, aggs
-        self.path, self.group_cols = path.rstrip("/"), group_cols or []
-        self.bucket_col, self.level_col = bucket_col, level_col
-        self.keep_versions = keep_versions
+        from atiesh_spark.sources.versioned import VersionedStore
 
-    def _versions(self, spark: SparkSession) -> list[int]:
-        fs, p = _hadoop_path(spark, self.path)
-        if not fs.exists(p):
-            return []
-        out = []
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if name.startswith("v") and name[1:].isdigit():
-                out.append(int(name[1:]))
-        return sorted(out)
+        self.ts_col, self.levels, self.aggs = ts_col, levels, aggs
+        self.group_cols = group_cols or []
+        self.bucket_col, self.level_col = bucket_col, level_col
+        self.store = VersionedStore(path, keep_versions=keep_versions)
 
     def latest_path(self, spark: SparkSession, before: int | None = None) -> str | None:
-        vs = [v for v in self._versions(spark) if before is None or v < before]
-        return f"{self.path}/v{vs[-1]}" if vs else None
+        return self.store.latest_path(spark, before=before)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        latest = self.latest_path(spark)
-        if latest is None:
-            raise FileNotFoundError(f"no rollup versions under {self.path}")
-        return spark.read.parquet(latest)
+        return self.store.read(spark)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -162,9 +138,9 @@ class StreamingCascadeRollup:
             group_cols=self.group_cols, bucket_col=self.bucket_col,
             level_col=self.level_col,
         )
-        prev = self.latest_path(spark, before=batch_id)
+        prev = self.store.read_before(spark, batch_id)
         if prev is not None:
-            delta = spark.read.parquet(prev).unionByName(delta)
+            delta = prev.unionByName(delta)
         merge = [
             getattr(F, _REAGG[kind])(name).alias(name)
             for name, (_, kind) in self.aggs.items()
@@ -172,12 +148,4 @@ class StreamingCascadeRollup:
         merged = delta.groupBy(
             self.level_col, self.bucket_col, *self.group_cols
         ).agg(*merge)
-        merged.write.mode("overwrite").parquet(f"{self.path}/v{batch_id}")
-        self._prune(spark, upto=batch_id)
-
-    def _prune(self, spark: SparkSession, upto: int) -> None:
-        vs = [v for v in self._versions(spark) if v <= upto]
-        fs, _ = _hadoop_path(spark, self.path)
-        jvm = spark._jvm
-        for v in vs[: -self.keep_versions]:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v{v}"), True)
+        self.store.write(merged, batch_id)

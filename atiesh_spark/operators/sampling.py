@@ -405,3 +405,56 @@ def weighted_sample(
         .orderBy(F.col(key_out), F.col(key_col))
         .limit(k)
     )
+
+
+class StreamingWeightedSample:
+    """Maintain a deterministic weighted reservoir of size k over a
+    stream, as a ``foreachBatch`` function.
+
+    Because :func:`weighted_sample` keys are a pure function of
+    (row key, weight), top-k under them is a MONOID: merging each
+    batch's local top-k with the stored reservoir and re-taking the k
+    smallest keys equals the batch sample over all rows ever seen —
+    the streaming reservoir-sampling guarantee (A-ES), with none of
+    the RNG state a random reservoir would have to checkpoint, and
+    bit-identical to the batch operator at every point in the stream.
+
+    State backend is ``sources/versioned.VersionedStore`` (k rows per
+    version — tiny), so failure replays converge like every other
+    maintenance loop here. Per batch the work is the batch's own
+    TakeOrderedAndProject plus a union with k stored rows.
+    """
+
+    def __init__(
+        self,
+        key_col: str,
+        weight_col: str,
+        k: int,
+        path: str,
+        key_out: str = "sample_key",
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        if k <= 0:
+            raise ValueError("k must be > 0")
+        self.key_col, self.weight_col, self.k = key_col, weight_col, k
+        self.key_out = key_out
+        self.store = VersionedStore(path, keep_versions=keep_versions)
+
+    def read(self, spark) -> DataFrame:
+        return self.store.read(spark)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        top = weighted_sample(
+            batch_df, self.key_col, self.weight_col, self.k, key_out=self.key_out
+        )
+        prev = self.store.read_before(spark, batch_id)
+        if prev is not None:
+            top = (
+                prev.unionByName(top)
+                .orderBy(F.col(self.key_out), F.col(self.key_col))
+                .limit(self.k)
+            )
+        self.store.write(top, batch_id)

@@ -490,3 +490,30 @@ def q98_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nonincr, F.lit(False)).alias("variance_nonincreasing"),
         F.coalesce(recon_ok, F.lit(False)).alias("reconstruction_tight"),
     )
+
+
+@register(
+    "q99_cdf_normalize",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(percent_rank() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+           ), 4) AS pct_rank
+    FROM orders
+    """,
+    doc="Per-group empirical-CDF transform (operators/profile.py "
+    "cdf_normalize): percent_rank of each order's price within its "
+    "priority class — quantile normalization for heavy-tailed "
+    "features. Exact ranks need the per-group sort (one window "
+    "shuffle); the approximate 100 TB path is binning against "
+    "broadcast quantile bounds (winsorize/histogram pattern).",
+)
+def q99_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import cdf_normalize
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cdf_normalize(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )

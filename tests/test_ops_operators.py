@@ -251,3 +251,25 @@ def test_weighted_sample_excludes_null_keys(spark):
     )
     got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
     assert got == [2]
+
+
+def test_cdf_normalize_ranks_ties_and_nulls(spark):
+    from atiesh_spark.operators.profile import cdf_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0), ("a", None), ("b", 9.0)],
+        "g string, v double",
+    )
+    got = {
+        (r["g"], r["v"]): r["pct_rank"]
+        for r in cdf_normalize(df, ["g"], "v").collect()
+    }
+    # percent_rank: (rank - 1) / (n - 1); ties share; NULL stays NULL;
+    # single-row group ranks 0
+    assert got == {
+        ("a", 1.0): 0.0,
+        ("a", 2.0): 0.3333,
+        ("a", 5.0): 1.0,
+        ("a", None): None,
+        ("b", 9.0): 0.0,
+    }

@@ -234,3 +234,35 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
     assert sorted(a.values()) == list(range(500))  # a true permutation
     assert a != c                       # different epoch, different order
     assert sorted(c.values()) == list(range(500))
+
+
+def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
+    from atiesh_spark.operators.sampling import StreamingWeightedSample, weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 11 + 1)) for i in range(300)], ["id", "w"]
+    )
+    b1 = df.filter("id % 3 = 0")
+    b2 = df.filter("id % 3 = 1")
+    b3 = df.filter("id % 3 = 2")
+    res = StreamingWeightedSample("id", "w", k=25, path=str(tmp_path / "res"))
+    res(b1, 0)
+    res(b2, 1)
+    res(b3, 2)
+    expect = [
+        (r["id"], r["sample_key"])
+        for r in weighted_sample(df, "id", "w", k=25).collect()
+    ]
+    got = sorted(
+        ((r["id"], r["sample_key"]) for r in res.read(spark).collect()),
+        key=lambda t: (t[1], t[0]),
+    )
+    assert got == expect
+
+    # replay converges
+    res(b3, 2)
+    got2 = sorted(
+        ((r["id"], r["sample_key"]) for r in res.read(spark).collect()),
+        key=lambda t: (t[1], t[0]),
+    )
+    assert got2 == expect
