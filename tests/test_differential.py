@@ -12,6 +12,14 @@ from __future__ import annotations
 
 import random
 from datetime import datetime, timedelta
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """Spark's F.round semantics (HALF_UP) — Python's round() is
+    banker's and diverges on exact .5 boundaries."""
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 from atiesh_spark.operators.diffing import snapshot_diff
 from atiesh_spark.operators.timeseries import rolling_aggregate
@@ -90,3 +98,109 @@ def test_interval_join_matches_bruteforce(spark):
         if lk == rk and lt - timedelta(seconds=30) <= rt <= lt + timedelta(seconds=45)
     )
     assert got == want
+
+
+def test_scd2_matches_bruteforce_run_collapse(spark):
+    from atiesh_spark.operators.diffing import scd2_intervals
+
+    rows = [
+        (i, _R.randrange(8), _R.randrange(1000), _R.choice(["a", "b", "c", None]))
+        for i in range(400)
+    ]
+    # unique (key, t): random duplicate order keys would make the truth
+    # itself tiebreak-dependent; the tiebreak path is covered by the
+    # streaming SCD2 suite
+    seen = set()
+    rows = [r for r in rows if (r[1], r[2]) not in seen and not seen.add((r[1], r[2]))]
+    df = spark.createDataFrame(rows, "i long, k long, t long, v string")
+    got = sorted(
+        (r["k"], r["t"], r["v"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(
+            df.select("k", "t", "v"), ["k"], "t", ["v"]
+        ).withColumnRenamed("valid_from", "t").collect()
+    )
+    expect = []
+    by_key: dict = {}
+    for _, k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    for k, obs in by_key.items():
+        obs.sort()
+        runs = []
+        for t, v in obs:
+            if not runs or runs[-1][1] != v:
+                runs.append((t, v))
+        for idx, (t, v) in enumerate(runs):
+            nxt = runs[idx + 1][0] if idx + 1 < len(runs) else None
+            expect.append((k, t, v, nxt, nxt is None))
+    assert got == sorted(expect)
+
+
+def test_weighted_sample_matches_bruteforce_es_keys(spark):
+    import hashlib
+    import math
+
+    from atiesh_spark.operators.sampling import weighted_sample
+
+    rows = [(i, round(_R.uniform(0.1, 50.0), 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [(r["id"], r["sample_key"])
+           for r in weighted_sample(df, "id", "w", k=40).collect()]
+
+    def es_key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return _round_half_up(-math.log((h + 1) / float(1 << 60)) / w, 6)
+
+    expect = sorted(((i, es_key(i, w)) for i, w in rows),
+                    key=lambda t: (t[1], t[0]))[:40]
+    assert got == expect
+
+
+def test_cap_per_group_matches_bruteforce_hash_order(spark):
+    import hashlib
+
+    from atiesh_spark.operators.curation import cap_per_group
+
+    rows = [(i, f"s{_R.randrange(4)}") for i in range(250)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    got = {(r["id"], r["src"])
+           for r in cap_per_group(df, "src", "id", cap=9, shards=5).collect()}
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    by_src: dict = {}
+    for i, s in rows:
+        by_src.setdefault(s, []).append(i)
+    for s, ids in by_src.items():
+        for i in sorted(ids, key=lambda x: (h(x), x))[:9]:
+            expect.add((i, s))
+    assert got == expect
+
+
+def test_transition_matrix_matches_bruteforce(spark):
+    from collections import Counter
+
+    from atiesh_spark.operators.timeseries import transition_matrix
+
+    rows = [(i, _R.randrange(6), _R.choice("xyz")) for i in range(300)]
+    df = spark.createDataFrame(rows, "t long, k long, s string")
+    # make (k, t) unique so the truth is tiebreak-free
+    seen = set()
+    rows = [r for r in rows if (r[1], r[0]) not in seen and not seen.add((r[1], r[0]))]
+    df = spark.createDataFrame(rows, "t long, k long, s string")
+    got = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+           for r in transition_matrix(df, "k", "t", "s").collect()}
+    c: Counter = Counter()
+    by_key: dict = {}
+    for t, k, s in rows:
+        by_key.setdefault(k, []).append((t, s))
+    for k, obs in by_key.items():
+        obs.sort()
+        for (_, a), (_, b) in zip(obs, obs[1:]):
+            c[(a, b)] += 1
+    totals: Counter = Counter()
+    for (a, _), n in c.items():
+        totals[a] += n
+    expect = {p: (n, _round_half_up(n / totals[p[0]], 4)) for p, n in c.items()}
+    assert got == expect
