@@ -225,6 +225,47 @@ def inverted_index(
     )
 
 
+def _content_sampled_windows(
+    df: DataFrame, id_col: str, text_col: str, width: int, rate: int
+) -> DataFrame:
+    """(id_col, __start, __wh): fixed-width character windows selected by
+    CONTENT, not position — a window survives iff its own md5 satisfies
+    ``md5 % rate == 0`` (Manber-style mod-p fingerprinting, the robust
+    sampling behind sif/MOSS-family dedup tools).
+
+    Selection depends only on the window's text, so a verbatim copy
+    selects the IDENTICAL windows in every document that carries it,
+    at ANY alignment — the property positional stride-sampling lacks
+    (it only matches copies whose offsets agree mod stride). Expected
+    density is 1/rate; a copied span of length L >= width misses
+    detection with probability ~(1 - 1/rate)^(L - width + 1).
+
+    Cost: every position is hashed (the explode runs at density 1 and
+    the mod-filter prunes in the same codegen stage, before anything
+    shuffles) — the same per-char work the trigram LM already does.
+    ``rate=1`` degrades to exhaustive windows.
+    """
+    text = F.col(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.length(text) - width, F.lit(0)))
+    hashed = (
+        _fanout(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("__start"),
+            text.alias("__text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__start"),
+            F.md5(F.col("__text").substr(F.col("__start") + 1, F.lit(width))).alias(
+                "__wh"
+            ),
+        )
+    )
+    gate = F.conv(F.substring("__wh", 1, 15), 16, 10).cast("long") % rate == 0
+    return hashed.filter(gate)
+
+
 def window_overlap_pairs(
     df: DataFrame,
     id_col: str,
@@ -235,52 +276,34 @@ def window_overlap_pairs(
     max_doc_freq: int = 50,
 ) -> DataFrame:
     """Exact-substring overlap candidates: document pairs sharing >=
-    ``min_shared`` distinct fixed-width character windows, POSITIONALLY
-    sampled every ``stride`` chars: (id_1, id_2, n_shared).
+    ``min_shared`` distinct content-sampled fixed-width windows
+    (``_content_sampled_windows``, rate = ``stride``):
+    (id_1, id_2, n_shared).
 
     The detector behind suffix-array-style training-data dedup ("this
-    paragraph was copied verbatim into both pages"): a long shared
-    substring of length >= width + stride - 1 is guaranteed to produce
-    at least one shared sampled window REGARDLESS of alignment (some
-    window of one doc starts within stride of the copy's start in the
-    other; both then sample identical width-char slices at matching
-    offsets... concretely: among any stride consecutive start positions
-    inside the copied span, each doc samples one, and equal text at
-    equal in-span offsets hashes equal). Jaccard/MinHash miss this case
-    when the copy is a small fraction of both documents — bag-of-shingle
-    similarity is low even though the overlap is verbatim.
+    paragraph was copied verbatim into both pages"): content-defined
+    selection means a copied span selects identical windows in both
+    documents at ANY alignment — miss probability for a span of length
+    L is ~(1 - 1/stride)^(L - width + 1), e.g. < 1e-5 for a 140-char
+    span at the defaults. Jaccard/MinHash miss this case when the copy
+    is a small fraction of both documents — bag-of-shingle similarity
+    is low even though the overlap is verbatim.
 
-    Plan shape: windows explode fanout-guarded (ceil(len/stride) per
-    doc), immediately reduced to DISTINCT (doc, md5(window)) 16-byte
-    hashes — window text never shuffles. Hashes in > ``max_doc_freq``
-    docs are dropped before pairing (boilerplate windows would square
-    into max_doc_freq^2 pairs; a real copy pair still matches via its
-    rarer windows). Pairing is the same banded self-join as LSH: join
-    on the hash, id_1 < id_2, count distinct shared hashes.
+    Plan shape: the window stream reduces to DISTINCT (doc, 16-byte
+    md5) before anything shuffles — window text never leaves its
+    executor. Hashes in > ``max_doc_freq`` docs are dropped before
+    pairing (boilerplate windows would square into max_doc_freq^2
+    pairs; a real copy pair still matches via its rarer windows).
+    Pairing is the same banded self-join as LSH: join on the hash,
+    id_1 < id_2, count distinct shared hashes.
     """
     if width <= 0 or stride <= 0:
         raise ValueError("width and stride must be > 0")
     if min_shared <= 0 or max_doc_freq < 2:
         raise ValueError("min_shared must be > 0 and max_doc_freq >= 2")
-    text = F.col(text_col)
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.length(text) - width, F.lit(0)), F.lit(stride)
-    )
-    win = (
-        _fanout(df.select(id_col, text_col))
-        .select(
-            F.col(id_col),
-            F.explode(starts).alias("__start"),
-            text.alias("__text"),
-        )
-        .select(
-            F.col(id_col),
-            F.md5(F.col("__text").substr(F.col("__start") + 1, F.lit(width))).alias(
-                "__wh"
-            ),
-        )
-        .distinct()
-    )
+    win = _content_sampled_windows(df, id_col, text_col, width, stride).select(
+        F.col(id_col), "__wh"
+    ).distinct()
     rare = win.withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("__wh"))
     ).filter(F.col("__df") <= max_doc_freq)
@@ -292,4 +315,116 @@ def window_overlap_pairs(
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 32,
+    stride: int = 8,
+    min_dup_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Exact-substring dedup with SPAN REMOVAL (the Lee et al. 2022,
+    arXiv:2107.06499 treatment): text that appears verbatim in
+    ``min_dup_docs``+ documents is EXCISED from every document except
+    the lowest-id keeper — returns
+    (id_col, out_col, n_dup_windows, chars_removed).
+
+    Detection is the content-defined window sampling of
+    ``_content_sampled_windows`` (rate = ``stride``): a copied span
+    selects the identical windows in every document carrying it, at
+    any alignment, with miss probability ~(1 - 1/stride)^(L - width + 1)
+    for a span of length L. The removed region is the union of the
+    duplicated windows' [start, start + width) intervals, so removal
+    is span-accurate to the sampling density, not document- or
+    pair-level. The keeper doc keeps its text untouched (dedup, not
+    deletion).
+
+    Plan shape — two shuffles, text never shuffles with the hashes:
+      1. content-sampled (doc, start, md5(window)) stream; per-hash
+         keeper = min doc id (16-byte-hash groupBy);
+      2. victim occurrences join the keeper dim back (hash-keyed),
+         then ONE per-doc sort (window over doc) serves both the
+         interval-union length (running-max sweep) and the excision
+         (collect sorted starts, then a row-local higher-order fold
+         rebuilds the kept text).
+    Docs with no duplicated windows pass through whole via a left
+    join. At 100 TB the per-hash keeper frame is heavy-tail small
+    (duplicated windows only) and broadcasts.
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError("width and stride must be > 0")
+    if min_dup_docs < 2:
+        raise ValueError("min_dup_docs must be >= 2")
+    text = F.col(text_col)
+    win = _content_sampled_windows(df, id_col, text_col, width, stride)
+    keepers = (
+        win.groupBy("__wh")
+        .agg(
+            F.countDistinct(id_col).alias("__df"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .filter(F.col("__df") >= min_dup_docs)
+        .select("__wh", "__keeper")
+    )
+    victims = win.join(F.broadcast(keepers), "__wh").filter(
+        F.col(id_col) != F.col("__keeper")
+    )
+    # one per-doc collect of the sorted duplicate starts; union length and
+    # excision are then row-local folds over that (bounded) array
+    spans = victims.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__start")).alias("__starts")
+    )
+    w = F.lit(width)
+    # interval-union sweep: fold (pos, removed) over sorted starts —
+    # each start contributes min(width, uncovered suffix past `pos`)
+    # interval ends cap at the document length: a sub-width document's
+    # single window covers the whole (short) text, not `width` chars
+    union_len = F.aggregate(
+        F.col("__starts"),
+        F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("removed")),
+        lambda acc, s: F.struct(
+            F.greatest(acc["pos"], F.least(s + w, F.length(text))).alias("pos"),
+            (
+                acc["removed"]
+                + F.greatest(
+                    F.lit(0),
+                    F.least(s + w, F.length(text)) - F.greatest(acc["pos"], s),
+                )
+            ).alias("removed"),
+        ),
+        lambda acc: acc["removed"],
+    )
+    # excision fold: walk sorted starts appending the uncovered text
+    # BEFORE each span, then the tail after the last one
+    rebuild = F.aggregate(
+        F.col("__starts"),
+        F.struct(F.lit(0).alias("pos"), F.lit("").alias("out")),
+        lambda acc, s: F.struct(
+            F.greatest(acc["pos"], s + w).alias("pos"),
+            F.concat(
+                acc["out"],
+                F.when(
+                    s > acc["pos"],
+                    F.col(text_col).substr(acc["pos"] + 1, s - acc["pos"]),
+                ).otherwise(F.lit("")),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], F.col(text_col).substr(acc["pos"] + 1, F.length(text_col))
+        ),
+    )
+    return (
+        df.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__starts").isNotNull(), rebuild)
+            .otherwise(text)
+            .alias(out_col),
+            F.coalesce(F.size("__starts"), F.lit(0)).alias("n_dup_windows"),
+            F.coalesce(union_len, F.lit(0)).alias("chars_removed"),
+        )
     )

@@ -237,10 +237,14 @@ def q92_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                md5(substring(text, s, 32)) AS wh
         FROM documents,
-             unnest(generate_series(1, greatest(length(text) - 32, 0) + 1, 8))
+             unnest(generate_series(1, greatest(length(text) - 32, 0) + 1))
                  AS t(s)
     ),
-    wd AS (SELECT DISTINCT doc_id, wh FROM w0),
+    sel AS (
+        SELECT doc_id, wh FROM w0
+        WHERE ('0x' || substring(wh, 1, 15))::BIGINT % 8 = 0
+    ),
+    wd AS (SELECT DISTINCT doc_id, wh FROM sel),
     rare AS (SELECT wh FROM wd GROUP BY wh HAVING count(*) <= 50)
     SELECT a.doc_id AS id_1, b.doc_id AS id_2,
            count(*) AS n_shared
@@ -250,12 +254,14 @@ def q92_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) >= 2
     """,
     doc="Exact-substring overlap candidates (operators/corpus.py "
-    "window_overlap_pairs, width=32 stride=8 min_shared=2): doc pairs "
-    "sharing positionally-sampled verbatim windows — the suffix-array-"
-    "style dedup signal MinHash misses when the copied span is a small "
-    "fraction of both docs. Window text never shuffles (16-byte md5 "
-    "immediately); windows in > 50 docs are dropped before the pair "
-    "join so boilerplate cannot square.",
+    "window_overlap_pairs, width=32 rate=8 min_shared=2): doc pairs "
+    "sharing CONTENT-sampled verbatim windows (Manber mod-p selection "
+    "— a window survives iff its own md5 mod 8 == 0, so copies match "
+    "at ANY alignment) — the suffix-array-style dedup signal MinHash "
+    "misses when the copied span is a small fraction of both docs. "
+    "Window text never shuffles (16-byte md5 immediately); windows in "
+    "> 50 docs are dropped before the pair join so boilerplate cannot "
+    "square.",
 )
 def q93_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atiesh_spark.operators.corpus import window_overlap_pairs
@@ -517,3 +523,63 @@ def q99_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         "o_totalprice",
     )
+
+
+@register(
+    "q100_span_dedup_report",
+    oracle="""
+    WITH w1 AS (
+        SELECT doc_id, s - 1 AS start,
+               md5(substring(text, s, 32)) AS wh, length(text) AS len
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 32, 0) + 1))
+                 AS t(s)
+    ),
+    w0 AS (
+        SELECT * FROM w1
+        WHERE ('0x' || substring(wh, 1, 15))::BIGINT % 8 = 0
+    ),
+    k AS (
+        SELECT wh, min(doc_id) AS keeper FROM w0
+        GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    v AS (
+        SELECT w0.doc_id, w0.start, least(w0.start + 32, w0.len) AS e
+        FROM w0 JOIN k USING (wh) WHERE w0.doc_id != k.keeper
+    ),
+    sw AS (
+        SELECT doc_id, start, e,
+               max(e) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM v
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_windows,
+               CAST(sum(greatest(
+                   0, e - greatest(coalesce(prev_max, -1), start)
+               )) AS INTEGER) AS chars_removed
+        FROM sw GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(a.chars_removed, 0) AS chars_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Exact-substring span-removal report (operators/corpus.py "
+    "remove_duplicate_spans, arXiv:2107.06499 treatment): per doc, how "
+    "many content-sampled windows (Manber mod-p) are verbatim copies of "
+    "another doc's text (lowest-id doc keeps its copy) and how many "
+    "characters their interval UNION covers — the oracle proves the "
+    "keeper assignment and the union sweep exactly; the actual "
+    "excision fold (clean_text) is differential-tested against a "
+    "pure-Python reference. Text never shuffles with the hashes; one "
+    "per-doc sort serves both the sweep and the excision.",
+)
+def q100_span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        docs, "doc_id", "text", width=32, stride=8, min_dup_docs=2
+    ).select("doc_id", "n_dup_windows", "chars_removed")

@@ -124,6 +124,7 @@ DRIVER_ORDER: list[str] = [
     "q97_interarrival_stats",
     "q98_pca_embeddings",
     "q99_cdf_normalize",
+    "q100_span_dedup_report",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -131,15 +132,14 @@ DRIVER_ORDER: list[str] = [
     "q36_window_sliding",
     "q37_session_window",
     "q50_session_funnel",
-    # -- newest temporal join (green in r2, keep it graded) --
-    "q60_asof_join",
     # ----------------- driver window boundary (50) -----------------
-    # The 43 never-driver-checked queries (q54-q59 + the r3 additions
-    # q63-q99) plus the 6 r1-green-but-stale (q36-q40, q50) and q60
-    # fill the window exactly. Everything below was driver-green in r02
-    # (q61/q62 and the LLM/similarity block) or in BOTH r01 and r02
-    # (the relational/event floor) and stays in the in-repo parity
+    # The 44 never-driver-checked queries (q54-q59 + the r3 additions
+    # q63-q100) plus the 6 r1-green-but-stale (q36-q40, q50) fill the
+    # window exactly. Everything below was driver-green in r02 (the
+    # temporal joins and the LLM/similarity block) or in BOTH r01 and
+    # r02 (the relational/event floor) and stays in the in-repo parity
     # suite every run, so rotating it out loses the least evidence.
+    "q60_asof_join",
     "q61_range_join",
     "q62_cascade_rollup",
     "q24_exact_dedup",

@@ -214,3 +214,86 @@ def test_curate_corpus_reports_every_stage(spark):
     assert fr["n_candidates"] == 1
     assert (fr["n_after_quality"], fr["n_after_dedup"], fr["n_selected"]) == (0, 0, 0)
     assert fr["cost_selected"] == 0
+
+
+def test_remove_duplicate_spans_excises_copied_text(spark):
+    from atiesh_spark.operators.corpus import remove_duplicate_spans
+
+    copied = "this exact paragraph was copied verbatim between documents!"
+    rows = [
+        (1, "AAAA " + copied + " BBBB unique tail one"),
+        (2, "unique head two " + copied + " CCCC"),
+        (3, "entirely original text with no duplication at all in here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df, "doc_id", "text", width=16, stride=4).collect()}
+    # keeper (lowest id among dup holders) keeps its text whole
+    assert out[1]["clean_text"] == rows[0][1]
+    assert out[1]["chars_removed"] == 0
+    # victim loses the copied span (sampling-stride accurate), keeps
+    # its unique head/tail
+    assert copied not in out[2]["clean_text"]
+    assert out[2]["clean_text"].startswith("unique head two ")
+    assert out[2]["clean_text"].endswith("CCCC")
+    assert out[2]["chars_removed"] > len(copied) - 16 - 4
+    # untouched doc passes through whole
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_dup_windows"] == 0
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    import hashlib
+    import random
+
+    from atiesh_spark.operators.corpus import remove_duplicate_spans
+
+    rng = random.Random(7)
+    frag = "shared fragment of repeated corpus text! "
+    docs = []
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randrange(1, 5)):
+            if rng.random() < 0.4:
+                parts.append(frag)
+            else:
+                parts.append("".join(rng.choice("abcdefg hij") for _ in range(rng.randrange(10, 60))))
+        docs.append((i, "".join(parts)))
+    W, S = 24, 6
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df, "doc_id", "text", width=W, stride=S).collect()}
+
+    # independent reference
+    wins = {}
+    for i, t in docs:
+        for s in range(0, max(len(t) - W, 0) + 1):
+            h = hashlib.md5(t[s:s + W].encode()).hexdigest()
+            # content gate: window survives iff its own md5 % rate == 0
+            if int(h[:15], 16) % S == 0:
+                wins.setdefault(h, []).append((i, s))
+    victims: dict = {}
+    for h, occ in wins.items():
+        ids = {i for i, _ in occ}
+        if len(ids) >= 2:
+            keeper = min(ids)
+            for i, s in occ:
+                if i != keeper:
+                    victims.setdefault(i, []).append(s)
+    for i, t in docs:
+        starts = sorted(victims.get(i, []))
+        # union length + excision
+        removed, pos = 0, -1
+        out, rpos = [], 0
+        for s in starts:
+            e = min(s + W, len(t))
+            removed += max(0, e - max(pos, s))
+            pos = max(pos, e)
+            if s > rpos:
+                out.append(t[rpos:s])
+            rpos = max(rpos, e)
+        out.append(t[rpos:])
+        clean = "".join(out)
+        assert got[i]["n_dup_windows"] == len(starts), i
+        assert got[i]["chars_removed"] == removed, i
+        assert got[i]["clean_text"] == clean, i
