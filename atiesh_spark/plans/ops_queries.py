@@ -1,6 +1,8 @@
-"""Warehouse-ops and layout queries (round-3b batch): SCD2 builds,
-Z-order layout, weighted sampling, per-source caps, normalization,
-robust outliers, and exact-substring overlap.
+"""Warehouse-ops, layout, and targeted-selection queries (round-3b
+batch): SCD2 builds, Z-order layout, weighted sampling, per-source
+caps, normalization, robust outliers, exact-substring overlap and
+span-removal dedup, LM/DSIR quality scoring, event-sequence analytics,
+distributed PCA, and CDF transforms.
 
 Each pairs a scale-shaped operator with a DuckDB value oracle; hashes
 are md5-derived (engine-independent) and floats are rounded on BOTH
