@@ -585,3 +585,63 @@ def q100_span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         docs, "doc_id", "text", width=32, stride=8, min_dup_docs=2
     ).select("doc_id", "n_dup_windows", "chars_removed")
+
+
+@register(
+    "q101_triangle_stats",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
+                        greatest(x.l_suppkey, y.l_suppkey) AS b
+        FROM ps x JOIN ps y USING (l_partkey)
+        WHERE x.l_suppkey < y.l_suppkey
+    ),
+    deg AS (
+        SELECT n, count(*) AS degree FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+        ) GROUP BY n
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+        SELECT n, count(*) AS n_triangles FROM (
+            SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+            UNION ALL SELECT c AS n FROM tri
+        ) GROUP BY n
+    )
+    SELECT deg.n AS node, deg.degree,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * coalesce(pn.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 4)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN pn USING (n)
+    """,
+    doc="Exact per-node triangle counts + local clustering coefficients "
+    "(operators/graph.py triangle_stats) on the supplier co-supply "
+    "graph (suppliers sharing a part). The engine uses DEGREE-ORDERED "
+    "orientation — oriented out-degree O(sqrt(m)) bounds the wedge "
+    "join at m^1.5 regardless of hub size, the standard distributed "
+    "remedy for the d^2 naive wedge explosion — while the oracle "
+    "enumerates via canonical id-order joins: two different exact "
+    "methods, provably the same triangle set, hash-matched.",
+)
+def q101_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    x = ps.select("l_partkey", F.col("l_suppkey").alias("id_1"))
+    y = ps.select("l_partkey", F.col("l_suppkey").alias("id_2"))
+    edges = (
+        x.join(y, "l_partkey")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    return triangle_stats(edges)

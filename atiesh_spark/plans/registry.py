@@ -125,6 +125,7 @@ DRIVER_ORDER: list[str] = [
     "q98_pca_embeddings",
     "q99_cdf_normalize",
     "q100_span_dedup_report",
+    "q101_triangle_stats",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -133,12 +134,14 @@ DRIVER_ORDER: list[str] = [
     "q37_session_window",
     "q50_session_funnel",
     # ----------------- driver window boundary (50) -----------------
-    # The 44 never-driver-checked queries (q54-q59 + the r3 additions
-    # q63-q100) plus the 6 r1-green-but-stale (q36-q40, q50) fill the
-    # window exactly. Everything below was driver-green in r02 (the
-    # temporal joins and the LLM/similarity block) or in BOTH r01 and
-    # r02 (the relational/event floor) and stays in the in-repo parity
-    # suite every run, so rotating it out loses the least evidence.
+    # The 45 never-driver-checked queries (q54-q59 + the r3 additions
+    # q63-q101) plus 5 of the 6 r1-green-but-stale (q36-q40) fill the
+    # window exactly; q50 (r1-green, and its sessionize/funnel stack is
+    # re-exercised by q37 in-window) absorbs the final rotation.
+    # Everything below was driver-green in r02 (the temporal joins and
+    # the LLM/similarity block) or in BOTH r01 and r02 (the relational/
+    # event floor) and stays in the in-repo parity suite every run, so
+    # rotating it out loses the least evidence.
     "q60_asof_join",
     "q61_range_join",
     "q62_cascade_rollup",

@@ -273,3 +273,32 @@ def test_cdf_normalize_ranks_ties_and_nulls(spark):
         ("a", None): None,
         ("b", 9.0): 0.0,
     }
+
+
+# ------------------------------------------------------------- triangles
+
+def test_triangle_stats_known_graph(spark):
+    from atiesh_spark.operators.graph import triangle_stats
+
+    # triangle {1,2,3} + pendant 4 + a square {5,6,7,8} (no triangles)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8), (5, 8)]
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert got[1]["n_triangles"] == 1 and got[1]["clustering"] == 1.0
+    assert got[2]["n_triangles"] == 1
+    # node 3: degree 3, one triangle -> cc = 2*1/(3*2)
+    assert got[3]["degree"] == 3 and got[3]["clustering"] == 0.3333
+    assert got[4]["n_triangles"] == 0 and got[4]["clustering"] == 0.0
+    for n in (5, 6, 7, 8):
+        assert got[n]["n_triangles"] == 0
+
+
+def test_triangle_stats_dedupes_and_canonicalizes_input(spark):
+    from atiesh_spark.operators.graph import triangle_stats
+
+    # duplicate edges and a self-loop must not inflate counts
+    edges = [(1, 2), (1, 2), (1, 1), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert all(got[n]["n_triangles"] == 1 for n in (1, 2, 3))
+    assert got[1]["degree"] == 2
