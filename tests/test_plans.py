@@ -398,3 +398,10 @@ def test_lm_and_dsir_model_tables_broadcast(spark):
         # formatted explain prints each node twice (tree + detail), so
         # <= 2 string hits == at most ONE SortMergeJoin node
         assert plan.count("SortMergeJoin") <= 2, name
+
+
+def test_triangle_stats_degree_broadcast_no_cartesian(spark):
+    plan = plan_of(spark, "q101_triangle_stats")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # degree table joins back as a broadcast; wedge/closure joins are keyed
+    assert "BroadcastHashJoin" in plan
