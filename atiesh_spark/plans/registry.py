@@ -78,6 +78,20 @@ from atiesh_spark.plans import ops_queries  # noqa: E402,F401
 
 _DRIVER_WINDOW = 50  # entries the correctness driver actually grades
 
+#: Queries DELIBERATELY waiting one round for their first driver grade
+#: because the window is full of higher-priority rows (here: the 12
+#: queries the round-2 verdict requires green r03 rows for). Every
+#: entry must state its interim evidence; the guard test refuses any
+#: OTHER never-graded query past the boundary, so exclusion stays a
+#: documented decision instead of round 2's silent accident.
+DEFERRED_FIRST_GRADE: dict[str, str] = {
+    "q101_triangle_stats": (
+        "two independent exact algorithms (degree-ordered engine vs "
+        "id-order oracle) hash-match at sf0.001 and sf0.01 in the "
+        "in-repo suites; registered last in round 3"
+    ),
+}
+
 DRIVER_ORDER: list[str] = [
     # -- never driver-checked (registered in r2, landed past the window) --
     "q54_pii_redaction",
@@ -125,7 +139,6 @@ DRIVER_ORDER: list[str] = [
     "q98_pca_embeddings",
     "q99_cdf_normalize",
     "q100_span_dedup_report",
-    "q101_triangle_stats",
     # -- green in r1 but unchecked against the r2+ codebase (ts stack rewrite) --
     "q38_media_features",
     "q39_media_decode",
@@ -134,14 +147,18 @@ DRIVER_ORDER: list[str] = [
     "q37_session_window",
     "q50_session_funnel",
     # ----------------- driver window boundary (50) -----------------
-    # The 45 never-driver-checked queries (q54-q59 + the r3 additions
-    # q63-q101) plus 5 of the 6 r1-green-but-stale (q36-q40) fill the
-    # window exactly; q50 (r1-green, and its sessionize/funnel stack is
-    # re-exercised by q37 in-window) absorbs the final rotation.
+    # The 44 never-driver-checked queries (q54-q59 + the r3 additions
+    # q63-q100) plus the 6 the round-2 verdict explicitly requires
+    # green r03 rows for (q36-q40, q50) fill the window exactly.
+    # q101 (registered last, in DEFERRED below) waits one round: its
+    # correctness evidence meanwhile is two independent exact
+    # algorithms (degree-ordered engine vs id-order oracle)
+    # hash-matching at sf0.001 AND sf0.01 in the in-repo suites.
     # Everything below was driver-green in r02 (the temporal joins and
     # the LLM/similarity block) or in BOTH r01 and r02 (the relational/
     # event floor) and stays in the in-repo parity suite every run, so
     # rotating it out loses the least evidence.
+    "q101_triangle_stats",
     "q60_asof_join",
     "q61_range_join",
     "q62_cascade_rollup",
@@ -199,6 +216,14 @@ DRIVER_ORDER: list[str] = [
 
 def ordered_queries() -> dict[str, QuerySpec]:
     """QUERIES re-keyed in deliberate driver order (see DRIVER_ORDER note)."""
+    if len(DRIVER_ORDER) != len(set(DRIVER_ORDER)):
+        from collections import Counter
+
+        dups = sorted(n for n, c in Counter(DRIVER_ORDER).items() if c > 1)
+        raise ValueError(
+            f"DRIVER_ORDER lists queries more than once: {dups} — a "
+            "duplicate silently shifts every later query's grading slot"
+        )
     missing = set(QUERIES) - set(DRIVER_ORDER)
     stale = set(DRIVER_ORDER) - set(QUERIES)
     if missing or stale:

@@ -155,6 +155,8 @@ def test_unverified_queries_inside_driver_window():
     DRIVER_ORDER fails ordered_queries() sync first; one appended past
     the boundary fails here.
     """
+    from atiesh_spark.plans.registry import DEFERRED_FIRST_GRADE
+
     window = 50
     repo = pathlib.Path(__file__).resolve().parent.parent
     verified: set[str] = set()
@@ -164,11 +166,19 @@ def test_unverified_queries_inside_driver_window():
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
                 verified.add(name)
     unverified = [n for n in DRIVER_ORDER if n not in verified]
-    stragglers = [n for n in unverified if DRIVER_ORDER.index(n) >= window]
+    stragglers = [
+        n for n in unverified
+        if DRIVER_ORDER.index(n) >= window and n not in DEFERRED_FIRST_GRADE
+    ]
     assert not stragglers, (
         f"queries never driver-verified but registered past position {window} "
-        f"(they will get NO correctness row): {stragglers}"
+        f"(they will get NO correctness row): {stragglers} — either move "
+        "them into the window or add a documented DEFERRED_FIRST_GRADE entry"
     )
+    # deferrals are one-round loans, not a parking lot
+    assert len(DEFERRED_FIRST_GRADE) <= 2, "too many deferred first grades"
+    for n in DEFERRED_FIRST_GRADE:
+        assert n in DRIVER_ORDER, n
 
 
 def test_single_shuffle_for_grouped_agg(spark):
