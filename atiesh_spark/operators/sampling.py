@@ -381,18 +381,10 @@ def weighted_sample(
     depends on sub-rounding float noise that could differ across
     engines' libm.
     """
-    from atiesh_spark.functions.hashing import md5_long
-
     if k <= 0:
         raise ValueError("k must be > 0")
     if key_out in df.columns:
         raise ValueError(f"key_out {key_out!r} collides with an input column")
-    # md5_long(hex_chars=15) is uniform on [0, 2^60); +1 shifts to
-    # (0, 2^60] so u is in (0, 1] and ln(u) is finite.
-    u = (md5_long(F.col(key_col).cast("string"), 15) + F.lit(1)) / F.lit(
-        float(1 << 60)
-    )
-    es_key = F.round(-F.log(u) / F.col(weight_col).cast("double"), round_to)
     return (
         # NULL keys are excluded with the nonpositive weights: a row
         # without identity has no deterministic draw (and NULL sort
@@ -401,9 +393,73 @@ def weighted_sample(
         df.filter(
             F.col(key_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
         )
-        .withColumn(key_out, es_key)
+        .withColumn(key_out, _es_sample_key(key_col, weight_col, round_to))
         .orderBy(F.col(key_out), F.col(key_col))
         .limit(k)
+    )
+
+
+def _es_sample_key(key_col: str, weight_col: str, round_to: int = 6) -> Column:
+    """The Efraimidis-Spirakis draw as a deterministic expression:
+    -ln(u)/weight with u derived from md5 of the row key.
+
+    md5_long(hex_chars=15) is uniform on [0, 2^60); +1 shifts to
+    (0, 2^60] so u is in (0, 1] and ln(u) is finite. Rounded so
+    cross-engine libm noise below ``round_to`` decimals can never flip
+    a ranking.
+    """
+    from atiesh_spark.functions.hashing import md5_long
+
+    u = (md5_long(F.col(key_col).cast("string"), 15) + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    return F.round(-F.log(u) / F.col(weight_col).cast("double"), round_to)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    shards: int = 16,
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sample of up to ``k`` rows PER GROUP —
+    the per-language / per-source variant of :func:`weighted_sample`
+    (a mixture recipe with weighted draws inside each stratum).
+
+    Same Efraimidis-Spirakis keys, so all its properties hold within
+    each group (weight-proportional inclusion, nested prefixes,
+    rerun/engine stability). Selection is the two-phase rank of
+    ``curation.cap_per_group`` — rank within (group, md5-shard of the
+    row key), keep k, re-rank the <= k * shards survivors within the
+    group — provably identical to the single per-group window while
+    bounding the hottest group's task at k * shards rows.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0 or shards <= 0:
+        raise ValueError("k and shards must be > 0")
+    reserved = {key_out, "__shard", "__rk"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+    keyed = (
+        df.filter(
+            F.col(key_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+        )
+        .withColumn(key_out, _es_sample_key(key_col, weight_col))
+        .withColumn("__shard", hash_bucket(key_col, shards))
+    )
+    w1 = Window.partitionBy(group_col, "__shard").orderBy(key_out, key_col)
+    w2 = Window.partitionBy(group_col).orderBy(key_out, key_col)
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .drop("__shard", "__rk")
     )
 
 

@@ -266,3 +266,41 @@ def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
         key=lambda t: (t[1], t[0]),
     )
     assert got2 == expect
+
+
+def test_weighted_sample_per_group_matches_per_group_global(spark, tmp_path):
+    from atiesh_spark.operators.sampling import weighted_sample, weighted_sample_per_group
+
+    rows = [(i, f"g{i % 3}", float(i % 5 + 1)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "g", "w"])
+    got = {
+        g: sorted((r["id"], r["sample_key"]) for r in rws)
+        for g, rws in __import__("itertools").groupby(
+            sorted(
+                weighted_sample_per_group(df, "g", "id", "w", k=7).collect(),
+                key=lambda r: r["g"],
+            ),
+            key=lambda r: r["g"],
+        )
+    }
+    for g in ("g0", "g1", "g2"):
+        expect = sorted(
+            (r["id"], r["sample_key"])
+            for r in weighted_sample(df.filter(F.col("g") == g), "id", "w", k=7).collect()
+        )
+        assert got[g] == expect, g
+
+
+def test_weighted_sample_per_group_small_groups_and_validation(spark):
+    import pytest
+
+    from atiesh_spark.operators.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 0.0), (3, "b", 2.0)], ["id", "g", "w"]
+    )
+    out = weighted_sample_per_group(df, "g", "id", "w", k=10).collect()
+    # zero-weight row excluded; small groups kept whole
+    assert sorted(r["id"] for r in out) == [1, 3]
+    with pytest.raises(ValueError):
+        weighted_sample_per_group(df, "g", "id", "w", k=0)
