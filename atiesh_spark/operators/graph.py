@@ -99,3 +99,60 @@ def triangle_stats(
             cc.alias("clustering"),
         )
     )
+
+
+def project_bipartite(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_left_degree: int | None = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Project a bipartite relation onto its RIGHT side: edges between
+    right-nodes sharing >= ``min_shared`` left-nodes, canonical
+    ``id_1 < id_2`` with ``n_shared`` — the co-occurrence graph builder
+    (suppliers sharing parts, docs sharing rare windows, users sharing
+    sessions) whose output feeds :func:`triangle_stats` and
+    ``dedup.connected_components``.
+
+    The scale hazard is the self-join's quadratic fan-out on hub
+    left-nodes: a left-node shared by d right-nodes emits d^2 pairs, so
+    one viral item can dominate the whole job. ``max_left_degree``
+    DROPS left-nodes above the cap before pairing (default 1000 ->
+    <= 1e6 pairs per left-node): the same heavy-tail cut every
+    co-occurrence pipeline applies, because a left-node shared by
+    everyone carries no signal about any particular pair — identical
+    in spirit to ``corpus.line_dedup``'s boilerplate cap and
+    ``window_overlap_pairs``' max_doc_freq. Pass ``None`` to disable
+    (exact projection; only safe when left degrees are bounded by
+    construction).
+
+    Plan shape: one distinct over (left, right), a degree groupBy
+    broadcast back as the cap filter, then the keyed self-join +
+    pair-count groupBy. Nothing quadratic survives past the capped
+    join input.
+    """
+    if min_shared <= 0:
+        raise ValueError("min_shared must be > 0")
+    if max_left_degree is not None and max_left_degree < 2:
+        raise ValueError("max_left_degree must be >= 2 (or None)")
+    rel = df.select(
+        F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
+    ).distinct()
+    if max_left_degree is not None:
+        deg = (
+            rel.groupBy("__l")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= max_left_degree)
+            .select("__l")
+        )
+        rel = rel.join(F.broadcast(deg), "__l", "left_semi")
+    a = rel.select("__l", F.col("__r").alias("id_1"))
+    b = rel.select("__l", F.col("__r").alias("id_2"))
+    return (
+        a.join(b, "__l")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -302,3 +302,40 @@ def test_triangle_stats_dedupes_and_canonicalizes_input(spark):
     got = {r["node"]: r for r in triangle_stats(df).collect()}
     assert all(got[n]["n_triangles"] == 1 for n in (1, 2, 3))
     assert got[1]["degree"] == 2
+
+
+def test_project_bipartite_counts_and_caps_hubs(spark):
+    from atiesh_spark.operators.graph import project_bipartite
+
+    rows = (
+        [("p1", s) for s in (1, 2, 3)]       # p1 shared by 1,2,3
+        + [("p2", s) for s in (1, 2)]        # p2 shared by 1,2
+        + [("hub", s) for s in range(1, 9)]  # hub touches everyone
+        + [("p1", 1)]                        # duplicate relation row
+    )
+    df = spark.createDataFrame(rows, ["part", "supp"])
+    # uncapped: hub creates all 28 pairs
+    full = {
+        (r["id_1"], r["id_2"]): r["n_shared"]
+        for r in project_bipartite(df, "part", "supp", max_left_degree=None).collect()
+    }
+    assert len(full) == 28 and full[(1, 2)] == 3
+    # capped at 4: hub dropped entirely; only p1/p2 pairs remain
+    capped = {
+        (r["id_1"], r["id_2"]): r["n_shared"]
+        for r in project_bipartite(df, "part", "supp", max_left_degree=4).collect()
+    }
+    assert capped == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_project_bipartite_feeds_triangle_stats(spark):
+    from atiesh_spark.operators.graph import project_bipartite, triangle_stats
+
+    rows = [("p", s) for s in (1, 2, 3)] + [("q", 4)]
+    df = spark.createDataFrame(rows, ["part", "supp"])
+    edges = project_bipartite(df, "part", "supp")
+    got = {r["node"]: r["n_triangles"] for r in triangle_stats(edges).collect()}
+    # supplier 4 shares no part with anyone: no edges, so it is absent
+    # from the edge-derived graph entirely (isolated nodes live in the
+    # entity table, not the pair table)
+    assert got == {1: 1, 2: 1, 3: 1}
