@@ -297,3 +297,37 @@ def test_remove_duplicate_spans_matches_python_reference(spark):
         assert got[i]["n_dup_windows"] == len(starts), i
         assert got[i]["chars_removed"] == removed, i
         assert got[i]["clean_text"] == clean, i
+
+
+def test_content_sampling_detects_planted_copies_at_random_alignments(spark):
+    """The claim the positional scheme could not make: a copied span is
+    detected at ANY alignment. 15 doc pairs share a 200-char span at
+    seeded-random unrelated offsets; with width=32, rate=8 each pair's
+    miss probability is (7/8)^169 ~ 1.6e-10, so every pair must match
+    (and the result is deterministic given md5)."""
+    import random
+    import string
+
+    from atiesh_spark.operators.corpus import window_overlap_pairs
+
+    rng = random.Random(13)
+
+    def junk(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    rows = []
+    for i in range(15):
+        span = junk(200)
+        rows.append((2 * i, junk(rng.randrange(0, 50)) + span + junk(30)))
+        rows.append((2 * i + 1, junk(rng.randrange(0, 50)) + span + junk(30)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_1"], r["id_2"])
+        for r in window_overlap_pairs(
+            df, "doc_id", "text", width=32, stride=8, max_doc_freq=4
+        ).collect()
+    }
+    for i in range(15):
+        assert (2 * i, 2 * i + 1) in pairs, f"pair {i} undetected"
+    # and no cross-pair false positives: spans are independent random
+    assert all(b - a == 1 for a, b in pairs)
