@@ -50,6 +50,7 @@ def line_dedup(
     max_doc_freq: int = 2,
     out_col: str = "clean_text",
     broadcast_common: bool = True,
+    common_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Remove cross-document boilerplate lines; returns
     (id_col, out_col, n_lines_kept, n_lines_removed).
@@ -65,6 +66,12 @@ def line_dedup(
     (16-byte shuffle keys, the line text never shuffles) -> broadcast
     anti-join -> per-doc reassembly via sort_array(collect_list(struct))
     so line order is restored without a window sort.
+
+    ``common_hashes`` overrides the corpus-derived boilerplate set with
+    a precomputed one-column (``__h``) frame of md5(trim(line)) digests
+    — the hook ``StreamingLineFrequency`` uses to clean documents
+    against frequencies accumulated over a whole stream instead of the
+    passed frame alone.
     """
     if max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
@@ -83,7 +90,7 @@ def line_dedup(
         .agg(F.countDistinct(id_col).alias("__nd"))
         .filter(F.col("__nd") >= max_doc_freq)
         .select("__h")
-    )
+    ) if common_hashes is None else common_hashes.select("__h")
     if broadcast_common:
         common = F.broadcast(common)
     kept = hashed.join(common, "__h", "left_anti")
@@ -428,3 +435,71 @@ def remove_duplicate_spans(
             F.coalesce(union_len, F.lit(0)).alias("chars_removed"),
         )
     )
+
+
+class StreamingLineFrequency:
+    """Maintain cross-document line frequencies incrementally from a
+    document stream — the state ``line_dedup``'s boilerplate set is
+    derived from — as a ``foreachBatch`` function.
+
+    Frequencies are EXACTLY additive across batches (each document
+    arrives whole, exactly once per the checkpointed source, and the
+    per-line count is distinct-documents), so the merge is a plain sum:
+    after N batches the store equals the batch frequency table over all
+    documents seen — tested, like every maintenance loop here. State
+    backend is ``sources/versioned.VersionedStore`` (replays converge);
+    the store holds (``__h``: md5 of the trimmed line, ``n_docs``) —
+    16-byte digests, never line text.
+
+    ``common(spark, max_doc_freq)`` yields the boilerplate set at any
+    threshold (the threshold is a READ-time decision — one store serves
+    every policy), shaped for ``line_dedup(..., common_hashes=...)``:
+    clean any document set against the frequencies of the whole stream
+    so far, exactly the C4 rule applied continuously.
+    """
+
+    def __init__(self, id_col: str, text_col: str, path: str,
+                 keep_versions: int = 2) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        self.id_col, self.text_col = id_col, text_col
+        self.store = VersionedStore(path, keep_versions=keep_versions)
+
+    def _batch_counts(self, batch_df: DataFrame) -> DataFrame:
+        lines = _fanout(batch_df.select(self.id_col, self.text_col)).select(
+            F.col(self.id_col),
+            F.explode(F.split(F.col(self.text_col), "\n")).alias("__line"),
+        )
+        norm = F.trim(F.col("__line"))
+        return (
+            lines.select(
+                F.col(self.id_col),
+                F.when(norm != "", F.md5(norm.cast("binary"))).alias("__h"),
+            )
+            .filter(F.col("__h").isNotNull())
+            .groupBy("__h")
+            .agg(F.countDistinct(self.id_col).cast("long").alias("n_docs"))
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        delta = self._batch_counts(batch_df)
+        prev = self.store.read_before(batch_df.sparkSession, batch_id)
+        if prev is not None:
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("__h")
+                .agg(F.sum("n_docs").alias("n_docs"))
+            )
+        self.store.write(delta, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return self.store.read(spark)
+
+    def common(self, spark, max_doc_freq: int = 2) -> DataFrame:
+        """Boilerplate digests at the given threshold, for
+        ``line_dedup(..., common_hashes=...)``."""
+        if max_doc_freq < 1:
+            raise ValueError("max_doc_freq must be >= 1")
+        return self.read(spark).filter(
+            F.col("n_docs") >= max_doc_freq
+        ).select("__h")

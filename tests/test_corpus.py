@@ -331,3 +331,45 @@ def test_content_sampling_detects_planted_copies_at_random_alignments(spark):
         assert (2 * i, 2 * i + 1) in pairs, f"pair {i} undetected"
     # and no cross-pair false positives: spans are independent random
     assert all(b - a == 1 for a, b in pairs)
+
+
+def test_streaming_line_frequency_equals_batch_dedup(spark, tmp_path):
+    from atiesh_spark.operators.corpus import StreamingLineFrequency, line_dedup
+    from atiesh_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b1 = docs.filter("doc_id % 3 = 0")
+    b2 = docs.filter("doc_id % 3 = 1")
+    b3 = docs.filter("doc_id % 3 = 2")
+
+    freq = StreamingLineFrequency("doc_id", "text", str(tmp_path / "freq"))
+    freq(b1, 0)
+    freq(b2, 1)
+    freq(b3, 2)
+
+    # cleaning the corpus against the streamed store == the batch operator
+    def canon(df):
+        return sorted(
+            (r["doc_id"], r["clean_text"], r["n_lines_kept"], r["n_lines_removed"])
+            for r in df.collect()
+        )
+
+    streamed = line_dedup(
+        docs, "doc_id", "text",
+        common_hashes=freq.common(spark, max_doc_freq=2),
+    )
+    batch = line_dedup(docs, "doc_id", "text", max_doc_freq=2)
+    assert canon(streamed) == canon(batch)
+
+    # replay converges; threshold is a read-time decision
+    freq(b3, 2)
+    assert canon(
+        line_dedup(docs, "doc_id", "text",
+                   common_hashes=freq.common(spark, max_doc_freq=2))
+    ) == canon(batch)
+    strict = line_dedup(docs, "doc_id", "text", max_doc_freq=5)
+    assert canon(
+        line_dedup(docs, "doc_id", "text",
+                   common_hashes=freq.common(spark, max_doc_freq=5))
+    ) == canon(strict)
