@@ -251,11 +251,16 @@ def _content_sampled_windows(
     the mod-filter prunes in the same codegen stage, before anything
     shuffles) — the same per-char work the trigram LM already does.
     ``rate=1`` degrades to exhaustive windows.
+
+    Zero-length texts are filtered up front: md5('') happens to pass
+    the mod-8 content gate, so without the filter every empty document
+    would emit the identical empty window and all empty docs would
+    pair up as spurious "verbatim overlap" candidates downstream.
     """
     text = F.col(text_col)
     starts = F.sequence(F.lit(0), F.greatest(F.length(text) - width, F.lit(0)))
     hashed = (
-        _fanout(df.select(id_col, text_col))
+        _fanout(df.select(id_col, text_col).filter(F.length(text) > 0))
         .select(
             F.col(id_col),
             F.explode(starts).alias("__start"),
@@ -333,6 +338,7 @@ def remove_duplicate_spans(
     stride: int = 8,
     min_dup_docs: int = 2,
     out_col: str = "clean_text",
+    broadcast_keepers: bool = True,
 ) -> DataFrame:
     """Exact-substring dedup with SPAN REMOVAL (the Lee et al. 2022,
     arXiv:2107.06499 treatment): text that appears verbatim in
@@ -360,7 +366,11 @@ def remove_duplicate_spans(
          rebuilds the kept text).
     Docs with no duplicated windows pass through whole via a left
     join. At 100 TB the per-hash keeper frame is heavy-tail small
-    (duplicated windows only) and broadcasts.
+    (duplicated windows only) and broadcasts; on a pathological corpus
+    where the duplicated-window set outgrows the broadcast budget,
+    pass ``broadcast_keepers=False`` to degrade to a shuffle join
+    instead of OOMing (same escape hatch as ``line_dedup``'s
+    ``broadcast_common``).
     """
     if width <= 0 or stride <= 0:
         raise ValueError("width and stride must be > 0")
@@ -377,7 +387,9 @@ def remove_duplicate_spans(
         .filter(F.col("__df") >= min_dup_docs)
         .select("__wh", "__keeper")
     )
-    victims = win.join(F.broadcast(keepers), "__wh").filter(
+    if broadcast_keepers:
+        keepers = F.broadcast(keepers)
+    victims = win.join(keepers, "__wh").filter(
         F.col(id_col) != F.col("__keeper")
     )
     # one per-doc collect of the sorted duplicate starts; union length and

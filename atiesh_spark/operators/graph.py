@@ -30,6 +30,7 @@ def triangle_stats(
     src: str = "id_1",
     dst: str = "id_2",
     round_to: int = 4,
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """Per-node triangle statistics over an undirected simple graph:
     (node, degree, n_triangles, clustering) — ``clustering`` is the
@@ -46,6 +47,12 @@ def triangle_stats(
     wedge join + closure join on oriented edges. Per-node counts come
     from exploding each triangle's three vertices — exactly 3 rows per
     triangle, map-side combined.
+
+    ``broadcast_degrees`` (default True) hints the degree-table joins
+    as broadcasts; on a graph whose NODE count itself exceeds the
+    broadcast/driver budget, pass False to degrade to shuffle joins
+    instead of OOMing — the same escape hatch as
+    ``corpus.line_dedup(broadcast_common=False)``.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") < F.col("b")
@@ -60,7 +67,9 @@ def triangle_stats(
     # order is total and every triangle is anchored exactly once
     da = deg.select(F.col("n").alias("a"), F.col("degree").alias("__da"))
     db = deg.select(F.col("n").alias("b"), F.col("degree").alias("__db"))
-    keyed = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
+    keyed = e.join(da, "a").join(db, "b")
     a_first = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
     )

@@ -467,16 +467,26 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
     firsts = (
         df.select(F.posexplode(v).alias("i", "xi"))
         .groupBy("i")
-        .agg(F.sum("xi").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("xi").alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+            # NULL elements inside a full-length vector keep the row
+            # count intact while F.sum silently skips them — count the
+            # non-NULLs separately so they raise instead of acting as 0s.
+            F.count("xi").alias("n_nonnull"),
+        )
         .collect()
     )
     d = len(firsts)
     if k > d:
         raise ValueError(f"k={k} exceeds vector dimension {d}")
-    if len({r["n"] for r in firsts}) > 1:
+    if len({r["n"] for r in firsts}) > 1 or any(
+        r["n_nonnull"] != r["n"] for r in firsts
+    ):
         raise ValueError(
             "ragged or partially-NULL vectors: every row must carry the "
-            "same dimension for covariance moments to be well-defined"
+            "same dimension (with no NULL elements) for covariance "
+            "moments to be well-defined"
         )
     n = firsts[0]["n"]
     mean = np.zeros(d)

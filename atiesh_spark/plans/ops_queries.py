@@ -26,21 +26,21 @@ _MD5_LONG = "('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 15))::BIGINT"
     "q87_scd2_intervals",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER w AS prev,
                row_number() OVER w AS rn
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     starts AS (
-        SELECT user_id, event_type, ts FROM ordered
+        SELECT user_id, event_type, ts, event_id FROM ordered
         WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, ts AS valid_from,
            lead(ts) OVER w2 AS valid_to,
            lead(ts) OVER w2 IS NULL AS is_current
     FROM starts
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     doc="SCD2 validity intervals from the event change log "
     "(operators/diffing.py scd2_intervals): one run-collapse per "
@@ -241,6 +241,7 @@ def q92_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents,
              unnest(generate_series(1, greatest(length(text) - 32, 0) + 1))
                  AS t(s)
+        WHERE length(text) > 0
     ),
     sel AS (
         SELECT doc_id, wh FROM w0
@@ -536,6 +537,7 @@ def q99_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents,
              unnest(generate_series(1, greatest(length(text) - 32, 0) + 1))
                  AS t(s)
+        WHERE length(text) > 0
     ),
     w0 AS (
         SELECT * FROM w1

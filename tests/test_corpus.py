@@ -373,3 +373,56 @@ def test_streaming_line_frequency_equals_batch_dedup(spark, tmp_path):
         line_dedup(docs, "doc_id", "text",
                    common_hashes=freq.common(spark, max_doc_freq=5))
     ) == canon(strict)
+
+
+# ---------------------------------------------- round-4 advice guards
+
+def test_empty_texts_never_pair_as_window_overlap(spark):
+    """md5('') passes the mod-8 content gate, so without the explicit
+    zero-length filter every empty doc would emit the identical empty
+    window and all empty docs would pair up as spurious candidates."""
+    from atiesh_spark.operators.corpus import window_overlap_pairs
+
+    rows = [(1, ""), (2, ""), (3, ""), (4, "real text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = window_overlap_pairs(
+        df, "doc_id", "text", width=8, stride=8, min_shared=1
+    ).collect()
+    assert got == []
+
+
+def test_remove_duplicate_spans_ignores_empty_docs(spark):
+    from atiesh_spark.operators.corpus import remove_duplicate_spans
+
+    rows = [(1, ""), (2, ""), (3, "plain unique text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df, "doc_id", "text", width=8, stride=8).collect()}
+    assert all(out[i]["n_dup_windows"] == 0 for i in (1, 2, 3))
+    assert out[1]["clean_text"] == "" and out[3]["clean_text"] == rows[2][1]
+
+
+def test_remove_duplicate_spans_shuffle_join_mode_matches_broadcast(spark):
+    from atiesh_spark.operators.corpus import remove_duplicate_spans
+
+    copied = "this exact paragraph was copied verbatim between documents!"
+    rows = [
+        (1, "AAAA " + copied + " BBBB unique tail one"),
+        (2, "unique head two " + copied + " CCCC"),
+        (3, "entirely original text with no duplication at all in here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def canon(res):
+        return sorted(
+            (r["doc_id"], r["clean_text"], r["n_dup_windows"], r["chars_removed"])
+            for r in res.collect()
+        )
+
+    bcast = remove_duplicate_spans(df, "doc_id", "text", width=16, stride=4)
+    shuffle = remove_duplicate_spans(
+        df, "doc_id", "text", width=16, stride=4, broadcast_keepers=False
+    )
+    assert canon(bcast) == canon(shuffle)
+    # the opt-out really removes the broadcast hint from the keeper join
+    assert "broadcast" not in shuffle._jdf.queryExecution().optimizedPlan().toString().lower()

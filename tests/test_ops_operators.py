@@ -339,3 +339,82 @@ def test_project_bipartite_feeds_triangle_stats(spark):
     # from the edge-derived graph entirely (isolated nodes live in the
     # entity table, not the pair table)
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------- round-4 advice guards
+
+def test_pca_fit_rejects_null_elements_in_full_length_vectors(spark):
+    """NULL elements keep the per-index row count intact while F.sum
+    skips them — without the non-NULL count guard they would silently
+    act as zeros in the covariance moments."""
+    from atiesh_spark.operators.similarity import pca_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, None])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pca_fit(df, "embedding", k=1)
+
+
+def test_triangle_stats_shuffle_join_mode_matches_broadcast(spark):
+    from atiesh_spark.operators.graph import triangle_stats
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8), (5, 8)]
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+
+    def canon(res):
+        return sorted(
+            (r["node"], r["degree"], r["n_triangles"], r["clustering"])
+            for r in res.collect()
+        )
+
+    bcast = triangle_stats(df)
+    shuffle = triangle_stats(df, broadcast_degrees=False)
+    assert canon(bcast) == canon(shuffle)
+    plan = shuffle._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "broadcast" not in plan
+
+
+def test_q87_oracle_deterministic_under_tied_timestamps(spark):
+    """Round-3 advice: the oracle's lead window must tiebreak on
+    event_id like the engine does, or two change points at an identical
+    ts make the oracle's valid_to nondeterministic. Plants exactly that
+    tie and requires engine == oracle."""
+    import duckdb
+    import pandas as pd
+
+    from atiesh_spark.operators.diffing import scd2_intervals
+    from atiesh_spark.plans import QUERIES
+
+    rows = [
+        # user 7: two change points at the SAME ts (event_id breaks the tie)
+        (7, "e1", "login", pd.Timestamp("2024-01-01 00:00:00")),
+        (7, "e2", "click", pd.Timestamp("2024-01-01 00:05:00")),
+        (7, "e3", "buy", pd.Timestamp("2024-01-01 00:05:00")),
+        (7, "e4", "logout", pd.Timestamp("2024-01-01 00:09:00")),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type", "ts"])
+    engine = scd2_intervals(
+        spark.createDataFrame(pdf),
+        keys=["user_id"],
+        order_col="ts",
+        tracked_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    e_rows = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"].isoformat(),
+         r["valid_to"].isoformat() if r["valid_to"] else None, r["is_current"])
+        for r in engine.collect()
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    o_rows = sorted(
+        (u, et, vf.isoformat(), vt.isoformat() if vt else None, cur)
+        for u, et, vf, vt, cur in con.sql(
+            QUERIES["q87_scd2_intervals"].oracle
+        ).fetchall()
+    )
+    assert e_rows == o_rows
+    # the tie itself: click's interval must close at the SAME tied ts
+    tied = [r for r in e_rows if r[1] == "click"]
+    assert tied and tied[0][3] == "2024-01-01T00:05:00"
