@@ -647,3 +647,134 @@ def q101_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges)
+
+
+# ----------------------------------------------------------- round 4:
+# the two formerly tests-only batch operators get graded slots, and
+# the ANN auto-sizing scale path gets a registered consumer.
+
+
+@register(
+    "q102_weighted_sample_per_group",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(-ln(({_MD5_LONG.format(c="doc_id")} + 1)
+                         / 1152921504606846976.0) / n_chars, 6) AS sample_key
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, sample_key FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY sample_key, doc_id
+        ) AS rk
+        FROM keyed
+    ) WHERE rk <= 20
+    """,
+    doc="Per-language deterministic weighted sample (operators/sampling.py "
+    "weighted_sample_per_group): up to 20 docs per lang with inclusion "
+    "probability proportional to n_chars — Efraimidis-Spirakis keys "
+    "-ln(u)/w, u from md5(doc_id), so the draw is rerun/retry/engine "
+    "stable inside every stratum. Selection is the two-phase "
+    "(group, md5-shard) rank of cap_per_group — provably identical to "
+    "the oracle's single per-group window while bounding the hottest "
+    "group's task at k * shards rows.",
+)
+def q102_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, "lang", "doc_id", "n_chars", k=20
+    ).select("doc_id", "lang", "n_chars", "sample_key")
+
+
+@register(
+    "q103_user_cooccurrence",
+    oracle="""
+    WITH rel AS (
+        SELECT DISTINCT
+               event_type || '|' ||
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS slot,
+               user_id
+        FROM events
+    ),
+    deg AS (SELECT slot FROM rel GROUP BY slot HAVING count(*) <= 8)
+    SELECT a.user_id AS id_1, b.user_id AS id_2, count(*) AS n_shared
+    FROM rel a JOIN deg USING (slot) JOIN rel b USING (slot)
+    WHERE a.user_id < b.user_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    doc="User co-occurrence graph (operators/graph.py project_bipartite): "
+    "edges between users active in >= 2 shared (event_type, hour) slots "
+    "— the bipartite projection that feeds triangle_stats and "
+    "connected_components. The scale hazard is the slot self-join's "
+    "quadratic fan-out on hub slots (a slot with d users emits d^2 "
+    "pairs); max_left_degree=8 drops hub slots BEFORE pairing, the "
+    "same heavy-tail cut as line_dedup's boilerplate cap. One distinct, "
+    "one broadcast degree filter, one keyed self-join.",
+)
+def q103_user_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.graph import project_bipartite
+
+    ev = load_table(spark, sf_dir, "events")
+    slot = F.concat(
+        "event_type",
+        F.lit("|"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH"),
+    )
+    rel = ev.select(slot.alias("slot"), "user_id")
+    return project_bipartite(rel, "slot", "user_id", max_left_degree=8, min_shared=2)
+
+
+@register(
+    "q104_ann_auto_sized",
+    oracle="SELECT true AS self_hit, true AS recall_ok, "
+    "true AS bucket_bound_ok, true AS planes_match_formula",
+    doc="The ANN SCALE path graded, not just the testdata setting: "
+    "lsh_ann_topk with num_planes=None auto-sizes the hyperplane count "
+    "to ceil(log2(n / 1024)) (operators/similarity.py auto_num_planes) "
+    "so expected bucket size stays ~1024 at ANY corpus size — the "
+    "discipline that keeps per-bucket O(bucket^2) work constant while "
+    "a pinned plane count would go quadratic. Graded contract (vs a "
+    "constant truth table, like q66): the query finds itself, recall "
+    "vs the exact top-10 >= 0.5, the LARGEST realized bucket is within "
+    "4x the expected n/2^planes (distribution sanity), and the emitted "
+    "signature width equals the auto_num_planes formula.",
+)
+def q104_ann_auto_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import (
+        auto_num_planes,
+        brute_force_topk,
+        lsh_ann_topk,
+        lsh_bucket_signatures,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # parquet-metadata count; the operator itself does the
+    # same driver-side sizing for num_planes=None
+    planes = auto_num_planes(n)
+    expected_bucket = max(1, -(-n // (1 << planes)))  # ceil(n / 2^planes)
+
+    exact = brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    approx = lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=None)
+    sigs = lsh_bucket_signatures(emb, num_planes=None)
+
+    hits = approx.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    self_hit = approx.agg(
+        F.coalesce(
+            F.max((F.col("vec_id") == 0).cast("int")) == 1, F.lit(False)
+        ).alias("self_hit")
+    )
+    bucket_stats = sigs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).agg(
+        F.max("sz").alias("max_bucket"),
+        F.max(F.length("bucket")).alias("sig_width"),
+    )
+    return self_hit.crossJoin(hits).crossJoin(bucket_stats).select(
+        "self_hit",
+        (F.col("n_hit") >= F.lit(5)).alias("recall_ok"),
+        (F.col("max_bucket") <= F.lit(4 * expected_bucket)).alias("bucket_bound_ok"),
+        (F.col("sig_width") == F.lit(planes)).alias("planes_match_formula"),
+    )

@@ -181,6 +181,62 @@ def test_unverified_queries_inside_driver_window():
         assert n in DRIVER_ORDER, n
 
 
+def test_ledger_matches_correctness_files():
+    """plans/ledger.py is GENERATED from the CORRECTNESS_r*.json files
+    by scripts/update_ledger.py; the derived DRIVER_ORDER rotation is
+    only as good as the ledger is fresh. Recompute from the files and
+    require an exact match, so a new round's file without a ledger
+    regen fails loudly."""
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "scripts"))
+    try:
+        from update_ledger import compute_green_rounds
+    finally:
+        sys.path.pop(0)
+    from atiesh_spark.plans import ledger
+
+    green, current = compute_green_rounds(str(repo))
+    assert ledger.GREEN_ROUNDS == green, (
+        "ledger.py is stale — run `python scripts/update_ledger.py`"
+    )
+    assert ledger.CURRENT_ROUND == current
+
+
+def test_rotation_bounds_staleness():
+    """Least-recently-graded rotation invariant: any query pushed past
+    this round's 50-slot window must have been driver-graded recently
+    enough that waiting for the NEXT round keeps its staleness within
+    MAX_STALENESS_ROUNDS. (Round 3's floor queries sat two codebase
+    generations without a re-grade; this pins the rotation policy.)"""
+    from atiesh_spark.plans.ledger import CURRENT_ROUND, GREEN_ROUNDS
+    from atiesh_spark.plans.registry import (
+        DEFERRED_FIRST_GRADE,
+        MAX_STALENESS_ROUNDS,
+    )
+
+    window = 50
+    too_stale = []
+    for name in DRIVER_ORDER[window:]:
+        rounds = GREEN_ROUNDS.get(name)
+        if not rounds:
+            assert name in DEFERRED_FIRST_GRADE, (
+                f"{name} never graded AND outside the window"
+            )
+            continue
+        # if skipped this round, it is next gradable in CURRENT_ROUND + 1
+        if (CURRENT_ROUND + 1) - rounds[-1] > MAX_STALENESS_ROUNDS:
+            too_stale.append((name, rounds[-1]))
+    assert not too_stale, (
+        f"queries outside the window whose staleness would exceed "
+        f"{MAX_STALENESS_ROUNDS} rounds: {too_stale}"
+    )
+    # the derived order really is least-recently-graded-first
+    lasts = [GREEN_ROUNDS.get(n, [0])[-1] for n in DRIVER_ORDER]
+    assert lasts == sorted(lasts)
+
+
 def test_single_shuffle_for_grouped_agg(spark):
     df = QUERIES["q14_pricing_summary"].spark(spark, SF_SMALL)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
