@@ -1602,6 +1602,7 @@ def q82_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q85_global_index",
+    headline=True,  # r4: the count-job + index-job driver loop gets timed
     oracle="""
     SELECT doc_id, n_chars,
            row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS global_idx

@@ -434,6 +434,7 @@ def q97_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q98_pca_embeddings",
+    headline=True,  # r4: the moment-collect + eigensolve driver phase gets timed
     oracle="SELECT true AS centered, true AS variance_matches_eigenvalues, "
     "true AS variance_nonincreasing, true AS reconstruction_tight",
     doc="Distributed PCA over the embedding column (operators/"
