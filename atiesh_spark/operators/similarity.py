@@ -102,6 +102,7 @@ def lsh_bucket_signatures(
     num_planes: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Random-hyperplane signature per vector: (id_col, bucket string).
 
@@ -110,12 +111,18 @@ def lsh_bucket_signatures(
     stable across summation orders.
 
     ``num_planes=None`` sizes the plane count from the corpus via
-    ``auto_num_planes`` (one count() — parquet metadata, not a scan).
-    The default 4 is a small-corpus/test setting; see ``auto_num_planes``
-    for why fixed plane counts go quadratic at scale.
+    ``auto_num_planes`` (one count() — parquet metadata, not a scan),
+    holding the expected bucket near ``target_bucket_size``. The default
+    4 is a small-corpus/test setting; see ``auto_num_planes`` for why
+    fixed plane counts go quadratic at scale. ``target_bucket_size``
+    is the cost/recall knob for the auto path: per-bucket pair work is
+    ~target^2/2, so total all-pairs work is ~n * target / 2 — linear in
+    n with the target as the constant (measured sf0.1->sf1: 1.68x for
+    10x data at target=1024). Smaller targets cut compute
+    proportionally and lower recall (more boundary misses).
     """
     if num_planes is None:
-        num_planes = auto_num_planes(emb.count())
+        num_planes = auto_num_planes(emb.count(), target_bucket_size)
     v = as_double(vec_col)
     sig_bits = []
     for p in range(num_planes):
@@ -245,6 +252,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Top-k nearest neighbors for EVERY vector (all-to-all similarity
     search): (id_1, id_2, sim, rank), rank 1..k per id_1.
@@ -259,13 +267,15 @@ def knn_join(
 
     SIZING: per-bucket pairing is O(bucket_size^2); with a fixed
     ``num_planes`` the expected bucket size grows linearly with the
-    corpus, so the default 4 (16 buckets) is a testdata setting only.
-    Pass ``num_planes=None`` to size planes ~= log2(n/1024) from the
-    corpus, or see ``auto_num_planes`` to pick explicitly.
+    corpus, so the default 4 (16 buckets) is a testdata setting only —
+    measured sf0.1->sf1: 19x wall-clock for 10x vectors. Pass
+    ``num_planes=None`` to hold buckets near ``target_bucket_size``
+    instead (measured: 1.68x for the same 10x — linear, with
+    ~n * target / 2 total cosine evaluations as the constant).
     """
     from pyspark.sql import Window
 
-    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col)
+    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col, target_bucket_size)
     with_sig = emb.join(sigs, id_col).localCheckpoint()  # both join sides reuse
     a = with_sig.select(
         F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"), "bucket"
@@ -316,6 +326,7 @@ def embedding_near_dup_pairs(
     round_to: int = 4,
     method: str = "lsh",
     num_planes: int | None = 4,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_1, id_2, sim).
 
@@ -332,7 +343,10 @@ def embedding_near_dup_pairs(
         b = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"))
         pairs = a.join(F.broadcast(b), F.col("id_1") < F.col("id_2"))
     else:
-        sigs = lsh_bucket_signatures(emb, num_planes=num_planes, id_col=id_col, vec_col=vec_col)
+        sigs = lsh_bucket_signatures(
+            emb, num_planes=num_planes, id_col=id_col, vec_col=vec_col,
+            target_bucket_size=target_bucket_size,
+        )
         with_sig = emb.join(sigs, id_col)
         a = with_sig.select(
             F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"), "bucket"

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""sf0.1 -> sf1 scale probe for the heaviest queries.
+
+All the repo's 100 TB arguments are design-level (plan-shape gates,
+shuffle discipline); this script turns them into MEASURED per-query
+scaling factors. The driver only ships testdata up to sf0.1, so the
+probe DERIVES a 10x corpus from it deterministically:
+
+- documents: 10 perturbed copies per doc. Copy 0 keeps the original
+  text; copy c applies a per-copy alphabet rotation (a->b->c...,
+  0->1->..., rotate-by-c) so every shingle/window/trigram changes while
+  length, word structure, and per-doc statistics are preserved — the
+  near-dup RATE stays that of the base corpus instead of exploding
+  quadratically inside copy groups (which would measure a different
+  workload, not a bigger one).
+- embeddings: 10 copies; copy c cyclically rolls the 64-dim vector by
+  c positions (norm- and distribution-preserving, decorrelates copies
+  so LSH buckets stay uniformly filled).
+
+Output parquet is written with multiple row groups so the scan can
+parallelize (the single-row-group testdata artifact would otherwise
+serialize the 10x scan and pollute the ratio).
+
+Usage:
+    python scripts/scale_probe.py            # generate (if needed) + run
+    python scripts/scale_probe.py --gen-only
+
+Prints one JSON line: per-query seconds at sf0.1 and the derived sf1,
+and the ratio (10x data -> ratio ~10 is linear; the fixed ~0.5-1 s
+plan/codegen overhead in every cell biases ratios DOWN a bit at these
+absolute times).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/root/repo/.scale_probe/sf1"
+COPIES = 10
+HEAVY = [
+    "q26_minhash_lsh",
+    "q41_dedup_clusters",
+    "q51_jaccard_verified_candidates",
+    "q55_knn_join",
+    "q94_lm_quality",
+]
+
+
+def _rot_table(c: int) -> dict[int, int]:
+    low, dig = string.ascii_lowercase, string.digits
+    up = string.ascii_uppercase
+    t = {}
+    for alpha in (low, up, dig):
+        for i, ch in enumerate(alpha):
+            t[ord(ch)] = ord(alpha[(i + c) % len(alpha)])
+    return t
+
+
+def generate() -> None:
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(OUT, exist_ok=True)
+    docs = pd.read_parquet(os.path.join(BASE, "documents.parquet"))
+    parts = []
+    for c in range(COPIES):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] * COPIES + c
+        if c:
+            table = _rot_table(c)
+            d["text"] = d["text"].map(lambda s, t=table: s.translate(t))
+        parts.append(d)
+    big = pd.concat(parts, ignore_index=True)
+    big.to_parquet(
+        os.path.join(OUT, "documents.parquet"), row_group_size=16384, index=False
+    )
+
+    emb = pd.read_parquet(os.path.join(BASE, "embeddings.parquet"))
+    parts = []
+    for c in range(COPIES):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] * COPIES + c
+        if c:
+            e["embedding"] = e["embedding"].map(
+                lambda v, c=c: np.roll(np.asarray(v), c).tolist()
+            )
+        parts.append(e)
+    bige = pd.concat(parts, ignore_index=True)
+    bige.to_parquet(
+        os.path.join(OUT, "embeddings.parquet"), row_group_size=4096, index=False
+    )
+    print(
+        f"generated {OUT}: documents={len(big)}, embeddings={len(bige)}",
+        file=sys.stderr,
+    )
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+        generate()
+    if "--gen-only" in sys.argv:
+        return
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from atiesh_spark.plans import QUERIES
+    from atiesh_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 2)
+
+    # warmup
+    run("q26_minhash_lsh", "/root/testdata/sf0.01")
+    out = {}
+    for name in HEAVY:
+        a = run(name, BASE)
+        b = run(name, OUT)
+        out[name] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)}
+        print(f"  {name}: {a}s -> {b}s ({out[name]['ratio']}x)", file=sys.stderr)
+
+    # q55's registered form pins num_planes=4 (documented testdata
+    # setting) and is expected to scale QUADRATICALLY; the operator's
+    # scale path is num_planes=None (auto-sized buckets). Measure it so
+    # the ratio table shows the discipline, not just the hazard.
+    from atiesh_spark.operators.similarity import knn_join
+    from atiesh_spark.sources.tables import load_table
+
+    def run_auto(sf_dir: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            knn_join(
+                load_table(spark, sf_dir, "embeddings"), k=3, num_planes=None
+            ).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 2)
+
+    a, b = run_auto(BASE), run_auto(OUT)
+    out["knn_join_auto_planes"] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)}
+    print(f"  knn_join_auto_planes: {a}s -> {b}s ({round(b/a,2)}x)", file=sys.stderr)
+    print(json.dumps({"copies": COPIES, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

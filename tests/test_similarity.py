@@ -195,3 +195,27 @@ def test_pca_fit_validates_k(spark):
         pca_fit(df, "embedding", k=0)
     with pytest.raises(ValueError):
         pca_fit(df, "embedding", k=3)
+
+
+def test_auto_planes_respects_target_bucket_size(spark):
+    """target_bucket_size is the auto path's cost/recall knob: smaller
+    targets mean more planes (wider signatures)."""
+    from atiesh_spark.operators.similarity import (
+        auto_num_planes,
+        lsh_bucket_signatures,
+    )
+
+    assert auto_num_planes(20000, 1024) == 5
+    assert auto_num_planes(20000, 256) == 7
+    assert auto_num_planes(500, 1024) == 1
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0, float(i % 5) - 2.0]) for i in range(64)],
+        "vec_id int, embedding array<double>",
+    )
+    wide = lsh_bucket_signatures(emb, num_planes=None, target_bucket_size=8)
+    narrow = lsh_bucket_signatures(emb, num_planes=None, target_bucket_size=32)
+    w = len(wide.first()["bucket"])
+    n = len(narrow.first()["bucket"])
+    assert w == auto_num_planes(64, 8) and n == auto_num_planes(64, 32)
+    assert w > n
