@@ -1,0 +1,221 @@
+"""Tokenizer induction over the corpus: BPE pair statistics and greedy
+merge learning, the way a training-data pipeline actually runs it.
+
+Reference behavioral spec: the survey's text-analysis family (token
+counting — SURVEY.md §2, "BPE-ish" tokenization); the algorithm is the
+classic byte-pair-encoding of Sennrich et al. 2016 (arXiv:1508.07909),
+distributed with the standard trick: ALL iteration happens on the
+word-frequency table, never the corpus.
+
+Scale design — the corpus is touched exactly once:
+
+1. ``word_freq_table``: one whitespace split + explode + groupBy(word).
+   This is the only shuffle whose size scales with the corpus; its
+   output is vocabulary-sized (distinct words — tens of millions at
+   100 TB, i.e. executor-trivial, and Zipf-truncatable with
+   ``min_count``).
+2. Every BPE round (pair count, argmax, merge application) runs on
+   that vocab-sized frame. The driver receives ONE row per round (the
+   argmax pair) plus two scalar totals — the same bounded-digest
+   budget as connected components' convergence hash. The frame is
+   localCheckpoint-ed each round, otherwise the per-round merge fold
+   stacks into an exponentially replanned lineage (the CC lesson).
+
+Pair counting uses OVERLAPPING adjacent pairs (``"aaa"`` counts
+``(a,a)`` twice) — the Sennrich convention; merge application is
+greedy left-to-right (``"aaa"`` -> ``["aa", "a"]``), so per-round
+``gain`` is recorded as the MEASURED token-count reduction, not the
+pair count (the two differ exactly on self-overlapping pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq_table(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+    """(word, n_word): corpus word frequencies — the ONE corpus-scale
+    shuffle every BPE phase runs on. Words are maximal runs of
+    non-whitespace; empty strings (leading/trailing/repeated
+    whitespace) are dropped.
+    """
+    from atiesh_spark.operators.dedup import _fanout  # compact-input guard
+
+    words = (
+        _fanout(df.select(text_col))
+        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    if min_count > 1:
+        words = words.filter(F.col("n_word") >= min_count)
+    return words
+
+
+def _chars(word: Column) -> Column:
+    """Symbol array of a word: its characters (no end-of-word marker —
+    words never concatenate across boundaries here, so the marker's
+    only job in the original is already done by the word table)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """Array of (a, b) structs for each OVERLAPPING adjacent position."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(sym) - 1),
+        lambda i: F.struct(
+            F.element_at(sym, i).alias("a"), F.element_at(sym, i + 1).alias("b")
+        ),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_k: int = 20, min_count: int = 1
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — BPE iteration
+    zero, the statistic the first merge maximizes: (a, b, n_pairs),
+    top_k by count with (a, b) tiebreak.
+
+    One corpus shuffle (word freq), then a vocab-sized explode and a
+    charset^2-bounded groupBy; selection is TakeOrderedAndProject.
+    """
+    words = word_freq_table(df, text_col, min_count)
+    sym = _chars(F.col("word"))
+    return (
+        words.filter(F.length("word") >= 2)
+        .select(F.explode(_adjacent_pairs(sym)).alias("__p"), "n_word")
+        .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.sum("n_word").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
+def _merge_fold(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of pair (a, b) in a symbol array,
+    as a single codegen fold: carry (result, pending previous symbol);
+    when pending == a and current == b, emit the merged symbol and
+    clear pending (so "aaa" with (a,a) -> ["aa", "a"])."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("arr"), F.lit(None).cast("string").alias("prev"))
+    return F.aggregate(
+        sym,
+        init,
+        lambda acc, s: F.when(
+            acc["prev"].eqNullSafe(la) & (s == lb),
+            F.struct(
+                F.concat(acc["arr"], F.array(lab)).alias("arr"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["prev"].isNull(), acc["arr"])
+                .otherwise(F.concat(acc["arr"], F.array(acc["prev"])))
+                .alias("arr"),
+                s.alias("prev"),
+            )
+        ),
+        lambda acc: F.when(acc["prev"].isNull(), acc["arr"]).otherwise(
+            F.concat(acc["arr"], F.array(acc["prev"]))
+        ),
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_pair_count: int = 2,
+    min_count: int = 1,
+) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
+    """Learn ``num_merges`` greedy BPE merges over the corpus.
+
+    Returns ``(merges, final_words)``:
+
+    - ``merges``: [(rank, left, right, pair_count, gain)] in learn
+      order — ``pair_count`` is the (overlapping) count the argmax saw;
+      ``gain`` is the MEASURED total token reduction the merge caused
+      (equal except on self-overlapping pairs), so
+      sum(gains) == initial tokens - final tokens holds EXACTLY.
+    - ``final_words``: (word, n_word, symbols) after all merges — feed
+      to downstream tokenizers or the invariant checks.
+
+    Stops early when no pair reaches ``min_pair_count``. Driver traffic
+    per round: one argmax row + one token-count scalar.
+    """
+    if num_merges <= 0:
+        raise ValueError("num_merges must be > 0")
+    words = (
+        word_freq_table(df, text_col, min_count)
+        .select("word", "n_word", _chars(F.col("word")).alias("symbols"))
+        .localCheckpoint()
+    )
+
+    def total_tokens(w: DataFrame) -> int:
+        return w.agg(
+            F.coalesce(F.sum(F.size("symbols") * F.col("n_word")), F.lit(0))
+        ).first()[0]
+
+    tokens = total_tokens(words)
+    merges: list[tuple[int, str, str, int, int]] = []
+    for rank in range(num_merges):
+        top = (
+            words.filter(F.size("symbols") >= 2)
+            .select(
+                F.explode(_adjacent_pairs(F.col("symbols"))).alias("__p"), "n_word"
+            )
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("n_word").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n_pairs"] < min_pair_count:
+            break
+        a, b, n_pairs = top[0]["a"], top[0]["b"], top[0]["n_pairs"]
+        words = words.select(
+            "word", "n_word", _merge_fold(F.col("symbols"), a, b).alias("symbols")
+        ).localCheckpoint()  # truncate per-round fold lineage
+        new_tokens = total_tokens(words)
+        merges.append((rank, a, b, int(n_pairs), int(tokens - new_tokens)))
+        tokens = new_tokens
+    return merges, words
+
+
+def apply_bpe(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, int, int]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: whitespace
+    words -> characters -> each merge applied in learn order, greedy
+    left-to-right (BPE's apply-in-learn-order contract). Appends
+    ``out_col`` (array<string>). Codegen folds only — the merge list
+    is plan literals, so the tokenizer ships to every executor for
+    free (no broadcast variable, no UDF).
+
+    For merge lists beyond a few dozen the nested-fold plan gets deep;
+    batch through a pandas UDF at that point (same semantics, Arrow
+    batches) — the in-plan form is for invariant checks and small
+    tokenizers.
+    """
+
+    def tokenize_word(w: Column) -> Column:
+        sym = _chars(w)
+        for _, a, b, _, _ in merges:
+            sym = _merge_fold(sym, a, b)
+        return sym
+
+    toks = F.flatten(
+        F.transform(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0),
+            tokenize_word,
+        )
+    )
+    return df.withColumn(out_col, toks)

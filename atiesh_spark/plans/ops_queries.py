@@ -779,3 +779,90 @@ def q104_ann_auto_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_bucket") <= F.lit(4 * expected_bucket)).alias("bucket_bound_ok"),
         (F.col("sig_width") == F.lit(planes)).alias("planes_match_formula"),
     )
+
+
+@register(
+    "q105_bpe_pair_counts",
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS word
+        FROM documents
+    ),
+    nz AS (SELECT word FROM w WHERE length(word) >= 2),
+    p AS (
+        SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b
+        FROM nz, unnest(generate_series(1, length(word) - 1)) AS t(i)
+    )
+    SELECT a, b, count(*) AS n_pairs
+    FROM p GROUP BY a, b
+    ORDER BY n_pairs DESC, a, b
+    LIMIT 20
+    """,
+    doc="BPE iteration zero — corpus adjacent-symbol pair frequencies "
+    "(operators/tokenize.py bpe_pair_counts, Sennrich et al. 2016 "
+    "overlapping-count convention), top 20 with (a, b) tiebreak. The "
+    "corpus is shuffled ONCE into the word-frequency table; the pair "
+    "explode and count run on the vocab-sized frame (distinct words), "
+    "bounded by charset^2 after the groupBy; selection is "
+    "TakeOrderedAndProject. The statistic every distributed tokenizer "
+    "trainer iterates on.",
+)
+def q105_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.tokenize import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_k=20)
+
+
+@register(
+    "q106_bpe_learn",
+    oracle="SELECT true AS n_merges_ok, true AS merges_distinct, "
+    "true AS gains_positive, true AS conservation_ok, "
+    "true AS first_merge_is_argmax",
+    doc="Greedy BPE merge learning, 8 rounds (operators/tokenize.py "
+    "bpe_learn): all iteration on the vocab-sized word-frequency table "
+    "(the corpus shuffles once), one argmax row + one scalar to the "
+    "driver per round, localCheckpoint truncating each round's merge "
+    "fold. Greedy argmax order is library-free but the merge WALK is "
+    "algorithmic, so the graded contract is invariants (q98 pattern): "
+    "exactly 8 distinct merges with positive gains, token conservation "
+    "sum(gains) == initial - final tokens computed in-plan from the "
+    "word tables, and merge #1 equals the independently-computed "
+    "pair-count argmax (q105's statistic).",
+)
+def q106_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.tokenize import (
+        bpe_learn,
+        bpe_pair_counts,
+        word_freq_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, final_words = bpe_learn(docs, "text", num_merges=8)
+
+    n_ok = len(merges) == 8
+    distinct_ok = len({(a, b) for _, a, b, _, _ in merges}) == len(merges)
+    gains_ok = all(g > 0 and n > 0 for _, _, _, n, g in merges)
+    total_gain = sum(g for *_, g in merges)
+
+    initial = word_freq_table(docs, "text").agg(
+        F.sum(F.length("word") * F.col("n_word")).alias("t0")
+    )
+    final = final_words.agg(
+        F.sum(F.size("symbols") * F.col("n_word")).alias("t1")
+    )
+    argmax = bpe_pair_counts(docs, "text", top_k=1).select(
+        F.col("a").alias("__a"), F.col("b").alias("__b")
+    )
+    return initial.crossJoin(final).crossJoin(argmax).select(
+        F.lit(n_ok).alias("n_merges_ok"),
+        F.lit(distinct_ok).alias("merges_distinct"),
+        F.lit(gains_ok).alias("gains_positive"),
+        (F.col("t0") - F.col("t1") == F.lit(total_gain)).alias("conservation_ok"),
+        (
+            (F.col("__a") == F.lit(merges[0][1]))
+            & (F.col("__b") == F.lit(merges[0][2]))
+            if merges
+            else F.lit(False)
+        ).alias("first_merge_is_argmax"),
+    )

@@ -1,0 +1,167 @@
+"""BPE tokenizer-induction tests: differential against a pure-Python
+reference (same conventions: overlapping pair counts, greedy
+left-to-right merges, (count desc, pair asc) argmax tiebreak), plus
+plan-shape guards (iteration on the vocab table, never the corpus)."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from atiesh_spark.operators.tokenize import (
+    apply_bpe,
+    bpe_learn,
+    bpe_pair_counts,
+    word_freq_table,
+)
+
+
+# ------------------------------------------------------ python reference
+
+def _py_word_freqs(texts):
+    freqs = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t):
+            if w:
+                freqs[w] += 1
+    return freqs
+
+
+def _py_pair_counts(word_syms):
+    pairs = Counter()
+    for syms, n in word_syms:
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += n
+    return pairs
+
+
+def _py_merge(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe_learn(texts, num_merges, min_pair_count=2):
+    freqs = _py_word_freqs(texts)
+    words = [(list(w), n) for w, n in freqs.items()]
+    tokens = sum(len(s) * n for s, n in words)
+    merges = []
+    for rank in range(num_merges):
+        pairs = _py_pair_counts(words)
+        if not pairs:
+            break
+        # argmax with (count desc, a asc, b asc) tiebreak — the engine's
+        (a, b), n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < min_pair_count:
+            break
+        words = [(_py_merge(s, a, b), cnt) for s, cnt in words]
+        new_tokens = sum(len(s) * cnt for s, cnt in words)
+        merges.append((rank, a, b, n, tokens - new_tokens))
+        tokens = new_tokens
+    return merges, words
+
+
+# ---------------------------------------------------------------- tests
+
+def test_word_freq_drops_empty_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "  a b  a \n b\tb "), (2, "")], ["doc_id", "text"]
+    )
+    got = {r["word"]: r["n_word"] for r in word_freq_table(df, "text").collect()}
+    assert got == {"a": 2, "b": 3}
+
+
+def test_pair_counts_overlapping_convention(spark):
+    # "aaa" holds TWO (a,a) pairs — the Sennrich counting convention
+    df = spark.createDataFrame([(1, "aaa aaa baa")], ["doc_id", "text"])
+    got = {(r["a"], r["b"]): r["n_pairs"] for r in bpe_pair_counts(df, "text").collect()}
+    assert got[("a", "a")] == 5
+    assert got[("b", "a")] == 1
+
+
+def test_bpe_learn_gain_vs_pair_count_on_overlap(spark):
+    df = spark.createDataFrame([(1, "aaa aaa baa")], ["doc_id", "text"])
+    merges, final_words = bpe_learn(df, "text", num_merges=1)
+    assert len(merges) == 1
+    rank, a, b, n_pairs, gain = merges[0]
+    assert (a, b) == ("a", "a") and n_pairs == 5
+    # greedy application merges only 3 disjoint occurrences
+    assert gain == 3
+    final = {r["word"]: r["symbols"] for r in final_words.collect()}
+    assert final["aaa"] == ["aa", "a"] and final["baa"] == ["b", "aa"]
+
+
+def test_bpe_matches_python_reference_random_corpus(spark):
+    rng = random.Random(11)
+    texts = []
+    for _ in range(40):
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randrange(1, 8)))
+            for _ in range(rng.randrange(1, 12))
+        ]
+        texts.append(" ".join(words))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    ref_merges, ref_words = _py_bpe_learn(texts, num_merges=6)
+    got_merges, got_words = bpe_learn(df, "text", num_merges=6)
+    assert got_merges == ref_merges
+
+    ref_final = {"".join(_rejoin(s)): s for s, _ in ref_words}
+    got_final = {r["word"]: r["symbols"] for r in got_words.collect()}
+    for w, syms in got_final.items():
+        assert syms == ref_final[w], w
+
+
+def _rejoin(syms):
+    # reference keeps merged symbols as concatenated strings already
+    return syms
+
+
+def test_apply_bpe_round_trips_learned_merges(spark):
+    rows = [(1, "low lower lowest low low"), (2, "new newer newest new")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges, final_words = bpe_learn(df, "text", num_merges=4)
+    toks = apply_bpe(df, "text", merges)
+    got = {r["doc_id"]: r["tokens"] for r in toks.collect()}
+    # tokenizing the corpus with the learned merges must reproduce the
+    # word table's final symbolization word-by-word
+    final = {r["word"]: r["symbols"] for r in final_words.collect()}
+    for doc_id, text in rows:
+        expect = []
+        for w in text.split():
+            expect.extend(final[w])
+        assert got[doc_id] == expect
+    # conservation: sum of gains == total token reduction
+    n_chars = sum(len(w) for _, t in rows for w in t.split())
+    n_toks = sum(len(v) for v in got.values())
+    assert sum(g for *_, g in merges) == n_chars - n_toks
+
+
+def test_bpe_learn_stops_below_min_pair_count(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
+    merges, _ = bpe_learn(df, "text", num_merges=5, min_pair_count=2)
+    assert merges == []  # every pair occurs once
+
+
+def test_bpe_iteration_runs_on_vocab_not_corpus(spark):
+    """The corpus shuffle happens ONCE (word_freq_table); each learn
+    round plans against the checkpointed vocab frame. Guard: the
+    argmax plan over the vocab table contains no scan of the corpus
+    (checkpointed RDD scan only)."""
+    df = spark.createDataFrame(
+        [(i, "xy xz yz xy") for i in range(20)], ["doc_id", "text"]
+    )
+    words = word_freq_table(df, "text").localCheckpoint()
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    # after the checkpoint, downstream rounds read "ExistingRDD"/scan of
+    # the checkpoint, not the original exchange
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
