@@ -1,0 +1,113 @@
+"""Full-text retrieval over the corpus: BM25 scoring and top-k search.
+
+Reference behavioral spec: the survey's text-analysis family (SURVEY.md
+§2 — token counting / inverted index); the ranking function is the
+classic Okapi BM25 (Robertson & Zaragoza 2009, "The Probabilistic
+Relevance Framework: BM25 and Beyond"). In a training-data pipeline this
+is the workhorse for targeted curation ("pull the 10k docs most about
+X"), retrieval-based decontamination, and building retrieval training
+pairs — the lexical complement of the embedding ANN operators in
+``similarity.py``.
+
+Scale design — work is proportional to the QUERY's postings, not the
+corpus:
+
+1. Document length (``dl``) is row-local (``F.size(split(...))``) —
+   zero shuffles, computed in the same scan that tokenizes.
+2. The (doc, term) tf table is filtered to the query's terms AT THE
+   EXPLODE (an ``isin`` over a literal list, pushed inside the
+   codegen stage), so the only shuffle — the tf groupBy — carries
+   |query terms| rows per matching doc, never the corpus vocabulary.
+3. ``df`` (per-term document frequency) and ``avgdl``/``N`` are
+   term-count-sized / 1-row aggregates broadcast back; the final
+   ranking is a TakeOrderedAndProject, never a global sort.
+
+At 100 TB with a *persisted* index one would pre-materialize the tf
+table partitioned by term (that is ``corpus.inverted_index``); this
+operator is the query-time path and deliberately shares its tokenizer
+(whitespace split, empty-token drop) so scores agree with the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents for a bag of query terms by Okapi BM25:
+    (id_col, n_terms_hit, score), score descending with id tiebreak.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  — the standard
+    "+1" form that stays positive even for terms in most documents.
+
+    Duplicate query terms are deduplicated (a bag-of-words query counts
+    each term once — repeat weighting belongs in the caller's term
+    weights, not silent double-scoring). Scores are rounded BEFORE
+    ranking so tie-breaks (then id asc) are engine-independent.
+    """
+    from atiesh_spark.operators.dedup import _fanout
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    base = _fanout(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("__toks"),
+    )
+    # dl is row-local; N and avgdl are one broadcast row for the scorer.
+    lengths = base.select(F.col(id_col), F.size("__toks").alias("__dl"))
+    corpus = lengths.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    # Only the query's postings survive into the tf shuffle.
+    tf = (
+        base.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+                )
+                * F.col("__tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("__s"), round_to).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -553,3 +553,71 @@ def pca_project(
         for ci, comp in enumerate(components)
     ]
     return df.select(F.col(id_col), *cols)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: appends ``q_col``
+    (array<tinyint>, round(x / scale)) and ``scale_col``
+    (double, max|x| / 127).
+
+    The scale-path memory/IO lever for the ANN family: a float32
+    embedding column shrinks 4x (the dominant shuffle+cache cost of
+    every bucketed similarity join), at a bounded per-element error of
+    scale/2 = max|x|/254 — immaterial for candidate GENERATION, which
+    is why production ANN systems quantize the stored/compared vectors
+    and keep full precision only for final re-ranking
+    (:func:`brute_force_topk` on the candidate set).
+
+    All codegen (transform / array_max / round): no UDF, no shuffle.
+    All-zero vectors get scale 1.0 so they quantize to zeros instead of
+    dividing by zero; NULL vectors pass through as NULL.
+    """
+    v = as_double(vec_col)
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0.0, amax / 127.0).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        q_col,
+        F.transform(
+            v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")
+        ),
+    )
+
+
+def dequantize(q_col: Column | str, scale_col: Column | str) -> Column:
+    """array<tinyint> + scale -> array<double>, the reconstruction
+    ``x_hat = q * scale`` (max abs error scale/2 per element)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """:func:`brute_force_topk` over the int8-quantized column:
+    (vec_id, sim) by cosine of the DEQUANTIZED vectors — the accuracy
+    the quantized store actually delivers, measured end-to-end.
+
+    Integer dot products (keeping q-vectors int and folding the two
+    scales out of the sum) would be the SIMD-friendliest form on a
+    columnar engine; under whole-stage codegen the arithmetic is scalar
+    either way, so this uses the clearer dequantized form.
+    """
+    qdf = quantize_embeddings(emb, vec_col=vec_col)
+    deq = qdf.select(F.col(id_col), dequantize("qvec", "qscale").alias("__v"))
+    q = deq.filter(F.col(id_col) == query_vec_id).select(F.col("__v").alias("__q"))
+    scored = deq.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col("__v"), F.col("__q")), round_to).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)

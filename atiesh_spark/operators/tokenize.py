@@ -30,6 +30,7 @@ pair count (the two differ exactly on self-overlapping pairs).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -219,3 +220,54 @@ def apply_bpe(
         )
     )
     return df.withColumn(out_col, toks)
+
+
+def apply_bpe_batched(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, int, int]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """:func:`apply_bpe` semantics through an Arrow-batched pandas UDF —
+    the production path for realistic merge lists (thousands of merges),
+    where the in-plan nested fold would build an unworkably deep
+    expression tree.
+
+    Same contract as ``apply_bpe``: whitespace words -> characters ->
+    each merge applied IN LEARN ORDER, greedy left-to-right (differential
+    test pins batched == in-plan). The merge list ships inside the UDF
+    closure — serialized once per executor with the task binary, a few
+    MB for a 50k-merge tokenizer; per-word results are memoized per
+    batch (Zipf: a handful of word shapes dominate), so the scan does
+    dict lookups, not merge walks, for all but first-seen words.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    order = [(a, b) for _, a, b, _, _ in merges]
+
+    @pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w)
+                for a, b in order:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = cache[w] = syms
+            return got
+
+        return texts.map(
+            lambda t: [s for w in (t or "").split() for s in word(w)]
+        )
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))

@@ -866,3 +866,160 @@ def q106_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             else F.lit(False)
         ).alias("first_merge_is_argmax"),
     )
+
+
+@register(
+    "q107_bm25_topk",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    lengths AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        WHERE t IN ('merge', 'scan', 'window')
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * lengths.dl / corpus.avgdl)) AS s
+        FROM tf
+        JOIN dfreq USING (t)
+        JOIN lengths USING (doc_id)
+        CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           round(sum(s), 4) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="Okapi BM25 top-k full-text search (operators/retrieval.py "
+    "bm25_topk, k1=1.2 b=0.75): the lexical-retrieval workhorse for "
+    "targeted curation and retrieval-based decontamination. Work is "
+    "proportional to the QUERY's postings, not the corpus: doc length "
+    "is row-local, the tf shuffle carries only rows whose token is in "
+    "the query (isin filter inside the explode stage), df/avgdl/N are "
+    "broadcast-sized aggregates, and selection is "
+    "TakeOrderedAndProject. Scores rounded before ranking with doc_id "
+    "tiebreak so engine and oracle order identically.",
+)
+def q107_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, ["merge", "scan", "window"], k=15, round_to=4
+    )
+
+
+@register(
+    "q108_bpe_tokenize",
+    oracle="SELECT true AS reconstruction_ok, true AS conservation_ok, "
+    "true AS batched_equals_inplan",
+    doc="Learned-tokenizer application over the corpus "
+    "(operators/tokenize.py apply_bpe_batched): 6 merges from bpe_learn "
+    "applied through the Arrow-batched pandas UDF — the production path "
+    "for realistic merge lists, with per-batch word memoization so the "
+    "Zipf head costs one dict lookup. Graded contract (q106 pattern): "
+    "(a) reconstruction — concatenating every doc's tokens reproduces "
+    "its whitespace-stripped text, for ALL docs; (b) conservation — "
+    "total emitted tokens == total non-ws chars minus the learn phase's "
+    "summed measured gains; (c) the batched UDF agrees with the in-plan "
+    "codegen fold (apply_bpe) on every document.",
+)
+def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.tokenize import (
+        apply_bpe,
+        apply_bpe_batched,
+        bpe_learn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = bpe_learn(docs, "text", num_merges=6)
+    total_gain = sum(g for *_, g in merges)
+
+    both = apply_bpe_batched(
+        apply_bpe(docs, "text", merges, out_col="__inplan"),
+        "text",
+        merges,
+        out_col="__batched",
+    )
+    stripped = F.regexp_replace(F.col("text"), r"\s+", "")
+    per_doc = both.select(
+        (F.concat_ws("", F.col("__batched")) == stripped).alias("__rec"),
+        F.size("__batched").alias("__n_tok"),
+        F.length(stripped).alias("__n_chars"),
+        (F.col("__batched") == F.col("__inplan")).alias("__agree"),
+    )
+    return per_doc.agg(
+        F.coalesce(F.min("__rec"), F.lit(False)).alias("reconstruction_ok"),
+        (
+            F.sum("__n_tok") == F.sum("__n_chars") - F.lit(total_gain)
+        ).alias("conservation_ok"),
+        F.coalesce(F.min("__agree"), F.lit(False)).alias("batched_equals_inplan"),
+    )
+
+
+@register(
+    "q109_quantized_ann",
+    oracle="SELECT true AS self_hit, true AS recall_ok, "
+    "true AS error_bounded, true AS all_quantized",
+    doc="int8 embedding quantization graded end-to-end "
+    "(operators/similarity.py quantize_embeddings / quantized_topk): "
+    "the 4x memory/shuffle-IO lever for the ANN family — store and "
+    "compare round(x/scale) tinyints (scale = max|x|/127 per vector), "
+    "re-rank survivors at full precision. All codegen transforms, no "
+    "UDF, no extra shuffle. Graded contract (q104 pattern, constant "
+    "truth table): the quantized top-10 for query 0 finds the query "
+    "itself, recalls >= 8 of the exact top-10, every element's "
+    "reconstruction error is within the scale/2 bound (+ float fuzz), "
+    "and every vector quantized (no NULL qvec from a non-NULL input).",
+)
+def q109_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        dequantize,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    approx = quantized_topk(emb, query_vec_id=0, k=10)
+
+    hits = approx.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("__n_hit"))
+    self_hit = approx.agg(
+        F.coalesce(
+            F.max((F.col("vec_id") == 0).cast("int")) == 1, F.lit(False)
+        ).alias("self_hit")
+    )
+    qdf = quantize_embeddings(emb)
+    err = qdf.select(
+        F.array_max(
+            F.zip_with(
+                as_double("embedding"),
+                dequantize("qvec", "qscale"),
+                lambda x, r: F.abs(x - r) - F.col("qscale") / 2.0,
+            )
+        ).alias("__excess"),
+        F.col("qvec").isNull().alias("__null_q"),
+    ).agg(
+        (F.max("__excess") <= F.lit(1e-9)).alias("error_bounded"),
+        (F.sum(F.col("__null_q").cast("int")) == 0).alias("all_quantized"),
+    )
+    return self_hit.crossJoin(hits).crossJoin(err).select(
+        "self_hit",
+        (F.col("__n_hit") >= F.lit(8)).alias("recall_ok"),
+        "error_bounded",
+        "all_quantized",
+    )

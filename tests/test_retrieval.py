@@ -1,0 +1,102 @@
+"""BM25 retrieval tests: differential against a pure-Python scorer on a
+hand-built corpus, contract checks (term dedup, empty query, k cap),
+and a plan-shape guard (the tf shuffle is query-filtered; ranking is
+TakeOrderedAndProject, never a global sort)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from atiesh_spark.operators.retrieval import bm25_topk
+
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75):
+    toks = [[w for w in re.split(r"\s+", t) if w] for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    tfs = [Counter(t) for t in toks]
+    df = Counter()
+    for tf in tfs:
+        for term in set(terms):
+            if tf[term]:
+                df[term] += 1
+    scores = {}
+    for i, tf in enumerate(tfs):
+        s, hit = 0.0, 0
+        for term in set(terms):
+            if not tf[term]:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            s += (
+                idf
+                * tf[term]
+                * (k1 + 1)
+                / (tf[term] + k1 * (1 - b + b * len(toks[i]) / avgdl))
+            )
+        if hit:
+            scores[i] = (hit, s)
+    return scores
+
+
+CORPUS = [
+    "spark merge sort merge join window",
+    "scan scan scan filter key value",
+    "the quick brown fox",
+    "window merge window scan merge merge",
+    "a lone scan",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def test_bm25_matches_python_reference(docs):
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_topk(docs, ["merge", "scan"], k=10).collect()
+    }
+    want = _py_bm25(CORPUS, ["merge", "scan"])
+    assert set(got) == set(want)  # non-matching docs (fox) never appear
+    for d, (hit, s) in want.items():
+        assert got[d][0] == hit
+        assert got[d][1] == pytest.approx(round(s, 6), abs=1e-6)
+
+
+def test_bm25_ranking_and_k(docs):
+    rows = bm25_topk(docs, ["merge", "scan"], k=2).collect()
+    assert len(rows) == 2
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # doc 3 has the most merges + a scan: must rank first
+    assert rows[0]["doc_id"] == 3
+
+
+def test_bm25_duplicate_query_terms_count_once(docs):
+    once = bm25_topk(docs, ["merge"], k=10).collect()
+    twice = bm25_topk(docs, ["merge", "merge"], k=10).collect()
+    assert [tuple(r) for r in once] == [tuple(r) for r in twice]
+
+
+def test_bm25_empty_query_raises(docs):
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, ["merge"], k=0)
+
+
+def test_bm25_plan_query_filtered_topk(docs):
+    plan = bm25_topk(docs, ["merge", "scan"], k=5)._jdf.queryExecution().executedPlan().toString()
+    # ranking is top-k, never a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    # the tf aggregation only sees query terms: the isin filter must sit
+    # in the plan (as an In predicate over the literal term list)
+    assert "merge" in plan and "scan" in plan

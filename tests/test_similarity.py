@@ -219,3 +219,71 @@ def test_auto_planes_respects_target_bucket_size(spark):
     n = len(narrow.first()["bucket"])
     assert w == auto_num_planes(64, 8) and n == auto_num_planes(64, 32)
     assert w > n
+
+
+def test_quantize_error_bound_and_edge_vectors(spark):
+    """Every element reconstructs within scale/2; all-zero vectors
+    quantize to zeros (no div-by-zero), NULL vectors stay NULL."""
+    from atiesh_spark.operators.similarity import (
+        as_double,
+        dequantize,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [0.5, -1.25, 3.0, 0.0]),
+        (2, [1e-4, -1e-4, 5e-5, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, None),
+        (5, [127.0, -127.0, 64.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = quantize_embeddings(df)
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[4]["qvec"] is None
+    assert got[3]["qvec"] == [0, 0, 0, 0] and got[3]["qscale"] == 1.0
+    checked = q.filter(F.col("embedding").isNotNull()).select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    as_double("embedding"),
+                    dequantize("qvec", "qscale"),
+                    lambda x, r: F.abs(x - r) - F.col("qscale") / 2.0,
+                )
+            )
+        ).alias("excess")
+    ).first()
+    assert checked["excess"] <= 1e-9
+
+
+def test_quantized_topk_recalls_exact(spark):
+    """On a spread-out corpus the int8 top-k must agree closely with
+    the exact top-k and find the query itself first."""
+    from atiesh_spark.operators.similarity import brute_force_topk, quantized_topk
+
+    import math
+
+    emb = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.37) * (1 + i % 5), math.sin(i * 0.37) * (1 + i % 3), float(i % 7) - 3.0])
+            for i in range(100)
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    exact = [r["vec_id"] for r in brute_force_topk(emb, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in quantized_topk(emb, 0, k=10).collect()]
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def test_quantized_vectors_are_tinyint(spark):
+    """The quantized column must actually be array<tinyint> — the 4x
+    storage claim depends on the physical type, not just the values."""
+    from atiesh_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0])], "vec_id int, embedding array<double>"
+    )
+    schema = dict(quantize_embeddings(df).dtypes)
+    assert schema["qvec"] == "array<tinyint>"

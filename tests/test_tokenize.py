@@ -165,3 +165,32 @@ def test_bpe_iteration_runs_on_vocab_not_corpus(spark):
     # after the checkpoint, downstream rounds read "ExistingRDD"/scan of
     # the checkpoint, not the original exchange
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_apply_bpe_batched_matches_inplan(spark):
+    """The Arrow-batched tokenizer must agree with the codegen fold on
+    every document — including empty text, pure whitespace, and
+    self-overlapping merge targets ("aaa" with (a,a) -> ["aa","a"])."""
+    from atiesh_spark.operators.tokenize import apply_bpe_batched
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "aaa aaaa baaab"),
+        (4, ""),
+        (5, "   "),
+        (6, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges, _ = bpe_learn(
+        df.filter("doc_id <= 3"), "text", num_merges=5, min_pair_count=1
+    )
+    assert merges  # the corpus above must actually learn something
+    both = apply_bpe_batched(
+        apply_bpe(df, "text", merges, out_col="inplan"),
+        "text",
+        merges,
+        out_col="batched",
+    )
+    for r in both.collect():
+        assert r["batched"] == r["inplan"], r["doc_id"]
