@@ -621,3 +621,81 @@ def quantized_topk(
         F.round(cosine(F.col("__v"), F.col("__q")), round_to).alias("sim"),
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    label_col: str = "label",
+    k: int = 1,
+    num_planes: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    target_bucket_size: int = 1024,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the ``k`` most-cosine-similar vectors with a DIFFERENT label —
+    (id_1, label_1, id_2, label_2, sim, rank).
+
+    The pair-construction step of every embedding-model training
+    pipeline (the "hard" in hard negatives: random negatives are too
+    easy to teach a margin; the informative ones are the near-misses).
+    Candidates come from shared LSH buckets like :func:`knn_join` —
+    never all-pairs — with the label-mismatch filter applied BEFORE
+    ranking, so each anchor's window ranks only its cross-label
+    candidates (a post-filter on knn_join would instead silently
+    shrink k wherever same-label vectors crowd the top).
+
+    NULL labels are excluded up front: a NULL labels nothing, so it can
+    neither anchor a pair nor serve as a negative. Same sizing contract
+    as ``knn_join``: ``num_planes`` pinned is a small-data setting;
+    ``None`` holds buckets at ``target_bucket_size`` (linear scale
+    path). Scores are rounded before ranking with id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    labeled = emb.filter(F.col(label_col).isNotNull())
+    sigs = lsh_bucket_signatures(labeled, num_planes, id_col, vec_col, target_bucket_size)
+    with_sig = labeled.join(sigs, id_col).localCheckpoint()  # both sides reuse
+    a = with_sig.select(
+        F.col(id_col).alias("id_1"),
+        F.col(label_col).alias("label_1"),
+        F.col(vec_col).alias("__v1"),
+        "bucket",
+    )
+    b = with_sig.select(
+        F.col(id_col).alias("id_2"),
+        F.col(label_col).alias("label_2"),
+        F.col(vec_col).alias("__v2"),
+        "bucket",
+    )
+    # score each unordered cross-label pair once, mirror via explode
+    half = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("id_1") < F.col("id_2"))
+            & (F.col("label_1") != F.col("label_2"))
+        )
+        .select(
+            "id_1", "label_1", "id_2", "label_2",
+            F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
+        )
+    )
+    sym = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_1").alias("id_1"), F.col("label_1").alias("label_1"),
+                    F.col("id_2").alias("id_2"), F.col("label_2").alias("label_2"),
+                    F.col("sim").alias("sim"),
+                ),
+                F.struct(
+                    F.col("id_2").alias("id_1"), F.col("label_2").alias("label_1"),
+                    F.col("id_1").alias("id_2"), F.col("label_1").alias("label_2"),
+                    F.col("sim").alias("sim"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.*")
+    w = Window.partitionBy("id_1").orderBy(F.col("sim").desc(), F.col("id_2"))
+    return sym.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

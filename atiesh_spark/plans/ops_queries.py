@@ -1023,3 +1023,58 @@ def q109_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_bounded",
         "all_quantized",
     )
+
+
+def _q110_oracle() -> str:
+    from atiesh_spark.plans.llm_queries import _BUCKETS_CTE
+
+    return f"""
+    WITH {_BUCKETS_CTE},
+    pairs AS (
+        SELECT a.vec_id AS id_1, ea.label AS label_1,
+               b.vec_id AS id_2, eb.label AS label_2
+        FROM buckets a
+        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ea.label <> eb.label
+          AND ea.label IS NOT NULL AND eb.label IS NOT NULL
+    ),
+    scored AS (
+        SELECT id_1, label_1, id_2, label_2,
+               round(SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))), 4) AS sim
+        FROM (SELECT p.id_1, p.label_1, p.id_2, p.label_2,
+                     unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+                     unnest(CAST(b.embedding AS DOUBLE[])) AS y
+              FROM pairs p
+              JOIN embeddings a ON a.vec_id = p.id_1
+              JOIN embeddings b ON b.vec_id = p.id_2)
+        GROUP BY id_1, label_1, id_2, label_2
+    )
+    SELECT id_1, label_1, id_2, label_2, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY id_1
+                                     ORDER BY sim DESC, id_2) AS rank
+        FROM scored
+    ) WHERE rank <= 2
+    """
+
+
+@register(
+    "q110_hard_negatives",
+    oracle=_q110_oracle(),
+    doc="Hard-negative mining for contrastive training "
+    "(operators/similarity.py hard_negatives): per anchor, the 2 "
+    "most-similar vectors with a DIFFERENT label — the informative "
+    "near-miss pairs embedding-model training needs (random negatives "
+    "teach no margin). Candidates from shared LSH buckets (never "
+    "all-pairs), label-mismatch filtered BEFORE ranking so the window "
+    "ranks only cross-label candidates, each unordered pair scored "
+    "once and mirrored. Pinned planes=4 here so the exact DuckDB "
+    "oracle enumerates identical buckets (q55's convention); the "
+    "operator's num_planes=None path is the linear-scale setting.",
+)
+def q110_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, k=2, num_planes=4)

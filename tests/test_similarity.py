@@ -287,3 +287,68 @@ def test_quantized_vectors_are_tinyint(spark):
     )
     schema = dict(quantize_embeddings(df).dtypes)
     assert schema["qvec"] == "array<tinyint>"
+
+
+def test_hard_negatives_cross_label_only_and_null_excluded(spark):
+    from atiesh_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.1], 0),
+            (3, [0.9, 0.2], 1),
+            (4, [0.8, 0.3], 1),
+            (5, [0.7, 0.4], None),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    rows = hard_negatives(emb, k=3, num_planes=1).collect()
+    assert rows
+    ids = {r["id_1"] for r in rows} | {r["id_2"] for r in rows}
+    assert 5 not in ids  # NULL label can neither anchor nor serve
+    for r in rows:
+        assert r["label_1"] != r["label_2"]
+        assert r["label_1"] is not None and r["label_2"] is not None
+
+
+def test_hard_negatives_rank_not_shrunk_by_same_label_crowding(spark):
+    """A post-filter on knn_join would lose negatives wherever
+    same-label vectors crowd the top-k; the label filter must run
+    BEFORE ranking. Anchor 1 sits in a crowd of near-identical label-0
+    vectors; its 2 hard negatives must still be the two label-1s."""
+    from atiesh_spark.operators.similarity import hard_negatives
+
+    crowd = [(i, [1.0, 0.001 * i], 0) for i in range(1, 8)]
+    negs = [(100, [0.9, 0.3], 1), (101, [0.85, 0.4], 1)]
+    emb = spark.createDataFrame(
+        crowd + negs, "vec_id int, embedding array<double>, label int"
+    )
+    got = {
+        (r["rank"], r["id_2"])
+        for r in hard_negatives(emb, k=2, num_planes=1).collect()
+        if r["id_1"] == 1
+    }
+    assert got == {(1, 100), (2, 101)}
+
+
+def test_hard_negatives_sims_ordered_and_ranks_consecutive(spark):
+    import math
+
+    from atiesh_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.5), math.sin(i * 0.5)], i % 3)
+            for i in range(30)
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    per_anchor = {}
+    for r in hard_negatives(emb, k=4, num_planes=1).collect():
+        per_anchor.setdefault(r["id_1"], []).append((r["rank"], r["sim"]))
+    assert per_anchor
+    for anchor, rs in per_anchor.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
