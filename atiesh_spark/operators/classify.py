@@ -1,0 +1,219 @@
+"""In-engine text classification: multinomial Naive Bayes train +
+predict over whitespace tokens.
+
+The model-based filter step of a curation pipeline — GPT-3-style
+"quality classifier" gates, language-ID refinement, source attribution
+— trained INSIDE the engine so the 100 TB corpus never leaves it
+(classic NB is the one text classifier whose sufficient statistics are
+a pair of counting aggregations, which is why every large-scale
+pipeline has one even when a neural scorer follows).
+
+Scale design:
+
+- ``nb_train``: sufficient statistics only — ONE (label, token)
+  shuffle for likelihood counts and a label-sized doc-count aggregate
+  for priors. Model size is |observed (label, token) pairs| — the
+  vocab dim — plus a class-count row; both orders of magnitude below
+  corpus size, and ``min_count`` Zipf-truncates the tail.
+- ``nb_predict``: the model ships as a BROADCAST token dim (token ->
+  per-class log-likelihood array, dense across classes so zero-count
+  classes and out-of-vocab tokens take the same smoothed default with
+  no special cases at score time). Scoring is: explode test tokens,
+  broadcast-join the dim, posexplode the class axis, one map-side-
+  combined (doc, class) sum — the corpus-side stream shuffles once,
+  by doc, and the argmax is a per-doc max over C structs. Empty and
+  all-OOV docs still classify: every doc emits its C prior rows into
+  the same aggregate the token contributions feed, so no-token docs
+  score prior-only with no join or special case.
+
+Laplace smoothing with ``smoothing`` (default 1.0):
+    P(t | c) = (count(t, c) + s) / (total_c + s * (V + 1))
+with V = training vocabulary size; the "+1" reserves one slot for
+unseen tokens so OOV probability mass is well-defined (the standard
+open-vocabulary convention, same shape as textstats.ngram_lm_scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str,
+    smoothing: float = 1.0,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model; returns ``(classes, token_dim)`` — both lazy.
+
+    ``classes``: one row per label, ordered fields for deterministic
+    class indexing: (label, class_idx, n_docs, n_tokens, log_prior,
+    log_default) — ``class_idx`` is the rank of the label in sorted
+    order; ``log_default`` is the smoothed log-likelihood of any token
+    with zero count in that class (OOV included).
+
+    ``token_dim``: (token, llk) with ``llk`` a DOUBLE array indexed by
+    ``class_idx`` — dense across classes, so predict needs no
+    per-class special-casing. NULL labels are excluded (an unlabeled
+    doc can't teach the classifier anything).
+    """
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+    from atiesh_spark.operators.dedup import _fanout
+
+    labeled = docs.filter(F.col(label_col).isNotNull())
+    toks = _fanout(labeled.select(label_col, text_col)).select(
+        F.col(label_col).alias("__label"), F.explode(_toks(text_col)).alias("__t")
+    )
+    counts = toks.groupBy("__label", "__t").agg(F.count(F.lit(1)).alias("__n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("__n") >= min_count)
+    # The sufficient statistics ARE the training result: checkpoint them
+    # so the one corpus-scale shuffle runs once, not once per consumer
+    # (vocab size, class totals, and the token dim all read this frame).
+    counts = counts.localCheckpoint()
+    vocab = counts.agg(F.countDistinct("__t").alias("__v"))
+    class_tokens = counts.groupBy("__label").agg(F.sum("__n").alias("__ct"))
+    class_docs = labeled.groupBy(F.col(label_col).alias("__label")).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    total_docs = class_docs.agg(F.sum("__nd").alias("__td"))
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__label")  # tiny frame: one row per class
+    classes = (
+        class_docs.join(F.broadcast(class_tokens), "__label", "left")
+        .crossJoin(F.broadcast(total_docs))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("__label").alias("label"),
+            (F.row_number().over(w) - 1).alias("class_idx"),
+            F.col("__nd").alias("n_docs"),
+            F.coalesce(F.col("__ct"), F.lit(0)).alias("n_tokens"),
+            F.log(F.col("__nd") / F.col("__td")).alias("log_prior"),
+            F.log(
+                F.lit(smoothing)
+                / (
+                    F.coalesce(F.col("__ct"), F.lit(0))
+                    + smoothing * (F.col("__v") + 1)
+                )
+            ).alias("log_default"),
+        )
+    )
+    # Dense per-token class vector: map of observed counts + the class
+    # axis from a broadcast one-row array of (idx, total, default).
+    class_arr = classes.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("class_idx", "label", "n_tokens", "log_default")
+            )
+        ).alias("__cls")
+    )
+    per_token = counts.groupBy(F.col("__t").alias("token")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__label", "__n"))
+        ).alias("__by_label")
+    )
+    token_dim = (
+        per_token.crossJoin(F.broadcast(class_arr))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            F.transform(
+                F.col("__cls"),
+                lambda c: F.log(
+                    (
+                        F.coalesce(
+                            F.element_at(F.col("__by_label"), c["label"]),
+                            F.lit(0),
+                        )
+                        + smoothing
+                    )
+                    / (c["n_tokens"] + smoothing * (F.col("__v") + 1))
+                ),
+            ).alias("llk"),
+        )
+    )
+    return classes, token_dim
+
+
+def nb_predict(
+    docs: DataFrame,
+    classes: DataFrame,
+    token_dim: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classify every document: (id_col, pred_label, log_score).
+
+    Scores are rounded BEFORE the argmax and ties break toward the
+    smallest class_idx (= lexicographically first label), so the
+    prediction is engine-deterministic. Docs with no tokens (or only
+    OOV tokens) still classify via priors (+ defaults).
+    """
+    class_arr = classes.agg(
+        F.sort_array(
+            F.collect_list(F.struct("class_idx", "label", "log_prior", "log_default"))
+        ).alias("__cls")
+    )
+    from atiesh_spark.operators.dedup import _fanout
+
+    base = _fanout(docs.select(id_col, text_col))
+    toks = base.select(F.col(id_col), F.explode(_toks(text_col)).alias("token"))
+    # Prior rows and token contributions UNION into one (doc, class)
+    # aggregate — the only shuffle, map-side combined — instead of a
+    # doc x C join between a prior frame and a contribution frame
+    # (which would co-shuffle two corpus-sized frames for nothing).
+    prior_rows = base.crossJoin(F.broadcast(class_arr)).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col("__cls"), lambda c: c["log_prior"])
+        ).alias("class_idx", "__llk"),
+    )
+    tok_rows = (
+        toks.join(F.broadcast(token_dim), "token", "left")
+        .crossJoin(F.broadcast(class_arr))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.coalesce(
+                    F.col("llk"),
+                    F.transform(F.col("__cls"), lambda c: c["log_default"]),
+                )
+            ).alias("class_idx", "__llk"),
+        )
+    )
+    scores = (
+        prior_rows.unionByName(tok_rows)
+        .groupBy(id_col, "class_idx")
+        .agg(F.round(F.sum("__llk"), round_to).alias("__score"))
+    )
+    best = (
+        scores.join(
+            F.broadcast(classes.select("class_idx", F.col("label").alias("__label"))),
+            "class_idx",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__score").alias("s"),
+                    (-F.col("class_idx")).alias("neg_idx"),
+                    F.col("__label").alias("label"),
+                )
+            ).alias("__best")
+        )
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__best.label").alias("pred_label"),
+        F.col("__best.s").alias("log_score"),
+    )

@@ -1078,3 +1078,88 @@ def q110_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, k=2, num_planes=4)
+
+
+@register(
+    "q111_nb_classify",
+    oracle=r"""
+    WITH train AS (
+        SELECT lang, text FROM documents
+        WHERE doc_id % 5 <> 0 AND lang IS NOT NULL
+    ),
+    test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+    toks AS (
+        SELECT lang AS label,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> length(t) > 0)) AS t
+        FROM train
+    ),
+    counts AS (SELECT label, t, count(*) AS n FROM toks GROUP BY label, t),
+    v AS (SELECT count(DISTINCT t) AS v FROM counts),
+    ct AS (SELECT label, sum(n) AS ct FROM counts GROUP BY label),
+    cd AS (SELECT lang AS label, count(*) AS nd FROM train GROUP BY lang),
+    td AS (SELECT sum(nd) AS td FROM cd),
+    test_toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> length(t) > 0)) AS t
+        FROM test
+    ),
+    pairs AS (
+        SELECT tt.doc_id, c.label,
+               ln((coalesce(cn.n, 0) + 1.0) / (ct.ct + 1.0 * (v.v + 1))) AS llk
+        FROM test_toks tt
+        CROSS JOIN cd c
+        JOIN ct ON ct.label = c.label
+        CROSS JOIN v
+        LEFT JOIN counts cn ON cn.label = c.label AND cn.t = tt.t
+    ),
+    scores AS (
+        SELECT d.doc_id, c.label,
+               round(ln(CAST(c.nd AS DOUBLE) / td.td)
+                     + coalesce(sum(p.llk), 0), 4) AS score
+        FROM test d CROSS JOIN cd c CROSS JOIN td
+        LEFT JOIN pairs p ON p.doc_id = d.doc_id AND p.label = c.label
+        GROUP BY d.doc_id, c.label, c.nd, td.td
+    ),
+    best AS (
+        SELECT doc_id, label AS pred_label, score AS log_score FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, label) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.pred_label, b.log_score,
+           t.lang AS actual, b.pred_label = t.lang AS correct
+    FROM best b JOIN test t USING (doc_id)
+    """,
+    doc="In-engine multinomial Naive Bayes text classifier "
+    "(operators/classify.py nb_train/nb_predict): the model-based "
+    "curation gate (GPT-3-style quality classifier, language-ID "
+    "refinement) trained WITHOUT the corpus leaving the engine. Train "
+    "= sufficient statistics only (one (label, token) shuffle, "
+    "checkpointed); the model ships to scoring as a broadcast token -> "
+    "per-class log-likelihood dense array (zero-count classes and OOV "
+    "take the same smoothed default, so scoring has no special cases). "
+    "Scoring = explode + broadcast join + ONE map-side-combined "
+    "(doc, class) sum (priors union in as rows — no doc x C join); "
+    "argmax with rounded scores and first-label tiebreak. Trained on "
+    "the %5!=0 split predicting lang, graded on the held-out fifth.",
+)
+def q111_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.classify import nb_predict, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter((F.col("doc_id") % 5 != 0) & F.col("lang").isNotNull())
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    classes, dim = nb_train(train, "lang", "text")
+    preds = nb_predict(test, classes, dim, "doc_id", "text", round_to=4)
+    return preds.join(
+        test.select("doc_id", F.col("lang").alias("actual")), "doc_id"
+    ).select(
+        "doc_id",
+        "pred_label",
+        "log_score",
+        "actual",
+        (F.col("pred_label") == F.col("actual")).alias("correct"),
+    )
