@@ -699,3 +699,73 @@ def hard_negatives(
     ).select("__p.*")
     w = Window.partitionBy("id_1").orderBy(F.col("sim").desc(), F.col("id_2"))
     return sym.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-label mean vector: (label, n_vectors, centroid).
+
+    One (label, dimension) shuffle — d rows per label after the
+    map-side-combined average — then the centroid reassembles with a
+    label-sized collect_list ordered by dimension. NULL labels and
+    NULL vectors are excluded (they have no class to summarize).
+    The moments-broadcast-back pattern: downstream per-vector work
+    (distances, outlier flags) joins this label-sized frame as a
+    broadcast and never shuffles the fact side.
+    """
+    base = emb.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+    per_dim = (
+        base.select(F.col(label_col).alias("label"), F.posexplode(as_double(vec_col)))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("__m"), F.count(F.lit(1)).alias("__n"))
+    )
+    mean = F.col("__m") if round_to is None else F.round(F.col("__m"), round_to)
+    return (
+        per_dim.select("label", F.struct(F.col("pos"), mean.alias("m")).alias("__s"), "__n")
+        .groupBy("label")
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.transform(
+                F.sort_array(F.collect_list("__s")), lambda s: s["m"]
+            ).alias("centroid"),
+        )
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Noisy-label signal: each vector's cosine similarity to its OWN
+    label's centroid, ranked most-suspicious-first within the label —
+    (id_col, label, centroid_sim, suspect_rank). Low similarity to
+    your own class centroid is the classic mislabeled/outlier-sample
+    flag used to clean classification training sets (Confident
+    Learning's simplest ancestor).
+
+    Centroids broadcast back (label-sized dim); the similarity is
+    row-local codegen, and the only fact-side shuffle is the per-label
+    ranking window. Rounded before ranking, id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    cents = label_centroids(emb, label_col, vec_col)
+    base = emb.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+    scored = base.join(
+        F.broadcast(cents.withColumnRenamed("label", label_col)), label_col
+    ).select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.round(cosine(as_double(vec_col), F.col("centroid")), round_to).alias(
+            "centroid_sim"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("centroid_sim", F.col(id_col))
+    return scored.withColumn("suspect_rank", F.row_number().over(w))

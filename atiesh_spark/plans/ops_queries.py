@@ -1163,3 +1163,85 @@ def q111_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         (F.col("pred_label") == F.col("actual")).alias("correct"),
     )
+
+
+@register(
+    "q112_rolling_zscore",
+    oracle="""
+    WITH z AS (
+        SELECT event_id, user_id, value,
+               round(
+                   CASE WHEN stddev_samp(value) OVER w > 0
+                        THEN (value - avg(value) OVER w)
+                             / stddev_samp(value) OVER w
+                   END, 4) AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value, zscore,
+           coalesce(abs(zscore) > 3.0, false) AS is_outlier
+    FROM z
+    """,
+    doc="Per-user trailing-hour rolling z-score anomaly flags "
+    "(operators/timeseries.py zscore_outliers): the streaming-friendly "
+    "outlier convention — frame includes the current row, no "
+    "look-ahead, degenerate windows (n < 2 or zero variance) yield "
+    "NULL zscore and never flag. One shuffle (the per-key partition "
+    "sort); mean and stddev share a single Window operator with a "
+    "VALUE-based frame over epoch micros, so tied timestamps are peer "
+    "rows in both engines (deterministic, unlike a row-based frame).",
+)
+def q112_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.timeseries import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return zscore_outliers(
+        ev, "user_id", "ts", "value", window_seconds=3600, z_threshold=3.0
+    ).select("event_id", "user_id", "value", "zscore", "is_outlier")
+
+
+@register(
+    "q113_centroid_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ),
+    cent AS (
+        SELECT label, d, avg(x) AS c FROM v GROUP BY label, d
+    ),
+    sims AS (
+        SELECT v.vec_id, v.label,
+               round(SUM(v.x * cent.c)
+                     / (sqrt(SUM(v.x * v.x)) * sqrt(SUM(cent.c * cent.c))),
+                     4) AS centroid_sim
+        FROM v JOIN cent ON v.label = cent.label AND v.d = cent.d
+        GROUP BY v.vec_id, v.label
+    )
+    SELECT vec_id, label, centroid_sim,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY centroid_sim, vec_id) AS suspect_rank
+    FROM sims
+    """,
+    doc="Noisy-label detection over the embedding table "
+    "(operators/similarity.py centroid_outliers): each vector's cosine "
+    "to its OWN label's centroid, ranked most-suspicious-first per "
+    "label — the classic mislabeled-sample signal for cleaning "
+    "classification training sets. Centroids come from one map-side-"
+    "combined (label, dimension) shuffle (d rows per label) and "
+    "broadcast back; the similarity is row-local codegen, so the only "
+    "fact-side shuffle is the per-label ranking window. Rounded before "
+    "ranking with id tiebreak.",
+)
+def q113_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb)

@@ -352,3 +352,55 @@ def test_hard_negatives_sims_ordered_and_ranks_consecutive(spark):
         assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
         sims = [s for _, s in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_label_centroids_exact_means_and_null_exclusion(spark):
+    from atiesh_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [3.0, 2.0], "a"),
+            (3, [0.0, 4.0], "b"),
+            (4, None, "a"),
+            (5, [9.0, 9.0], None),
+        ],
+        "vec_id int, embedding array<double>, label string",
+    )
+    got = {r["label"]: r for r in label_centroids(emb).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["centroid"] == [2.0, 1.0]
+    assert got["a"]["n_vectors"] == 2
+    assert got["b"]["centroid"] == [0.0, 4.0]
+
+
+def test_centroid_outliers_flags_planted_mislabel(spark):
+    """A 'b'-looking vector labeled 'a' must rank suspect #1 in class
+    a; well-clustered vectors rank behind it."""
+    from atiesh_spark.operators.similarity import centroid_outliers
+
+    a = [(i, [1.0 + 0.01 * i, 0.0], "a") for i in range(5)]
+    b = [(10 + i, [0.0, 1.0 + 0.01 * i], "b") for i in range(5)]
+    planted = [(99, [0.0, 1.0], "a")]
+    emb = spark.createDataFrame(
+        a + b + planted, "vec_id int, embedding array<double>, label string"
+    )
+    rows = {r["vec_id"]: r for r in centroid_outliers(emb).collect()}
+    assert rows[99]["suspect_rank"] == 1
+    assert rows[99]["centroid_sim"] < min(
+        rows[i]["centroid_sim"] for i, _, l in a if l == "a"
+    )
+
+
+def test_centroid_outliers_broadcast_plan(spark):
+    from atiesh_spark.operators.similarity import centroid_outliers
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], "x") for i in range(20)],
+        "vec_id int, embedding array<double>, label string",
+    )
+    plan = (
+        centroid_outliers(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
