@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,3 +43,64 @@ def truncate_lines(col: Column | str, max_len: int) -> Column:
 def drop_long_lines(df: DataFrame, col: str, max_len: int) -> DataFrame:
     """Drop-over-cap policy (max-line-truncate=false, the default)."""
     return df.filter(F.length(F.col(col)) <= max_len)
+
+
+def normalize_text(
+    col: Column | str,
+    form: str = "NFC",
+    lowercase: bool = True,
+    strip_accents: bool = False,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Unicode text normalization — the C4/CCNet preprocessing step
+    (canonical composition so visually-identical strings hash/dedup/
+    tokenize identically, case folding, optional accent stripping,
+    whitespace collapse).
+
+    Spark has no Unicode-normalization builtin, so the NFC/NFKC core
+    is an Arrow-batched pandas UDF (the documented non-JVM seam, like
+    the gzip codec); case folding and whitespace collapse stay in
+    codegen around it. ``strip_accents`` decomposes (NFD) and drops
+    combining marks before recomposing — the fastText/CLD-style
+    aggressive fold for language-ID features; leave it off for corpus
+    text that will be shown to a model (accents carry meaning).
+
+    Order of operations: normalize(form) [-> strip accents] ->
+    lowercase -> collapse whitespace runs to single spaces + trim.
+    NULL passes through as NULL.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    do_strip = strip_accents
+
+    @pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> str | None:
+            if t is None:
+                return None
+            out = unicodedata.normalize(form, t)
+            if do_strip:
+                out = unicodedata.normalize(
+                    "NFC",
+                    "".join(
+                        ch
+                        for ch in unicodedata.normalize("NFD", out)
+                        if not unicodedata.combining(ch)
+                    ),
+                )
+            return out
+
+        return texts.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    out = _norm(c)
+    if lowercase:
+        out = F.lower(out)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

@@ -1245,3 +1245,35 @@ def q113_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_outliers(emb)
+
+
+@register(
+    "q114_normalize_text",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               lower(nfc_normalize(text || '  Cafe' || chr(769) || ' TEST')),
+               '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+    doc="Unicode text normalization (functions/text.py normalize_text): "
+    "NFC canonical composition + lowercase + whitespace collapse — the "
+    "C4/CCNet preprocessing step that makes visually-identical strings "
+    "hash/dedup/tokenize identically. Spark has no normalization "
+    "builtin, so the NFC core is an Arrow-batched pandas UDF (the "
+    "documented non-JVM seam, like gzip); casing and whitespace stay "
+    "codegen. The query appends a combining-acute sequence to every "
+    "row so composition is actually exercised corpus-wide — the oracle "
+    "must produce the precomposed e-acute — not just on ASCII "
+    "passthrough.",
+)
+def q114_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    # decomposed e + U+0301 so the engine must actually COMPOSE, not
+    # just pass a precomposed literal through
+    planted = F.concat(F.col("text"), F.lit("  Cafe\u0301 TEST"))
+    return docs.select(
+        "doc_id", normalize_text(planted).alias("norm_text")
+    )

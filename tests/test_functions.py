@@ -192,3 +192,44 @@ def test_epoch_nanos_to_ntz_including_pre_epoch(spark):
         us = n // 1000
         expect = datetime(1970, 1, 1) + timedelta(microseconds=us)
         assert ts == expect, f"ns={n}: {ts} != {expect}"
+
+
+def test_normalize_text_forms_and_ws(spark):
+    from atiesh_spark.functions.text import normalize_text
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "Café   LATTE"),   # decomposed -> must compose
+            (2, "ﬁne  PRINT"),        # fi ligature: NFKC-only fold
+            (3, None),
+            (4, " \t mixed \n WS "),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["nfc"], r["nfkc"], r["stripped"], r["keepcase"])
+        for r in df.select(
+            "id",
+            normalize_text("text").alias("nfc"),
+            normalize_text("text", form="NFKC").alias("nfkc"),
+            normalize_text("text", strip_accents=True).alias("stripped"),
+            normalize_text("text", lowercase=False).alias("keepcase"),
+        ).collect()
+    }
+    assert out[1][0] == "café latte"          # single precomposed char
+    assert out[1][2] == "cafe latte"               # accent stripped
+    assert out[1][3] == "Café LATTE"
+    assert out[2][0] == "ﬁne print"           # NFC keeps the ligature
+    assert out[2][1] == "fine print"               # NFKC folds it
+    assert out[3] == (None, None, None, None)
+    assert out[4][0] == "mixed ws"
+
+
+def test_normalize_text_rejects_unknown_form(spark):
+    from atiesh_spark.functions.text import normalize_text
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_text("text", form="NFX")
