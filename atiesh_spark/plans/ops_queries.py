@@ -902,6 +902,7 @@ def q106_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 15
     """,
+    headline=True,
     doc="Okapi BM25 top-k full-text search (operators/retrieval.py "
     "bm25_topk, k1=1.2 b=0.75): the lexical-retrieval workhorse for "
     "targeted curation and retrieval-based decontamination. Work is "
@@ -1133,6 +1134,7 @@ def q110_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.lang AS actual, b.pred_label = t.lang AS correct
     FROM best b JOIN test t USING (doc_id)
     """,
+    headline=True,
     doc="In-engine multinomial Naive Bayes text classifier "
     "(operators/classify.py nb_train/nb_predict): the model-based "
     "curation gate (GPT-3-style quality classifier, language-ID "

@@ -48,6 +48,10 @@ HEAVY = [
     "q51_jaccard_verified_candidates",
     "q55_knn_join",
     "q94_lm_quality",
+    # round 4 additions over the same derived tables
+    "q105_bpe_pair_counts",
+    "q107_bm25_topk",
+    "q111_nb_classify",
 ]
 
 
@@ -154,6 +158,28 @@ def main() -> None:
     a, b = run_auto(BASE), run_auto(OUT)
     out["knn_join_auto_planes"] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)}
     print(f"  knn_join_auto_planes: {a}s -> {b}s ({round(b/a,2)}x)", file=sys.stderr)
+
+    # hard_negatives shares knn_join's pinned-planes hazard; measure its
+    # auto-sized scale path the same way (the registered q110 pins
+    # planes=4 only so its DuckDB oracle can enumerate the buckets).
+    from atiesh_spark.operators.similarity import hard_negatives
+
+    def run_hn_auto(sf_dir: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            hard_negatives(
+                load_table(spark, sf_dir, "embeddings"), k=2, num_planes=None
+            ).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 2)
+
+    a, b = run_hn_auto(BASE), run_hn_auto(OUT)
+    out["hard_negatives_auto_planes"] = {
+        "sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)
+    }
+    print(f"  hard_negatives_auto_planes: {a}s -> {b}s ({round(b/a,2)}x)", file=sys.stderr)
     print(json.dumps({"copies": COPIES, "queries": out}))
 
 
