@@ -1,0 +1,128 @@
+"""Blocklist (bad-words / banned-phrase) filtering over the corpus.
+
+The C4-style content gate: drop or flag every document containing any
+term from a curated list (C4 removed pages matching the public
+"dirty/naughty/obscene" word list; the same mechanism runs PII-phrase
+blocks, brand-safety lists, and policy filters). Matching contract is
+CASE-FOLDED SUBSTRING containment — simple, engine-portable, and the
+convention the public pipelines use for phrase lists.
+
+Two execution engines, differential-tested equal:
+
+- ``inplan`` (default for small lists): one codegen ``contains`` per
+  pattern over the lowered text, folded into an array filter — stays
+  inside whole-stage codegen, vectorized by the JVM, ZERO shuffles.
+  The plan grows linearly with the pattern count, so this is for the
+  tens-to-hundreds range every hand-curated list lives in.
+- ``automaton`` (for large lists): a pure-Python Aho-Corasick
+  automaton inside an Arrow-batched pandas UDF — ONE text scan
+  regardless of pattern count, the right asymptotics for 10k+ pattern
+  machine-generated lists. The automaton builds once per executor from
+  the closure (a few MB for 100k patterns) and matching is linear in
+  text length; still zero shuffles.
+
+``engine="auto"`` picks inplan for <= 64 patterns, automaton beyond.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INPLAN_MAX = 64
+
+
+def _build_aho(patterns: list[str]) -> list[tuple[dict[str, int], int, tuple[str, ...]]]:
+    """Aho-Corasick automaton as a flat node list: (goto, fail, outputs)."""
+    nodes: list[list] = [[{}, 0, []]]
+    for p in patterns:
+        cur = 0
+        for ch in p:
+            nxt = nodes[cur][0].get(ch)
+            if nxt is None:
+                nodes.append([{}, 0, []])
+                nxt = nodes[cur][0][ch] = len(nodes) - 1
+            cur = nxt
+        nodes[cur][2].append(p)
+    q: deque[int] = deque()
+    for child in nodes[0][0].values():
+        q.append(child)
+    while q:
+        cur = q.popleft()
+        for ch, child in nodes[cur][0].items():
+            q.append(child)
+            f = nodes[cur][1]
+            while f and ch not in nodes[f][0]:
+                f = nodes[f][1]
+            fail = nodes[f][0].get(ch, 0)
+            nodes[child][1] = 0 if fail == child else fail
+            nodes[child][2].extend(nodes[fail if fail != child else 0][2])
+    return [(n[0], n[1], tuple(n[2])) for n in nodes]
+
+
+def blocklist_hits(
+    df: DataFrame,
+    text_col: str,
+    patterns: list[str],
+    engine: str = "auto",
+) -> DataFrame:
+    """Append ``hits`` (sorted array of matched patterns, case-folded
+    substring semantics; empty array for clean docs — NULL text counts
+    as clean) and ``n_hits``.
+
+    Duplicate and empty patterns are dropped; matching is against
+    ``lower(text)`` with patterns lowered once at plan build.
+    """
+    pats = sorted({p.lower() for p in patterns if p})
+    if not pats:
+        raise ValueError("patterns must contain at least one non-empty term")
+    if engine == "auto":
+        engine = "inplan" if len(pats) <= _INPLAN_MAX else "automaton"
+    if engine not in ("inplan", "automaton"):
+        raise ValueError(f"unknown engine {engine!r}")
+
+    if engine == "inplan":
+        lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        hits = F.filter(
+            F.array(*[F.lit(p) for p in pats]),
+            lambda p: F.contains(lowered, p),
+        )
+    else:
+        nodes = _build_aho(pats)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _scan(texts: pd.Series) -> pd.Series:
+            def one(t: str | None) -> list[str]:
+                if not t:
+                    return []
+                found: set[str] = set()
+                cur = 0
+                for ch in t.lower():
+                    while cur and ch not in nodes[cur][0]:
+                        cur = nodes[cur][1]
+                    cur = nodes[cur][0].get(ch, 0)
+                    if nodes[cur][2]:
+                        found.update(nodes[cur][2])
+                return sorted(found)
+
+            return texts.map(one)
+
+        hits = _scan(F.col(text_col))
+    return df.withColumn("hits", hits).withColumn("n_hits", F.size("hits"))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    patterns: list[str],
+    engine: str = "auto",
+) -> DataFrame:
+    """The gate itself: rows whose text matches NO pattern, original
+    columns only (the C4 drop-the-page treatment)."""
+    flagged = blocklist_hits(df, text_col, patterns, engine)
+    return flagged.filter(F.col("n_hits") == 0).drop("hits", "n_hits")

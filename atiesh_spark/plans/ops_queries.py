@@ -1279,3 +1279,38 @@ def q114_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", normalize_text(planted).alias("norm_text")
     )
+
+
+@register(
+    "q115_blocklist_hits",
+    oracle="""
+    WITH pats(p) AS (VALUES ('window merge'), ('slow scan'), ('dup'), ('spark row')),
+    hits AS (
+        SELECT d.doc_id, pats.p
+        FROM documents d JOIN pats ON contains(lower(d.text), pats.p)
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+           array_to_string(list_sort(list(p)), ',') AS hits_csv
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Blocklist (banned-phrase) flagging "
+    "(operators/blocklist.py blocklist_hits): the C4-style content "
+    "gate — case-folded substring containment against a curated term "
+    "list. Two engines, differential-tested equal: codegen contains "
+    "chain for hand-sized lists (zero shuffles, plan-gated) and a "
+    "pure-Python Aho-Corasick automaton in an Arrow pandas UDF for "
+    "10k+ machine-generated lists (one text scan regardless of "
+    "pattern count, automaton built once per executor from the "
+    "closure). This query grades the in-plan engine exactly; "
+    "blocklist_filter is the same plan with the flagged rows dropped.",
+)
+def q115_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.blocklist import blocklist_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = blocklist_hits(
+        docs, "text", ["window merge", "slow scan", "dup", "spark row"]
+    )
+    return flagged.filter(F.col("n_hits") >= 1).select(
+        "doc_id", "n_hits", F.concat_ws(",", "hits").alias("hits_csv")
+    )
