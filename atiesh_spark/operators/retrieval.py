@@ -111,3 +111,105 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch retrieval: top-``k`` documents PER QUERY for a whole table
+    of queries — (query_id_col, id_col, n_terms_hit, score, rank).
+    The shape that builds retrieval training sets (q/d pairs for a
+    reranker), runs decontamination sweeps, and serves evaluation
+    suites — one plan instead of |queries| separate jobs.
+
+    Plan: queries tokenize into a (query_id, term) table that is
+    DISTINCT per query and BROADCAST against the corpus tf stream, so
+    the per-doc work is |matching terms across all queries| and the
+    corpus still shuffles once for tf + once per (query, doc) group.
+    Per-term df and the corpus stats stay exact and query-independent
+    (computed over the full corpus once, broadcast). Ranking is a
+    per-query window over candidate docs only — a doc scores for a
+    query only if it shares at least one term. Scores rounded before
+    ranking, doc-id tiebreak (same contract as :func:`bm25_topk`,
+    which this degenerates to for a single query).
+
+    The query table must be broadcast-sized (thousands to low
+    millions of terms) — the standard asymmetry of batch retrieval;
+    for corpus-vs-corpus matching use the similarity operators.
+    """
+    from pyspark.sql import Window
+
+    from atiesh_spark.operators.dedup import _fanout
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(
+                F.filter(
+                    F.split(F.col(query_text_col), r"\s+"), lambda t: t != ""
+                )
+            ).alias("__t"),
+        )
+        .distinct()
+    )
+    base = _fanout(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("__toks"),
+    )
+    lengths = base.select(F.col(id_col), F.size("__toks").alias("__dl"))
+    corpus = lengths.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    # tf over the union of all query terms (semi-filtered at the explode),
+    # then re-joined to per-query term lists — df stays per-TERM exact.
+    all_terms = qterms.select("__t").distinct()
+    tf = (
+        base.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .join(F.broadcast(all_terms), "__t", "left_semi")
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "__t")
+        .join(F.broadcast(dfreq), "__t")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("__qid"),
+            F.col(id_col),
+            (
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+                )
+                * F.col("__tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    per_pair = scored.groupBy("__qid", id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum("__s"), round_to).alias("score"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumnRenamed("__qid", query_id_col)
+    )

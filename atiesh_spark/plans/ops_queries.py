@@ -1314,3 +1314,85 @@ def q115_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(F.col("n_hits") >= 1).select(
         "doc_id", "n_hits", F.concat_ws(",", "hits").alias("hits_csv")
     )
+
+
+@register(
+    "q116_bm25_join",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id AS query_id,
+               array_to_string(
+                   list_filter(string_split_regex(text, '\s+'),
+                               t -> length(t) > 0)[1:3], ' ') AS query_text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    qterms AS (
+        SELECT DISTINCT query_id,
+               unnest(list_filter(string_split_regex(query_text, '\s+'),
+                                  t -> length(t) > 0)) AS t
+        FROM q
+    ),
+    base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    lengths AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        WHERE t IN (SELECT DISTINCT t FROM qterms)
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * lengths.dl / corpus.avgdl)) AS s
+        FROM tf
+        JOIN qterms qt USING (t)
+        JOIN dfreq USING (t)
+        JOIN lengths USING (doc_id)
+        CROSS JOIN corpus
+    ),
+    pairs AS (
+        SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+               round(sum(s), 4) AS score
+        FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_terms_hit, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+    doc="Batch retrieval (operators/retrieval.py bm25_join): top-5 BM25 "
+    "documents PER QUERY for a whole query table in one plan — the "
+    "shape that builds reranker training pairs and runs retrieval-"
+    "based decontamination sweeps (queries here are the first 3 words "
+    "of every doc_id%50==0 'benchmark' doc, q63's split convention). "
+    "The distinct (query_id, term) table broadcasts against the corpus "
+    "tf stream; per-term df and corpus stats stay query-independent "
+    "and exact; ranking is a per-query window over candidate docs "
+    "only. Degenerates to q107's bm25_topk for one query (tested).",
+)
+def q116_bm25_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.retrieval import bm25_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+                1,
+                3,
+            ),
+        ).alias("query_text"),
+    )
+    return bm25_join(docs, queries, k=5, round_to=4)

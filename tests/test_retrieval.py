@@ -100,3 +100,57 @@ def test_bm25_plan_query_filtered_topk(docs):
     # the tf aggregation only sees query terms: the isin filter must sit
     # in the plan (as an In predicate over the literal term list)
     assert "merge" in plan and "scan" in plan
+
+
+def test_bm25_join_degenerates_to_topk_for_one_query(docs):
+    from atiesh_spark.operators.retrieval import bm25_join
+
+    spark = docs.sparkSession
+    queries = spark.createDataFrame(
+        [(7, "merge scan")], "query_id long, query_text string"
+    )
+    joined = {
+        (r["doc_id"]): (r["n_terms_hit"], r["score"])
+        for r in bm25_join(docs, queries, k=10).collect()
+    }
+    solo = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_topk(docs, ["merge", "scan"], k=10).collect()
+    }
+    assert joined == solo
+
+
+def test_bm25_join_multi_query_matches_python(docs):
+    from atiesh_spark.operators.retrieval import bm25_join
+
+    spark = docs.sparkSession
+    qs = [(1, "merge scan"), (2, "window"), (3, "zebra")]
+    queries = spark.createDataFrame(qs, "query_id long, query_text string")
+    got = {}
+    for r in bm25_join(docs, queries, k=10).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = (
+            r["n_terms_hit"],
+            r["score"],
+            r["rank"],
+        )
+    for qid, qtext in qs:
+        want = _py_bm25(CORPUS, qtext.split())
+        got_q = got.get(qid, {})
+        assert set(got_q) == set(want), qid
+        ranked = sorted(want, key=lambda d: (-round(want[d][1], 6), d))
+        for rk, d in enumerate(ranked, start=1):
+            assert got_q[d][0] == want[d][0]
+            assert got_q[d][1] == pytest.approx(round(want[d][1], 6), abs=1e-6)
+            assert got_q[d][2] == rk
+    assert 3 not in got  # no doc contains 'zebra'
+
+
+def test_bm25_join_duplicate_query_terms_count_once(docs):
+    from atiesh_spark.operators.retrieval import bm25_join
+
+    spark = docs.sparkSession
+    a = spark.createDataFrame([(1, "merge merge scan")], "query_id long, query_text string")
+    b = spark.createDataFrame([(1, "merge scan")], "query_id long, query_text string")
+    ra = sorted(tuple(r) for r in bm25_join(docs, a, k=10).collect())
+    rb = sorted(tuple(r) for r in bm25_join(docs, b, k=10).collect())
+    assert ra == rb
