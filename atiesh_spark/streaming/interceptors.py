@@ -52,11 +52,28 @@ def apply_transform(df: DataFrame, cfg: dict) -> DataFrame:
     return out
 
 
+def apply_blocklist(df: DataFrame, cfg: dict) -> DataFrame:
+    """Drop events whose payload contains any banned phrase — the batch
+    ``operators/blocklist.py`` gate exposed as a streaming interceptor
+    (the reference's registry-by-type extension seam: a new type name
+    plus an Event => Event function). cfg: ``patterns`` (required),
+    ``column`` (default 'value'), ``engine`` (default 'auto')."""
+    from atiesh_spark.operators.blocklist import blocklist_filter
+
+    return blocklist_filter(
+        df,
+        cfg.get("column", "value"),
+        cfg["patterns"],
+        engine=cfg.get("engine", "auto"),
+    )
+
+
 _INTERCEPTORS = {
     "transparent": apply_transparent,
     "devnull": apply_devnull,
     "filter": apply_filter,
     "transform": apply_transform,
+    "blocklist": apply_blocklist,
 }
 
 

@@ -259,3 +259,36 @@ def test_drain_and_stop(spark, tmp_path):
     p.start()
     p.drain_and_stop()
     assert sorted(r["value"] for r in collected) == ["x", "y"]
+
+
+def test_blocklist_interceptor_end_to_end(spark, tmp_path):
+    """The batch blocklist gate runs as a streaming interceptor (the
+    registry-by-type extension seam): flagged payloads never reach the
+    sink, clean ones pass in order."""
+    src = tmp_path / "in"
+    src.mkdir()
+    write_lines(
+        src / "a.txt",
+        ["hello world", "BUY cheap SPAM now", "plain line", "spam inside"],
+    )
+    collected: list = []
+    spec = {
+        "sources": {"dir": {"type": "dirwatch", "path": str(src), "with_headers": False}},
+        "interceptors": {
+            "gate": {"type": "blocklist", "patterns": ["spam", "cheap"]},
+        },
+        "sinks": {"mem": {"type": "memory", "collected": collected}},
+        "pipelines": [
+            {
+                "source": "dir",
+                "interceptors": ["gate"],
+                "sinks": ["mem"],
+                "trigger": {"availableNow": True},
+                "checkpoint": str(tmp_path / "ckpt"),
+            }
+        ],
+    }
+    p = Pipeline(spark, spec)
+    p.start()
+    p.await_all()
+    assert sorted(r["value"] for r in collected) == ["hello world", "plain line"]
