@@ -1396,3 +1396,109 @@ def q116_bm25_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("query_text"),
     )
     return bm25_join(docs, queries, k=5, round_to=4)
+
+
+@register(
+    "q117_pretrain_pipeline",
+    oracle=r"""
+    WITH normed AS (
+        SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+                   AS norm_text
+        FROM documents
+    ),
+    clean AS (
+        SELECT * FROM normed
+        WHERE NOT contains(norm_text, 'slow scan')
+          AND NOT contains(norm_text, 'dup table')
+    ),
+    deduped AS (
+        SELECT c.* FROM clean c
+        JOIN (SELECT min(doc_id) AS doc_id FROM clean
+              GROUP BY md5(norm_text)) k USING (doc_id)
+    ),
+    selected AS (
+        SELECT lang, n_chars FROM (
+            SELECT lang, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS running
+            FROM deduped
+        ) WHERE running - n_chars < 4000
+    )
+    SELECT n.lang,
+           count(*) AS n_candidates,
+           coalesce(b.n, 0) AS n_after_blocklist,
+           coalesce(d.n, 0) AS n_after_dedup,
+           coalesce(s.n, 0) AS n_selected,
+           coalesce(s.cost, 0) AS cost_selected
+    FROM normed n
+    LEFT JOIN (SELECT lang, count(*) AS n FROM clean GROUP BY lang) b
+        USING (lang)
+    LEFT JOIN (SELECT lang, count(*) AS n FROM deduped GROUP BY lang) d
+        USING (lang)
+    LEFT JOIN (SELECT lang, count(*) AS n,
+                      CAST(sum(n_chars) AS BIGINT) AS cost
+               FROM selected GROUP BY lang) s USING (lang)
+    GROUP BY n.lang, b.n, d.n, s.n, s.cost
+    """,
+    doc="The full pretraining-corpus build as ONE declarative plan, "
+    "composing the round-4 surface end-to-end: Unicode normalize "
+    "(NFC + casefold + whitespace collapse, Arrow pandas UDF) -> "
+    "blocklist gate (codegen contains) -> exact dedup on the "
+    "NORMALIZED text (the realistic order: normalization exists so "
+    "byte-different renderings of the same content collide in md5) -> "
+    "per-language token-budget take — reported per language per stage "
+    "(q82's vanishing-language contract). Each stage is the already-"
+    "graded operator (q114, q115, q24, q49); this query grades their "
+    "COMPOSITION, including pandas-UDF output feeding codegen hashes.",
+)
+def q117_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.functions.text import normalize_text
+    from atiesh_spark.operators.blocklist import blocklist_filter
+    from atiesh_spark.operators.dedup import exact_dedup
+    from atiesh_spark.operators.sampling import budgeted_take
+
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id", "lang", "n_chars", normalize_text("text").alias("norm_text")
+    )
+    clean = blocklist_filter(
+        normed, "norm_text", ["slow scan", "dup table"], engine="inplan"
+    )
+    keep = exact_dedup(clean, "doc_id", "norm_text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = clean.join(keep, "doc_id", "left_semi")
+    selected = budgeted_take(deduped, "lang", "n_chars", budget=4000,
+                             order_col="doc_id")
+
+    def per_lang(df: DataFrame, *aggs) -> DataFrame:
+        return df.groupBy("lang").agg(*aggs)
+
+    return (
+        per_lang(normed, F.count(F.lit(1)).alias("n_candidates"))
+        .join(
+            per_lang(clean, F.count(F.lit(1)).alias("n_after_blocklist")),
+            "lang", "left",
+        )
+        .join(
+            per_lang(deduped, F.count(F.lit(1)).alias("n_after_dedup")),
+            "lang", "left",
+        )
+        .join(
+            per_lang(
+                selected,
+                F.count(F.lit(1)).alias("n_selected"),
+                F.sum("n_chars").alias("cost_selected"),
+            ),
+            "lang", "left",
+        )
+        .select(
+            "lang",
+            "n_candidates",
+            F.coalesce("n_after_blocklist", F.lit(0)).alias("n_after_blocklist"),
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("cost_selected", F.lit(0)).alias("cost_selected"),
+        )
+    )
