@@ -242,3 +242,82 @@ def interarrival_stats(
             F.round(F.max("__gap"), round_to).alias("max_gap_s"),
         )
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Resample each key's irregular series onto a regular grid with
+    forward fill: (key_col, grid_ts, value, n_obs) — one row per
+    ``step_seconds`` tick from the key's first observation's bucket to
+    its last, ``value`` = the last observation at-or-before the tick
+    (ties broken by LARGEST value for determinism under duplicate
+    timestamps), ``n_obs`` = observations inside that tick's bucket
+    (0 for gap ticks that exist only by fill).
+
+    The gap-filling step of every metric/feature pipeline (regular
+    grids are what joins, models and charts consume; sensors and
+    events are never regular). NULL observed values are treated as
+    absent for fill purposes (the previous non-NULL value carries
+    forward — the pandas ``ffill`` contract).
+
+    Plan: per-key min/max bound the grid (one map-side-combined
+    groupBy), ``sequence()`` generates each key's ticks executor-side
+    (never a driver-side calendar), observations bucket to their tick
+    with a groupBy agg of (last ts, its value, count), and the fill is
+    a running ``last(..., ignorenulls)`` over the union of grid and
+    bucket rows inside ONE per-key window sort. Total rows = grid
+    ticks + buckets — linear in span/step, no cross join against a
+    calendar table.
+    """
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    step_us = step_seconds * _US
+    us = epoch_micros(ts_col)
+    obs = df.select(
+        F.col(key_col),
+        (F.floor(us / step_us) * step_us).cast("long").alias("__tick"),
+        us.alias("__us"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # per-bucket reduction: the value of the LATEST observation in the
+    # bucket (max (us, value) struct — value tiebreak makes duplicate
+    # timestamps deterministic), plus the observation count
+    buckets = obs.groupBy(key_col, "__tick").agg(
+        F.max(
+            F.when(
+                F.col("__v").isNotNull(),
+                F.struct(F.col("__us").alias("u"), F.col("__v").alias("v")),
+            )
+        ).alias("__last"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("__tick").alias("__t0"), F.max("__tick").alias("__t1")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__t0"), F.col("__t1"), F.lit(step_us))
+        ).alias("__tick"),
+    )
+    joined = grid.join(buckets, [key_col, "__tick"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__tick")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.select(
+        F.col(key_col),
+        F.timestamp_micros(F.col("__tick")).alias("grid_ts"),
+        F.round(
+            F.last(F.col("__last.v"), ignorenulls=True).over(w), round_to
+        ).alias("value"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+    )
+    return filled

@@ -1502,3 +1502,49 @@ def q117_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cost_selected", F.lit(0)).alias("cost_selected"),
         )
     )
+
+
+@register(
+    "q118_resample_ffill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               (epoch_us(ts) // 21600000000) * 21600000000 AS tick,
+               epoch_us(ts) AS us, value AS v
+        FROM events
+    ),
+    buckets AS (
+        SELECT user_id, tick,
+               max(CASE WHEN v IS NOT NULL THEN {'u': us, 'v': v} END) AS last_s,
+               count(*) AS n_obs
+        FROM obs GROUP BY user_id, tick
+    ),
+    span AS (
+        SELECT user_id, min(tick) AS t0, max(tick) AS t1 FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, 21600000000)) AS tick
+        FROM span
+    )
+    SELECT g.user_id, make_timestamp(g.tick) AS grid_ts,
+           round(last_value((b.last_s).v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.tick
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+           CAST(coalesce(b.n_obs, 0) AS BIGINT) AS n_obs
+    FROM grid g LEFT JOIN buckets b USING (user_id, tick)
+    """,
+    doc="Per-user 6-hour regular-grid resampling with forward fill "
+    "(operators/timeseries.py resample_ffill): the gap-filling step "
+    "that turns irregular event series into the regular grids joins, "
+    "models and charts consume. Grid ticks generate EXECUTOR-side via "
+    "sequence() from each key's min/max bucket (never a driver-side "
+    "calendar or a cross join); observations reduce per bucket to "
+    "(latest ts, value, count) with a deterministic struct-max "
+    "tiebreak; the fill is one last(ignorenulls) running window per "
+    "key. Total rows linear in span/step.",
+)
+def q118_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ffill(ev, "user_id", "ts", "value", step_seconds=21600)

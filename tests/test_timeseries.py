@@ -107,3 +107,71 @@ def test_interarrival_stats_known_gaps_and_tie_determinism(spark):
     assert r["avg_gap_s"] == round((10 + 0 + 30) / 3, 4)
     assert r["p50_gap_s"] == 10.0
     assert r["max_gap_s"] == 30.0
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    """3-tick span with a gap: the gap tick exists with the carried
+    value and n_obs=0; values round; grid is per-key bounded."""
+    from datetime import datetime
+
+    from atiesh_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 5), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 20), 2.0),   # same 30s bucket as :05
+        ("a", datetime(2024, 1, 1, 0, 1, 35), 7.0),   # bucket 90 (gaps at 30, 60)
+        ("b", datetime(2024, 1, 1, 0, 0, 10), 5.0),   # single-tick key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        (r["k"], r["grid_ts"].isoformat()): (r["value"], r["n_obs"])
+        for r in resample_ffill(df, "k", "ts", "v", step_seconds=30).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01T00:00:00"): (2.0, 2),   # latest obs in bucket wins
+        ("a", "2024-01-01T00:00:30"): (2.0, 0),   # gap tick, carried
+        ("a", "2024-01-01T00:01:00"): (2.0, 0),
+        ("a", "2024-01-01T00:01:30"): (7.0, 1),
+        ("b", "2024-01-01T00:00:00"): (5.0, 1),
+    }
+
+
+def test_resample_ffill_null_values_carry_previous(spark):
+    from datetime import datetime
+
+    from atiesh_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 1), 4.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 31), None),  # NULL-only bucket
+        ("a", datetime(2024, 1, 1, 0, 1, 1), None),
+        ("a", datetime(2024, 1, 1, 0, 1, 2), 6.0),    # same bucket: non-NULL wins
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["grid_ts"].isoformat(): (r["value"], r["n_obs"])
+        for r in resample_ffill(df, "k", "ts", "v", step_seconds=30).collect()
+    }
+    assert got == {
+        "2024-01-01T00:00:00": (4.0, 1),
+        "2024-01-01T00:00:30": (4.0, 1),   # observed but NULL: fill carries
+        "2024-01-01T00:01:00": (6.0, 2),
+    }
+
+
+def test_resample_ffill_duplicate_ts_tiebreak_and_validation(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from atiesh_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("a", datetime(2024, 1, 1), 1.0),
+        ("a", datetime(2024, 1, 1), 9.0),  # same ts: larger value wins
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample_ffill(df, "k", "ts", "v", step_seconds=60).collect()
+    assert len(out) == 1 and out[0]["value"] == 9.0 and out[0]["n_obs"] == 2
+    with _pytest.raises(ValueError):
+        resample_ffill(df, "k", "ts", "v", step_seconds=0)
