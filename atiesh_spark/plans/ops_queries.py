@@ -1548,3 +1548,67 @@ def q118_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resample_ffill(ev, "user_id", "ts", "value", step_seconds=21600)
+
+
+def _q119_oracle(damping: float = 0.85, iterations: int = 5) -> str:
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+    r{i} AS (
+        SELECT d.node,
+               (1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * coalesce(s.x, 0.0) AS r
+        FROM deg d LEFT JOIN (
+            SELECT g.b AS node, sum(p.r / g.degree) AS x
+            FROM graph g JOIN r{i - 1} p ON p.node = g.a
+            GROUP BY g.b
+        ) s USING (node)
+    )""")
+    return f"""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM ps x JOIN ps y USING (l_partkey)
+        WHERE x.l_suppkey < y.l_suppkey
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY a),
+    graph AS (SELECT sym.a, sym.b, deg.degree FROM sym
+              JOIN deg ON deg.node = sym.a),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    {",".join(rounds)}
+    SELECT deg.node, deg.degree, round(r{iterations}.r, 6) AS pagerank
+    FROM deg JOIN r{iterations} USING (node)
+    """
+
+
+@register(
+    "q119_pagerank",
+    oracle=_q119_oracle(),
+    doc="PageRank on the supplier co-supply graph (operators/graph.py "
+    "pagerank): 5 synchronous power-iteration rounds, damping 0.85, "
+    "from the uniform start — the centrality score crawl curation "
+    "uses for source weighting and spam-farm demotion. Edges "
+    "symmetrize + localCheckpoint ONCE with their degree dim; each "
+    "round is one keyed join + one map-side-combined node-sized "
+    "groupBy, checkpointed to truncate lineage (the CC/BPE "
+    "discipline); the driver polls nothing. Oracle unrolls the same "
+    "5 rounds as CTEs — values agree to the rounded 6 decimals "
+    "because both engines run the identical double-precision "
+    "recurrence.",
+)
+def q119_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    x = ps.select("l_partkey", F.col("l_suppkey").alias("id_1"))
+    y = ps.select("l_partkey", F.col("l_suppkey").alias("id_2"))
+    edges = (
+        x.join(y, "l_partkey")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    return pagerank(edges, damping=0.85, iterations=5)

@@ -418,3 +418,56 @@ def test_q87_oracle_deterministic_under_tied_timestamps(spark):
     # the tie itself: click's interval must close at the SAME tied ts
     tied = [r for r in e_rows if r[1] == "click"]
     assert tied and tied[0][3] == "2024-01-01T00:05:00"
+
+
+def test_pagerank_cycle_is_uniform_and_conserves_mass(spark):
+    """On a vertex-transitive graph (a cycle) PageRank is exactly
+    uniform at every iteration; total mass is 1 regardless."""
+    from atiesh_spark.operators.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n - 1)] + [(0, n - 1)],
+        "id_1 int, id_2 int",
+    )
+    rows = pagerank(edges, iterations=3).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r["pagerank"] == pytest.approx(1.0 / n, abs=1e-6)
+        assert r["degree"] == 2
+    assert sum(r["pagerank"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_hub_outranks_pendant(spark):
+    """A star's hub must outrank its leaves, and a python reference of
+    the same recurrence must agree to rounding."""
+    from atiesh_spark.operators.graph import pagerank
+
+    leaves = list(range(1, 6))
+    edges = spark.createDataFrame(
+        [(0, l) for l in leaves], "id_1 int, id_2 int"
+    )
+    got = {r["node"]: r["pagerank"] for r in pagerank(edges, iterations=4).collect()}
+    # python reference, same synchronous recurrence
+    nodes = [0] + leaves
+    deg = {0: 5, **{l: 1 for l in leaves}}
+    adj = {0: leaves, **{l: [0] for l in leaves}}
+    r = {v: 1 / 6 for v in nodes}
+    for _ in range(4):
+        r = {
+            v: 0.15 / 6 + 0.85 * sum(r[u] / deg[u] for u in adj[v])
+            for v in nodes
+        }
+    assert got[0] > got[1]
+    for v in nodes:
+        assert got[v] == pytest.approx(round(r[v], 6), abs=1e-6)
+
+
+def test_pagerank_validation(spark):
+    from atiesh_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "id_1 int, id_2 int")
+    with pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
