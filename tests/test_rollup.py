@@ -132,3 +132,37 @@ def test_count_skips_nulls_and_star_variant(spark):
         aggs={"n_v": ("v", "count"), "n_all": (None, "count")},
     ).collect()[0]
     assert out["n_v"] == 1 and out["n_all"] == 2
+
+
+def test_sketch_rollup_merge_matches_direct_and_exact(spark):
+    """Small cardinalities sit in HLL's exact (sparse) range: per-day
+    estimates equal the true distincts, and the month-level MERGE of
+    day sketches equals sketching the month directly."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.rollup import sketch_rollup
+
+    rows = []
+    for day in (1, 2, 15):
+        for u in range(day * 10):  # day1: u0-9, day2: u0-19, day15: u0-149
+            rows.append((datetime(2024, 3, day, 12, 0), u % 40))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id int")
+    fine, coarse = sketch_rollup(df, "ts", "user_id")
+    got_fine = {
+        r["bucket"].day: (r["n_rows"], r["distinct_est"]) for r in fine.collect()
+    }
+    assert got_fine[1] == (10, 10.0)
+    assert got_fine[2] == (20, 20.0)
+    assert got_fine[15] == (150, 40.0)  # u % 40 wraps
+    got_coarse = coarse.collect()
+    assert len(got_coarse) == 1
+    assert got_coarse[0]["n_rows"] == 180
+    assert got_coarse[0]["distinct_est"] == 40.0  # union over days
+    direct = df.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+        ).alias("e")
+    ).first()["e"]
+    assert got_coarse[0]["distinct_est"] == direct
