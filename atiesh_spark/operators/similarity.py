@@ -769,3 +769,39 @@ def centroid_outliers(
     )
     w = Window.partitionBy("label").orderBy("centroid_sim", F.col(id_col))
     return scored.withColumn("suspect_rank", F.row_number().over(w))
+
+
+def pca_whiten(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: list,
+    components: list,
+    eigvals: list,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA whitening: project onto the fitted basis and scale each
+    component to unit variance — (id_col, w0..w{k-1}), w_i = (x - mean)
+    · comp_i / sqrt(eig_i + eps).
+
+    The standard embedding-hygiene step before cosine-based dedup/ANN
+    (dominant directions stop drowning the informative tail; whitened
+    dot products equal Mahalanobis similarity in the kept subspace).
+    Like :func:`pca_project`, the basis ships as plan literals, so the
+    transform is row-local codegen — no shuffle, no UDF — and the
+    population variance of every output column is 1 by construction
+    (eig_i is exactly the projection variance under the fit's 1/n
+    covariance convention).
+    """
+    if len(components) != len(eigvals):
+        raise ValueError("components and eigvals must align")
+    import math
+
+    scaled = [
+        [c / math.sqrt(e + eps) for c in comp]
+        for comp, e in zip(components, eigvals)
+    ]
+    out = pca_project(df, id_col, vec_col, mean, scaled)
+    return out.select(
+        F.col(id_col), *[F.col(f"p{i}").alias(f"w{i}") for i in range(len(scaled))]
+    )

@@ -1688,3 +1688,45 @@ def q120_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fine_ok.crossJoin(coarse_ok)
+
+
+@register(
+    "q121_pca_whiten",
+    oracle="SELECT true AS unit_variance, true AS decorrelated, "
+    "true AS zero_mean",
+    doc="PCA whitening over the embedding table (operators/similarity.py "
+    "pca_whiten): project onto the q98-fitted basis and scale each "
+    "component by 1/sqrt(eigenvalue) — the embedding-hygiene step "
+    "before cosine dedup/ANN (dominant directions stop drowning the "
+    "informative tail). Basis ships as plan literals; the transform "
+    "is row-local codegen, no shuffle. Graded by the defining "
+    "invariants computed in-plan over all rows: population variance "
+    "1 per component, pairwise covariance 0, mean 0 (tolerance 1e-6).",
+)
+def q121_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import pca_fit, pca_whiten
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigs, _ = pca_fit(emb, "embedding", k=3)
+    w = pca_whiten(emb, "vec_id", "embedding", mean, comps, eigs)
+    stats = w.agg(
+        *[F.var_pop(f"w{i}").alias(f"__v{i}") for i in range(3)],
+        *[F.avg(f"w{i}").alias(f"__m{i}") for i in range(3)],
+        F.covar_pop("w0", "w1").alias("__c01"),
+        F.covar_pop("w0", "w2").alias("__c02"),
+        F.covar_pop("w1", "w2").alias("__c12"),
+    )
+    tol = 1e-6
+    return stats.select(
+        (
+            (F.abs(F.col("__v0") - 1) < tol)
+            & (F.abs(F.col("__v1") - 1) < tol)
+            & (F.abs(F.col("__v2") - 1) < tol)
+        ).alias("unit_variance"),
+        (
+            (F.abs("__c01") < tol) & (F.abs("__c02") < tol) & (F.abs("__c12") < tol)
+        ).alias("decorrelated"),
+        (
+            (F.abs("__m0") < tol) & (F.abs("__m1") < tol) & (F.abs("__m2") < tol)
+        ).alias("zero_mean"),
+    )

@@ -404,3 +404,24 @@ def test_centroid_outliers_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pca_whiten_unit_variance_and_decorrelation(spark):
+    """Whitened components have population variance 1 and zero
+    covariance (up to float fuzz) on an anisotropic planted cloud."""
+    import numpy as np
+
+    from atiesh_spark.operators.similarity import pca_fit, pca_whiten
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(200, 3) * np.array([5.0, 1.0, 0.2])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id int, embedding array<double>",
+    )
+    mean, comps, eigs, _ = pca_fit(emb, "embedding", k=2)
+    rows = pca_whiten(emb, "vec_id", "embedding", mean, comps, eigs).collect()
+    w = np.array([[r["w0"], r["w1"]] for r in rows])
+    cov = (w - w.mean(0)).T @ (w - w.mean(0)) / len(w)
+    assert abs(cov[0, 0] - 1.0) < 1e-6 and abs(cov[1, 1] - 1.0) < 1e-6
+    assert abs(cov[0, 1]) < 1e-6
