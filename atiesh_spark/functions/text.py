@@ -104,3 +104,13 @@ def normalize_text(
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """THE engine-wide whitespace tokenizer: split on runs of (Java
+    ASCII-class) ``\\s``, drop empty tokens. BM25 scoring, Naive Bayes
+    features, BPE word tables, token counts and the inverted index all
+    contractually share this tokenization — import this helper instead
+    of restating the split so they cannot silently diverge."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")

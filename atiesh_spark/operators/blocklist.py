@@ -68,13 +68,18 @@ def blocklist_hits(
     text_col: str,
     patterns: list[str],
     engine: str = "auto",
+    hits_col: str = "hits",
+    n_hits_col: str = "n_hits",
 ) -> DataFrame:
-    """Append ``hits`` (sorted array of matched patterns, case-folded
-    substring semantics; empty array for clean docs — NULL text counts
-    as clean) and ``n_hits``.
+    """Append ``hits_col`` (sorted array of matched patterns,
+    case-folded substring semantics; empty array for clean docs — NULL
+    text counts as clean) and ``n_hits_col``.
 
     Duplicate and empty patterns are dropped; matching is against
-    ``lower(text)`` with patterns lowered once at plan build.
+    ``lower(text)`` with patterns lowered once at plan build. Callers
+    whose schema may already use the default output names (the
+    streaming interceptor path) pass private names instead of silently
+    overwriting event columns.
     """
     pats = sorted({p.lower() for p in patterns if p})
     if not pats:
@@ -113,7 +118,9 @@ def blocklist_hits(
             return texts.map(one)
 
         hits = _scan(F.col(text_col))
-    return df.withColumn("hits", hits).withColumn("n_hits", F.size("hits"))
+    return df.withColumn(hits_col, hits).withColumn(
+        n_hits_col, F.size(F.col(hits_col))
+    )
 
 
 def blocklist_filter(
@@ -123,6 +130,11 @@ def blocklist_filter(
     engine: str = "auto",
 ) -> DataFrame:
     """The gate itself: rows whose text matches NO pattern, original
-    columns only (the C4 drop-the-page treatment)."""
-    flagged = blocklist_hits(df, text_col, patterns, engine)
-    return flagged.filter(F.col("n_hits") == 0).drop("hits", "n_hits")
+    columns only (the C4 drop-the-page treatment). Internal state uses
+    private column names, so a schema already carrying ``hits`` /
+    ``n_hits`` passes through untouched."""
+    flagged = blocklist_hits(
+        df, text_col, patterns, engine,
+        hits_col="__bl_hits", n_hits_col="__bl_n",
+    )
+    return flagged.filter(F.col("__bl_n") == 0).drop("__bl_hits", "__bl_n")

@@ -40,7 +40,9 @@ from pyspark.sql import functions as F
 
 
 def _toks(text_col: str) -> Column:
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    from atiesh_spark.functions.text import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def nb_train(

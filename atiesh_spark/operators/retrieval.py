@@ -33,6 +33,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from atiesh_spark.functions.text import ws_tokens
+
+
+def _bm25_term_score(k1: float, b: float):
+    """The Okapi BM25 per-(doc, term) score expression over the shared
+    internal columns (__tf, __df, __dl, __n, __avgdl) — ONE definition
+    so the single-query and batch paths cannot diverge."""
+    return (
+        F.log(1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+        * F.col("__tf")
+        * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -67,7 +81,7 @@ def bm25_topk(
 
     base = _fanout(docs.select(id_col, text_col)).select(
         F.col(id_col),
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("__toks"),
+        ws_tokens(text_col).alias("__toks"),
     )
     # dl is row-local; N and avgdl are one broadcast row for the scorer.
     lengths = base.select(F.col(id_col), F.size("__toks").alias("__dl"))
@@ -88,18 +102,7 @@ def bm25_topk(
         .crossJoin(F.broadcast(corpus))
         .select(
             F.col(id_col),
-            (
-                F.log(
-                    1.0
-                    + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-                )
-                * F.col("__tf")
-                * (k1 + 1.0)
-                / (
-                    F.col("__tf")
-                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
-                )
-            ).alias("__s"),
+            _bm25_term_score(k1, b).alias("__s"),
         )
     )
     return (
@@ -155,17 +158,13 @@ def bm25_join(
     qterms = (
         queries.select(
             F.col(query_id_col).alias("__qid"),
-            F.explode(
-                F.filter(
-                    F.split(F.col(query_text_col), r"\s+"), lambda t: t != ""
-                )
-            ).alias("__t"),
+            F.explode(ws_tokens(query_text_col)).alias("__t"),
         )
         .distinct()
     )
     base = _fanout(docs.select(id_col, text_col)).select(
         F.col(id_col),
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("__toks"),
+        ws_tokens(text_col).alias("__toks"),
     )
     lengths = base.select(F.col(id_col), F.size("__toks").alias("__dl"))
     corpus = lengths.agg(
@@ -189,18 +188,7 @@ def bm25_join(
         .select(
             F.col("__qid"),
             F.col(id_col),
-            (
-                F.log(
-                    1.0
-                    + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-                )
-                * F.col("__tf")
-                * (k1 + 1.0)
-                / (
-                    F.col("__tf")
-                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
-                )
-            ).alias("__s"),
+            _bm25_term_score(k1, b).alias("__s"),
         )
     )
     per_pair = scored.groupBy("__qid", id_col).agg(

@@ -142,6 +142,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     round_to: int = 4,
     probe_bits: int = 0,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """ANN top-k: exact cosine ranking within the query's LSH bucket(s).
 
@@ -158,7 +159,7 @@ def lsh_ann_topk(
     """
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits must be 0 or 1 (wider probing: use repeated tables)")
-    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col)
+    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col, target_bucket_size)
     with_sig = emb.join(sigs, id_col)
     q = with_sig.filter(F.col(id_col) == query_vec_id).select(
         as_double(vec_col).alias("__q"), F.col("bucket").alias("__qb")
@@ -575,11 +576,16 @@ def quantize_embeddings(
 
     All codegen (transform / array_max / round): no UDF, no shuffle.
     All-zero vectors get scale 1.0 so they quantize to zeros instead of
-    dividing by zero; NULL vectors pass through as NULL.
+    dividing by zero; NULL vectors pass through with BOTH ``q_col`` and
+    ``scale_col`` NULL (a non-NULL scale means "this row was
+    quantized", so consumers can key on either column).
     """
     v = as_double(vec_col)
     amax = F.array_max(F.transform(v, F.abs))
-    scale = F.when(amax > 0.0, amax / 127.0).otherwise(F.lit(1.0))
+    scale = F.when(
+        F.col(vec_col).isNotNull(),
+        F.when(amax > 0.0, amax / 127.0).otherwise(F.lit(1.0)),
+    )
     return df.withColumn(scale_col, scale).withColumn(
         q_col,
         F.transform(

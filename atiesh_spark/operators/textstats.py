@@ -20,7 +20,9 @@ PUNCT_CLASS = "[.,;:!?]"
 
 
 def _ws_tokens(text: Column) -> Column:
-    return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    from atiesh_spark.functions.text import ws_tokens
+
+    return ws_tokens(text)
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

