@@ -154,3 +154,37 @@ def test_bm25_join_duplicate_query_terms_count_once(docs):
     ra = sorted(tuple(r) for r in bm25_join(docs, a, k=10).collect())
     rb = sorted(tuple(r) for r in bm25_join(docs, b, k=10).collect())
     assert ra == rb
+
+
+def test_bm25_join_equals_topk_on_random_corpora(spark):
+    """Randomized pin of the shared-scorer contract: for every random
+    query, batch retrieval rows equal the single-query operator's."""
+    import random
+
+    from atiesh_spark.operators.retrieval import bm25_join
+
+    rng = random.Random(23)
+    vocab = ["scan", "merge", "sort", "join", "key", "row", "agg"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 20)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    qs = [
+        (qid, " ".join(rng.sample(vocab, rng.randrange(1, 4))))
+        for qid in range(4)
+    ]
+    queries = spark.createDataFrame(qs, "query_id long, query_text string")
+    batch = {}
+    for r in bm25_join(docs, queries, k=7).collect():
+        batch.setdefault(r["query_id"], {})[r["doc_id"]] = (
+            r["n_terms_hit"], r["score"],
+        )
+    for qid, qtext in qs:
+        solo = {
+            r["doc_id"]: (r["n_terms_hit"], r["score"])
+            for r in bm25_topk(docs, qtext.split(), k=7).collect()
+        }
+        assert batch.get(qid, {}) == solo, qid
