@@ -68,12 +68,35 @@ def apply_blocklist(df: DataFrame, cfg: dict) -> DataFrame:
     )
 
 
+def apply_normalize(df: DataFrame, cfg: dict) -> DataFrame:
+    """Unicode-normalize the payload in-stream (functions/text.py
+    normalize_text — the q114 contract): canonical composition, case
+    folding, whitespace collapse before any downstream hash/dedup/
+    tokenize step. cfg: ``column`` (default 'value'), ``form``
+    (default 'NFC'), ``lowercase``/``strip_accents``/
+    ``collapse_whitespace`` booleans."""
+    from atiesh_spark.functions.text import normalize_text
+
+    col = cfg.get("column", "value")
+    return df.withColumn(
+        col,
+        normalize_text(
+            col,
+            form=cfg.get("form", "NFC"),
+            lowercase=cfg.get("lowercase", True),
+            strip_accents=cfg.get("strip_accents", False),
+            collapse_whitespace=cfg.get("collapse_whitespace", True),
+        ),
+    )
+
+
 _INTERCEPTORS = {
     "transparent": apply_transparent,
     "devnull": apply_devnull,
     "filter": apply_filter,
     "transform": apply_transform,
     "blocklist": apply_blocklist,
+    "normalize": apply_normalize,
 }
 
 

@@ -292,3 +292,38 @@ def test_blocklist_interceptor_end_to_end(spark, tmp_path):
     p.start()
     p.await_all()
     assert sorted(r["value"] for r in collected) == ["hello world", "plain line"]
+
+
+def test_normalize_interceptor_before_blocklist(spark, tmp_path):
+    """normalize -> blocklist chained by priority: a disguised banned
+    phrase (case + doubled spaces + decomposed accent) is caught only
+    because normalization ran first."""
+    src = tmp_path / "in"
+    src.mkdir()
+    write_lines(
+        src / "a.txt",
+        ["ok line", "SPAM   alert", "café special", "clean text"],
+    )
+    collected: list = []
+    spec = {
+        "sources": {"dir": {"type": "dirwatch", "path": str(src), "with_headers": False}},
+        "interceptors": {
+            "norm": {"type": "normalize", "priority": 10},
+            "gate": {"type": "blocklist", "priority": 5,
+                     "patterns": ["spam alert", "café special"]},
+        },
+        "sinks": {"mem": {"type": "memory", "collected": collected}},
+        "pipelines": [
+            {
+                "source": "dir",
+                "interceptors": ["norm", "gate"],
+                "sinks": ["mem"],
+                "trigger": {"availableNow": True},
+                "checkpoint": str(tmp_path / "ckpt"),
+            }
+        ],
+    }
+    p = Pipeline(spark, spec)
+    p.start()
+    p.await_all()
+    assert sorted(r["value"] for r in collected) == ["clean text", "ok line"]
