@@ -1734,3 +1734,37 @@ def q121_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs("__m0") < tol) & (F.abs("__m1") < tol) & (F.abs("__m2") < tol)
         ).alias("zero_mean"),
     )
+
+
+@register(
+    "q122_blocklist_automaton",
+    oracle="""
+    WITH pats(p) AS (VALUES ('window merge'), ('slow scan'), ('dup'), ('spark row')),
+    hits AS (
+        SELECT d.doc_id, pats.p
+        FROM documents d JOIN pats ON contains(lower(d.text), pats.p)
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+           array_to_string(list_sort(list(p)), ',') AS hits_csv
+    FROM hits GROUP BY doc_id
+    """,
+    doc="q115's blocklist contract graded through the OTHER engine: "
+    "the pure-Python Aho-Corasick automaton in an Arrow pandas UDF "
+    "(operators/blocklist.py engine='automaton') — the path large "
+    "machine-generated lists take, one text scan regardless of "
+    "pattern count. Same pattern set, same DuckDB oracle as q115, so "
+    "a hash match here certifies the automaton (goto/fail/output "
+    "construction) against an independent engine, corpus-wide — on "
+    "top of the in-repo differential tests against naive containment.",
+)
+def q122_blocklist_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.blocklist import blocklist_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = blocklist_hits(
+        docs, "text", ["window merge", "slow scan", "dup", "spark row"],
+        engine="automaton",
+    )
+    return flagged.filter(F.col("n_hits") >= 1).select(
+        "doc_id", "n_hits", F.concat_ws(",", "hits").alias("hits_csv")
+    )
