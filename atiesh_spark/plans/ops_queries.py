@@ -1768,3 +1768,64 @@ def q122_blocklist_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(F.col("n_hits") >= 1).select(
         "doc_id", "n_hits", F.concat_ws(",", "hits").alias("hits_csv")
     )
+
+
+@register(
+    "q123_bpe_learn_batched",
+    oracle="SELECT true AS n_merges_ok, true AS merges_distinct, "
+    "true AS gains_positive, true AS conservation_ok, "
+    "true AS rounds_reduced, true AS tokenizer_reproduces_words",
+    doc="Vocab-scale BPE induction: bpe_learn with merges_per_round=4 "
+    "(operators/tokenize.py) — each round one pair-count aggregation "
+    "selects the top-4 SYMBOL-DISJOINT pairs and applies them in one "
+    "chained fold + one checkpoint, so job count is O(num_merges/m) "
+    "instead of O(num_merges); at a 32k production vocab with m=64 "
+    "that is ~500 Spark jobs, not 32k. Disjointness keeps every "
+    "batched pair's pre-round count exact and per-merge gains exact "
+    "(occurrence delta of each merged symbol). Graded (q106 pattern): "
+    "8 distinct merges with positive counts+gains; EXACT token "
+    "conservation sum(gains) == initial - final computed in-plan; the "
+    "round log proves batching happened (< 8 rounds for 8 merges, "
+    "selections summing to 8); and the merge list applied as a "
+    "tokenizer (apply_bpe) reproduces the learner's final "
+    "symbolization on EVERY vocabulary word — the merge list IS the "
+    "tokenizer that produced the final word table.",
+)
+def q123_bpe_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.tokenize import (
+        apply_bpe,
+        bpe_learn,
+        word_freq_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    log: list = []
+    merges, final_words = bpe_learn(
+        docs, "text", num_merges=8, merges_per_round=4, round_log=log
+    )
+
+    n_ok = len(merges) == 8
+    distinct_ok = len({(a, b) for _, a, b, _, _ in merges}) == len(merges)
+    gains_ok = all(g > 0 and n > 0 for _, _, _, n, g in merges)
+    rounds_ok = len(log) < 8 and sum(n for n, _ in log) == len(merges)
+    total_gain = sum(g for *_, g in merges)
+
+    initial = word_freq_table(docs, "text").agg(
+        F.sum(F.length("word") * F.col("n_word")).alias("t0")
+    )
+    final = final_words.agg(F.sum(F.size("symbols") * F.col("n_word")).alias("t1"))
+    retok = apply_bpe(
+        final_words.select("word", "symbols"), "word", merges, out_col="__retok"
+    ).agg(
+        F.coalesce(F.min(F.col("__retok") == F.col("symbols")), F.lit(False)).alias(
+            "__match"
+        )
+    )
+    return initial.crossJoin(final).crossJoin(retok).select(
+        F.lit(n_ok).alias("n_merges_ok"),
+        F.lit(distinct_ok).alias("merges_distinct"),
+        F.lit(gains_ok).alias("gains_positive"),
+        (F.col("t0") - F.col("t1") == F.lit(total_gain)).alias("conservation_ok"),
+        F.lit(rounds_ok).alias("rounds_reduced"),
+        F.col("__match").alias("tokenizer_reproduces_words"),
+    )

@@ -167,6 +167,98 @@ def test_bpe_iteration_runs_on_vocab_not_corpus(spark):
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
 
 
+def test_bpe_batched_rounds_equal_sequential_on_disjoint_pairs(spark):
+    """When the top pairs are symbol-disjoint (no shared symbols, no
+    merge creating a new cross-ranking pair), batched learning MUST
+    reproduce the sequential merge list exactly — same pairs, same
+    order, same counts, same gains — in ~1/m the rounds."""
+    rows = [(1, "ab ab ab ab cd cd cd ef ef gh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    seq, seq_words = bpe_learn(df, "text", num_merges=4, min_pair_count=1)
+    log: list = []
+    bat, bat_words = bpe_learn(
+        df, "text", num_merges=4, min_pair_count=1,
+        merges_per_round=4, round_log=log,
+    )
+    assert bat == seq
+    assert len(log) == 1 and log[0][0] == 4  # one round did all four
+    assert sorted(map(tuple, bat_words.collect())) == sorted(
+        map(tuple, seq_words.collect())
+    )
+
+
+def test_bpe_batched_falls_back_to_sequential_on_conflicts(spark):
+    """Chained pairs (a,b)/(b,c) share symbol b: the batch selector must
+    refuse to co-apply them, so batched == sequential here too (the
+    round just re-counts after applying the winner)."""
+    df = spark.createDataFrame([(1, "abc abc abc")], ["doc_id", "text"])
+    seq, _ = bpe_learn(df, "text", num_merges=2, min_pair_count=1)
+    log: list = []
+    bat, _ = bpe_learn(
+        df, "text", num_merges=2, min_pair_count=1,
+        merges_per_round=2, round_log=log,
+    )
+    assert bat == seq
+    # (a,b) and (b,c) conflict -> round 1 applies one merge only
+    assert log[0][0] == 1
+
+
+def test_bpe_batched_invariants_random_corpus(spark):
+    """On an arbitrary corpus batched merge ORDER may diverge from
+    sequential (a merge can create a pair that outranks a later batch
+    member), but the hard invariants hold at any m: distinct merges,
+    positive exact gains, token conservation, and the learned list
+    tokenizes the corpus to exactly the final word table."""
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 7)))
+            for _ in range(rng.randrange(1, 10))
+        )
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    log: list = []
+    merges, final_words = bpe_learn(
+        df, "text", num_merges=8, merges_per_round=4, round_log=log,
+    )
+    assert len(merges) == 8
+    assert [m[0] for m in merges] == list(range(8))
+    assert len({(a, b) for _, a, b, _, _ in merges}) == 8
+    assert all(n > 0 and g > 0 for _, _, _, n, g in merges)
+    assert len(log) < 8 and sum(n for n, _ in log) == 8
+
+    # conservation: gains exactly account for the corpus token reduction
+    freqs = _py_word_freqs(texts)
+    t0 = sum(len(w) * n for w, n in freqs.items())
+    final = {r["word"]: r["symbols"] for r in final_words.collect()}
+    t1 = sum(len(final[w]) * n for w, n in freqs.items())
+    assert sum(g for *_, g in merges) == t0 - t1
+
+    # the merge list IS the tokenizer that produced final_words
+    for w, n in freqs.items():
+        syms = list(w)
+        for _, a, b, _, _ in merges:
+            syms = _py_merge(syms, a, b)
+        assert syms == final[w], w
+
+
+def test_select_disjoint_flags_recreated_symbols():
+    from atiesh_spark.operators.tokenize import _select_disjoint
+
+    cands = [
+        {"a": "ab", "b": "c", "n_pairs": 9},   # recreates existing "abc"
+        {"a": "x", "b": "y", "n_pairs": 8},
+        {"a": "y", "b": "z", "n_pairs": 7},    # conflicts with (x, y)
+        {"a": "p", "b": "q", "n_pairs": 6},
+    ]
+    sel, pre = _select_disjoint(cands, want=3, created={"abc"})
+    assert sel == [("ab", "c", 9), ("x", "y", 8), ("p", "q", 6)]
+    assert pre == ["abc"]
+
+
 def test_apply_bpe_batched_matches_inplan(spark):
     """The Arrow-batched tokenizer must agree with the codegen fold on
     every document — including empty text, pure whitespace, and
