@@ -17,11 +17,24 @@ Two execution engines, differential-tested equal:
 - ``automaton`` (for large lists): a pure-Python Aho-Corasick
   automaton inside an Arrow-batched pandas UDF — ONE text scan
   regardless of pattern count, the right asymptotics for 10k+ pattern
-  machine-generated lists. The automaton builds once per executor from
-  the closure (a few MB for 100k patterns) and matching is linear in
-  text length; still zero shuffles.
+  machine-generated lists. The node list ships as a BROADCAST variable
+  (built once on the driver, one torrent transfer per executor, shared
+  by every task) — at 100k patterns the pickled automaton is tens of
+  MB, which would otherwise ride in every task closure. Matching is
+  linear in text length; still zero shuffles.
 
-``engine="auto"`` picks inplan for <= 64 patterns, automaton beyond.
+``engine="auto"`` picks inplan for <= 64 patterns, automaton beyond
+(crossover measured at sf0.01: inplan wins to ~64 patterns, automaton
+from ~256 — see ``scripts/scale_probe.py`` blocklist cell).
+
+Case folding is per-engine consistent: inplan folds BOTH text and
+patterns with JVM ``lower``; the automaton folds both with Python
+``str.lower``. Matched-pattern output is always the Python-casefolded
+canonical form. The engines agree wherever the two fold functions
+agree — all of ASCII and the common Unicode cases; locale-special
+codepoints (e.g. Turkish dotted/dotless I under a non-ROOT JVM locale)
+may fold differently ACROSS engines, but neither engine can miss a
+pattern through a text/pattern fold mismatch.
 """
 
 from __future__ import annotations
@@ -81,7 +94,11 @@ def blocklist_hits(
     streaming interceptor path) pass private names instead of silently
     overwriting event columns.
     """
-    pats = sorted({p.lower() for p in patterns if p})
+    canon_to_orig: dict[str, str] = {}
+    for p in patterns:
+        if p:
+            canon_to_orig.setdefault(p.lower(), p)
+    pats = sorted(canon_to_orig)
     if not pats:
         raise ValueError("patterns must contain at least one non-empty term")
     if engine == "auto":
@@ -90,18 +107,31 @@ def blocklist_hits(
         raise ValueError(f"unknown engine {engine!r}")
 
     if engine == "inplan":
+        # Text AND patterns folded by the same JVM lower, so a
+        # locale-special codepoint can never fold apart between the two
+        # sides; the emitted hit stays the Python-canonical form.
         lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-        hits = F.filter(
-            F.array(*[F.lit(p) for p in pats]),
-            lambda p: F.contains(lowered, p),
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("canon"),
+                    F.lower(F.lit(canon_to_orig[c])).alias("m"),
+                )
+                for c in pats
+            ]
+        )
+        hits = F.transform(
+            F.filter(pairs, lambda s: F.contains(lowered, s["m"])),
+            lambda s: s["canon"],
         )
     else:
-        nodes = _build_aho(pats)
+        bc_nodes = df.sparkSession.sparkContext.broadcast(_build_aho(pats))
 
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("array<string>")
         def _scan(texts: pd.Series) -> pd.Series:
+            nodes = bc_nodes.value
             def one(t: str | None) -> list[str]:
                 if not t:
                     return []

@@ -1445,6 +1445,7 @@ def q116_bm25_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM selected GROUP BY lang) s USING (lang)
     GROUP BY n.lang, b.n, d.n, s.n, s.cost
     """,
+    headline=True,
     doc="The full pretraining-corpus build as ONE declarative plan, "
     "composing the round-4 surface end-to-end: Unicode normalize "
     "(NFC + casefold + whitespace collapse, Arrow pandas UDF) -> "

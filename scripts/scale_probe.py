@@ -52,6 +52,9 @@ HEAVY = [
     "q105_bpe_pair_counts",
     "q107_bm25_topk",
     "q111_nb_classify",
+    # round 5: the composite flagship — pandas UDF -> codegen md5 ->
+    # budget window, the most production-shaped plan in the repo
+    "q117_pretrain_pipeline",
 ]
 
 
@@ -180,6 +183,42 @@ def main() -> None:
         "sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)
     }
     print(f"  hard_negatives_auto_planes: {a}s -> {b}s ({round(b/a,2)}x)", file=sys.stderr)
+
+    # Blocklist engine crossover: time inplan (one codegen contains per
+    # pattern) vs automaton (broadcast Aho-Corasick, one scan) at
+    # growing pattern counts over the sf0.1 corpus, so the `auto`
+    # threshold (_INPLAN_MAX) is a measured constant, not a guess.
+    # Patterns are deterministic letter trigrams/quadgrams — mostly
+    # non-matching, which is the realistic shape (a blocklist hits a
+    # tiny fraction of docs) and the worst case for both engines.
+    from itertools import product as _prod
+
+    from atiesh_spark.operators.blocklist import blocklist_hits
+
+    letters = string.ascii_lowercase
+    pool = ["".join(p) for p in _prod(letters, repeat=3)]
+    pool += ["".join(p) for p in _prod(letters[:10], repeat=4)]
+    docs_df = load_table(spark, BASE, "documents")
+    cross = {}
+    for n_pat in (16, 64, 256, 1024, 10000):
+        pats = pool[:n_pat]
+        cell = {}
+        # inplan at 10k patterns means 10k contains per row — capped at
+        # 1024 (the probe exists to show exactly this divergence).
+        engines = ("inplan", "automaton") if n_pat <= 1024 else ("automaton",)
+        for eng in engines:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                blocklist_hits(docs_df, "text", pats, engine=eng).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            cell[eng] = round(best, 2)
+        cross[n_pat] = cell
+        print(f"  blocklist n={n_pat}: {cell}", file=sys.stderr)
+    out["blocklist_engine_crossover"] = cross
     print(json.dumps({"copies": COPIES, "queries": out}))
 
 

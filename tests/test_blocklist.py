@@ -101,6 +101,29 @@ def test_inplan_zero_shuffles(docs):
     assert "Exchange" not in plan
 
 
+def test_automaton_ships_nodes_as_broadcast(docs, spark, monkeypatch):
+    """The automaton node list must ride a Broadcast variable, not the
+    task closure — at 100k patterns the pickled automaton is tens of MB
+    per task otherwise. Guard: plan build calls sc.broadcast exactly
+    once with the node list, and a 2k-pattern list (well past any
+    closure-comfortable size) still answers correctly through it."""
+    from pyspark import SparkContext
+
+    calls: list[int] = []
+    orig = SparkContext.broadcast
+
+    def spy(self, value):
+        calls.append(len(value))
+        return orig(self, value)
+
+    monkeypatch.setattr(SparkContext, "broadcast", spy)
+    pats = [f"qq{i}x" for i in range(2000)] + ["quick", "judge my vow"]
+    flagged = blocklist_hits(docs, "text", pats, engine="automaton")
+    assert len(calls) == 1 and calls[0] > 2000  # node list, one broadcast
+    got = {r["doc_id"]: r["hits"] for r in flagged.collect()}
+    assert got == _naive(ROWS, pats)
+
+
 def test_validation(docs):
     with pytest.raises(ValueError):
         blocklist_hits(docs, "text", ["", None and "x"])
