@@ -1830,3 +1830,206 @@ def q123_bpe_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(rounds_ok).alias("rounds_reduced"),
         F.col("__match").alias("tokenizer_reproduces_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance loops graded through their batch equivalences.
+#
+# The four foreachBatch maintenance operators (cascade rollup, SCD2,
+# reservoir, line frequency) each promise "streaming state after N
+# batches == the batch operator over the union of all batches, and a
+# replayed batch is a no-op". That contract is batch-expressible: run
+# the foreachBatch loop over K FIXED chunks of the testdata inside the
+# query callable (including a deliberate replay of the final batch),
+# read the final store, and hash-compare it against the batch oracle.
+# The chunk split is a REPLAY HARNESS device, not operator machinery —
+# production batches come from the checkpointed streaming source; only
+# the split here needs determinism (SCD2 additionally needs per-key
+# event order across batches, hence the global (ts, event_id) ranking).
+
+
+def _replay_chunks(df: DataFrame, fn, chunks: list) -> None:
+    """Feed `chunks` (predicates over df) to foreachBatch fn as batches
+    1..K, then REPLAY the final batch under the same batch id — the
+    versioned store must converge to the same state."""
+    for i, pred in enumerate(chunks):
+        fn(df.filter(pred), i + 1)
+    fn(df.filter(chunks[-1]), len(chunks))
+
+
+@register(
+    "q124_scd2_stream_replay",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="StreamingScd2's exactness contract, driver-graded "
+    "(operators/diffing.py StreamingScd2): the event log is replayed "
+    "as 4 in-order batches through the foreachBatch maintenance loop "
+    "(stored intervals collapse to change points, union the batch, "
+    "re-collapse touched keys only), the FINAL batch is then replayed "
+    "under the same batch id (VersionedStore reads the pre-batch "
+    "version, so the rerun must converge to identical state), and the "
+    "resulting store is hash-compared against q87's one-shot batch "
+    "oracle. Green here == 'the incremental CDC loop equals the batch "
+    "rebuild, replays included', checked by the driver instead of "
+    "only in-repo tests.",
+)
+def q124_scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from atiesh_spark.operators.diffing import StreamingScd2
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # Harness split: global (ts, event_id) rank quartiles — preserves
+    # per-key event order across batches (the operator's stated
+    # arrival contract). Replay device only; see block comment above.
+    ranked = events.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint()
+    n = ranked.count()
+    bounds = [round(n * i / 4) for i in range(5)]
+    chunks = [
+        (F.col("__rn") > lo) & (F.col("__rn") <= hi)
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
+    tmp = tempfile.mkdtemp(prefix="scd2_replay_")
+    try:
+        scd = StreamingScd2(
+            keys=["user_id"], order_col="ts", tracked_cols=["event_type"],
+            path=tmp, tiebreak_cols=["event_id"],
+        )
+        _replay_chunks(ranked.drop("__rn"), scd, chunks)
+        final = scd.read(spark).select(
+            "user_id", "event_type", "valid_from", "valid_to", "is_current"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+@register(
+    "q125_line_frequency_stream_replay",
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+        FROM documents
+    )
+    SELECT md5(line) AS line_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM lines WHERE line <> ''
+    GROUP BY md5(line)
+    """,
+    doc="StreamingLineFrequency's additivity contract, driver-graded "
+    "(operators/corpus.py StreamingLineFrequency): documents stream in "
+    "as 3 hash-split batches through the foreachBatch loop (per-line "
+    "md5 digests, distinct-doc counts summed into the versioned "
+    "store), the final batch is replayed under the same id, and the "
+    "final store must hash-equal the one-shot batch line-frequency "
+    "table — the state line_dedup's C4 boilerplate set is derived "
+    "from, so green here certifies the continuously-maintained "
+    "boilerplate store equals the batch rebuild at any prefix.",
+)
+def q125_line_frequency_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.corpus import StreamingLineFrequency
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="linefreq_replay_")
+    try:
+        lf = StreamingLineFrequency("doc_id", "text", tmp)
+        _replay_chunks(docs, lf, chunks)
+        final = lf.read(spark).select(
+            F.col("__h").alias("line_md5"), "n_docs"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+@register(
+    "q126_cascade_rollup_stream_replay",
+    oracle="""
+    WITH fine AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n, sum(value) AS sv,
+               max(value) AS mv
+        FROM events GROUP BY 1, 2
+    ),
+    coarse AS (
+        SELECT time_bucket(INTERVAL '1 hour', bucket) AS bucket, event_type,
+               CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv, max(mv) AS mv
+        FROM fine GROUP BY 1, 2
+    )
+    SELECT '15 minutes' AS level, bucket, event_type, n,
+           round(sv, 4) AS sum_value, mv AS max_value FROM fine
+    UNION ALL
+    SELECT '1 hour' AS level, bucket, event_type, n,
+           round(sv, 4) AS sum_value, mv AS max_value FROM coarse
+    """,
+    doc="StreamingCascadeRollup's merge contract, driver-graded "
+    "(operators/rollup.py StreamingCascadeRollup): events stream in as "
+    "3 hash-split batches (deliberately NOT time-ordered — the store "
+    "is keyed by bucket, so late rows merge into their original bucket "
+    "with no watermark), each batch cascades 15min->1h and merges into "
+    "the versioned store (counts/sums re-aggregate as sum, max as "
+    "max), the final batch is replayed under the same id, and the "
+    "final store must hash-equal the one-shot two-level cascade over "
+    "all events. Sum rounded on both sides (summation order differs "
+    "across engines).",
+)
+def q126_cascade_rollup_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.rollup import StreamingCascadeRollup
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    chunks = [F.col("event_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="rollup_replay_")
+    try:
+        cr = StreamingCascadeRollup(
+            "ts", ["15 minutes", "1 hour"],
+            aggs={
+                "n": (None, "count"),
+                "sum_value": ("value", "sum"),
+                "max_value": ("value", "max"),
+            },
+            path=tmp, group_cols=["event_type"],
+        )
+        _replay_chunks(events, cr, chunks)
+        final = cr.read(spark).select(
+            "level", "bucket", "event_type", "n",
+            F.round("sum_value", 4).alias("sum_value"), "max_value",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
