@@ -198,9 +198,13 @@ def pagerank(
         raise ValueError("damping must be in (0, 1)")
     if iterations <= 0:
         raise ValueError("iterations must be positive")
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") < F.col("b")
-    ).distinct()
+    # canonicalize instead of assuming src<dst: an edge supplied as
+    # (b, a) still counts once (self-loops dropped) — unlike
+    # triangle_stats, which REQUIRES pre-canonicalized input
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")

@@ -177,7 +177,28 @@ def sketch_rollup(
     Error is the standard HLL ±1.04/sqrt(2^lg_k) (~1.6% at the default
     lg_k=12, ~kilobyte sketches). The sketch column is the binary
     Datasketches form — persistable and mergeable across batches.
+
+    The ``(fine, coarse)`` pair must NEST — every fine bucket wholly
+    inside one coarse bucket — or coarse rows are computed from
+    misattributed mass (a week straddling a month boundary would land
+    wholly in its start's month); non-nesting pairs (anything
+    involving ``week`` above it, or reversed order) raise.
     """
+    _NESTS = {
+        "second": {"minute", "hour", "day", "week", "month", "quarter", "year"},
+        "minute": {"hour", "day", "week", "month", "quarter", "year"},
+        "hour": {"day", "week", "month", "quarter", "year"},
+        "day": {"week", "month", "quarter", "year"},
+        "week": set(),  # ISO weeks straddle month/quarter/year boundaries
+        "month": {"quarter", "year"},
+        "quarter": {"year"},
+    }
+    if coarse not in _NESTS.get(fine, set()):
+        raise ValueError(
+            f"(fine={fine!r}, coarse={coarse!r}) does not nest: every fine "
+            "bucket must lie wholly inside one coarse bucket "
+            f"(valid coarse for {fine!r}: {sorted(_NESTS.get(fine, set()))})"
+        )
     fine_b = F.date_trunc(fine, F.col(time_col)).alias("bucket")
     fine_df = (
         df.groupBy(fine_b)

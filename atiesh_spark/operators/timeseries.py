@@ -255,10 +255,14 @@ def resample_ffill(
     """Resample each key's irregular series onto a regular grid with
     forward fill: (key_col, grid_ts, value, n_obs) — one row per
     ``step_seconds`` tick from the key's first observation's bucket to
-    its last, ``value`` = the last observation at-or-before the tick
-    (ties broken by LARGEST value for determinism under duplicate
-    timestamps), ``n_obs`` = observations inside that tick's bucket
-    (0 for gap ticks that exist only by fill).
+    its last, ``value`` = the last observation WITHIN the tick's bucket
+    ``[tick, tick+step)`` — the pandas left-labeled resample
+    convention: a bucket's label is its left edge, so the value can
+    come from up to ``step_seconds-1`` after the label — carried
+    forward over empty buckets (ties broken by LARGEST value for
+    determinism under duplicate timestamps), ``n_obs`` = observations
+    inside that tick's bucket (0 for gap ticks that exist only by
+    fill).
 
     The gap-filling step of every metric/feature pipeline (regular
     grids are what joins, models and charts consume; sensors and

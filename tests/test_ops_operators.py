@@ -471,3 +471,21 @@ def test_pagerank_validation(spark):
         pagerank(edges, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+def test_pagerank_canonicalizes_reversed_edges(spark):
+    """An edge supplied as (dst, src) must count, not silently drop
+    (least/greatest canonicalization): reversed-and-duplicated input
+    gives the same ranks as the canonical form."""
+    from atiesh_spark.operators.graph import pagerank
+
+    canon = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_1 long, id_2 long"
+    )
+    messy = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 1), (1, 3), (4, 3), (3, 3)],
+        "id_1 long, id_2 long",
+    )  # reversed, duplicated across orientations, plus a self-loop
+    a = sorted(map(tuple, pagerank(canon, iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(messy, iterations=3).collect()))
+    assert a == b

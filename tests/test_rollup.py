@@ -166,3 +166,18 @@ def test_sketch_rollup_merge_matches_direct_and_exact(spark):
         ).alias("e")
     ).first()["e"]
     assert got_coarse[0]["distinct_est"] == direct
+
+
+def test_sketch_rollup_rejects_non_nesting_pairs(spark):
+    import pytest
+
+    from atiesh_spark.operators.rollup import sketch_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "v long, ts string"
+    ).selectExpr("v", "CAST(ts AS TIMESTAMP) AS ts")
+    for fine, coarse in [("week", "month"), ("week", "year"),
+                         ("month", "day"), ("day", "day")]:
+        with pytest.raises(ValueError, match="does not nest"):
+            sketch_rollup(df, "ts", "v", fine=fine, coarse=coarse)
+    sketch_rollup(df, "ts", "v", fine="day", coarse="week")  # nests: ok
