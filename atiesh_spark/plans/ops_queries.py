@@ -2033,3 +2033,48 @@ def q126_cascade_rollup_stream_replay(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+@register(
+    "q127_reservoir_stream_replay",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(-ln(({_MD5_LONG.format(c="doc_id")} + 1)
+                         / 1152921504606846976.0) / n_chars, 6) AS sample_key
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT 25
+    """,
+    doc="StreamingWeightedSample's monoid contract, driver-graded "
+    "(operators/sampling.py StreamingWeightedSample): documents stream "
+    "in as 3 hash-split batches, each batch's local Efraimidis-"
+    "Spirakis top-k merges with the stored reservoir (keys are a pure "
+    "function of (doc_id, n_chars), so merge-and-retake-k IS the "
+    "batch sample — no RNG state), the final batch replays under the "
+    "same id, and the final reservoir must hash-equal the one-shot "
+    "batch weighted sample over all documents. With q124-q126 this "
+    "closes the maintenance-loop family: all four foreachBatch "
+    "operators now carry driver-graded batch-equivalence rows.",
+)
+def q127_reservoir_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.sampling import StreamingWeightedSample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    chunks = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="reservoir_replay_")
+    try:
+        sw = StreamingWeightedSample("doc_id", "n_chars", k=25, path=tmp)
+        _replay_chunks(docs, sw, chunks)
+        final = sw.read(spark).select(
+            "doc_id", "lang", "n_chars", "sample_key"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
