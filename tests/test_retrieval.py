@@ -188,3 +188,41 @@ def test_bm25_join_equals_topk_on_random_corpora(spark):
             for r in bm25_topk(docs, qtext.split(), k=7).collect()
         }
         assert batch.get(qid, {}) == solo, qid
+
+
+def test_bm25_indexed_equals_query_time(spark, tmp_path):
+    """The persisted-index path must score IDENTICALLY to the
+    query-time operator — same tokenizer, same stats, same shared
+    term-score expression — including after a parquet round-trip of
+    the index (the artifact a 100 TB deployment would persist)."""
+    import random
+
+    from atiesh_spark.operators.retrieval import (
+        bm25_index,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+
+    rng = random.Random(31)
+    vocab = ["scan", "merge", "sort", "join", "key", "row", "agg", "spill"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 25)))
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    postings, doclens = bm25_index(docs)
+    postings.write.mode("overwrite").parquet(str(tmp_path / "postings"))
+    doclens.write.mode("overwrite").parquet(str(tmp_path / "doclens"))
+    p2 = spark.read.parquet(str(tmp_path / "postings"))
+    d2 = spark.read.parquet(str(tmp_path / "doclens"))
+
+    for terms in (["merge", "scan"], ["spill"], ["key", "row", "agg", "zzz"]):
+        direct = sorted(
+            map(tuple, bm25_topk(docs, terms, k=12).collect())
+        )
+        from_index = sorted(
+            map(tuple, bm25_topk_indexed(p2, d2, terms, k=12).collect())
+        )
+        assert direct == from_index, terms
