@@ -23,9 +23,11 @@ Two execution engines, differential-tested equal:
   MB, which would otherwise ride in every task closure. Matching is
   linear in text length; still zero shuffles.
 
-``engine="auto"`` picks inplan for <= 64 patterns, automaton beyond
-(crossover measured at sf0.01: inplan wins to ~64 patterns, automaton
-from ~256 — see ``scripts/scale_probe.py`` blocklist cell).
+``engine="auto"`` picks inplan for <= 20 patterns, automaton beyond —
+a MEASURED constant, not a guess: the scale probe's crossover cell
+(sf0.1 corpus, warmed JVM) times inplan at 0.30/0.99/3.64/13.5 s for
+16/64/256/1024 patterns (cost ~linear in pattern count) against a
+flat ~0.37 s automaton at every size through 10k, crossing near 20.
 
 Case folding is per-engine consistent: inplan folds BOTH text and
 patterns with JVM ``lower``; the automaton folds both with Python
@@ -45,7 +47,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_INPLAN_MAX = 64
+_INPLAN_MAX = 20  # measured crossover — see module docstring
 
 
 def _build_aho(patterns: list[str]) -> list[tuple[dict[str, int], int, tuple[str, ...]]]:
