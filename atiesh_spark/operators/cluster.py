@@ -1,0 +1,173 @@
+"""Corpus clustering over embeddings: deterministic Lloyd k-means in
+pure DataFrame ops, plus the per-cluster report a curation pipeline
+reads (domain discovery, data-map balancing, cluster-capped sampling).
+
+SemDeDup (``similarity.semantic_dedup``) already uses MLlib KMeans as
+an internal cell index; THIS module is the user-facing clustering
+operator, built DataFrame-native for the same reasons as PageRank/BPE:
+
+- **Determinism**: MLlib's k-means|| init is RNG- and partitioning-
+  dependent; here init is the k vectors with the smallest md5(id) —
+  a pure function of the data, so reruns, retries and resizes give
+  identical clusters (the repo-wide determinism contract,
+  ``functions/hashing.py``).
+- **Bounded driver traffic**: per round the driver sees exactly the
+  k x d centroid matrix (the PageRank/PCA digest discipline — k and d
+  are model constants, never corpus-sized). Assignment is row-local
+  codegen argmin over centroid literals; the re-estimation is ONE
+  map-side-combined groupBy with d avg columns — no explode, no
+  (row, dim) shuffle.
+- **Fixed iterations**: the batch-pipeline convention (assignments
+  stabilize long before centroids); no convergence poll.
+
+At 100 TB: fit on a deterministic hash sample (``fit_sample_buckets``,
+same device as ``semantic_dedup``) — centroid quality needs a sample,
+not the corpus — then ``kmeans_assign`` the full table in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.similarity import as_double
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — row-local codegen."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(c)) for c in centroid]),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _argmin_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """(cluster, sq_dist) struct of the nearest centroid: array_min over
+    (dist, index) structs — lexicographic struct compare is the codegen
+    argmin, ties resolved to the LOWER cluster id."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(vec, c).alias("d"), F.lit(i).alias("c")
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 5,
+    fit_sample_buckets: int | None = None,
+) -> list[list[float]]:
+    """Fit ``k`` centroids with ``iterations`` Lloyd rounds.
+
+    Init: the k rows with the smallest (md5_long(id), id) — hash-random
+    but a pure function of the data (rerun/engine stable), collected as
+    one TakeOrderedAndProject. Each round: assign (row-local argmin
+    over centroid literals) + re-estimate (one groupBy, d map-side-
+    combined avgs) + collect the k x d matrix. A cluster that loses all
+    members keeps its previous centroid (the standard empty-cluster
+    rule). Returns the centroid list — plan literals for
+    :func:`kmeans_assign`, persistable as a tiny artifact.
+    """
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.sampling import hash_bucket
+
+    if k <= 0 or iterations <= 0:
+        raise ValueError("k and iterations must be > 0")
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    if fit_sample_buckets:
+        base = base.filter(hash_bucket(F.col(id_col), fit_sample_buckets) == 0)
+
+    seeds = (
+        base.orderBy(md5_long(F.col(id_col).cast("string"), 15), F.col(id_col))
+        .limit(k)
+        .select("__v")
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} rows to fit, got {len(seeds)}")
+    centroids = [list(r["__v"]) for r in seeds]
+    d = len(centroids[0])
+
+    for _ in range(iterations):
+        assigned = base.select(
+            _argmin_cluster(F.col("__v"), centroids)["c"].alias("__cl"), "__v"
+        )
+        rows = (
+            assigned.groupBy("__cl")
+            .agg(
+                *[
+                    F.avg(F.element_at("__v", i + 1)).alias(f"m{i}")
+                    for i in range(d)
+                ]
+            )
+            .collect()
+        )
+        fresh = {r["__cl"]: [r[f"m{i}"] for i in range(d)] for r in rows}
+        centroids = [fresh.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every row to its nearest centroid: (id_col, cluster,
+    sq_dist) — one row-local codegen pass, ZERO shuffles (distances to
+    the k literal centroids, struct array_min argmin, lower cluster id
+    wins exact ties). NULL vectors are dropped (no distance exists)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    best = _argmin_cluster(as_double(vec_col), centroids)
+    return (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            best["c"].alias("cluster"),
+            F.round(best["d"], round_to).alias("sq_dist"),
+        )
+    )
+
+
+def cluster_report(
+    assignments: DataFrame,
+    cluster_col: str = "cluster",
+    dist_col: str = "sq_dist",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cluster curation report: (cluster, n, share, mean_sq_dist) —
+    sizes for balance decisions (cap/temperature over clusters instead
+    of languages), mean within-cluster distance as the coherence
+    signal. One map-side-combined groupBy + one broadcast total."""
+    totals = assignments.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        assignments.groupBy(cluster_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(dist_col).alias("__md"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(cluster_col),
+            F.col("n"),
+            F.round(F.col("n") / F.col("__total"), round_to).alias("share"),
+            F.round(F.col("__md"), round_to).alias("mean_sq_dist"),
+        )
+    )

@@ -2147,3 +2147,75 @@ def q128_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "q129_kmeans_clusters",
+    oracle="SELECT true AS all_assigned, true AS nearest_ok, "
+    "true AS cost_not_worse_than_init, true AS refit_deterministic, "
+    "true AS multiple_clusters",
+    doc="DataFrame-native deterministic k-means over the embedding "
+    "table (operators/cluster.py kmeans_fit/kmeans_assign): the "
+    "domain-discovery / data-map clustering step, built on the "
+    "PageRank/BPE discipline — md5-smallest-ids init (pure function "
+    "of the data, no RNG), per-round driver traffic = the k x d "
+    "centroid matrix, re-estimation one map-side-combined groupBy of "
+    "d avgs, assignment a zero-shuffle codegen argmin over centroid "
+    "literals. Cluster labels are algorithm-specific, so the graded "
+    "contract is invariants (q98 pattern): every vector assigned; "
+    "each assignment verified nearest by an INDEPENDENT least()-over-"
+    "columns formulation of argmin; total cost at the learned "
+    "centroids <= cost at the init centroids (Lloyd monotonicity, "
+    "computed in-plan over the whole table); an independent refit is "
+    "bit-identical; and the fixture splits into >= 2 clusters.",
+)
+def q129_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.cluster import (
+        _sq_dist,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from atiesh_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    cents = kmeans_fit(emb, k=k, iterations=4)
+    refit = kmeans_fit(emb, k=k, iterations=4)
+    assigned = kmeans_assign(emb, cents)
+
+    vec = as_double("embedding")
+    dists = [_sq_dist(vec, c) for c in cents]
+    per_row = emb.join(assigned, "vec_id").select(
+        # independent argmin: least() over individual distance columns
+        (F.round(F.least(*dists), 6) == F.col("sq_dist")).alias("__near"),
+        F.least(*dists).alias("__best"),
+        "cluster",
+    )
+    init = kmeans_fit(emb, k=k, iterations=1)  # 1 round from the same init
+    # cost at the RAW init seeds: recompute seeds in-plan is what
+    # kmeans_fit's first assignment uses; Lloyd guarantees the learned
+    # cost can't exceed the 1-iteration cost, which can't exceed init.
+    dists1 = [_sq_dist(vec, c) for c in init]
+    cost1 = emb.select(F.least(*dists1).alias("__c")).agg(
+        F.sum("__c").alias("cost_iter1")
+    )
+    stats = per_row.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.coalesce(F.min("__near"), F.lit(False)).alias("nearest_ok"),
+        F.sum("__best").alias("cost_final"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    total = emb.filter(F.col("embedding").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return stats.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(cost1)
+    ).select(
+        (F.col("n_assigned") == F.col("n_rows")).alias("all_assigned"),
+        F.col("nearest_ok"),
+        (F.col("cost_final") <= F.col("cost_iter1") + F.lit(1e-6)).alias(
+            "cost_not_worse_than_init"
+        ),
+        F.lit(cents == refit).alias("refit_deterministic"),
+        (F.col("n_clusters") >= 2).alias("multiple_clusters"),
+    )

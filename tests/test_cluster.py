@@ -1,0 +1,94 @@
+"""DataFrame-native k-means tests: Lloyd invariants against a pure
+Python reference, determinism, empty-cluster rule, and the zero-shuffle
+assignment plan gate."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from atiesh_spark.operators.cluster import (
+    cluster_report,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+def _vecs(n, d, seed):
+    rng = random.Random(seed)
+    # three well-separated blobs so clustering is unambiguous
+    centers = [[0.0] * d, [10.0] * d, [-10.0] * d]
+    out = []
+    for i in range(n):
+        c = centers[i % 3]
+        out.append((i, [c[j] + rng.uniform(-1, 1) for j in range(d)]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        _vecs(90, 4, seed=5), "vec_id long, embedding array<double>"
+    )
+
+
+def test_kmeans_recovers_separated_blobs(emb):
+    cents = kmeans_fit(emb, k=3, iterations=5)
+    got = kmeans_assign(emb, cents).collect()
+    assert len(got) == 90
+    # blob membership (vec_id % 3) must map 1:1 onto clusters
+    mapping = {}
+    for r in got:
+        blob = r["vec_id"] % 3
+        mapping.setdefault(blob, set()).add(r["cluster"])
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+
+def test_kmeans_assignment_is_nearest_and_deterministic(emb):
+    cents1 = kmeans_fit(emb, k=3, iterations=4)
+    cents2 = kmeans_fit(emb, k=3, iterations=4)
+    assert cents1 == cents2  # md5 init + fixed rounds: bit-stable
+
+    rows = emb.collect()
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, cents1).collect()}
+    for r in rows:
+        dists = [
+            sum((x - c) ** 2 for x, c in zip(r["embedding"], cent))
+            for cent in cents1
+        ]
+        assert got[r["vec_id"]] == dists.index(min(dists)), r["vec_id"]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # two identical points, k=2: one cluster inevitably empties after
+    # the first re-estimation; its centroid must survive, not NaN out
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_fit(df, k=2, iterations=3)
+    assert len(cents) == 2
+    assert all(all(x == x for x in c) for c in cents)  # no NaN
+
+
+def test_kmeans_fit_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_fit(df, k=2)
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=0)
+
+
+def test_assign_zero_shuffles_and_report(emb):
+    cents = kmeans_fit(emb, k=3, iterations=3)
+    assigned = kmeans_assign(emb, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local argmin, no shuffle
+
+    rep = {r["cluster"]: r for r in cluster_report(assigned).collect()}
+    assert sum(r["n"] for r in rep.values()) == 90
+    # each share is round(_, 6): the sum drifts up to k * 5e-7
+    assert abs(sum(r["share"] for r in rep.values()) - 1.0) <= len(rep) * 5e-7
