@@ -811,3 +811,99 @@ def pca_whiten(
     return out.select(
         F.col(id_col), *[F.col(f"p{i}").alias(f"w{i}") for i in range(len(scaled))]
     )
+
+
+class StreamingAnnIndex:
+    """Maintain an LSH ANN index incrementally from an embedding stream
+    — the embedding-space analog of the incremental MinHash signature
+    store (``dedup.incremental_dedup``) — as a ``foreachBatch``
+    function.
+
+    The store holds (id, bucket, embedding): hyperplane signatures are
+    a PURE FUNCTION of the vector (md5-derived planes, no RNG state,
+    ``_hyperplane_sign``), so maintenance is append-shaped and exact —
+    each batch's signatures are computed once, keys already present are
+    replaced (re-ingested vectors take their new embedding), untouched
+    rows pass through, and after N batches the store equals
+    ``lsh_bucket_signatures`` over all vectors ever seen, bit for bit.
+    A replayed batch recomputes identical rows, so the versioned store
+    converges (``sources/versioned.VersionedStore``, the shared
+    idempotent backend).
+
+    ``num_planes`` is FIXED at index build time (a signature's width is
+    part of the stored artifact — resizing means re-signing, exactly
+    like any production ANN index); size it for the TARGET corpus with
+    ``auto_num_planes`` at creation. ``probe`` searches the current
+    index: query signatures bucket-join the store (candidates only,
+    never all-pairs) and exact cosine re-ranks, the same
+    candidates+verify shape as ``lsh_ann_topk``.
+
+    At 100 TB: partition the store parquet by bucket prefix so probes
+    prune to their buckets, and compact versions like any other
+    VersionedStore artifact.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        num_planes: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        if num_planes <= 0:
+            raise ValueError("num_planes must be > 0 (size via auto_num_planes)")
+        self.num_planes, self.id_col, self.vec_col = num_planes, id_col, vec_col
+        self.store = VersionedStore(path, keep_versions=keep_versions)
+
+    def _sign(self, df: DataFrame) -> DataFrame:
+        sigs = lsh_bucket_signatures(
+            df, self.num_planes, id_col=self.id_col, vec_col=self.vec_col
+        )
+        return df.select(self.id_col, self.vec_col).join(sigs, self.id_col)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = self._sign(batch_df)
+        prev = self.store.read_before(spark, batch_id)
+        if prev is not None:
+            keys = batch_df.select(self.id_col).distinct()
+            fresh = prev.join(
+                F.broadcast(keys), self.id_col, "left_anti"
+            ).unionByName(fresh)
+        self.store.write(fresh, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return self.store.read(spark)
+
+    def probe(self, spark, queries: DataFrame, k: int = 10,
+              round_to: int = 4) -> DataFrame:
+        """Top-k stored neighbors per query row: (query_id, vec_id, sim)
+        — candidates from the query's bucket only, exact cosine re-rank,
+        rounded-score ordering with id tiebreak."""
+        from pyspark.sql import Window
+
+        if k <= 0:
+            raise ValueError("k must be positive")
+        q = self._sign(queries).select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("__qv"),
+            "bucket",
+        )
+        cand = q.join(self.read(spark), "bucket").select(
+            "query_id",
+            F.col(self.id_col),
+            F.round(
+                cosine(as_double("__qv"), as_double(self.vec_col)), round_to
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col(self.id_col)
+        )
+        return (
+            cand.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )

@@ -2219,3 +2219,59 @@ def q129_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cents == refit).alias("refit_deterministic"),
         (F.col("n_clusters") >= 2).alias("multiple_clusters"),
     )
+
+
+@register(
+    "q130_ann_index_stream_replay",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS d,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT p, d,
+               ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2) * 2 - 1)::DOUBLE AS sgn
+        FROM (SELECT unnest(generate_series(0, 3)) AS p),
+             (SELECT unnest(generate_series(0, 63)) AS d)
+    ),
+    proj AS (
+        SELECT v.vec_id, s.p, round(SUM(v.x * s.sgn), 6) AS pr
+        FROM v JOIN signs s ON v.d = s.d
+        GROUP BY v.vec_id, s.p
+    )
+    SELECT vec_id,
+           string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+    doc="StreamingAnnIndex's append-exactness contract, driver-graded "
+    "(operators/similarity.py StreamingAnnIndex): embeddings stream in "
+    "as 3 hash-split batches through the foreachBatch maintenance loop "
+    "(hyperplane signatures are a pure function of the vector — "
+    "md5-derived planes, no RNG state — so keys replace, untouched "
+    "rows pass through), the final batch replays under the same id, "
+    "and the final store's (vec_id, bucket) must hash-equal the "
+    "one-shot lsh_bucket_signatures over the whole table, mirrored "
+    "independently by the DuckDB sign/projection SQL (q30's bucket "
+    "CTE). The continuously-maintained ANN index IS the batch index "
+    "at every prefix — the property that lets a 100 TB deployment "
+    "grow its index by appending batches instead of re-signing the "
+    "corpus.",
+)
+def q130_ann_index_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.similarity import StreamingAnnIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = [F.col("vec_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="ann_index_replay_")
+    try:
+        idx = StreamingAnnIndex(tmp, num_planes=4)
+        _replay_chunks(emb, idx, chunks)
+        final = idx.read(spark).select("vec_id", "bucket").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final

@@ -425,3 +425,59 @@ def test_pca_whiten_unit_variance_and_decorrelation(spark):
     cov = (w - w.mean(0)).T @ (w - w.mean(0)) / len(w)
     assert abs(cov[0, 0] - 1.0) < 1e-6 and abs(cov[1, 1] - 1.0) < 1e-6
     assert abs(cov[0, 1]) < 1e-6
+
+
+def test_streaming_ann_index_equals_batch_signatures(spark, tmp_path):
+    """After N batches (including a replayed batch id and a re-ingested
+    vector) the store must equal lsh_bucket_signatures over the current
+    corpus, and probe() must rank exactly like lsh_ann_topk's
+    candidates+verify contract."""
+    import random
+
+    from atiesh_spark.operators.similarity import (
+        StreamingAnnIndex,
+        lsh_bucket_signatures,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = StreamingAnnIndex(str(tmp_path / "ann"), num_planes=3)
+    for b in range(3):
+        idx(emb.filter(F.col("vec_id") % 3 == b), b + 1)
+    idx(emb.filter(F.col("vec_id") % 3 == 2), 3)  # replay converges
+
+    got = sorted(
+        (r["vec_id"], r["bucket"]) for r in idx.read(spark).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in lsh_bucket_signatures(emb, 3).collect()
+    )
+    assert got == want
+
+    # re-ingest vector 7 with a NEW embedding: batch wins, store stays
+    # signature-exact for the updated corpus
+    new7 = spark.createDataFrame(
+        [(7, [2.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    idx(new7, 4)
+    updated = emb.filter("vec_id != 7").unionByName(new7)
+    got = sorted(
+        (r["vec_id"], r["bucket"]) for r in idx.read(spark).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in lsh_bucket_signatures(updated, 3).collect()
+    )
+    assert got == want
+
+    # probe: query vec 0 against the index — candidates are exactly the
+    # query's bucket, ranking is rounded cosine desc with id tiebreak
+    hits = idx.probe(spark, emb.filter("vec_id = 0"), k=5).collect()
+    assert hits and hits[0]["vec_id"] == 0  # self-hit at sim 1.0
+    assert all(h["query_id"] == 0 for h in hits)
+    sims = [h["sim"] for h in hits]
+    assert sims == sorted(sims, reverse=True)
