@@ -1,0 +1,116 @@
+"""Event-sequence assembly: gaps-and-islands sessionization and ordered
+per-session payload concatenation — how interaction logs become
+training sequences (chat turns, clickstreams, agent trajectories).
+
+The relational complement of the streaming session window (q37) and the
+session funnel (q50): those COUNT sessions; this module materializes
+the ordered sequence itself, the artifact a sequence-model pipeline
+trains on.
+
+Scale shape: sessionization is ONE per-key window shuffle (lag + a
+running sum of gap flags — the classic gaps-and-islands rewrite, no
+self-join); assembly is one groupBy whose per-group state is the
+session's own events (sessions are bounded by construction — a key's
+events split at every ``gap_seconds`` silence), sorted executor-side
+with ``array_sort`` over (ts, tiebreak, payload) structs, so ordering
+never depends on shuffle arrival order. No driver-side collection at
+any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Append ``session_col``: 0-based session index per key, a new
+    session starting at every gap > ``gap_seconds`` since the previous
+    event (gaps-and-islands: lag + running sum, one window shuffle).
+    ``tiebreak_col`` deterministically orders same-timestamp events —
+    pass it whenever ``ts_col`` can tie, or session boundaries at ties
+    become arrival-order dependent."""
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
+    if session_col in df.columns:
+        raise ValueError(f"{session_col!r} collides with an input column")
+    # exact integer epoch micros: NTZ through the tz-independent
+    # wall-clock diff (the timeseries.py convention), LTZ through the
+    # instant — a double cast would be NTZ-illegal and float-lossy
+    from atiesh_spark.operators.timeseries import epoch_micros
+
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        us = epoch_micros(ts_col)
+    else:
+        us = F.unix_micros(F.col(ts_col))
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(us).over(w)
+    new_session = (
+        prev.isNull() | (us - prev > F.lit(gap_seconds * 1_000_000))
+    ).cast("long")
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+
+
+def assemble_sequences(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_col: str,
+    gap_seconds: int,
+    tiebreak_col: str | None = None,
+    sep: str = "|",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Materialize one training sequence per (key, session):
+    (key_col, session_col, session_start, n_events, sequence) where
+    ``sequence`` is the payloads joined by ``sep`` in (ts, tiebreak,
+    payload) order — the deterministic sort happens executor-side via
+    ``array_sort`` over structs, never relying on collect_list arrival
+    order. NULL payloads are dropped from the sequence (and from
+    ``n_events``): a row with nothing to say contributes nothing.
+    """
+    s = sessionize(
+        df.select(key_col, ts_col, payload_col)
+        if tiebreak_col is None
+        else df.select(key_col, ts_col, tiebreak_col, payload_col),
+        key_col,
+        ts_col,
+        gap_seconds,
+        tiebreak_col=tiebreak_col,
+        session_col=session_col,
+    ).filter(F.col(payload_col).isNotNull())
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    packed = F.struct(
+        F.col(ts_col).alias("t"), tb.alias("k"), F.col(payload_col).alias("p")
+    )
+    return (
+        s.groupBy(key_col, session_col)
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(F.collect_list(packed)).alias("__seq"),
+        )
+        .select(
+            key_col,
+            session_col,
+            "session_start",
+            "n_events",
+            F.concat_ws(sep, F.transform("__seq", lambda x: x["p"])).alias(
+                "sequence"
+            ),
+        )
+    )

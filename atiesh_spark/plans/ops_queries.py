@@ -2275,3 +2275,46 @@ def q130_ann_index_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+@register(
+    "q131_session_sequences",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '1800' SECOND
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS sequence
+    FROM sess WHERE event_type IS NOT NULL
+    GROUP BY user_id, session_id
+    """,
+    doc="Training-sequence assembly from the interaction log "
+    "(operators/sequences.py assemble_sequences): gaps-and-islands "
+    "sessionization (lag + running sum, ONE per-key window shuffle — "
+    "no self-join) then one groupBy materializing each session's "
+    "ordered event-type sequence, sorted executor-side via array_sort "
+    "over (ts, event_id, payload) structs so ordering never depends "
+    "on collect_list arrival order. The artifact a sequence-model "
+    "pipeline trains on — q50 counts funnel sessions, this emits the "
+    "sequences themselves; 30-minute gap, event_id tiebreak.",
+)
+def q131_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sequences import assemble_sequences
+
+    ev = load_table(spark, sf_dir, "events")
+    return assemble_sequences(
+        ev, "user_id", "ts", "event_type", gap_seconds=1800,
+        tiebreak_col="event_id",
+    )

@@ -1,0 +1,109 @@
+"""Sessionization + sequence assembly: differential against a pure
+Python gaps-and-islands reference, tie determinism, NULL payloads."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.sequences import assemble_sequences, sessionize
+
+
+def _py_sessions(rows, gap):
+    """rows: (key, ts, eid, payload) -> {(key, session): [payload...]}"""
+    out = {}
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_key.setdefault(r[0], []).append(r)
+    for key, evs in by_key.items():
+        sid = -1
+        prev = None
+        for _, ts, eid, p in evs:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                sid += 1
+            prev = ts
+            if p is not None:
+                out.setdefault((key, sid), []).append(p)
+    return {k: "|".join(v) for k, v in out.items()}
+
+
+def _rows(seed, n=120, keys=5):
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                rng.randrange(keys),
+                base + timedelta(seconds=rng.randrange(0, 5000)),
+                eid,
+                rng.choice(["a", "b", "c", None]),
+            )
+        )
+    return rows
+
+
+def test_matches_python_reference(spark):
+    rows = _rows(3)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, payload string"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r["sequence"]
+        for r in assemble_sequences(
+            df, "user_id", "ts", "payload", gap_seconds=300,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == _py_sessions(rows, 300)
+
+
+def test_session_ids_contiguous_and_starts_ordered(spark):
+    rows = _rows(9)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, payload string"
+    )
+    s = sessionize(df, "user_id", "ts", 300, tiebreak_col="event_id")
+    per_key = {}
+    for r in s.collect():
+        per_key.setdefault(r["user_id"], set()).add(r["session_id"])
+    for key, sids in per_key.items():
+        assert sids == set(range(len(sids))), key  # 0..n-1, no holes
+
+
+def test_null_payloads_drop_but_still_split_sessions(spark):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, 0, "x"),
+        (1, base + timedelta(seconds=10), 1, None),  # inside session 0
+        (1, base + timedelta(seconds=1000), 2, "y"),  # new session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, payload string"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sequence"])
+        for r in assemble_sequences(
+            df, "user_id", "ts", "payload", gap_seconds=300,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    # NULL-payload row doesn't appear in counts/sequence, but the gap
+    # structure (computed before the filter) still saw it
+    assert got == {(1, 0): (1, "x"), (1, 1): (1, "y")}
+
+
+def test_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "x")], "user_id long, ts timestamp, p string"
+    )
+    with pytest.raises(ValueError):
+        sessionize(df, "user_id", "ts", 0)
+    with pytest.raises(ValueError, match="collides"):
+        sessionize(
+            df.withColumnRenamed("p", "session_id"), "user_id", "ts", 10
+        )
