@@ -289,3 +289,71 @@ def bm25_topk_indexed(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+class StreamingBm25Index:
+    """Maintain the :func:`bm25_index` artifact incrementally from a
+    document stream — the lexical twin of the streaming ANN index — as
+    a ``foreachBatch`` function.
+
+    Both frames are per-document pure functions (a doc's postings and
+    length depend on its text alone), so maintenance is append-shaped
+    and exact: batch docs are tokenized once, doc ids already present
+    are REPLACED (re-ingested documents take their new postings),
+    untouched rows pass through, and after N batches the store equals
+    ``bm25_index`` over the current corpus — which means
+    :func:`bm25_topk_indexed` over the maintained store scores
+    IDENTICALLY to a from-scratch build (corpus stats N/avgdl/df are
+    recomputed exactly from the store at query time, so they are never
+    stale). Replayed batches recompute identical rows; the two
+    ``VersionedStore`` backends converge like every maintenance loop
+    here.
+
+    At 100 TB: partition the postings store by token (or token hash
+    bucket) so queries prune to their terms, and compact versions as
+    usual. The anti-join rewrite of untouched rows is the same
+    contract as ``StreamingScd2`` — bucket by key and use dynamic
+    partition overwrite to avoid rewriting untouched buckets.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        self.id_col, self.text_col = id_col, text_col
+        self.postings = VersionedStore(f"{path}/postings", keep_versions=keep_versions)
+        self.doclens = VersionedStore(f"{path}/doclens", keep_versions=keep_versions)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        post, lens = bm25_index(batch_df, self.id_col, self.text_col)
+        prev_post = self.postings.read_before(spark, batch_id)
+        prev_lens = self.doclens.read_before(spark, batch_id)
+        if prev_post is not None:
+            keys = batch_df.select(self.id_col).distinct()
+            post = prev_post.join(
+                F.broadcast(keys), self.id_col, "left_anti"
+            ).unionByName(post)
+            lens = prev_lens.join(
+                F.broadcast(keys), self.id_col, "left_anti"
+            ).unionByName(lens)
+        self.postings.write(post, batch_id)
+        self.doclens.write(lens, batch_id)
+
+    def read(self, spark) -> tuple[DataFrame, DataFrame]:
+        return self.postings.read(spark), self.doclens.read(spark)
+
+    def topk(self, spark, query_terms: list[str], k: int = 10,
+             k1: float = 1.2, b: float = 0.75, round_to: int = 6) -> DataFrame:
+        """BM25 top-k against the CURRENT index — exact corpus stats
+        recomputed from the store, same contract as bm25_topk."""
+        post, lens = self.read(spark)
+        return bm25_topk_indexed(
+            post, lens, query_terms, id_col=self.id_col, k=k, k1=k1, b=b,
+            round_to=round_to,
+        )

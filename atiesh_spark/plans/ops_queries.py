@@ -2318,3 +2318,68 @@ def q131_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type", gap_seconds=1800,
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "q132_bm25_index_stream_replay",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    lengths AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        WHERE t IN ('hash', 'row', 'group')
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * lengths.dl / corpus.avgdl)) AS s
+        FROM tf
+        JOIN dfreq USING (t)
+        JOIN lengths USING (doc_id)
+        CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           round(sum(s), 4) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="StreamingBm25Index's maintenance contract, driver-graded "
+    "(operators/retrieval.py StreamingBm25Index): documents stream in "
+    "as 3 hash-split batches (postings and lengths are per-document "
+    "pure functions, so ids replace and untouched rows pass through), "
+    "the final batch replays under the same id, and BM25 top-k SCORED "
+    "FROM THE MAINTAINED STORE (corpus stats recomputed exactly from "
+    "the store, never stale) must hash-equal the independent one-shot "
+    "DuckDB BM25 oracle over the whole corpus. With q130 this proves "
+    "both retrieval indexes — lexical and embedding — grow by "
+    "appending batches instead of rebuilding, with zero drift.",
+)
+def q132_bm25_index_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.retrieval import StreamingBm25Index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="bm25_stream_")
+    try:
+        idx = StreamingBm25Index(tmp)
+        _replay_chunks(docs, idx, chunks)
+        result = idx.topk(
+            spark, ["hash", "row", "group"], k=15, round_to=4
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

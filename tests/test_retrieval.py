@@ -226,3 +226,37 @@ def test_bm25_indexed_equals_query_time(spark, tmp_path):
             map(tuple, bm25_topk_indexed(p2, d2, terms, k=12).collect())
         )
         assert direct == from_index, terms
+
+
+def test_streaming_bm25_index_equals_batch(spark, tmp_path):
+    """After N batches (replay + re-ingest included) the maintained
+    store must score exactly like a from-scratch bm25_topk."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.retrieval import StreamingBm25Index, bm25_topk
+
+    rng = random.Random(41)
+    vocab = ["scan", "merge", "sort", "join", "key", "row"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 15))))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = StreamingBm25Index(str(tmp_path / "bm25"))
+    for bnum in range(3):
+        idx(docs.filter(F.col("doc_id") % 3 == bnum), bnum + 1)
+    idx(docs.filter(F.col("doc_id") % 3 == 2), 3)  # replay converges
+
+    direct = sorted(map(tuple, bm25_topk(docs, ["merge", "key"], k=10).collect()))
+    streamed = sorted(map(tuple, idx.topk(spark, ["merge", "key"], k=10).collect()))
+    assert direct == streamed
+
+    # re-ingest doc 5 with new text: index must reflect the NEW corpus
+    new5 = spark.createDataFrame([(5, "merge merge merge")], "doc_id long, text string")
+    idx(new5, 4)
+    updated = docs.filter("doc_id != 5").unionByName(new5)
+    direct = sorted(map(tuple, bm25_topk(updated, ["merge", "key"], k=10).collect()))
+    streamed = sorted(map(tuple, idx.topk(spark, ["merge", "key"], k=10).collect()))
+    assert direct == streamed
