@@ -55,6 +55,8 @@ HEAVY = [
     # round 5: the composite flagship — pandas UDF -> codegen md5 ->
     # budget window, the most production-shaped plan in the repo
     "q117_pretrain_pipeline",
+    # round 5: iterative clustering — per-round full scan + k x d digest
+    "q129_kmeans_clusters",
 ]
 
 
