@@ -552,3 +552,106 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def rare_shingle_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_df: int = 5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate (id_1, id_2) pairs sharing at least one RARE shingle
+    (corpus document frequency <= ``max_df``), id_1 < id_2.
+
+    The candidate generator for CONTAINMENT-shaped duplication (a short
+    doc quoted inside a long one): MinHash LSH targets symmetric
+    Jaccard, which vanishes when sizes differ wildly, so contained docs
+    never collide in its bands — but any non-boilerplate shingle of the
+    contained doc also appears in the container, and RARE shingles
+    pinpoint exactly those links. Cost is bounded by construction:
+    each qualifying shingle fans out to <= max_df docs, so pair work is
+    <= |rare shingles| * max_df^2 — no hub explosion, the same cap
+    discipline as ``graph.project_bipartite``. Boilerplate (high-df)
+    shingles never generate pairs.
+    """
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    sh = shingles if shingles is not None else char_shingles(df, id_col, text_col, k)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.collect_set(F.col(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_df))
+    )
+    a = F.explode("__ids").alias("id_1")
+    return (
+        rare.select(a, "__ids")
+        .select("id_1", F.explode("__ids").alias("id_2"))
+        .filter(F.col("id_1") < F.col("id_2"))
+        .distinct()
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment per pair: (id_1, id_2,
+    containment_1_in_2, containment_2_in_1, jaccard) where
+    ``containment_A_in_B`` = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    — kept when the LARGER direction reaches ``threshold``.
+
+    The quote/inclusion detector symmetric Jaccard structurally misses:
+    a 200-char doc fully embedded in a 20k-char page scores
+    containment 1.0 but Jaccard ~0.01. Without ``candidates`` it
+    verifies rare-shingle candidates (``rare_shingle_candidates`` —
+    the scale path, since containment pairs always share the contained
+    doc's rare shingles); pass explicit candidates to verify another
+    generator's output. Verification is the q51 layout: per-doc
+    shingle-SET arrays joined by plain id keys, codegen
+    ``array_intersect`` per pair. Shares the ``shingles=`` slot with
+    the Jaccard/MinHash family so one explode serves all three.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = shingles if shingles is not None else char_shingles(df, id_col, text_col, k)
+    if candidates is None:
+        candidates = rare_shingle_candidates(
+            df, id_col, text_col, k, shingles=sh
+        )
+    sets_ = sh.groupBy(id_col).agg(F.collect_set("sh").alias("__shs"))
+    a = sets_.select(F.col(id_col).alias("id_1"), F.col("__shs").alias("__sh1"))
+    b = sets_.select(F.col(id_col).alias("id_2"), F.col("__shs").alias("__sh2"))
+    scored = (
+        candidates.select("id_1", "id_2")
+        .join(a, "id_1")
+        .join(b, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.size(F.array_intersect("__sh1", "__sh2")).alias("__i"),
+            F.size("__sh1").alias("__s1"),
+            F.size("__sh2").alias("__s2"),
+        )
+    )
+    return (
+        scored.select(
+            "id_1",
+            "id_2",
+            F.round(F.col("__i") / F.col("__s1"), 4).alias("containment_1_in_2"),
+            F.round(F.col("__i") / F.col("__s2"), 4).alias("containment_2_in_1"),
+            F.round(
+                F.col("__i") / (F.col("__s1") + F.col("__s2") - F.col("__i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(
+            F.greatest("containment_1_in_2", "containment_2_in_1")
+            >= F.lit(threshold)
+        )
+    )

@@ -164,3 +164,88 @@ def test_select_representatives_policies(spark):
     # all doc columns survive
     cols = select_representatives(docs, clusters, score_col="n_chars").columns
     assert set(cols) == {"doc_id", "n_chars", "cluster_id"}
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment 1.0,
+    Jaccard tiny — the pair symmetric dedup structurally misses."""
+    from atiesh_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}token{i}filler{i}" for i in range(120))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler[::-1]),
+        (3, "completely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_1"], r["id_2"]): r
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment_1_in_2"] == 1.0      # every quote shingle in doc 2
+    assert r["containment_2_in_1"] < 0.2       # doc 2 mostly NOT in doc 1
+    assert r["jaccard"] < 0.2                  # symmetric score misses it
+    assert all(3 not in pair for pair in got)
+
+
+def test_rare_shingle_candidates_bounded_and_correct(spark):
+    from atiesh_spark.operators.dedup import (
+        char_shingles,
+        containment_pairs,
+        rare_shingle_candidates,
+    )
+
+    # shared boilerplate shingle across ALL docs must not fan out into
+    # pairs; only docs linked by a rare shingle pair up
+    rows = [
+        (1, "AAAA unique_one"),
+        (2, "AAAA unique_one tail"),
+        (3, "AAAA other_text"),
+        (4, "AAAA more_words"),
+        (5, "AAAA yet_again"),
+        (6, "AAAA and_more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r["id_1"], r["id_2"])
+        for r in rare_shingle_candidates(df, "doc_id", "text", max_df=2).collect()
+    }
+    assert (1, 2) in cands
+    # 'AAAA' appears in all 6 docs (df=6 > max_df) so it links nobody;
+    # every candidate pair must share a genuinely rare shingle
+    sh = char_shingles(df, "doc_id", "text")
+    by_doc = {}
+    for r in sh.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["sh"])
+    dfreq = {}
+    for s_set in by_doc.values():
+        for s in s_set:
+            dfreq[s] = dfreq.get(s, 0) + 1
+    for i, j in cands:
+        shared = by_doc[i] & by_doc[j]
+        assert any(dfreq[s] <= 2 for s in shared), (i, j)
+
+    # explicit-candidate mode verifies exactly the given pairs
+    explicit = spark.createDataFrame([(3, 4)], "id_1 long, id_2 long")
+    got = containment_pairs(
+        df, "doc_id", "text", threshold=0.01, candidates=explicit
+    ).collect()
+    assert {(r["id_1"], r["id_2"]) for r in got} <= {(3, 4)}
+
+
+def test_rare_shingle_candidates_validation(spark):
+    import pytest
+
+    from atiesh_spark.operators.dedup import (
+        containment_pairs,
+        rare_shingle_candidates,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        rare_shingle_candidates(df, "doc_id", "text", max_df=1)
+    with pytest.raises(ValueError):
+        containment_pairs(df, "doc_id", "text", threshold=0.0)
