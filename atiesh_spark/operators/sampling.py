@@ -514,3 +514,73 @@ class StreamingWeightedSample:
                 .limit(self.k)
             )
         self.store.write(top, batch_id)
+
+
+def balanced_shards(
+    df: DataFrame,
+    weight_col: str,
+    num_shards: int,
+    id_col: str,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign rows to ``num_shards`` export shards with near-equal total
+    ``weight_col`` (bytes, tokens) per shard — the training-shard prep
+    step: uniform shards keep data-parallel workers in step and make
+    sampling-by-shard unbiased.
+
+    Serpentine (boustrophedon) assignment over the weight-descending
+    order: rank rows by (weight desc, id), then walk shards 0..S-1,
+    S-1..0, ... so every shard gets one row from each size block and
+    alternating block order cancels within-block skew — deterministic,
+    one pass, and empirically within ~one max-row-weight of perfect
+    balance on heavy-tailed corpora (greedy bin-packing would need a
+    sequential driver loop; this is the distributed-friendly standard).
+
+    The rank comes from :func:`global_index` — range partitioning +
+    per-partition offsets, NEVER a single-task global window — and the
+    shard math is row-local codegen after it. NULL weights sort last
+    (treated as 0-cost rows).
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    if shard_col in df.columns:
+        raise ValueError(f"shard_col {shard_col!r} collides with an input column")
+    neg = F.coalesce(-F.col(weight_col).cast("double"), F.lit(0.0))
+    ranked = global_index(
+        df.withColumn("__negw", neg), ["__negw", id_col], index_col="__r"
+    )
+    s = F.lit(num_shards)
+    block_even = (F.col("__r") / s).cast("long") % 2 == 0
+    pos = F.col("__r") % s
+    return ranked.withColumn(
+        shard_col,
+        F.when(block_even, pos).otherwise(s - 1 - pos).cast("int"),
+    ).drop("__negw", "__r")
+
+
+def shard_report(
+    df: DataFrame,
+    weight_col: str,
+    shard_col: str = "shard",
+    round_to: int = 4,
+) -> DataFrame:
+    """(shard, n_rows, total_weight, weight_share): the balance audit
+    for :func:`balanced_shards` output — one map-side-combined groupBy
+    plus a broadcast total."""
+    totals = df.agg(F.sum(F.col(weight_col).cast("double")).alias("__t"))
+    return (
+        df.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(weight_col).cast("double")).alias("total_weight"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(shard_col),
+            "n_rows",
+            "total_weight",
+            F.round(F.col("total_weight") / F.col("__t"), round_to).alias(
+                "weight_share"
+            ),
+        )
+    )

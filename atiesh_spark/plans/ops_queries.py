@@ -2448,3 +2448,35 @@ def q133_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         docs, "doc_id", "text", threshold=0.2, shingles=sh
     )
+
+
+@register(
+    "q134_balanced_shards",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                     ELSE 7 - (r % 8) END AS INT) AS shard
+    FROM ranked
+    """,
+    doc="Byte-balanced export sharding (operators/sampling.py "
+    "balanced_shards): serpentine assignment over the weight-"
+    "descending order — walk shards 0..S-1 then S-1..0 so every shard "
+    "draws one row per size block and alternating direction cancels "
+    "within-block skew. The training-shard prep step: near-equal "
+    "shard weights keep data-parallel loaders in step. The rank is "
+    "global_index's range-partitioned offsets (q85's machinery — "
+    "never a single-task global window); shard math is row-local "
+    "codegen after it. Graded EXACTLY per doc against the oracle's "
+    "row_number formulation: two different total-order machineries, "
+    "same assignment.",
+)
+def q134_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import balanced_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return balanced_shards(docs, "n_chars", 8, "doc_id")

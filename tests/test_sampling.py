@@ -304,3 +304,56 @@ def test_weighted_sample_per_group_small_groups_and_validation(spark):
     assert sorted(r["id"] for r in out) == [1, 3]
     with pytest.raises(ValueError):
         weighted_sample_per_group(df, "g", "id", "w", k=0)
+
+
+def test_balanced_shards_matches_serpentine_reference(spark):
+    import random
+
+    from atiesh_spark.operators.sampling import balanced_shards
+
+    rng = random.Random(17)
+    rows = [(i, rng.randrange(1, 5000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    S = 7
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in balanced_shards(df, "n_bytes", S, "doc_id").collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for r, (doc_id, _) in enumerate(order):
+        block, pos = divmod(r, S)
+        want = pos if block % 2 == 0 else S - 1 - pos
+        assert got[doc_id] == want, doc_id
+
+
+def test_balanced_shards_balance_bound(spark):
+    import random
+
+    from atiesh_spark.operators.sampling import balanced_shards, shard_report
+
+    rng = random.Random(23)
+    # heavy-tailed: a few huge docs + many small ones
+    rows = [(i, int(rng.paretovariate(1.5) * 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    sharded = balanced_shards(df, "n_bytes", 8, "doc_id")
+    rep = shard_report(sharded, "n_bytes").collect()
+    assert len(rep) == 8
+    assert sum(r["n_rows"] for r in rep) == 500
+    totals = [r["total_weight"] for r in rep]
+    max_item = max(w for _, w in rows)
+    # serpentine on weight-desc order: spread stays within ~2 max items
+    assert max(totals) - min(totals) <= 2 * max_item
+
+
+def test_balanced_shards_validation(spark):
+    import pytest
+
+    from atiesh_spark.operators.sampling import balanced_shards
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_bytes long")
+    with pytest.raises(ValueError):
+        balanced_shards(df, "n_bytes", 0, "doc_id")
+    with pytest.raises(ValueError, match="collides"):
+        balanced_shards(
+            df.withColumnRenamed("n_bytes", "shard"), "shard", 2, "doc_id"
+        )
