@@ -69,6 +69,7 @@ def kmeans_fit(
     k: int = 8,
     iterations: int = 5,
     fit_sample_buckets: int | None = None,
+    round_to: int = 6,
 ) -> list[list[float]]:
     """Fit ``k`` centroids with ``iterations`` Lloyd rounds.
 
@@ -76,10 +77,17 @@ def kmeans_fit(
     but a pure function of the data (rerun/engine stable), collected as
     one TakeOrderedAndProject. Each round: assign (row-local argmin
     over centroid literals) + re-estimate (one groupBy, d map-side-
-    combined avgs) + collect the k x d matrix. A cluster that loses all
-    members keeps its previous centroid (the standard empty-cluster
-    rule). Returns the centroid list — plan literals for
-    :func:`kmeans_assign`, persistable as a tiny artifact.
+    combined avgs) + collect the k x d matrix. Re-estimated means are
+    ROUNDED (``round_to`` decimals) before becoming assignment
+    literals: float summation order varies with partitioning, and an
+    unrounded boundary vector could flip clusters across a resize —
+    the same zero-boundary discipline as ``lsh_bucket_signatures``.
+    A cluster that loses all members keeps its previous centroid (the
+    standard empty-cluster rule). Rows whose vector dimension differs
+    from the seeds' are dropped like NULLs (a malformed row must not
+    kill the fit under ANSI mode or silently skew a mean). Returns the
+    centroid list — plan literals for :func:`kmeans_assign`,
+    persistable as a tiny artifact.
     """
     from atiesh_spark.functions.hashing import md5_long
     from atiesh_spark.operators.sampling import hash_bucket
@@ -102,6 +110,7 @@ def kmeans_fit(
         raise ValueError(f"need at least k={k} rows to fit, got {len(seeds)}")
     centroids = [list(r["__v"]) for r in seeds]
     d = len(centroids[0])
+    base = base.filter(F.size("__v") == d)
 
     for _ in range(iterations):
         assigned = base.select(
@@ -111,7 +120,9 @@ def kmeans_fit(
             assigned.groupBy("__cl")
             .agg(
                 *[
-                    F.avg(F.element_at("__v", i + 1)).alias(f"m{i}")
+                    F.round(F.avg(F.element_at("__v", i + 1)), round_to).alias(
+                        f"m{i}"
+                    )
                     for i in range(d)
                 ]
             )
@@ -132,12 +143,16 @@ def kmeans_assign(
     """Assign every row to its nearest centroid: (id_col, cluster,
     sq_dist) — one row-local codegen pass, ZERO shuffles (distances to
     the k literal centroids, struct array_min argmin, lower cluster id
-    wins exact ties). NULL vectors are dropped (no distance exists)."""
+    wins exact ties). NULL vectors and rows whose dimension differs
+    from the centroids' are dropped (no distance exists for either)."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     best = _argmin_cluster(as_double(vec_col), centroids)
     return (
-        emb.filter(F.col(vec_col).isNotNull())
+        emb.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == len(centroids[0]))
+        )
         .select(
             F.col(id_col),
             best["c"].alias("cluster"),

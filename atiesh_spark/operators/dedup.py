@@ -579,16 +579,22 @@ def rare_shingle_candidates(
     if max_df < 2:
         raise ValueError("max_df must be >= 2 (a pair needs two docs)")
     sh = shingles if shingles is not None else char_shingles(df, id_col, text_col, k)
+    # df counts FIRST (map-side-combined count, no id lists), THEN the
+    # survivors' ids: a boilerplate shingle present in every document
+    # must never aggregate a corpus-sized id array on one reducer
     rare = (
         sh.groupBy("sh")
-        .agg(F.collect_set(F.col(id_col)).alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_df))
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("sh")
     )
-    a = F.explode("__ids").alias("id_1")
+    rare_sh = sh.join(rare, "sh", "left_semi")
+    a = rare_sh.select("sh", F.col(id_col).alias("id_1"))
+    b = rare_sh.select("sh", F.col(id_col).alias("id_2"))
     return (
-        rare.select(a, "__ids")
-        .select("id_1", F.explode("__ids").alias("id_2"))
+        a.join(b, "sh")
         .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
         .distinct()
     )
 

@@ -228,9 +228,16 @@ def bm25_index(
     """
     from atiesh_spark.operators.dedup import _fanout
 
-    base = _fanout(docs.select(id_col, text_col)).select(
-        F.col(id_col),
-        ws_tokens(text_col).alias("__toks"),
+    base = (
+        _fanout(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            ws_tokens(text_col).alias("__toks"),
+        )
+        # both output frames derive from this: pin it so the corpus is
+        # tokenized ONCE, not once per materialized frame (the
+        # bpe_learn word-table discipline)
+        .localCheckpoint()
     )
     doclens = base.select(F.col(id_col), F.size("__toks").alias("dl"))
     postings = (
@@ -299,7 +306,10 @@ class StreamingBm25Index:
     Both frames are per-document pure functions (a doc's postings and
     length depend on its text alone), so maintenance is append-shaped
     and exact: batch docs are tokenized once, doc ids already present
-    are REPLACED (re-ingested documents take their new postings),
+    are REPLACED (re-ingested documents take their new postings), a key
+    duplicated WITHIN one batch collapses to its deterministic max text
+    before indexing (in-batch replays are a no-op; deliver one version
+    per batch — the store is keyed state, not a change log),
     untouched rows pass through, and after N batches the store equals
     ``bm25_index`` over the current corpus — which means
     :func:`bm25_topk_indexed` over the maintained store scores
@@ -331,7 +341,18 @@ class StreamingBm25Index:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        post, lens = bm25_index(batch_df, self.id_col, self.text_col)
+        # ONE row per key even when the batch carries duplicates (exact
+        # in-batch replays, or several versions of a re-ingested doc):
+        # collapse to the deterministic max text BEFORE indexing —
+        # otherwise tf sums across versions and doclens double-counts N.
+        # The store is keyed state, not a change log; deliver one
+        # version per batch for meaningful CDC semantics.
+        one = (
+            batch_df.select(self.id_col, self.text_col)
+            .groupBy(self.id_col)
+            .agg(F.max(self.text_col).alias(self.text_col))
+        )
+        post, lens = bm25_index(one, self.id_col, self.text_col)
         prev_post = self.postings.read_before(spark, batch_id)
         prev_lens = self.doclens.read_before(spark, batch_id)
         if prev_post is not None:

@@ -545,6 +545,8 @@ def balanced_shards(
         raise ValueError("num_shards must be positive")
     if shard_col in df.columns:
         raise ValueError(f"shard_col {shard_col!r} collides with an input column")
+    if "__negw" in df.columns:
+        raise ValueError("input must not contain the reserved column '__negw'")
     neg = F.coalesce(-F.col(weight_col).cast("double"), F.lit(0.0))
     ranked = global_index(
         df.withColumn("__negw", neg), ["__negw", id_col], index_col="__r"

@@ -123,6 +123,14 @@ def lsh_bucket_signatures(
     """
     if num_planes is None:
         num_planes = auto_num_planes(emb.count(), target_bucket_size)
+    return emb.select(
+        F.col(id_col), _bucket_expr(vec_col, num_planes).alias("bucket")
+    )
+
+
+def _bucket_expr(vec_col: str, num_planes: int) -> Column:
+    """The signature column itself — row-local codegen, reusable on any
+    frame carrying the vector (no join back by id needed)."""
     v = as_double(vec_col)
     sig_bits = []
     for p in range(num_planes):
@@ -130,7 +138,7 @@ def lsh_bucket_signatures(
         signs = F.transform(dims, lambda d: _hyperplane_sign(F.lit(p), d))
         proj = F.round(dot(v, signs), 6)
         sig_bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return emb.select(F.col(id_col), F.concat(*sig_bits).alias("bucket"))
+    return F.concat(*sig_bits)
 
 
 def lsh_ann_topk(
@@ -826,6 +834,10 @@ class StreamingAnnIndex:
     replaced (re-ingested vectors take their new embedding), untouched
     rows pass through, and after N batches the store equals
     ``lsh_bucket_signatures`` over all vectors ever seen, bit for bit.
+    A key appearing MORE THAN ONCE within one batch collapses to its
+    deterministic max embedding before signing (exact in-batch replays
+    are a no-op; for versioned updates deliver one version per batch —
+    the store is keyed state, not a change log).
     A replayed batch recomputes identical rows, so the versioned store
     converges (``sources/versioned.VersionedStore``, the shared
     idempotent backend).
@@ -859,10 +871,19 @@ class StreamingAnnIndex:
         self.store = VersionedStore(path, keep_versions=keep_versions)
 
     def _sign(self, df: DataFrame) -> DataFrame:
-        sigs = lsh_bucket_signatures(
-            df, self.num_planes, id_col=self.id_col, vec_col=self.vec_col
+        # ONE row per key even if the batch carries duplicates (exact
+        # replays inside a batch, or multiple versions of a re-ingested
+        # vector): keep the deterministic max embedding, then compute
+        # the signature INLINE on the deduped frame — no join back by
+        # id, so a duplicated key can never fan out n^2 store rows.
+        one = (
+            df.select(self.id_col, self.vec_col)
+            .groupBy(self.id_col)
+            .agg(F.max(self.vec_col).alias(self.vec_col))
         )
-        return df.select(self.id_col, self.vec_col).join(sigs, self.id_col)
+        return one.withColumn(
+            "bucket", _bucket_expr(self.vec_col, self.num_planes)
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -92,3 +92,25 @@ def test_assign_zero_shuffles_and_report(emb):
     assert sum(r["n"] for r in rep.values()) == 90
     # each share is round(_, 6): the sum drifts up to k * 5e-7
     assert abs(sum(r["share"] for r in rep.values()) - 1.0) <= len(rep) * 5e-7
+
+
+def test_kmeans_stable_across_partitioning(spark, emb):
+    """Re-estimated centroids are rounded before becoming literals, so
+    a different input partitioning (different float summation order)
+    must yield identical centroids — the determinism the module
+    docstring promises across retries and cluster resizes."""
+    a = kmeans_fit(emb.repartition(3), k=3, iterations=4)
+    b = kmeans_fit(emb.repartition(11), k=3, iterations=4)
+    assert a == b
+
+
+def test_kmeans_drops_ragged_vectors(spark):
+    """A malformed short vector must be dropped like a NULL — not kill
+    the fit under ANSI mode, not skew a mean with null-padded dims."""
+    rows = [(i, [float(i % 3)] * 4) for i in range(12)] + [(99, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, iterations=3)
+    assert all(len(c) == 4 for c in cents)
+    got = kmeans_assign(df, cents)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert 99 not in ids and len(ids) == 12

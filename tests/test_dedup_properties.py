@@ -249,3 +249,22 @@ def test_rare_shingle_candidates_validation(spark):
         rare_shingle_candidates(df, "doc_id", "text", max_df=1)
     with pytest.raises(ValueError):
         containment_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+def test_rare_shingle_candidates_never_aggregates_id_lists(spark):
+    """The rarity filter must run on map-side-combined COUNTS — a
+    boilerplate shingle present in every doc must never collect a
+    corpus-sized id array on one reducer (plan guard: no collect_set
+    in the candidate plan)."""
+    from atiesh_spark.operators.dedup import rare_shingle_candidates
+
+    df = spark.createDataFrame(
+        [(i, f"AAAA unique{i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        rare_shingle_candidates(df, "doc_id", "text", max_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" not in plan and "collect_list" not in plan

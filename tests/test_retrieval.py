@@ -260,3 +260,23 @@ def test_streaming_bm25_index_equals_batch(spark, tmp_path):
     direct = sorted(map(tuple, bm25_topk(updated, ["merge", "key"], k=10).collect()))
     streamed = sorted(map(tuple, idx.topk(spark, ["merge", "key"], k=10).collect()))
     assert direct == streamed
+
+
+def test_streaming_bm25_within_batch_duplicates_collapse(spark, tmp_path):
+    """A doc id duplicated inside one batch must index exactly one
+    version (deterministic max text) — tf must not sum across versions
+    and doclens must not double-count the corpus size."""
+    from atiesh_spark.operators.retrieval import StreamingBm25Index
+
+    idx = StreamingBm25Index(str(tmp_path / "bm25_dup"))
+    dup = spark.createDataFrame(
+        [(5, "alpha beta"), (5, "gamma gamma"), (6, "delta")],
+        "doc_id long, text string",
+    )
+    idx(dup, 1)
+    post, lens = idx.read(spark)
+    assert lens.count() == 2  # one length row per key
+    got5 = {
+        (r["token"], r["tf"]) for r in post.filter("doc_id = 5").collect()
+    }
+    assert got5 == {("gamma", 2)}  # max text wins; no cross-version tf

@@ -357,3 +357,15 @@ def test_balanced_shards_validation(spark):
         balanced_shards(
             df.withColumnRenamed("n_bytes", "shard"), "shard", 2, "doc_id"
         )
+
+
+def test_balanced_shards_rejects_reserved_column(spark):
+    import pytest
+
+    from atiesh_spark.operators.sampling import balanced_shards
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.0)], "doc_id long, n_bytes long, __negw double"
+    )
+    with pytest.raises(ValueError, match="__negw"):
+        balanced_shards(df, "n_bytes", 2, "doc_id")

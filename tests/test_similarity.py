@@ -481,3 +481,20 @@ def test_streaming_ann_index_equals_batch_signatures(spark, tmp_path):
     assert all(h["query_id"] == 0 for h in hits)
     sims = [h["sim"] for h in hits]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_streaming_ann_index_within_batch_duplicates_collapse(spark, tmp_path):
+    """A key duplicated INSIDE one batch must persist exactly one store
+    row (the deterministic max embedding) — not n, and never n^2."""
+    from atiesh_spark.operators.similarity import StreamingAnnIndex
+
+    idx = StreamingAnnIndex(str(tmp_path / "ann_dup"), num_planes=3)
+    dup = spark.createDataFrame(
+        [(7, [1.0] * 4), (7, [2.0] * 4), (8, [0.5] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    idx(dup, 1)
+    rows = idx.read(spark).collect()
+    assert sorted(r["vec_id"] for r in rows) == [7, 8]
+    got7 = [r["embedding"] for r in rows if r["vec_id"] == 7]
+    assert got7 == [[2.0] * 4]  # deterministic max wins
