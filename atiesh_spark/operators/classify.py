@@ -45,6 +45,113 @@ def _toks(text_col: str) -> Column:
     return ws_tokens(text_col)
 
 
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_bins: int | None = None,
+) -> DataFrame:
+    """Decision-threshold calibration sweep for a binary scorer.
+
+    One row per candidate threshold ``t`` (predict positive when
+    ``score >= t``): ``(threshold, n_pred, tp, prec, rec, f1, auc)``
+    with ``auc`` the exact Mann-Whitney rank AUC (ties get average
+    ranks), constant across rows. This is the step that turns a scorer
+    (q111's Naive Bayes, q94's LM perplexity, a neural quality model)
+    into a FILTER: pick the operating point from the sweep instead of
+    guessing a cutoff.
+
+    Scale design: the corpus-sized work is ONE map-side-combined
+    ``groupBy(score)`` — every cumulative quantity then lives on the
+    grouped frame, whose size is the number of DISTINCT thresholds.
+    The cumulative windows are unpartitioned (a single sorted task),
+    which is exactly right AFTER the aggregation: pass ``num_bins`` to
+    quantize scores onto a uniform grid first (one min/max aggregate
+    broadcast back, threshold = bin left edge) so the sweep frame is
+    bounded at ``num_bins`` rows no matter the corpus — the same
+    pre-aggregate-then-window shape as ``profile.histogram``. With
+    ``num_bins=None`` every distinct score is a candidate threshold
+    (exact; fine when scores are discrete or the frame is small).
+
+    AUC uses average ascending ranks: for a tie group of size ``n``
+    preceded by ``c`` rows, ``avg_rank = c + (n + 1) / 2``; then
+    ``AUC = (sum_pos(avg_rank) - P(P+1)/2) / (P * N)``. All terms are
+    exact multiples of 0.5 far below 2^53, so the sum is
+    order-independent and the result engine-deterministic. ``auc`` is
+    NULL when either class is absent (undefined). ``f1`` is computed
+    as ``2*tp / (n_pred + P)`` — the tie-free single-division form.
+    NULL scores and NULL labels are excluded (no decision, no truth).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__pos"),
+    ).filter(F.col("__s").isNotNull() & F.col("__pos").isNotNull())
+    if num_bins is not None:
+        if num_bins < 1:
+            raise ValueError("num_bins must be >= 1")
+        bounds = base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(num_bins))
+        bin_idx = F.least(
+            F.floor((F.col("__s") - F.col("__lo")) / width),
+            F.lit(num_bins - 1),
+        )
+        base = base.crossJoin(F.broadcast(bounds)).select(
+            F.when(F.col("__hi") == F.col("__lo"), F.col("__lo"))
+            .otherwise(F.col("__lo") + bin_idx * width)
+            .alias("__s"),
+            "__pos",
+        )
+    g = base.groupBy(F.col("__s").alias("threshold")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__pos").alias("__np")
+    )
+    w_desc = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_before = Window.orderBy("threshold").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    swept = g.select(
+        "threshold",
+        "__np",
+        F.sum("__n").over(w_desc).alias("n_pred"),
+        F.sum("__np").over(w_desc).alias("tp"),
+        (
+            F.coalesce(F.sum("__n").over(w_before), F.lit(0))
+            + (F.col("__n") + 1) / 2.0
+        ).alias("__avg_rank"),
+        F.sum("__n").over(w_all).alias("__n_all"),
+        F.sum("__np").over(w_all).alias("__p_all"),
+    )
+    totals = swept.select(
+        "threshold",
+        "n_pred",
+        "tp",
+        "__p_all",
+        "__n_all",
+        F.sum(F.col("__np") * F.col("__avg_rank")).over(w_all).alias("__rank_pos"),
+    )
+    neg = F.col("__n_all") - F.col("__p_all")
+    return totals.select(
+        "threshold",
+        "n_pred",
+        "tp",
+        (F.col("tp") / F.col("n_pred")).alias("prec"),
+        (F.col("tp") / F.col("__p_all")).alias("rec"),
+        (2.0 * F.col("tp") / (F.col("n_pred") + F.col("__p_all"))).alias("f1"),
+        F.when(
+            (F.col("__p_all") > 0) & (neg > 0),
+            (
+                F.col("__rank_pos")
+                - F.col("__p_all") * (F.col("__p_all") + 1) / 2.0
+            )
+            / (F.col("__p_all") * neg),
+        ).alias("auc"),
+    )
+
+
 def nb_train(
     docs: DataFrame,
     label_col: str,

@@ -2480,3 +2480,59 @@ def q134_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return balanced_shards(docs, "n_chars", 8, "doc_id")
+
+
+@register(
+    "q135_threshold_sweep",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(n_chars AS DOUBLE) AS threshold,
+               COUNT(*) AS n,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS n_all, SUM(np) AS p_all FROM g),
+    sw AS (
+        SELECT threshold, n, np,
+               SUM(n) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_pred,
+               SUM(np) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp,
+               COALESCE(SUM(n) OVER (ORDER BY threshold ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (n + 1) / 2.0 AS avg_rank
+        FROM g
+    ),
+    u AS (SELECT SUM(np * avg_rank) AS rank_pos FROM sw)
+    SELECT sw.threshold,
+           sw.n_pred,
+           sw.tp,
+           sw.tp * 1.0 / sw.n_pred AS prec,
+           sw.tp * 1.0 / tot.p_all AS rec,
+           2.0 * sw.tp / (sw.n_pred + tot.p_all) AS f1,
+           (u.rank_pos - tot.p_all * (tot.p_all + 1) / 2.0)
+               / (tot.p_all * (tot.n_all - tot.p_all)) AS auc
+    FROM sw, tot, u
+    """,
+    doc="Decision-threshold calibration sweep + exact rank AUC "
+    "(operators/classify.py threshold_sweep): the step that turns any "
+    "scorer (q111 NB, q94 LM perplexity, a neural quality model) into "
+    "a FILTER — precision/recall/F1 at every candidate cutoff plus the "
+    "tie-aware Mann-Whitney AUC, all from ONE map-side-combined "
+    "groupBy(score); cumulative windows run on the grouped frame "
+    "(|distinct thresholds| rows — num_bins quantizes first at scale, "
+    "the profile.histogram shape). Graded EXACTLY: score = n_chars, "
+    "label = (lang = 'en'), every rank/cumulative quantity an exact "
+    "multiple of 0.5 below 2^53 so both engines agree bit-for-bit "
+    "after the registry's 6dp rounding.",
+)
+def q135_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.classify import threshold_sweep
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return threshold_sweep(docs, "score", "label")

@@ -126,3 +126,126 @@ def test_nb_model_broadcast_in_predict_plan(spark, model):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # no sort-merge join of the corpus against the model
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- sweep
+
+def _py_sweep(pairs):
+    """pairs: list of (score, label01). Returns {threshold: (n_pred,
+    tp, prec, rec, f1)} plus the rank AUC — brute force, one pass per
+    threshold."""
+    p_all = sum(l for _, l in pairs)
+    out = {}
+    for t in sorted({s for s, _ in pairs}):
+        pred = [(s, l) for s, l in pairs if s >= t]
+        tp = sum(l for _, l in pred)
+        out[t] = (
+            len(pred),
+            tp,
+            tp / len(pred),
+            tp / p_all,
+            2.0 * tp / (len(pred) + p_all),
+        )
+    pos = [s for s, l in pairs if l]
+    neg = [s for s, l in pairs if not l]
+    auc = None
+    if pos and neg:
+        wins = sum(
+            1.0 if p > n else 0.5 if p == n else 0.0
+            for p in pos
+            for n in neg
+        )
+        auc = wins / (len(pos) * len(neg))
+    return out, auc
+
+
+def test_threshold_sweep_matches_bruteforce(spark):
+    from atiesh_spark.operators.classify import threshold_sweep
+
+    pairs = [(0.9, 1), (0.8, 1), (0.8, 0), (0.4, 1), (0.3, 0)]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    rows = {
+        r["threshold"]: r for r in threshold_sweep(df, "score", "label").collect()
+    }
+    want, auc = _py_sweep(pairs)
+    assert set(rows) == set(want)
+    for t, (n_pred, tp, prec, rec, f1) in want.items():
+        r = rows[t]
+        assert (r["n_pred"], r["tp"]) == (n_pred, tp)
+        assert r["prec"] == pytest.approx(prec)
+        assert r["rec"] == pytest.approx(rec)
+        assert r["f1"] == pytest.approx(f1)
+        assert r["auc"] == pytest.approx(auc)
+
+
+def test_threshold_sweep_random_differential(spark):
+    import random
+
+    from atiesh_spark.operators.classify import threshold_sweep
+
+    rng = random.Random(7)
+    # deliberate ties: scores on a coarse grid
+    pairs = [
+        (rng.randrange(20) / 10.0, rng.randrange(2)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    rows = {
+        r["threshold"]: r for r in threshold_sweep(df, "score", "label").collect()
+    }
+    want, auc = _py_sweep(pairs)
+    assert set(rows) == set(want)
+    for t, (n_pred, tp, prec, rec, f1) in want.items():
+        assert (rows[t]["n_pred"], rows[t]["tp"]) == (n_pred, tp)
+        assert rows[t]["f1"] == pytest.approx(f1)
+        assert rows[t]["auc"] == pytest.approx(auc)
+
+
+def test_threshold_sweep_single_class_auc_null(spark):
+    from atiesh_spark.operators.classify import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(0.5, 1), (0.7, 1)], "score double, label int"
+    )
+    rows = threshold_sweep(df, "score", "label").collect()
+    assert all(r["auc"] is None for r in rows)
+    assert all(r["rec"] is not None for r in rows)
+
+
+def test_threshold_sweep_null_rows_excluded(spark):
+    from atiesh_spark.operators.classify import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (None, 1), (0.2, None), (0.2, 0)],
+        "score double, label int",
+    )
+    rows = {r["threshold"]: r for r in threshold_sweep(df, "score", "label").collect()}
+    assert set(rows) == {0.9, 0.2}
+    assert rows[0.2]["n_pred"] == 2  # NULL rows contribute nothing
+
+
+def test_threshold_sweep_binned_bounds_frame(spark):
+    import random
+
+    from atiesh_spark.operators.classify import threshold_sweep
+
+    rng = random.Random(11)
+    pairs = [(rng.random() * 100.0, rng.randrange(2)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    rows = threshold_sweep(df, "score", "label", num_bins=16).collect()
+    assert 1 <= len(rows) <= 16
+    by_t = sorted(rows, key=lambda r: r["threshold"])
+    # lowest threshold predicts everything positive: recall 1, n_pred = N
+    assert by_t[0]["n_pred"] == 500
+    assert by_t[0]["rec"] == pytest.approx(1.0)
+    # counts conserved and monotone as the threshold rises
+    preds = [r["n_pred"] for r in by_t]
+    assert preds == sorted(preds, reverse=True)
+    # binned AUC equals the exact AUC computed on the binned scores
+    lo = min(s for s, _ in pairs)
+    hi = max(s for s, _ in pairs)
+    w = (hi - lo) / 16.0
+    binned = [
+        (lo + min(int((s - lo) // w), 15) * w, l) for s, l in pairs
+    ]
+    _, auc = _py_sweep(binned)
+    assert rows[0]["auc"] == pytest.approx(auc)
