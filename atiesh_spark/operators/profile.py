@@ -250,3 +250,171 @@ def cdf_normalize(
         out_col, F.lit(None).cast("double")
     )
     return ranked.unionByName(skipped)
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    numeric_cols: list[str] | tuple[str, ...] = (),
+    categorical_cols: list[str] | tuple[str, ...] = (),
+    num_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index drift report between two snapshots.
+
+    The data-quality monitor that catches a silently shifted corpus
+    before training does: per feature, compare snapshot A (reference —
+    yesterday's crawl, the holdout mixture, last release) against
+    snapshot B (candidate) and report
+    ``(feature, bin_idx, category, lo_edge, n_a, n_b, p_a, p_b,
+    contrib, psi)`` — one row per bin/category, with
+    ``psi = sum((p_a - p_b) * ln(p_a / p_b))`` repeated per feature.
+    Common reading: psi < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    - Numeric features bin onto ``num_bins`` equal-width buckets whose
+      bounds come from SNAPSHOT A only (the reference defines the
+      domain; B values outside clamp into the edge bins, so new-range
+      mass shows up as edge-bin drift instead of vanishing). Every bin
+      is emitted, including empty ones — with Laplace ``smoothing``
+      an empty-both bin still contributes when |A| != |B|, and
+      emitting the full grid keeps ``psi ==`` the exact sum of the
+      emitted ``contrib`` column.
+    - Categorical features take the UNION of categories observed in
+      either snapshot (full outer join of two grouped counts).
+    - Proportions are smoothed: ``p = (n + s) / (N + s*K)`` with K the
+      feature's emitted bin count, so ``ln`` never sees zero.
+
+    Scale design: per feature, the corpus-sized work is one map-side-
+    combined groupBy per snapshot (plus A's one-row min/max aggregate,
+    broadcast into the binning pass); everything after lives on
+    K-row-per-feature frames, and the per-feature windows partition by
+    feature. NULL values are excluded from binning (profile_table
+    already reports null rates; a NULL-rate shift shows up there).
+    Numeric features require at least one non-NULL A row to define
+    bounds. Floats: p/contrib/psi round to 6dp on top of exact-input
+    arithmetic, so the report is oracle-checkable cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    if num_bins < 1:
+        raise ValueError("num_bins must be >= 1")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (log of zero otherwise)")
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("no feature columns given")
+
+    pieces: list[DataFrame] = []
+    for c in numeric_cols:
+        v = F.col(c).cast("double")
+        bounds = df_a.agg(
+            F.min(v).cast("double").alias("__lo"),
+            F.max(v).cast("double").alias("__hi"),
+        )
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(num_bins))
+        raw = F.when(width > 0, F.floor((v - F.col("__lo")) / width)).otherwise(
+            F.lit(0)
+        )
+        bin_of = F.least(
+            F.lit(num_bins - 1), F.greatest(F.lit(0), raw)
+        ).cast("int")
+
+        def _counts(df: DataFrame) -> DataFrame:
+            return (
+                df.filter(v.isNotNull())
+                .crossJoin(F.broadcast(bounds))
+                .groupBy(bin_of.alias("bin_idx"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
+
+        grid = bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(num_bins - 1))).alias(
+                "bin_idx"
+            ),
+            "__lo",
+            "__hi",
+        )
+        piece = (
+            grid.join(
+                _counts(df_a).withColumnRenamed("__n", "__na"),
+                "bin_idx",
+                "left",
+            )
+            .join(
+                _counts(df_b).withColumnRenamed("__n", "__nb"),
+                "bin_idx",
+                "left",
+            )
+            .select(
+                F.lit(c).alias("feature"),
+                "bin_idx",
+                F.lit(None).cast("string").alias("category"),
+                F.round(
+                    F.when(
+                        F.col("__hi") > F.col("__lo"),
+                        F.col("__lo") + F.col("bin_idx") * width,
+                    ).otherwise(F.col("__lo")),
+                    6,
+                ).alias("lo_edge"),
+                F.coalesce(F.col("__na"), F.lit(0)).alias("n_a"),
+                F.coalesce(F.col("__nb"), F.lit(0)).alias("n_b"),
+            )
+        )
+        pieces.append(piece)
+
+    for c in categorical_cols:
+        ga = (
+            df_a.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__na"))
+        )
+        gb = (
+            df_b.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__nb"))
+        )
+        piece = ga.join(gb, "__v", "full_outer").select(
+            F.lit(c).alias("feature"),
+            F.lit(None).cast("int").alias("bin_idx"),
+            F.col("__v").alias("category"),
+            F.lit(None).cast("double").alias("lo_edge"),
+            F.coalesce(F.col("__na"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("__nb"), F.lit(0)).alias("n_b"),
+        )
+        pieces.append(piece)
+
+    uni = pieces[0]
+    for p in pieces[1:]:
+        uni = uni.unionByName(p)
+
+    w_f = Window.partitionBy("feature")
+    s = F.lit(float(smoothing))
+    k = F.count(F.lit(1)).over(w_f)
+    na = F.sum("n_a").over(w_f)
+    nb = F.sum("n_b").over(w_f)
+    p_a = (F.col("n_a") + s) / (na + s * k)
+    p_b = (F.col("n_b") + s) / (nb + s * k)
+    contrib = (p_a - p_b) * F.log(p_a / p_b)
+    staged = uni.select(
+        "feature",
+        "bin_idx",
+        "category",
+        "lo_edge",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(contrib, 6).alias("contrib"),
+        contrib.alias("__contrib_raw"),
+    )
+    return staged.select(
+        "feature",
+        "bin_idx",
+        "category",
+        "lo_edge",
+        "n_a",
+        "n_b",
+        "p_a",
+        "p_b",
+        "contrib",
+        F.round(F.sum("__contrib_raw").over(w_f), 6).alias("psi"),
+    )

@@ -2536,3 +2536,130 @@ def q135_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("label"),
     )
     return threshold_sweep(docs, "score", "label")
+
+
+@register(
+    "q136_drift_report",
+    oracle="""
+    WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    bounds AS (
+        SELECT CAST(MIN(n_chars) AS DOUBLE) AS lo,
+               CAST(MAX(n_chars) AS DOUBLE) AS hi
+        FROM a
+    ),
+    grid AS (
+        SELECT CAST(t.i AS INT) AS bin_idx, lo, hi, (hi - lo) / 8.0 AS w
+        FROM bounds, range(8) t(i)
+    ),
+    ca AS (
+        SELECT CAST(LEAST(7, GREATEST(0, CASE WHEN hi > lo
+                   THEN FLOOR((n_chars - lo) / ((hi - lo) / 8.0))
+                   ELSE 0 END)) AS INT) AS bin_idx,
+               COUNT(*) AS n
+        FROM a, bounds GROUP BY 1
+    ),
+    cb AS (
+        SELECT CAST(LEAST(7, GREATEST(0, CASE WHEN hi > lo
+                   THEN FLOOR((n_chars - lo) / ((hi - lo) / 8.0))
+                   ELSE 0 END)) AS INT) AS bin_idx,
+               COUNT(*) AS n
+        FROM b, bounds GROUP BY 1
+    ),
+    num AS (
+        SELECT 'n_chars' AS feature, g.bin_idx,
+               CAST(NULL AS VARCHAR) AS category,
+               ROUND(CASE WHEN g.w > 0 THEN g.lo + g.bin_idx * g.w
+                          ELSE g.lo END, 6) AS lo_edge,
+               COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b
+        FROM grid g
+        LEFT JOIN ca ON g.bin_idx = ca.bin_idx
+        LEFT JOIN cb ON g.bin_idx = cb.bin_idx
+    ),
+    cat1 AS (
+        SELECT 'lang' AS feature, CAST(NULL AS INT) AS bin_idx,
+               COALESCE(ga.v, gb.v) AS category,
+               CAST(NULL AS DOUBLE) AS lo_edge,
+               COALESCE(ga.n, 0) AS n_a, COALESCE(gb.n, 0) AS n_b
+        FROM (SELECT lang AS v, COUNT(*) AS n FROM a GROUP BY 1) ga
+        FULL OUTER JOIN
+             (SELECT lang AS v, COUNT(*) AS n FROM b GROUP BY 1) gb
+        ON ga.v = gb.v
+    ),
+    cat2 AS (
+        SELECT 'source' AS feature, CAST(NULL AS INT) AS bin_idx,
+               COALESCE(ga.v, gb.v) AS category,
+               CAST(NULL AS DOUBLE) AS lo_edge,
+               COALESCE(ga.n, 0) AS n_a, COALESCE(gb.n, 0) AS n_b
+        FROM (SELECT source AS v, COUNT(*) AS n FROM a GROUP BY 1) ga
+        FULL OUTER JOIN
+             (SELECT source AS v, COUNT(*) AS n FROM b GROUP BY 1) gb
+        ON ga.v = gb.v
+    ),
+    uni AS (
+        SELECT * FROM num
+        UNION ALL SELECT * FROM cat1
+        UNION ALL SELECT * FROM cat2
+    ),
+    fin AS (
+        SELECT *,
+               COUNT(*) OVER (PARTITION BY feature) AS k,
+               SUM(n_a) OVER (PARTITION BY feature) AS na,
+               SUM(n_b) OVER (PARTITION BY feature) AS nb
+        FROM uni
+    ),
+    pp AS (
+        SELECT feature, bin_idx, category, lo_edge, n_a, n_b,
+               (n_a + 0.5) / (na + 0.5 * k) AS pa,
+               (n_b + 0.5) / (nb + 0.5 * k) AS pb
+        FROM fin
+    )
+    SELECT feature,
+           COALESCE(CAST(bin_idx AS VARCHAR), category) AS bucket,
+           n_a, n_b,
+           ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+           ROUND((pa - pb) * LN(pa / pb), 6) AS contrib,
+           ROUND(SUM((pa - pb) * LN(pa / pb))
+               OVER (PARTITION BY feature), 6) AS psi
+    FROM pp
+    """,
+    doc="Population Stability Index drift report between two corpus "
+    "snapshots (operators/profile.py drift_report): the monitoring "
+    "step that catches a silently shifted crawl/mixture BEFORE "
+    "training — per feature, smoothed bin proportions of reference "
+    "vs candidate and psi = sum((p_a-p_b)*ln(p_a/p_b)). Numeric "
+    "features bin on the REFERENCE snapshot's min/max (one broadcast "
+    "one-row aggregate; candidate mass outside the reference domain "
+    "clamps into edge bins so it surfaces as drift), full grid "
+    "emitted; categoricals take the union of observed categories via "
+    "one full-outer join of two grouped counts. Corpus-sized work is "
+    "one map-side-combined groupBy per snapshot per feature; the psi "
+    "windows run on K-row-per-feature frames. Graded EXACTLY on a "
+    "doc_id-parity split of documents over n_chars (8 bins) + lang + "
+    "source.",
+)
+def q136_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import drift_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        numeric_cols=["n_chars"],
+        categorical_cols=["lang", "source"],
+        num_bins=8,
+    )
+    # NULL-free graded projection: the driver's canon sorts tuples, so a
+    # column NULL on some rows and typed on others would not compare.
+    return rep.select(
+        "feature",
+        F.coalesce(F.col("bin_idx").cast("string"), F.col("category")).alias(
+            "bucket"
+        ),
+        "n_a",
+        "n_b",
+        "p_a",
+        "p_b",
+        "contrib",
+        "psi",
+    )

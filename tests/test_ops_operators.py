@@ -489,3 +489,83 @@ def test_pagerank_canonicalizes_reversed_edges(spark):
     a = sorted(map(tuple, pagerank(canon, iterations=3).collect()))
     b = sorted(map(tuple, pagerank(messy, iterations=3).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------- drift
+
+def test_drift_report_known_categorical_psi(spark):
+    import math
+
+    from atiesh_spark.operators.profile import drift_report
+
+    a = spark.createDataFrame([("a",)] * 3 + [("b",)], "lang string")
+    b = spark.createDataFrame([("a",)] + [("b",)] * 3, "lang string")
+    rows = {
+        r["category"]: r
+        for r in drift_report(a, b, categorical_cols=["lang"]).collect()
+    }
+    # s=0.5, K=2, Na=Nb=4: p_a(a)=3.5/5, p_b(a)=1.5/5 and mirrored for b
+    want = (0.7 - 0.3) * math.log(0.7 / 0.3)
+    assert rows["a"]["p_a"] == pytest.approx(0.7)
+    assert rows["a"]["contrib"] == pytest.approx(want, abs=1e-6)
+    assert rows["b"]["contrib"] == pytest.approx(want, abs=1e-6)
+    assert rows["a"]["psi"] == pytest.approx(2 * want, abs=1e-5)
+
+
+def test_drift_report_identical_snapshots_zero_psi(spark):
+    from atiesh_spark.operators.profile import drift_report
+
+    df = spark.createDataFrame(
+        [(float(i), "x" if i % 2 else "y") for i in range(50)],
+        "v double, c string",
+    )
+    rows = drift_report(
+        df, df, numeric_cols=["v"], categorical_cols=["c"], num_bins=5
+    ).collect()
+    assert all(abs(r["psi"]) < 1e-6 for r in rows)
+    assert all(r["n_a"] == r["n_b"] for r in rows)
+
+
+def test_drift_report_numeric_grid_and_clamping(spark):
+    from atiesh_spark.operators.profile import drift_report
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    # B has mass far outside A's [0, 9] domain on both sides
+    b = spark.createDataFrame(
+        [(-100.0,), (-5.0,), (4.5,), (50.0,)], "v double"
+    )
+    rows = drift_report(a, b, numeric_cols=["v"], num_bins=4).collect()
+    assert len(rows) == 4  # full grid emitted, empty bins included
+    by_bin = {r["bin_idx"]: r for r in rows}
+    assert by_bin[0]["n_b"] == 2  # clamped below
+    assert by_bin[3]["n_b"] == 1  # clamped above
+    assert sum(r["n_b"] for r in rows) == 4
+    # psi equals the sum of the emitted contribs
+    assert rows[0]["psi"] == pytest.approx(
+        sum(r["contrib"] for r in rows), abs=1e-4
+    )
+
+
+def test_drift_report_new_category_counted(spark):
+    from atiesh_spark.operators.profile import drift_report
+
+    a = spark.createDataFrame([("en",)], "lang string")
+    b = spark.createDataFrame([("en",), ("zh",)], "lang string")
+    rows = {
+        r["category"]: r
+        for r in drift_report(a, b, categorical_cols=["lang"]).collect()
+    }
+    assert rows["zh"]["n_a"] == 0 and rows["zh"]["n_b"] == 1
+    assert rows["zh"]["contrib"] != 0.0
+
+
+def test_drift_report_validates_args(spark):
+    from atiesh_spark.operators.profile import drift_report
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="feature"):
+        drift_report(df, df)
+    with pytest.raises(ValueError, match="smoothing"):
+        drift_report(df, df, numeric_cols=["v"], smoothing=0.0)
+    with pytest.raises(ValueError, match="num_bins"):
+        drift_report(df, df, numeric_cols=["v"], num_bins=0)
