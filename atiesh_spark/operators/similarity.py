@@ -928,3 +928,182 @@ class StreamingAnnIndex:
             .filter(F.col("__rk") <= k)
             .drop("__rk")
         )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): codebook-per-subspace
+# vector codes for memory-bounded ANN at corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 8,
+    codebook_size: int = 16,
+    iterations: int = 5,
+    fit_sample_buckets: int | None = None,
+    round_to: int = 6,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each d-dim vector
+    into ``num_subspaces`` contiguous subvectors and k-means each
+    subspace independently (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the compression half of
+    FAISS's IVF-PQ). Returns ``codebooks[s][c]`` = the subspace-s
+    centroid for code c: a tiny ``m * k * (d/m)`` artifact (= k * d
+    floats total) that encodes any vector into ``m`` small ints —
+    64-dim float32 at m=8 becomes 8 bytes/vector, a 32x shrink vs the
+    4x of int8 quantization, which is what makes billion-vector
+    candidate scoring RAM-resident on a 1000-executor cluster.
+
+    Built on :func:`cluster.kmeans_fit`, so it inherits the repo's
+    determinism contract (md5-smallest-ids init, rounded means — no
+    RNG, rerun/engine stable) and its scale shape: per subspace per
+    round, one zero-shuffle codegen assignment pass + one map-side-
+    combined groupBy of d/m avgs, with exactly the k x d/m centroid
+    digest reaching the driver. Fit cost is ``num_subspaces`` k-means
+    runs; at 100 TB fit on a hash sample (``fit_sample_buckets``, the
+    same device as kmeans_fit/semantic_dedup) — codebooks need a
+    sample, not the corpus — then :func:`pq_encode` the full table in
+    one pass. d must divide evenly by ``num_subspaces``.
+    """
+    from atiesh_spark.operators.cluster import kmeans_fit
+
+    if num_subspaces < 1:
+        raise ValueError("num_subspaces must be >= 1")
+    first = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("__d"))
+        .first()
+    )
+    if first is None:
+        raise ValueError("no non-NULL vectors to fit")
+    d = first["__d"]
+    if d % num_subspaces != 0:
+        raise ValueError(
+            f"vector dim {d} not divisible by num_subspaces={num_subspaces}"
+        )
+    sub_d = d // num_subspaces
+    codebooks = []
+    for s in range(num_subspaces):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(as_double(vec_col), s * sub_d + 1, sub_d).alias("__sub"),
+        )
+        codebooks.append(
+            kmeans_fit(
+                sub,
+                id_col=id_col,
+                vec_col="__sub",
+                k=codebook_size,
+                iterations=iterations,
+                fit_sample_buckets=fit_sample_buckets,
+                round_to=round_to,
+            )
+        )
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Encode every vector against fitted codebooks: ``(id_col, codes,
+    recon_err)`` with ``codes`` an array<int> of length m (the nearest
+    code per subspace, lower code wins exact ties) and ``recon_err``
+    the total squared L2 reconstruction error (the sum of per-subspace
+    assignment distances — PQ's reconstruction is exactly the
+    concatenation of the chosen centroids).
+
+    ZERO shuffles: the codebooks are plan literals and the argmin per
+    subspace is the same struct-array_min codegen as kmeans_assign —
+    the encode pass rides whatever scan produces the vectors, so
+    encoding 100 TB is one map-only job writing m-byte codes. NULL
+    vectors and rows of the wrong dimension are dropped (no code
+    exists for them), mirroring kmeans_assign.
+    """
+    from atiesh_spark.operators.cluster import _argmin_cluster
+
+    if not codebooks or not codebooks[0]:
+        raise ValueError("codebooks must be non-empty")
+    sub_d = len(codebooks[0][0])
+    d = sub_d * len(codebooks)
+    v = as_double(vec_col)
+    picks = [
+        _argmin_cluster(F.slice(v, s * sub_d + 1, sub_d), cb)
+        for s, cb in enumerate(codebooks)
+    ]
+    return (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == d))
+        .select(
+            F.col(id_col),
+            F.array(*[p["c"] for p in picks]).alias("codes"),
+            F.round(
+                sum((p["d"] for p in picks[1:]), picks[0]["d"]), round_to
+            ).alias("recon_err"),
+        )
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: ``(id_col, adc_dist)``,
+    the k rows with the smallest approximate squared L2 distance to
+    ``query_vec`` (ties break to the lower id).
+
+    ADC (the accurate variant from the PQ paper): the UNCOMPRESSED
+    query is compared against each subspace codebook once, giving an
+    m x k distance table of plan literals; each row's distance is then
+    m table lookups + adds on its codes — never touching the original
+    vectors. Scoring cost per row is O(m), the scan reads only the
+    m-byte code column, and the top-k is a TakeOrderedAndProject —
+    the whole query is one map-side pass over the code table, which
+    is the point of PQ: the 100 TB float corpus is cold storage,
+    candidates come off codes.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not codebooks or not codebooks[0]:
+        raise ValueError("codebooks must be non-empty")
+    sub_d = len(codebooks[0][0])
+    if len(query_vec) != sub_d * len(codebooks):
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim "
+            f"{sub_d * len(codebooks)}"
+        )
+    table = []
+    for s, cb in enumerate(codebooks):
+        q_sub = query_vec[s * sub_d : (s + 1) * sub_d]
+        table.append(
+            [
+                sum((float(x) - float(c)) ** 2 for x, c in zip(q_sub, cent))
+                for cent in cb
+            ]
+        )
+    codes = F.col(codes_col)
+    lookups = [
+        F.element_at(
+            F.array(*[F.lit(dv) for dv in row]),
+            F.element_at(codes, s + 1) + 1,
+        )
+        for s, row in enumerate(table)
+    ]
+    adc = lookups[0]
+    for term in lookups[1:]:
+        adc = adc + term
+    return (
+        encoded.select(F.col(id_col), F.round(adc, round_to).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -2663,3 +2663,108 @@ def q136_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib",
         "psi",
     )
+
+
+@register(
+    "q137_pq_ann",
+    oracle="SELECT true AS codes_ok, true AS compresses, "
+    "true AS count_ok, true AS frontier_ok, true AS recall_ok",
+    doc="Product quantization for memory-bounded ANN "
+    "(operators/similarity.py pq_fit/pq_encode/pq_adc_topk — Jegou et "
+    "al. TPAMI 2011, the compression half of FAISS IVF-PQ): 8 "
+    "subspace codebooks of 64 codes turn the 64-dim float corpus into "
+    "8 small ints per vector (~32x shrink), and top-k candidates are "
+    "scored off an m x k query distance table of plan literals — the "
+    "scan touches ONLY the code column, so candidate generation over "
+    "100 TB of floats reads the byte-sized PQ store instead. Fit is "
+    "deterministic (cluster.kmeans_fit per subspace: md5-smallest-ids "
+    "init, no RNG), so this grade is exactly reproducible. Graded vs "
+    "a constant truth table (q104's pattern): encode conserves rows, "
+    "codes within [0,64) at width 8, avg squared reconstruction "
+    "error beats the 1-centroid baseline (the variance), ADC top-10 "
+    "recall >= 3/10 vs the exact L2 top-10 with >= 7/10 landing in "
+    "the exact top-100 (the candidate-generation contract — measured "
+    "5/10 and 9/10 on this RANDOM synthetic corpus, PQ's worst case; "
+    "thresholds hold margin under it).",
+)
+def q137_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.cluster import _sq_dist
+    from atiesh_spark.operators.similarity import (
+        as_double,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    m, kc, dim = 8, 64, 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_fit(
+        emb, num_subspaces=m, codebook_size=kc, iterations=3
+    )
+    encoded = pq_encode(emb, cbs).localCheckpoint()
+
+    # O(d) driver digests only: the query vector and the corpus mean.
+    qv = list(
+        emb.filter(F.col("vec_id") == 0)
+        .select(as_double("embedding").alias("v"))
+        .first()["v"]
+    )
+    mean_row = emb.agg(
+        *[
+            F.avg(F.element_at(as_double("embedding"), i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    mean_vec = [mean_row[f"m{i}"] for i in range(dim)]
+
+    approx = pq_adc_topk(encoded, cbs, qv, k=10).select("vec_id")
+    exact100 = (
+        emb.select(
+            "vec_id",
+            F.round(_sq_dist(as_double("embedding"), qv), 6).alias("__d"),
+        )
+        .orderBy("__d", "vec_id")
+        .limit(100)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy("__d", "vec_id"))
+            .alias("__rk"),
+        )
+    )
+    overlap = (
+        approx.join(exact100, "vec_id", "left")
+        .agg(
+            F.count(F.when(F.col("__rk") <= 10, 1)).alias("__o10"),
+            F.count("__rk").alias("__o100"),
+        )
+    )
+    counts = encoded.agg(
+        F.count(F.lit(1)).alias("__n_enc"),
+        F.sum(
+            F.when(
+                (F.size("codes") != m)
+                | (F.array_min("codes") < 0)
+                | (F.array_max("codes") >= kc),
+                1,
+            ).otherwise(0)
+        ).alias("__n_bad"),
+        F.avg("recon_err").alias("__avg_err"),
+    )
+    totals = emb.agg(
+        F.count(F.lit(1)).alias("__n_emb"),
+        F.avg(_sq_dist(as_double("embedding"), mean_vec)).alias("__base"),
+    )
+    return (
+        overlap.crossJoin(counts)
+        .crossJoin(totals)
+        .select(
+            (F.col("__n_bad") == 0).alias("codes_ok"),
+            (F.col("__avg_err") < F.col("__base")).alias("compresses"),
+            (F.col("__n_enc") == F.col("__n_emb")).alias("count_ok"),
+            (F.col("__o100") >= 7).alias("frontier_ok"),
+            (F.col("__o10") >= 3).alias("recall_ok"),
+        )
+    )

@@ -498,3 +498,132 @@ def test_streaming_ann_index_within_batch_duplicates_collapse(spark, tmp_path):
     assert sorted(r["vec_id"] for r in rows) == [7, 8]
     got7 = [r["embedding"] for r in rows if r["vec_id"] == 7]
     assert got7 == [[2.0] * 4]  # deterministic max wins
+
+
+# ---------------------------------------------------------------- PQ
+
+def _py_pq(vec, codebooks):
+    """Pure-Python PQ reference: (codes, recon_err, adc_table_row)."""
+    sub_d = len(codebooks[0][0])
+    codes, err = [], 0.0
+    for s, cb in enumerate(codebooks):
+        sub = vec[s * sub_d : (s + 1) * sub_d]
+        dists = [
+            sum((x - c) ** 2 for x, c in zip(sub, cent)) for cent in cb
+        ]
+        best = min(range(len(cb)), key=lambda i: (dists[i], i))
+        codes.append(best)
+        err += dists[best]
+    return codes, err
+
+
+def _pq_fixture(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return rows, emb
+
+
+def test_pq_encode_matches_python_reference(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.similarity import pq_encode, pq_fit
+
+    rows, emb = _pq_fixture(spark)
+    cbs = pq_fit(emb, num_subspaces=4, codebook_size=4, iterations=3)
+    assert len(cbs) == 4 and all(len(cb) == 4 for cb in cbs)
+    enc = {r["vec_id"]: r for r in pq_encode(emb, cbs).collect()}
+    assert set(enc) == {i for i, _ in rows}
+    for i, vec in rows:
+        codes, err = _py_pq(vec, cbs)
+        assert list(enc[i]["codes"]) == codes, i
+        assert enc[i]["recon_err"] == _pt.approx(err, abs=1e-5)
+
+
+def test_pq_adc_topk_matches_python_order(spark):
+    from atiesh_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    rows, emb = _pq_fixture(spark)
+    cbs = pq_fit(emb, num_subspaces=2, codebook_size=8, iterations=3)
+    enc = pq_encode(emb, cbs)
+    q = rows[0][1]
+    got = [r["vec_id"] for r in pq_adc_topk(enc, cbs, q, k=5).collect()]
+
+    sub_d = len(cbs[0][0])
+    def adc(vec):
+        codes, _ = _py_pq(vec, cbs)
+        return sum(
+            sum(
+                (q[s * sub_d + j] - cbs[s][c][j]) ** 2
+                for j in range(sub_d)
+            )
+            for s, c in enumerate(codes)
+        )
+
+    want = [
+        i
+        for i, _ in sorted(
+            rows, key=lambda r: (round(adc(r[1]), 6), r[0])
+        )[:5]
+    ]
+    assert got == want
+
+
+def test_pq_encode_drops_null_and_wrong_dim(spark):
+    from atiesh_spark.operators.similarity import pq_encode, pq_fit
+
+    rows, emb = _pq_fixture(spark)
+    cbs = pq_fit(emb, num_subspaces=4, codebook_size=4, iterations=2)
+    bad = spark.createDataFrame(
+        [(100, None), (101, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_encode(emb.unionByName(bad), cbs)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 100 not in ids and 101 not in ids and len(ids) == 60
+
+
+def test_pq_beats_single_centroid_baseline(spark):
+    from atiesh_spark.operators.similarity import pq_encode, pq_fit
+
+    rows, emb = _pq_fixture(spark)
+    cbs = pq_fit(emb, num_subspaces=4, codebook_size=8, iterations=3)
+    avg_err = (
+        pq_encode(emb, cbs).agg(F.avg("recon_err").alias("e")).first()["e"]
+    )
+    import statistics
+
+    mean_vec = [
+        statistics.fmean(v[j] for _, v in rows) for j in range(8)
+    ]
+    baseline = statistics.fmean(
+        sum((x - m) ** 2 for x, m in zip(v, mean_vec)) for _, v in rows
+    )
+    assert avg_err < baseline
+
+
+def test_pq_validates_arguments(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    rows, emb = _pq_fixture(spark)
+    with _pt.raises(ValueError, match="divisible"):
+        pq_fit(emb, num_subspaces=3)
+    cbs = pq_fit(emb, num_subspaces=2, codebook_size=4, iterations=1)
+    with _pt.raises(ValueError, match="query dim"):
+        pq_adc_topk(pq_encode(emb, cbs), cbs, [1.0, 2.0], k=3)
+    with _pt.raises(ValueError, match="non-empty"):
+        pq_encode(emb, [])
