@@ -936,6 +936,40 @@ class StreamingAnnIndex:
 # ---------------------------------------------------------------------------
 
 
+def _codebook_lit(cb: list[list[float]]) -> Column:
+    """One codebook as ONE literal: array<struct<c:int, v:array<double>>>.
+
+    cluster._argmin_cluster unrolls a distance expression per centroid —
+    fine at kmeans scale (k ~ 8-32) but at PQ scale (m * k = hundreds of
+    codebooks entries) the unrolled tree makes Catalyst ANALYSIS the
+    bottleneck, not execution. Iterating a single literal with one
+    higher-order function keeps the plan tree O(m) regardless of k."""
+    vecs = F.lit([[float(x) for x in cent] for cent in cb])
+    codes = F.lit(list(range(len(cb)))).cast("array<int>")
+    return F.zip_with(
+        codes, vecs, lambda c, v: F.struct(c.alias("c"), v.alias("v"))
+    )
+
+
+def _argmin_codebook(vec: Column, cb_lit: Column) -> Column:
+    """(d, c) struct of the nearest codebook entry: array_min over ONE
+    transform of the codebook literal (ties -> lower code), same
+    semantics as cluster._argmin_cluster with a constant-size plan."""
+    return F.array_min(
+        F.transform(
+            cb_lit,
+            lambda e: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, e["v"], lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                ).alias("d"),
+                e["c"].alias("c"),
+            ),
+        )
+    )
+
+
 def pq_fit(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -957,51 +991,97 @@ def pq_fit(
     4x of int8 quantization, which is what makes billion-vector
     candidate scoring RAM-resident on a 1000-executor cluster.
 
-    Built on :func:`cluster.kmeans_fit`, so it inherits the repo's
-    determinism contract (md5-smallest-ids init, rounded means — no
-    RNG, rerun/engine stable) and its scale shape: per subspace per
-    round, one zero-shuffle codegen assignment pass + one map-side-
-    combined groupBy of d/m avgs, with exactly the k x d/m centroid
-    digest reaching the driver. Fit cost is ``num_subspaces`` k-means
-    runs; at 100 TB fit on a hash sample (``fit_sample_buckets``, the
-    same device as kmeans_fit/semantic_dedup) — codebooks need a
-    sample, not the corpus — then :func:`pq_encode` the full table in
-    one pass. d must divide evenly by ``num_subspaces``.
+    Follows :func:`cluster.kmeans_fit`'s determinism contract
+    (md5-smallest-ids init — the SAME k rows seed every subspace —
+    rounded means, empty clusters keep their previous centroid; no
+    RNG, rerun/engine stable) but trains ALL subspaces together: the
+    corpus explodes once per round into (subspace, subvector) rows,
+    assignment is a subspace-switched codegen argmin over the m*k
+    centroid literals, and re-estimation is ONE map-side-combined
+    ``groupBy(subspace, code)`` of d/m avgs — so the fit runs
+    ``1 + iterations`` Spark jobs TOTAL, independent of
+    ``num_subspaces`` (m sequential kmeans runs would pay m times the
+    scan and scheduling cost for the same digest). Per round the
+    driver sees exactly the m * k * (d/m) = k * d matrix. At 100 TB
+    fit on a hash sample (``fit_sample_buckets``, the same device as
+    kmeans_fit/semantic_dedup) — codebooks need a sample, not the
+    corpus — then :func:`pq_encode` the full table in one pass. d
+    must divide evenly by ``num_subspaces``.
     """
-    from atiesh_spark.operators.cluster import kmeans_fit
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.sampling import hash_bucket
 
     if num_subspaces < 1:
         raise ValueError("num_subspaces must be >= 1")
-    first = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("__d"))
-        .first()
+    if codebook_size <= 0 or iterations <= 0:
+        raise ValueError("codebook_size and iterations must be > 0")
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
     )
-    if first is None:
-        raise ValueError("no non-NULL vectors to fit")
-    d = first["__d"]
+    if fit_sample_buckets:
+        base = base.filter(hash_bucket(F.col(id_col), fit_sample_buckets) == 0)
+    seeds = (
+        base.orderBy(md5_long(F.col(id_col).cast("string"), 15), F.col(id_col))
+        .limit(codebook_size)
+        .select("__v")
+        .collect()
+    )
+    if len(seeds) < codebook_size:
+        raise ValueError(
+            f"need at least codebook_size={codebook_size} rows to fit, "
+            f"got {len(seeds)}"
+        )
+    d = len(seeds[0]["__v"])
     if d % num_subspaces != 0:
         raise ValueError(
             f"vector dim {d} not divisible by num_subspaces={num_subspaces}"
         )
     sub_d = d // num_subspaces
-    codebooks = []
-    for s in range(num_subspaces):
-        sub = emb.select(
-            F.col(id_col),
-            F.slice(as_double(vec_col), s * sub_d + 1, sub_d).alias("__sub"),
-        )
-        codebooks.append(
-            kmeans_fit(
-                sub,
-                id_col=id_col,
-                vec_col="__sub",
-                k=codebook_size,
-                iterations=iterations,
-                fit_sample_buckets=fit_sample_buckets,
-                round_to=round_to,
+    codebooks = [
+        [list(r["__v"])[s * sub_d : (s + 1) * sub_d] for r in seeds]
+        for s in range(num_subspaces)
+    ]
+    subs = base.filter(F.size("__v") == d).select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("__v", s * sub_d + 1, sub_d)
+                    for s in range(num_subspaces)
+                ]
             )
+        ).alias("__s", "__sv")
+    )
+    for _ in range(iterations):
+        # every subspace's codebook in one literal, indexed by __s —
+        # no per-subspace when-chain, constant-size plan tree
+        all_books = F.array(*[_codebook_lit(cb) for cb in codebooks])
+        assign = _argmin_codebook(
+            F.col("__sv"), F.element_at(all_books, F.col("__s") + 1)
+        )["c"]
+        rows = (
+            subs.select("__s", assign.alias("__cl"), "__sv")
+            .groupBy("__s", "__cl")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at("__sv", j + 1)), round_to
+                    ).alias(f"m{j}")
+                    for j in range(sub_d)
+                ]
+            )
+            .collect()
         )
+        fresh = {
+            (r["__s"], r["__cl"]): [r[f"m{j}"] for j in range(sub_d)]
+            for r in rows
+        }
+        codebooks = [
+            [
+                fresh.get((s, c), codebooks[s][c])
+                for c in range(codebook_size)
+            ]
+            for s in range(num_subspaces)
+        ]
     return codebooks
 
 
@@ -1026,15 +1106,13 @@ def pq_encode(
     vectors and rows of the wrong dimension are dropped (no code
     exists for them), mirroring kmeans_assign.
     """
-    from atiesh_spark.operators.cluster import _argmin_cluster
-
     if not codebooks or not codebooks[0]:
         raise ValueError("codebooks must be non-empty")
     sub_d = len(codebooks[0][0])
     d = sub_d * len(codebooks)
     v = as_double(vec_col)
     picks = [
-        _argmin_cluster(F.slice(v, s * sub_d + 1, sub_d), cb)
+        _argmin_codebook(F.slice(v, s * sub_d + 1, sub_d), _codebook_lit(cb))
         for s, cb in enumerate(codebooks)
     ]
     return (
@@ -1093,10 +1171,7 @@ def pq_adc_topk(
         )
     codes = F.col(codes_col)
     lookups = [
-        F.element_at(
-            F.array(*[F.lit(dv) for dv in row]),
-            F.element_at(codes, s + 1) + 1,
-        )
+        F.element_at(F.lit(row), F.element_at(codes, s + 1) + 1)
         for s, row in enumerate(table)
     ]
     adc = lookups[0]
