@@ -627,3 +627,156 @@ def test_pq_validates_arguments(spark):
         pq_adc_topk(pq_encode(emb, cbs), cbs, [1.0, 2.0], k=3)
     with _pt.raises(ValueError, match="non-empty"):
         pq_encode(emb, [])
+
+
+def test_ivf_pq_encode_matches_python_reference(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_fit,
+    )
+
+    rows, emb = _pq_fixture(spark)
+    cells, cbs = ivf_pq_fit(
+        emb, num_cells=4, num_subspaces=4, codebook_size=4, iterations=2
+    )
+    enc = {r["vec_id"]: r for r in ivf_pq_encode(emb, cells, cbs).collect()}
+    assert set(enc) == {i for i, _ in rows}
+    for i, vec in rows:
+        dists = [
+            sum((x - c) ** 2 for x, c in zip(vec, cent)) for cent in cells
+        ]
+        cell = min(range(len(cells)), key=lambda j: (dists[j], j))
+        assert enc[i]["cell"] == cell, i
+        resid = [x - c for x, c in zip(vec, cells[cell])]
+        codes, err = _py_pq(resid, cbs)
+        assert list(enc[i]["codes"]) == codes, i
+        assert enc[i]["recon_err"] == _pt.approx(err, abs=1e-5)
+
+
+def test_ivf_pq_full_probe_matches_python_order(spark):
+    from atiesh_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_fit,
+        ivf_pq_topk,
+    )
+
+    rows, emb = _pq_fixture(spark)
+    cells, cbs = ivf_pq_fit(
+        emb, num_cells=4, num_subspaces=2, codebook_size=8, iterations=2
+    )
+    enc = ivf_pq_encode(emb, cells, cbs)
+    q = rows[3][1]
+    got = [
+        r["vec_id"]
+        for r in ivf_pq_topk(enc, cells, cbs, q, k=5, n_probe=4).collect()
+    ]
+
+    sub_d = len(cbs[0][0])
+
+    def adc(vec):
+        dists = [
+            sum((x - c) ** 2 for x, c in zip(vec, cent)) for cent in cells
+        ]
+        cell = min(range(len(cells)), key=lambda j: (dists[j], j))
+        codes, _ = _py_pq([x - c for x, c in zip(vec, cells[cell])], cbs)
+        qres = [x - c for x, c in zip(q, cells[cell])]
+        return sum(
+            sum(
+                (qres[s * sub_d + j] - cbs[s][c][j]) ** 2
+                for j in range(sub_d)
+            )
+            for s, c in enumerate(codes)
+        )
+
+    want = [
+        i
+        for i, _ in sorted(
+            rows, key=lambda r: (round(adc(r[1]), 6), r[0])
+        )[:5]
+    ]
+    assert got == want
+
+
+def test_ivf_pq_partial_probe_restricts_cells(spark):
+    from atiesh_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_fit,
+        ivf_pq_topk,
+    )
+
+    rows, emb = _pq_fixture(spark)
+    cells, cbs = ivf_pq_fit(
+        emb, num_cells=4, num_subspaces=4, codebook_size=4, iterations=2
+    )
+    enc = ivf_pq_encode(emb, cells, cbs)
+    q = rows[0][1]
+    dists = [
+        (sum((x - c) ** 2 for x, c in zip(q, cent)), i)
+        for i, cent in enumerate(cells)
+    ]
+    probed = {i for _, i in sorted(dists)[:2]}
+    got = ivf_pq_topk(enc, cells, cbs, q, k=50, n_probe=2)
+    cell_of = {r["vec_id"]: r["cell"] for r in enc.collect()}
+    assert all(cell_of[r["vec_id"]] in probed for r in got.collect())
+
+
+def test_ivf_pq_residuals_beat_plain_pq_on_clustered_data(spark):
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from atiesh_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_fit,
+        pq_encode,
+        pq_fit,
+    )
+
+    rng = random.Random(5)
+    centers = [
+        [rng.uniform(-10, 10) for _ in range(8)] for _ in range(4)
+    ]
+    rows = [
+        (
+            i,
+            [
+                c + rng.gauss(0, 0.3)
+                for c in centers[i % 4]
+            ],
+        )
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells, cbs = ivf_pq_fit(
+        emb, num_cells=4, num_subspaces=4, codebook_size=4, iterations=3
+    )
+    plain = pq_fit(emb, num_subspaces=4, codebook_size=4, iterations=3)
+    ivf_err = (
+        ivf_pq_encode(emb, cells, cbs)
+        .agg(SF.avg("recon_err").alias("e"))
+        .first()["e"]
+    )
+    plain_err = (
+        pq_encode(emb, plain).agg(SF.avg("recon_err").alias("e")).first()["e"]
+    )
+    assert ivf_err < plain_err
+
+
+def test_ivf_pq_validates_dimensions(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.similarity import ivf_pq_fit, ivf_pq_topk
+
+    rows, emb = _pq_fixture(spark)
+    cells, cbs = ivf_pq_fit(
+        emb, num_cells=2, num_subspaces=2, codebook_size=4, iterations=1
+    )
+    from atiesh_spark.operators.similarity import ivf_pq_encode
+
+    enc = ivf_pq_encode(emb, cells, cbs)
+    with _pt.raises(ValueError, match="dimensions"):
+        ivf_pq_topk(enc, cells, cbs, [1.0, 2.0], k=3)
+    with _pt.raises(ValueError, match="positive"):
+        ivf_pq_topk(enc, cells, cbs, rows[0][1], k=0)
