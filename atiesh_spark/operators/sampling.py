@@ -586,3 +586,56 @@ def shard_report(
             ),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    text_col: str | None = None,
+    clusters: DataFrame | None = None,
+    split_col: str = "split",
+    rep_col: str = "cluster_rep",
+) -> DataFrame:
+    """Train/val/test split where DUPLICATE CLUSTERS stay whole — the
+    leakage guard :func:`deterministic_split` alone cannot give: split
+    by doc id and two copies of the same page land in train AND val,
+    silently inflating eval (the arXiv:2107.06499 finding). Here every
+    row first maps to a cluster representative, and the hash-bucket
+    split is taken on the REP, so a whole duplicate cluster moves as
+    one unit; the rep is appended as ``rep_col`` for auditability.
+
+    Cluster source, either:
+    - ``text_col``: exact-duplicate clusters, rep = min id per
+      md5(text) — one md5 groupBy + one hash equi-join, the
+      exact_dedup shape (md5, never raw text, shuffles); or
+    - ``clusters``: a precomputed ``(id_col, rep_col)`` frame — e.g.
+      ``dedup.connected_components`` output, so MinHash/SimHash/
+      embedding NEAR-dup clusters split atomically too. Rows absent
+      from ``clusters`` are their own rep (singleton clusters don't
+      need rows in the map).
+
+    Inherits deterministic_split's contract on the rep: stable across
+    runs/engines/partitionings, and new rows never reshuffle old
+    assignments (a new duplicate of a train page joins train — exactly
+    what leakage-safety requires).
+    """
+    if (text_col is None) == (clusters is None):
+        raise ValueError("give exactly one of text_col or clusters")
+    if rep_col in df.columns or split_col in df.columns:
+        raise ValueError(f"{rep_col!r}/{split_col!r} collide with input columns")
+    if text_col is not None:
+        keyed = df.withColumn(
+            "__lsh", F.md5(F.col(text_col).cast("binary"))
+        )
+        reps = keyed.groupBy("__lsh").agg(F.min(id_col).alias(rep_col))
+        mapped = keyed.join(reps, "__lsh").drop("__lsh")
+    else:
+        if set(clusters.columns) != {id_col, rep_col}:
+            raise ValueError(
+                f"clusters must have exactly columns ({id_col!r}, {rep_col!r})"
+            )
+        mapped = df.join(clusters, id_col, "left").withColumn(
+            rep_col, F.coalesce(F.col(rep_col), F.col(id_col))
+        )
+    return deterministic_split(mapped, rep_col, fractions, split_col)

@@ -1645,3 +1645,38 @@ def q86_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(docs, "doc_id", seed="epoch-1")
+
+
+@register(
+    "q139_leakage_safe_split",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+    reps AS (SELECT hh, MIN(doc_id) AS cluster_rep FROM h GROUP BY hh)
+    SELECT h.doc_id, r.cluster_rep,
+           CASE WHEN ('0x' || substring(md5(CAST(r.cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 10000 < 8000
+                THEN 'train'
+                WHEN ('0x' || substring(md5(CAST(r.cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000
+                THEN 'val' ELSE 'test' END AS split
+    FROM h JOIN reps r USING (hh)
+    """,
+    doc="Leakage-safe 80/10/10 split (operators/sampling.py "
+    "leakage_safe_split): duplicate clusters move between splits as "
+    "ONE unit — split by doc id alone and two copies of the same page "
+    "land in train AND val, inflating eval (the arXiv:2107.06499 "
+    "deduplication finding). Rows map to a cluster representative "
+    "(exact clusters: min id per md5(text); near-dup cluster frames "
+    "from connected_components plug into the same operator), and the "
+    "md5 hash-bucket split is taken on the REP — one md5 groupBy + "
+    "one hash equi-join over the corpus, raw text never shuffles. "
+    "Graded EXACTLY per doc: (doc_id, cluster_rep, split).",
+)
+def q139_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        text_col="text",
+    ).select("doc_id", "cluster_rep", "split")

@@ -369,3 +369,70 @@ def test_balanced_shards_rejects_reserved_column(spark):
     )
     with pytest.raises(ValueError, match="__negw"):
         balanced_shards(df, "n_bytes", 2, "doc_id")
+
+
+# ------------------------------------------------------ leakage-safe split
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    from atiesh_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    rows = [(i, f"text-{i % 20}") for i in range(200)]  # 10 copies each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, "doc_id", {"train": 0.5, "val": 0.5}, text_col="text"
+    ).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], set()).add(r["split"])
+        assert r["cluster_rep"] == int(r["text"].split("-")[1])
+    assert all(len(s) == 1 for s in by_text.values())
+    # the naive id split DOES leak on this data (sanity that the
+    # guard is doing something)
+    naive = deterministic_split(
+        df, "doc_id", {"train": 0.5, "val": 0.5}
+    ).collect()
+    naive_by_text = {}
+    for r in naive:
+        naive_by_text.setdefault(r["text"], set()).add(r["split"])
+    assert any(len(s) > 1 for s in naive_by_text.values())
+
+
+def test_leakage_safe_split_with_cluster_frame(spark):
+    from atiesh_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0), (5, 4)], "doc_id long, cluster_rep long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_split(
+            df, "doc_id", {"train": 0.8, "val": 0.2}, clusters=clusters
+        ).collect()
+    }
+    assert out[1]["split"] == out[2]["split"] == out[0]["split"]
+    assert out[5]["split"] == out[4]["split"]
+    # unmapped rows are their own rep
+    assert out[7]["cluster_rep"] == 7
+
+
+def test_leakage_safe_split_validates_args(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="exactly one"):
+        leakage_safe_split(df, "doc_id", {"train": 1.0})
+    with _pt.raises(ValueError, match="collide"):
+        leakage_safe_split(
+            df.withColumn("split", F.lit("x")),
+            "doc_id",
+            {"train": 1.0},
+            text_col="text",
+        )
