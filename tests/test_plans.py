@@ -471,3 +471,32 @@ def test_triangle_stats_degree_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # degree table joins back as a broadcast; wedge/closure joins are keyed
     assert "BroadcastHashJoin" in plan
+
+
+def test_threshold_sweep_single_corpus_shuffle(spark):
+    """q135's corpus-sized work is ONE groupBy(score) exchange; every
+    cumulative/AUC window runs on the distinct-threshold frame (single-
+    partition exchanges are over post-aggregation rows, not corpus)."""
+    df = QUERIES["q135_threshold_sweep"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_encode_is_zero_shuffle(spark):
+    """PQ encoding must ride the scan: codebooks are plan literals and
+    the per-subspace argmin is row-local — no exchange anywhere."""
+    from atiesh_spark.operators.similarity import pq_encode
+    from atiesh_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cbs = [
+        [[float(i + j) for j in range(32)] for i in range(4)]
+        for _ in range(2)
+    ]
+    df = pq_encode(emb, cbs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
