@@ -151,6 +151,28 @@ class StreamingCascadeRollup:
         self.store.write(merged, batch_id)
 
 
+_NESTS = {
+    "second": {"minute", "hour", "day", "week", "month", "quarter", "year"},
+    "minute": {"hour", "day", "week", "month", "quarter", "year"},
+    "hour": {"day", "week", "month", "quarter", "year"},
+    "week": set(),  # ISO weeks straddle month/quarter/year boundaries
+    "day": {"week", "month", "quarter", "year"},
+    "month": {"quarter", "year"},
+    "quarter": {"year"},
+}
+
+
+def _validate_nesting(fine: str, coarse: str) -> None:
+    """Every fine bucket must lie wholly inside one coarse bucket, or
+    coarse rows are computed from misattributed mass."""
+    if coarse not in _NESTS.get(fine, set()):
+        raise ValueError(
+            f"(fine={fine!r}, coarse={coarse!r}) does not nest: every fine "
+            "bucket must lie wholly inside one coarse bucket "
+            f"(valid coarse for {fine!r}: {sorted(_NESTS.get(fine, set()))})"
+        )
+
+
 def sketch_rollup(
     df: DataFrame,
     time_col: str,
@@ -184,21 +206,7 @@ def sketch_rollup(
     wholly in its start's month); non-nesting pairs (anything
     involving ``week`` above it, or reversed order) raise.
     """
-    _NESTS = {
-        "second": {"minute", "hour", "day", "week", "month", "quarter", "year"},
-        "minute": {"hour", "day", "week", "month", "quarter", "year"},
-        "hour": {"day", "week", "month", "quarter", "year"},
-        "day": {"week", "month", "quarter", "year"},
-        "week": set(),  # ISO weeks straddle month/quarter/year boundaries
-        "month": {"quarter", "year"},
-        "quarter": {"year"},
-    }
-    if coarse not in _NESTS.get(fine, set()):
-        raise ValueError(
-            f"(fine={fine!r}, coarse={coarse!r}) does not nest: every fine "
-            "bucket must lie wholly inside one coarse bucket "
-            f"(valid coarse for {fine!r}: {sorted(_NESTS.get(fine, set()))})"
-        )
+    _validate_nesting(fine, coarse)
     fine_b = F.date_trunc(fine, F.col(time_col)).alias("bucket")
     fine_df = (
         df.groupBy(fine_b)
@@ -219,3 +227,126 @@ def sketch_rollup(
         .withColumn("distinct_est", F.hll_sketch_estimate("sketch"))
     )
     return fine_df, coarse_df
+
+
+def quantile_rollup(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    fine: str = "day",
+    coarse: str = "month",
+    num_bins: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    lo: float | None = None,
+    hi: float | None = None,
+    round_to: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable quantile rollup: ``(fine_df, coarse_df)``, each
+    ``(bucket, q, est, n_rows)`` — per-period quantile estimates whose
+    coarse level is computed by MERGING the fine level's histogram
+    counts, never re-scanning raw data. The quantile companion to
+    :func:`sketch_rollup`'s HLL story, for the same reason: exact
+    percentiles are not mergeable (every coarser window re-sorts the
+    raw corpus), but fixed-grid histogram counts are a commutative
+    monoid — vector addition — so per-fine-bucket count rows
+    (``num_bins`` longs each) roll up to any nesting coarser period
+    with a bucket-count-sized sum. This is how latency/size/score
+    percentile dashboards serve hour/day/month/all-time off ONE raw
+    scan, batch or streaming.
+
+    Estimator: global [lo, hi] bounds (min/max aggregate broadcast
+    when not given — pass literals to skip the extra scan), values
+    clamp into ``num_bins`` equal-width bins, and the q-quantile is
+    the RIGHT EDGE of the first bin whose cumulative count reaches
+    ``q * n_rows`` — deterministic, engine-portable arithmetic with
+    absolute error bounded by one bin width ``(hi - lo) / num_bins``
+    (tighten with more bins: counts stay longs, 4096 bins is still
+    a kilobyte-scale row group per bucket). NULL values are excluded.
+    The ``(fine, coarse)`` pair must nest, as in ``sketch_rollup``.
+    """
+    from pyspark.sql.window import Window
+
+    _validate_nesting(fine, coarse)
+    if num_bins < 1:
+        raise ValueError("num_bins must be >= 1")
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    if lo is None or hi is None:
+        bounds = base.agg(
+            F.min(v).cast("double").alias("__lo"),
+            F.max(v).cast("double").alias("__hi"),
+        )
+        base = base.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(num_bins))
+    raw_bin = F.when(width > 0, F.floor((v - lo_c) / width)).otherwise(F.lit(0))
+    b = F.least(F.lit(num_bins - 1), F.greatest(F.lit(0), raw_bin)).cast("int")
+
+    fine_hist = base.groupBy(
+        F.date_trunc(fine, F.col(time_col)).alias("bucket"),
+        b.alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        # carry the bounds through the monoid so estimation never
+        # rescans (first() of a broadcast constant)
+        F.first(lo_c).alias("__blo"),
+        F.first(hi_c).alias("__bhi"),
+    )
+    coarse_hist = fine_hist.groupBy(
+        F.date_trunc(coarse, F.col("bucket")).alias("bucket"),
+        "bin",
+    ).agg(
+        F.sum("n").alias("n"),
+        F.first("__blo").alias("__blo"),
+        F.first("__bhi").alias("__bhi"),
+    )
+
+    def _estimate(hist: DataFrame) -> DataFrame:
+        w_cum = Window.partitionBy("bucket").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.partitionBy("bucket")
+        cum = hist.select(
+            "bucket",
+            "bin",
+            "__blo",
+            "__bhi",
+            F.sum("n").over(w_cum).alias("__cum"),
+            F.sum("n").over(w_all).alias("n_rows"),
+        )
+        qlit = F.explode(
+            F.lit([float(q) for q in quantiles])
+        ).alias("q")
+        hit = cum.select("*", qlit).filter(
+            F.col("__cum") >= F.col("q") * F.col("n_rows")
+        )
+        return (
+            hit.groupBy("bucket", "q")
+            .agg(
+                F.min("bin").alias("__bin"),
+                F.first("__blo").alias("__blo"),
+                F.first("__bhi").alias("__bhi"),
+                F.first("n_rows").alias("n_rows"),
+            )
+            .select(
+                "bucket",
+                "q",
+                F.round(
+                    F.when(
+                        F.col("__bhi") > F.col("__blo"),
+                        F.col("__blo")
+                        + (F.col("__bin") + 1)
+                        * (F.col("__bhi") - F.col("__blo"))
+                        / F.lit(float(num_bins)),
+                    ).otherwise(F.col("__blo")),
+                    round_to,
+                ).alias("est"),
+                "n_rows",
+            )
+        )
+
+    return _estimate(fine_hist), _estimate(coarse_hist)

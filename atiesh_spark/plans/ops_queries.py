@@ -2873,3 +2873,64 @@ def q138_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n_scanned") < F.col("__n_emb")).alias("scan_bounded"),
         )
     )
+
+
+@register(
+    "q140_quantile_rollup",
+    oracle="""
+    WITH base AS (
+        SELECT ts, CAST(value AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+    binned AS (
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+               CAST(LEAST(63, GREATEST(0, CASE WHEN hi > lo
+                   THEN FLOOR((v - lo) / ((hi - lo) / 64.0))
+                   ELSE 0 END)) AS INT) AS bin
+        FROM base, bounds
+    ),
+    hist AS (SELECT bucket, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+    cum AS (
+        SELECT bucket, bin,
+               SUM(n) OVER (PARTITION BY bucket ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(n) OVER (PARTITION BY bucket) AS n_rows
+        FROM hist
+    ),
+    hits AS (
+        SELECT bucket, CAST(q AS DOUBLE) AS q,
+               MIN(bin) AS bin, MAX(n_rows) AS n_rows
+        FROM cum CROSS JOIN (VALUES (0.5), (0.95), (0.99)) qs(q)
+        WHERE c >= q * n_rows
+        GROUP BY bucket, q
+    )
+    SELECT h.bucket, h.q,
+           ROUND(CASE WHEN b.hi > b.lo
+                 THEN b.lo + (h.bin + 1) * (b.hi - b.lo) / 64.0
+                 ELSE b.lo END, 6) AS est,
+           h.n_rows
+    FROM hits h, bounds b
+    """,
+    doc="Mergeable quantile rollup (operators/rollup.py "
+    "quantile_rollup): per-month p50/p95/p99 of the event value "
+    "computed by MERGING per-day fixed-grid histogram counts — the "
+    "quantile companion to q120's HLL story: exact percentiles are "
+    "not mergeable (every coarser window re-sorts raw data), but "
+    "histogram counts are a commutative monoid (vector addition), so "
+    "one raw scan serves every nesting coarser period with "
+    "bucket-count-sized sums. Estimate = right edge of the first bin "
+    "reaching q*n, absolute error bounded by one bin width (64 bins "
+    "here; unit test pins |est - exact percentile| <= width at both "
+    "levels and merged == direct). Graded EXACTLY: the oracle builds "
+    "the monthly histogram directly — two different aggregation "
+    "routes, identical counts and estimates.",
+)
+def q140_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.rollup import quantile_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    _, coarse = quantile_rollup(
+        events, "ts", "value", fine="day", coarse="month", num_bins=64
+    )
+    return coarse

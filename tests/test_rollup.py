@@ -181,3 +181,93 @@ def test_sketch_rollup_rejects_non_nesting_pairs(spark):
         with pytest.raises(ValueError, match="does not nest"):
             sketch_rollup(df, "ts", "v", fine=fine, coarse=coarse)
     sketch_rollup(df, "ts", "v", fine="day", coarse="week")  # nests: ok
+
+
+# ------------------------------------------------------- quantile rollup
+
+def _qr_events(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (
+            f"2024-{m:02d}-{d:02d} {h:02d}:00:00",
+            rng.uniform(0, 100) if rng.random() > 0.02 else None,
+        )
+        for m in (1, 2)
+        for d in (1, 5, 9, 20)
+        for h in range(6)
+    ]
+    return spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+
+
+def test_quantile_rollup_merge_equals_direct(spark):
+    from atiesh_spark.operators.rollup import quantile_rollup
+
+    df = _qr_events(spark)
+    _, merged = quantile_rollup(df, "ts", "value", "day", "month", num_bins=32)
+    direct, _ = quantile_rollup(
+        df, "ts", "value", "month", "quarter", num_bins=32
+    )
+    m = sorted(tuple(r) for r in merged.collect())
+    d = sorted(tuple(r) for r in direct.collect())
+    assert m == d
+
+
+def test_quantile_rollup_error_bounded_by_bin_width(spark):
+    from atiesh_spark.operators.rollup import quantile_rollup
+
+    df = _qr_events(spark)
+    nb = 64
+    fine, coarse = quantile_rollup(
+        df, "ts", "value", "day", "month", num_bins=nb
+    )
+    bounds = df.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).first()
+    width = (bounds["hi"] - bounds["lo"]) / nb
+    for frame, unit in ((fine, "day"), (coarse, "month")):
+        exact = {
+            (r["bucket"], r["q"]): r["x"]
+            for r in df.filter(F.col("value").isNotNull())
+            .groupBy(F.date_trunc(unit, "ts").alias("bucket"))
+            .agg(
+                F.explode(
+                    F.arrays_zip(
+                        F.lit([0.5, 0.95, 0.99]).alias("q"),
+                        F.percentile_approx(
+                            "value", F.lit([0.5, 0.95, 0.99]), F.lit(100000)
+                        ).alias("x"),
+                    )
+                ).alias("zz")
+            )
+            .select("bucket", F.col("zz.q").alias("q"), F.col("zz.x").alias("x"))
+            .collect()
+        }
+        for r in frame.collect():
+            assert abs(r["est"] - exact[(r["bucket"], r["q"])]) <= width + 1e-9, (
+                unit,
+                r,
+            )
+
+
+def test_quantile_rollup_excludes_nulls_and_validates(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.rollup import quantile_rollup
+
+    df = _qr_events(spark)
+    fine, _ = quantile_rollup(df, "ts", "value", "day", "month")
+    n_nonnull = df.filter(F.col("value").isNotNull()).count()
+    assert (
+        fine.select(F.sum("n_rows")).first()[0]
+        == n_nonnull * 3  # one row per quantile
+    )
+    with _pt.raises(ValueError, match="nest"):
+        quantile_rollup(df, "ts", "value", "week", "month")
+    with _pt.raises(ValueError, match="quantiles"):
+        quantile_rollup(df, "ts", "value", quantiles=(0.0,))
+    with _pt.raises(ValueError, match="num_bins"):
+        quantile_rollup(df, "ts", "value", num_bins=0)
