@@ -365,3 +365,198 @@ def apply_bpe_batched(
         return texts.map(one)
 
     return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer induction (SentencePiece's other algorithm —
+# Kudo 2018, arXiv:1804.10959): candidate pieces scored by a unigram
+# language model, Viterbi segmentation, EM re-estimation. Same scale
+# discipline as BPE: the corpus is touched once (word_freq_table);
+# every EM round runs on the vocab-bounded word table.
+# ---------------------------------------------------------------------------
+
+_UNK_LOGP = -100.0
+
+
+def _viterbi(
+    w: str, table: dict[str, float], max_len: int, unk: float = _UNK_LOGP
+) -> list[str]:
+    """Best unigram segmentation of ``w`` under piece log-probs.
+
+    dp maximizes (total logp, fewer pieces, later split) — a total
+    order, so the segmentation is deterministic under ties. Characters
+    absent from the table fall back to ``unk`` as single-char pieces,
+    so a segmentation always exists (open-vocabulary contract)."""
+    n = len(w)
+    dp: list[tuple[float, int, int] | None] = [None] * (n + 1)
+    dp[0] = (0.0, 0, -1)
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_len), i):
+            prev = dp[j]
+            if prev is None:
+                continue
+            lp = table.get(w[j:i])
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = unk
+            cand = (prev[0] + lp, prev[1] - 1, j)
+            if best is None or cand > best:
+                best = cand
+        dp[i] = best
+    out, i = [], n
+    while i > 0:
+        j = dp[i][2]  # type: ignore[index]
+        out.append(w[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_learn(
+    df: DataFrame,
+    text_col: str,
+    target_vocab: int = 512,
+    em_rounds: int = 2,
+    max_piece_len: int = 8,
+    seed_size: int = 4096,
+    min_count: int = 1,
+) -> list[tuple[str, float]]:
+    """Train a unigram-LM tokenizer over the corpus; returns the piece
+    table ``[(piece, logp), ...]`` (log-probs sum to 1), the artifact
+    :func:`unigram_tokenize` ships.
+
+    Algorithm (Kudo 2018, simplified): seed the vocabulary with the
+    ``seed_size`` highest-scoring substrings (frequency * length, the
+    standard suffix-ish heuristic) of the corpus WORD TABLE plus every
+    single character; then ``em_rounds`` of hard EM — Viterbi-segment
+    every distinct word under current probs (E), re-estimate piece
+    probs from usage weighted by word frequency (M), prune multi-char
+    pieces to the ``target_vocab`` budget by usage. Differs from full
+    SentencePiece in using hard EM (Viterbi counts, not forward-
+    backward expectations) and usage-based pruning (not loss-delta) —
+    documented simplifications; single characters are never pruned, so
+    every in-corpus word stays representable (zero-usage characters
+    keep a floor count of 1 in the M step: log never sees zero).
+
+    Scale: the ONE corpus-scale shuffle is ``word_freq_table``; the
+    substring explode (<= |word| * max_piece_len candidates per
+    DISTINCT word), the Viterbi pandas UDF, and the usage groupBy all
+    run on the vocab-bounded word table. The driver sees piece tables
+    (vocab-sized digests, the BPE argmax discipline scaled to the
+    piece budget) — never corpus rows.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if target_vocab < 1 or em_rounds < 1 or max_piece_len < 1:
+        raise ValueError("target_vocab, em_rounds, max_piece_len must be >= 1")
+    if seed_size < target_vocab:
+        raise ValueError("seed_size must be >= target_vocab")
+    import math
+
+    words = word_freq_table(df, text_col, min_count).localCheckpoint()
+
+    subs = words.select(
+        "n_word",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda s: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len), F.length("word") - s + 1
+                            ),
+                        ),
+                        lambda ln: F.col("word").substr(s, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    freq = subs.groupBy("piece").agg(F.sum("n_word").alias("freq"))
+    freq = freq.localCheckpoint()
+    top = (
+        freq.orderBy(
+            (F.col("freq") * F.length("piece")).desc(), F.col("piece")
+        )
+        .limit(seed_size)
+    )
+    chars = freq.filter(F.length("piece") == 1)
+    seed_rows = top.unionByName(chars).dropDuplicates(["piece"]).collect()
+
+    counts = {r["piece"]: r["freq"] for r in seed_rows}
+    single = {p for p in counts if len(p) == 1}
+
+    def _normalize(c: dict[str, int]) -> dict[str, float]:
+        total = sum(c.values())
+        return {p: math.log(n / total) for p, n in c.items()}
+
+    table = _normalize(counts)
+    for _ in range(em_rounds):
+        snapshot = dict(table)
+
+        @pandas_udf("array<string>")
+        def _seg(ws: pd.Series) -> pd.Series:
+            return ws.map(lambda w: _viterbi(w, snapshot, max_piece_len))
+
+        usage_rows = (
+            words.select(F.explode(_seg("word")).alias("piece"), "n_word")
+            .groupBy("piece")
+            .agg(F.sum("n_word").alias("usage"))
+            .collect()
+        )
+        usage = {r["piece"]: r["usage"] for r in usage_rows}
+        budget = max(0, target_vocab - len(single))
+        kept_multi = sorted(
+            ((u, p) for p, u in usage.items() if len(p) > 1 and u > 0),
+            key=lambda t: (-t[0], t[1]),
+        )[:budget]
+        counts = {p: u for u, p in kept_multi}
+        for ch in single:
+            counts[ch] = max(usage.get(ch, 0), 1)
+        table = _normalize(counts)
+    return sorted(table.items())
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    text_col: str,
+    pieces: list[tuple[str, float]],
+    max_piece_len: int = 8,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize with a learned unigram table: whitespace words ->
+    Viterbi segmentation (same tie-breaks as learning — differential-
+    tested), memoized per Arrow batch like ``apply_bpe_batched``.
+    Characters outside the table emit themselves as UNK-cost single
+    pieces, so output always reconstructs the input (minus whitespace).
+    NULL text -> NULL tokens."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    table = dict(pieces)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = _viterbi(w, table, max_piece_len)
+            return got
+
+        def one(t: str | None) -> list[str] | None:
+            if t is None:
+                return None
+            return [p for w in ws.split(t) if w for p in word(w)]
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))

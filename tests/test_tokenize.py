@@ -288,3 +288,122 @@ def test_apply_bpe_batched_matches_inplan(spark):
     )
     for r in both.collect():
         assert r["batched"] == r["inplan"], r["doc_id"]
+
+
+# ------------------------------------------------------------ unigram LM
+
+def test_viterbi_prefers_high_prob_long_pieces():
+    from atiesh_spark.operators.tokenize import _viterbi
+
+    table = {"ab": -1.0, "a": -2.0, "b": -2.0, "c": -2.0}
+    assert _viterbi("abc", table, 4) == ["ab", "c"]
+    # unseen char falls back to a single-char UNK piece
+    assert _viterbi("axb", table, 4) == ["a", "x", "b"]
+    # ties are deterministic
+    t2 = {"aa": -2.0, "a": -1.0}
+    assert _viterbi("aaaa", t2, 4) == _viterbi("aaaa", t2, 4)
+
+
+def test_unigram_learn_invariants(spark):
+    import math
+
+    from atiesh_spark.operators.tokenize import unigram_learn
+
+    docs = spark.createDataFrame(
+        [("hello world",), ("hello there world",), ("hello hello",)] * 5,
+        "text string",
+    )
+    pieces = unigram_learn(
+        docs, "text", target_vocab=16, em_rounds=2, max_piece_len=6,
+        seed_size=64,
+    )
+    table = dict(pieces)
+    # every corpus character is representable
+    corpus_chars = set("helloworldthere")
+    assert corpus_chars <= {p for p in table if len(p) == 1}
+    assert len(table) <= 16
+    assert abs(sum(math.exp(lp) for lp in table.values()) - 1.0) < 1e-9
+    # the dominant word becomes a single piece
+    assert "hello" in table
+    # deterministic refit
+    again = unigram_learn(
+        docs, "text", target_vocab=16, em_rounds=2, max_piece_len=6,
+        seed_size=64,
+    )
+    assert pieces == again
+
+
+def test_unigram_tokenize_reconstructs_and_compresses(spark):
+    from atiesh_spark.operators.tokenize import (
+        unigram_learn,
+        unigram_tokenize,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [("hello world",), ("the quick brown fox hello",), (None,)]
+    docs = spark.createDataFrame(rows * 3, "text string")
+    pieces = unigram_learn(
+        docs.filter(F.col("text").isNotNull()),
+        "text",
+        target_vocab=24,
+        em_rounds=2,
+        max_piece_len=6,
+        seed_size=96,
+    )
+    out = unigram_tokenize(docs, "text", pieces, max_piece_len=6).collect()
+    import re
+
+    for r in out:
+        if r["text"] is None:
+            assert r["tokens"] is None
+            continue
+        assert "".join(r["tokens"]) == re.sub(r"\s+", "", r["text"], flags=re.ASCII)
+    # the learned tokenizer genuinely compresses vs characters
+    n_tok = sum(len(r["tokens"]) for r in out if r["tokens"] is not None)
+    n_chr = sum(
+        len(re.sub(r"\s+", "", r["text"]))
+        for r in out
+        if r["text"] is not None
+    )
+    assert n_tok < n_chr
+
+
+def test_unigram_tokenize_matches_learn_segmentation(spark):
+    """Apply-side Viterbi == learn-side Viterbi (shared _viterbi, same
+    tie-breaks): segmenting the training words through the public
+    tokenizer gives the exact pieces the last E-step counted."""
+    from atiesh_spark.operators.tokenize import (
+        _viterbi,
+        unigram_learn,
+        unigram_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [("abc abd abe",), ("abc abc xyz",)] * 4, "text string"
+    )
+    pieces = unigram_learn(
+        docs, "text", target_vocab=12, em_rounds=2, max_piece_len=4,
+        seed_size=48,
+    )
+    table = dict(pieces)
+    out = unigram_tokenize(docs, "text", pieces, max_piece_len=4).collect()
+    for r in out:
+        want = [
+            p
+            for w in r["text"].split()
+            for p in _viterbi(w, table, 4)
+        ]
+        assert list(r["tokens"]) == want
+
+
+def test_unigram_learn_validates_args(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.tokenize import unigram_learn
+
+    docs = spark.createDataFrame([("x",)], "text string")
+    with _pt.raises(ValueError, match=">= 1"):
+        unigram_learn(docs, "text", target_vocab=0)
+    with _pt.raises(ValueError, match="seed_size"):
+        unigram_learn(docs, "text", target_vocab=64, seed_size=32)
