@@ -57,6 +57,11 @@ HEAVY = [
     "q117_pretrain_pipeline",
     # round 5: iterative clustering — per-round full scan + k x d digest
     "q129_kmeans_clusters",
+    # round 5b: quantization ANN family (embeddings-derived) and the
+    # unigram tokenizer (documents-derived word table)
+    "q137_pq_ann",
+    "q138_ivf_pq_ann",
+    "q141_unigram_tokenizer",
 ]
 
 
