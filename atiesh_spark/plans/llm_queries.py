@@ -1649,6 +1649,7 @@ def q86_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q139_leakage_safe_split",
+    headline=True,
     oracle="""
     WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
     reps AS (SELECT hh, MIN(doc_id) AS cluster_rep FROM h GROUP BY hh)

@@ -2484,6 +2484,7 @@ def q134_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q135_threshold_sweep",
+    headline=True,
     oracle="""
     WITH g AS (
         SELECT CAST(n_chars AS DOUBLE) AS threshold,
@@ -2540,6 +2541,7 @@ def q135_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q136_drift_report",
+    headline=True,
     oracle="""
     WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
     b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
@@ -2877,6 +2879,7 @@ def q138_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q140_quantile_rollup",
+    headline=True,
     oracle="""
     WITH base AS (
         SELECT ts, CAST(value AS DOUBLE) AS v FROM events
