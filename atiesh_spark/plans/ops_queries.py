@@ -2290,8 +2290,9 @@ def q130_ann_index_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, event_id, event_type,
-               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+               CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+                    AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, min(ts) AS session_start,
@@ -2495,12 +2496,12 @@ def q134_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n) AS n_all, SUM(np) AS p_all FROM g),
     sw AS (
         SELECT threshold, n, np,
-               SUM(n) OVER (ORDER BY threshold DESC
+               CAST(SUM(n) OVER (ORDER BY threshold DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS n_pred,
-               SUM(np) OVER (ORDER BY threshold DESC
+                   AS BIGINT) AS n_pred,
+               CAST(SUM(np) OVER (ORDER BY threshold DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS tp,
+                   AS BIGINT) AS tp,
                COALESCE(SUM(n) OVER (ORDER BY threshold ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    + (n + 1) / 2.0 AS avg_rank
@@ -2912,7 +2913,7 @@ def q138_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CASE WHEN b.hi > b.lo
                  THEN b.lo + (h.bin + 1) * (b.hi - b.lo) / 64.0
                  ELSE b.lo END, 6) AS est,
-           h.n_rows
+           CAST(h.n_rows AS BIGINT) AS n_rows
     FROM hits h, bounds b
     """,
     doc="Mergeable quantile rollup (operators/rollup.py "

@@ -9,6 +9,16 @@ non-SQL-expressible op (rows-only check); as of round 2 every
 registered query has an oracle — non-deterministic outputs (sketches,
 k-means cells) are graded via bounded-error/recall booleans against a
 constant truth table instead.
+
+CANONICALIZATION RULE (learned rounds 4-5, do not reintroduce): every
+SUM-derived integer column an oracle OUTPUTS — plain ``SUM(...)``,
+``SUM(...) OVER (...)``, or anything computed from one — must be wrapped
+in ``CAST(... AS BIGINT)``. DuckDB widens integer SUM to HUGEINT
+(INT128); the driver's hasher serializes HUGEINT differently from
+BIGINT even when the values are identical, so ``rows_match`` and
+``schema_match`` stay true while ``hash_match`` flips (this is exactly
+what happened to q131/q135/q140 in round 5). ``COUNT(*)`` is already
+BIGINT and safe; SUM of DOUBLE is DOUBLE and safe.
 """
 
 from __future__ import annotations

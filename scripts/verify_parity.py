@@ -55,6 +55,22 @@ def main() -> int:
             print(f"{name}: rows-only ({len(srows)})", flush=True)
             continue
         res = con.sql(oracles[name])
+        # The driver's hasher serializes DuckDB HUGEINT (INT128, from any
+        # uncast integer SUM) differently from BIGINT even when values are
+        # identical — the Python-side canon below can't see the type, so
+        # check dtypes explicitly (q131/q135/q140 lesson, round 5).
+        bad_types = [
+            (c, str(t)) for c, t in zip(res.columns, res.types)
+            if str(t) in ("HUGEINT", "INT128", "UHUGEINT")
+        ]
+        if bad_types:
+            failed.append(name)
+            print(
+                f"{name}: ORACLE TYPE ERROR — HUGEINT columns {bad_types}; "
+                "CAST the SUM to BIGINT (registry.py canonicalization rule)",
+                flush=True,
+            )
+            continue
         drows = canon(res.fetchall(), res.columns)
         ok = srows == drows
         if not ok:
