@@ -110,6 +110,15 @@ def kmeans_fit(
         raise ValueError(f"need at least k={k} rows to fit, got {len(seeds)}")
     centroids = [list(r["__v"]) for r in seeds]
     d = len(centroids[0])
+    ragged = [i for i, c in enumerate(centroids) if len(c) != d]
+    if ragged:
+        # A wrong-length seed would become a centroid whose zip_with
+        # distance pads NULLs, silently corrupting the argmin for every
+        # row in later rounds — fail loudly instead.
+        raise ValueError(
+            f"seed rows {ragged} have dimension != {d}; the embedding "
+            "column is ragged — filter to a single dimension before fitting"
+        )
     base = base.filter(F.size("__v") == d)
 
     for _ in range(iterations):

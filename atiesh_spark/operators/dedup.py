@@ -579,6 +579,13 @@ def rare_shingle_candidates(
     if max_df < 2:
         raise ValueError("max_df must be >= 2 (a pair needs two docs)")
     sh = shingles if shingles is not None else char_shingles(df, id_col, text_col, k)
+    # Collapse to one row per (sh, id) BEFORE counting: the shingles=
+    # slot is shared with the MinHash family, whose frames may carry
+    # in-document repeats (distinct=False) — raw row counts would then
+    # inflate __df past max_df and genuinely rare shingles would stop
+    # generating candidates. The map-side-combined distinct also caps
+    # the a×b fanout below at true-df rows per shingle.
+    sh = sh.select("sh", id_col).distinct()
     # df counts FIRST (map-side-combined count, no id lists), THEN the
     # survivors' ids: a boilerplate shingle present in every document
     # must never aggregate a corpus-sized id array on one reducer

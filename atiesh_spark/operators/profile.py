@@ -306,9 +306,28 @@ def drift_report(
     pieces: list[DataFrame] = []
     for c in numeric_cols:
         v = F.col(c).cast("double")
+        # Enforce the documented precondition lazily but LOUDLY: with an
+        # empty/all-NULL snapshot A the min/max bounds are NULL, every
+        # candidate value would fall into bin 0 with NULL edges, and the
+        # report would be silently meaningless. raise_error keeps this a
+        # zero-extra-job check that fires when the plan executes.
         bounds = df_a.agg(
             F.min(v).cast("double").alias("__lo"),
             F.max(v).cast("double").alias("__hi"),
+        ).select(
+            F.when(
+                F.col("__lo").isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"drift_report: numeric feature {c!r} has no "
+                        "non-NULL rows in reference snapshot A — bounds "
+                        "undefined"
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.col("__lo"))
+            .alias("__lo"),
+            "__hi",
         )
         width = (F.col("__hi") - F.col("__lo")) / F.lit(float(num_bins))
         raw = F.when(width > 0, F.floor((v - F.col("__lo")) / width)).otherwise(

@@ -45,6 +45,21 @@ def cascade_rollup(
     """
     if not levels:
         raise ValueError("need at least one level")
+    # Enforce the docstring's nesting contract (previously prose-only):
+    # with epoch-aligned tumbling windows, level i+1 is exactly a union
+    # of level-i buckets iff its duration is an integer multiple of the
+    # previous level's — otherwise coarse rows silently misattribute
+    # mass across straddled fine buckets.
+    from atiesh_spark.config import parse_duration_seconds
+
+    secs = [parse_duration_seconds(lvl) for lvl in levels]
+    for i in range(1, len(secs)):
+        if secs[i] <= 0 or secs[i] % secs[i - 1] != 0:
+            raise ValueError(
+                f"levels do not nest: {levels[i]!r} is not an integer "
+                f"multiple of {levels[i - 1]!r} — the cascade would "
+                "re-aggregate straddled buckets"
+            )
     for name, (_, kind) in aggs.items():
         if kind not in _REAGG:
             raise ValueError(

@@ -552,7 +552,11 @@ def balanced_shards(
         df.withColumn("__negw", neg), ["__negw", id_col], index_col="__r"
     )
     s = F.lit(num_shards)
-    block_even = (F.col("__r") / s).cast("long") % 2 == 0
+    # Integer division in-plan ('div'), never double division: for huge
+    # ranks with a non-power-of-two shard count the correctly-rounded
+    # double quotient can land exactly on an integer and flip the block
+    # parity vs. true r // s, mis-assigning serpentine boundary rows.
+    block_even = F.expr(f"__r div {num_shards}") % 2 == 0
     pos = F.col("__r") % s
     return ranked.withColumn(
         shard_col,
@@ -625,8 +629,16 @@ def leakage_safe_split(
     if rep_col in df.columns or split_col in df.columns:
         raise ValueError(f"{rep_col!r}/{split_col!r} collide with input columns")
     if text_col is not None:
+        # NULL text ⇒ singleton cluster keyed on own id (md5(NULL) is
+        # NULL, and a NULL key never matches the equi-join below — rows
+        # would silently vanish from the split otherwise). The "\x00id:"
+        # prefix can't collide with an md5 hex digest.
         keyed = df.withColumn(
-            "__lsh", F.md5(F.col(text_col).cast("binary"))
+            "__lsh",
+            F.coalesce(
+                F.md5(F.col(text_col).cast("binary")),
+                F.concat(F.lit("\x00id:"), F.col(id_col).cast("string")),
+            ),
         )
         reps = keyed.groupBy("__lsh").agg(F.min(id_col).alias(rep_col))
         mapped = keyed.join(reps, "__lsh").drop("__lsh")

@@ -1032,6 +1032,14 @@ def pq_fit(
             f"got {len(seeds)}"
         )
     d = len(seeds[0]["__v"])
+    ragged = [i for i, r in enumerate(seeds) if len(r["__v"]) != d]
+    if ragged:
+        # Same guard as cluster.kmeans_fit: a wrong-length seed slice
+        # would pad NULLs through zip_with and corrupt every assignment.
+        raise ValueError(
+            f"seed rows {ragged} have dimension != {d}; the embedding "
+            "column is ragged — filter to a single dimension before fitting"
+        )
     if d % num_subspaces != 0:
         raise ValueError(
             f"vector dim {d} not divisible by num_subspaces={num_subspaces}"

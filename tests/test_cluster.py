@@ -114,3 +114,16 @@ def test_kmeans_drops_ragged_vectors(spark):
     got = kmeans_assign(df, cents)
     ids = {r["vec_id"] for r in got.collect()}
     assert 99 not in ids and len(ids) == 12
+
+
+def test_kmeans_fit_rejects_ragged_seed_rows(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.cluster import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0]), (3, [4.0, 5.0])],
+        "id long, emb array<double>",
+    )
+    with _pt.raises(ValueError, match="ragged"):
+        kmeans_fit(emb, "id", "emb", k=3, iterations=1)

@@ -268,3 +268,21 @@ def test_rare_shingle_candidates_never_aggregates_id_lists(spark):
         .toString()
     )
     assert "collect_set" not in plan and "collect_list" not in plan
+
+
+def test_rare_shingle_candidates_df_ignores_in_doc_repeats(spark):
+    # The shingles= slot is shared with the MinHash family whose frames
+    # may carry in-document repeats; document frequency must count
+    # DOCUMENTS, not rows, or rare shingles silently stop pairing.
+    from atiesh_spark.operators.dedup import rare_shingle_candidates
+
+    # shingle "xyz" appears in exactly 2 docs but 5 times in doc 1
+    sh = spark.createDataFrame(
+        [("xyz", 1)] * 5 + [("xyz", 2), ("aaa", 1), ("bbb", 2)],
+        "sh string, doc_id long",
+    )
+    df = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
+    pairs = rare_shingle_candidates(
+        df, "doc_id", "text", max_df=2, shingles=sh
+    ).collect()
+    assert [(r["id_1"], r["id_2"]) for r in pairs] == [(1, 2)]

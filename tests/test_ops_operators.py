@@ -569,3 +569,17 @@ def test_drift_report_validates_args(spark):
         drift_report(df, df, numeric_cols=["v"], smoothing=0.0)
     with pytest.raises(ValueError, match="num_bins"):
         drift_report(df, df, numeric_cols=["v"], num_bins=0)
+
+
+def test_drift_report_raises_on_all_null_reference(spark):
+    # With an empty/all-NULL snapshot A the bounds are NULL and the
+    # whole numeric report would be silently meaningless; the operator
+    # must fail loudly when the plan executes instead.
+    import pytest as _pt
+
+    from atiesh_spark.operators.profile import drift_report
+
+    a = spark.createDataFrame([(None,), (None,)], "v double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with _pt.raises(Exception, match="non-NULL rows in reference"):
+        drift_report(a, b, numeric_cols=["v"]).collect()

@@ -271,3 +271,17 @@ def test_quantile_rollup_excludes_nulls_and_validates(spark):
         quantile_rollup(df, "ts", "value", quantiles=(0.0,))
     with _pt.raises(ValueError, match="num_bins"):
         quantile_rollup(df, "ts", "value", num_bins=0)
+
+
+def test_cascade_rollup_rejects_non_nesting_levels(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.rollup import cascade_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1)], "ts string, v long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pt.raises(ValueError, match="do not nest"):
+        cascade_rollup(df, "ts", ["7 hours", "1 day"], {"n": (None, "count")})
+    # nesting multiples still accepted
+    cascade_rollup(df, "ts", ["3 hours", "1 day"], {"n": (None, "count")})

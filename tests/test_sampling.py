@@ -436,3 +436,39 @@ def test_leakage_safe_split_validates_args(spark):
             {"train": 1.0},
             text_col="text",
         )
+
+
+def test_leakage_safe_split_keeps_null_text_rows(spark):
+    # md5(NULL) is NULL and a NULL key never equi-joins: before the
+    # round-6 fix NULL-text docs vanished from the split entirely.
+    from atiesh_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_split(
+            df, "doc_id", {"train": 0.5, "val": 0.5}, text_col="text"
+        ).collect()
+    }
+    # no row lost
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    # NULL-text rows are singleton clusters: each is its own rep
+    assert out[3]["cluster_rep"] == 3
+    assert out[4]["cluster_rep"] == 4
+    # duplicate cluster still moves as one unit
+    assert out[1]["cluster_rep"] == out[2]["cluster_rep"] == 1
+    assert out[1]["split"] == out[2]["split"]
+
+
+def test_balanced_shards_uses_integer_division_for_parity(spark):
+    # The serpentine block parity must be computed with integer 'div',
+    # never a double quotient cast back to long (exact-integer doubles
+    # flip boundary parities at very large ranks).
+    from atiesh_spark.operators.sampling import balanced_shards
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_bytes long")
+    plan = balanced_shards(df, "n_bytes", 7, "doc_id")._jdf.queryExecution().analyzed().toString()
+    assert "cast(__r as double)" not in plan.lower()

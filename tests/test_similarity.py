@@ -780,3 +780,16 @@ def test_ivf_pq_validates_dimensions(spark):
         ivf_pq_topk(enc, cells, cbs, [1.0, 2.0], k=3)
     with _pt.raises(ValueError, match="positive"):
         ivf_pq_topk(enc, cells, cbs, rows[0][1], k=0)
+
+
+def test_pq_fit_rejects_ragged_seed_rows(spark):
+    import pytest as _pt
+
+    from atiesh_spark.operators.similarity import pq_fit
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [3.0, 1.0]), (3, [4.0, 5.0, 6.0, 7.0])],
+        "id long, emb array<double>",
+    )
+    with _pt.raises(ValueError, match="ragged"):
+        pq_fit(emb, "id", "emb", num_subspaces=2, codebook_size=3, iterations=1)
