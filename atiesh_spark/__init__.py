@@ -20,6 +20,16 @@ See SURVEY.md for the full blueprint and reference citations.
 
 from atiesh_spark.session import get_spark
 
+
+def boot(spark, path):
+    """File-based pipeline boot (``Atiesh.main`` ≅): see
+    :mod:`atiesh_spark.bootstrap`. Lazy import keeps bare
+    ``import atiesh_spark`` free of streaming-module import cost."""
+    from atiesh_spark.bootstrap import boot as _boot
+
+    return _boot(spark, path)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "boot", "__version__"]
