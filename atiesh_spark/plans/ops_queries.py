@@ -3021,3 +3021,74 @@ def q141_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(vocab_ok).alias("vocab_ok"),
         )
     )
+
+
+@register(
+    "q142_clean_corpus_stream_replay",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, replace(text, ' batch ', chr(10)) AS text
+        FROM documents
+    ),
+    t0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    lns AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ls)),
+                      i -> struct_pack(ord := i, line := ls[i]))) AS s
+        FROM t0
+    ),
+    l2 AS (SELECT doc_id, s.ord AS ord, s.line AS line,
+                  trim(s.line) AS norm FROM lns),
+    common AS (
+        SELECT norm FROM l2 WHERE norm <> ''
+        GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT doc_id, ord, line FROM l2
+        WHERE norm NOT IN (SELECT norm FROM common)
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text,
+               count(*) AS n_lines_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t0.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+           coalesce(reb.n_lines_kept, 0) AS n_lines_kept,
+           len(t0.ls) - coalesce(reb.n_lines_kept, 0) AS n_lines_removed
+    FROM t0 LEFT JOIN reb USING (doc_id)
+    """,
+    doc="StreamingCleanCorpus end-to-end composite, driver-graded "
+    "(operators/corpus.py StreamingCleanCorpus): the round-5 verdict's "
+    "ask — TWO maintenance loops composed in ONE foreachBatch function. "
+    "Documents stream in as 3 hash-split batches; each batch merges "
+    "line frequencies into the versioned freq store AND maintains a "
+    "continuously-clean corpus store, retroactively re-cleaning only "
+    "the stored docs whose postings hit the digests that crossed the "
+    "df>=2 threshold in that merge (boilerplate monotonicity makes "
+    "cleaning clean_text against the delta exact). Final batch replayed "
+    "under the same id (VersionedStore convergence); the final clean "
+    "store must hash-equal the one-shot batch line_dedup over the whole "
+    "corpus — q68's oracle. Streaming story upgrade: q125 graded the "
+    "frequency store alone; this grades frequencies FEEDING line_dedup "
+    "continuously, the brief's curation pipeline as a live stream.",
+)
+def q142_clean_corpus_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.corpus import StreamingCleanCorpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' batch ', chr(10))").alias("text")
+    )
+    chunks = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="cleancorpus_replay_")
+    try:
+        cc = StreamingCleanCorpus("doc_id", "text", tmp, max_doc_freq=2)
+        _replay_chunks(docs, cc, chunks)
+        final = cc.read(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final

@@ -426,3 +426,57 @@ def test_remove_duplicate_spans_shuffle_join_mode_matches_broadcast(spark):
     assert canon(bcast) == canon(shuffle)
     # the opt-out really removes the broadcast hint from the keeper join
     assert "broadcast" not in shuffle._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_streaming_clean_corpus_matches_batch_line_dedup(spark, tmp_path):
+    # Boilerplate emerges ACROSS batches: line "nav" reaches df=2 only
+    # in batch 2, so doc 1 (stored clean in batch 1) must be re-cleaned
+    # retroactively; line "foot" crosses in batch 3, touching docs 1-4.
+    from atiesh_spark.operators.corpus import StreamingCleanCorpus, line_dedup
+
+    rows = [
+        (1, "nav\nalpha\nfoot"),
+        (2, "beta\ngamma"),
+        (3, "nav\ndelta\nfoot"),
+        (4, "epsilon\n\nfoot"),
+        (5, "zeta"),
+        (6, "foot"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [[1, 2], [3, 4], [5, 6]]
+
+    cc = StreamingCleanCorpus("doc_id", "text", str(tmp_path / "cc"), max_doc_freq=2)
+    for i, ids in enumerate(batches):
+        cc(df.filter(F.col("doc_id").isin(ids)), i + 1)
+    # replay the final batch under the same id: must converge
+    cc(df.filter(F.col("doc_id").isin(batches[-1])), len(batches))
+
+    got = sorted(tuple(r) for r in cc.read(spark).collect())
+    want = sorted(tuple(r) for r in line_dedup(df, "doc_id", "text", max_doc_freq=2).collect())
+    assert got == want
+    # sanity on the semantics themselves: nav+foot are boilerplate
+    by_id = {t[0]: t for t in got}
+    assert by_id[1] == (1, "alpha", 1, 2)
+    assert by_id[6] == (6, "", 0, 1)
+
+
+def test_streaming_clean_corpus_prefix_consistency(spark, tmp_path):
+    # After ANY prefix of batches the store equals the batch rebuild
+    # over the documents seen so far.
+    from atiesh_spark.operators.corpus import StreamingCleanCorpus, line_dedup
+
+    rows = [(i, f"common\nuniq{i}") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cc = StreamingCleanCorpus("doc_id", "text", str(tmp_path / "cc2"), max_doc_freq=3)
+    seen = []
+    for b, ids in enumerate([[1, 2], [3], [4, 5, 6]]):
+        seen += ids
+        cc(df.filter(F.col("doc_id").isin(ids)), b + 1)
+        got = sorted(tuple(r) for r in cc.read(spark).collect())
+        want = sorted(
+            tuple(r)
+            for r in line_dedup(
+                df.filter(F.col("doc_id").isin(seen)), "doc_id", "text", max_doc_freq=3
+            ).collect()
+        )
+        assert got == want, f"after batch {b + 1}"
