@@ -3092,3 +3092,69 @@ def q142_clean_corpus_stream_replay(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+@register(
+    "q143_ivf_pq_bench",
+    oracle="SELECT true AS count_ok, true AS scan_bounded, "
+    "true AS codes_ok",
+    headline=True,
+    doc="Reduced-iteration IVF-PQ bench cell (operators/similarity.py "
+    "ivf_pq_fit/encode/topk at 1 Lloyd round): the round-5 verdict's "
+    "ask — q137/q138 are solo-recorded and scale-probed but too slow "
+    "(26-43 s, mostly fixed per-job overhead x 3 fit rounds + exact-"
+    "rank grading) for the per-round headline diff, so a plan "
+    "regression in the ANN-compression family would only surface in "
+    "the once-per-round probe. This cell runs the SAME plan shapes — "
+    "coarse assign, residual PQ fit, zero-shuffle encode, cell-probed "
+    "ADC scan — at 1 round with no exact-rank checks, cheap enough to "
+    "diff every round. Graded on structure only (rows conserved, "
+    "probe filter bounds the scan, codes in range); recall quality "
+    "stays q137/q138's job.",
+)
+def q143_ivf_pq_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import (
+        as_double,
+        ivf_pq_encode,
+        ivf_pq_fit,
+        ivf_pq_topk,
+    )
+
+    m, kc = 8, 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells, cbs = ivf_pq_fit(
+        emb, num_cells=8, num_subspaces=m, codebook_size=kc, iterations=1
+    )
+    encoded = ivf_pq_encode(emb, cells, cbs).localCheckpoint()
+    qv = list(
+        emb.filter(F.col("vec_id") == 0)
+        .select(as_double("embedding").alias("v"))
+        .first()["v"]
+    )
+    topk = ivf_pq_topk(encoded, cells, cbs, qv, k=10, n_probe=2)
+    probes = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, c)), i)
+            for i, c in enumerate(cells)
+        )[:2]
+    ]
+    stats = encoded.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("cell").isin(probes), 1).otherwise(0)
+        ).alias("__scanned"),
+        F.max(F.array_max("codes")).alias("__cmax"),
+        F.min(F.array_min("codes")).alias("__cmin"),
+    ).first()
+    n_emb = emb.count()
+    return spark.createDataFrame(
+        [
+            (
+                bool(stats["__n"] == n_emb and topk.count() == 10),
+                bool(0 < stats["__scanned"] < stats["__n"]),
+                bool(0 <= stats["__cmin"] and stats["__cmax"] < kc),
+            )
+        ],
+        "count_ok boolean, scan_bounded boolean, codes_ok boolean",
+    )

@@ -226,6 +226,55 @@ def main() -> None:
         cross[n_pat] = cell
         print(f"  blocklist n={n_pat}: {cell}", file=sys.stderr)
     out["blocklist_engine_crossover"] = cross
+
+    # PQ at production parameters: k=256 codes (Jegou et al.'s setting)
+    # makes the nested-literal codebook 16x larger than q143's bench
+    # cell — the round-4 Catalyst lesson says PLAN-ANALYSIS time is the
+    # risk as literals grow, so measure it separately from execution:
+    # t_analysis = force executedPlan() on the ADC scan (analyze +
+    # optimize + physical-plan the m x 256 x sub_d literal tree),
+    # t_total = fit(1 round) + encode + ADC executed end-to-end.
+    from atiesh_spark.operators.similarity import (
+        as_double,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    def run_pq256(sf_dir: str) -> dict:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = list(
+            emb.filter(emb.vec_id == 0)
+            .select(as_double("embedding").alias("v"))
+            .first()["v"]
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cbs = pq_fit(
+                emb, num_subspaces=8, codebook_size=256, iterations=1
+            )
+            enc = pq_encode(emb, cbs).localCheckpoint()
+            adc = pq_adc_topk(enc, cbs, qv, k=10)
+            ta0 = time.perf_counter()
+            adc._jdf.queryExecution().executedPlan()
+            t_analysis = time.perf_counter() - ta0
+            adc.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            if best is None or el < best["total_sec"]:
+                best = {
+                    "total_sec": round(el, 2),
+                    "adc_analysis_sec": round(t_analysis, 2),
+                }
+        return best
+
+    a, b = run_pq256(BASE), run_pq256(OUT)
+    out["pq_ann_k256"] = {
+        "sf0.1": a,
+        "sf1": b,
+        "ratio": round(b["total_sec"] / a["total_sec"], 2),
+    }
+    print(f"  pq_ann_k256: {a} -> {b}", file=sys.stderr)
     print(json.dumps({"copies": COPIES, "queries": out}))
 
 
