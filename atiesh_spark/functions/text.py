@@ -114,3 +114,47 @@ def ws_tokens(col: Column | str) -> Column:
     of restating the split so they cannot silently diverge."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+_BLOCK_TAG_RE = r"(?i)<\s*(?:br\s*/?|/(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote))\s*>"
+_DROP_BLOCK_RE = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_TAG_RE = r"<[^>]+>"
+
+#: decode order matters: &amp; LAST, so "&amp;lt;" ends as "&lt;" (the
+#: text the author wrote), never a second-round "<".
+_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Plain text from HTML-ish markup — the extraction step between a
+    crawl snapshot and every text operator in this repo. Row-local
+    codegen (chained regexp_replace, no UDF): riding the scan at any
+    scale. Deliberately a TAG STRIPPER, not a DOM parser (no
+    readability scoring, no boilerplate heuristics — line_dedup does
+    cross-document boilerplate properly):
+
+    1. drop <script>/<style> elements wholesale (content is code);
+    2. drop <!-- comments -->;
+    3. block-level closers and <br> become newlines (so paragraphs
+       survive as line structure for line_dedup/chunking);
+    4. every remaining tag is removed;
+    5. the six ubiquitous entities are decoded (&amp; last, so
+       double-escaped text decodes one level, never two);
+    6. spaces/tabs collapse, 3+ newlines collapse to the paragraph
+       break, result trimmed.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _DROP_BLOCK_RE, "")
+    c = F.regexp_replace(c, _COMMENT_RE, "")
+    c = F.regexp_replace(c, _BLOCK_TAG_RE, "\n")
+    c = F.regexp_replace(c, _TAG_RE, "")
+    for ent, ch in _ENTITIES:
+        c = F.regexp_replace(c, re.escape(ent), ch)
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(c)

@@ -48,6 +48,8 @@ from atiesh_spark.operators.tokenize import (
     unigram_tokenize,
 )
 from atiesh_spark.operators.skew import salted_aggregate, salted_broadcast_join
+from atiesh_spark.operators.web import canonicalize_urls, domain_stats
+from atiesh_spark.operators.frequent import heavy_hitters, heavy_hitters_report
 from atiesh_spark.operators.textstats import (
     fingerprint,
     language_id,
@@ -123,4 +125,8 @@ __all__ = [
     "apply_bpe_batched",
     "unigram_learn",
     "unigram_tokenize",
+    "canonicalize_urls",
+    "domain_stats",
+    "heavy_hitters",
+    "heavy_hitters_report",
 ]

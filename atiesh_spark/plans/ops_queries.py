@@ -3158,3 +3158,238 @@ def q143_ivf_pq_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "count_ok boolean, scan_bounded boolean, codes_ok boolean",
     )
+
+
+_Q144_URL_RE = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+)
+
+
+@register(
+    "q144_url_canonicalize",
+    oracle=r"""
+    WITH urls AS (
+        SELECT doc_id,
+               (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+                     ELSE 'https' END)
+               || '://'
+               || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+               || source || '.Example.COM'
+               || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                        WHEN doc_id % 7 = 0 THEN ':8080'
+                        WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END)
+               || '/docs//' || lang
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || '?utm_source=x&b=' || (doc_id % 7) || '&a=' || (doc_id % 3)
+               || (CASE WHEN doc_id % 2 = 0 THEN '&gclid=g' ELSE '' END)
+               || '#s' || (doc_id % 5) AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+                 1)) AS scheme,
+               lower(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+                 2)) AS hp,
+               regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+                 3) AS raw_path,
+               regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+                 4) AS raw_q
+        FROM urls
+    ),
+    norm AS (
+        SELECT doc_id, url, scheme,
+               regexp_replace(regexp_replace(hp, ':[0-9]+$', ''),
+                              '^www\.', '') AS host,
+               regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+               CASE WHEN regexp_replace(regexp_replace(raw_path, '/{2,}', '/',
+                         'g'), '(.)/$', '\1') = ''
+                    THEN '/'
+                    ELSE regexp_replace(regexp_replace(raw_path, '/{2,}', '/',
+                         'g'), '(.)/$', '\1') END AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(ltrim(raw_q, '?'), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[^=]*|fbclid|gclid|ref|mc_eid)(=.*)?$'))),
+                   '&') AS q
+        FROM parts
+    )
+    SELECT doc_id, url, host,
+           CASE WHEN len(string_split(host, '.')) >= 2
+                THEN string_split(host, '.')[-2] || '.'
+                     || string_split(host, '.')[-1]
+                ELSE host END AS registered_domain,
+           path AS path_canonical,
+           scheme || '://' || host
+           || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443'))
+                    THEN ':' || port ELSE '' END)
+           || path
+           || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
+    FROM norm
+    """,
+    headline=True,
+    doc="URL canonicalization (operators/web.py canonicalize_urls): "
+    "the first step of every crawl-derived pipeline — scheme/host "
+    "lowercasing, www. strip, default-port strip (non-default ports "
+    "kept), fragment drop, tracking-parameter removal (utm_*/fbclid/"
+    "gclid/ref/mc_eid), byte-order query-param sort, duplicate-slash "
+    "collapse and trailing-slash drop — so URL-keyed dedup and "
+    "per-domain caps (q90) see one key per resource. Messy URLs are "
+    "synthesized deterministically from doc_id/source/lang in BOTH "
+    "engines (the q68 synthesis pattern) covering every rule incl. "
+    ":443-on-http (kept) and :80-on-https (kept). All row-local "
+    "codegen — regexp_extract/split/array_sort, zero shuffles, zero "
+    "Python UDFs: canonicalizing 100 TB of URLs rides the scan for "
+    "free. Graded EXACTLY per row (hash over 6 columns).",
+)
+def q144_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.web import canonicalize_urls
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(d % 3 == 0, F.lit("HTTPS"))
+            .when(d % 3 == 1, F.lit("http"))
+            .otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".Example.COM"),
+            F.when(d % 5 == 0, F.lit(":443"))
+            .when(d % 7 == 0, F.lit(":8080"))
+            .when(d % 11 == 0, F.lit(":80"))
+            .otherwise(F.lit("")),
+            F.lit("/docs//"),
+            F.col("lang"),
+            F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=x&b="),
+            (d % 7).cast("string"),
+            F.lit("&a="),
+            (d % 3).cast("string"),
+            F.when(d % 2 == 0, F.lit("&gclid=g")).otherwise(F.lit("")),
+            F.lit("#s"),
+            (d % 5).cast("string"),
+        ).alias("url"),
+    )
+    return canonicalize_urls(docs, "url").select(
+        "doc_id", "url", "host", "registered_domain",
+        "path_canonical", "canonical_url",
+    )
+
+
+@register(
+    "q145_heavy_hitters",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> length(t) > 0)) AS word
+        FROM documents
+    )
+    SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_items,
+           CAST(count(*) // 65 AS BIGINT) AS error_bound,
+           true AS all_within_bound,
+           true AS never_overcounts,
+           true AS guaranteed_items_present
+    FROM words
+    """,
+    doc="Distributed Misra-Gries heavy hitters (operators/frequent.py "
+    "heavy_hitters): top-token/top-domain reports with k counters per "
+    "partition instead of a full distinct-key shuffle — summaries are "
+    "mergeable (Agarwal et al. PODS 2012) by per-item counter sum, "
+    "preserving the DETERMINISTIC bound exact - n/(k+1) <= est <= "
+    "exact and the guarantee that every item above n/(k+1) survives. "
+    "One mapInPandas pass (the sketch is sequential per partition — "
+    "the legitimate Pandas-UDF case), then a groupBy over <= "
+    "partitions x k rows: a few-MB shuffle at any corpus size. Graded "
+    "at k=64 over the corpus word stream: n_items and the bound are "
+    "exact cross-engine values; the three booleans audit the sketch "
+    "against the exact counts (estimates are arrival-order-dependent "
+    "WITHIN the bound, so the bound is the contract, not the values).",
+)
+def q145_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.frequent import heavy_hitters_report
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return heavy_hitters_report(words, "word", k=64)
+
+
+@register(
+    "q146_markup_strip",
+    oracle=r"""
+    WITH html AS (
+        SELECT doc_id,
+               '<html><head><style>p{margin:0}</style><script>var x='
+               || doc_id || ';</script></head><body><!-- id ' || doc_id
+               || ' --><h1>Doc ' || doc_id || '</h1><p>'
+               || replace(text, ' batch ', '</p><p>')
+               || '</p><div>tail&nbsp;&amp;amp;&lt;' || lang
+               || '&gt;</div></body></html>' AS raw
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(raw,
+            '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+            '', 'g') AS t FROM html),
+    s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g')
+           AS t FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t,
+            '(?i)<\s*(?:br\s*/?|/(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote))\s*>',
+            chr(10), 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s3),
+    s5 AS (SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(t,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+    s6 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s5),
+    s7 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g')
+           AS t FROM s6),
+    s8 AS (SELECT doc_id, regexp_replace(t, '\n{3,}', chr(10) || chr(10), 'g')
+           AS t FROM s7)
+    SELECT doc_id, trim(t) AS clean_text FROM s8
+    """,
+    headline=True,
+    doc="Markup stripping (functions/text.py strip_markup): the text-"
+    "extraction step between a crawl snapshot and every text operator "
+    "— script/style elements dropped wholesale, comments dropped, "
+    "block-level closers and <br> become newlines (paragraph structure "
+    "survives as lines for line_dedup/chunking), remaining tags "
+    "removed, the six ubiquitous entities decoded (&amp; LAST, so "
+    "double-escaped text decodes exactly one level), whitespace "
+    "collapsed. Deliberately a tag stripper, not a DOM parser. HTML is "
+    "synthesized deterministically around each document's text in both "
+    "engines; graded EXACTLY per row. Row-local chained "
+    "regexp_replace codegen — zero shuffles, zero Python UDFs; the "
+    "oracle mirrors it with RE2-safe alternation (no backreferences).",
+)
+def q146_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.functions.text import strip_markup
+
+    d = F.col("doc_id").cast("string")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{margin:0}</style><script>var x="),
+            d,
+            F.lit(";</script></head><body><!-- id "),
+            d,
+            F.lit(" --><h1>Doc "),
+            d,
+            F.lit("</h1><p>"),
+            F.expr("replace(text, ' batch ', '</p><p>')"),
+            F.lit("</p><div>tail&nbsp;&amp;amp;&lt;"),
+            F.col("lang"),
+            F.lit("&gt;</div></body></html>"),
+        ).alias("raw"),
+    )
+    return docs.select(
+        "doc_id", strip_markup("raw").alias("clean_text")
+    )

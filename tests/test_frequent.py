@@ -1,0 +1,61 @@
+"""Misra-Gries heavy hitters (operators/frequent.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.frequent import heavy_hitters, heavy_hitters_report
+
+
+def test_heavy_hitters_never_overcounts_and_bound(spark):
+    # Zipf-ish stream: item i appears 2^(10-i) times, i=0..9
+    rows = [(f"it{i}",) for i in range(10) for _ in range(2 ** (10 - i))]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    n = len(rows)
+    k = 8
+    est = {r["item"]: r["est"] for r in heavy_hitters(df, "item", k=k).collect()}
+    exact = {f"it{i}": 2 ** (10 - i) for i in range(10)}
+    bound = n // (k + 1)
+    for it, e in est.items():
+        assert e <= exact[it], f"{it} overcounted"
+        assert e >= exact[it] - bound, f"{it} below bound"
+    # frequent-items guarantee: everything above n/(k+1) is present
+    for it, c in exact.items():
+        if c > bound:
+            assert it in est, f"{it} (exact {c} > bound {bound}) missing"
+
+
+def test_heavy_hitters_exact_when_k_covers_all(spark):
+    # k >= distinct items: MG never decrements, estimates are exact
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "item string").repartition(2)
+    est = {r["item"]: r["est"] for r in heavy_hitters(df, "item", k=10).collect()}
+    assert est == {"a": 5, "b": 3, "c": 2}
+
+
+def test_heavy_hitters_top_and_nulls_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [(None,)] * 4 + [("b",)] * 3 + [("c",)] * 1,
+        "item string",
+    )
+    got = heavy_hitters(df, "item", k=10, top=2).collect()
+    assert [(r["item"], r["est"]) for r in got] == [("a", 5), ("b", 3)]
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "item", k=0)
+
+
+def test_heavy_hitters_report_all_green(spark):
+    docs = spark.createDataFrame(
+        [(i, "the quick fox " + f"w{i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    row = heavy_hitters_report(words, "word", k=16).collect()[0]
+    assert row["all_within_bound"]
+    assert row["never_overcounts"]
+    assert row["guaranteed_items_present"]
+    assert row["n_items"] == 3 + 7
+    assert row["error_bound"] == (200 * 4) // 17

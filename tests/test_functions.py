@@ -257,3 +257,28 @@ def test_register_sql_functions_exposes_seam_to_sql(spark):
     for r in got:
         if r["n"] is not None:
             assert r["rt"] is not None
+
+
+def test_strip_markup_rules(spark):
+    from atiesh_spark.functions.text import strip_markup
+
+    cases = [
+        # script/style dropped wholesale, incl. attributes and case
+        ("<SCRIPT src=x>var a=1;</script>keep<style>p{}</STYLE>", "keep"),
+        # comments dropped, block closers -> newline, tags stripped
+        # adjacent block boundaries leave a paragraph break (2 newlines)
+        ("<!-- c --><p>one</p><div>two</div><br>three", "one\ntwo\n\nthree"),
+        # entity decode is single-level: &amp;lt; -> &lt;, never <
+        ("a &amp;lt; b &lt;i&gt; &nbsp;c", "a &lt; b <i> c"),
+        # whitespace collapse + trim
+        ("  <b>x</b>\t\ty <p></p>\n\n\n\nz  ", "x y\n\nz"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "id long, raw string"
+    )
+    got = {
+        r["id"]: r["o"]
+        for r in df.select("id", strip_markup("raw").alias("o")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
