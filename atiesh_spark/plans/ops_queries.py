@@ -3393,3 +3393,86 @@ def q146_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", strip_markup("raw").alias("clean_text")
     )
+
+
+@register(
+    "q147_ann_index_delete_replay",
+    oracle="""
+    WITH survivors AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE (vec_id % 3 = 0 AND vec_id % 9 <> 0)
+           OR vec_id % 27 = 0
+           OR (vec_id % 3 = 1 AND vec_id % 9 <> 1)
+           OR vec_id % 3 = 2
+    ),
+    v AS (
+        SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS d,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM survivors
+    ),
+    signs AS (
+        SELECT p, d,
+               ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1))::INT % 2) * 2 - 1)::DOUBLE AS sgn
+        FROM (SELECT unnest(generate_series(0, 3)) AS p),
+             (SELECT unnest(generate_series(0, 63)) AS d)
+    ),
+    proj AS (
+        SELECT v.vec_id, s.p, round(SUM(v.x * s.sgn), 6) AS pr
+        FROM v JOIN signs s ON v.d = s.d
+        GROUP BY v.vec_id, s.p
+    )
+    SELECT vec_id,
+           string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+    doc="StreamingAnnIndex DELETE/tombstone contract, driver-graded "
+    "(operators/similarity.py StreamingAnnIndex with op_col): q130 "
+    "graded append-only growth; production embedding stores also "
+    "retract (documents removed for takedown/licensing, re-embedded "
+    "under a new model). CDC-shaped batches stream in: batch 1 upserts "
+    "ids=0 mod 3; batch 2 upserts ids=1 mod 3 and deletes ids=0 mod 9; "
+    "batch 3 upserts ids=2 mod 3, RE-inserts ids=0 mod 27 (previously "
+    "deleted), and deletes ids=1 mod 9; batch 3 then replays under the "
+    "same id (VersionedStore convergence). The final store must "
+    "hash-equal the one-shot signature build over exactly the keys "
+    "whose last operation was an upsert — mirrored independently by "
+    "the DuckDB sign/projection SQL over the surviving-key predicate. "
+    "Deletes are one broadcast anti-join folded into the same "
+    "key-replacement join upserts already needed; no tombstone rows "
+    "are stored, so reads never filter.",
+)
+def q147_ann_index_delete_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.similarity import StreamingAnnIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    up = F.lit("upsert")
+    batches = [
+        emb.filter(v % 3 == 0).withColumn("op", up),
+        emb.filter(v % 3 == 1)
+        .withColumn("op", up)
+        .unionByName(
+            emb.filter(v % 9 == 0).withColumn("op", F.lit("delete"))
+        ),
+        emb.filter((v % 3 == 2) | (v % 27 == 0))
+        .withColumn("op", up)
+        .unionByName(
+            emb.filter(v % 9 == 1).withColumn("op", F.lit("delete"))
+        ),
+    ]
+    tmp = tempfile.mkdtemp(prefix="ann_delete_replay_")
+    try:
+        idx = StreamingAnnIndex(tmp, num_planes=4, op_col="op")
+        for i, b in enumerate(batches):
+            idx(b, i + 1)
+        idx(batches[-1], len(batches))
+        final = idx.read(spark).select("vec_id", "bucket").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final

@@ -793,3 +793,61 @@ def test_pq_fit_rejects_ragged_seed_rows(spark):
     )
     with _pt.raises(ValueError, match="ragged"):
         pq_fit(emb, "id", "emb", num_subspaces=2, codebook_size=3, iterations=1)
+
+
+def test_streaming_ann_index_deletes(spark, tmp_path):
+    from atiesh_spark.operators.similarity import (
+        StreamingAnnIndex,
+        lsh_bucket_signatures,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -2.0, float(i % 3)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = StreamingAnnIndex(
+        str(tmp_path / "ann"), num_planes=4, op_col="op"
+    )
+    up = F.lit("upsert")
+    # batch 1: insert 0..7
+    idx(emb.filter("vec_id < 8").withColumn("op", up), 1)
+    # batch 2: delete 2,3; insert 8..11; re-insert 2 IN THE SAME BATCH
+    b2 = (
+        emb.filter("vec_id >= 8").withColumn("op", up)
+        .unionByName(emb.filter("vec_id = 2").withColumn("op", up))
+        .unionByName(
+            emb.filter("vec_id in (2, 3)").withColumn("op", F.lit("delete"))
+        )
+    )
+    idx(b2, 2)
+    # batch 3: delete an absent key (no-op) + replay batch 3 (converges)
+    b3 = emb.filter("vec_id = 999").withColumn("op", F.lit("delete"))
+    idx(b3, 3)
+    idx(b3, 3)
+
+    got = sorted(
+        (r["vec_id"], r["bucket"]) for r in idx.read(spark).collect()
+    )
+    survivors = emb.filter("vec_id <> 3")
+    want = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in lsh_bucket_signatures(survivors, num_planes=4)
+        .select("vec_id", "bucket")
+        .collect()
+    )
+    assert got == want
+    assert 3 not in {v for v, _ in got}
+    assert 2 in {v for v, _ in got}  # same-batch delete+upsert = re-insert
+
+
+def test_streaming_ann_index_op_col_missing_raises(spark, tmp_path):
+    import pytest as _pt
+
+    from atiesh_spark.operators.similarity import StreamingAnnIndex
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    idx = StreamingAnnIndex(str(tmp_path / "a2"), num_planes=2, op_col="op")
+    with _pt.raises(ValueError, match="op_col"):
+        idx(emb, 1)
