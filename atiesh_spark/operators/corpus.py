@@ -712,3 +712,62 @@ class StreamingCleanCorpus:
     def read(self, spark) -> DataFrame:
         """The continuously-clean corpus so far."""
         return self.clean.read(spark)
+
+
+def intra_doc_line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence: (id_col, out_col, n_lines_kept, n_lines_removed).
+
+    The complement of :func:`line_dedup`: cross-document frequency
+    catches boilerplate shared BETWEEN pages, but scraped pages also
+    repeat their own navigation/footer blocks internally (and LLM-era
+    corpora repeat generated paragraphs) — Gopher's repetition signals
+    (q57) MEASURE this; this operator repairs it. A line repeats when
+    its trimmed form matches an earlier line; empty/whitespace-only
+    lines are structure, never removed. First occurrence survives (vs
+    line_dedup's C4 remove-all rule: within a document the first copy
+    IS the content).
+
+    Entirely row-local: one ``aggregate`` higher-order function walks
+    the split lines with an (seen-hashes, kept-lines) accumulator —
+    zero shuffles, zero Python UDFs; the per-row cost is O(lines^2)
+    array_contains worst case, bounded by document size, the same class
+    as any per-doc string pass. At 100 TB it rides the scan.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    norm = lambda x: F.trim(x)  # noqa: E731
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("kept"),
+        F.lit(0).cast("long").alias("removed"),
+    )
+    step = lambda acc, x: F.when(  # noqa: E731
+        (norm(x) != "") & F.array_contains(acc["seen"], F.md5(norm(x).cast("binary"))),
+        F.struct(
+            acc["seen"].alias("seen"),
+            acc["kept"].alias("kept"),
+            (acc["removed"] + 1).alias("removed"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(norm(x) == "", acc["seen"])
+            .otherwise(
+                F.array_append(acc["seen"], F.md5(norm(x).cast("binary")))
+            )
+            .alias("seen"),
+            F.array_append(acc["kept"], x).alias("kept"),
+            acc["removed"].alias("removed"),
+        )
+    )
+    walked = F.aggregate(lines, acc0, step)
+    return df.select(
+        F.col(id_col),
+        F.array_join(walked["kept"], "\n").alias(out_col),
+        F.size(walked["kept"]).cast("long").alias("n_lines_kept"),
+        walked["removed"].alias("n_lines_removed"),
+    )

@@ -437,3 +437,133 @@ def dsir_log_weights(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )
+
+
+#: The eight English stop words Gopher checks for (Rae et al. 2021,
+#: Appendix A1.1 "stop word filter").
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_words: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Gopher quality gate (Rae et al. 2021, Appendix A
+    "quality filtering"): the composite rule set behind MassiveText —
+    q32-q35/q57 expose the individual signals, this is the curation
+    DECISION, one boolean per rule plus the conjunction, with the
+    measured values kept so thresholds can be re-audited offline:
+
+    (id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_words,
+    ok_word_count, ok_word_len, ok_symbol_ratio, ok_bullets,
+    ok_ellipsis, ok_alpha, ok_stop_words, pass)
+
+    where symbols are '#' characters and '...' occurrences, bullet
+    lines start with -, * or the bullet glyph after optional
+    whitespace, ellipsis lines end with '...' or the ellipsis glyph,
+    alpha words contain at least one ASCII letter, and stop words are
+    the distinct members of :data:`GOPHER_STOP_WORDS` present as
+    lowercase whitespace tokens. Empty docs (zero words) fail the
+    word-count rule; ratio rules with an empty denominator read as
+    passing (nothing to measure). All row-local codegen — zero
+    shuffles, zero Python UDFs: the gate rides the corpus scan.
+    """
+    text = F.col(text_col)
+    words = _ws_tokens(text)
+    n_words = F.size(words)
+    has_words = n_words > 0
+    mean_wl = F.when(
+        has_words,
+        F.round(
+            F.aggregate(
+                words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            )
+            / n_words,
+            round_to,
+        ),
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text)
+        - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = F.when(
+        has_words, F.round((n_hash + n_ell) / n_words, round_to)
+    )
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    has_lines = n_lines > 0
+    bullet_frac = F.when(
+        has_lines,
+        F.round(
+            F.size(F.filter(lines, lambda x: x.rlike(r"^\s*([-*•])")))
+            / n_lines,
+            round_to,
+        ),
+    )
+    ellipsis_frac = F.when(
+        has_lines,
+        F.round(
+            F.size(
+                F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+            )
+            / n_lines,
+            round_to,
+        ),
+    )
+    alpha_frac = F.when(
+        has_words,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+            round_to,
+        ),
+    )
+    lower_words = F.transform(words, F.lower)
+    n_stop = F.size(
+        F.filter(
+            F.array([F.lit(s) for s in GOPHER_STOP_WORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = F.coalesce(
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        F.lit(True),
+    )
+    ok_sym = F.coalesce(sym_ratio <= max_symbol_word_ratio, F.lit(True))
+    ok_bul = F.coalesce(bullet_frac <= max_bullet_line_frac, F.lit(True))
+    ok_ell = F.coalesce(ellipsis_frac <= max_ellipsis_line_frac, F.lit(True))
+    ok_alpha = F.coalesce(alpha_frac >= min_alpha_word_frac, F.lit(True))
+    ok_stop = n_stop >= min_stop_words
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stop_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullets"),
+        ok_ell.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop_words"),
+        (
+            ok_wc & ok_wl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
+        ).alias("pass"),
+    )

@@ -480,3 +480,36 @@ def test_streaming_clean_corpus_prefix_consistency(spark, tmp_path):
             ).collect()
         )
         assert got == want, f"after batch {b + 1}"
+
+
+def test_intra_doc_line_dedup_rules(spark):
+    from atiesh_spark.operators.corpus import intra_doc_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            # trimmed match removes ' nav ' too; first occurrence's RAW
+            # form survives; empty lines are never counted or removed
+            (1, "nav\na\n\nnav\nb\n nav \n\na"),
+            (2, ""),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in intra_doc_line_dedup(df, "doc_id", "text").collect()}
+    assert got[1]["clean_text"] == "nav\na\n\nb\n"
+    assert (got[1]["n_lines_kept"], got[1]["n_lines_removed"]) == (5, 3)
+    assert got[2]["clean_text"] == "" and got[2]["n_lines_removed"] == 0
+    assert got[3]["clean_text"] == "solo"
+
+
+def test_intra_doc_line_dedup_is_zero_shuffle(spark):
+    from atiesh_spark.operators.corpus import intra_doc_line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = (
+        intra_doc_line_dedup(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "intra-doc dedup must ride the scan"

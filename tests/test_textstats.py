@@ -93,3 +93,40 @@ def test_dsir_then_weighted_sample_composes(spark):
     # deterministic: second draw identical
     again = weighted_sample(w, "doc_id", "w", k=10).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
+
+
+def test_gopher_rules_signals_and_gate(spark):
+    from atiesh_spark.operators.textstats import gopher_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and that have with to be of # ...\n"
+                "- bullet\nnormal line..."),
+            (2, "#### #### ...."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text", min_words=5).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 17
+    assert abs(r1["symbol_word_ratio"] - 3 / 17) < 1e-5  # 1 hash + 2 '...'
+    assert abs(r1["bullet_line_frac"] - 1 / 3) < 1e-5
+    assert abs(r1["ellipsis_line_frac"] - 2 / 3) < 1e-5
+    assert r1["n_stop_words"] == 8
+    assert not r1["pass"]  # symbol + ellipsis rules fail
+    r2 = got[2]
+    assert r2["alpha_word_frac"] == 0.0
+    assert r2["n_stop_words"] == 0 and not r2["pass"]
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    from atiesh_spark.operators.textstats import gopher_rules
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        gopher_rules(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
