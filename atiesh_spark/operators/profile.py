@@ -437,3 +437,66 @@ def drift_report(
         "contrib",
         F.round(F.sum("__contrib_raw").over(w_f), 6).alias("psi"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group corpus summary — the "dataset card" table a release
+    ships with (one row per language/source/split): (group, n_docs,
+    doc_share, total_chars, mean_chars, p50_chars, p95_chars,
+    mean_words, n_exact_dup_docs, dup_share).
+
+    A doc is an exact duplicate when its md5(text) occurs more than
+    once CORPUS-WIDE (duplicates crossing groups count in every group
+    they appear in — the number tells you what exact_dedup would
+    remove from that group's slice). Percentiles are exact interpolated
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the q78
+    contract).
+
+    One plan: a 16-byte digest groupBy for corpus dup counts joined
+    back (never raw text), one map-side-combined groupBy(group) for
+    everything else, totals as a broadcast one-row frame. At 100 TB the
+    only wide exchange is the digest count — the exact_dedup shape.
+    """
+    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.length(text).cast("long").alias("__chars"),
+        F.size(
+            F.filter(F.split(text, r"\s+"), lambda t: t != "")
+        ).cast("long").alias("__words"),
+        F.md5(text.cast("binary")).alias("__h"),
+    )
+    freq = base.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+    flagged = base.join(freq, "__h").withColumn(
+        "__dup", (F.col("__n") > 1).cast("int")
+    )
+    per_group = flagged.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.round(F.avg("__chars"), round_to).alias("mean_chars"),
+        F.expr("percentile(__chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(__chars, 0.95)").alias("p95_chars"),
+        F.round(F.avg("__words"), round_to).alias("mean_words"),
+        F.sum("__dup").cast("long").alias("n_exact_dup_docs"),
+        F.round(F.avg("__dup"), round_to).alias("dup_share"),
+    )
+    total = flagged.agg(F.count(F.lit(1)).alias("__t"))
+    return per_group.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__t"), round_to).alias("doc_share"),
+        "total_chars",
+        "mean_chars",
+        F.round("p50_chars", round_to).alias("p50_chars"),
+        F.round("p95_chars", round_to).alias("p95_chars"),
+        "mean_words",
+        "n_exact_dup_docs",
+        "dup_share",
+    )

@@ -3643,3 +3643,52 @@ def q149_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         min_words=15, max_bullet_line_frac=0.3, min_stop_words=1,
     )
+
+
+@register(
+    "q150_dataset_card",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, lang AS grp, length(text) AS chars,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                   t -> length(t) > 0)) AS words,
+               md5(text) AS h
+        FROM documents
+    ),
+    freq AS (SELECT h, count(*) AS n FROM base GROUP BY h),
+    flagged AS (
+        SELECT b.*, CASE WHEN f.n > 1 THEN 1 ELSE 0 END AS dup
+        FROM base b JOIN freq f USING (h)
+    ),
+    tot AS (SELECT count(*) AS t FROM flagged)
+    SELECT grp AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / tot.t, 6) AS doc_share,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           round(avg(chars), 6) AS mean_chars,
+           round(quantile_cont(chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(chars, 0.95), 6) AS p95_chars,
+           round(avg(words), 6) AS mean_words,
+           CAST(sum(dup) AS BIGINT) AS n_exact_dup_docs,
+           round(avg(dup), 6) AS dup_share
+    FROM flagged, tot GROUP BY grp, tot.t
+    """,
+    headline=True,
+    doc="Dataset card (operators/profile.py dataset_card): the per-"
+    "group release table — doc counts and corpus share, char totals/"
+    "means, exact interpolated p50/p95 lengths (Spark percentile ≡ "
+    "DuckDB quantile_cont, the q78 contract), mean words, and exact-"
+    "duplicate counts/shares where a doc is a dup when its md5(text) "
+    "occurs more than once CORPUS-WIDE (what exact_dedup would remove "
+    "from that group's slice). One plan: a 16-byte digest groupBy for "
+    "dup counts joined back (raw text never shuffles twice), one "
+    "map-side-combined groupBy(lang), totals as a broadcast one-row "
+    "frame. Composes q74's column profile, q24's dedup, and q78's "
+    "percentiles into the single table a dataset release actually "
+    "ships.",
+)
+def q150_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import dataset_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_card(docs, "lang", "text", "doc_id")

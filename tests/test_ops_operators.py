@@ -583,3 +583,26 @@ def test_drift_report_raises_on_all_null_reference(spark):
     b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     with _pt.raises(Exception, match="non-NULL rows in reference"):
         drift_report(a, b, numeric_cols=["v"]).collect()
+
+
+def test_dataset_card_known_values(spark):
+    from atiesh_spark.operators.profile import dataset_card
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "same text"),
+            (2, "en", "same text"),       # exact dup pair within en
+            (3, "en", "unique one"),
+            (4, "fr", "same text"),       # dup crosses groups: counts in fr too
+            (5, "fr", "two words here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in dataset_card(df, "lang", "text", "doc_id").collect()}
+    en, fr = rows["en"], rows["fr"]
+    assert en["n_docs"] == 3 and abs(en["doc_share"] - 0.6) < 1e-9
+    assert en["n_exact_dup_docs"] == 2  # both copies flagged
+    assert fr["n_exact_dup_docs"] == 1  # cross-group copy flagged
+    assert en["total_chars"] == 9 + 9 + 10
+    assert abs(fr["mean_words"] - 2.5) < 1e-9
+    assert en["p50_chars"] == 9.0
