@@ -771,3 +771,80 @@ def intra_doc_line_dedup(
         F.size(walked["kept"]).cast("long").alias("n_lines_kept"),
         walked["removed"].alias("n_lines_removed"),
     )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_chars: int = 512,
+) -> DataFrame:
+    """Sentence-aware chunking — the retrieval/RAG indexing step that
+    :func:`chunk_documents`'s fixed-width windows approximate: split on
+    sentence boundaries ([.!?]+ followed by whitespace), then greedily
+    pack consecutive sentences into chunks of at most ``max_chars``
+    (joined by single spaces; a single sentence longer than the budget
+    gets its own oversize chunk rather than being split mid-sentence).
+    Returns (id_col, chunk_id, chunk_text, n_sentences, n_chars).
+
+    Both the segmentation and the packing fold are row-local codegen
+    (regexp boundary marking — no lookbehind, so the rule is portable
+    to RE2-based engines — and one aggregate() accumulator walk):
+    zero shuffles, rides the scan at any corpus size. Deterministic,
+    so the greedy chunk boundaries are engine-checkable exactly.
+    """
+    if max_chars <= 0:
+        raise ValueError("max_chars must be positive")
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\x00")
+    sents = F.filter(
+        F.transform(F.split(marked, "\x00"), F.trim),
+        lambda s: s != "",
+    )
+    empty = F.array().cast("array<string>")
+    acc0 = F.struct(
+        empty.alias("chunks"),
+        F.lit("").alias("cur"),
+    )
+    lim = F.lit(max_chars)
+    step = lambda acc, s: F.when(  # noqa: E731
+        acc["cur"] == "",
+        F.struct(acc["chunks"].alias("chunks"), s.alias("cur")),
+    ).when(
+        F.length(acc["cur"]) + 1 + F.length(s) <= lim,
+        F.struct(
+            acc["chunks"].alias("chunks"),
+            F.concat_ws(" ", acc["cur"], s).alias("cur"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.array_append(acc["chunks"], acc["cur"]).alias("chunks"),
+            s.alias("cur"),
+        )
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["cur"] == "", acc["chunks"]
+    ).otherwise(F.array_append(acc["chunks"], acc["cur"]))
+    chunks = F.aggregate(sents, acc0, step, fin)
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    n_sents = F.size(
+        F.filter(
+            F.transform(
+                F.split(
+                    F.regexp_replace(F.col("chunk_text"), r"([.!?])\s+", "$1\x00"),
+                    "\x00",
+                ),
+                F.trim,
+            ),
+            lambda s: s != "",
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        n_sents.cast("long").alias("n_sentences"),
+        F.length("chunk_text").cast("long").alias("n_chars"),
+    )

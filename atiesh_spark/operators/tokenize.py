@@ -97,12 +97,14 @@ def bpe_pair_counts(
     )
 
 
-def _merge_fold(sym: Column, a: str, b: str) -> Column:
+def _merge_fold(sym: Column, a: str, b: str, merged: str | None = None) -> Column:
     """Greedy left-to-right merge of pair (a, b) in a symbol array,
     as a single codegen fold: carry (result, pending previous symbol);
     when pending == a and current == b, emit the merged symbol and
-    clear pending (so "aaa" with (a,a) -> ["aa", "a"])."""
-    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    clear pending (so "aaa" with (a,a) -> ["aa", "a"]). ``merged``
+    overrides the default concatenation (WordPiece strips the
+    continuation mark: a + b[2:])."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(merged if merged is not None else a + b)
     empty = F.array().cast("array<string>")
     init = F.struct(empty.alias("arr"), F.lit(None).cast("string").alias("prev"))
     return F.aggregate(
@@ -556,6 +558,186 @@ def unigram_tokenize(
             if t is None:
                 return None
             return [p for w in ws.split(t) if w for p in word(w)]
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
+def _wp_chars(word: Column) -> Column:
+    """Char symbols with WordPiece continuation marks: "cat" ->
+    ["c", "##a", "##t"]."""
+    cs = _chars(word)
+    return F.transform(
+        cs, lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c))
+    )
+
+
+def _wp_merged(a: str, b: str) -> str:
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def wordpiece_learn(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_pair_count: int = 2,
+    min_count: int = 1,
+    round_to: int = 9,
+) -> tuple[list[tuple[int, str, str, int, float]], list[str]]:
+    """Learn a WordPiece vocabulary (Schuster & Nakajima 2012; the
+    BERT tokenizer) — BPE's loop with LIKELIHOOD pair scoring:
+
+        score(a, b) = count(ab) / (count(a) * count(b))
+
+    i.e. merge the pair whose fused token most improves a unigram LM
+    over the corpus, not the most frequent pair (frequency favors
+    fusing two already-common symbols; likelihood favors pairs that
+    co-occur more than their parts predict). Symbols carry the ``##``
+    continuation mark, so "cat" starts as [c, ##a, ##t] and merging
+    (c, ##a) yields "ca" — the mark is data, which is why WordPiece
+    needs its own symbol table and merge concat rather than reusing
+    BPE's verbatim.
+
+    Returns ``(merges, vocab)``: merges as [(rank, a, b, pair_count,
+    score)], and the final vocabulary = every SEED char (plain and
+    ##-marked, captured before any merge so fully-merged-away chars
+    still tokenize unseen words) plus every merged token — the input
+    to :func:`wordpiece_tokenize`.
+
+    Plan shape per round (same discipline as ``bpe_learn``): one
+    pair-count aggregation JOINED with the two unary symbol counts
+    (all from the same vocab-bounded word table — charset^2-bounded
+    frames), argmax to the driver, one fold + checkpoint. Scores are
+    rounded to ``round_to`` before the (score desc, a, b) tie-break so
+    cross-engine float noise cannot flip merge order.
+    """
+    if num_merges <= 0:
+        raise ValueError("num_merges must be > 0")
+    words = (
+        word_freq_table(df, text_col, min_count)
+        .select("word", "n_word", _wp_chars(F.col("word")).alias("symbols"))
+        .localCheckpoint()
+    )
+    # Seed chars are captured BEFORE any merge: a char whose every
+    # occurrence gets merged away must still be in the vocabulary, or
+    # unseen words containing it would UNK at apply time.
+    seed_chars = sorted(
+        r["s"]
+        for r in words.select(F.explode("symbols").alias("s"))
+        .distinct()
+        .collect()
+    )
+    merges: list[tuple[int, str, str, int, float]] = []
+    for _ in range(num_merges):
+        pairs = (
+            words.filter(F.size("symbols") >= 2)
+            .select(
+                F.explode(_adjacent_pairs(F.col("symbols"))).alias("__p"),
+                "n_word",
+            )
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("n_word").alias("n_pairs"))
+            .filter(F.col("n_pairs") >= min_pair_count)
+        )
+        unary = (
+            words.select(F.explode("symbols").alias("s"), "n_word")
+            .groupBy("s")
+            .agg(F.sum("n_word").alias("n_s"))
+        )
+        best = (
+            pairs.join(
+                F.broadcast(unary.select(F.col("s").alias("a"),
+                                         F.col("n_s").alias("__na"))), "a"
+            )
+            .join(
+                F.broadcast(unary.select(F.col("s").alias("b"),
+                                         F.col("n_s").alias("__nb"))), "b"
+            )
+            .select(
+                "a", "b", "n_pairs",
+                F.round(
+                    F.col("n_pairs") / (F.col("__na") * F.col("__nb")),
+                    round_to,
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append(
+            (len(merges), a, b, int(best[0]["n_pairs"]), float(best[0]["score"]))
+        )
+        words = words.select(
+            "word", "n_word",
+            _merge_fold(F.col("symbols"), a, b, _wp_merged(a, b)).alias("symbols"),
+        ).localCheckpoint()
+    vocab = seed_chars + [
+        m
+        for m in (_wp_merged(a, b) for _, a, b, _, _ in merges)
+        if m not in set(seed_chars)
+    ]
+    return merges, vocab
+
+
+def wordpiece_tokenize(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[str],
+    out_col: str = "tokens",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece tokenization (the BERT
+    runtime algorithm): each whitespace word is consumed left to right
+    by the longest vocabulary piece matching at the cursor (plain form
+    at position 0, ``##`` form after), emitting ``unk`` for the WHOLE
+    word when any position has no match (BERT's rule). Arrow-batched
+    pandas UDF memoized per distinct word — the same seam as
+    ``unigram_tokenize``; everything around it stays codegen."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    vset = frozenset(vocab)
+    max_len = max((len(v) for v in vocab), default=1)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def _word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        out: list[str] = []
+        i, n = 0, len(w)
+        while i < n:
+            prefix = "" if i == 0 else "##"
+            j = min(n, i + max_len)
+            piece = None
+            while j > i:
+                cand = prefix + w[i:j]
+                if cand in vset:
+                    piece = cand
+                    break
+                j -= 1
+            if piece is None:
+                out = [unk]
+                break
+            out.append(piece)
+            i = j
+        cache[w] = out
+        return out
+
+    @pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def one(t: str | None) -> list[str] | None:
+            if t is None:
+                return None
+            return [p for w in ws.split(t) if w for p in _word(w, cache)]
 
         return texts.map(one)
 

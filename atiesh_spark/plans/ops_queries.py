@@ -3692,3 +3692,157 @@ def q150_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dataset_card(docs, "lang", "text", "doc_id")
+
+
+@register(
+    "q151_wordpiece_tokenizer",
+    oracle=r"""
+    WITH w AS (
+        SELECT word, count(*) AS n_word FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      t -> length(t) > 0)) AS word
+            FROM documents) GROUP BY word
+    ),
+    sym AS (
+        SELECT word, n_word,
+               list_transform(generate_series(1, length(word)),
+                   i -> CASE WHEN i = 1 THEN word[i:i]
+                             ELSE '##' || word[i:i] END) AS s
+        FROM w
+    ),
+    pairs AS (
+        SELECT s[i] AS a, s[i + 1] AS b, SUM(n_word) AS n_pairs
+        FROM sym, unnest(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    un AS (
+        SELECT x AS sm, SUM(n_word) AS n_s
+        FROM sym, unnest(s) AS u(x) GROUP BY 1
+    )
+    SELECT p.a AS first_merge_a, p.b AS first_merge_b,
+           true AS all_reconstruct, true AS no_unk_on_train,
+           true AS vocab_covers_merges, true AS compresses
+    FROM pairs p JOIN un ua ON ua.sm = p.a JOIN un ub ON ub.sm = p.b
+    WHERE p.n_pairs >= 2
+    ORDER BY round(p.n_pairs / (ua.n_s * ub.n_s), 9) DESC, p.a, p.b
+    LIMIT 1
+    """,
+    doc="WordPiece tokenizer induction + apply (operators/tokenize.py "
+    "wordpiece_learn/wordpiece_tokenize; Schuster & Nakajima 2012, the "
+    "BERT tokenizer) — completes the tokenizer family next to BPE "
+    "(q106/q123, frequency scoring) and unigram-LM (q141, EM pruning): "
+    "same vocab-bounded word-table loop, but the merge argmax is the "
+    "LIKELIHOOD score count(ab)/(count(a)*count(b)) over ##-marked "
+    "symbols, and apply is greedy longest-match-first with BERT's "
+    "whole-word [UNK] rule (Arrow pandas UDF memoized per distinct "
+    "word, the unigram seam). Graded two ways: the FIRST merge is an "
+    "exact cross-engine value (iteration zero is one pair-count + one "
+    "unary-count aggregation, mirrored in DuckDB with the same "
+    "round-9 score tie-break), and the learned-then-applied tokenizer "
+    "must reconstruct every training doc (ws-stripped), emit no UNK "
+    "on its own corpus, cover every merge in the vocab, and genuinely "
+    "compress vs character count.",
+)
+def q151_wordpiece_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.tokenize import (
+        wordpiece_learn,
+        wordpiece_tokenize,
+        _wp_merged,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, vocab = wordpiece_learn(docs, "text", num_merges=8, min_pair_count=2)
+    toks = wordpiece_tokenize(docs, "text", vocab)
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("tokens"),
+            lambda p: F.when(
+                p.startswith("##"), p.substr(F.lit(3), F.length(p))
+            ).otherwise(p),
+        ),
+        "",
+    )
+    stripped = F.regexp_replace(F.col("text"), r"\s+", "")
+    agg = toks.agg(
+        F.min(rebuilt == stripped).alias("__rec"),
+        F.min(~F.array_contains("tokens", "[UNK]")).alias("__nounk"),
+        F.sum(F.size("tokens")).alias("__ntok"),
+        F.sum(F.length(stripped)).alias("__nchr"),
+    ).first()
+    vset = set(vocab)
+    covers = all(_wp_merged(a, b) in vset for _, a, b, _, _ in merges)
+    return spark.createDataFrame(
+        [
+            (
+                merges[0][1],
+                merges[0][2],
+                bool(agg["__rec"]),
+                bool(agg["__nounk"]),
+                bool(covers),
+                bool(agg["__ntok"] < agg["__nchr"]),
+            )
+        ],
+        "first_merge_a string, first_merge_b string, "
+        "all_reconstruct boolean, no_unk_on_train boolean, "
+        "vocab_covers_merges boolean, compresses boolean",
+    )
+
+
+@register(
+    "q152_sentence_chunks",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, replace(text, ' batch ', '. ') AS text FROM documents
+    ),
+    seg AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   string_split(regexp_replace(text, '([.!?])\s+',
+                                '\1' || chr(0), 'g'), chr(0)),
+                   x -> trim(x)), x -> x <> '') AS s
+        FROM d
+    ),
+    sents AS (
+        SELECT doc_id, i, s[i] AS txt, length(s[i]) AS ln
+        FROM seg, unnest(generate_series(1, len(s))) AS t(i)
+    ),
+    walk AS (
+        SELECT doc_id, i, 0 AS chunk, ln AS cur FROM sents WHERE i = 1
+        UNION ALL
+        SELECT s.doc_id, s.i,
+               CASE WHEN w.cur + 1 + s.ln <= 200 THEN w.chunk
+                    ELSE w.chunk + 1 END,
+               CASE WHEN w.cur + 1 + s.ln <= 200 THEN w.cur + 1 + s.ln
+                    ELSE s.ln END
+        FROM walk w JOIN sents s ON s.doc_id = w.doc_id AND s.i = w.i + 1
+    )
+    SELECT w.doc_id, CAST(w.chunk AS BIGINT) AS chunk_id,
+           string_agg(s.txt, ' ' ORDER BY s.i) AS chunk_text,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(length(string_agg(s.txt, ' ' ORDER BY s.i)) AS BIGINT)
+               AS n_chars
+    FROM walk w JOIN sents s USING (doc_id, i)
+    GROUP BY w.doc_id, w.chunk
+    """,
+    headline=True,
+    doc="Sentence-aware chunking (operators/corpus.py sentence_chunks): "
+    "the retrieval/RAG indexing step q70's fixed-width windows "
+    "approximate — segment on [.!?]+whitespace (boundary MARKING via "
+    "capture-group replace, no lookbehind, so the rule is portable to "
+    "RE2 engines), then greedily pack consecutive sentences into "
+    "<=200-char chunks joined by single spaces; an oversize sentence "
+    "gets its own chunk rather than a mid-sentence cut. Segmentation "
+    "and the packing fold are both row-local codegen (one aggregate() "
+    "accumulator walk) — zero shuffles beyond the posexplode. The "
+    "oracle replays the IDENTICAL greedy fold as a DuckDB recursive "
+    "CTE over sentence indexes — two entirely different evaluation "
+    "strategies, hash-equal chunk boundaries. Sentence boundaries are "
+    "synthesized (' batch ' -> '. ') in both engines.",
+)
+def q152_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import sentence_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' batch ', '. ')").alias("text")
+    )
+    return sentence_chunks(docs, "doc_id", "text", max_chars=200)

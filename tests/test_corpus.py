@@ -513,3 +513,30 @@ def test_intra_doc_line_dedup_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, "intra-doc dedup must ride the scan"
+
+
+def test_sentence_chunks_packing_rules(spark):
+    from atiesh_spark.operators.corpus import sentence_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two three. Four five! Six seven eight nine? Ten."),
+            (2, "A single enormous sentence without any boundary at all"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sentence_chunks(df, "doc_id", "text", max_chars=25).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r for r in rows}
+    assert got[(1, 0)]["chunk_text"] == "One two three. Four five!"
+    assert got[(1, 0)]["n_sentences"] == 2 and got[(1, 0)]["n_chars"] == 25
+    assert got[(1, 1)]["chunk_text"] == "Six seven eight nine?"
+    assert got[(1, 2)]["chunk_text"] == "Ten."
+    # oversize sentence gets its own chunk, never a mid-sentence cut
+    assert got[(2, 0)]["n_chars"] > 25 and got[(2, 0)]["n_sentences"] == 1
+    # empty doc yields no chunks
+    assert not any(d == 3 for d, _ in got)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sentence_chunks(df, "doc_id", "text", max_chars=0)

@@ -407,3 +407,49 @@ def test_unigram_learn_validates_args(spark):
         unigram_learn(docs, "text", target_vocab=0)
     with _pt.raises(ValueError, match="seed_size"):
         unigram_learn(docs, "text", target_vocab=64, seed_size=32)
+
+
+def test_wordpiece_learn_likelihood_scoring(spark):
+    # frequency would merge the commonest pair; likelihood must prefer
+    # the pair that co-occurs more than its parts predict.
+    from atiesh_spark.operators.tokenize import wordpiece_learn
+
+    # 'xy' always co-occur (score 1/(4*4)=1/16); 'aa' pairs are common
+    # but 'a' is everywhere (score 8/(20*20)=1/50)
+    text = " ".join(["xy"] * 4 + ["aa"] * 8 + ["ab"] * 4)
+    df = spark.createDataFrame([(text,)], "t string")
+    merges, vocab = wordpiece_learn(df, "t", num_merges=1, min_pair_count=2)
+    assert (merges[0][1], merges[0][2]) == ("x", "##y")
+    # seed chars all present even when fully merged away
+    assert "x" in vocab and "##y" in vocab and "xy" in vocab
+
+
+def test_wordpiece_tokenize_longest_match_and_unk(spark):
+    from atiesh_spark.operators.tokenize import wordpiece_tokenize
+
+    vocab = ["l", "##o", "##w", "lo", "##west", "n"]
+    df = spark.createDataFrame(
+        [(1, "low lowest lowq now"), (2, None)], "id long, t string"
+    )
+    got = {r["id"]: r["tokens"] for r in wordpiece_tokenize(df, "t", vocab).collect()}
+    # longest-match-first: 'lo'+'##w', 'lo'+'##west'; 'q' unmatched ->
+    # whole word UNK (BERT rule); 'now' -> n + ##o + ##w
+    assert got[1] == ["lo", "##w", "lo", "##west", "[UNK]", "n", "##o", "##w"]
+    assert got[2] is None
+
+
+def test_wordpiece_roundtrip_on_training_corpus(spark):
+    from atiesh_spark.operators.tokenize import (
+        wordpiece_learn,
+        wordpiece_tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ran",)], "t string"
+    )
+    merges, vocab = wordpiece_learn(df, "t", num_merges=6, min_pair_count=2)
+    toks = wordpiece_tokenize(df, "t", vocab).collect()
+    for r in toks:
+        rebuilt = "".join(p[2:] if p.startswith("##") else p for p in r["tokens"])
+        assert rebuilt == r["t"].replace(" ", "")
+        assert "[UNK]" not in r["tokens"]
