@@ -96,3 +96,127 @@ def decontaminate(
         .distinct()
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def bloom_positions(
+    items: DataFrame,
+    item_col: str,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """One-column frame ``pos`` of DISTINCT set bit positions — the
+    Bloom filter as a relation. Hashing is the Kirsch-Mitzenmacher
+    double scheme over md5 halves (pos_i = (h1 + i*h2) mod m, h1/h2 =
+    48-bit md5 prefixes), fully deterministic and engine-portable — no
+    RNG, no JVM-private sketch classes, so a filter built here can be
+    rebuilt bit-identically by any engine that has md5.
+
+    Mergeable by union-distinct (bitwise OR); size is <= min(n*k, m)
+    rows of one long. Built over the SMALL side of a decontamination
+    (the benchmark), it broadcasts; the corpus side never shuffles."""
+    if m_bits <= 0 or k_hashes <= 0:
+        raise ValueError("m_bits and k_hashes must be positive")
+    return (
+        items.select(_bloom_pos(F.col(item_col), m_bits, k_hashes).alias("ps"))
+        .select(F.explode("ps").alias("pos"))
+        .distinct()
+    )
+
+
+def _bloom_pos(item: Column, m_bits: int, k_hashes: int) -> Column:
+    """Array of ``k_hashes`` bit positions for one item (see
+    :func:`bloom_positions` for the hash scheme)."""
+    h = F.md5(item.cast("binary"))
+    h1 = F.conv(h.substr(1, 12), 16, 10).cast("long")
+    h2 = F.conv(h.substr(13, 12), 16, 10).cast("long")
+    m = F.lit(m_bits)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % m,
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Bloom-filter decontamination pre-screen: (id_col, n_shingles,
+    n_maybe_hits, clean) where a doc is ``clean`` when NO shingle of
+    its word ``n``-grams might be in the benchmark filter.
+
+    The scale story vs :func:`decontaminate`'s exact containment: the
+    exact path broadcasts the raw (bench_id, shingle) frame — fine for
+    one eval suite, but a clean-room pipeline screens against the
+    union of EVERY held-out set it has ever promised to exclude, and
+    the bloom relation is capped at ``m_bits`` rows (125 KB of longs
+    per 2^20 bits at any benchmark size) and mergeable across suites
+    by union-distinct. One-sided error in the SAFE direction: no false
+    negatives (a contaminated doc is never reported clean); false
+    positives at the classic (1 - e^(-kn/m))^k rate just send docs to
+    the exact verifier. Membership is an ALL-k-positions semi-match:
+    shingle positions explode, broadcast-join the positions relation,
+    and a shingle "maybe hits" when all ``k_hashes`` of its positions
+    matched — one map-side-combined groupBy(doc) after it.
+    """
+    flt = bloom_positions(
+        bench.select(F.col(bench_text_col)).withColumn(
+            "__sh", F.explode(_wordgrams(F.col(bench_text_col), n))
+        ).select(F.col("__sh")),
+        "__sh",
+        m_bits,
+        k_hashes,
+    )
+    if broadcast_filter:
+        flt = F.broadcast(flt)
+    sh = docs.select(
+        F.col(id_col), F.explode(_wordgrams(F.col(text_col), n)).alias("__sh")
+    ).distinct()
+    pos = sh.select(
+        id_col, "__sh",
+        F.posexplode(_bloom_pos(F.col("__sh"), m_bits, k_hashes)).alias(
+            "__i", "pos"
+        ),
+    )
+    per_sh = (
+        pos.join(flt, "pos", "left_semi")
+        .groupBy(id_col, "__sh")
+        .agg(F.count(F.lit(1)).alias("__matched"))
+        .filter(F.col("__matched") == k_hashes)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe_hits"))
+    )
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # anchor on the full doc set: a doc with < n words has no shingles
+    # and is trivially clean — it must not vanish from the report
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(per_sh, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_maybe_hits", F.lit(0)).cast("long").alias("n_maybe_hits"),
+            (F.coalesce("n_maybe_hits", F.lit(0)) == 0).alias("clean"),
+        )
+    )
+
+
+def _wordgrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of a text column (array<string>)."""
+    from atiesh_spark.functions.text import ws_tokens
+
+    ws = ws_tokens(text)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -3846,3 +3846,89 @@ def q152_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr("replace(text, ' batch ', '. ')").alias("text")
     )
     return sentence_chunks(docs, "doc_id", "text", max_chars=200)
+
+
+@register(
+    "q153_bloom_decontaminate",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    ),
+    bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+    bgrams AS (
+        SELECT DISTINCT g FROM (
+            SELECT unnest(CASE WHEN len(ws) >= 3 THEN
+                list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [] END) AS g
+            FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                         t -> length(t) > 0) AS ws FROM bench)
+        )
+    ),
+    flt AS (
+        SELECT DISTINCT
+               (('0x' || substring(md5(g), 1, 12))::BIGINT
+                + i * ('0x' || substring(md5(g), 13, 12))::BIGINT)
+               % 1048576 AS pos
+        FROM bgrams, unnest(generate_series(0, 3)) AS t(i)
+    ),
+    dgrams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN
+                list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [] END) AS g
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                         t -> length(t) > 0) AS ws FROM corpus)
+        )
+    ),
+    dpos AS (
+        SELECT doc_id, g,
+               (('0x' || substring(md5(g), 1, 12))::BIGINT
+                + i * ('0x' || substring(md5(g), 13, 12))::BIGINT)
+               % 1048576 AS pos
+        FROM dgrams, unnest(generate_series(0, 3)) AS t(i)
+    ),
+    hits AS (
+        SELECT doc_id, g FROM dpos JOIN flt USING (pos)
+        GROUP BY doc_id, g HAVING count(*) = 4
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_maybe FROM hits GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, count(*) AS n_sh FROM dgrams GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(t.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_maybe, 0) AS BIGINT) AS n_maybe_hits,
+           coalesce(p.n_maybe, 0) = 0 AS clean
+    FROM corpus c
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Bloom-filter decontamination pre-screen (operators/"
+    "decontaminate.py decontaminate_bloom): q63's exact containment "
+    "broadcasts the raw benchmark shingles — fine for one suite, but a "
+    "clean-room pipeline screens against the union of EVERY promised "
+    "held-out set, so the filter must be capped and mergeable: the "
+    "Bloom positions relation is <= m rows of one long (125 KB of "
+    "longs at 2^20 bits) at ANY benchmark size and merges across "
+    "suites by union-distinct. Hashing is Kirsch-Mitzenmacher over "
+    "48-bit md5 halves — no RNG, no JVM sketch classes — so the "
+    "filter is bit-identically reproducible by any engine with md5, "
+    "which is exactly how this is graded: DuckDB rebuilds the SAME "
+    "filter and membership (false positives included) and the row "
+    "hash must match. One-sided error in the safe direction: no false "
+    "negatives; maybe-hit docs go to q63's exact verifier. Corpus "
+    "side: positions explode + broadcast semi-join + all-k match + "
+    "one groupBy(doc) — the text never shuffles.",
+)
+def q153_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.decontaminate import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_bloom(corpus, bench, n=3, m_bits=1 << 20, k_hashes=4)

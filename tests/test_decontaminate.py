@@ -60,3 +60,44 @@ def test_bench_side_broadcast_plan(corpus_and_bench):
         pairs._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from atiesh_spark.operators.decontaminate import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the exact benchmark question appears here word word"),
+            (2, "totally unrelated content nothing shared at all here"),
+            (3, "tiny"),  # < n words: trivially clean, must not vanish
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the exact benchmark question appears here",)], "text string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate_bloom(docs, bench, n=3).collect()}
+    assert sorted(got) == [1, 2, 3]
+    # every truly-shared trigram MUST register (no false negatives)
+    assert not got[1]["clean"] and got[1]["n_maybe_hits"] >= 4
+    assert got[3]["clean"] and got[3]["n_shingles"] == 0
+
+
+def test_bloom_positions_mergeable_and_bounded(spark):
+    from atiesh_spark.operators.decontaminate import bloom_positions
+
+    a = spark.createDataFrame([("x",), ("y",)], "s string")
+    b = spark.createDataFrame([("y",), ("z",)], "s string")
+    m, k = 1024, 4
+    pa = bloom_positions(a, "s", m, k)
+    pb = bloom_positions(b, "s", m, k)
+    u = pa.unionByName(pb).distinct()
+    both = bloom_positions(a.unionByName(b), "s", m, k)
+    assert sorted(r["pos"] for r in u.collect()) == sorted(
+        r["pos"] for r in both.collect()
+    ), "union-distinct of filters == filter of the union (bitwise OR)"
+    assert both.count() <= min(4 * k, m)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bloom_positions(a, "s", 0, k)
