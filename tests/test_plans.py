@@ -500,3 +500,40 @@ def test_pq_encode_is_zero_shuffle(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_round6_row_local_queries_zero_shuffle(spark):
+    """q144 (URL canonicalization) and q146 (markup strip) are pure
+    row-local codegen — no exchange, no Python evaluation anywhere."""
+    for name in ("q144_url_canonicalize", "q146_markup_strip"):
+        df = QUERIES[name].spark(spark, SF_SMALL)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_heavy_hitters_merge_shuffle_is_summary_sized(spark):
+    """q145's only exchange is the partitions x k summary merge: one
+    hash exchange, and the item stream reaches mapInPandas WITHOUT
+    shuffling first (the sketch consumes scan-partitioned rows)."""
+    from atiesh_spark.operators.frequent import heavy_hitters
+    from atiesh_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    words = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    df = heavy_hitters(words, "word", k=64)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    before_udf = plan.split("MapInPandas")[-1]  # plan prints leaves last
+    assert "Exchange" not in before_udf, (
+        "the corpus item stream must not shuffle before the sketch"
+    )
