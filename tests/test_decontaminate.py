@@ -101,3 +101,27 @@ def test_bloom_positions_mergeable_and_bounded(spark):
 
     with _pt.raises(ValueError):
         bloom_positions(a, "s", 0, k)
+
+
+def test_two_stage_equals_one_stage_exact(spark):
+    from atiesh_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_two_stage,
+    )
+    from atiesh_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    two = sorted(
+        r["doc_id"]
+        for r in decontaminate_two_stage(corpus, bench, n=3).select("doc_id").collect()
+    )
+    one = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, threshold=0.5, n=3)
+        .select("doc_id")
+        .collect()
+    )
+    assert two == one
