@@ -651,3 +651,70 @@ def leakage_safe_split(
             rep_col, F.coalesce(F.col(rep_col), F.col(id_col))
         )
     return deterministic_split(mapped, rep_col, fractions, split_col)
+
+
+def materialize_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    epochs: dict[str, float],
+    copy_col: str = "epoch_copy",
+) -> DataFrame:
+    """Materialize fractional per-group epoch counts into actual rows —
+    the step between :func:`temperature_weights`' ``epochs_at_parity``
+    numbers and a training corpus: a group with epochs 2.3 contributes
+    every row twice (``copy_col`` 0 and 1) plus a deterministic 30%
+    subset a third time (``copy_col`` 2).
+
+    The fractional subset reuses :func:`deterministic_split`'s
+    hash-bucket contract, salted by the copy index: md5(id || '#' ||
+    copy) buckets, so (a) the selection is reproducible across
+    runs/engines/partitionings, (b) different groups' fractions are
+    independent, and (c) re-materializing with a LARGER epoch count
+    only ADDS copies — existing (id, copy) pairs never flip out, the
+    same stability deterministic_split gives splits.
+
+    Plan: explode over sequence(0, ceil(e)-1) then one row-local bucket
+    filter — no shuffle at all; the output order/partitioning follows
+    the input scan. Groups absent from ``epochs`` default to 1.0 (one
+    clean copy). Epochs must be > 0.
+    """
+    import math
+
+    from atiesh_spark.functions.hashing import md5_long
+
+    for g, e in epochs.items():
+        if not e > 0:
+            raise ValueError(f"epochs for {g!r} must be > 0, got {e}")
+    if copy_col in df.columns:
+        raise ValueError(f"copy_col {copy_col!r} collides with an input column")
+    # integer (full copies, fractional cutoff-of-10000) pairs computed
+    # DRIVER-side: float->int conversion semantics differ across engines
+    # (Spark cast truncates, DuckDB cast rounds), so no fractional float
+    # ever reaches a plan
+    n_full = F.lit(1)
+    cut = F.lit(0)
+    n_total = F.lit(1)
+    for g, e in epochs.items():
+        full = int(math.floor(e))
+        c = int(round((e - full) * 10_000))
+        cond = F.col(group_col) == g
+        n_full = F.when(cond, F.lit(full)).otherwise(n_full)
+        cut = F.when(cond, F.lit(c)).otherwise(cut)
+        n_total = F.when(cond, F.lit(full + (1 if c else 0))).otherwise(n_total)
+    out = df.select(
+        "*", F.explode(F.sequence(F.lit(0), n_total - 1)).alias(copy_col)
+    )
+    bucket = F.pmod(
+        md5_long(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit("#"),
+                F.col(copy_col).cast("string"),
+            ),
+            15,
+        ),
+        F.lit(10_000),
+    )
+    keep = (F.col(copy_col) < n_full) | (bucket < cut)
+    return out.filter(keep)

@@ -4001,3 +4001,51 @@ def q154_two_stage_decontaminate(
     return decontaminate_two_stage(corpus, bench, threshold=0.5, n=3).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "q155_materialize_mixture",
+    oracle="""
+    WITH e AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 0 ELSE 1 END AS nf,
+               CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000
+                    ELSE 0 END AS cut
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, lang, nf, cut,
+               unnest(generate_series(0,
+                   nf + (CASE WHEN cut > 0 THEN 1 ELSE 0 END) - 1)) AS cp
+        FROM e
+    )
+    SELECT doc_id, lang, CAST(cp AS BIGINT) AS epoch_copy
+    FROM x
+    WHERE cp < nf
+       OR (('0x' || substring(md5(doc_id || '#' || cp), 1, 15))::BIGINT
+           % 10000) < cut
+    """,
+    doc="Mixture materialization (operators/sampling.py "
+    "materialize_mixture): turns q71's fractional epochs_at_parity "
+    "numbers into actual training rows — epochs 2.3 means every row "
+    "twice plus a deterministic 30% subset a third time, the epoch "
+    "expansion a pretraining run executes after choosing weights. The "
+    "fractional subset hashes md5(id || '#' || copy) into 10k buckets "
+    "(integer cutoffs computed driver-side — float->int casts differ "
+    "across engines), so selection is reproducible anywhere AND "
+    "monotone: raising a group's epochs only ADDS (id, copy) pairs, "
+    "never flips existing ones out (unit-pinned), the same stability "
+    "contract as deterministic_split. Plan: one explode + one "
+    "row-local filter, ZERO shuffles. Graded EXACTLY row-by-row "
+    "(en x2.3, zh x0.5, default x1.0).",
+)
+def q155_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import materialize_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = materialize_mixture(
+        docs, "lang", "doc_id", {"en": 2.3, "zh": 0.5}
+    )
+    return out.select(
+        "doc_id", "lang", F.col("epoch_copy").cast("long").alias("epoch_copy")
+    )

@@ -472,3 +472,33 @@ def test_balanced_shards_uses_integer_division_for_parity(spark):
     df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_bytes long")
     plan = balanced_shards(df, "n_bytes", 7, "doc_id")._jdf.queryExecution().analyzed().toString()
     assert "cast(__r as double)" not in plan.lower()
+
+
+def test_materialize_mixture_counts_and_monotonicity(spark):
+    from atiesh_spark.operators.sampling import materialize_mixture
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    out = materialize_mixture(df, "lang", "doc_id", {"en": 2.3, "fr": 0.5})
+    counts = {
+        (r["lang"], r["epoch_copy"]): r["count"]
+        for r in out.groupBy("lang", "epoch_copy").count().collect()
+    }
+    assert counts[("en", 0)] == 500 and counts[("en", 1)] == 500
+    assert 100 <= counts[("en", 2)] <= 200          # ~30% of 500
+    assert 200 <= counts[("fr", 0)] <= 300          # ~50% of 500
+    assert ("fr", 1) not in counts
+    # raising epochs only ADDS pairs
+    a = {(r["doc_id"], r["epoch_copy"]) for r in out.collect()}
+    more = materialize_mixture(df, "lang", "doc_id", {"en": 2.8, "fr": 0.9})
+    b = {(r["doc_id"], r["epoch_copy"]) for r in more.collect()}
+    assert a <= b
+    # default epoch is one clean copy
+    other = materialize_mixture(df, "lang", "doc_id", {"zz": 3.0})
+    assert other.count() == 1000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        materialize_mixture(df, "lang", "doc_id", {"en": 0.0})
