@@ -668,3 +668,51 @@ def containment_pairs(
             >= F.lit(threshold)
         )
     )
+
+
+def candidate_eval(
+    pred: DataFrame,
+    truth: DataFrame,
+    id1: str = "id_1",
+    id2: str = "id_2",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row candidate-quality audit: (n_pred, n_true, tp, fp, fn,
+    precision, recall, f1) for a predicted pair set vs an exact truth
+    pair set — THE number you read before shipping LSH parameters
+    (bands/rows trade recall against candidate volume; this measures
+    both sides of that trade on a sample so the 100 TB run isn't a
+    guess). Pairs are order-normalized ((min,max)) and deduped first,
+    so callers can pass either orientation. Empty denominators read as
+    NULL, not a division error.
+
+    Plan: two tiny normalizations + one full-outer join on the pair
+    key + one aggregate — pair-set-sized, never corpus-sized; run it
+    on the same hash-sampled slice you tuned on.
+    """
+
+    def norm(df: DataFrame) -> DataFrame:
+        a, b = F.col(id1), F.col(id2)
+        return df.select(
+            F.least(a, b).alias("id_1"), F.greatest(a, b).alias("id_2")
+        ).distinct()
+
+    p = norm(pred).withColumn("__p", F.lit(1))
+    t = norm(truth).withColumn("__t", F.lit(1))
+    j = p.join(t, ["id_1", "id_2"], "full_outer")
+    return j.agg(
+        F.count("__p").alias("n_pred"),
+        F.count("__t").alias("n_true"),
+        F.count(F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("__p").isNotNull() & F.col("__t").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("__p").isNull() & F.col("__t").isNotNull(), 1)).alias("fn"),
+    ).select(
+        "n_pred", "n_true", "tp", "fp", "fn",
+        F.round(F.col("tp") / F.nullif(F.col("n_pred"), F.lit(0)), round_to).alias("precision"),
+        F.round(F.col("tp") / F.nullif(F.col("n_true"), F.lit(0)), round_to).alias("recall"),
+        F.round(
+            2 * F.col("tp")
+            / F.nullif(F.col("n_pred") + F.col("n_true"), F.lit(0)),
+            round_to,
+        ).alias("f1"),
+    )

@@ -4049,3 +4049,85 @@ def q155_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.col("epoch_copy").cast("long").alias("epoch_copy")
     )
+
+
+@register(
+    "q156_candidate_eval",
+    oracle="""
+    WITH sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(text) - 2, 1)),
+                   i -> substring(text, i, 3))) AS sh
+        FROM documents
+    ),
+    shingles AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE length(sh) > 0),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    pred AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT id_1, id_2 FROM inter
+        JOIN sizes sa ON sa.doc_id = id_1
+        JOIN sizes sb ON sb.doc_id = id_2
+        WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.7
+    ),
+    m AS (
+        SELECT
+            (SELECT count(*) FROM pred) AS n_pred,
+            (SELECT count(*) FROM truth) AS n_true,
+            (SELECT count(*) FROM pred JOIN truth USING (id_1, id_2)) AS tp
+    )
+    SELECT CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST(n_true - tp AS BIGINT) AS fn,
+           round(tp * 1.0 / nullif(n_pred, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(n_true, 0), 6) AS recall,
+           round(2.0 * tp / nullif(n_pred + n_true, 0), 6) AS f1
+    FROM m
+    """,
+    doc="Candidate-set evaluation (operators/dedup.py candidate_eval): "
+    "the LSH-tuning audit — precision/recall/F1 of q26's banded "
+    "MinHash candidates against q25's exact trigram-Jaccard>=0.7 "
+    "truth, computed as one order-normalized full-outer pair join + "
+    "one aggregate. THE report you read before shipping bands/rows "
+    "parameters to a 100 TB run: recall bounds what banding misses, "
+    "precision bounds wasted verification; run it on the hash-sampled "
+    "slice you tune on (pair-set-sized work, never corpus-sized). "
+    "Both pair pipelines are md5-deterministic, so the metrics are "
+    "exact cross-engine values, not booleans.",
+)
+def q156_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import (
+        candidate_eval,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.7
+    ).select("id_1", "id_2")
+    return candidate_eval(pred.select("id_1", "id_2"), truth)

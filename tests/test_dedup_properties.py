@@ -286,3 +286,28 @@ def test_rare_shingle_candidates_df_ignores_in_doc_repeats(spark):
         df, "doc_id", "text", max_df=2, shingles=sh
     ).collect()
     assert [(r["id_1"], r["id_2"]) for r in pairs] == [(1, 2)]
+
+
+def test_candidate_eval_known_metrics(spark):
+    from atiesh_spark.operators.dedup import candidate_eval
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5), (5, 6), (7, 8)], "id_1 long, id_2 long"
+    )  # (6,5)/(5,6) normalize+dedupe to one pair -> 4 distinct
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (9, 10)], "id_1 long, id_2 long"
+    )
+    r = candidate_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["tp"], r["fp"], r["fn"]) == (4, 3, 2, 2, 1)
+    assert abs(r["precision"] - 0.5) < 1e-9
+    assert abs(r["recall"] - 2 / 3) < 1e-6
+    assert abs(r["f1"] - 4 / 7) < 1e-6
+
+
+def test_candidate_eval_empty_sides(spark):
+    from atiesh_spark.operators.dedup import candidate_eval
+
+    empty = spark.createDataFrame([], "id_1 long, id_2 long")
+    truth = spark.createDataFrame([(1, 2)], "id_1 long, id_2 long")
+    r = candidate_eval(empty, truth).collect()[0]
+    assert r["n_pred"] == 0 and r["precision"] is None and r["recall"] == 0.0
