@@ -718,3 +718,42 @@ def materialize_mixture(
     )
     keep = (F.col(copy_col) < n_full) | (bucket < cut)
     return out.filter(keep)
+
+
+def pack_with_offsets(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    shards: int = 64,
+    shard_col: str = "shard",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """:func:`pack_documents` plus the per-document layout a trainer
+    actually consumes: ``seq_index`` (position of the doc within its
+    pack) and ``start_offset``/``end_offset`` (cumulative-cost span of
+    the doc inside the pack) — exactly the boundaries an
+    attention-mask/position-id builder needs to keep packed documents
+    from attending across each other (the packing-done-right detail).
+
+    Adds one window over (shard, pack) on top of pack_documents'
+    (shard) window — a second exchange, but both run on the NARROW
+    (id, cost) projection; join the result back to wide rows by id.
+    Same determinism contract: md5 shards, id-ordered scans.
+    """
+    packed = pack_documents(
+        df.select(id_col, cost_col), id_col, cost_col, budget,
+        shards=shards, shard_col=shard_col, pack_col=pack_col,
+    )
+    w = Window.partitionBy(shard_col, pack_col).orderBy(id_col)
+    run = F.sum(cost_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return packed.select(
+        id_col,
+        F.col(shard_col).cast("long").alias(shard_col),
+        F.col(pack_col).cast("long").alias(pack_col),
+        (F.row_number().over(w) - 1).cast("long").alias("seq_index"),
+        (run - F.col(cost_col)).cast("long").alias("start_offset"),
+        run.cast("long").alias("end_offset"),
+    )

@@ -4131,3 +4131,49 @@ def q156_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=3, threshold=0.7
     ).select("id_1", "id_2")
     return candidate_eval(pred.select("id_1", "id_2"), truth)
+
+
+@register(
+    "q157_pack_offsets",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 8 AS shard
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_chars, shard,
+               CAST((SUM(n_chars) OVER w - n_chars) // 2000 AS BIGINT)
+                   AS pack_id
+        FROM base
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           pack_id,
+           CAST(row_number() OVER w2 - 1 AS BIGINT) AS seq_index,
+           CAST(SUM(n_chars) OVER w2 - n_chars AS BIGINT) AS start_offset,
+           CAST(SUM(n_chars) OVER w2 AS BIGINT) AS end_offset
+    FROM packed
+    WINDOW w2 AS (PARTITION BY shard, pack_id ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+    headline=True,
+    doc="Packing with intra-pack offsets (operators/sampling.py "
+    "pack_with_offsets): q59 assigns docs to fixed-cost packs; this "
+    "adds what the trainer actually consumes — seq_index and the "
+    "start/end cumulative-cost span of each doc INSIDE its pack, the "
+    "boundaries an attention-mask/position-id builder needs so packed "
+    "documents never attend across each other. One extra window over "
+    "(shard, pack) on the narrow (id, cost) projection. All window "
+    "SUMs CAST to BIGINT on the oracle side per the registry "
+    "canonicalization rule. Graded EXACTLY per row at shards=8, "
+    "budget=2000 chars.",
+)
+def q157_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sampling import pack_with_offsets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_with_offsets(docs, "doc_id", "n_chars", budget=2000, shards=8)

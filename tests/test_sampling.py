@@ -502,3 +502,28 @@ def test_materialize_mixture_counts_and_monotonicity(spark):
 
     with _pt.raises(ValueError):
         materialize_mixture(df, "lang", "doc_id", {"en": 0.0})
+
+
+def test_pack_with_offsets_layout(spark):
+    from atiesh_spark.operators.sampling import pack_with_offsets
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "doc_id long, cost long"
+    )
+    out = pack_with_offsets(df, "doc_id", "cost", budget=25, shards=1)
+    rows = sorted(
+        (r["pack_id"], r["seq_index"], r["doc_id"], r["start_offset"], r["end_offset"])
+        for r in out.collect()
+    )
+    # budget 25, cost 10: packs of 3 docs (third straddles, overflow rule)
+    by_pack: dict = {}
+    for pack, seq, doc, s, e in rows:
+        by_pack.setdefault(pack, []).append((seq, doc, s, e))
+    for pack, docs in by_pack.items():
+        assert [d[0] for d in docs] == list(range(len(docs)))  # seq_index dense
+        off = 0
+        for seq, doc, s, e in docs:
+            assert s == off and e == off + 10  # contiguous spans
+            off = e
+    # offsets restart at every pack
+    assert all(docs[0][2] == 0 for docs in by_pack.values())
