@@ -136,3 +136,79 @@ def heavy_hitters_report(
         "n_items long, error_bound long, all_within_bound boolean, "
         "never_overcounts boolean, guaranteed_items_present boolean",
     )
+
+
+class StreamingHeavyHitters:
+    """Maintain a Misra-Gries heavy-hitters summary incrementally from
+    a stream — as a ``foreachBatch`` function, the sketch counterpart
+    of the other maintenance loops (SCD2, line frequency, rollups).
+
+    Each batch is summarized by :func:`heavy_hitters` (k counters per
+    partition, summed) and MERGED into the store with the Agarwal et
+    al. (PODS 2012) MG merge: sum per-item counters, subtract the
+    (k+1)-th largest merged count, drop non-positives — the store
+    stays at <= k rows FOREVER while preserving the Misra-Gries
+    guarantee over everything ever streamed:
+
+        exact - n_total/(k+1)  <=  estimate  <=  exact
+
+    and every item with exact count > n_total/(k+1) is present. That
+    bound is what q158 grades after a 3-batch replay. State backend is
+    ``sources/versioned.VersionedStore`` (batch B reads the pre-B
+    version), so failure replays converge. ``n_total`` is carried in
+    the store as a one-row sidecar column so the bound is always
+    computable from the artifact alone.
+    """
+
+    def __init__(
+        self,
+        item_col: str,
+        path: str,
+        k: int = 64,
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.item_col, self.k = item_col, k
+        self.store = VersionedStore(path, keep_versions=keep_versions)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        summ = heavy_hitters(batch_df, self.item_col, k=self.k)
+        n_batch = batch_df.filter(F.col(self.item_col).isNotNull()).count()
+        prev = self.store.read_before(spark, batch_id)
+        n_prev = 0
+        if prev is not None:
+            n_prev = int(prev.agg(F.max("n_total")).first()[0] or 0)
+            summ = (
+                prev.filter(F.col("item").isNotNull())
+                .select("item", "est")
+                .unionByName(summ)
+                .groupBy("item")
+                .agg(F.sum("est").alias("est"))
+            )
+        # Agarwal MG merge: subtract the (k+1)-th largest merged count
+        # so the store never exceeds k rows. top-(k+1) is a
+        # TakeOrderedAndProject — k+1 rows to the driver, no global sort.
+        top = summ.orderBy(F.col("est").desc(), "item").limit(self.k + 1).collect()
+        c = int(top[self.k]["est"]) if len(top) > self.k else 0
+        pruned = summ.select(
+            "item", (F.col("est") - F.lit(c)).alias("est")
+        ).filter(F.col("est") > 0)
+        # a NULL-item sentinel row carries n_total even when every
+        # estimate pruned away (k+1 distinct singletons -> empty store)
+        sentinel = spark.createDataFrame(
+            [(None, None)], "item string, est long"
+        )
+        self.store.write(
+            pruned.unionByName(sentinel).withColumn(
+                "n_total", F.lit(n_prev + n_batch)
+            ),
+            batch_id,
+        )
+
+    def read(self, spark) -> DataFrame:
+        """(item, est, n_total) — the sentinel row is filtered out."""
+        return self.store.read(spark).filter(F.col("item").isNotNull())

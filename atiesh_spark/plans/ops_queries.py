@@ -4177,3 +4177,95 @@ def q157_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return pack_with_offsets(docs, "doc_id", "n_chars", budget=2000, shards=8)
+
+
+@register(
+    "q158_heavy_hitters_stream_replay",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> length(t) > 0)) AS word
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) // 65 AS BIGINT) AS error_bound,
+           true AS store_capped,
+           true AS all_within_bound,
+           true AS never_overcounts,
+           true AS guaranteed_items_present
+    FROM words
+    """,
+    doc="StreamingHeavyHitters' merge contract, driver-graded "
+    "(operators/frequent.py StreamingHeavyHitters): the corpus word "
+    "stream arrives as 3 doc-hash batches through the foreachBatch "
+    "loop; each batch's Misra-Gries summary merges into the versioned "
+    "store with the Agarwal PODS'12 MG merge (sum counters, subtract "
+    "the (k+1)-th largest, drop non-positives), so the store holds "
+    "<= k rows FOREVER yet keeps the worst-case guarantee over "
+    "everything streamed: est in [exact - n/(k+1), exact] and every "
+    "item above n/(k+1) present. Final batch replays under the same "
+    "id (VersionedStore convergence). n_total and the bound are exact "
+    "cross-engine values; the booleans audit the store against exact "
+    "corpus counts (estimates are arrival-order-dependent WITHIN the "
+    "bound — the bound is the contract).",
+)
+def q158_heavy_hitters_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.frequent import StreamingHeavyHitters
+
+    k = 64
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    chunks = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="hh_replay_")
+    try:
+        hh = StreamingHeavyHitters("word", tmp, k=k)
+        _replay_chunks(words, hh, chunks)
+        store = hh.read(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    exact = words.groupBy(F.col("word").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    n_total = int(words.count())
+    bound = n_total // (k + 1)
+    joined = exact.join(store.select("item", "est"), "item", "left")
+    row = joined.agg(
+        F.min(
+            F.coalesce(
+                (F.col("est") <= F.col("exact"))
+                & (F.col("est") >= F.col("exact") - F.lit(bound)),
+                F.lit(True),
+            )
+        ).alias("__within"),
+        F.min(
+            F.coalesce(F.col("est") <= F.col("exact"), F.lit(True))
+        ).alias("__noover"),
+        F.min(
+            F.when(
+                F.col("exact") > bound, F.col("est").isNotNull()
+            ).otherwise(F.lit(True))
+        ).alias("__present"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                bound,
+                bool(store.count() <= k),
+                bool(row["__within"]),
+                bool(row["__noover"]),
+                bool(row["__present"]),
+            )
+        ],
+        "n_total long, error_bound long, store_capped boolean, "
+        "all_within_bound boolean, never_overcounts boolean, "
+        "guaranteed_items_present boolean",
+    )

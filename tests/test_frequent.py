@@ -59,3 +59,55 @@ def test_heavy_hitters_report_all_green(spark):
     assert row["guaranteed_items_present"]
     assert row["n_items"] == 3 + 7
     assert row["error_bound"] == (200 * 4) // 17
+
+
+def test_streaming_heavy_hitters_bounds_and_cap(spark, tmp_path):
+    from atiesh_spark.operators.frequent import StreamingHeavyHitters
+
+    # Zipf stream split into 3 batches + a replay of the last batch
+    rows = [(f"it{i}",) for i in range(30) for _ in range(2 ** max(0, 9 - i))]
+    df = spark.createDataFrame(rows, "item string")
+    k = 8
+    hh = StreamingHeavyHitters("item", str(tmp_path / "hh"), k=k)
+    import pyspark.sql.functions as F
+
+    batches = [
+        df.filter(F.length("item") == 3),            # it0..it9
+        df.filter(F.col("item").isin([f"it{i}" for i in range(10, 20)])),
+        df.filter(F.col("item").isin([f"it{i}" for i in range(20, 30)])),
+    ]
+    for i, b in enumerate(batches):
+        hh(b, i + 1)
+    hh(batches[-1], len(batches))  # replay converges
+
+    store = hh.read(spark).collect()
+    assert len(store) <= k, "store must never exceed k rows"
+    n_total = store[0]["n_total"]
+    assert n_total == len(rows)
+    bound = n_total // (k + 1)
+    exact = {}
+    for (it,) in rows:
+        exact[it] = exact.get(it, 0) + 1
+    est = {r["item"]: r["est"] for r in store}
+    for it, e in est.items():
+        assert e <= exact[it], f"{it} overcounts"
+        assert e >= exact[it] - bound, f"{it} below bound"
+    for it, c in exact.items():
+        if c > bound:
+            assert it in est, f"{it} (exact {c} > bound {bound}) missing"
+
+
+def test_streaming_heavy_hitters_survives_full_prune(spark, tmp_path):
+    from atiesh_spark.operators.frequent import StreamingHeavyHitters
+
+    hh = StreamingHeavyHitters("item", str(tmp_path / "hh2"), k=2)
+    # 3 distinct singletons with k=2: everything prunes away
+    b1 = spark.createDataFrame([("a",), ("b",), ("c",)], "item string").coalesce(1)
+    hh(b1, 1)
+    assert hh.read(spark).count() == 0
+    # n_total must survive the empty store for the next merge
+    b2 = spark.createDataFrame([("d",)] * 10, "item string")
+    hh(b2, 2)
+    store = hh.read(spark).collect()
+    assert store and store[0]["n_total"] == 13
+    assert {r["item"] for r in store} == {"d"}
