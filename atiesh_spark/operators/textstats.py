@@ -567,3 +567,57 @@ def gopher_rules(
             ok_wc & ok_wl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
         ).alias("pass"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-class evaluation of any in-engine classifier (langID, the
+    NB quality gate, noisy-label flags) against labels: one row per
+    TRUE class — (label, n, tp, fp, fn, precision, recall, f1) with
+    fp counted over rows whose PREDICTION is this class. The
+    model-quality table a curation pipeline prints before trusting a
+    gate at 100 TB. NULL labels/predictions are excluded (they are
+    missing ground truth, not a class).
+
+    Plan: one (label, pred) confusion groupBy — classes^2 rows — then
+    two tiny re-aggregations; the corpus shuffles once on a two-string
+    key. Empty denominators read as NULL.
+    """
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("__l"),
+        F.col(pred_col).cast("string").alias("__p"),
+    )
+    conf = base.groupBy("__l", "__p").agg(F.count(F.lit(1)).alias("__n"))
+    per_label = conf.groupBy(F.col("__l").alias("label")).agg(
+        F.sum("__n").alias("n"),
+        F.sum(F.when(F.col("__p") == F.col("__l"), F.col("__n")).otherwise(0)).alias("tp"),
+    )
+    per_pred = conf.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__n").alias("n_pred")
+    )
+    return (
+        per_label.join(per_pred, "label", "left")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.col("tp").cast("long").alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.col("tp")).cast("long").alias("fp"),
+            (F.col("n") - F.col("tp")).cast("long").alias("fn"),
+            F.round(
+                F.col("tp") / F.nullif(F.coalesce("n_pred", F.lit(0)), F.lit(0)),
+                round_to,
+            ).alias("precision"),
+            F.round(F.col("tp") / F.col("n"), round_to).alias("recall"),
+            F.round(
+                2 * F.col("tp")
+                / F.nullif(F.col("n") + F.coalesce("n_pred", F.lit(0)), F.lit(0)),
+                round_to,
+            ).alias("f1"),
+        )
+    )

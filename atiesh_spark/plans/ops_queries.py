@@ -4269,3 +4269,70 @@ def q158_heavy_hitters_stream_replay(
         "all_within_bound boolean, never_overcounts boolean, "
         "guaranteed_items_present boolean",
     )
+
+
+@register(
+    "q159_langid_eval",
+    oracle=r"""
+    WITH pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN en_hits > fr_hits AND en_hits > 0 THEN 'en'
+                    WHEN fr_hits > en_hits AND fr_hits > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_id
+        FROM (
+            SELECT doc_id, lang,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                       t -> lower(t) IN ('the','a','an','and','of','to',
+                                         'in','is','that','it'))) AS en_hits,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                       t -> lower(t) IN ('le','la','les','et','de','un',
+                                         'une','est','que','dans'))) AS fr_hits
+            FROM documents
+        )
+    ),
+    conf AS (
+        SELECT lang AS l, lang_id AS p, count(*) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    per_label AS (
+        SELECT l AS label, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN p = l THEN n ELSE 0 END) AS BIGINT) AS tp
+        FROM conf GROUP BY l
+    ),
+    per_pred AS (
+        SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+        FROM conf GROUP BY p
+    )
+    SELECT a.label, a.n, a.tp,
+           CAST(coalesce(b.n_pred, 0) - a.tp AS BIGINT) AS fp,
+           CAST(a.n - a.tp AS BIGINT) AS fn,
+           round(a.tp * 1.0 / nullif(coalesce(b.n_pred, 0), 0), 6)
+               AS precision,
+           round(a.tp * 1.0 / a.n, 6) AS recall,
+           round(2.0 * a.tp / nullif(a.n + coalesce(b.n_pred, 0), 0), 6)
+               AS f1
+    FROM per_label a LEFT JOIN per_pred b USING (label)
+    """,
+    doc="Classifier evaluation (operators/textstats.py "
+    "classification_report): per-class precision/recall/F1 of q33's "
+    "stop-word language-ID heuristic against the labeled lang column — "
+    "the model-quality table read before trusting any in-engine gate "
+    "(the same operator evaluates the NB classifier or noisy-label "
+    "flags). One (label, pred) confusion groupBy (classes^2 rows) "
+    "then two tiny re-aggregations; the corpus shuffles once on a "
+    "two-string key. Both the heuristic and the metrics are exact "
+    "cross-engine values. The numbers also tell a real story: the "
+    "word-soup corpus is labeled with 5 langs but the heuristic only "
+    "knows en/fr, so recall is honest about what a stop-word gate "
+    "misses.",
+)
+def q159_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import (
+        classification_report,
+        language_id,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs, "doc_id", "text").select("doc_id", "lang_id")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return classification_report(joined, "lang", "lang_id")

@@ -130,3 +130,25 @@ def test_gopher_rules_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_classification_report_known_matrix(spark):
+    from atiesh_spark.operators.textstats import classification_report
+
+    df = spark.createDataFrame(
+        [
+            ("en", "en"), ("en", "en"), ("en", "fr"),
+            ("fr", "fr"), ("fr", "en"),
+            ("de", "unknown"),
+            (None, "en"), ("en", None),  # missing ground truth excluded
+        ],
+        "label string, pred string",
+    )
+    got = {r["label"]: r for r in classification_report(df, "label", "pred").collect()}
+    en = got["en"]
+    assert (en["n"], en["tp"], en["fp"], en["fn"]) == (3, 2, 1, 1)
+    assert abs(en["precision"] - 2 / 3) < 1e-6
+    assert abs(en["recall"] - 2 / 3) < 1e-6
+    de = got["de"]
+    assert de["tp"] == 0 and de["precision"] is None  # 'de' never predicted
+    assert abs(got["fr"]["f1"] - 2 * 1 / (2 + 2)) < 1e-6
