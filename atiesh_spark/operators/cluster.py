@@ -195,3 +195,63 @@ def cluster_report(
             F.round(F.col("__md"), round_to).alias("mean_sq_dist"),
         )
     )
+
+
+def bcubed_eval(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    pred_col: str = "cluster_rep",
+    truth_col: str = "truth_rep",
+    round_to: int = 6,
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998): one row —
+    (n_items, precision, recall, f1) — of a predicted clustering
+    against ground truth, the standard entity-resolution/dedup-cluster
+    metric (pairwise P/R over-weights big clusters; B-cubed averages
+    PER ITEM, so splitting a 1000-doc cluster hurts exactly 1000
+    items' recall, no more).
+
+    With n_cl = |items in predicted cluster c AND true cluster l|:
+
+        precision = (1/N) * sum_{c,l} n_cl^2 / n_c
+        recall    = (1/N) * sum_{c,l} n_cl^2 / n_l
+
+    Plan: items joined on id to align the two labelings (inner join —
+    items missing a side have no defined score), ONE groupBy on the
+    (pred, truth) label pair — intersection-count-sized — then two
+    label-sized re-aggregations broadcast-joined back. Never a pair
+    explosion: B-cubed's n^2 terms are squares of GROUP sizes, so the
+    corpus shuffles once on a two-label key. Exactly the evaluation
+    shape of ``dedup.candidate_eval``, one level up (clusters, not
+    pairs).
+    """
+    p = pred.select(F.col(id_col), F.col(pred_col).alias("__c"))
+    t = truth.select(F.col(id_col), F.col(truth_col).alias("__l"))
+    cells = (
+        p.join(t, id_col)
+        .groupBy("__c", "__l")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    sizes_c = cells.groupBy("__c").agg(F.sum("__n").alias("__nc"))
+    sizes_l = cells.groupBy("__l").agg(F.sum("__n").alias("__nl"))
+    scored = (
+        cells.join(F.broadcast(sizes_c), "__c")
+        .join(F.broadcast(sizes_l), "__l")
+        .agg(
+            F.sum("__n").alias("n_items"),
+            F.sum(F.col("__n") * F.col("__n") / F.col("__nc")).alias("__p"),
+            F.sum(F.col("__n") * F.col("__n") / F.col("__nl")).alias("__r"),
+        )
+    )
+    return scored.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(F.col("__p") / F.col("n_items"), round_to).alias("precision"),
+        F.round(F.col("__r") / F.col("n_items"), round_to).alias("recall"),
+        F.round(
+            2 * (F.col("__p") / F.col("n_items"))
+            * (F.col("__r") / F.col("n_items"))
+            / ((F.col("__p") + F.col("__r")) / F.col("n_items")),
+            round_to,
+        ).alias("f1"),
+    )

@@ -4336,3 +4336,104 @@ def q159_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = language_id(docs, "doc_id", "text").select("doc_id", "lang_id")
     joined = docs.select("doc_id", "lang").join(pred, "doc_id")
     return classification_report(joined, "lang", "lang_id")
+
+
+@register(
+    "q160_bcubed_eval",
+    oracle="""
+    WITH RECURSIVE sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(text) - 2, 1)),
+                   i -> substring(text, i, 3))) AS sh
+        FROM documents
+    ),
+    shingles AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE length(sh) > 0),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_1 AS a, id_2 AS b FROM pairs
+        UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+    pred AS (
+        SELECT d.doc_id,
+               coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS c
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    truth AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS l
+        FROM documents
+    ),
+    cells AS (
+        SELECT p.c, t.l, count(*) AS n
+        FROM pred p JOIN truth t USING (doc_id)
+        GROUP BY p.c, t.l
+    ),
+    nc AS (SELECT c, SUM(n) AS nc FROM cells GROUP BY c),
+    nl AS (SELECT l, SUM(n) AS nl FROM cells GROUP BY l),
+    agg AS (
+        SELECT SUM(cells.n) AS n_items,
+               SUM(cells.n * cells.n * 1.0 / nc.nc) AS p,
+               SUM(cells.n * cells.n * 1.0 / nl.nl) AS r
+        FROM cells JOIN nc USING (c) JOIN nl USING (l)
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           round(p / n_items, 6) AS precision,
+           round(r / n_items, 6) AS recall,
+           round(2 * (p / n_items) * (r / n_items)
+                 / ((p + r) / n_items), 6) AS f1
+    FROM agg
+    """,
+    doc="B-cubed clustering evaluation (operators/cluster.py "
+    "bcubed_eval; Bagga & Baldwin 1998): q156 audits candidate PAIRS, "
+    "this audits the CLUSTERING they become — per-item-averaged "
+    "precision/recall of q41's MinHash-LSH connected components "
+    "against exact-duplicate ground truth (min id per md5(text)), the "
+    "standard entity-resolution metric (pairwise P/R over-weights big "
+    "clusters; B-cubed charges a broken 1000-doc cluster exactly 1000 "
+    "items). One (pred, truth) label-pair groupBy + two label-sized "
+    "re-aggregations — B-cubed's n^2 terms are squares of GROUP "
+    "sizes, so there is never a pair explosion. Near-dup clustering "
+    "over-merges relative to exact-dup truth by design, so precision "
+    "< 1 here is the metric working, not a bug; recall must be 1.0 "
+    "(exact duplicates always share every shingle, hence every band).",
+)
+def q160_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.cluster import bcubed_eval
+    from atiesh_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+    pred = connected_components(pairs, docs.select("doc_id"), "doc_id")
+    truth = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("truth_rep"),
+    )
+    return bcubed_eval(pred, truth, "doc_id", pred_col="cluster_id")

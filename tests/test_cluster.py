@@ -127,3 +127,26 @@ def test_kmeans_fit_rejects_ragged_seed_rows(spark):
     )
     with _pt.raises(ValueError, match="ragged"):
         kmeans_fit(emb, "id", "emb", k=3, iterations=1)
+
+
+def test_bcubed_eval_known_values(spark):
+    from atiesh_spark.operators.cluster import bcubed_eval
+
+    # truth: {1,2,3} and {4,5}; pred merges everything into one cluster
+    pred = spark.createDataFrame(
+        [(i, 1) for i in range(1, 6)], "id long, cluster_rep long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "id long, truth_rep long"
+    )
+    r = bcubed_eval(pred, truth, "id").collect()[0]
+    # precision: items in the true 3-cluster score 3/5, the pair 2/5
+    want_p = (3 * 3 / 5 + 2 * 2 / 5) / 5
+    assert abs(r["precision"] - want_p) < 1e-6
+    assert r["recall"] == 1.0            # no true cluster is split
+    assert r["n_items"] == 5
+
+    # perfect clustering scores 1/1
+    r2 = bcubed_eval(truth.withColumnRenamed("truth_rep", "cluster_rep"),
+                     truth, "id").collect()[0]
+    assert r2["precision"] == 1.0 and r2["recall"] == 1.0 and r2["f1"] == 1.0
