@@ -4505,3 +4505,87 @@ def q161_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm(media, "doc_id", "blob").select(
         "media_id", "format", "width", "height", "mean_r", "mean_g", "mean_b"
     )
+
+
+@register(
+    "q162_wav_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 41 AS BIGINT) AS n_frames,
+               CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate
+        FROM documents
+    ),
+    smp AS (
+        SELECT d.doc_id, d.n_frames, d.sample_rate, t.i,
+               (d.doc_id * 131 + t.i * 7919) % 65536 - 32768 AS v
+        FROM dims d,
+             unnest(generate_series(0, d.n_frames - 1)) AS t(i)
+    ),
+    lagged AS (
+        SELECT doc_id, n_frames, sample_rate, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM smp
+    ),
+    feat AS (
+        SELECT doc_id, n_frames, sample_rate,
+               CAST(MAX(ABS(v)) AS INT) AS peak,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN (pv < 0) != (v < 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY doc_id, n_frames, sample_rate
+    )
+    SELECT doc_id AS media_id, sample_rate, CAST(1 AS INT) AS channels,
+           n_frames,
+           CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           peak, zero_crossings, sum_sq,
+           CAST(round(sqrt(sum_sq / n_frames), 4) AS FLOAT) AS rms
+    FROM feat
+    """,
+    doc="REAL audio decode (operators/multimodal.py decode_wav / "
+    "_parse_wav / encode_wav): the audio analogue of q161 — canonical "
+    "RIFF/WAVE PCM16 needs nothing beyond numpy, so this path "
+    "genuinely walks the chunk list (tolerating LIST/fact chunks and "
+    "RIFF odd-size padding), frombuffers the int16 payload, and "
+    "computes the features an audio-curation pipeline filters on "
+    "(duration, peak, zero-crossing count, exact-int64 sum of squares "
+    "+ RMS) inside mapInPandas; malformed blobs become error ROWS. "
+    "The graded query synthesizes a closed-form PCM16 signal per "
+    "document (s[i] = (doc_id*131 + i*7919) % 65536 - 32768 at "
+    "deterministic length/rate), runs the REAL decoder, and the "
+    "oracle reproduces every feature arithmetically WITHOUT any "
+    "decoder — sum_sq is an exact integer (no float accumulation "
+    "order), rms is one correctly-rounded divide+sqrt, and a zero "
+    "crossing is the strict sign transition (prev<0) != (cur<0), so "
+    "the comparison is engine-independent. Compressed audio "
+    "(mp3/ogg/flac) stays behind the library-gated decode_media stub.",
+)
+def q162_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.multimodal import decode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 41
+                sr = 8000 + 4000 * (did % 3)
+                s = (did * 131 + np.arange(n, dtype=np.int64) * 7919) % 65536 - 32768
+                blobs.append(encode_wav(sr, s.astype("<i2").tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_wav(media, "doc_id", "blob").select(
+        "media_id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "peak", "zero_crossings", "sum_sq", "rms"
+    )

@@ -132,3 +132,74 @@ def test_ppm_resize_stride_slicing(spark):
 
     with _pt.raises(ValueError):
         resize_ppm(df, "media_id", "blob", factor=0)
+
+
+def test_wav_decode_real_roundtrip(spark):
+    import numpy as np
+
+    from atiesh_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = ((np.arange(200, dtype=np.int64) * 7919) % 65536 - 32768).astype("<i2")
+    mono = encode_wav(8000, s.tobytes())
+    bad = mono[:30]  # truncated mid-fmt
+    notwav = b"OggS" + mono[4:]
+    df = spark.createDataFrame(
+        [(1, bytearray(mono)), (2, bytearray(bad)), (3, bytearray(notwav)),
+         (4, None)],
+        "media_id long, blob binary",
+    )
+    got = {r["media_id"]: r for r in decode_wav(df, "media_id", "blob").collect()}
+    r1 = got[1]
+    c0 = s.astype(np.int64)
+    assert (r1["sample_rate"], r1["channels"], r1["n_frames"]) == (8000, 1, 200)
+    assert r1["duration_ms"] == 200 * 1000 // 8000 == 25
+    assert r1["peak"] == int(np.abs(c0).max())
+    neg = c0 < 0
+    assert r1["zero_crossings"] == int(np.count_nonzero(neg[1:] != neg[:-1]))
+    assert r1["sum_sq"] == int((c0 * c0).sum())
+    assert abs(r1["rms"] - (r1["sum_sq"] / 200) ** 0.5) < 1e-3
+    assert r1["error"] is None
+    assert got[2]["error"] is not None and got[2]["sample_rate"] is None
+    assert "not a RIFF/WAVE" in got[3]["error"]
+    assert got[4]["error"] == "NULL blob"
+
+
+def test_wav_stereo_features_use_channel_zero(spark):
+    import numpy as np
+
+    from atiesh_spark.operators.multimodal import decode_wav, encode_wav
+
+    # channel 0 = ramp, channel 1 = loud noise: features must see only ch0
+    c0 = np.arange(-50, 50, dtype=np.int64)
+    c1 = np.full(100, 30000, dtype=np.int64)
+    inter = np.empty(200, dtype="<i2")
+    inter[0::2], inter[1::2] = c0.astype("<i2"), c1.astype("<i2")
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_wav(16000, inter.tobytes(), channels=2)))],
+        "media_id long, blob binary",
+    )
+    r = decode_wav(df, "media_id", "blob").collect()[0]
+    assert (r["channels"], r["n_frames"]) == (2, 100)
+    assert r["peak"] == 50  # not 30000 — channel 1 is excluded
+    assert r["zero_crossings"] == 1  # single -1 -> 0 transition
+    assert r["sum_sq"] == int((c0 * c0).sum())
+
+
+def test_wav_parser_tolerates_extra_chunks():
+    import struct
+
+    import numpy as np
+
+    from atiesh_spark.operators.multimodal import _parse_wav, encode_wav
+
+    s = np.arange(10, dtype="<i2")
+    blob = encode_wav(44100, s.tobytes())
+    # splice an odd-sized LIST chunk (with pad byte) between fmt and data
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = blob[:36] + extra + blob[36:]
+    sr, ch, arr = _parse_wav(spliced)
+    assert sr == 44100 and ch == 1 and (arr == s).all()
+    with pytest.raises(ValueError):
+        _parse_wav(encode_wav(8000, s.tobytes())[:-1])  # truncated data
+    with pytest.raises(ValueError):
+        encode_wav(8000, b"\x01\x02\x03")  # not frame-aligned
