@@ -4589,3 +4589,65 @@ def q162_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "sample_rate", "channels", "n_frames", "duration_ms",
         "peak", "zero_crossings", "sum_sq", "rms"
     )
+
+
+@register(
+    "q163_winnow_fingerprints",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(text) >= 5
+    ),
+    g AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM s, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               m // 16777216 AS fp_hash, m % 16777216 AS fp_pos
+        FROM sel WHERE pos <= greatest(n - 3, 1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(fp_hash) AS BIGINT) AS sum_fp,
+           CAST(min(fp_hash) AS BIGINT) AS min_fp,
+           CAST(max(fp_hash) AS BIGINT) AS max_fp,
+           CAST(sum(fp_pos) AS BIGINT) AS sum_pos
+    FROM fp GROUP BY doc_id
+    """,
+    doc="Winnowing document fingerprints (operators/textstats.py "
+    "winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD 2003, the "
+    "MOSS local fingerprinting scheme, implemented from the paper's "
+    "math): every k=5 char gram of lower(text) hashed (36-bit md5 "
+    "prefix — a rolling Rabin-Karp hash buys nothing in a set-oriented "
+    "plan, documented in the operator), a w=4 window min selected per "
+    "position with leftmost tie-break via a single packed-BIGINT "
+    "window pass (hash*2^24+pos), selected pairs deduplicated. The "
+    "guarantee graded here end-to-end: selection is exactly "
+    "reproducible cross-engine — the oracle recomputes the full "
+    "selection arithmetically and both sides digest per doc to "
+    "(n_fp, sum/min/max fp_hash, sum fp_pos), so one differently-"
+    "selected gram anywhere flips the hash. Engine shape: one narrow "
+    "fanout shuffle + linear explode + ONE per-doc window shuffle + "
+    "distinct on the kept ~2/(w+1) fraction; overlap detection "
+    "downstream is an equi-join on fp_hash, never all-pairs.",
+)
+def q163_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("fp_hash").alias("sum_fp"),
+        F.min("fp_hash").alias("min_fp"),
+        F.max("fp_hash").alias("max_fp"),
+        F.sum("fp_pos").cast("long").alias("sum_pos"),
+    )

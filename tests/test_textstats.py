@@ -152,3 +152,74 @@ def test_classification_report_known_matrix(spark):
     de = got["de"]
     assert de["tp"] == 0 and de["precision"] is None  # 'de' never predicted
     assert abs(got["fr"]["f1"] - 2 * 1 / (2 + 2)) < 1e-6
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= w + k - 1 yields at least one
+    identical selected fingerprint in both documents (the Schleimer
+    2003 theorem the operator's copy-detection use depends on)."""
+    from atiesh_spark.operators.textstats import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"  # >> w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIX ONE %s SUFFIX AAA" % shared),
+            (2, "totally different start %s and a different end" % shared),
+            (3, "no overlap with anything else at all, none whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # density ~ 2/(w+1): selected fraction must be well below 1 and > 0
+    n_grams_1 = len(df.collect()[0]["text"]) - k + 1
+    frac = len([r for r in rows if r["doc_id"] == 1]) / n_grams_1
+    assert 0.1 < frac < 0.8
+
+
+def test_winnow_short_and_repetitive_docs(spark):
+    from atiesh_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "abc"),        # shorter than k=5 -> no fingerprints
+            (2, "abcdef"),     # 2 grams < w -> single global-min window
+            (3, "aaaaaaaaaa"), # all grams identical -> leftmost tie kept once
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    rows = fp.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["fp_pos"], r["fp_hash"]))
+    assert 1 not in got
+    assert len(got[2]) == 1
+    # doc 3: all 6 grams hash identically; each of the 3 complete windows
+    # selects its own leftmost position (classic winnowing densifies on
+    # runs — the stateful 'robust winnowing' refinement is what avoids
+    # this, documented in the operator), so positions 1..3 are selected,
+    # all with the same hash
+    assert sorted(got[3]) == [(1, got[3][0][1]), (2, got[3][0][1]), (3, got[3][0][1])]
+
+
+def test_winnow_selection_is_deterministic(spark):
+    from atiesh_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some repeated filler text " * 3)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, winnow_fingerprints(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, winnow_fingerprints(
+        df.repartition(7), "doc_id", "text").collect()))
+    assert a == b and len(a) > 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winnow_fingerprints(df, "doc_id", "text", k=0)
