@@ -332,6 +332,79 @@ def winnow_fingerprints(
     return selected
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 5,
+    min_shared: int = 2,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Copy-detection pairs over winnowing fingerprints: (id_1, id_2,
+    shared_fp, frac_1, frac_2), id_1 < id_2 — MOSS's matching stage.
+
+    ``shared_fp`` counts DISTINCT fingerprint hashes the two documents
+    both selected; ``frac_i`` = shared_fp / (doc i's distinct selected
+    hashes), rounded to 4dp — the containment-style estimate in each
+    direction (a short doc quoted inside a long page scores high
+    frac_short, low frac_long; same asymmetry logic as
+    ``dedup.containment_pairs``).
+
+    Scale discipline (same caps as ``dedup.rare_shingle_candidates``):
+    hashes are reduced to one row per (doc, hash) BEFORE anything
+    counts them; document frequency is computed map-side-combined with
+    no id lists; only hashes with 2 <= df <= ``max_df`` generate pairs,
+    so pair work is bounded by |kept hashes| * max_df^2 and boilerplate
+    fingerprints (page chrome, license headers — present everywhere)
+    never explode. ``min_shared`` prunes the accidental single-hash
+    collisions before the per-doc size join. Pass ``fingerprints=`` to
+    reuse an existing ``winnow_fingerprints`` frame (e.g. a persisted
+    index) instead of re-fingerprinting the corpus.
+    """
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    )
+    docfp = fp.select(F.col(id_col), "fp_hash").distinct()
+    sizes = docfp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_fp"))
+    keep = (
+        docfp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("fp_hash")
+    )
+    rare = docfp.join(keep, "fp_hash", "left_semi")
+    a = rare.select("fp_hash", F.col(id_col).alias("id_1"))
+    b = rare.select("fp_hash", F.col(id_col).alias("id_2"))
+    shared = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__n_fp").alias("__n1"))
+    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__n_fp").alias("__n2"))
+    return (
+        shared.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            "shared_fp",
+            F.round(F.col("shared_fp") / F.col("__n1"), 4).alias("frac_1"),
+            F.round(F.col("shared_fp") / F.col("__n2"), 4).alias("frac_2"),
+        )
+    )
+
+
 def char_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
 ) -> DataFrame:

@@ -4651,3 +4651,121 @@ def q163_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("fp_hash").alias("max_fp"),
         F.sum("fp_pos").cast("long").alias("sum_pos"),
     )
+
+
+@register(
+    "q164_winnow_overlap_pairs",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               'xq ' || md5(CAST(doc_id AS VARCHAR)) || ' '
+                     || md5(CAST(doc_id + 7 AS VARCHAR)) || ' qx'
+                   AS passage,
+               text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substring(text, 1, 40) || ' ' || passage || ' tail one' AS text
+        FROM planted
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               'another doc start ' || passage || ' '
+                   || substring(text, 20, 40) AS text
+        FROM planted
+    ),
+    s AS (
+        SELECT doc_id, lower(text) AS t FROM corpus WHERE length(text) >= 5
+    ),
+    g AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM s, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g
+    ),
+    docfp AS (
+        SELECT DISTINCT doc_id, m // 16777216 AS fp_hash
+        FROM sel WHERE pos <= greatest(n - 3, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM docfp GROUP BY doc_id),
+    keep AS (
+        SELECT fp_hash FROM docfp GROUP BY fp_hash
+        HAVING count(*) BETWEEN 2 AND 4
+    ),
+    rare AS (SELECT d.* FROM docfp d JOIN keep USING (fp_hash)),
+    shared AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(count(*) AS BIGINT) AS shared_fp
+        FROM rare a JOIN rare b USING (fp_hash)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+    )
+    SELECT id_1, id_2, shared_fp,
+           round(shared_fp / s1.n_fp, 4) AS frac_1,
+           round(shared_fp / s2.n_fp, 4) AS frac_2
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = id_1
+    JOIN sizes s2 ON s2.doc_id = id_2
+    """,
+    doc="Winnowing copy-detection pairs (operators/textstats.py "
+    "winnow_overlap_pairs - MOSS's matching stage over q163's "
+    "fingerprints): one row per (doc, distinct hash), map-side df "
+    "count with no id lists, pairs only from hashes with "
+    "2 <= df <= max_df (work bounded at |kept hashes| * max_df^2 - "
+    "boilerplate fingerprints never explode), min_shared prune before "
+    "the per-doc size joins, containment-style fractions in both "
+    "directions. The graded query plants truth the df-cap CANNOT "
+    "erase: for every doc_id % 5 == 0, two derived docs are unioned "
+    "in that share a doc-unique 68-char passage (md5-hex text - its "
+    "grams exist in exactly those two docs, so df = 2 survives any "
+    "cap and the Schleimer shared-substring guarantee applies "
+    "unconditionally; a first attempt that quoted the original "
+    "corpus text instead was silently df-capped to zero planted "
+    "recoveries - the synthetic vocabulary is so small that median "
+    "gram df is 28 - which is exactly the boilerplate suppression "
+    "working as designed, measured and kept as a docstring warning). "
+    "The oracle recomputes fingerprinting, df-capping, pairing, and "
+    "fractions arithmetically end-to-end.",
+)
+def q164_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("xq "),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(" "),
+            F.md5((F.col("doc_id") + 7).cast("string")),
+            F.lit(" qx"),
+        ).alias("passage"),
+        "text",
+    )
+    da = planted.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" "), F.col("passage"),
+            F.lit(" tail one"),
+        ).alias("text"),
+    )
+    db = planted.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("another doc start "), F.col("passage"), F.lit(" "),
+            F.substring("text", 20, 40),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(da).unionByName(db)
+    return winnow_overlap_pairs(
+        corpus, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
+    )

@@ -223,3 +223,32 @@ def test_winnow_selection_is_deterministic(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         winnow_fingerprints(df, "doc_id", "text", k=0)
+
+
+def test_winnow_overlap_pairs_detects_quote_and_caps_boilerplate(spark):
+    from atiesh_spark.operators.textstats import winnow_overlap_pairs
+
+    rare = "zq81 vfkq mmxw 0427 qlpt yy93 zz14 aabq"  # distinctive passage
+    boiler = "all rights reserved contact admin for details"  # in EVERY doc
+    rows = [
+        (1, f"alpha document body {rare} and then some more words {boiler}"),
+        (2, f"completely different beginning {rare} different tail {boiler}"),
+        (3, f"unrelated text about other things entirely here {boiler}"),
+        (4, f"fourth doc with its own words nothing shared really {boiler}"),
+        (5, f"fifth doc again distinct content goes here {boiler}"),
+        (6, f"sixth doc some final filler content words {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_overlap_pairs(
+        df, "doc_id", "text", k=5, w=4, max_df=2, min_shared=2
+    ).collect()
+    pairs = {(r["id_1"], r["id_2"]): r for r in got}
+    assert (1, 2) in pairs, "shared rare passage must surface"
+    r = pairs[(1, 2)]
+    assert r["shared_fp"] >= 2 and 0 < r["frac_1"] <= 1 and 0 < r["frac_2"] <= 1
+    # boilerplate appears in all 6 docs -> df=6 > max_df -> suppressed:
+    # no pair exists that ONLY shares the boilerplate sentence
+    assert (3, 4) not in pairs and (5, 6) not in pairs
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winnow_overlap_pairs(df, "doc_id", "text", max_df=1)
