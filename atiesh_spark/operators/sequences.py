@@ -114,3 +114,87 @@ def assemble_sequences(
             ),
         )
     )
+
+
+def validate_conversations(
+    df: DataFrame,
+    conv_col: str,
+    role_col: str,
+    content_col: str,
+    order_cols: list[str],
+    roles: tuple[str, str] = ("user", "assistant"),
+    min_turns: int = 2,
+) -> DataFrame:
+    """Instruction-data turn hygiene: one row per conversation with the
+    structural facts an SFT/RLHF ingest gate filters on.
+
+    A well-formed two-party conversation starts with ``roles[0]``,
+    strictly alternates, ends on ``roles[1]``, has no empty turns, and
+    has at least ``min_turns`` turns. Output per conversation:
+
+    - ``n_turns``
+    - ``first_role`` / ``last_role``
+    - ``n_role_breaks`` — turns whose role differs from the strict
+      expectation ``roles[(turn_index - 1) % 2]`` (this single counter
+      covers wrong first speaker, broken alternation, AND any role
+      outside the two-party set — an off-script role never equals the
+      expected one)
+    - ``n_empty`` — NULL or whitespace-only content
+    - ``valid`` — the gate: no breaks, no empties, long enough, ends on
+      ``roles[1]``
+
+    Engine shape: ONE per-conversation window shuffle (row_number over
+    ``order_cols`` — pass a total order, e.g. [ts, turn_id], so the
+    verdict never depends on arrival order), then one groupBy on the
+    same key (no second exchange: the window's hash partitioning is
+    reused). Content never leaves codegen — only booleans aggregate.
+    """
+    if min_turns < 1:
+        raise ValueError("min_turns must be >= 1")
+    if roles[0] == roles[1]:
+        raise ValueError("roles must be two distinct speakers")
+    w = Window.partitionBy(conv_col).orderBy(*order_cols)
+    turns = df.select(
+        F.col(conv_col),
+        F.col(role_col).alias("__role"),
+        F.col(content_col).alias("__content"),
+        F.row_number().over(w).alias("__rn"),
+    ).select(
+        F.col(conv_col),
+        "__role",
+        "__rn",
+        F.when(
+            F.col("__rn") % 2 == 1, F.lit(roles[0])
+        ).otherwise(F.lit(roles[1])).alias("__expected"),
+        (
+            F.col("__content").isNull()
+            | (F.trim(F.col("__content")) == "")
+        ).alias("__empty"),
+    )
+    agg = turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__role"))).alias("first_role"),
+        F.max_by("__role", "__rn").alias("last_role"),
+        F.sum(
+            # NULL role is a break too — coalesce, or the comparison's
+            # NULL would silently drop out of the sum
+            F.coalesce(
+                F.col("__role") != F.col("__expected"), F.lit(True)
+            ).cast("long")
+        ).alias("n_role_breaks"),
+        F.sum(F.col("__empty").cast("long")).alias("n_empty"),
+    )
+    return agg.select(
+        F.col(conv_col),
+        "n_turns",
+        "first_role",
+        "last_role",
+        "n_role_breaks",
+        "n_empty",
+        (
+            (F.col("n_role_breaks") == 0)
+            & (F.col("n_empty") == 0)
+            & (F.col("n_turns") >= min_turns)
+            & (F.col("last_role") == roles[1])
+        ).alias("valid"),
+    )

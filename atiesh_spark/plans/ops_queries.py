@@ -4769,3 +4769,78 @@ def q164_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         corpus, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
     )
+
+
+@register(
+    "q165_conversation_validate",
+    oracle="""
+    WITH turns AS (
+        SELECT user_id * 10 + event_id % 7 AS conv_id,
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN 'user' ELSE 'assistant' END AS role,
+               CASE WHEN value < 1.0 THEN '' ELSE event_type END AS content,
+               ts, event_id
+        FROM events
+    ),
+    numbered AS (
+        SELECT conv_id, role, content,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM turns
+    ),
+    flagged AS (
+        SELECT conv_id, role, rn,
+               CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END
+                   AS expected,
+               (content IS NULL OR trim(content) = '') AS empty
+        FROM numbered
+    ),
+    agg AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               max(CASE WHEN rn = 1 THEN role END) AS first_role,
+               max_by(role, rn) AS last_role,
+               CAST(sum(CASE WHEN role IS NULL OR role != expected
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_role_breaks,
+               CAST(sum(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty
+        FROM flagged GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, first_role, last_role, n_role_breaks, n_empty,
+           (n_role_breaks = 0 AND n_empty = 0 AND n_turns >= 2
+            AND last_role = 'assistant') AS valid
+    FROM agg
+    """,
+    doc="Instruction-data turn hygiene (operators/sequences.py "
+    "validate_conversations): per-conversation structural facts an "
+    "SFT/RLHF ingest gate filters on — strict two-party alternation "
+    "(one n_role_breaks counter covers wrong first speaker, broken "
+    "alternation, off-script and NULL roles), empty-turn count, "
+    "first/last speaker, min-length + ends-on-assistant gate. ONE "
+    "per-conversation window shuffle (row_number over a caller-"
+    "supplied TOTAL order, here (ts, event_id)) and a groupBy reusing "
+    "the same partitioning; content never leaves codegen — only "
+    "booleans aggregate. The graded query synthesizes ~1000 "
+    "conversations from the event log (conv = user_id*10 + "
+    "event_id%7, role from event_type, planted empty turns where "
+    "value < 1) so every flag fires somewhere in the corpus, and the "
+    "oracle recomputes all of it arithmetically.",
+)
+def q165_conversation_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sequences import validate_conversations
+
+    ev = load_table(spark, sf_dir, "events")
+    turns = ev.select(
+        (F.col("user_id") * 10 + F.col("event_id") % 7).alias("conv_id"),
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"), "user"
+        ).otherwise("assistant").alias("role"),
+        F.when(F.col("value") < 1.0, "").otherwise(F.col("event_type")).alias(
+            "content"
+        ),
+        "ts",
+        "event_id",
+    )
+    return validate_conversations(
+        turns, "conv_id", "role", "content", ["ts", "event_id"], min_turns=2
+    )

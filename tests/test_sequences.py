@@ -107,3 +107,40 @@ def test_validation(spark):
         sessionize(
             df.withColumnRenamed("p", "session_id"), "user_id", "ts", 10
         )
+
+
+def test_validate_conversations_flags(spark):
+    from atiesh_spark.operators.sequences import validate_conversations
+
+    rows = [
+        # conv 1: perfect user/assistant/user/assistant
+        (1, 1, "user", "hi"), (1, 2, "assistant", "hello"),
+        (1, 3, "user", "thanks"), (1, 4, "assistant", "np"),
+        # conv 2: starts with assistant
+        (2, 1, "assistant", "hi"), (2, 2, "user", "??"),
+        # conv 3: double user turn mid-way
+        (3, 1, "user", "a"), (3, 2, "user", "b"), (3, 3, "assistant", "c"),
+        # conv 4: empty + whitespace content
+        (4, 1, "user", ""), (4, 2, "assistant", "   "),
+        # conv 5: ends on user
+        (5, 1, "user", "a"), (5, 2, "assistant", "b"), (5, 3, "user", "c"),
+        # conv 6: off-script + NULL role
+        (6, 1, "system", "x"), (6, 2, None, "y"),
+        # conv 7: single valid-looking turn, below min_turns
+        (7, 1, "user", "hi"),
+    ]
+    df = spark.createDataFrame(rows, "conv long, turn long, role string, content string")
+    got = {r["conv"]: r for r in validate_conversations(
+        df, "conv", "role", "content", ["turn"]).collect()}
+    assert got[1]["valid"] and got[1]["n_role_breaks"] == 0 and got[1]["n_empty"] == 0
+    assert not got[2]["valid"] and got[2]["n_role_breaks"] == 2  # both off-expectation
+    assert not got[3]["valid"] and got[3]["n_role_breaks"] == 2  # turns 2,3 shifted
+    assert not got[4]["valid"] and got[4]["n_empty"] == 2
+    assert not got[5]["valid"] and got[5]["last_role"] == "user"
+    assert not got[6]["valid"] and got[6]["n_role_breaks"] == 2  # off-script + NULL
+    assert not got[7]["valid"] and got[7]["n_turns"] == 1
+    import pytest
+    with pytest.raises(ValueError):
+        validate_conversations(df, "conv", "role", "content", ["turn"], roles=("a", "a"))
+    with pytest.raises(ValueError):
+        validate_conversations(df, "conv", "role", "content", ["turn"], min_turns=0)
