@@ -1,0 +1,159 @@
+"""Preference-data operators: pairwise comparisons -> item strengths.
+
+The RLHF data-pipeline step between "humans compared responses" and
+"train a reward model": aggregate a table of (winner, loser) pairwise
+judgments into per-item Bradley-Terry strengths, so response candidates
+can be ranked, filtered, or margin-weighted corpus-wide.
+
+Scale notes: comparisons aggregate ONCE to per-ordered-pair counts
+(the only full-data shuffle); every MM iteration after that works on
+the pair-count frame (rows = observed ordered pairs, independent of
+the number of raw judgments) with the current ratings broadcast as a
+small DataFrame — the k-means digest discipline (a bounded k-row
+collect per round, never the corpus). Ratings are shipped per round
+via a broadcast JOIN, not a Catalyst literal map: at thousands of
+items a nested-literal tree is exactly the plan-analysis blowup the
+round-4 lesson measured, while a broadcast hash join stays flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 10,
+    smooth: float = 0.5,
+    max_items: int = 100_000,
+) -> DataFrame:
+    """Bradley-Terry strengths from pairwise judgments via the MM
+    algorithm (Hunter, "MM algorithms for generalized Bradley-Terry
+    models", Annals of Statistics 2004 — implemented from the paper's
+    update rule): repeat ``iters`` times
+
+        p_i  <-  W_i / sum_j g_ij / (p_i + p_j)
+
+    where ``W_i`` is i's (smoothed) win total and ``g_ij`` the
+    (smoothed) number of games between i and j; ratings are normalized
+    to sum to 1 each round (the update is scale-invariant, so this
+    only fixes the gauge). Returns (item, n_wins, n_games, rating):
+    ``n_wins``/``n_games`` are the RAW counts, ``rating`` the
+    normalized strength.
+
+    ``smooth`` adds that many virtual wins in BOTH directions of every
+    observed pair (Laplace-style): without it an undefeated item's MLE
+    diverges and a winless item's collapses to zero — the standard BT
+    degeneracy. ``smooth=0`` restores the pure MLE.
+
+    Self-comparisons are dropped. Raises if the item count exceeds
+    ``max_items`` — the per-round ratings collect is the k-means-style
+    bounded digest, and the bound makes it explicit (a corpus with
+    millions of items wants the join-only variant where ratings stay
+    distributed; at that point each iteration is one shuffle of the
+    pair frame, which this implementation's broadcast join already
+    avoids for the common case).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if smooth < 0:
+        raise ValueError("smooth must be >= 0")
+    pairs = comparisons.select(
+        F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
+    ).filter(F.col("__w") != F.col("__l"))
+    # ONE full-data shuffle: directed win counts per ordered pair
+    counts = pairs.groupBy("__w", "__l").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint()
+    # symmetric frame of ordered (i, j): smoothed games between i and j
+    sym = (
+        counts.select(F.col("__w").alias("__i"), F.col("__l").alias("__j"), "__n")
+        .unionByName(
+            counts.select(
+                F.col("__l").alias("__i"), F.col("__w").alias("__j"), "__n"
+            )
+        )
+        .groupBy("__i", "__j")
+        .agg((F.sum("__n") + 2 * smooth).alias("__g"))
+        .localCheckpoint()
+    )
+    # smoothed win totals: raw wins + smooth per ordered opponent pair
+    wins = (
+        sym.select("__i", "__j")
+        .join(
+            counts.select(
+                F.col("__w").alias("__i"), F.col("__l").alias("__j"), "__n"
+            ),
+            ["__i", "__j"],
+            "left",
+        )
+        .groupBy("__i")
+        .agg((F.sum(F.coalesce(F.col("__n"), F.lit(0))) + F.count(F.lit(1)) * smooth).alias("__W"))
+        .localCheckpoint()
+    )
+    spark = comparisons.sparkSession
+    n_items = wins.count()
+    if n_items > max_items:
+        raise ValueError(
+            f"{n_items} items exceeds max_items={max_items}; use a "
+            "distributed-ratings variant for corpora this wide"
+        )
+    if n_items == 0:
+        return spark.createDataFrame(
+            [], "item string, n_wins long, n_games long, rating double"
+        )
+    # iterate: ratings are a k-row digest collected per round and
+    # re-broadcast as a small DataFrame (never a literal tree)
+    p = {r["__i"]: 1.0 / n_items for r in wins.select("__i").collect()}
+    for _ in range(iters):
+        p_df = spark.createDataFrame(
+            [(k, v) for k, v in p.items()], ["__item", "__p"]
+        )
+        terms = (
+            sym.join(
+                broadcast(p_df.select(F.col("__item").alias("__i"),
+                                      F.col("__p").alias("__pi"))),
+                "__i",
+            )
+            .join(
+                broadcast(p_df.select(F.col("__item").alias("__j"),
+                                      F.col("__p").alias("__pj"))),
+                "__j",
+            )
+            .groupBy("__i")
+            .agg(F.sum(F.col("__g") / (F.col("__pi") + F.col("__pj"))).alias("__d"))
+        )
+        new = {
+            r["__i"]: r["__W"] / r["__d"]
+            for r in wins.join(terms, "__i").collect()
+        }
+        # sum in sorted-key order: collect() row order is not
+        # deterministic, and float addition isn't associative
+        total = sum(v for _, v in sorted(new.items()))
+        p = {k: v / total for k, v in sorted(new.items())}
+    raw_wins = counts.groupBy(F.col("__w").alias("__i")).agg(
+        F.sum("__n").alias("n_wins")
+    )
+    raw_games = (
+        counts.select(F.col("__w").alias("__i"), "__n")
+        .unionByName(counts.select(F.col("__l").alias("__i"), "__n"))
+        .groupBy("__i")
+        .agg(F.sum("__n").alias("n_games"))
+    )
+    p_final = spark.createDataFrame(
+        [(k, v) for k, v in p.items()], ["__i", "rating"]
+    )
+    return (
+        raw_games.join(raw_wins, "__i", "left")
+        .join(p_final, "__i")
+        .select(
+            F.col("__i").alias("item"),
+            F.coalesce(F.col("n_wins"), F.lit(0)).alias("n_wins"),
+            F.col("n_games"),
+            F.round("rating", 4).alias("rating"),
+        )
+    )

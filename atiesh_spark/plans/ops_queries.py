@@ -4844,3 +4844,121 @@ def q165_conversation_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_conversations(
         turns, "conv_id", "role", "content", ["ts", "event_id"], min_turns=2
     )
+
+
+def _bt_oracle_sql(iters: int = 10) -> str:
+    """Unroll the Bradley-Terry MM iterations as chained CTEs — DuckDB
+    has no mutable state, so the fixed iteration count becomes ``iters``
+    mechanical p{t} -> p{t+1} blocks (exactly the arithmetic of
+    operators/preference.py bradley_terry). Every iteration CTE is AS
+    MATERIALIZED: each level references the previous one twice, and
+    DuckDB inlines plain CTEs — 10 inlined levels double per reference
+    into ~2^10 copies of the base scan, which exhausts file handles on
+    the events parquet before it exhausts patience."""
+    blocks = ["""
+    WITH seq AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    comp AS (
+        SELECT CASE WHEN value >= nv THEN event_type ELSE nt END AS w,
+               CASE WHEN value >= nv THEN nt ELSE event_type END AS l
+        FROM seq WHERE nt IS NOT NULL AND event_type != nt
+    ),
+    counts AS MATERIALIZED (
+        SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY w, l
+    ),
+    sym AS MATERIALIZED (
+        SELECT i, j, SUM(n) + 1.0 AS g FROM (
+            SELECT w AS i, l AS j, n FROM counts
+            UNION ALL SELECT l AS i, w AS j, n FROM counts
+        ) GROUP BY i, j
+    ),
+    wins AS MATERIALIZED (
+        SELECT s.i, SUM(COALESCE(c.n, 0)) + COUNT(*) * 0.5 AS tw
+        FROM sym s LEFT JOIN counts c ON c.w = s.i AND c.l = s.j
+        GROUP BY s.i
+    ),
+    p0 AS (
+        SELECT i AS item, 1.0 / (SELECT count(*) FROM wins) AS p FROM wins
+    )"""]
+    for t in range(iters):
+        blocks.append(f""",
+    u{t} AS MATERIALIZED (
+        SELECT s.i AS item, MAX(w.tw) / SUM(s.g / (pi.p + pj.p)) AS pr
+        FROM sym s
+        JOIN p{t} pi ON pi.item = s.i
+        JOIN p{t} pj ON pj.item = s.j
+        JOIN wins w ON w.i = s.i
+        GROUP BY s.i
+    ),
+    p{t + 1} AS MATERIALIZED (
+        SELECT item, pr / (SELECT SUM(pr) FROM u{t}) AS p FROM u{t}
+    )""")
+    blocks.append(f""",
+    raww AS (
+        SELECT w AS item, CAST(SUM(n) AS BIGINT) AS n_wins
+        FROM counts GROUP BY w
+    ),
+    rawg AS (
+        SELECT i AS item, CAST(SUM(n) AS BIGINT) AS n_games FROM (
+            SELECT w AS i, n FROM counts
+            UNION ALL SELECT l AS i, n FROM counts
+        ) GROUP BY i
+    )
+    SELECT g.item, COALESCE(rw.n_wins, 0) AS n_wins, g.n_games,
+           round(pf.p, 4) AS rating
+    FROM rawg g
+    LEFT JOIN raww rw USING (item)
+    JOIN p{iters} pf ON pf.item = g.item
+    """)
+    return "".join(blocks)
+
+
+@register(
+    "q166_bradley_terry",
+    oracle=_bt_oracle_sql(10),
+    doc="Bradley-Terry preference aggregation (operators/preference.py "
+    "bradley_terry — Hunter's MM algorithm, Annals of Statistics 2004, "
+    "implemented from the paper's update rule): the RLHF-pipeline step "
+    "that turns pairwise (winner, loser) judgments into per-item "
+    "strengths for ranking/filtering/margin-weighting response "
+    "candidates. Engine shape: raw judgments aggregate ONCE to "
+    "per-ordered-pair counts (the only full-data shuffle, "
+    "localCheckpointed); each of the 10 MM iterations then works on "
+    "the pair-count frame with current ratings broadcast-JOINED as a "
+    "k-row DataFrame (never a Catalyst literal tree — the r4 lesson), "
+    "and collects exactly k ratings back (the k-means bounded-digest "
+    "discipline, with an explicit max_items guard). Laplace smoothing "
+    "(0.5 virtual wins both directions per observed pair) keeps the "
+    "undefeated/winless MLE finite. The graded query synthesizes "
+    "judgments from the event log (consecutive events per user: "
+    "higher value wins) and the oracle unrolls all 10 iterations as "
+    "chained CTEs — same arithmetic, no decoder, exact to 4dp. "
+    "Python-side normalization sums in sorted-key order so the result "
+    "is run-deterministic despite collect() row order.",
+)
+def q166_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.preference import bradley_terry
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+    ).filter(F.col("nt").isNotNull() & (F.col("event_type") != F.col("nt")))
+    comp = seq.select(
+        F.when(F.col("value") >= F.col("nv"), F.col("event_type"))
+        .otherwise(F.col("nt"))
+        .alias("w"),
+        F.when(F.col("value") >= F.col("nv"), F.col("nt"))
+        .otherwise(F.col("event_type"))
+        .alias("l"),
+    )
+    return bradley_terry(comp, "w", "l", iters=10)
