@@ -326,3 +326,105 @@ def nb_predict(
         F.col("__best.label").alias("pred_label"),
         F.col("__best.s").alias("log_score"),
     )
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 10,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> dict[str, float]:
+    """In-engine logistic regression by full-batch gradient descent —
+    the step past Naive Bayes (``nb_train``) toward the
+    fastText/DCLM-style learned quality gate, still without the corpus
+    ever leaving the engine.
+
+    Each of the ``iters`` rounds computes the exact batch gradient as
+    ONE map-side-combined aggregate over the data —
+    ``grad_j = sum((sigmoid(w.x + b) - y) * x_j)`` built from codegen
+    expressions with the current weights inlined as d+1 scalar
+    literals (a handful of doubles, nowhere near the Catalyst
+    literal-tree hazard) — then applies the deterministic update
+    ``w -= lr * (grad / n + l2 * w)`` driver-side. Driver traffic is
+    exactly d+1 doubles per round: the k-means digest discipline.
+
+    Returns ``{"b": ..., feature: weight, ..., "n": n, "loss": ...}``
+    where ``loss`` is the final mean log-loss (computed AFTER the last
+    update, one extra pass). Deterministic given the data: no
+    sampling, no initialization randomness (weights start at 0, where
+    the loss is convex anyway). NULL labels or features raise — a
+    training gate must not silently skip rows (filter first; the
+    explicit contract mirrors nb_train).
+
+    Feature scaling is the caller's job (unscaled features with a
+    shared ``lr`` converge badly — standardize or bound them first);
+    keeping it out of the trainer keeps the gradient exactly
+    reproducible by an external oracle with no mean/std round-trip.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not feature_cols:
+        raise ValueError("need at least one feature column")
+    null_cond = F.col(label_col).isNull()
+    for c in feature_cols:
+        null_cond = null_cond | F.col(c).isNull()
+    if df.filter(null_cond).limit(1).count() > 0:
+        raise ValueError(
+            "NULL labels or features present — filter or impute before "
+            "training"
+        )
+    n = df.count()
+    if n == 0:
+        raise ValueError("empty training frame")
+    d = len(feature_cols)
+    w = [0.0] * d
+    b = 0.0
+    y = F.col(label_col).cast("double")
+
+    def z_expr() -> Column:
+        z = F.lit(b)
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j]) * F.col(c).cast("double")
+        return z
+
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr()))
+        r = (p - y).alias("__r")
+        aggs = [F.sum(F.col("__r")).alias("__gb")] + [
+            F.sum(F.col("__r") * F.col(c).cast("double")).alias(f"__g{j}")
+            for j, c in enumerate(feature_cols)
+        ]
+        row = df.select(r, *feature_cols).agg(*aggs).collect()[0]
+        b -= lr * row["__gb"] / n
+        w = [
+            w[j] - lr * (row[f"__g{j}"] / n + l2 * w[j])
+            for j in range(d)
+        ]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr()))
+    eps = 1e-12
+    loss_col = -(
+        y * F.log(F.greatest(p, F.lit(eps)))
+        + (1 - y) * F.log(F.greatest(1 - p, F.lit(eps)))
+    )
+    loss = df.select(F.avg(loss_col).alias("__l")).collect()[0]["__l"]
+    out = {"b": b, "n": float(n), "loss": loss}
+    for j, c in enumerate(feature_cols):
+        out[c] = w[j]
+    return out
+
+
+def logreg_score(
+    df: DataFrame,
+    model: dict[str, float],
+    feature_cols: list[str],
+    out_col: str = "p",
+) -> DataFrame:
+    """Score rows with a ``logreg_train`` model: adds ``out_col`` =
+    sigmoid(w.x + b). Pure codegen — d multiplies and one exp per row,
+    zero shuffles, zero Python."""
+    z = F.lit(model["b"])
+    for c in feature_cols:
+        z = z + F.lit(model[c]) * F.col(c).cast("double")
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

@@ -4962,3 +4962,124 @@ def q166_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("l"),
     )
     return bradley_terry(comp, "w", "l", iters=10)
+
+
+def _logreg_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
+    """Unroll logreg_train's full-batch gradient descent as chained
+    MATERIALIZED CTEs (same doubling hazard as _bt_oracle_sql): w{t}
+    is a one-row weight frame, g{t} the exact batch gradient against
+    it, w{t+1} the deterministic update — identical arithmetic to
+    operators/classify.py logreg_train at lr=0.5, l2=0."""
+    head = """
+    WITH feats AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               n_chars / 100.0 AS x1,
+               (length(text) - length(replace(text, ' ', ''))) / 50.0 AS x2,
+               (doc_id % 7) / 7.0 AS x3
+        FROM documents
+    ),
+    nrow AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+    w0 AS MATERIALIZED (
+        SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
+    )"""
+    blocks = [head]
+    for t in range(iters):
+        blocks.append(f""",
+    g{t} AS MATERIALIZED (
+        SELECT SUM(r) AS gb, SUM(r * x1) AS g1, SUM(r * x2) AS g2,
+               SUM(r * x3) AS g3
+        FROM (
+            SELECT (1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2
+                                       + w.w3 * f.x3))) - f.y) AS r,
+                   f.x1, f.x2, f.x3
+            FROM feats f, w{t} w
+        )
+    ),
+    w{t + 1} AS MATERIALIZED (
+        SELECT w.b - {lr} * g.gb / n.n AS b,
+               w.w1 - {lr} * g.g1 / n.n AS w1,
+               w.w2 - {lr} * g.g2 / n.n AS w2,
+               w.w3 - {lr} * g.g3 / n.n AS w3
+        FROM w{t} w, g{t} g, nrow n
+    )""")
+    blocks.append(f""",
+    scored AS MATERIALIZED (
+        SELECT f.doc_id, f.y,
+               1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2
+                                  + w.w3 * f.x3))) AS p
+        FROM feats f, w{iters} w
+    )
+    SELECT 'b' AS name, round(b, 4) AS value FROM w{iters}
+    UNION ALL SELECT 'w_x1', round(w1, 4) FROM w{iters}
+    UNION ALL SELECT 'w_x2', round(w2, 4) FROM w{iters}
+    UNION ALL SELECT 'w_x3', round(w3, 4) FROM w{iters}
+    UNION ALL SELECT 'n', n FROM nrow
+    UNION ALL SELECT 'loss',
+        round(avg(-(y * ln(greatest(p, 1e-12))
+                    + (1 - y) * ln(greatest(1 - p, 1e-12)))), 4)
+    FROM scored
+    UNION ALL
+    SELECT 'score:' || CAST(doc_id AS VARCHAR), round(p, 4)
+    FROM scored WHERE doc_id % 100 = 0
+    """)
+    return "".join(blocks)
+
+
+@register(
+    "q167_logreg_quality_gate",
+    oracle=_logreg_oracle_sql(10, 0.5),
+    doc="In-engine logistic regression (operators/classify.py "
+    "logreg_train / logreg_score): the step past q111's Naive Bayes "
+    "toward the fastText/DCLM-style LEARNED quality gate, trained "
+    "without the corpus leaving the engine. Each of 10 full-batch GD "
+    "rounds is ONE map-side-combined aggregate computing the exact "
+    "batch gradient (sigmoid residual times features, all codegen — "
+    "current weights inlined as d+1 scalar literals, far below any "
+    "Catalyst literal-tree hazard) with exactly d+1 doubles of driver "
+    "traffic per round (k-means digest discipline); the update is "
+    "deterministic (zero init — the loss is convex — no sampling, no "
+    "shuffling), so an external oracle can replay training exactly: "
+    "the DuckDB side unrolls all 10 iterations as MATERIALIZED "
+    "one-row weight CTEs and matches the learned weights, final "
+    "log-loss, AND held-out sigmoid scores to 4dp. Feature scaling is "
+    "deliberately the caller's job (documented) so the gradient "
+    "arithmetic is reproducible with no mean/std round-trip. Scoring "
+    "(logreg_score) is pure codegen: d multiplies + one exp per row, "
+    "zero shuffles.",
+)
+def q167_logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.classify import logreg_score, logreg_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 100.0).alias("x1"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            / 50.0
+        ).alias("x2"),
+        ((F.col("doc_id") % 7) / 7.0).alias("x3"),
+    )
+    model = logreg_train(feats, ["x1", "x2", "x3"], "y", iters=10, lr=0.5)
+    rows = [
+        ("b", round(model["b"], 4)),
+        ("w_x1", round(model["x1"], 4)),
+        ("w_x2", round(model["x2"], 4)),
+        ("w_x3", round(model["x3"], 4)),
+        ("n", model["n"]),
+        ("loss", round(model["loss"], 4)),
+    ]
+    model_df = spark.createDataFrame(rows, "name string, value double")
+    remap = {"b": model["b"], "x1": model["x1"], "x2": model["x2"], "x3": model["x3"]}
+    scores = (
+        logreg_score(
+            feats.filter(F.col("doc_id") % 100 == 0), remap, ["x1", "x2", "x3"]
+        )
+        .select(
+            F.concat(F.lit("score:"), F.col("doc_id").cast("string")).alias("name"),
+            F.round("p", 4).alias("value"),
+        )
+    )
+    return model_df.unionByName(scores)

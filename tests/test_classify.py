@@ -249,3 +249,67 @@ def test_threshold_sweep_binned_bounds_frame(spark):
     ]
     _, auc = _py_sweep(binned)
     assert rows[0]["auc"] == pytest.approx(auc)
+
+
+def test_logreg_train_matches_numpy_reference(spark):
+    import math
+
+    from atiesh_spark.operators.classify import logreg_score, logreg_train
+
+    # deterministic toy data: y depends on x1, x2 is noise-ish
+    rows = []
+    for i in range(80):
+        x1 = (i % 10) / 10.0
+        x2 = ((i * 7) % 13) / 13.0
+        y = 1 if x1 > 0.45 else 0
+        rows.append((i, float(x1), float(x2), y))
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y int")
+    model = logreg_train(df, ["x1", "x2"], "y", iters=20, lr=1.0)
+
+    # plain-python replica of the exact same GD
+    w = [0.0, 0.0]; b = 0.0; n = len(rows)
+    for _ in range(20):
+        gb = g1 = g2 = 0.0
+        for _, x1, x2, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(b + w[0] * x1 + w[1] * x2)))
+            r = p - y
+            gb += r; g1 += r * x1; g2 += r * x2
+        b -= 1.0 * gb / n
+        w = [w[0] - 1.0 * g1 / n, w[1] - 1.0 * g2 / n]
+    assert abs(model["b"] - b) < 1e-9
+    assert abs(model["x1"] - w[0]) < 1e-9 and abs(model["x2"] - w[1]) < 1e-9
+    assert model["x1"] > 0  # separating feature got positive weight
+    assert model["loss"] < math.log(2)  # better than the 0-weight start
+    scored = logreg_score(df, model, ["x1", "x2"]).collect()
+    hi = [r["p"] for r in scored if r["x1"] > 0.45]
+    lo = [r["p"] for r in scored if r["x1"] <= 0.45]
+    # the noise feature x2 jitters individual scores, so compare the
+    # group means, not the extremes
+    assert sum(hi) / len(hi) > sum(lo) / len(lo) + 0.1
+
+
+def test_logreg_train_contracts(spark):
+    import pytest
+
+    from atiesh_spark.operators.classify import logreg_train
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (None, 0)], "x1 double, y int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        logreg_train(df, ["x1"], "y")
+    ok = df.filter("x1 IS NOT NULL")
+    with pytest.raises(ValueError):
+        logreg_train(ok, [], "y")
+    with pytest.raises(ValueError):
+        logreg_train(ok, ["x1"], "y", iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(ok.filter("x1 > 99"), ["x1"], "y")
+    # l2 shrinks weights toward zero
+    big = spark.createDataFrame(
+        [(i, float(i % 2), i % 2) for i in range(40)],
+        "id long, x1 double, y int",
+    )
+    w_plain = logreg_train(big, ["x1"], "y", iters=15, lr=1.0)["x1"]
+    w_l2 = logreg_train(big, ["x1"], "y", iters=15, lr=1.0, l2=0.5)["x1"]
+    assert 0 < w_l2 < w_plain
