@@ -157,3 +157,68 @@ def bradley_terry(
             F.round("rating", 4).alias("rating"),
         )
     )
+
+
+def preference_length_bias(
+    comparisons: DataFrame,
+    winner_len_col: str,
+    loser_len_col: str,
+    bins: int = 8,
+) -> DataFrame:
+    """Length-bias diagnostic for preference data: does the LONGER
+    response win more often than chance? The best-documented artifact
+    in human preference corpora — a reward model trained on biased
+    judgments learns verbosity, so the ingest pipeline should measure
+    this before training, per batch.
+
+    Buckets judgments by ``abs_delta = |len(winner) - len(loser)|``
+    into ``bins`` equal-width integer buckets and reports per bucket:
+    ``n``, ``longer_wins`` (judgments the longer side won),
+    ``tie_n`` (equal lengths — they count in ``n`` and depress
+    ``rate``, deliberately: a tie is evidence of NO length effect),
+    and ``rate = longer_wins / n`` (4dp). An unbiased corpus hovers
+    near 0.5 in every bucket; a rising curve is the signature to alarm
+    on.
+
+    Integer-exact everywhere: bucket edges come from a 2-int driver
+    digest (min/max of abs_delta) with ``width = (hi - lo) // bins + 1``
+    — no float edges to disagree across engines (the drift_report
+    lesson). One aggregate for bounds + one binned groupBy: two jobs,
+    two scans, no shuffle beyond the ``bins``-row groupBy.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    delta = (
+        F.col(winner_len_col).cast("long") - F.col(loser_len_col).cast("long")
+    )
+    base = comparisons.select(
+        delta.alias("__d"), F.abs(delta).alias("__a")
+    )
+    row = base.agg(
+        F.min("__a").alias("lo"), F.max("__a").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if row["n"] == 0:
+        raise ValueError("no judgments to diagnose")
+    lo, hi = int(row["lo"]), int(row["hi"])
+    width = (hi - lo) // bins + 1
+    return (
+        base.groupBy(
+            # integer div in-plan (house rule: double division can land
+            # exactly on an integer and flip the bucket vs the oracle)
+            F.expr(f"(__a - {lo}) div {width}").cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__d") > 0).cast("long")).alias("longer_wins"),
+            F.sum((F.col("__d") == 0).cast("long")).alias("tie_n"),
+        )
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * width).alias("lo_edge"),
+            "n",
+            "longer_wins",
+            "tie_n",
+            F.round(F.col("longer_wins") / F.col("n"), 4).alias("rate"),
+        )
+    )

@@ -68,3 +68,35 @@ def test_bradley_terry_edges(spark):
 
     empty = spark.createDataFrame([], "w string, l string")
     assert bradley_terry(empty, "w", "l").count() == 0
+
+
+def test_preference_length_bias_planted_curve(spark):
+    from atiesh_spark.operators.preference import preference_length_bias
+
+    rows = []
+    # small gaps: longer side wins half the time (unbiased)
+    for i in range(20):
+        if i % 2:
+            rows.append((100 + 2, 100))     # longer wins, gap 2
+        else:
+            rows.append((100, 100 + 2))     # shorter wins, gap 2
+    # big gaps: longer side always wins (biased tail)
+    rows += [(300, 100)] * 10
+    # ties
+    rows += [(150, 150)] * 4
+    df = spark.createDataFrame(rows, "len_w long, len_l long")
+    got = {r["bucket"]: r for r in preference_length_bias(
+        df, "len_w", "len_l", bins=4).collect()}
+    # gap 0 (ties) and gap 2 land in bucket 0: width = (200-0)//4+1 = 51
+    b0 = got[0]
+    assert b0["tie_n"] == 4 and b0["n"] == 24
+    assert abs(b0["rate"] - 10 / 24) < 1e-4  # rate is rounded to 4dp
+    # gap 200 -> bucket (200-0)//51 = 3: pure longer-wins
+    b3 = got[3]
+    assert b3["n"] == 10 and b3["longer_wins"] == 10 and b3["rate"] == 1.0
+    assert b3["lo_edge"] == 3 * 51
+    import pytest
+    with pytest.raises(ValueError):
+        preference_length_bias(df, "len_w", "len_l", bins=0)
+    with pytest.raises(ValueError, match="no judgments"):
+        preference_length_bias(df.filter("len_w < 0"), "len_w", "len_l")
