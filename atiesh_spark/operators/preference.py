@@ -222,3 +222,78 @@ def preference_length_bias(
             F.round(F.col("longer_wins") / F.col("n"), 4).alias("rate"),
         )
     )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Inter-annotator agreement for categorical labels: Fleiss' kappa
+    (Fleiss, "Measuring nominal scale agreement among many raters",
+    Psych. Bulletin 1971 — implemented from the paper's formulas).
+    The preference-data QA step before q166/q168 consume the labels:
+    low kappa means the judgments are noise and no amount of
+    aggregation fixes them.
+
+    Input is LONG format — one row per individual rating
+    (item, category) — the shape crowdsourced labels arrive in. Every
+    item must carry the SAME number of ratings n (the statistic is
+    undefined otherwise); the operator validates this and raises
+    listing the offending counts rather than silently mis-normalizing.
+
+    Returns ONE row: (n_items, n_raters, n_categories, p_bar = mean
+    observed per-item agreement, p_e = chance agreement from squared
+    category shares, kappa), kappa rounded 4dp. Engine shape: one
+    (item, category) count shuffle, then per-item and per-category
+    digests aggregate to scalars — two more tiny groupBys, everything
+    else is arithmetic on a handful of doubles. Degenerate cases per
+    the literature: a single rater per item raises (n-1 division);
+    perfect universal agreement on one category gives p_e = 1 and
+    kappa is returned as NULL (0/0 — undefined, not 1.0).
+    """
+    cell = ratings.groupBy(
+        F.col(item_col).alias("__it"), F.col(category_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    per_item = cell.groupBy("__it").agg(
+        F.sum("__n").alias("__ni"), F.sum(F.col("__n") * F.col("__n")).alias("__sq")
+    )
+    counts = per_item.select("__ni").distinct().collect()
+    if not counts:
+        raise ValueError("no ratings")
+    if len(counts) > 1:
+        raise ValueError(
+            "Fleiss' kappa needs the same rater count on every item; got "
+            f"counts {sorted(r['__ni'] for r in counts)}"
+        )
+    n = int(counts[0]["__ni"])
+    if n < 2:
+        raise ValueError("need at least 2 ratings per item")
+    stats = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg(
+            (F.col("__sq") - n) / (n * (n - 1))
+        ).alias("p_bar"),
+    )
+    shares = cell.groupBy("__c").agg(F.sum("__n").alias("__tot"))
+    # p_e from collected category totals — bounded by the number of
+    # distinct labels (a handful), summed in sorted-category order for
+    # run-determinism
+    tot_rows = shares.collect()
+    grand = sum(int(r["__tot"]) for r in sorted(tot_rows, key=lambda r: str(r["__c"])))
+    p_e = sum(
+        (int(r["__tot"]) / grand) ** 2
+        for r in sorted(tot_rows, key=lambda r: str(r["__c"]))
+    )
+    row = stats.collect()[0]
+    p_bar = float(row["p_bar"])
+    kappa = None if p_e >= 1.0 else round((p_bar - p_e) / (1 - p_e), 4)
+    spark = ratings.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(row["n_items"]), n, len(tot_rows),
+            round(p_bar, 4), round(p_e, 4), kappa,
+        )],
+        "n_items long, n_raters long, n_categories long, "
+        "p_bar double, p_e double, kappa double",
+    )

@@ -5164,3 +5164,80 @@ def q168_preference_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(cur_wins, nxt_len).otherwise(cur_len).alias("len_l"),
     )
     return preference_length_bias(comp, "len_w", "len_l", bins=8)
+
+
+@register(
+    "q169_fleiss_kappa",
+    oracle="""
+    WITH picked AS (
+        SELECT user_id AS item, event_type AS cat
+        FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 6
+    ),
+    eligible AS (
+        SELECT item FROM picked GROUP BY item HAVING count(*) = 6
+    ),
+    r AS (SELECT p.* FROM picked p JOIN eligible USING (item)),
+    cell AS (SELECT item, cat, count(*) AS n FROM r GROUP BY item, cat),
+    per_item AS (
+        SELECT item, SUM(n * n) AS sq FROM cell GROUP BY item
+    ),
+    pb AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               avg((sq - 6) / (6.0 * 5.0)) AS p_bar
+        FROM per_item
+    ),
+    shares AS (SELECT cat, SUM(n) AS tot FROM cell GROUP BY cat),
+    pe AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_categories,
+               SUM(power(tot / (SELECT CAST(SUM(tot) AS DOUBLE) FROM shares),
+                         2)) AS p_e
+        FROM shares
+    )
+    SELECT pb.n_items, CAST(6 AS BIGINT) AS n_raters, pe.n_categories,
+           round(pb.p_bar, 4) AS p_bar, round(pe.p_e, 4) AS p_e,
+           round((pb.p_bar - pe.p_e) / (1 - pe.p_e), 4) AS kappa
+    FROM pb, pe
+    """,
+    doc="Inter-annotator agreement (operators/preference.py "
+    "fleiss_kappa — Fleiss, Psych. Bulletin 1971, from the paper's "
+    "formulas): the preference-data QA gate BEFORE q166/q168 consume "
+    "the labels — low kappa means the judgments are noise. Long-format "
+    "input (one row per rating); equal rater count per item is "
+    "VALIDATED with a listing error, not silently mis-normalized; "
+    "perfect-chance degenerate case (p_e = 1) returns NULL kappa, not "
+    "1.0. Engine shape: one (item, category) count shuffle + two tiny "
+    "digest groupBys; p_e sums collected category totals in sorted "
+    "order (bounded by the label-set size) for run-determinism. The "
+    "graded query treats each user's first 6 events as 6 'annotator' "
+    "labels over the event-type category set (users with fewer than 6 "
+    "events excluded to satisfy the equal-count contract), and the "
+    "oracle recomputes p_bar, p_e, and kappa arithmetically.",
+)
+def q169_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.preference import fleiss_kappa
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    picked = (
+        ev.select(
+            F.col("user_id").alias("item"),
+            F.col("event_type").alias("cat"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 6)
+    )
+    eligible = (
+        picked.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 6)
+        .select("item")
+    )
+    ratings = picked.join(eligible, "item", "left_semi")
+    return fleiss_kappa(ratings, "item", "cat")

@@ -100,3 +100,49 @@ def test_preference_length_bias_planted_curve(spark):
         preference_length_bias(df, "len_w", "len_l", bins=0)
     with pytest.raises(ValueError, match="no judgments"):
         preference_length_bias(df.filter("len_w < 0"), "len_w", "len_l")
+
+
+def test_fleiss_kappa_textbook_values(spark):
+    from atiesh_spark.operators.preference import fleiss_kappa
+
+    # perfect agreement: every item's 3 raters pick the same category,
+    # but categories differ between items -> p_bar = 1, kappa = 1
+    rows = [(i, ["a", "b"][i % 2]) for i in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_raters"], r["n_categories"]) == (10, 3, 2)
+    assert r["p_bar"] == 1.0 and r["kappa"] == 1.0
+
+    # hand-computed mixed case: 2 items x 4 raters
+    # item 1: a,a,a,b -> sum sq = 9+1 = 10, P_1 = (10-4)/12 = 0.5
+    # item 2: a,b,b,b -> P_2 = 0.5 ; p_bar = 0.5
+    # shares: a=4/8, b=4/8 -> p_e = 0.5 ; kappa = 0
+    rows2 = [(1, "a"), (1, "a"), (1, "a"), (1, "b"),
+             (2, "a"), (2, "b"), (2, "b"), (2, "b")]
+    df2 = spark.createDataFrame(rows2, "item long, cat string")
+    r2 = fleiss_kappa(df2, "item", "cat").collect()[0]
+    assert r2["p_bar"] == 0.5 and r2["p_e"] == 0.5 and r2["kappa"] == 0.0
+
+    # universal single category: p_e = 1 -> kappa NULL, not 1.0
+    rows3 = [(i, "a") for i in range(4) for _ in range(2)]
+    df3 = spark.createDataFrame(rows3, "item long, cat string")
+    r3 = fleiss_kappa(df3, "item", "cat").collect()[0]
+    assert r3["p_bar"] == 1.0 and r3["p_e"] == 1.0 and r3["kappa"] is None
+
+
+def test_fleiss_kappa_contracts(spark):
+    import pytest
+
+    from atiesh_spark.operators.preference import fleiss_kappa
+
+    uneven = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "item long, cat string"
+    )
+    with pytest.raises(ValueError, match="same rater count"):
+        fleiss_kappa(uneven, "item", "cat")
+    single = spark.createDataFrame([(1, "a"), (2, "b")], "item long, cat string")
+    with pytest.raises(ValueError, match="at least 2"):
+        fleiss_kappa(single, "item", "cat")
+    empty = spark.createDataFrame([], "item long, cat string")
+    with pytest.raises(ValueError, match="no ratings"):
+        fleiss_kappa(empty, "item", "cat")
