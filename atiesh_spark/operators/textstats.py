@@ -229,6 +229,67 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    lang_col: str,
+    score_col: str,
+    buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., "CCNet:
+    Extracting high quality monolingual datasets from web crawl data",
+    LREC 2020): per language, rank documents by an LM quality score
+    (bits/char from ``ngram_lm_scores`` — LOWER is better) and cut the
+    ranking into ``buckets`` equal-count tiers. CCNet keeps 'head' (and
+    often 'middle') for pretraining; the bucket label is the curation
+    signal this operator materializes.
+
+    Returns (id, lang, score, bucket_idx, bucket) — ``bucket_idx`` is
+    the 1-based ntile, ``bucket`` the matching label. Rows with a NULL
+    score (unscoreable docs — too short for a single n-gram) get
+    bucket_idx NULL and label 'unscored' rather than polluting the
+    tiers. Ties order by (score, id): ntile over a TOTAL order, so the
+    split is deterministic under retries and across engines.
+
+    Engine shape: ONE per-language window shuffle — the score column is
+    assumed precomputed (compose with ``ngram_lm_scores``, whose count
+    tables broadcast), so the whole split adds a single exchange to the
+    scoring plan.
+    """
+    from pyspark.sql.window import Window
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if len(labels) != buckets:
+        raise ValueError(f"need exactly {buckets} labels, got {len(labels)}")
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    )
+    scored = df.filter(F.col(score_col).isNotNull()).withColumn(
+        "bucket_idx", F.ntile(buckets).over(w)
+    )
+    label_expr = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), F.col("bucket_idx")
+    )
+    out = scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(score_col),
+        "bucket_idx",
+        label_expr.alias("bucket"),
+    )
+    unscored = df.filter(F.col(score_col).isNull()).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(score_col),
+        F.lit(None).cast("int").alias("bucket_idx"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return out.unionByName(unscored)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -5241,3 +5241,66 @@ def q169_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratings = picked.join(eligible, "item", "left_semi")
     return fleiss_kappa(ratings, "item", "cat")
+
+
+@register(
+    "q170_ccnet_buckets",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, substring(text, i, 3) AS sh
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)
+    ),
+    tri3 AS (SELECT doc_id, sh FROM tri WHERE length(sh) = 3),
+    ck AS (SELECT sh, count(*) AS c FROM tri3 GROUP BY sh),
+    cp AS (SELECT substring(sh, 1, 2) AS pfx, sum(c) AS c FROM ck GROUP BY 1),
+    v AS (SELECT count(DISTINCT substring(sh, 3, 1)) AS v FROM ck),
+    scored AS (
+        SELECT t.doc_id,
+               round(avg(-log2((ck.c + 1.0) / (cp.c + 1.0 * v.v))), 4)
+                   AS bits_per_char
+        FROM tri3 t
+        JOIN ck USING (sh)
+        JOIN cp ON substring(t.sh, 1, 2) = cp.pfx
+        CROSS JOIN v
+        GROUP BY t.doc_id
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, s.bits_per_char,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY s.bits_per_char, d.doc_id)
+                   AS bucket_idx
+        FROM documents d JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id, lang, bits_per_char, bucket_idx,
+           CASE bucket_idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    doc="CCNet head/middle/tail split (operators/textstats.py "
+    "perplexity_buckets — Wenzek et al. LREC 2020): per language, rank "
+    "documents by the q94 in-engine LM score (bits/char, lower = "
+    "better) and ntile into three equal tiers — the curation signal "
+    "CCNet keeps 'head' of. Ties break on (score, doc_id), a TOTAL "
+    "order, so the split is deterministic under retries and across "
+    "engines; NULL-score docs get an explicit 'unscored' label rather "
+    "than polluting the tiers (none exist at this sf — every doc "
+    "exceeds one trigram). The whole split adds ONE per-language "
+    "window exchange to the scoring plan (whose trigram count tables "
+    "broadcast, q94). Composes q94 -> bucket without re-reading the "
+    "corpus.",
+)
+def q170_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import (
+        ngram_lm_scores,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = ngram_lm_scores(docs, "doc_id", "text", k=3, smooth=1.0)
+    scored = docs.select("doc_id", "lang").join(
+        scores.select("doc_id", "bits_per_char"), "doc_id"
+    )
+    return perplexity_buckets(
+        scored, "doc_id", "lang", "bits_per_char", buckets=3
+    )

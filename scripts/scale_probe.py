@@ -62,6 +62,12 @@ HEAVY = [
     "q137_pq_ann",
     "q138_ivf_pq_ann",
     "q141_unigram_tokenizer",
+    # round 6 (session 2): winnowing explodes one row per char and
+    # windows per doc (the heaviest new text path), the MOSS pair join
+    # on top of it, and the 10-round full-batch GD trainer (10 scans)
+    "q163_winnow_fingerprints",
+    "q164_winnow_overlap_pairs",
+    "q167_logreg_quality_gate",
 ]
 
 
@@ -138,14 +144,25 @@ def main() -> None:
             best = el if best is None else min(best, el)
         return round(best, 2)
 
+    # --only q163,...: probe a subset of HEAVY and skip the custom
+    # cells (for incremental re-measurement; full run re-records all)
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+
     # warmup
     run("q26_minhash_lsh", "/root/testdata/sf0.01")
     out = {}
-    for name in HEAVY:
+    for name in HEAVY if only is None else [n for n in HEAVY if n in only]:
         a = run(name, BASE)
         b = run(name, OUT)
         out[name] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)}
         print(f"  {name}: {a}s -> {b}s ({out[name]['ratio']}x)", file=sys.stderr)
+
+    if only is not None:
+        print(json.dumps({"copies": COPIES, "queries": out}))
+        return
 
     # q55's registered form pins num_planes=4 (documented testdata
     # setting) and is expected to scale QUADRATICALLY; the operator's

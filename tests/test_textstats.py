@@ -252,3 +252,28 @@ def test_winnow_overlap_pairs_detects_quote_and_caps_boilerplate(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         winnow_overlap_pairs(df, "doc_id", "text", max_df=1)
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    from atiesh_spark.operators.textstats import perplexity_buckets
+
+    rows = [(i, "en", float(i)) for i in range(9)] + [
+        (100, "fr", 1.0), (101, "fr", 2.0), (102, "fr", 3.0),
+        (200, "en", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, bpc double")
+    got = {r["doc_id"]: r for r in perplexity_buckets(
+        df, "doc_id", "lang", "bpc").collect()}
+    # en: 9 scored docs -> 3 per tier, ranked by score
+    assert [got[i]["bucket"] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # fr tiers split independently of en
+    assert got[100]["bucket"] == "head" and got[102]["bucket"] == "tail"
+    # NULL score -> explicit 'unscored', NULL idx
+    assert got[200]["bucket"] == "unscored" and got[200]["bucket_idx"] is None
+    import pytest
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, "doc_id", "lang", "bpc", buckets=1)
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, "doc_id", "lang", "bpc", buckets=4)
