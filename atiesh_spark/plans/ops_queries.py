@@ -4593,6 +4593,7 @@ def q162_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q163_winnow_fingerprints",
+    headline=True,
     oracle="""
     WITH s AS (
         SELECT doc_id, lower(text) AS t FROM documents
@@ -4655,6 +4656,7 @@ def q163_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q164_winnow_overlap_pairs",
+    headline=True,
     oracle="""
     WITH planted AS (
         SELECT doc_id,
@@ -4919,6 +4921,7 @@ def _bt_oracle_sql(iters: int = 10) -> str:
 
 @register(
     "q166_bradley_terry",
+    headline=True,
     oracle=_bt_oracle_sql(10),
     doc="Bradley-Terry preference aggregation (operators/preference.py "
     "bradley_terry — Hunter's MM algorithm, Annals of Statistics 2004, "
@@ -5028,6 +5031,7 @@ def _logreg_oracle_sql(iters: int = 10, lr: float = 0.5) -> str:
 
 @register(
     "q167_logreg_quality_gate",
+    headline=True,
     oracle=_logreg_oracle_sql(10, 0.5),
     doc="In-engine logistic regression (operators/classify.py "
     "logreg_train / logreg_score): the step past q111's Naive Bayes "
@@ -5303,4 +5307,153 @@ def q170_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return perplexity_buckets(
         scored, "doc_id", "lang", "bits_per_char", buckets=3
+    )
+
+
+@register(
+    "q171_rlhf_data_report",
+    oracle=_bt_oracle_sql(10).replace(
+        """
+    SELECT g.item, COALESCE(rw.n_wins, 0) AS n_wins, g.n_games,
+           round(pf.p, 4) AS rating
+    FROM rawg g
+    LEFT JOIN raww rw USING (item)
+    JOIN p10 pf ON pf.item = g.item
+    """,
+        """,
+    kap AS MATERIALIZED (
+        WITH picked AS (
+            SELECT user_id AS item, event_type AS cat
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 6
+        ),
+        eligible AS (
+            SELECT item FROM picked GROUP BY item HAVING count(*) = 6
+        ),
+        r2 AS (SELECT p.* FROM picked p JOIN eligible USING (item)),
+        cell AS (SELECT item, cat, count(*) AS n FROM r2 GROUP BY item, cat),
+        per_item AS (SELECT item, SUM(n * n) AS sq FROM cell GROUP BY item),
+        pb AS (SELECT avg((sq - 6) / (6.0 * 5.0)) AS p_bar FROM per_item),
+        shares AS (SELECT cat, SUM(n) AS tot FROM cell GROUP BY cat),
+        pe AS (
+            SELECT SUM(power(tot / (SELECT CAST(SUM(tot) AS DOUBLE)
+                                    FROM shares), 2)) AS p_e
+            FROM shares
+        )
+        SELECT round((pb.p_bar - pe.p_e) / (1 - pe.p_e), 4) AS kappa
+        FROM pb, pe
+    ),
+    bias AS MATERIALIZED (
+        SELECT round(
+            SUM(CASE WHEN len_w > len_l THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE), 4) AS longer_win_rate
+        FROM (
+            SELECT CASE WHEN value >= nv
+                        THEN CAST(FLOOR(value * 10) AS BIGINT) + event_id % 37
+                        ELSE CAST(FLOOR(nv * 10) AS BIGINT) + nid % 37
+                   END AS len_w,
+                   CASE WHEN value >= nv
+                        THEN CAST(FLOOR(nv * 10) AS BIGINT) + nid % 37
+                        ELSE CAST(FLOOR(value * 10) AS BIGINT) + event_id % 37
+                   END AS len_l
+            FROM (
+                SELECT value, event_id, event_type,
+                       lead(event_type) OVER w2 AS nt,
+                       lead(value) OVER w2 AS nv,
+                       lead(event_id) OVER w2 AS nid
+                FROM events
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE nt IS NOT NULL AND event_type != nt
+        )
+    )
+    SELECT g.item, COALESCE(rw.n_wins, 0) AS n_wins, g.n_games,
+           round(pf.p, 4) AS rating, kap.kappa, bias.longer_win_rate
+    FROM rawg g
+    LEFT JOIN raww rw USING (item)
+    JOIN p10 pf ON pf.item = g.item
+    CROSS JOIN kap CROSS JOIN bias
+    """,
+    ),
+    doc="RLHF data-curation composite (preference.py end-to-end): ONE "
+    "report joining the whole preference family — per-item "
+    "Bradley-Terry strengths (q166's judgments and arithmetic), the "
+    "corpus-level Fleiss' kappa label-quality gate (q169's ratings), "
+    "and the global longer-win rate (q168's lengths) as report "
+    "columns. The operators compose as DataFrames in one plan: the "
+    "judgment synthesis window is shared, kappa and bias reduce to "
+    "scalar frames crossed onto the 5 rating rows (broadcast-trivial)."
+    " A reward-data pipeline reads this row set and decides: kappa "
+    "too low -> relabel, bias too high -> debias sampling, else train "
+    "on the ratings. Oracle = the three family oracles merged, "
+    "iteration CTEs MATERIALIZED as ever.",
+)
+def q171_rlhf_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.preference import (
+        bradley_terry,
+        fleiss_kappa,
+        preference_length_bias,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.lead("event_type").over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+        F.lead("event_id").over(w).alias("nid"),
+    ).filter(F.col("nt").isNotNull() & (F.col("event_type") != F.col("nt")))
+    cur_wins = F.col("value") >= F.col("nv")
+    comp = seq.select(
+        F.when(cur_wins, F.col("event_type")).otherwise(F.col("nt")).alias("w"),
+        F.when(cur_wins, F.col("nt")).otherwise(F.col("event_type")).alias("l"),
+        F.when(
+            cur_wins,
+            F.floor(F.col("value") * 10).cast("long") + F.col("event_id") % 37,
+        )
+        .otherwise(F.floor(F.col("nv") * 10).cast("long") + F.col("nid") % 37)
+        .alias("len_w"),
+        F.when(
+            cur_wins,
+            F.floor(F.col("nv") * 10).cast("long") + F.col("nid") % 37,
+        )
+        .otherwise(
+            F.floor(F.col("value") * 10).cast("long") + F.col("event_id") % 37
+        )
+        .alias("len_l"),
+    )
+    ratings_bt = bradley_terry(comp, "w", "l", iters=10)
+
+    picked = (
+        ev.select(
+            F.col("user_id").alias("item"),
+            F.col("event_type").alias("cat"),
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 6)
+    )
+    eligible = (
+        picked.groupBy("item").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 6).select("item")
+    )
+    kappa = fleiss_kappa(
+        picked.join(eligible, "item", "left_semi"), "item", "cat"
+    ).select("kappa")
+
+    bias = (
+        preference_length_bias(comp, "len_w", "len_l", bins=1)
+        .agg(
+            F.round(
+                F.sum("longer_wins") / F.sum("n"), 4
+            ).alias("longer_win_rate")
+        )
+    )
+    return ratings_bt.crossJoin(F.broadcast(kappa)).crossJoin(
+        F.broadcast(bias)
     )
