@@ -263,3 +263,65 @@ def decontaminate_two_stage(
         n=n,
     )
     return docs.join(suspects, id_col, "left_anti").unionByName(verified)
+
+
+def ngram_novelty(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Memorization diagnostic: how much of each evaluation document is
+    NOT covered by the training corpus at the word n-gram level — the
+    inverse of the contamination overlap q63 removes. Reported per eval
+    doc: (id, n_ngrams, n_novel, novelty) where ``n_ngrams`` counts the
+    doc's DISTINCT word n-grams, ``n_novel`` those absent from the
+    train corpus, ``novelty = n_novel / n_ngrams`` (4dp). Low novelty
+    on model OUTPUTS flags regurgitation; low novelty on an eval SET
+    flags leakage the decontamination pass should have caught —
+    the two standard uses (Carlini et al.'s extraction metrics reduce
+    to exactly this count at the n-gram level).
+
+    Scale shape: both sides reduce to md5 digests of their shingles
+    before anything shuffles (text never leaves the scan stage); the
+    train side is a DISTINCT digest set; the eval side left-anti-joins
+    it — one digest-keyed shuffle each, counts aggregate map-side.
+    Docs with fewer than ``n`` words have no n-grams: counts 0,
+    novelty NULL (not 1.0 — nothing was measurable).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ev = (
+        word_shingles(eval_df, id_col, text_col, n=n, distinct=True)
+        .select(F.col(id_col), F.md5(F.col("sh")).alias("__h"))
+    )
+    tr = (
+        word_shingles(train_df, id_col, text_col, n=n, distinct=True)
+        .select(F.md5(F.col("sh")).alias("__h"))
+        .distinct()
+    )
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    novel = (
+        ev.join(tr, "__h", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        eval_df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_novel", F.lit(0))
+                    / F.coalesce("n_ngrams", F.lit(0)),
+                    4,
+                ),
+            ).alias("novelty"),
+        )
+    )

@@ -5457,3 +5457,97 @@ def q171_rlhf_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratings_bt.crossJoin(F.broadcast(kappa)).crossJoin(
         F.broadcast(bias)
     )
+
+
+@register(
+    "q172_ngram_novelty",
+    oracle=r"""
+    WITH ev AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   list_slice(list_filter(regexp_split_to_array(text, '\s+'),
+                                          t -> length(t) > 0), 1, 15),
+                   ' ')
+               || ' zz' || md5(CAST(doc_id AS VARCHAR))
+               || ' zz' || md5(CAST(doc_id + 3 AS VARCHAR)) AS text
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    evg0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           t -> length(t) > 0) AS ts
+        FROM ev
+    ),
+    evg AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                                     i -> CASE WHEN i + 2 <= len(ts)
+                                          THEN ts[i] || ' ' || ts[i+1]
+                                               || ' ' || ts[i+2]
+                                          END)) AS sh
+        FROM evg0
+    ),
+    evs AS (SELECT doc_id, sh FROM evg WHERE sh IS NOT NULL),
+    trg0 AS (
+        SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                           t -> length(t) > 0) AS ts
+        FROM documents
+    ),
+    trg AS (
+        SELECT DISTINCT
+               unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+                                     i -> CASE WHEN i + 2 <= len(ts)
+                                          THEN ts[i] || ' ' || ts[i+1]
+                                               || ' ' || ts[i+2]
+                                          END)) AS sh
+        FROM trg0
+    ),
+    trs AS (SELECT sh FROM trg WHERE sh IS NOT NULL),
+    totals AS (SELECT doc_id, count(*) AS n_ngrams FROM evs GROUP BY doc_id),
+    novel AS (
+        SELECT e.doc_id, count(*) AS n_novel
+        FROM evs e LEFT JOIN trs t USING (sh)
+        WHERE t.sh IS NULL GROUP BY e.doc_id
+    )
+    SELECT e.doc_id,
+           CAST(coalesce(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(t.n_ngrams, 0) > 0
+                THEN round(coalesce(nv.n_novel, 0)
+                           / CAST(t.n_ngrams AS DOUBLE), 4)
+           END AS novelty
+    FROM ev e
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN novel nv USING (doc_id)
+    """,
+    doc="Word n-gram novelty (operators/decontaminate.py "
+    "ngram_novelty): the memorization diagnostic — per eval doc, the "
+    "fraction of DISTINCT word trigrams absent from the training "
+    "corpus (low novelty on model outputs = regurgitation; low on an "
+    "eval set = leakage q63 should have caught; Carlini-style "
+    "extraction metrics reduce to this count at the n-gram level). "
+    "Both sides digest shingles to md5 BEFORE the shuffle (text never "
+    "leaves the scan), train is one DISTINCT digest set, eval "
+    "left-anti-joins it; sub-n-word docs report counts 0 and NULL "
+    "novelty (nothing measurable, not 1.0). The graded query builds "
+    "eval docs as 15 memorized words from each doc_id % 4 == 0 "
+    "original plus doc-unique md5-hex tokens — so every eval doc has "
+    "BOTH a memorized prefix (novelty << 1 there) and guaranteed-"
+    "novel tail grams, and the oracle recomputes the split exactly.",
+)
+def q172_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.decontaminate import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+    ev = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(toks, 1, 15), " "),
+            F.lit(" zz"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(" zz"),
+            F.md5((F.col("doc_id") + 3).cast("string")),
+        ).alias("text"),
+    )
+    return ngram_novelty(ev, docs, "doc_id", "text", n=3)

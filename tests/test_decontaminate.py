@@ -125,3 +125,38 @@ def test_two_stage_equals_one_stage_exact(spark):
         .collect()
     )
     assert two == one
+
+
+def test_ngram_novelty_planted_split(spark):
+    from atiesh_spark.operators.decontaminate import ngram_novelty
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            # 100% memorized: a verbatim train fragment
+            (10, "quick brown fox jumps over"),
+            # 100% novel tokens
+            (11, "xq1 xq2 xq3 xq4"),
+            # half and half: 3 memorized trigrams + boundary + novel
+            (12, "the quick brown fox nova1 nova2 nova3"),
+            # too short for a trigram
+            (13, "just two"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(
+        evals, train, "doc_id", "text", n=3).collect()}
+    assert got[10]["novelty"] == 0.0 and got[10]["n_novel"] == 0
+    assert got[11]["novelty"] == 1.0 and got[11]["n_ngrams"] == 2
+    r12 = got[12]
+    # grams: 2 memorized ('the quick brown','quick brown fox'),
+    # 3 boundary/novel -> novelty 3/5
+    assert (r12["n_ngrams"], r12["n_novel"]) == (5, 3)
+    assert abs(r12["novelty"] - 0.6) < 1e-6
+    assert got[13]["n_ngrams"] == 0 and got[13]["novelty"] is None
+    import pytest
+    with pytest.raises(ValueError):
+        ngram_novelty(evals, train, "doc_id", "text", n=0)
