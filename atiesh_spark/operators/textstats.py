@@ -229,6 +229,98 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: (name, char-class regex) for the major scripts a web corpus mixes;
+#: order is the dominance tie-break priority.
+_SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode script distribution per document: the mixed-script
+    spam/spoofing signal web-corpus curation filters on (Cyrillic
+    lookalikes inside Latin text, CJK keyword stuffing in English
+    pages — the IDN-homograph problem at corpus scale).
+
+    Per doc: ``n_chars``, a ``frac_<script>`` column per major script
+    class (latin/cyrillic/greek/cjk/arabic) plus digits, whitespace
+    and other — all over total chars, 4dp, NULL when the doc is empty
+    (nothing measurable) — and two derived signals:
+
+    - ``dominant``: the letter class with the highest count, ties
+      resolved by the fixed priority latin > cyrillic > greek > cjk >
+      arabic ('none' when the doc has no letters from these classes).
+    - ``mixed``: true when a SECOND script is materially present —
+      ``10 * second_count >= letter_total`` (>= 10%, computed in exact
+      integer arithmetic so engines can't disagree on a boundary).
+
+    All counts are one ``regexp_replace`` + ``length`` per class —
+    row-local codegen, zero shuffles, rides whatever scan the caller
+    already pays for.
+    """
+    n = F.length(F.col(text_col))
+    counts = {
+        name: F.length(
+            F.regexp_replace(F.col(text_col), f"[^{cls}]", "")
+        )
+        for name, cls in _SCRIPT_CLASSES
+    }
+    digit = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    space = F.length(F.regexp_replace(F.col(text_col), r"[^\s]", ""))
+    letters = sum(counts.values(), F.lit(0))
+    mx = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    # build the when-chain in REVERSE priority so earlier classes win
+    for name, _ in reversed(_SCRIPT_CLASSES):
+        dominant = F.when(
+            (letters > 0) & (counts[name] == mx), F.lit(name)
+        ).otherwise(dominant)
+    frac = lambda c: F.when(n > 0, F.round(c / n, 4))  # noqa: E731
+    out = df.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).alias("n_chars"),
+        *[frac(counts[name]).alias(f"frac_{name}") for name, _ in _SCRIPT_CLASSES],
+        frac(digit).alias("frac_digit"),
+        frac(space).alias("frac_space"),
+        frac(
+            n - letters - digit - space
+        ).alias("frac_other"),
+        dominant.alias("dominant"),
+        letters.alias("__letters"),
+        *[counts[name].alias(f"__c_{name}") for name, _ in _SCRIPT_CLASSES],
+    )
+    # second-largest letter count = max over the non-dominant classes
+    # (with the priority tie-break, excluding exactly the dominant one
+    # is well-defined even when two classes tie at the max)
+    second = F.lit(0)
+    for name, _ in _SCRIPT_CLASSES:
+        second = F.greatest(
+            second,
+            F.when(
+                F.col("dominant") != name, F.col(f"__c_{name}")
+            ).otherwise(F.lit(0)),
+        )
+    return out.select(
+        id_col,
+        "n_chars",
+        *[f"frac_{name}" for name, _ in _SCRIPT_CLASSES],
+        "frac_digit",
+        "frac_space",
+        "frac_other",
+        "dominant",
+        F.coalesce(
+            (F.col("__letters") > 0)
+            & (10 * second >= F.col("__letters"))
+            & (second > 0),
+            F.lit(False),  # NULL text: not mixed, not NULL
+        ).alias("mixed"),
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str,

@@ -5551,3 +5551,96 @@ def q172_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return ngram_novelty(ev, docs, "doc_id", "text", n=3)
+
+
+@register(
+    "q173_script_profile",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0 THEN ' привет мир' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' 你好世界' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' αβγδ εζηθ' ELSE '' END
+                   AS text
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, length(text) AS n,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat,
+               length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS cyr,
+               length(regexp_replace(text, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS grk,
+               length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk,
+               length(regexp_replace(text, '[^\\x{0600}-\\x{06FF}]', '', 'g')) AS ara,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig,
+               length(regexp_replace(text, '[^\\s]', '', 'g')) AS spc
+        FROM aug
+    ),
+    d AS (
+        SELECT *, lat + cyr + grk + cjk + ara AS letters,
+               greatest(lat, cyr, grk, cjk, ara) AS mx
+        FROM c
+    ),
+    e AS (
+        SELECT *,
+               CASE WHEN letters = 0 THEN 'none'
+                    WHEN lat = mx THEN 'latin'
+                    WHEN cyr = mx THEN 'cyrillic'
+                    WHEN grk = mx THEN 'greek'
+                    WHEN cjk = mx THEN 'cjk'
+                    ELSE 'arabic' END AS dominant
+        FROM d
+    ),
+    f AS (
+        SELECT *,
+               greatest(
+                   CASE WHEN dominant != 'latin' THEN lat ELSE 0 END,
+                   CASE WHEN dominant != 'cyrillic' THEN cyr ELSE 0 END,
+                   CASE WHEN dominant != 'greek' THEN grk ELSE 0 END,
+                   CASE WHEN dominant != 'cjk' THEN cjk ELSE 0 END,
+                   CASE WHEN dominant != 'arabic' THEN ara ELSE 0 END
+               ) AS second
+        FROM e
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_chars,
+           round(lat / CAST(n AS DOUBLE), 4) AS frac_latin,
+           round(cyr / CAST(n AS DOUBLE), 4) AS frac_cyrillic,
+           round(grk / CAST(n AS DOUBLE), 4) AS frac_greek,
+           round(cjk / CAST(n AS DOUBLE), 4) AS frac_cjk,
+           round(ara / CAST(n AS DOUBLE), 4) AS frac_arabic,
+           round(dig / CAST(n AS DOUBLE), 4) AS frac_digit,
+           round(spc / CAST(n AS DOUBLE), 4) AS frac_space,
+           round((n - letters - dig - spc) / CAST(n AS DOUBLE), 4)
+               AS frac_other,
+           dominant,
+           (letters > 0 AND 10 * second >= letters AND second > 0) AS mixed
+    FROM f
+    """,
+    doc="Unicode script profile (operators/textstats.py "
+    "script_profile): the mixed-script spam/spoofing signal — "
+    "per-doc fractions of latin/cyrillic/greek/cjk/arabic/digit/"
+    "space/other chars, the dominant letter class (fixed priority "
+    "tie-break), and a 'mixed' flag when a second script reaches 10% "
+    "of letters (compared in exact INTEGER arithmetic, 10*second >= "
+    "letters, so no engine can disagree on a boundary). One "
+    "regexp_replace + length per class: row-local codegen, zero "
+    "shuffles. The graded query plants Cyrillic (doc_id%3), CJK "
+    "(doc_id%5) and Greek (doc_id%7) snippets onto the Latin corpus "
+    "so every dominance/mixing combination occurs (15ths get two "
+    "planted scripts, 105ths all three), and the oracle recomputes "
+    "every fraction and both derived signals arithmetically.",
+)
+def q173_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, " привет мир").otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, " 你好世界").otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, " αβγδ εζηθ").otherwise(""),
+        ).alias("text"),
+    )
+    return script_profile(aug, "doc_id", "text")

@@ -277,3 +277,34 @@ def test_perplexity_buckets_ccnet_split(spark):
         perplexity_buckets(df, "doc_id", "lang", "bpc", buckets=1)
     with pytest.raises(ValueError):
         perplexity_buckets(df, "doc_id", "lang", "bpc", buckets=4)
+
+
+def test_script_profile_dominance_and_mixing(spark):
+    from atiesh_spark.operators.textstats import script_profile
+
+    rows = [
+        (1, "hello world"),                  # pure latin
+        (2, "привет мир"),                   # pure cyrillic
+        (3, "hello мир"),                    # latin dominant, cyr 3/8 letters -> mixed
+        (4, "paypa1 раура1"),                # homograph-style mix
+        (5, "12345 678"),                    # digits only: no letters
+        (6, ""),                             # empty
+        (7, None),                           # NULL text
+        (8, "abcd гд"),                      # 4 latin vs 2 cyr -> mixed (10*2 >= 6)
+        (9, "abcdefghij б"),                 # 10 vs 1: 10*1 >= 11 false -> not mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile(df, "doc_id", "text").collect()}
+    assert got[1]["dominant"] == "latin" and not got[1]["mixed"]
+    assert got[2]["dominant"] == "cyrillic" and not got[2]["mixed"]
+    assert got[3]["dominant"] == "latin" and got[3]["mixed"]
+    assert got[4]["mixed"]
+    assert got[5]["dominant"] == "none" and not got[5]["mixed"]
+    assert abs(got[5]["frac_digit"] - 8 / 9) < 1e-4
+    assert got[6]["n_chars"] == 0 and got[6]["frac_latin"] is None
+    assert got[6]["dominant"] == "none" and got[6]["mixed"] is False
+    assert got[7]["n_chars"] == 0 and got[7]["mixed"] is False
+    assert got[8]["mixed"] and not got[9]["mixed"]
+    # priority tie-break: equal latin and cyrillic counts -> latin wins
+    tie = spark.createDataFrame([(1, "ab гд")], "doc_id long, text string")
+    assert script_profile(tie, "doc_id", "text").collect()[0]["dominant"] == "latin"
