@@ -428,3 +428,63 @@ def logreg_score(
     for c in feature_cols:
         z = z + F.lit(model[c]) * F.col(c).cast("double")
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): bag-of-words
+    reduced to a FIXED feature width with no vocabulary pass — each
+    whitespace token md5-hashes to one of ``num_buckets`` buckets, and
+    the features are bucket counts normalized by token count. The
+    vectorizer the fastText-style quality gate actually uses: no vocab
+    state to ship or version, identical features on any engine that
+    can md5.
+
+    Returns (id, n_tokens, f0..f{num_buckets-1}) with ``fj`` =
+    bucket-j count / n_tokens (0.0 for empty docs — a defined neutral
+    vector, so downstream trainers need no NULL handling). One explode
+    + ONE map-side-combined aggregate (conditional sums per bucket, no
+    pivot machinery, no second shuffle); the feature columns plug
+    straight into ``logreg_train``.
+    """
+    if num_buckets < 2:
+        raise ValueError("num_buckets must be >= 2")
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.dedup import _fanout
+
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    exploded = (
+        _fanout(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode_outer(toks).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__t").isNotNull(), md5_long(F.col("__t")) % num_buckets
+            ).alias("__b"),
+        )
+    )
+    aggs = [
+        F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).alias("n_tokens")
+    ] + [
+        F.sum((F.col("__b") == j).cast("long")).alias(f"__c{j}")
+        for j in range(num_buckets)
+    ]
+    counted = exploded.groupBy(id_col).agg(*aggs)
+    return counted.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        *[
+            F.when(
+                F.col("n_tokens") > 0, F.col(f"__c{j}") / F.col("n_tokens")
+            )
+            .otherwise(0.0)
+            .alias(f"f{j}")
+            for j in range(num_buckets)
+        ],
+    )

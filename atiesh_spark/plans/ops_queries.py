@@ -5644,3 +5644,141 @@ def q173_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return script_profile(aug, "doc_id", "text")
+
+
+def _logreg_oracle_generic(
+    feats_sql: str, d: int, iters: int, lr: float, score_filter: str
+) -> str:
+    """Generalize _logreg_oracle_sql to ``d`` features named x1..xd:
+    ``feats_sql`` must be a CTE BODY selecting (doc_id, y, x1..xd).
+    Same MATERIALIZED-iteration discipline."""
+    xs = [f"x{j}" for j in range(1, d + 1)]
+    ws = [f"w{j}" for j in range(1, d + 1)]
+    head = f"""
+    WITH feats AS MATERIALIZED ({feats_sql}),
+    nrow AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+    w0 AS MATERIALIZED (
+        SELECT 0.0 AS b, {", ".join(f"0.0 AS {w}" for w in ws)}
+    )"""
+    z = "w.b + " + " + ".join(f"w.{w} * f.{x}" for w, x in zip(ws, xs))
+    blocks = [head]
+    for t in range(iters):
+        gsel = ", ".join(f"SUM(r * {x}) AS g{j}" for j, x in enumerate(xs, 1))
+        wsel = ", ".join(
+            f"w.{w} - {lr} * g.g{j} / n.n AS {w}"
+            for j, w in enumerate(ws, 1)
+        )
+        blocks.append(f""",
+    g{t} AS MATERIALIZED (
+        SELECT SUM(r) AS gb, {gsel}
+        FROM (
+            SELECT (1.0 / (1.0 + exp(-({z}))) - f.y) AS r,
+                   {", ".join(f"f.{x} AS {x}" for x in xs)}
+            FROM feats f, w{t} w
+        )
+    ),
+    w{t + 1} AS MATERIALIZED (
+        SELECT w.b - {lr} * g.gb / n.n AS b, {wsel}
+        FROM w{t} w, g{t} g, nrow n
+    )""")
+        # noqa: the per-level doubling is why MATERIALIZED is mandatory
+    blocks.append(f""",
+    scored AS MATERIALIZED (
+        SELECT f.doc_id, f.y, 1.0 / (1.0 + exp(-({z}))) AS p
+        FROM feats f, w{iters} w
+    )
+    SELECT 'b' AS name, round(b, 4) AS value FROM w{iters}
+    {"".join(f"UNION ALL SELECT 'w_x{j}', round(w{j}, 4) FROM w{iters} " for j in range(1, d + 1))}
+    UNION ALL SELECT 'n', n FROM nrow
+    UNION ALL SELECT 'loss',
+        round(avg(-(y * ln(greatest(p, 1e-12))
+                    + (1 - y) * ln(greatest(1 - p, 1e-12)))), 4)
+    FROM scored
+    UNION ALL
+    SELECT 'score:' || CAST(doc_id AS VARCHAR), round(p, 4)
+    FROM scored WHERE {score_filter}
+    """)
+    return "".join(blocks)
+
+
+_HASHED_FEATS_SQL = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> length(t) > 0)) AS tok
+            FROM documents
+        ),
+        bk AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(tok), 1, 15))::BIGINT % 8 AS bkt
+            FROM toks
+        ),
+        cnt AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   {cells}
+            FROM bk GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               {feats}
+        FROM documents d LEFT JOIN cnt USING (doc_id)
+""".format(
+    cells=", ".join(
+        f"sum(CASE WHEN bkt = {j} THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(8)
+    ),
+    feats=", ".join(
+        f"coalesce(c{j} / CAST(n_tokens AS DOUBLE), 0.0) AS x{j + 1}"
+        for j in range(8)
+    ),
+)
+
+
+@register(
+    "q174_hashed_logreg",
+    oracle=_logreg_oracle_generic(
+        _HASHED_FEATS_SQL, d=8, iters=10, lr=0.5,
+        score_filter="doc_id % 100 = 0",
+    ),
+    doc="Hashing-trick text classifier end-to-end (operators/"
+    "classify.py hashed_features + logreg_train): the full fastText-"
+    "shape pipeline — whitespace tokens md5-hash into 8 fixed buckets "
+    "(Weinberger et al. ICML 2009: no vocabulary pass, no vocab state "
+    "to version, identical features on any engine that can md5), "
+    "bucket counts normalize by token count into a dense feature row "
+    "(ONE explode + ONE map-side-combined conditional-sum aggregate, "
+    "no pivot), and the q167 GD trainer fits an 'is-English' gate on "
+    "top. Graded exactly like q167: the oracle rebuilds the features "
+    "arithmetically and unrolls all 10 GD rounds as MATERIALIZED "
+    "one-row weight CTEs, matching learned weights, final log-loss, "
+    "and held-out sigmoid scores to 4dp — training on REAL text "
+    "features is certified end-to-end, not just on synthetic columns.",
+)
+def q174_hashed_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.classify import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_features(docs, "doc_id", "text", num_buckets=8).join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        ),
+        "doc_id",
+    )
+    fcols = [f"f{j}" for j in range(8)]
+    model = logreg_train(feats, fcols, "y", iters=10, lr=0.5)
+    rows = [("b", round(model["b"], 4))] + [
+        (f"w_x{j + 1}", round(model[f"f{j}"], 4)) for j in range(8)
+    ] + [("n", model["n"]), ("loss", round(model["loss"], 4))]
+    model_df = spark.createDataFrame(rows, "name string, value double")
+    scores = logreg_score(
+        feats.filter(F.col("doc_id") % 100 == 0), model, fcols
+    ).select(
+        F.concat(F.lit("score:"), F.col("doc_id").cast("string")).alias("name"),
+        F.round("p", 4).alias("value"),
+    )
+    return model_df.unionByName(scores)

@@ -313,3 +313,34 @@ def test_logreg_train_contracts(spark):
     w_plain = logreg_train(big, ["x1"], "y", iters=15, lr=1.0)["x1"]
     w_l2 = logreg_train(big, ["x1"], "y", iters=15, lr=1.0, l2=0.5)["x1"]
     assert 0 < w_l2 < w_plain
+
+
+def test_hashed_features_shape_and_determinism(spark):
+    import pytest
+
+    from atiesh_spark.operators.classify import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, ""), (3, None), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in hashed_features(
+        df, "doc_id", "text", num_buckets=4).collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] == 4
+    s = sum(r1[f"f{j}"] for j in range(4))
+    assert abs(s - 1.0) < 1e-9  # fractions of a bag sum to 1
+    # 'a' twice -> its bucket has weight >= 0.5
+    assert max(r1[f"f{j}"] for j in range(4)) >= 0.5
+    # empty and NULL docs: defined neutral zero vector, not NULLs
+    for i in (2, 3):
+        assert got[i]["n_tokens"] == 0
+        assert all(got[i][f"f{j}"] == 0.0 for j in range(4))
+    # deterministic across partitionings
+    again = {r["doc_id"]: r for r in hashed_features(
+        df.repartition(5), "doc_id", "text", num_buckets=4).collect()}
+    assert all(
+        got[i][f"f{j}"] == again[i][f"f{j}"] for i in got for j in range(4)
+    )
+    with pytest.raises(ValueError):
+        hashed_features(df, "doc_id", "text", num_buckets=1)
