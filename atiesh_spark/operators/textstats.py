@@ -950,3 +950,68 @@ def classification_report(
             ).alias("f1"),
         )
     )
+
+
+class StreamingWinnowIndex:
+    """Maintain the winnowing fingerprint index incrementally from a
+    document stream — the text-shingle analog of
+    ``similarity.StreamingAnnIndex`` — as a ``foreachBatch`` function.
+
+    The store holds ``winnow_fingerprints`` rows (id, fp_pos, fp_hash).
+    Fingerprint selection is a PURE FUNCTION of the document text (md5
+    gram hashes, deterministic window min — no RNG, no corpus-global
+    state), so maintenance is append-shaped and exact: each batch's
+    fingerprints are computed once, keys already present are replaced
+    (re-ingested docs take their new text), untouched rows pass
+    through, and after N batches the store equals the one-shot
+    ``winnow_fingerprints`` over every document's latest version, row
+    for row. Duplicate keys within a batch collapse to the
+    deterministic max text before fingerprinting. A replayed batch
+    recomputes identical rows, so the versioned store converges
+    (``sources/versioned.VersionedStore``, the shared idempotent
+    backend).
+
+    This is what makes MOSS-style copy detection maintainable at
+    100 TB: the corpus is fingerprinted exactly once as it arrives,
+    and ``winnow_overlap_pairs(fingerprints=index.read(spark))``
+    matches new batches against the whole history without ever
+    re-fingerprinting it. Partition the store parquet by a fp_hash
+    prefix in production so overlap probes prune.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 5,
+        w: int = 4,
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        if k < 1 or w < 1:
+            raise ValueError("k and w must be >= 1")
+        self.id_col, self.text_col, self.k, self.w = id_col, text_col, k, w
+        self.store = VersionedStore(path, keep_versions=keep_versions)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        one = (
+            batch_df.select(self.id_col, self.text_col)
+            .groupBy(self.id_col)
+            .agg(F.max(self.text_col).alias(self.text_col))
+        )
+        fresh = winnow_fingerprints(
+            one, self.id_col, self.text_col, k=self.k, w=self.w
+        )
+        prev = self.store.read_before(spark, batch_id)
+        if prev is not None:
+            keys = batch_df.select(self.id_col).distinct()
+            fresh = prev.join(
+                F.broadcast(keys), self.id_col, "left_anti"
+            ).unionByName(fresh)
+        self.store.write(fresh, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return self.store.read(spark)

@@ -5782,3 +5782,79 @@ def q174_hashed_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 4).alias("value"),
     )
     return model_df.unionByName(scores)
+
+
+@register(
+    "q175_winnow_index_stream_replay",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(text) >= 5
+    ),
+    g AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM s, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               m // 16777216 AS fp_hash, m % 16777216 AS fp_pos
+        FROM sel WHERE pos <= greatest(n - 3, 1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(fp_hash) AS BIGINT) AS sum_fp,
+           CAST(min(fp_hash) AS BIGINT) AS min_fp,
+           CAST(max(fp_hash) AS BIGINT) AS max_fp,
+           CAST(sum(fp_pos) AS BIGINT) AS sum_pos
+    FROM fp GROUP BY doc_id
+    """,
+    doc="StreamingWinnowIndex's append-exactness contract, driver-"
+    "graded (operators/textstats.py StreamingWinnowIndex): documents "
+    "stream in as 3 hash-split batches through the foreachBatch "
+    "maintenance loop (fingerprint selection is a pure function of "
+    "the text — md5 gram hashes, deterministic window min, no RNG or "
+    "corpus-global state — so keys replace and untouched rows pass "
+    "through), the final batch replays under the same id, and the "
+    "final store aggregated per doc must hash-equal q163's one-shot "
+    "digest, mirrored independently by the DuckDB selection SQL. The "
+    "continuously-maintained fingerprint index IS the batch index at "
+    "every prefix — so MOSS-style copy detection matches each "
+    "arriving batch against the full history (winnow_overlap_pairs "
+    "fingerprints= slot) without ever re-fingerprinting it.",
+)
+def q175_winnow_index_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.textstats import StreamingWinnowIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="winnow_index_replay_")
+    try:
+        idx = StreamingWinnowIndex(tmp, "doc_id", "text", k=5, w=4)
+        _replay_chunks(docs, idx, chunks)
+        final = (
+            idx.read(spark)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_fp"),
+                F.sum("fp_hash").alias("sum_fp"),
+                F.min("fp_hash").alias("min_fp"),
+                F.max("fp_hash").alias("max_fp"),
+                F.sum("fp_pos").cast("long").alias("sum_pos"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final

@@ -308,3 +308,40 @@ def test_script_profile_dominance_and_mixing(spark):
     # priority tie-break: equal latin and cyrillic counts -> latin wins
     tie = spark.createDataFrame([(1, "ab гд")], "doc_id long, text string")
     assert script_profile(tie, "doc_id", "text").collect()[0]["dominant"] == "latin"
+
+
+def test_streaming_winnow_index_upsert_and_replay(spark, tmp_path):
+    from atiesh_spark.operators.textstats import (
+        StreamingWinnowIndex,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared filler text here")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = StreamingWinnowIndex(str(tmp_path / "st"), "doc_id", "text")
+    # three batches, then REPLAY the last under the same id
+    for b, pred in enumerate(["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]):
+        idx(docs.filter(pred), b + 1)
+    idx(docs.filter("doc_id % 3 = 2"), 3)
+    got = sorted(map(tuple, idx.read(spark).collect()))
+    want = sorted(map(tuple, winnow_fingerprints(docs, "doc_id", "text").collect()))
+    assert got == want
+    # UPSERT: re-ingest doc 0 with new text; store must track the new
+    # fingerprints and keep everyone else untouched
+    new0 = spark.createDataFrame(
+        [(0, "entirely different replacement text for document zero")],
+        "doc_id long, text string",
+    )
+    idx(new0, 4)
+    updated = spark.createDataFrame(
+        [(0, "entirely different replacement text for document zero")]
+        + [(i, f"document number {i} with some shared filler text here")
+           for i in range(1, 12)],
+        "doc_id long, text string",
+    )
+    got2 = sorted(map(tuple, idx.read(spark).collect()))
+    want2 = sorted(map(tuple, winnow_fingerprints(updated, "doc_id", "text").collect()))
+    assert got2 == want2
