@@ -17,7 +17,7 @@ handful of per-language aggregates over ever-smaller frames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from atiesh_spark.operators.dedup import exact_dedup
@@ -150,3 +150,43 @@ def cap_per_group(
         .filter(F.col("__rk") <= cap)
         .drop("__h", "__shard", "__rk")
     )
+
+
+def filter_report(
+    df: DataFrame,
+    id_col: str,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """Reason-coded filtering: the practical curation artifact is not
+    the kept corpus but the ANSWER TO 'why was this document dropped'
+    — per-rule accounting is how a pipeline owner debugs a yield drop
+    (FineWeb/RefinedWeb publish exactly these tables).
+
+    ``rules`` is an ORDERED list of (name, fails_predicate) — each
+    predicate is a Column that is true when the document FAILS that
+    rule. Output: one boolean ``fail_<name>`` column per rule, plus
+    ``verdict``: the name of the FIRST failing rule in list order, or
+    'keep'. NULL predicate results count as failures (a rule that
+    cannot evaluate a doc has not passed it — the conservative
+    reading, coalesced explicitly so the verdict column is never
+    NULL).
+
+    Pure column composition: the predicates come from other operators'
+    outputs (gopher_rules, script_profile, exact-dup survivorship...),
+    so this adds zero shuffles beyond what the inputs already cost,
+    and the whole chain stays ONE declarative plan.
+    """
+    if not rules:
+        raise ValueError("need at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    flags = [
+        F.coalesce(pred, F.lit(True)).alias(f"fail_{name}")
+        for name, pred in rules
+    ]
+    out = df.select(F.col(id_col), *flags)
+    verdict = F.lit("keep")
+    for name in reversed(names):
+        verdict = F.when(F.col(f"fail_{name}"), F.lit(name)).otherwise(verdict)
+    return out.withColumn("verdict", verdict)

@@ -5858,3 +5858,104 @@ def q175_winnow_index_stream_replay(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+@register(
+    "q176_filter_reasons",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 6 = 0 THEN ' привет мир всем' ELSE '' END AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    feat AS (
+        SELECT doc_id, text,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               t -> length(t) > 0)) AS n_words,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat,
+               length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))
+                   AS cyr,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM aug
+    ),
+    flags AS (
+        SELECT doc_id,
+               (doc_id != rep) AS fail_exact_dup,
+               (lat + cyr > 0 AND cyr > 0 AND lat > 0
+                AND 10 * least(lat, cyr) >= lat + cyr) AS fail_mixed_script,
+               (n_words < 30) AS fail_too_short
+        FROM feat
+    )
+    SELECT doc_id, fail_exact_dup, fail_mixed_script, fail_too_short,
+           CASE WHEN fail_exact_dup THEN 'exact_dup'
+                WHEN fail_mixed_script THEN 'mixed_script'
+                WHEN fail_too_short THEN 'too_short'
+                ELSE 'keep' END AS verdict
+    FROM flags
+    """,
+    doc="Reason-coded filtering (operators/curation.py filter_report): "
+    "the FineWeb/RefinedWeb-style accounting table — per-rule "
+    "fail_<name> booleans plus a 'verdict' naming the FIRST failing "
+    "rule in fixed priority order (or 'keep'); NULL predicate results "
+    "count as failures (a rule that cannot evaluate a doc has not "
+    "passed it), coalesced so the verdict is never NULL. The operator "
+    "is pure column composition over other operators' outputs — zero "
+    "shuffles of its own, the whole chain one declarative plan. The "
+    "graded query wires three real rules with planted truth for each: "
+    "exact-dup survivorship (md5-window rep over a corpus with "
+    "planted doc_id%10 copies — the COPY loses to the original's "
+    "smaller id), the q173 two-script mixing test (Cyrillic planted "
+    "on doc_id%6, compared in exact integer arithmetic), and a "
+    "15-word... 30-word length gate; priority dup > script > short "
+    "is graded through the verdict column.",
+)
+def q176_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.curation import filter_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, " привет мир всем").otherwise(""),
+        ).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+    lat = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    cyr = F.length(F.regexp_replace("text", "[^Ѐ-ӿ]", ""))
+    feat = aug.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        lat.alias("lat"),
+        cyr.alias("cyr"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("rep"),
+    )
+    return filter_report(
+        feat,
+        "doc_id",
+        [
+            ("exact_dup", F.col("doc_id") != F.col("rep")),
+            (
+                "mixed_script",
+                (F.col("lat") + F.col("cyr") > 0)
+                & (F.col("cyr") > 0)
+                & (F.col("lat") > 0)
+                & (
+                    10 * F.least("lat", "cyr")
+                    >= F.col("lat") + F.col("cyr")
+                ),
+            ),
+            ("too_short", F.col("n_words") < 30),
+        ],
+    )
