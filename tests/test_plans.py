@@ -537,3 +537,67 @@ def test_heavy_hitters_merge_shuffle_is_summary_sized(spark):
     assert "Exchange" not in before_udf, (
         "the corpus item stream must not shuffle before the sketch"
     )
+
+
+def test_round6b_new_operators_stay_jvm_side(spark):
+    """The session-2 families (winnowing, script profile, CCNet split,
+    novelty, filter reasons, hashed features) are codegen end-to-end —
+    no row/Arrow Python evaluation anywhere in their plans."""
+    for name in (
+        "q163_winnow_fingerprints",
+        "q164_winnow_overlap_pairs",
+        "q165_conversation_validate",
+        "q170_ccnet_buckets",
+        "q172_ngram_novelty",
+        "q173_script_profile",
+        "q176_filter_reasons",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_script_profile_zero_shuffle(spark):
+    """q173's per-class counting is pure row-local codegen."""
+    from atiesh_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame([(1, "hello мир")], "doc_id long, text string")
+    out = script_profile(df, "doc_id", "text")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
+
+
+def test_winnow_single_window_exchange(spark):
+    """winnow_fingerprints shuffles exactly twice: the narrow fanout
+    repartition and the per-doc window — the distinct dedupes on the
+    already-selected ~2/(w+1) fraction without a third full exchange
+    of raw grams."""
+    from atiesh_spark.operators.textstats import winnow_fingerprints
+    from atiesh_spark.sources.tables import load_table
+
+    fp = winnow_fingerprints(
+        load_table(spark, SF_SMALL, "documents"), "doc_id", "text"
+    )
+    plan = fp._sc._jvm.PythonSQLUtils.explainString(
+        fp._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") <= 3  # fanout + window + distinct agg
+    assert "BatchEvalPython" not in plan
+
+
+def test_hashed_features_single_aggregate_no_pivot(spark):
+    """hashed_features is explode + ONE hash aggregate: conditional
+    sums, no pivot node, no second shuffle of the token stream."""
+    from atiesh_spark.operators.classify import hashed_features
+    from atiesh_spark.sources.tables import load_table
+
+    hf = hashed_features(
+        load_table(spark, SF_SMALL, "documents"), "doc_id", "text", 8
+    )
+    plan = hf._sc._jvm.PythonSQLUtils.explainString(
+        hf._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") <= 2  # fanout + the (doc) aggregate
+    assert "partial_sum" in plan or "Partial" in plan
