@@ -297,3 +297,112 @@ def fleiss_kappa(
         "n_items long, n_raters long, n_categories long, "
         "p_bar double, p_e double, kappa double",
     )
+
+
+def preference_transitivity(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+) -> DataFrame:
+    """Transitivity audit for pairwise judgments (Kendall & Babington
+    Smith's circular-triad analysis, Biometrika 1940): if the corpus
+    says A > B > C > A, no scalar rating — Bradley-Terry included —
+    can honor it, so the circular-triad count is the honest ceiling on
+    how much of the data ANY reward model can fit.
+
+    Builds the majority tournament (edge i -> j when i beat j strictly
+    more often; equal nonzero records are ``ties`` and contribute no
+    edge) and reports ONE row: ``n_items``, ``n_pairs`` (unordered
+    pairs with any judgments), ``n_ties``, ``closed_triples`` (item
+    triples whose three pairs all have majority edges), and
+    ``circular_triads`` among them with ``circular_rate`` =
+    circular/closed (NULL when no triple is closed — nothing
+    measurable). Zero rate = perfectly consistent; the rate of a
+    uniformly random tournament approaches 1/4.
+
+    Scale shape: judgments aggregate ONCE to ordered-pair counts
+    (the q166 discipline — all later joins run on the pair frame,
+    whose size is observed item pairs, independent of judgment
+    volume); cycle counting is two 3-way self-joins on that frame,
+    each cycle/triangle counted exactly once by anchoring its
+    smallest vertex.
+    """
+    pairs = comparisons.select(
+        F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
+    ).filter(F.col("__w") != F.col("__l"))
+    counts = pairs.groupBy("__w", "__l").agg(F.count(F.lit(1)).alias("__n"))
+    both = (
+        counts.select(F.col("__w").alias("__i"), F.col("__l").alias("__j"), "__n")
+        .unionByName(
+            counts.select(
+                F.col("__l").alias("__i"), F.col("__w").alias("__j"),
+                (F.lit(0) * F.col("__n")).alias("__n"),
+            )
+        )
+        .groupBy("__i", "__j")
+        .agg(F.sum("__n").alias("__wins"))
+    )
+    # per unordered pair: wins in each direction
+    und = (
+        both.filter(F.col("__i") < F.col("__j"))
+        .alias("a")
+        .join(
+            both.filter(F.col("__i") > F.col("__j"))
+            .select(
+                F.col("__j").alias("__i"), F.col("__i").alias("__j"),
+                F.col("__wins").alias("__wins_rev"),
+            )
+            .alias("b"),
+            ["__i", "__j"],
+        )
+    )
+    edges = und.select(
+        "__i", "__j",
+        F.when(F.col("__wins") > F.col("__wins_rev"), F.lit(1))
+        .when(F.col("__wins") < F.col("__wins_rev"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("__dir"),
+    ).localCheckpoint()
+    n_items = (
+        edges.select(F.col("__i").alias("x"))
+        .unionByName(edges.select(F.col("__j").alias("x")))
+        .distinct()
+        .count()
+    )
+    spark = comparisons.sparkSession
+    n_pairs = edges.count()
+    n_ties = edges.filter(F.col("__dir") == 0).count()
+    # directed majority edges, both orientations normalized to (src, dst)
+    dir_e = edges.filter(F.col("__dir") != 0).select(
+        F.when(F.col("__dir") == 1, F.col("__i")).otherwise(F.col("__j")).alias("s"),
+        F.when(F.col("__dir") == 1, F.col("__j")).otherwise(F.col("__i")).alias("d"),
+    ).localCheckpoint()
+    ab = dir_e.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    bc = dir_e.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    ca = dir_e.select(F.col("s").alias("c"), F.col("d").alias("a2"))
+    circular = (
+        ab.join(bc, "b")
+        .join(ca, "c")
+        .filter((F.col("a2") == F.col("a")) & (F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .count()
+    )
+    # closed triples: triangles in the undirected majority graph
+    ue = dir_e.select(
+        F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
+    )
+    t1 = ue.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    t2 = ue.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    t3 = ue.select(F.col("x").alias("a2"), F.col("y").alias("c2"))
+    closed = (
+        t1.join(t2, "b")
+        .join(t3, (F.col("a2") == F.col("a")) & (F.col("c2") == F.col("c")))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(
+            n_items, n_pairs, n_ties, closed, circular,
+            round(circular / closed, 4) if closed else None,
+        )],
+        "n_items long, n_pairs long, n_ties long, closed_triples long, "
+        "circular_triads long, circular_rate double",
+    )

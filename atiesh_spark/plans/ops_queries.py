@@ -5959,3 +5959,110 @@ def q176_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("too_short", F.col("n_words") < 30),
         ],
     )
+
+
+@register(
+    "q177_preference_transitivity",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    comp AS (
+        SELECT CASE WHEN value >= nv THEN event_type ELSE nt END AS w,
+               CASE WHEN value >= nv THEN nt ELSE event_type END AS l
+        FROM seq WHERE nt IS NOT NULL AND event_type != nt
+    ),
+    counts AS MATERIALIZED (
+        SELECT w, l, count(*) AS n FROM comp GROUP BY w, l
+    ),
+    und AS MATERIALIZED (
+        SELECT least(w, l) AS i, greatest(w, l) AS j,
+               SUM(CASE WHEN w < l THEN n ELSE 0 END) AS fwd,
+               SUM(CASE WHEN w > l THEN n ELSE 0 END) AS rev
+        FROM counts GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT i, j,
+               CASE WHEN fwd > rev THEN 1
+                    WHEN fwd < rev THEN -1 ELSE 0 END AS dir
+        FROM und
+    ),
+    dir_e AS MATERIALIZED (
+        SELECT CASE WHEN dir = 1 THEN i ELSE j END AS s,
+               CASE WHEN dir = 1 THEN j ELSE i END AS d
+        FROM edges WHERE dir != 0
+    ),
+    circ AS (
+        SELECT CAST(count(*) AS BIGINT) AS circular_triads
+        FROM dir_e ab JOIN dir_e bc ON bc.s = ab.d
+                      JOIN dir_e ca ON ca.s = bc.d AND ca.d = ab.s
+        WHERE ab.s < bc.s AND ab.s < ca.s
+    ),
+    ue AS MATERIALIZED (
+        SELECT least(s, d) AS x, greatest(s, d) AS y FROM dir_e
+    ),
+    closed AS (
+        SELECT CAST(count(*) AS BIGINT) AS closed_triples
+        FROM ue t1 JOIN ue t2 ON t2.x = t1.y
+                   JOIN ue t3 ON t3.x = t1.x AND t3.y = t2.y
+    ),
+    scal AS (
+        SELECT
+            (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM (
+                SELECT i AS x FROM edges UNION SELECT j FROM edges))
+                AS n_items,
+            (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_pairs,
+            (SELECT CAST(count(*) AS BIGINT) FROM edges WHERE dir = 0)
+                AS n_ties
+    )
+    SELECT s.n_items, s.n_pairs, s.n_ties, c2.closed_triples,
+           c1.circular_triads,
+           CASE WHEN c2.closed_triples > 0
+                THEN round(c1.circular_triads
+                           / CAST(c2.closed_triples AS DOUBLE), 4)
+           END AS circular_rate
+    FROM scal s, circ c1, closed c2
+    """,
+    doc="Transitivity audit for preference data (operators/"
+    "preference.py preference_transitivity — Kendall & Babington "
+    "Smith, Biometrika 1940): circular triads (A>B>C>A) in the "
+    "majority tournament are judgments NO scalar rating — q166's "
+    "Bradley-Terry included — can honor, so the circular rate is the "
+    "honest ceiling on reward-model fit. Judgments aggregate once to "
+    "ordered-pair counts; majority edges derive per unordered pair "
+    "(strict ties excluded as 'ties'); cycles and closed triples are "
+    "two 3-way self-joins on the PAIR frame (size = observed item "
+    "pairs, independent of judgment volume), each counted exactly "
+    "once by anchoring the smallest vertex. Verified on a planted "
+    "A>B>C>A cycle with a consistent dominator and a tie pair "
+    "(1 circular / 4 closed) in tests; graded on q166's synthesized "
+    "judgments with the oracle recomputing the tournament and both "
+    "triangle counts arithmetically.",
+)
+def q177_preference_transitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.preference import preference_transitivity
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+    ).filter(F.col("nt").isNotNull() & (F.col("event_type") != F.col("nt")))
+    comp = seq.select(
+        F.when(F.col("value") >= F.col("nv"), F.col("event_type"))
+        .otherwise(F.col("nt"))
+        .alias("w"),
+        F.when(F.col("value") >= F.col("nv"), F.col("nt"))
+        .otherwise(F.col("event_type"))
+        .alias("l"),
+    )
+    return preference_transitivity(comp, "w", "l")

@@ -146,3 +146,29 @@ def test_fleiss_kappa_contracts(spark):
     empty = spark.createDataFrame([], "item long, cat string")
     with pytest.raises(ValueError, match="no ratings"):
         fleiss_kappa(empty, "item", "cat")
+
+
+def test_preference_transitivity_planted_cycle(spark):
+    from atiesh_spark.operators.preference import preference_transitivity
+
+    rows = (
+        [("A", "B")] * 2 + [("B", "C")] * 2 + [("C", "A")] * 2   # cycle
+        + [("D", "A"), ("D", "B"), ("D", "C")]                     # dominator
+        + [("E", "F"), ("F", "E")]                                 # strict tie
+    )
+    df = spark.createDataFrame(rows, "w string, l string")
+    r = preference_transitivity(df, "w", "l").collect()[0]
+    assert (r["n_items"], r["n_pairs"], r["n_ties"]) == (6, 7, 1)
+    # triples with all three edges: ABC ABD ACD BCD; only ABC is circular
+    assert (r["closed_triples"], r["circular_triads"]) == (4, 1)
+    assert abs(r["circular_rate"] - 0.25) < 1e-9
+    # a fully consistent tournament scores zero
+    cons = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C")], "w string, l string"
+    )
+    r2 = preference_transitivity(cons, "w", "l").collect()[0]
+    assert r2["circular_triads"] == 0 and r2["circular_rate"] == 0.0
+    # no closed triple -> NULL rate, not 0
+    sparse = spark.createDataFrame([("A", "B")], "w string, l string")
+    r3 = preference_transitivity(sparse, "w", "l").collect()[0]
+    assert r3["closed_triples"] == 0 and r3["circular_rate"] is None
