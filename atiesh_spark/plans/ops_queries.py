@@ -6066,3 +6066,126 @@ def q177_preference_transitivity(
         .alias("l"),
     )
     return preference_transitivity(comp, "w", "l")
+
+
+@register(
+    "q178_winnow_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE planted AS (
+        SELECT doc_id,
+               'xq ' || md5(CAST(doc_id AS VARCHAR)) || ' '
+                     || md5(CAST(doc_id + 7 AS VARCHAR)) || ' qx'
+                   AS passage,
+               text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substring(text, 1, 40) || ' ' || passage || ' tail one' AS text
+        FROM planted
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               'another doc start ' || passage || ' '
+                   || substring(text, 20, 40) AS text
+        FROM planted
+    ),
+    s AS (
+        SELECT doc_id, lower(text) AS t FROM corpus WHERE length(text) >= 5
+    ),
+    g AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM s, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g
+    ),
+    docfp AS (
+        SELECT DISTINCT doc_id, m // 16777216 AS fp_hash
+        FROM sel WHERE pos <= greatest(n - 3, 1)
+    ),
+    keep AS (
+        SELECT fp_hash FROM docfp GROUP BY fp_hash
+        HAVING count(*) BETWEEN 2 AND 4
+    ),
+    rare AS (SELECT d.* FROM docfp d JOIN keep USING (fp_hash)),
+    pairs AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM rare a JOIN rare b USING (fp_hash)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+    ),
+    edges AS (
+        SELECT id_1 AS a, id_2 AS b FROM pairs
+        UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a)
+    SELECT c.doc_id,
+           coalesce(least(cm.min_reach, c.doc_id), c.doc_id) AS cluster_id
+    FROM corpus c LEFT JOIN comp cm ON c.doc_id = cm.doc_id
+    """,
+    doc="Winnowing-based dedup clustering (textstats.winnow_overlap_"
+    "pairs -> dedup.connected_components): the MOSS matching stage "
+    "composed with the repo's pointer-jumping CC — cluster_id = min "
+    "doc id = the dedup survivor, exactly q41's contract but with "
+    "fingerprint-overlap edges instead of MinHash bands (winnowing "
+    "catches partial/contained copies MinHash's symmetric Jaccard "
+    "misses, per q133's containment analysis). Runs on q164's "
+    "planted corpus: each planted pair of derived quoting docs lands "
+    "in one cluster surviving as the smaller (+1M) id — the "
+    "ORIGINALS stay singletons because their 40-char shared prefix "
+    "is common-vocab and df-capped away, which is the boilerplate "
+    "suppression doing its job (measured: 84 derived pairs + 9 "
+    "natural same-vocab clusters at sf0.01, 0 false triples). "
+    "Oracle: the q164 selection/pairing SQL feeding q41's "
+    "recursive-CTE transitive closure.",
+)
+def q178_winnow_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import connected_components
+    from atiesh_spark.operators.textstats import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("xq "),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(" "),
+            F.md5((F.col("doc_id") + 7).cast("string")),
+            F.lit(" qx"),
+        ).alias("passage"),
+        "text",
+    )
+    da = planted.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" "), F.col("passage"),
+            F.lit(" tail one"),
+        ).alias("text"),
+    )
+    db = planted.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("another doc start "), F.col("passage"), F.lit(" "),
+            F.substring("text", 20, 40),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(da).unionByName(db)
+    pairs = winnow_overlap_pairs(
+        corpus, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
+    ).select("id_1", "id_2")
+    return connected_components(
+        pairs, corpus.select("doc_id"), "doc_id"
+    )
