@@ -6189,3 +6189,47 @@ def q178_winnow_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, corpus.select("doc_id"), "doc_id"
     )
+
+
+@register(
+    "q179_bradley_terry_distributed",
+    oracle=_bt_oracle_sql(10),
+    doc="Distributed-ratings Bradley-Terry (operators/preference.py "
+    "bradley_terry_distributed): the scale path past q166's max_items "
+    "digest bound — with millions of response candidates no k-row "
+    "ratings collect fits the driver, so each MM round joins the "
+    "pair-count frame against the ratings FRAME (two pair-frame "
+    "shuffles + one scalar normalization digest per round, lineage "
+    "localCheckpoint-truncated per the connected-components "
+    "discipline). Graded against the SAME unrolled-CTE oracle as "
+    "q166: identical arithmetic must produce identical 4dp ratings "
+    "even though the distributed normalization sum has no fixed "
+    "accumulation order (the ulp-level difference vanishes at 4dp) — "
+    "so the digest and distributed variants are certified "
+    "interchangeable, which is what lets a pipeline switch paths on "
+    "item count without re-validating results.",
+)
+def q179_bradley_terry_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.preference import bradley_terry_distributed
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+    ).filter(F.col("nt").isNotNull() & (F.col("event_type") != F.col("nt")))
+    comp = seq.select(
+        F.when(F.col("value") >= F.col("nv"), F.col("event_type"))
+        .otherwise(F.col("nt"))
+        .alias("w"),
+        F.when(F.col("value") >= F.col("nv"), F.col("nt"))
+        .otherwise(F.col("event_type"))
+        .alias("l"),
+    )
+    return bradley_terry_distributed(comp, "w", "l", iters=10)

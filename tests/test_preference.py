@@ -172,3 +172,21 @@ def test_preference_transitivity_planted_cycle(spark):
     sparse = spark.createDataFrame([("A", "B")], "w string, l string")
     r3 = preference_transitivity(sparse, "w", "l").collect()[0]
     assert r3["closed_triples"] == 0 and r3["circular_rate"] is None
+
+
+def test_bradley_terry_distributed_equals_digest(spark):
+    from atiesh_spark.operators.preference import (
+        bradley_terry,
+        bradley_terry_distributed,
+    )
+
+    rows = (
+        [("A", "B")] * 3 + [("B", "A")] + [("A", "C")] * 2 + [("C", "B")] * 2
+        + [("D", "C")] * 4 + [("B", "D")]
+    )
+    df = spark.createDataFrame(rows, "w string, l string")
+    a = sorted(map(tuple, bradley_terry(df, "w", "l", iters=10).collect()))
+    b = sorted(map(tuple, bradley_terry_distributed(df, "w", "l", iters=10).collect()))
+    assert a == b  # identical at the rounded-4dp output contract
+    empty = spark.createDataFrame([], "w string, l string")
+    assert bradley_terry_distributed(empty, "w", "l").count() == 0
