@@ -1015,3 +1015,69 @@ class StreamingWinnowIndex:
 
     def read(self, spark) -> DataFrame:
         return self.store.read(spark)
+
+
+def winnow_probe(
+    new_df: DataFrame,
+    index_fp: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental copy detection: match a NEW document batch against
+    the stored fingerprint index (``StreamingWinnowIndex.read`` or any
+    persisted ``winnow_fingerprints`` frame) WITHOUT re-fingerprinting
+    history — the probe side of the q175 maintenance loop, and the
+    asymmetric counterpart of ``winnow_overlap_pairs`` (which pairs
+    within one corpus).
+
+    Only the new batch is fingerprinted (work ∝ batch size, never
+    history). The document-frequency cap is computed over the INDEX —
+    boilerplate is a property of the accumulated corpus, not of the
+    arriving batch — and only index hashes with ``df <= max_df``
+    participate (df >= 1 suffices here: one stored occurrence makes a
+    probe hit meaningful, unlike the intra-corpus case where a pair
+    needs two). Output: (new_id, old_id, shared_fp, frac_new,
+    frac_old) for pairs sharing >= ``min_shared`` distinct hashes,
+    fractions over each side's distinct fingerprint counts.
+    """
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    newfp = (
+        winnow_fingerprints(new_df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col).alias("new_id"), "fp_hash")
+        .distinct()
+    )
+    stored = index_fp.select(
+        F.col(id_col).alias("old_id"), "fp_hash"
+    ).distinct()
+    n_new = newfp.groupBy("new_id").agg(F.count(F.lit(1)).alias("__nn"))
+    n_old = stored.groupBy("old_id").agg(F.count(F.lit(1)).alias("__no"))
+    keep = (
+        stored.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp_hash")
+    )
+    shared = (
+        newfp.join(stored.join(keep, "fp_hash", "left_semi"), "fp_hash")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    return (
+        shared.join(n_new, "new_id")
+        .join(n_old, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            "shared_fp",
+            F.round(F.col("shared_fp") / F.col("__nn"), 4).alias("frac_new"),
+            F.round(F.col("shared_fp") / F.col("__no"), 4).alias("frac_old"),
+        )
+    )

@@ -6233,3 +6233,113 @@ def q179_bradley_terry_distributed(
         .alias("l"),
     )
     return bradley_terry_distributed(comp, "w", "l", iters=10)
+
+
+@register(
+    "q180_winnow_probe",
+    oracle="""
+    WITH hist AS (
+        SELECT doc_id,
+               text || ' xq' || md5(CAST(doc_id AS VARCHAR)) || ' qx' AS text
+        FROM documents
+    ),
+    newb AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               'probe doc referencing xq' || md5(CAST(doc_id AS VARCHAR))
+                   || ' qx and nothing else' AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    hs AS (SELECT doc_id, lower(text) AS t FROM hist WHERE length(text) >= 5),
+    hg AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM hs, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    hsel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM hg
+    ),
+    hfp AS (
+        SELECT DISTINCT doc_id AS old_id, m // 16777216 AS fp_hash
+        FROM hsel WHERE pos <= greatest(n - 3, 1)
+    ),
+    ns AS (SELECT doc_id, lower(text) AS t FROM newb WHERE length(text) >= 5),
+    ng AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM ns, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    nsel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM ng
+    ),
+    nfp AS (
+        SELECT DISTINCT doc_id AS new_id, m // 16777216 AS fp_hash
+        FROM nsel WHERE pos <= greatest(n - 3, 1)
+    ),
+    nn AS (SELECT new_id, count(*) AS cn FROM nfp GROUP BY new_id),
+    no_ AS (SELECT old_id, count(*) AS co FROM hfp GROUP BY old_id),
+    keep AS (
+        SELECT fp_hash FROM hfp GROUP BY fp_hash HAVING count(*) <= 4
+    ),
+    shared AS (
+        SELECT n.new_id, h.old_id, CAST(count(*) AS BIGINT) AS shared_fp
+        FROM nfp n
+        JOIN (SELECT f.* FROM hfp f JOIN keep USING (fp_hash)) h
+            USING (fp_hash)
+        GROUP BY n.new_id, h.old_id
+        HAVING count(*) >= 2
+    )
+    SELECT s.new_id, s.old_id, s.shared_fp,
+           round(s.shared_fp / CAST(nn.cn AS DOUBLE), 4) AS frac_new,
+           round(s.shared_fp / CAST(no_.co AS DOUBLE), 4) AS frac_old
+    FROM shared s
+    JOIN nn USING (new_id)
+    JOIN no_ USING (old_id)
+    """,
+    doc="Incremental copy-detection probe (operators/textstats.py "
+    "winnow_probe): a NEW batch matches the stored fingerprint index "
+    "— only the batch is fingerprinted (work ∝ batch size, never "
+    "history), the df cap is computed over the INDEX (boilerplate is "
+    "a property of the accumulated corpus), and pairs are "
+    "asymmetric (new_id, old_id). This completes the q163/q164/q175 "
+    "winnowing story: maintain the index incrementally, probe each "
+    "arriving batch against all history. The graded query appends a "
+    "doc-unique md5 passage to every history doc and builds 100 probe "
+    "docs quoting exactly one target's passage — each must hit "
+    "precisely its target (passage grams have index-df 1); the "
+    "oracle recomputes both fingerprint sets, the cap, and the "
+    "asymmetric fractions arithmetically.",
+)
+def q180_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" xq"),
+            F.md5(F.col("doc_id").cast("string")), F.lit(" qx"),
+        ).alias("text"),
+    )
+    newb = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("probe doc referencing xq"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(" qx and nothing else"),
+        ).alias("text"),
+    )
+    index = winnow_fingerprints(hist, "doc_id", "text", k=5, w=4)
+    return winnow_probe(
+        newb, index, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
+    )

@@ -383,3 +383,35 @@ def test_streaming_winnow_index_from_real_stream(spark, tmp_path):
     got = sorted(map(tuple, idx.read(spark).collect()))
     want = sorted(map(tuple, winnow_fingerprints(docs, "doc_id", "text").collect()))
     assert got == want and len(got) > 0
+
+
+def test_winnow_probe_matches_batch_against_index_only(spark):
+    from atiesh_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_probe,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "stored document with passage zq91 kkfw mmxp 7431 unique"),
+            (2, "another stored doc totally different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "incoming doc quoting passage zq91 kkfw mmxp 7431 tail"),
+            (11, "incoming doc matching nothing in the index whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    index = winnow_fingerprints(hist, "doc_id", "text")
+    got = winnow_probe(new, index, "doc_id", "text", max_df=5, min_shared=2).collect()
+    pairs = {(r["new_id"], r["old_id"]): r for r in got}
+    assert (10, 1) in pairs
+    r = pairs[(10, 1)]
+    assert r["shared_fp"] >= 2 and 0 < r["frac_new"] <= 1 and 0 < r["frac_old"] <= 1
+    assert not any(n == 11 for n, _ in pairs)  # no-overlap doc stays silent
+    import pytest
+    with pytest.raises(ValueError):
+        winnow_probe(new, index, "doc_id", "text", max_df=0)
