@@ -1081,3 +1081,67 @@ def winnow_probe(
             F.round(F.col("shared_fp") / F.col("__no"), 4).alias("frac_old"),
         )
     )
+
+
+def winnow_overlap_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 5,
+    min_shared: int = 2,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """``winnow_overlap_pairs`` plus SPAN LOCALIZATION: for each
+    matched pair, where in each document the shared material sits —
+    (id_1, id_2, shared_fp, lo_1, hi_1, lo_2, hi_2) with lo/hi the
+    min/max character position of the shared fingerprints' grams on
+    each side (hi is the gram START; add k-1 for the inclusive end).
+    This is what positions buy over MinHash/SimHash: a reviewer (or a
+    span-removal pass a la Lee et al.) gets the overlapping REGION,
+    not just the fact of overlap.
+
+    A fingerprint hash can be selected at several positions in one
+    doc; the span covers them all (min/max over every selected
+    position of every shared hash — the conservative hull). Same caps
+    and shapes as winnow_overlap_pairs: df-capped hash join, counts
+    over DISTINCT shared hashes, spans aggregated in the same pass.
+    """
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    )
+    docfp = fp.select(F.col(id_col), "fp_hash", "fp_pos")
+    dist = docfp.select(id_col, "fp_hash").distinct()
+    keep = (
+        dist.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("fp_hash")
+    )
+    rare = docfp.join(keep, "fp_hash", "left_semi")
+    a = rare.select(
+        "fp_hash", F.col(id_col).alias("id_1"), F.col("fp_pos").alias("__p1")
+    )
+    b = rare.select(
+        "fp_hash", F.col(id_col).alias("id_2"), F.col("fp_pos").alias("__p2")
+    )
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(
+            F.countDistinct("fp_hash").alias("shared_fp"),
+            F.min("__p1").alias("lo_1"),
+            F.max("__p1").alias("hi_1"),
+            F.min("__p2").alias("lo_2"),
+            F.max("__p2").alias("hi_2"),
+        )
+        .filter(F.col("shared_fp") >= min_shared)
+    )

@@ -6343,3 +6343,111 @@ def q180_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_probe(
         newb, index, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
     )
+
+
+@register(
+    "q181_winnow_overlap_spans",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               'xq ' || md5(CAST(doc_id AS VARCHAR)) || ' '
+                     || md5(CAST(doc_id + 7 AS VARCHAR)) || ' qx'
+                   AS passage,
+               text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substring(text, 1, 40) || ' ' || passage || ' tail one' AS text
+        FROM planted
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               'another doc start ' || passage || ' '
+                   || substring(text, 20, 40) AS text
+        FROM planted
+    ),
+    s AS (
+        SELECT doc_id, lower(text) AS t FROM corpus WHERE length(text) >= 5
+    ),
+    g AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM s, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               m // 16777216 AS fp_hash, m % 16777216 AS fp_pos
+        FROM sel WHERE pos <= greatest(n - 3, 1)
+    ),
+    dist AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    keep AS (
+        SELECT fp_hash FROM dist GROUP BY fp_hash
+        HAVING count(*) BETWEEN 2 AND 4
+    ),
+    rare AS (SELECT f.* FROM fp f JOIN keep USING (fp_hash))
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(count(DISTINCT fp_hash) AS BIGINT) AS shared_fp,
+           CAST(min(a.fp_pos) AS INT) AS lo_1,
+           CAST(max(a.fp_pos) AS INT) AS hi_1,
+           CAST(min(b.fp_pos) AS INT) AS lo_2,
+           CAST(max(b.fp_pos) AS INT) AS hi_2
+    FROM rare a JOIN rare b USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT fp_hash) >= 2
+    """,
+    doc="Overlap span localization (operators/textstats.py "
+    "winnow_overlap_spans): q164's matching plus WHERE the shared "
+    "material sits — min/max character position of the shared "
+    "fingerprints on each side (the conservative hull over every "
+    "selected position of every shared hash). This is what winnowing "
+    "positions buy over MinHash/SimHash: reviewers and span-removal "
+    "passes (Lee et al. 2022 shapes) get the overlapping REGION, not "
+    "just the fact. Same df-capped candidate discipline as q164; "
+    "spans aggregate in the same pass as the counts. Graded on the "
+    "q164 planted corpus: each derived pair's span must bracket the "
+    "68-char planted passage on both sides, which the oracle "
+    "recomputes position-exactly.",
+)
+def q181_winnow_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import winnow_overlap_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("xq "),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(" "),
+            F.md5((F.col("doc_id") + 7).cast("string")),
+            F.lit(" qx"),
+        ).alias("passage"),
+        "text",
+    )
+    da = planted.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" "), F.col("passage"),
+            F.lit(" tail one"),
+        ).alias("text"),
+    )
+    db = planted.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("another doc start "), F.col("passage"), F.lit(" "),
+            F.substring("text", 20, 40),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(da).unionByName(db)
+    return winnow_overlap_spans(
+        corpus, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
+    )

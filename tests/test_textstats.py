@@ -415,3 +415,29 @@ def test_winnow_probe_matches_batch_against_index_only(spark):
     import pytest
     with pytest.raises(ValueError):
         winnow_probe(new, index, "doc_id", "text", max_df=0)
+
+
+def test_winnow_overlap_spans_bracket_the_quote(spark):
+    from atiesh_spark.operators.textstats import winnow_overlap_spans
+
+    # vocabularies outside the quote are fully disjoint, so the ONLY
+    # shared fingerprints are the quote's and the hull brackets it
+    rare = "zq81 vfkq mmxw 0427 qlpt yy93 zz14 aabq"
+    t1 = f"alpha beta gamma delta {rare} epsilon zeta"
+    t2 = f"uno dos {rare} tres cuatro cinco seis siete"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "unrelated filler text with nothing")],
+        "doc_id long, text string",
+    )
+    got = winnow_overlap_spans(
+        df, "doc_id", "text", max_df=2, min_shared=2
+    ).collect()
+    pairs = {(r["id_1"], r["id_2"]): r for r in got}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    q1, q2 = t1.index(rare) + 1, t2.index(rare) + 1  # 1-based gram positions
+    # shared fingerprints come from the quoted passage: the span hull
+    # must sit inside (or at the boundary grams of) the quote region
+    assert q1 - 4 <= r["lo_1"] and r["hi_1"] <= q1 + len(rare)
+    assert q2 - 4 <= r["lo_2"] and r["hi_2"] <= q2 + len(rare)
+    assert r["hi_1"] > r["lo_1"] and r["shared_fp"] >= 2
