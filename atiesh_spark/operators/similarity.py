@@ -1400,3 +1400,97 @@ def ivf_pq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def prefix_dim_recall(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: list[int],
+    k: int = 10,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al.,
+    NeurIPS 2022): recall@k of brute-force search using only the FIRST
+    ``d`` dimensions of each embedding, against full-vector truth —
+    per candidate prefix length. The artifact that prices the
+    memory/recall trade before a deployment truncates its vectors
+    (MRL-trained embeddings hold recall at small prefixes; ordinary
+    embeddings decay, and this measures which you have).
+
+    Output: (dim, avg_recall, n_queries) — mean over query rows of
+    |top-k(prefix) ∩ top-k(full)| / k, 4dp. Ranking is deterministic:
+    cosine rounded to 6dp, ties by id, query excluded from its own
+    results. ``query_filter`` selects the probe rows (default: every
+    25th id — keep it a SMALL eval set; the scan is queries × corpus,
+    which is the point of a brute-force audit, not a serving path —
+    the serving path is the IVF/PQ family this report tunes).
+
+    One pass computes every prefix cosine (running dot/norm over
+    array slices in codegen); one window per (query, dim) ranks; the
+    recall join is on the k-row truth sets.
+    """
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError("dims must be non-empty positive prefix lengths")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    full_d = len(emb.select(vec_col).first()[0])
+    if any(d > full_d for d in dims):
+        raise ValueError(f"dims must be <= vector length {full_d}")
+    from pyspark.sql.window import Window
+
+    qf = query_filter if query_filter is not None else (F.col(id_col) % 25 == 0)
+    q = emb.filter(qf).select(
+        F.col(id_col).alias("__qid"), as_double(vec_col).alias("__qv")
+    )
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("__qid"))
+
+    def prefix_sim(d: int):
+        a, b = F.slice("__v", 1, d), F.slice("__qv", 1, d)
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+        # try_divide: an all-zero PREFIX (legal even when the full
+        # vector isn't zero) has no direction — NULL sim ranks last
+        # instead of raising under ANSI mode
+        return F.round(F.try_divide(dot, na * nb), 6)
+
+    sims = pairs.select(
+        "__qid",
+        F.col(id_col),
+        prefix_sim(full_d).alias("__sim_full"),
+        *[prefix_sim(d).alias(f"__sim_{d}") for d in dims],
+    ).localCheckpoint()
+
+    def topk(col: str):
+        w = Window.partitionBy("__qid").orderBy(
+            F.col(col).desc(), F.col(id_col)
+        )
+        return (
+            sims.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("__qid", id_col)
+        )
+
+    truth = topk("__sim_full").localCheckpoint()
+    out = None
+    for d in dims:
+        hits = (
+            topk(f"__sim_{d}")
+            .join(truth, ["__qid", id_col], "left_semi")
+            .groupBy("__qid")
+            .agg(F.count(F.lit(1)).alias("__h"))
+        )
+        per_q = truth.select("__qid").distinct().join(hits, "__qid", "left")
+        row = per_q.agg(
+            F.lit(d).alias("dim"),
+            F.round(
+                F.avg(F.coalesce(F.col("__h"), F.lit(0)) / k), 4
+            ).alias("avg_recall"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

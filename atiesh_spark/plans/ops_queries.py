@@ -6451,3 +6451,92 @@ def q181_winnow_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_spans(
         corpus, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
     )
+
+
+def _matryoshka_oracle_sql(dims: list[int], k: int = 10) -> str:
+    """Prefix-cosine recall oracle: one positional pair-terms frame,
+    FILTERed prefix sums per candidate dim, rank/semi-join per dim —
+    mechanically generated, all iteration-free."""
+    simsel = ",\n               ".join(
+        f"round(SUM(xy) FILTER (WHERE pos <= {d}) / "
+        f"(sqrt(SUM(xx) FILTER (WHERE pos <= {d})) * "
+        f"sqrt(SUM(yy) FILTER (WHERE pos <= {d}))), 6) AS s{d}"
+        for d in dims
+    )
+    full = max(dims)
+    blocks = [f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    pairterms AS MATERIALIZED (
+        SELECT q.vec_id AS qid, e.vec_id AS id, e.pos,
+               e.x * q.x AS xy, e.x * e.x AS xx, q.x * q.x AS yy
+        FROM v e JOIN v q ON e.pos = q.pos
+        WHERE q.vec_id % 25 = 0 AND e.vec_id != q.vec_id
+    ),
+    sims AS MATERIALIZED (
+        SELECT qid, id,
+               {simsel}
+        FROM pairterms GROUP BY qid, id
+    ),
+    truth AS MATERIALIZED (
+        SELECT qid, id FROM (
+            SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY s{full} DESC, id) AS rk
+            FROM sims
+        ) WHERE rk <= {k}
+    )"""]
+    for d in dims:
+        blocks.append(f""",
+    pred{d} AS MATERIALIZED (
+        SELECT qid, id FROM (
+            SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY s{d} DESC, id) AS rk
+            FROM sims
+        ) WHERE rk <= {k}
+    ),
+    rec{d} AS (
+        SELECT CAST({d} AS INT) AS dim,
+               round(avg(coalesce(h.n, 0) / {k}.0), 4) AS avg_recall,
+               CAST(count(*) AS BIGINT) AS n_queries
+        FROM (SELECT DISTINCT qid FROM truth) t
+        LEFT JOIN (
+            SELECT p.qid, count(*) AS n
+            FROM pred{d} p JOIN truth USING (qid, id)
+            GROUP BY p.qid
+        ) h USING (qid)
+    )""")
+    union = "\n    UNION ALL ".join(f"SELECT * FROM rec{d}" for d in dims)
+    blocks.append(f"\n    {union}\n    ")
+    return "".join(blocks)
+
+
+@register(
+    "q182_matryoshka_recall",
+    oracle=_matryoshka_oracle_sql([8, 16, 32, 64], 10),
+    doc="Matryoshka truncation evaluation (operators/similarity.py "
+    "prefix_dim_recall — Kusupati et al. NeurIPS 2022): recall@10 of "
+    "brute-force search over only the first d in {8,16,32,64} "
+    "dimensions vs full-vector truth, averaged over every 25th "
+    "vector as the probe set — the report that prices the "
+    "memory/recall trade before truncating a deployment's vectors "
+    "(MRL-trained embeddings hold recall at short prefixes; ordinary "
+    "ones decay — this measures which you have). Ranking is "
+    "deterministic (6dp cosine, id ties, query excluded); one pass "
+    "computes every prefix cosine via sliced zip_with/aggregate "
+    "codegen, one window per dim ranks, recall joins k-row truth "
+    "sets. The scan is queries x corpus BY DESIGN — it audits the "
+    "IVF/PQ serving family (q47/q137/q138), it is not the serving "
+    "path. Oracle: positional pair-terms frame with FILTERed prefix "
+    "sums, per-dim rank + semi-join, mechanically generated.",
+)
+def q182_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import prefix_dim_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prefix_dim_recall(
+        emb, "vec_id", "embedding", dims=[8, 16, 32, 64], k=10
+    )

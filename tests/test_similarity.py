@@ -851,3 +851,32 @@ def test_streaming_ann_index_op_col_missing_raises(spark, tmp_path):
     idx = StreamingAnnIndex(str(tmp_path / "a2"), num_planes=2, op_col="op")
     with _pt.raises(ValueError, match="op_col"):
         idx(emb, 1)
+
+
+def test_prefix_dim_recall_full_dim_is_perfect(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.similarity import prefix_dim_recall
+
+    # 30 vectors in 8 dims; the SIGNAL lives in dims 0-1 (three well-
+    # separated clusters), later dims are per-vector jitter
+    rows = []
+    for i in range(30):
+        g = i % 3
+        v = [float(100 * (g == 0)), float(100 * (g == 1))] + [
+            0.01 * ((i * 7 + j) % 5) for j in range(6)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in prefix_dim_recall(
+        df, "vec_id", "embedding", dims=[2, 8], k=5,
+        query_filter=F.col("vec_id") % 10 == 0,
+    ).collect()}
+    assert out[8]["avg_recall"] == 1.0          # truth vs itself
+    assert out[8]["n_queries"] == 3
+    assert out[2]["avg_recall"] >= 0.5          # 2-dim prefix carries the signal
+    with pytest.raises(ValueError):
+        prefix_dim_recall(df, "vec_id", "embedding", dims=[16])
+    with pytest.raises(ValueError):
+        prefix_dim_recall(df, "vec_id", "embedding", dims=[])
