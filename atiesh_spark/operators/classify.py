@@ -488,3 +488,75 @@ def hashed_features(
             for j in range(num_buckets)
         ],
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a binary
+    scorer (Guo et al., "On Calibration of Modern Neural Networks",
+    ICML 2017 — the binned-ECE formulation): a quality GATE's scores
+    are only as useful as their calibration (a 0.9 that is right 60%
+    of the time mis-prices every downstream budget decision).
+
+    One row per score bin (equal-width over [0, 1]): ``bin``,
+    ``lo_edge``, ``n``, ``avg_score``, ``avg_label`` (the observed
+    positive rate), ``gap`` = |avg_score - avg_label|, plus the
+    corpus-level ``ece`` = sum(n/N * gap) repeated per row (a report
+    frame, q168-style). Scores must already be probabilities in
+    [0, 1] — rows outside are a caller bug and raise via an in-plan
+    check; NULL scores/labels are excluded (no decision, no truth).
+    Empty bins are absent (their ECE term is zero anyway).
+
+    Engine shape: ONE map-side-combined groupBy on the bin index
+    (CASE-chain comparisons on the raw double — no multiply-then-
+    floor, whose last-ulp behavior engines may disagree on at bin
+    edges) + one scalar window for the ECE total.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    oob = base.filter((F.col("__s") < 0) | (F.col("__s") > 1)).limit(1).count()
+    if oob:
+        raise ValueError("scores must be probabilities in [0, 1]")
+    # CASE-chain binning: bin b covers [b/bins, (b+1)/bins), last bin
+    # closed at 1.0; comparisons, not arithmetic, so engines agree
+    bin_expr = F.lit(bins - 1)
+    for b in range(bins - 1, 0, -1):
+        bin_expr = F.when(F.col("__s") < b / bins, b - 1).otherwise(bin_expr)
+    g = (
+        base.withColumn("__b", bin_expr)
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__s").alias("__as"),
+            F.avg("__y").alias("__ay"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        g.withColumn("__N", F.sum("n").over(w))
+        .withColumn(
+            "__ece",
+            F.sum(F.col("n") * F.abs(F.col("__as") - F.col("__ay"))).over(w)
+            / F.col("__N"),
+        )
+        .select(
+            F.col("__b").cast("int").alias("bin"),
+            F.round(F.col("__b") / bins, 4).alias("lo_edge"),
+            "n",
+            F.round("__as", 4).alias("avg_score"),
+            F.round("__ay", 4).alias("avg_label"),
+            F.round(F.abs(F.col("__as") - F.col("__ay")), 4).alias("gap"),
+            F.round("__ece", 4).alias("ece"),
+        )
+    )

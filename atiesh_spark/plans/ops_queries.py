@@ -6540,3 +6540,74 @@ def q182_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dim_recall(
         emb, "vec_id", "embedding", dims=[8, 16, 32, 64], k=10
     )
+
+
+@register(
+    "q183_calibration_report",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               ((doc_id * 37) % 1000) / 999.0 AS p,
+               CASE WHEN (doc_id * 91) % 997 < 800 * ((doc_id * 37) % 1000) / 999.0
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    binned AS (
+        SELECT CASE WHEN p < 0.1 THEN 0 WHEN p < 0.2 THEN 1
+                    WHEN p < 0.3 THEN 2 WHEN p < 0.4 THEN 3
+                    WHEN p < 0.5 THEN 4 WHEN p < 0.6 THEN 5
+                    WHEN p < 0.7 THEN 6 WHEN p < 0.8 THEN 7
+                    WHEN p < 0.9 THEN 8 ELSE 9 END AS bin,
+               p, y
+        FROM scored
+    ),
+    g AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               avg(p) AS avs, avg(y) AS avy
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               SUM(n * abs(avs - avy)) AS wsum
+        FROM g
+    )
+    SELECT CAST(g.bin AS INT) AS bin,
+           round(g.bin / 10.0, 4) AS lo_edge, g.n,
+           round(g.avs, 4) AS avg_score, round(g.avy, 4) AS avg_label,
+           round(abs(g.avs - g.avy), 4) AS gap,
+           round(tot.wsum / tot.nn, 4) AS ece
+    FROM g, tot
+    """,
+    doc="Calibration report (operators/classify.py calibration_report "
+    "- Guo et al. ICML 2017 binned ECE): reliability bins (equal-"
+    "width over [0,1], CASE-chain comparisons on the raw double - no "
+    "multiply-then-floor, whose last-ulp behavior engines can "
+    "disagree on at bin edges) with per-bin observed positive rate, "
+    "|gap|, and the corpus ECE repeated per row; out-of-range scores "
+    "raise in-plan, NULLs are excluded. The graded scorer is "
+    "synthetic and DELIBERATELY miscalibrated (p from one integer "
+    "congruence, labels from another at 0.8x slope) so all ten bins "
+    "populate with varied gaps and the full binning+ECE arithmetic "
+    "is hash-checked - a first grading attempt scored q174's real "
+    "logreg, whose near-zero-signal hashed features collapse every "
+    "score into one bin (range 0.447-0.452 at sf0.01): true, "
+    "measured, and useless for grading the binning, so the "
+    "model-coupled path is exercised in test_classify.py instead. "
+    "One map-side-combined groupBy + one scalar window.",
+)
+def q183_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.classify import calibration_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 37) % 1000) / 999.0).alias("p"),
+        F.when(
+            (F.col("doc_id") * 91) % 997
+            < 800 * ((F.col("doc_id") * 37) % 1000) / 999.0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    return calibration_report(scored, "p", "y", bins=10)

@@ -344,3 +344,56 @@ def test_hashed_features_shape_and_determinism(spark):
     )
     with pytest.raises(ValueError):
         hashed_features(df, "doc_id", "text", num_buckets=1)
+
+
+def test_calibration_report_bins_and_ece(spark):
+    import pytest
+
+    from atiesh_spark.operators.classify import calibration_report
+
+    # perfectly calibrated in bin 0 (scores .05, labels 5% pos won't
+    # divide evenly at this size, use exact fractions): 10 rows at
+    # p=0.05 with 1 positive -> avg_label 0.1, gap .05; 10 rows at
+    # p=0.95 all positive -> gap .05
+    rows = [(0.05, 1 if i == 0 else 0) for i in range(10)] + [
+        (0.95, 1) for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in calibration_report(df, "p", "y").collect()}
+    assert set(got) == {0, 9}
+    b0, b9 = got[0], got[9]
+    assert b0["n"] == 10 and abs(b0["avg_label"] - 0.1) < 1e-6
+    assert abs(b0["gap"] - 0.05) < 1e-6
+    assert abs(b9["gap"] - 0.05) < 1e-6
+    assert abs(b0["ece"] - 0.05) < 1e-6 and b0["ece"] == b9["ece"]
+    # boundary scores: 0.1 belongs to bin 1 (left-closed), 1.0 to bin 9
+    edge = spark.createDataFrame([(0.1, 0), (1.0, 1)], "p double, y int")
+    e = {r["bin"]: r for r in calibration_report(edge, "p", "y").collect()}
+    assert set(e) == {1, 9}
+    with pytest.raises(ValueError, match="probabilities"):
+        calibration_report(
+            spark.createDataFrame([(1.5, 1)], "p double, y int"), "p", "y"
+        )
+    with pytest.raises(ValueError):
+        calibration_report(df, "p", "y", bins=1)
+    # the model-coupled path: q174's logreg scores feed the report
+    from atiesh_spark.operators.classify import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta " if i % 2 else "uno dos ") * 3, i % 2)
+         for i in range(40)],
+        "doc_id long, text string, y int",
+    )
+    feats = hashed_features(docs, "doc_id", "text", 4).join(
+        docs.select("doc_id", "y"), "doc_id"
+    )
+    model = logreg_train(feats, [f"f{j}" for j in range(4)], "y", iters=15, lr=1.0)
+    scored = logreg_score(feats, model, [f"f{j}" for j in range(4)])
+    rep = calibration_report(scored, "p", "y").collect()
+    assert sum(r["n"] for r in rep) == 40
+    assert all(0 <= r["ece"] <= 1 for r in rep)
