@@ -1145,3 +1145,111 @@ def winnow_overlap_spans(
         )
         .filter(F.col("shared_fp") >= min_shared)
     )
+
+
+def remove_overlap_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Span REMOVAL from overlap hulls: the third step of
+    detect (q164) -> localize (q181) -> remove — cut the shared
+    region out of the LOWER-PRIORITY side of every matched pair (the
+    larger id, matching the min-id-survives convention everywhere
+    else in the repo), keeping the rest of the document. The
+    winnow-driven analog of exact-substring span removal (Lee et al.
+    2022, ``corpus.remove_spans``): hulls come from fingerprints, so
+    partial/paraphrase-adjacent copies are cut too.
+
+    ``spans`` is a ``winnow_overlap_spans`` frame; the removed region
+    for a pair is ``[lo_2, hi_2 + k - 1]`` (hull gram starts widened
+    to the gram end). Multiple overlapping regions per document merge
+    first (gaps-and-islands: a region starts a new island when its lo
+    exceeds every previous hi), then the kept text is rebuilt
+    RELATIONALLY — per merged region one "gap" segment
+    (prev_hi+1 .. lo-1) plus the tail after the last region,
+    reassembled with an executor-side array_sort — no per-row Python,
+    no quadratic string surgery. Documents with no spans pass through
+    unchanged. Output: (id, text_clean, n_removed) with ``n_removed``
+    = chars cut.
+
+    Engine shape: the spans frame is pair-sized (already candidate-
+    bounded upstream); merging and segment extraction are one window
+    + one groupBy on it; the corpus joins once, left, by id.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    regions = spans.select(
+        F.col("id_2").alias(id_col),
+        F.col("lo_2").alias("__lo"),
+        (F.col("hi_2") + k - 1).alias("__hi"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__lo", "__hi")
+    prev_max = F.max("__hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = regions.select(
+        F.col(id_col),
+        "__lo",
+        "__hi",
+        F.sum(
+            (F.col("__lo") > F.coalesce(prev_max, F.lit(0))).cast("int")
+        )
+        .over(w)
+        .alias("__isl"),
+    )
+    merged = islands.groupBy(id_col, "__isl").agg(
+        F.min("__lo").alias("__lo"), F.max("__hi").alias("__hi")
+    )
+    base = df.select(F.col(id_col), F.col(text_col))
+    m = merged.join(base, id_col)
+    w2 = Window.partitionBy(id_col).orderBy("__lo")
+    gaps = m.select(
+        F.col(id_col),
+        F.col("__lo"),
+        F.substring(
+            F.col(text_col),
+            F.coalesce(F.lag("__hi").over(w2), F.lit(0)) + 1,
+            F.col("__lo") - F.coalesce(F.lag("__hi").over(w2), F.lit(0)) - 1,
+        ).alias("__seg"),
+    )
+    tails = (
+        m.groupBy(id_col)
+        .agg(F.max("__hi").alias("__mh"))
+        .join(base, id_col)
+        .select(
+            F.col(id_col),
+            (F.length(text_col) + 1).alias("__lo"),
+            F.expr(f"substring({text_col}, __mh + 1)").alias("__seg"),
+        )
+    )
+    rebuilt = (
+        gaps.unionByName(tails)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__lo", "__seg"))
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                "",
+            ).alias("text_clean")
+        )
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", F.col(text_col)).alias("text_clean"),
+            (
+                F.length(text_col)
+                - F.length(F.coalesce("text_clean", F.col(text_col)))
+            ).alias("n_removed"),
+        )
+    )

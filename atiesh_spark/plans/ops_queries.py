@@ -6611,3 +6611,169 @@ def q183_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return calibration_report(scored, "p", "y", bins=10)
+
+
+@register(
+    "q184_winnow_span_removal",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               'xq ' || md5(CAST(doc_id AS VARCHAR)) || ' '
+                     || md5(CAST(doc_id + 7 AS VARCHAR)) || ' qx'
+                   AS passage,
+               text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substring(text, 1, 40) || ' ' || passage || ' tail one' AS text
+        FROM planted
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               'another doc start ' || passage || ' '
+                   || substring(text, 20, 40) AS text
+        FROM planted
+    ),
+    s AS (
+        SELECT doc_id, lower(text) AS t FROM corpus WHERE length(text) >= 5
+    ),
+    g AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM s, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               m // 16777216 AS fp_hash, m % 16777216 AS fp_pos
+        FROM sel WHERE pos <= greatest(n - 3, 1)
+    ),
+    dist AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    keep AS (
+        SELECT fp_hash FROM dist GROUP BY fp_hash
+        HAVING count(*) BETWEEN 2 AND 4
+    ),
+    rare AS (SELECT f.* FROM fp f JOIN keep USING (fp_hash)),
+    spans AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               min(b.fp_pos) AS lo_2, max(b.fp_pos) AS hi_2
+        FROM rare a JOIN rare b USING (fp_hash)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(DISTINCT fp_hash) >= 2
+    ),
+    regions AS (
+        SELECT id_2 AS doc_id, lo_2 AS lo, hi_2 + 4 AS hi FROM spans
+    ),
+    pm AS (
+        SELECT doc_id, lo, hi,
+               COALESCE(MAX(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prev_hi
+        FROM regions
+    ),
+    isl AS (
+        SELECT doc_id, lo, hi,
+               SUM(CASE WHEN lo > prev_hi THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY lo, hi
+                     ROWS UNBOUNDED PRECEDING) AS g
+        FROM pm
+    ),
+    merged AS (
+        SELECT doc_id, min(lo) AS lo, max(hi) AS hi
+        FROM isl GROUP BY doc_id, g
+    ),
+    gaps AS (
+        SELECT m.doc_id, m.lo,
+               substring(c.text,
+                   COALESCE(lag(m.hi) OVER (PARTITION BY m.doc_id
+                                            ORDER BY m.lo), 0) + 1,
+                   m.lo - COALESCE(lag(m.hi) OVER (PARTITION BY m.doc_id
+                                                   ORDER BY m.lo), 0) - 1)
+                   AS seg
+        FROM merged m JOIN corpus c USING (doc_id)
+    ),
+    tails AS (
+        SELECT m.doc_id, length(c.text) + 1 AS lo,
+               substring(c.text, max(m.hi) + 1) AS seg
+        FROM merged m JOIN corpus c USING (doc_id)
+        GROUP BY m.doc_id, c.text
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(seg, '' ORDER BY lo) AS text_clean
+        FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+        GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           md5(COALESCE(r.text_clean, c.text)) AS clean_md5,
+           CAST(length(c.text)
+                - length(COALESCE(r.text_clean, c.text)) AS BIGINT)
+               AS n_removed
+    FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Winnow-driven span removal (operators/textstats.py "
+    "remove_overlap_spans): detect (q164) -> localize (q181) -> "
+    "REMOVE — the shared hull (widened to gram ends) is cut from the "
+    "lower-priority side of each pair (larger id, the min-id-"
+    "survives convention); overlapping regions merge via gaps-and-"
+    "islands, kept text rebuilds RELATIONALLY (per-region gap "
+    "segments + tail, array_sort reassembly — no per-row Python, no "
+    "quadratic surgery), untouched docs pass through. The winnow "
+    "analog of Lee-et-al exact span removal: fingerprint hulls also "
+    "cut partially-matching copies. Graded on the q164 planted "
+    "corpus — every derived +2M doc loses its passage region (the "
+    "hull is fingerprint-conservative: boundaries land on SELECTED "
+    "grams, so a few residue chars at the edges are semantics, not "
+    "error) — with the oracle recomputing selection, pairing, "
+    "islands, and the string surgery char-exactly (md5 of the "
+    "cleaned text).",
+)
+def q184_winnow_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import (
+        remove_overlap_spans,
+        winnow_overlap_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("xq "),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(" "),
+            F.md5((F.col("doc_id") + 7).cast("string")),
+            F.lit(" qx"),
+        ).alias("passage"),
+        "text",
+    )
+    da = planted.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" "), F.col("passage"),
+            F.lit(" tail one"),
+        ).alias("text"),
+    )
+    db = planted.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("another doc start "), F.col("passage"), F.lit(" "),
+            F.substring("text", 20, 40),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(da).unionByName(db)
+    spans = winnow_overlap_spans(
+        corpus, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
+    )
+    return remove_overlap_spans(corpus, spans, "doc_id", "text", k=5).select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

@@ -441,3 +441,52 @@ def test_winnow_overlap_spans_bracket_the_quote(spark):
     assert q1 - 4 <= r["lo_1"] and r["hi_1"] <= q1 + len(rare)
     assert q2 - 4 <= r["lo_2"] and r["hi_2"] <= q2 + len(rare)
     assert r["hi_1"] > r["lo_1"] and r["shared_fp"] >= 2
+
+
+def test_remove_overlap_spans_cuts_lower_priority_side(spark):
+    from atiesh_spark.operators.textstats import (
+        remove_overlap_spans,
+        winnow_overlap_spans,
+    )
+
+    rare = "zq81 vfkq mmxw 0427 qlpt yy93 zz14 aabq"
+    t1 = f"alpha beta gamma delta {rare} epsilon zeta"
+    t2 = f"uno dos {rare} tres cuatro cinco seis siete"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "untouched text with nothing shared")],
+        "doc_id long, text string",
+    )
+    spans = winnow_overlap_spans(df, "doc_id", "text", max_df=2, min_shared=2)
+    got = {r["doc_id"]: r for r in remove_overlap_spans(
+        df, spans, "doc_id", "text").collect()}
+    # the survivor (smaller id) and the unrelated doc are untouched
+    assert got[1]["text_clean"] == t1 and got[1]["n_removed"] == 0
+    assert got[3]["text_clean"] == df.collect()[2]["text"]
+    # the larger id lost the quoted region (hull is fingerprint-
+    # conservative: a few boundary chars may remain)
+    r2 = got[2]
+    assert rare not in r2["text_clean"]
+    assert r2["n_removed"] >= len(rare) - 10
+    assert r2["text_clean"].startswith("uno dos") and "siete" in r2["text_clean"]
+    import pytest
+    with pytest.raises(ValueError):
+        remove_overlap_spans(df, spans, "doc_id", "text", k=0)
+
+
+def test_remove_overlap_spans_merges_overlapping_regions(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from atiesh_spark.operators.textstats import remove_overlap_spans
+
+    df = spark.createDataFrame(
+        [(9, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string"
+    )
+    # two overlapping spans on doc 9 (positions 3-8 and 6-12 with k=1)
+    spans = spark.createDataFrame(
+        [(1, 9, 3, 8), (1, 9, 6, 12)],
+        "id_1 long, id_2 long, lo_2 int, hi_2 int",
+    )
+    r = remove_overlap_spans(df, spans, "doc_id", "text", k=1).collect()[0]
+    # merged region 3..12 removed: keep 'ab' + 'mnopqrstuvwxyz'
+    assert r["text_clean"] == "ab" + "mnopqrstuvwxyz"
+    assert r["n_removed"] == 10
