@@ -716,3 +716,58 @@ def candidate_eval(
             round_to,
         ).alias("f1"),
     )
+
+
+def dedup_savings_report(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Storage/compute impact forecast for a dedup run: given a
+    clustering (``connected_components`` output — q41/q178 shapes),
+    report per CLUSTER SIZE: how many clusters, how many documents,
+    how many are removable (size - 1 per cluster, min-id survives),
+    and how many bytes the removable documents carry. The table a
+    pipeline owner reads before committing a dedup pass — expected
+    yield, and whether duplicate mass sits in a few huge clusters
+    (boilerplate explosion — investigate) or many pairs (organic).
+
+    Singletons appear as the size-1 row with zero removable — the
+    corpus total is reconstructible from the report (an honest report
+    includes what dedup will NOT touch). Engine shape: one join of
+    the cluster frame to doc lengths, one (cluster) aggregate, one
+    (size) aggregate — the report is as big as the distinct cluster
+    sizes.
+    """
+    sized = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        docs.select(
+            F.col(id_col), F.length(F.col(text_col)).alias("__bytes")
+        ),
+        id_col,
+    )
+    per_cluster = sized.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.sum("__bytes").alias("__tot_bytes"),
+        # survivor = min id; removable bytes = total - survivor's
+        F.min(F.struct(F.col(id_col), F.col("__bytes"))).alias("__surv"),
+    )
+    return (
+        per_cluster.groupBy(F.col("__sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("__sz").alias("n_docs"),
+            F.sum(F.col("__sz") - 1).alias("n_removable"),
+            F.sum(
+                F.col("__tot_bytes") - F.col("__surv")["__bytes"]
+            ).alias("removable_bytes"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+            F.col("removable_bytes").cast("long").alias("removable_bytes"),
+        )
+    )

@@ -6777,3 +6777,84 @@ def q184_winnow_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text_clean").alias("clean_md5"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+@register(
+    "q185_dedup_savings",
+    oracle="""
+    WITH RECURSIVE shingles AS (
+        SELECT DISTINCT doc_id, substring(text, i, 3) AS sh
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)
+        WHERE length(substring(text, i, 3)) = 3
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || sh)) AS mh
+        FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 8) AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 8)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_1 AS a, id_2 AS b FROM pairs
+        UNION SELECT id_2, id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+    clustered AS (
+        SELECT d.doc_id,
+               coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS cluster_id,
+               length(d.text) AS bytes
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    per_cluster AS (
+        SELECT cluster_id, count(*) AS sz, SUM(bytes) AS tot,
+               arg_min(bytes, doc_id) AS surv_bytes
+        FROM clustered GROUP BY cluster_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+           CAST(SUM(tot - surv_bytes) AS BIGINT) AS removable_bytes
+    FROM per_cluster GROUP BY sz
+    """,
+    doc="Dedup impact forecast (operators/dedup.py "
+    "dedup_savings_report): the go/no-go table before committing a "
+    "dedup pass — per cluster SIZE: clusters, docs, removable docs "
+    "(min-id survives), and removable BYTES (total minus the "
+    "survivor's — arg_min/struct-min on (id, bytes), so both engines "
+    "pick the same survivor). Singletons appear as the size-1 row "
+    "with zero removable, making the corpus total reconstructible "
+    "from the report (an honest report includes what dedup will NOT "
+    "touch); the size distribution separates boilerplate explosions "
+    "(few huge clusters) from organic duplication (many pairs). "
+    "Clusters come from q41's exact MinHash-LSH + CC machinery; one "
+    "doc-length join + two aggregates on top, report rows = distinct "
+    "cluster sizes. Oracle: q41's recursive-closure SQL + the same "
+    "two-level aggregation.",
+)
+def q185_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import (
+        connected_components,
+        dedup_savings_report,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
+    clusters = connected_components(pairs, docs.select("doc_id"), "doc_id")
+    return dedup_savings_report(clusters, docs, "doc_id", "text")
