@@ -560,3 +560,85 @@ def calibration_report(
             F.round("__ece", 4).alias("ece"),
         )
     )
+
+
+def temperature_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    grid: list[float] | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Temperature scaling (Guo et al., ICML 2017) — the one-parameter
+    remedy for the miscalibration ``calibration_report`` measures:
+    divide the logits by T and pick the T minimizing NLL. The fit is
+    a FIXED deterministic grid search (default T = 0.2 .. 5.0 step
+    0.2), not a line search with float-path-dependent stopping — an
+    external oracle can replay it exactly, and one temperature is a
+    25-point curve, not an optimization problem.
+
+    Returns ONE row: (best_t, nll_uncal, nll_cal, ece_uncal,
+    ece_cal) — NLL at T=1 vs T*, and binned ECE before/after (same
+    CASE-chain bins as calibration_report). Scores clamp to
+    [1e-6, 1 - 1e-6] before the logit so boundary probabilities stay
+    finite (documented, mirrored by the oracle). Ties on NLL take the
+    smallest T.
+
+    Engine shape: ONE aggregate computes the whole NLL curve (|grid|
+    sum expressions over one scan); the argmin is a |grid|-double
+    driver digest; the calibrated ECE is one more binned aggregate.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    grid = grid or [round((i + 1) / 5, 1) for i in range(25)]
+    if not grid or any(t <= 0 for t in grid):
+        raise ValueError("grid temperatures must be positive")
+    eps = 1e-6
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    clamped = F.least(F.greatest(F.col("__s"), F.lit(eps)), F.lit(1 - eps))
+    z = F.log(clamped / (1 - clamped))
+    work = base.select("__y", z.alias("__z"))
+
+    def nll_at(t: float):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z") / t))
+        return F.avg(
+            -(
+                F.col("__y") * F.log(F.greatest(p, F.lit(1e-12)))
+                + (1 - F.col("__y")) * F.log(F.greatest(1 - p, F.lit(1e-12)))
+            )
+        )
+
+    curve = work.agg(
+        *[nll_at(t).alias(f"__nll_{i}") for i, t in enumerate(grid)]
+    ).collect()[0]
+    nlls = [(float(curve[f"__nll_{i}"]), grid[i]) for i in range(len(grid))]
+    best_t = min(nlls, key=lambda p: (p[0], p[1]))[1]
+    nll_uncal = next(v for v, t in nlls if t == 1.0) if 1.0 in grid else None
+    nll_cal = next(v for v, t in nlls if t == best_t)
+
+    def ece_of(scored: DataFrame, col: str) -> DataFrame:
+        return calibration_report(scored, col, "__y", bins=bins).select(
+            "ece"
+        ).limit(1)
+
+    cal_p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z / best_t))).alias("__pc")
+    both = base.select("__y", clamped.alias("__pu"), cal_p)
+    e_un = ece_of(both, "__pu").collect()[0]["ece"]
+    e_ca = ece_of(both, "__pc").collect()[0]["ece"]
+    spark = df.sparkSession
+    if nll_uncal is None:
+        nll_uncal = float(
+            work.agg(nll_at(1.0).alias("x")).collect()[0]["x"]
+        )
+    return spark.createDataFrame(
+        [(
+            float(best_t), round(nll_uncal, 4), round(nll_cal, 4),
+            e_un, e_ca,
+        )],
+        "best_t double, nll_uncal double, nll_cal double, "
+        "ece_uncal double, ece_cal double",
+    )

@@ -6858,3 +6858,98 @@ def q185_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=32, bands=4)
     clusters = connected_components(pairs, docs.select("doc_id"), "doc_id")
     return dedup_savings_report(clusters, docs, "doc_id", "text")
+
+
+@register(
+    "q186_temperature_fit",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               ((doc_id * 37) % 1000) / 999.0 AS p,
+               CASE WHEN (doc_id * 91) % 997 < 800 * ((doc_id * 37) % 1000) / 999.0
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    w AS MATERIALIZED (
+        SELECT least(greatest(p, 0.000001), 0.999999) AS pu, y,
+               ln(least(greatest(p, 0.000001), 0.999999)
+                  / (1 - least(greatest(p, 0.000001), 0.999999))) AS z
+        FROM scored
+    ),
+    grid AS (SELECT unnest(generate_series(1, 25)) / 5.0 AS t),
+    curve AS MATERIALIZED (
+        SELECT g.t,
+               avg(-(w.y * ln(greatest(1 / (1 + exp(-w.z / g.t)), 1e-12))
+                     + (1 - w.y)
+                       * ln(greatest(1 - 1 / (1 + exp(-w.z / g.t)), 1e-12))))
+                   AS nll
+        FROM w, grid g GROUP BY g.t
+    ),
+    best AS MATERIALIZED (SELECT t FROM curve ORDER BY nll, t LIMIT 1),
+    calib AS MATERIALIZED (
+        SELECT w.pu, w.y,
+               1 / (1 + exp(-w.z / b.t)) AS pc
+        FROM w, best b
+    ),
+    binned AS (
+        SELECT CASE WHEN pu < 0.1 THEN 0 WHEN pu < 0.2 THEN 1
+                    WHEN pu < 0.3 THEN 2 WHEN pu < 0.4 THEN 3
+                    WHEN pu < 0.5 THEN 4 WHEN pu < 0.6 THEN 5
+                    WHEN pu < 0.7 THEN 6 WHEN pu < 0.8 THEN 7
+                    WHEN pu < 0.9 THEN 8 ELSE 9 END AS bu,
+               CASE WHEN pc < 0.1 THEN 0 WHEN pc < 0.2 THEN 1
+                    WHEN pc < 0.3 THEN 2 WHEN pc < 0.4 THEN 3
+                    WHEN pc < 0.5 THEN 4 WHEN pc < 0.6 THEN 5
+                    WHEN pc < 0.7 THEN 6 WHEN pc < 0.8 THEN 7
+                    WHEN pc < 0.9 THEN 8 ELSE 9 END AS bc,
+               pu, pc, y
+        FROM calib
+    ),
+    eu AS (
+        SELECT SUM(n * gap) / SUM(n) AS ece FROM (
+            SELECT count(*) AS n, abs(avg(pu) - avg(y)) AS gap
+            FROM binned GROUP BY bu
+        )
+    ),
+    ec AS (
+        SELECT SUM(n * gap) / SUM(n) AS ece FROM (
+            SELECT count(*) AS n, abs(avg(pc) - avg(y)) AS gap
+            FROM binned GROUP BY bc
+        )
+    )
+    SELECT b.t AS best_t,
+           round((SELECT nll FROM curve WHERE t = 1.0), 4) AS nll_uncal,
+           round((SELECT nll FROM curve WHERE t = b.t), 4) AS nll_cal,
+           round(eu.ece, 4) AS ece_uncal,
+           round(ec.ece, 4) AS ece_cal
+    FROM best b, eu, ec
+    """,
+    doc="Temperature scaling (operators/classify.py temperature_fit — "
+    "Guo et al. ICML 2017): the one-parameter remedy for the "
+    "miscalibration q183 measures — logits divided by the T "
+    "minimizing NLL over a FIXED 25-point grid (0.2..5.0 step 0.2; a "
+    "deterministic curve an oracle can replay, not a float-path-"
+    "dependent line search; NLL ties take the smaller T). Scores "
+    "clamp to [1e-6, 1-1e-6] before the logit (mirrored in the "
+    "oracle). ONE aggregate computes the entire NLL curve (25 sum "
+    "expressions over one scan), the argmin is a 25-double digest, "
+    "calibrated ECE is one more binned pass. Graded on q183's "
+    "deliberately-miscalibrated synthetic scorer: the report shows "
+    "before/after NLL and ECE — measure (q183), then fix (q186).",
+)
+def q186_temperature_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.classify import temperature_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 37) % 1000) / 999.0).alias("p"),
+        F.when(
+            (F.col("doc_id") * 91) % 997
+            < 800 * ((F.col("doc_id") * 37) % 1000) / 999.0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    return temperature_fit(scored, "p", "y", bins=10)

@@ -397,3 +397,31 @@ def test_calibration_report_bins_and_ece(spark):
     rep = calibration_report(scored, "p", "y").collect()
     assert sum(r["n"] for r in rep) == 40
     assert all(0 <= r["ece"] <= 1 for r in rep)
+
+
+def test_temperature_fit_recovers_planted_temperature(spark):
+    import math
+
+    import pytest
+
+    from atiesh_spark.operators.classify import temperature_fit
+
+    # labels drawn (deterministically) from sigmoid(z), scores reported
+    # OVERCONFIDENTLY as sigmoid(2z): the fix should pick T ~ 2 and
+    # improve both NLL and ECE
+    rows = []
+    for i in range(400):
+        z = (i % 21 - 10) / 2.5          # true logits in [-4, 4]
+        p_true = 1 / (1 + math.exp(-z))
+        y = 1 if ((i * 7919) % 1000) / 1000.0 < p_true else 0
+        p_over = 1 / (1 + math.exp(-2 * z))
+        rows.append((float(p_over), y))
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = temperature_fit(df, "p", "y").collect()[0]
+    assert 1.4 <= r["best_t"] <= 2.8
+    assert r["nll_cal"] <= r["nll_uncal"]
+    assert r["ece_cal"] <= r["ece_uncal"]
+    with pytest.raises(ValueError):
+        temperature_fit(df, "p", "y", grid=[0.0, 1.0])
+    with pytest.raises(ValueError):
+        temperature_fit(df, "p", "y", bins=1)
