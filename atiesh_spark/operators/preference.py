@@ -519,3 +519,68 @@ def bradley_terry_distributed(
             F.round("__p", 4).alias("rating"),
         )
     )
+
+
+def win_rate_matrix(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Pairwise win rates with Wilson score intervals (Wilson, JASA
+    1927): one row per unordered item pair — (item_1, item_2, n,
+    wins_1, rate_1, lo_1, hi_1, decided) where ``rate_1`` is item_1's
+    observed win share, ``lo_1/hi_1`` the Wilson interval at the given
+    ``z``, and ``decided`` is true when the interval excludes 0.5.
+    The sample-size companion to q166/q177: a pair whose interval
+    straddles 0.5 is UNPOWERED — collecting more judgments there buys
+    more than anywhere else, which is exactly the active-collection
+    decision this table drives.
+
+    Wilson (not normal-approx) intervals: correct coverage at the
+    small per-pair counts preference data actually has, and never
+    outside [0, 1]. All inputs are integer counts, so the only floats
+    are one sqrt and divisions — engine-deterministic, rounded 4dp.
+    Judgments aggregate ONCE to ordered-pair counts (the family
+    discipline); everything else runs on the pair frame.
+    """
+    if z <= 0:
+        raise ValueError("z must be positive")
+    pairs = comparisons.select(
+        F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
+    ).filter(F.col("__w") != F.col("__l"))
+    counts = pairs.groupBy("__w", "__l").agg(F.count(F.lit(1)).alias("__n"))
+    und = (
+        counts.select(
+            F.least("__w", "__l").alias("item_1"),
+            F.greatest("__w", "__l").alias("item_2"),
+            F.when(F.col("__w") < F.col("__l"), F.col("__n"))
+            .otherwise(0)
+            .alias("__w1"),
+            F.col("__n").alias("__all"),
+        )
+        .groupBy("item_1", "item_2")
+        .agg(
+            F.sum("__w1").alias("wins_1"), F.sum("__all").alias("n")
+        )
+    )
+    p = F.col("wins_1") / F.col("n")
+    z2 = z * z
+    denom = 1 + z2 / F.col("n")
+    center = (p + z2 / (2 * F.col("n"))) / denom
+    half = (
+        z
+        * F.sqrt(p * (1 - p) / F.col("n") + z2 / (4 * F.col("n") * F.col("n")))
+        / denom
+    )
+    lo, hi = center - half, center + half
+    return und.select(
+        "item_1",
+        "item_2",
+        "n",
+        "wins_1",
+        F.round(p, 4).alias("rate_1"),
+        F.round(lo, 4).alias("lo_1"),
+        F.round(hi, 4).alias("hi_1"),
+        ((lo > 0.5) | (hi < 0.5)).alias("decided"),
+    )

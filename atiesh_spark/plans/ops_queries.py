@@ -6953,3 +6953,90 @@ def q186_temperature_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return temperature_fit(scored, "p", "y", bins=10)
+
+
+@register(
+    "q187_win_rate_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    comp AS (
+        SELECT CASE WHEN value >= nv THEN event_type ELSE nt END AS w,
+               CASE WHEN value >= nv THEN nt ELSE event_type END AS l
+        FROM seq WHERE nt IS NOT NULL AND event_type != nt
+    ),
+    counts AS (SELECT w, l, count(*) AS n FROM comp GROUP BY w, l),
+    und AS (
+        SELECT least(w, l) AS item_1, greatest(w, l) AS item_2,
+               CAST(SUM(CASE WHEN w < l THEN n ELSE 0 END) AS BIGINT)
+                   AS wins_1,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM counts GROUP BY 1, 2
+    )
+    SELECT item_1, item_2, n, wins_1,
+           round(wins_1 / CAST(n AS DOUBLE), 4) AS rate_1,
+           round(((wins_1 / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n))
+                 / (1 + 1.96 * 1.96 / n)
+                 - 1.96 * sqrt((wins_1 / CAST(n AS DOUBLE))
+                               * (1 - wins_1 / CAST(n AS DOUBLE)) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                   / (1 + 1.96 * 1.96 / n), 4) AS lo_1,
+           round(((wins_1 / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n))
+                 / (1 + 1.96 * 1.96 / n)
+                 + 1.96 * sqrt((wins_1 / CAST(n AS DOUBLE))
+                               * (1 - wins_1 / CAST(n AS DOUBLE)) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                   / (1 + 1.96 * 1.96 / n), 4) AS hi_1,
+           (((wins_1 / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n))
+                 / (1 + 1.96 * 1.96 / n)
+                 - 1.96 * sqrt((wins_1 / CAST(n AS DOUBLE))
+                               * (1 - wins_1 / CAST(n AS DOUBLE)) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                   / (1 + 1.96 * 1.96 / n) > 0.5
+            OR
+            ((wins_1 / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n))
+                 / (1 + 1.96 * 1.96 / n)
+                 + 1.96 * sqrt((wins_1 / CAST(n AS DOUBLE))
+                               * (1 - wins_1 / CAST(n AS DOUBLE)) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                   / (1 + 1.96 * 1.96 / n) < 0.5) AS decided
+    FROM und
+    """,
+    doc="Win-rate matrix with Wilson intervals (operators/"
+    "preference.py win_rate_matrix — Wilson JASA 1927): per unordered "
+    "item pair, the observed win share with a score interval that "
+    "has correct coverage at the SMALL per-pair counts preference "
+    "data actually has (never outside [0,1]); 'decided' = interval "
+    "excludes 0.5 — pairs that straddle it are UNPOWERED and are "
+    "where the next judgments should be collected (the active-"
+    "collection companion to q166's ratings and q177's transitivity "
+    "audit). Integer counts in, one sqrt out: engine-deterministic "
+    "at 4dp. Judgments aggregate once to ordered-pair counts; "
+    "everything else runs on the pair frame.",
+)
+def q187_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.preference import win_rate_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("nt"),
+        F.lead("value").over(w).alias("nv"),
+    ).filter(F.col("nt").isNotNull() & (F.col("event_type") != F.col("nt")))
+    comp = seq.select(
+        F.when(F.col("value") >= F.col("nv"), F.col("event_type"))
+        .otherwise(F.col("nt"))
+        .alias("w"),
+        F.when(F.col("value") >= F.col("nv"), F.col("nt"))
+        .otherwise(F.col("event_type"))
+        .alias("l"),
+    )
+    return win_rate_matrix(comp, "w", "l")

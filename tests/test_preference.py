@@ -190,3 +190,35 @@ def test_bradley_terry_distributed_equals_digest(spark):
     assert a == b  # identical at the rounded-4dp output contract
     empty = spark.createDataFrame([], "w string, l string")
     assert bradley_terry_distributed(empty, "w", "l").count() == 0
+
+
+def test_win_rate_matrix_wilson_intervals(spark):
+    import math
+
+    import pytest
+
+    from atiesh_spark.operators.preference import win_rate_matrix
+
+    # A beats B 18/20 (decided); C vs D 3/5 (unpowered)
+    rows = [("A", "B")] * 18 + [("B", "A")] * 2 + [("C", "D")] * 3 + [("D", "C")] * 2
+    df = spark.createDataFrame(rows, "w string, l string")
+    got = {(r["item_1"], r["item_2"]): r for r in win_rate_matrix(
+        df, "w", "l").collect()}
+    ab = got[("A", "B")]
+    assert (ab["n"], ab["wins_1"]) == (20, 18)
+
+    def wilson(wn, n, z=1.96):
+        p = wn / n
+        den = 1 + z * z / n
+        c = (p + z * z / (2 * n)) / den
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+        return round(c - h, 4), round(c + h, 4)
+
+    lo, hi = wilson(18, 20)
+    assert ab["lo_1"] == lo and ab["hi_1"] == hi
+    assert ab["decided"] and lo > 0.5
+    cd = got[("C", "D")]
+    assert not cd["decided"]  # 3/5 straddles 0.5
+    assert 0 <= cd["lo_1"] < 0.5 < cd["hi_1"] <= 1
+    with pytest.raises(ValueError):
+        win_rate_matrix(df, "w", "l", z=0)
