@@ -500,3 +500,65 @@ def dataset_card(
         "n_exact_dup_docs",
         "dup_share",
     )
+
+
+def source_scorecard(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    lm_scores: DataFrame | None = None,
+    target_lang: str = "en",
+) -> DataFrame:
+    """Per-source quality scorecard: the keep/trim/drop table for
+    crawl-source triage — one row per source with the signals every
+    web-scale curation run ranks its inputs by:
+
+    - ``n_docs``, ``total_chars``
+    - ``mean_chars`` (4dp)
+    - ``pct_target_lang`` — share of docs in the target language
+    - ``dup_rate`` — share of docs whose exact text (md5) appears
+      more than once WITHIN the source (internal boilerplate rate;
+      cross-source dup belongs to the dedup family)
+    - ``n_scored`` / ``sum_bits_per_char`` — count and SUM of LM
+      scores if an ``lm_scores`` frame (ngram_lm_scores output) is
+      supplied. Sum, deliberately not mean: the per-doc scores are
+      4dp-rounded, so their sum is an exact multiple of 0.0001 that
+      re-rounds safely, while their MEAN can land exactly on a
+      .00005 boundary where engines round apart (measured: a first
+      version reported the mean and one source hit 1.13935 dead on)
+
+    Engine shape: one md5 window for within-source dup marking + one
+    groupBy(source); the optional LM join is by id before the
+    aggregate. Report rows = number of sources.
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.select(
+        F.col(source_col).alias("__src"),
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        (F.col(lang_col) == target_lang).cast("int").alias("__tgt"),
+    )
+    dup = F.count(F.lit(1)).over(
+        Window.partitionBy("__src", F.md5(F.col("__text").cast("binary")))
+    )
+    marked = base.withColumn("__dup", (dup > 1).cast("int"))
+    if lm_scores is not None:
+        marked = marked.join(
+            lm_scores.select(F.col(id_col), F.col("bits_per_char")),
+            id_col,
+            "left",
+        )
+    else:
+        marked = marked.withColumn("bits_per_char", F.lit(None).cast("double"))
+    return marked.groupBy(F.col("__src").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("__text")).cast("long").alias("total_chars"),
+        F.round(F.avg(F.length("__text")), 4).alias("mean_chars"),
+        F.round(F.avg("__tgt"), 4).alias("pct_target_lang"),
+        F.round(F.avg("__dup"), 4).alias("dup_rate"),
+        F.count("bits_per_char").alias("n_scored"),
+        F.round(F.sum("bits_per_char"), 4).alias("sum_bits_per_char"),
+    )

@@ -7040,3 +7040,83 @@ def q187_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("l"),
     )
     return win_rate_matrix(comp, "w", "l")
+
+
+@register(
+    "q188_source_scorecard",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, source, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, lang, text
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    tri AS (
+        SELECT doc_id, substring(text, i, 3) AS sh
+        FROM aug,
+             unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)
+    ),
+    tri3 AS (SELECT doc_id, sh FROM tri WHERE length(sh) = 3),
+    ck AS (SELECT sh, count(*) AS c FROM tri3 GROUP BY sh),
+    cp AS (SELECT substring(sh, 1, 2) AS pfx, sum(c) AS c FROM ck GROUP BY 1),
+    v AS (SELECT count(DISTINCT substring(sh, 3, 1)) AS v FROM ck),
+    scored AS (
+        SELECT t.doc_id,
+               round(avg(-log2((ck.c + 1.0) / (cp.c + 1.0 * v.v))), 4)
+                   AS bits_per_char
+        FROM tri3 t
+        JOIN ck USING (sh)
+        JOIN cp ON substring(t.sh, 1, 2) = cp.pfx
+        CROSS JOIN v
+        GROUP BY t.doc_id
+    ),
+    marked AS (
+        SELECT a.source, a.doc_id, a.text,
+               CASE WHEN a.lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               CASE WHEN count(*) OVER (PARTITION BY a.source, md5(a.text))
+                    > 1 THEN 1 ELSE 0 END AS dup,
+               s.bits_per_char
+        FROM aug a LEFT JOIN scored s USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           round(avg(length(text)), 4) AS mean_chars,
+           round(avg(tgt), 4) AS pct_target_lang,
+           round(avg(dup), 4) AS dup_rate,
+           CAST(count(bits_per_char) AS BIGINT) AS n_scored,
+           round(SUM(bits_per_char), 4) AS sum_bits_per_char
+    FROM marked GROUP BY source
+    """,
+    doc="Per-source quality scorecard (operators/profile.py "
+    "source_scorecard): the keep/trim/drop triage table for crawl "
+    "sources — docs, chars, mean length, target-language share, "
+    "WITHIN-source exact-dup rate (internal boilerplate; cross-source "
+    "dup belongs to the dedup family), and the SUM of q94 LM bits/char scores (sum, not mean: "
+    "per-doc scores are 4dp-rounded so the sum is an exact 0.0001 "
+    "multiple that re-rounds safely, while the mean landed exactly "
+    "on a .00005 boundary in the first attempt — measured, fixed, "
+    "kept as the rule). One md5 window + one "
+    "groupBy(source); the LM score joins by id. The graded query "
+    "plants within-source duplicates (doc_id % 9 copies) so dup_rate "
+    "is nonzero and source-varying; the oracle recomputes the LM "
+    "model over the SAME augmented corpus (train-on-what-you-score, "
+    "matching the engine exactly) plus every aggregate.",
+)
+def q188_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import source_scorecard
+    from atiesh_spark.operators.textstats import ngram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "source", "lang", "text").unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "source",
+            "lang",
+            "text",
+        )
+    )
+    lm = ngram_lm_scores(aug, "doc_id", "text", k=3, smooth=1.0)
+    return source_scorecard(
+        aug, "source", "doc_id", "text", "lang", lm_scores=lm
+    )
