@@ -19,6 +19,13 @@ BIGINT even when the values are identical, so ``rows_match`` and
 ``schema_match`` stay true while ``hash_match`` flips (this is exactly
 what happened to q131/q135/q140 in round 5). ``COUNT(*)`` is already
 BIGINT and safe; SUM of DOUBLE is DOUBLE and safe.
+
+SECOND RULE (learned round 6): never output the MEAN of already-
+rounded per-row scores — the mean of 4dp values can land exactly on
+a .00005 boundary where the two engines' float paths round apart
+(q188's first attempt hit 1.13935 dead on). Output the SUM instead:
+a sum of 0.0001-multiples is itself a 0.0001-multiple, so the final
+round() has ~0.00005 of slack against ulp-level noise.
 """
 
 from __future__ import annotations
