@@ -1494,3 +1494,68 @@ def prefix_dim_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def embedding_hygiene(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Ingestion sanity gate for an embedding column — the checks that
+    catch a broken encoder BEFORE a 100 TB ANN build bakes it in:
+
+    ONE row: ``n_vectors``, ``n_null`` (NULL vector), ``n_wrong_dim``
+    (length != the expected/majority dimension), ``n_zero`` (all-zero
+    — cosine-undefined, they poison neighbor lists silently),
+    ``n_nonfinite`` (any NaN/Inf component), ``n_clean``, plus
+    distribution digests over the clean rows: ``mean_norm`` /
+    ``min_norm`` / ``max_norm`` (4dp) — a collapsed encoder shows up
+    as a norm distribution pinched near one value.
+
+    ``expected_dim=None`` uses the majority length (one extra tiny
+    aggregate). Everything is one scan + scalar digests; the output
+    is the gate a pipeline asserts on (``n_clean == n_vectors`` or
+    fail loudly) before q47/q137/q138 ever run.
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    if expected_dim is None:
+        top = (
+            base.filter(F.col("__v").isNotNull())
+            .groupBy(F.size("__v").alias("__d"))
+            .count()
+            .orderBy(F.col("count").desc(), F.col("__d"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError("no non-NULL vectors to profile")
+        expected_dim = int(top[0]["__d"])
+    dv = as_double("__v")
+    is_null = F.col("__v").isNull()
+    wrong_dim = ~is_null & (F.size("__v") != expected_dim)
+    nonfinite = (
+        ~is_null
+        & ~wrong_dim
+        & F.exists(dv, lambda x: x.isNaN() | (F.abs(x) > 1e308))
+    )
+    zero = (
+        ~is_null & ~wrong_dim & ~nonfinite
+        & F.forall(dv, lambda x: x == 0.0)
+    )
+    clean = ~is_null & ~wrong_dim & ~nonfinite & ~zero
+    norm = F.sqrt(
+        F.aggregate(dv, F.lit(0.0), lambda s, x: s + x * x)
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.sum(wrong_dim.cast("long")).alias("n_wrong_dim"),
+        F.sum(zero.cast("long")).alias("n_zero"),
+        F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
+        F.sum(clean.cast("long")).alias("n_clean"),
+        F.lit(expected_dim).alias("expected_dim"),
+        F.round(F.avg(F.when(clean, norm)), 4).alias("mean_norm"),
+        F.round(F.min(F.when(clean, norm)), 4).alias("min_norm"),
+        F.round(F.max(F.when(clean, norm)), 4).alias("max_norm"),
+    )

@@ -7120,3 +7120,107 @@ def q188_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_scorecard(
         aug, "source", "doc_id", "text", "lang", lm_scores=lm
     )
+
+
+@register(
+    "q189_embedding_hygiene",
+    oracle="""
+    WITH aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, CAST(NULL AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 50 = 0
+        UNION ALL
+        SELECT vec_id + 2000000,
+               list_slice(CAST(embedding AS DOUBLE[]), 1, 32)
+        FROM embeddings WHERE vec_id % 50 = 1
+        UNION ALL
+        SELECT vec_id + 3000000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
+        FROM embeddings WHERE vec_id % 50 = 2
+        UNION ALL
+        SELECT vec_id + 4000000,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x + 'nan'::DOUBLE)
+        FROM embeddings WHERE vec_id % 50 = 3
+    ),
+    flagged AS (
+        SELECT vec_id, v,
+               (v IS NULL) AS is_null,
+               (v IS NOT NULL AND len(v) != 64) AS wrong_dim,
+               (v IS NOT NULL AND len(v) = 64
+                AND len(list_filter(v, x -> isnan(x) OR abs(x) > 1e308)) > 0)
+                   AS nonfinite,
+               (v IS NOT NULL AND len(v) = 64
+                AND len(list_filter(v, x -> isnan(x) OR abs(x) > 1e308)) = 0
+                AND len(list_filter(v, x -> x != 0.0)) = 0) AS zero
+        FROM aug
+    ),
+    final AS (
+        SELECT *,
+               (NOT is_null AND NOT wrong_dim AND NOT nonfinite AND NOT zero)
+                   AS clean,
+               sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                   AS norm
+        FROM flagged
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wrong_dim,
+           CAST(SUM(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(64 AS INT) AS expected_dim,
+           round(avg(CASE WHEN clean THEN norm END), 4) AS mean_norm,
+           round(min(CASE WHEN clean THEN norm END), 4) AS min_norm,
+           round(max(CASE WHEN clean THEN norm END), 4) AS max_norm
+    FROM final
+    """,
+    doc="Embedding ingestion hygiene gate (operators/similarity.py "
+    "embedding_hygiene): the checks that catch a broken encoder "
+    "BEFORE a 100 TB ANN build bakes it in — NULL vectors, wrong "
+    "dimension, all-zero (cosine-undefined, silently poisons "
+    "neighbor lists), non-finite components, plus norm-distribution "
+    "digests over the clean rows (a collapsed encoder pinches the "
+    "norm spread). One scan, scalar digests; a pipeline asserts "
+    "n_clean == n_vectors or fails loudly before q47/q137/q138 run. "
+    "The graded query plants every defect class (NULL / 32-dim / "
+    "zeroed / NaN-injected copies of every 50th vector) so each "
+    "counter is nonzero and the oracle recomputes all of it.",
+)
+def q189_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import embedding_hygiene
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    nan = F.lit(float("nan"))
+    aug = (
+        emb.unionByName(
+            emb.filter(F.col("vec_id") % 50 == 0).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 1).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"),
+                F.slice("embedding", 1, 32).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 2).select(
+                (F.col("vec_id") + 3000000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * 0.0).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 3).select(
+                (F.col("vec_id") + 4000000).alias("vec_id"),
+                F.transform("embedding", lambda x: x + nan).alias("embedding"),
+            )
+        )
+    )
+    return embedding_hygiene(aug, "vec_id", "embedding", expected_dim=64)

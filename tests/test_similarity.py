@@ -880,3 +880,29 @@ def test_prefix_dim_recall_full_dim_is_perfect(spark):
         prefix_dim_recall(df, "vec_id", "embedding", dims=[16])
     with pytest.raises(ValueError):
         prefix_dim_recall(df, "vec_id", "embedding", dims=[])
+
+
+def test_embedding_hygiene_counts_each_defect_once(spark):
+    import math
+
+    import pytest
+
+    from atiesh_spark.operators.similarity import embedding_hygiene
+
+    rows = [
+        (1, [3.0, 4.0]),            # clean, norm 5
+        (2, [1.0, 0.0]),            # clean, norm 1
+        (3, None),                  # null
+        (4, [1.0, 2.0, 3.0]),       # wrong dim
+        (5, [0.0, 0.0]),            # zero
+        (6, [float("nan"), 1.0]),   # non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_hygiene(df, "vec_id", "embedding").collect()[0]
+    assert r["expected_dim"] == 2  # majority length inferred
+    assert (r["n_vectors"], r["n_null"], r["n_wrong_dim"]) == (6, 1, 1)
+    assert (r["n_zero"], r["n_nonfinite"], r["n_clean"]) == (1, 1, 2)
+    assert r["mean_norm"] == 3.0 and r["min_norm"] == 1.0 and r["max_norm"] == 5.0
+    with pytest.raises(ValueError, match="no non-NULL"):
+        embedding_hygiene(df.filter("vec_id = 3"), "vec_id", "embedding")
+    assert not math.isnan(r["mean_norm"])
