@@ -771,3 +771,55 @@ def dedup_savings_report(
             F.col("removable_bytes").cast("long").alias("removable_bytes"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    threshold: float = 0.8,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Edit-distance verification of candidate pairs — the record-
+    linkage step the shingle family can't express: Levenshtein
+    similarity ``1 - lev / max(len_1, len_2)`` catches char-level
+    perturbations (typos, leet-substitutions, OCR noise) that change
+    every k-gram while leaving the string obviously 'the same'.
+    Keeps pairs with similarity >= ``threshold``; output (id_1, id_2,
+    lev, sim). Identical non-empty strings score 1.0; a pair of empty
+    strings has no signal and is dropped (0/0 — undefined, not 1.0).
+
+    COST DISCIPLINE: Levenshtein is O(len^2) per pair — this operator
+    must only ever run on a candidate-bounded frame (MinHash bands,
+    rare shingles, prefix blocking...), never all-pairs, exactly like
+    ``containment_pairs``. ``max_chars`` optionally truncates both
+    sides first (documented approximation bounding per-pair cost for
+    long-document corpora; distances then refer to the prefixes).
+    The distance itself is ``F.levenshtein`` — JVM codegen, exact
+    integers, engine-reproducible.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    t = F.col(text_col)
+    if max_chars is not None:
+        if max_chars < 1:
+            raise ValueError("max_chars must be >= 1")
+        t = F.substring(t, 1, max_chars)
+    texts = df.select(F.col(id_col), t.alias("__t"))
+    a = texts.select(F.col(id_col).alias("id_1"), F.col("__t").alias("__t1"))
+    b = texts.select(F.col(id_col).alias("id_2"), F.col("__t").alias("__t2"))
+    joined = candidates.select("id_1", "id_2").join(a, "id_1").join(b, "id_2")
+    lev = F.levenshtein("__t1", "__t2")
+    mx = F.greatest(F.length("__t1"), F.length("__t2"))
+    sim = 1 - lev / mx
+    return (
+        joined.filter(mx > 0)
+        .select(
+            "id_1",
+            "id_2",
+            lev.alias("lev"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -7224,3 +7224,96 @@ def q189_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return embedding_hygiene(aug, "vec_id", "embedding", expected_dim=64)
+
+
+@register(
+    "q190_edit_distance_pairs",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               replace(replace(text, 'e', '3'), 'o', '0')
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    blocked AS (
+        SELECT doc_id, text,
+               md5(replace(replace(replace(replace(
+                       substring(text, 1, 24), 'e', ''), 'o', ''),
+                       '3', ''), '0', ''))
+                   AS blk
+        FROM corpus
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_1, c.id_2,
+           CAST(levenshtein(t1.text, t2.text) AS INT) AS lev,
+           round(1 - levenshtein(t1.text, t2.text)
+                 / CAST(greatest(length(t1.text), length(t2.text)) AS DOUBLE),
+                 4) AS sim
+    FROM cand c
+    JOIN corpus t1 ON t1.doc_id = c.id_1
+    JOIN corpus t2 ON t2.doc_id = c.id_2
+    WHERE greatest(length(t1.text), length(t2.text)) > 0
+      AND 1 - levenshtein(t1.text, t2.text)
+          / CAST(greatest(length(t1.text), length(t2.text)) AS DOUBLE) >= 0.75
+    """,
+    doc="Edit-distance pair verification (operators/dedup.py "
+    "edit_distance_pairs): the record-linkage step the shingle family "
+    "cannot express — Levenshtein similarity catches char-level "
+    "perturbations (typos, leet substitutions, OCR noise) that "
+    "change every k-gram; cost is O(len^2) PER PAIR so the operator "
+    "only ever runs on a candidate-bounded frame (the "
+    "containment_pairs discipline), here e/o-insensitive prefix "
+    "blocking. The graded query plants leetspeak copies (e->3, o->0 "
+    "on every 7th doc) whose perturbation-blind block key (prefix with e/o AND their 3/0 replacements stripped) pairs them "
+    "with their originals; each pair's exact integer Levenshtein "
+    "equals its substitution count, verified cross-engine "
+    "(F.levenshtein and DuckDB levenshtein are both exact DP).",
+)
+def q190_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.replace(
+                F.replace(F.col("text"), F.lit("e"), F.lit("3")),
+                F.lit("o"),
+                F.lit("0"),
+            ).alias("text"),
+        )
+    )
+    blocked = corpus.select(
+        "doc_id",
+        F.md5(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.substring("text", 1, 24), F.lit("e"), F.lit("")
+                        ),
+                        F.lit("o"),
+                        F.lit(""),
+                    ),
+                    F.lit("3"),
+                    F.lit(""),
+                ),
+                F.lit("0"),
+                F.lit(""),
+            )
+        ).alias("blk"),
+    )
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2")
+        )
+    )
+    return edit_distance_pairs(corpus, "doc_id", "text", cand, threshold=0.75)

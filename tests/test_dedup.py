@@ -23,3 +23,38 @@ def test_dedup_savings_report_accounting(spark):
     assert got[1]["n_removable"] == 0 and got[1]["removable_bytes"] == 0
     # totals reconstruct the corpus
     assert sum(r["n_docs"] for r in got.values()) == 6
+
+
+def test_edit_distance_pairs_verifies_candidates(spark):
+    import pytest
+
+    from atiesh_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world this is text"),
+            (2, "hell0 w0rld this is text"),   # 2 substitutions
+            (3, "completely different body"),
+            (4, ""), (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_1 long, id_2 long"
+    )
+    got = {(r["id_1"], r["id_2"]): r for r in edit_distance_pairs(
+        df, "doc_id", "text", cand, threshold=0.8).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["lev"] == 2 and abs(r["sim"] - (1 - 2 / 24)) < 1e-4
+    assert (1, 3) not in got                # below threshold
+    assert (4, 5) not in got                # empty pair: no signal, dropped
+    # truncation bounds the comparison
+    trunc = edit_distance_pairs(
+        df, "doc_id", "text", cand, threshold=0.5, max_chars=5
+    ).collect()
+    assert {(r["id_1"], r["id_2"]) for r in trunc} >= {(1, 2)}
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "doc_id", "text", cand, threshold=0)
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "doc_id", "text", cand, max_chars=0)
