@@ -562,3 +562,80 @@ def source_scorecard(
         F.count("bits_per_char").alias("n_scored"),
         F.round(F.sum("bits_per_char"), 4).alias("sum_bits_per_char"),
     )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: ONE row
+    (n_a, n_b, ks_d) with ``ks_d = sup_x |F_a(x) - F_b(x)|`` computed
+    over the exact empirical CDFs — the binning-free companion to the
+    PSI drift report (``drift_report``): PSI answers "how much drift
+    per feature bucket", KS answers "did the distribution change AT
+    ALL" with a statistic whose null distribution is known, and no
+    bin-edge choices to argue about.
+
+    Exact, not approximated: both samples reduce to per-distinct-value
+    counts (map-side combined), the counts merge on the value axis,
+    and one cumulative window computes both CDFs in a single pass —
+    the sup is over distinct observed values, which is exactly where
+    the empirical CDF steps. Engine shape: two count aggregates + one
+    full-outer merge + ONE unpartitioned cumulative window over the
+    DISTINCT-value frame (bounded by cardinality, not row count —
+    the threshold_sweep discipline). NULLs are excluded (no value, no
+    position in a CDF); either sample empty raises.
+    """
+    a = (
+        df_a.select(F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__ca"))
+    )
+    b = (
+        df_b.select(F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    merged = a.join(b, "__v", "full_outer").select(
+        "__v",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    # guard BEFORE the dividing aggregate: an empty side would hit
+    # ANSI divide-by-zero inside the plan, not a clean error
+    totals = merged.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    ).collect()[0]
+    if not totals["__na"] or not totals["__nb"]:
+        raise ValueError("both samples need at least one non-NULL value")
+    stepped = merged.select(
+        F.sum("__ca").over(w).alias("__cum_a"),
+        F.sum("__cb").over(w).alias("__cum_b"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+    )
+    out = stepped.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("__cum_a") / F.col("__na")
+                    - F.col("__cum_b") / F.col("__nb")
+                )
+            ),
+            4,
+        ).alias("ks_d"),
+    ).collect()[0]
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(int(out["n_a"]), int(out["n_b"]), float(out["ks_d"]))],
+        "n_a long, n_b long, ks_d double",
+    )

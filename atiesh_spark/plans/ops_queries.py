@@ -7317,3 +7317,56 @@ def q190_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return edit_distance_pairs(corpus, "doc_id", "text", cand, threshold=0.75)
+
+
+@register(
+    "q191_ks_drift",
+    oracle="""
+    WITH a AS (
+        SELECT n_chars AS v, count(*) AS ca FROM documents
+        WHERE lang = 'en' GROUP BY 1
+    ),
+    b AS (
+        SELECT n_chars AS v, count(*) AS cb FROM documents
+        WHERE lang != 'en' GROUP BY 1
+    ),
+    m AS (
+        SELECT COALESCE(a.v, b.v) AS v,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM a FULL OUTER JOIN b ON a.v = b.v
+    ),
+    s AS (
+        SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM m
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(abs(cum_a / CAST(na AS DOUBLE)
+                         - cum_b / CAST(nb AS DOUBLE))), 4) AS ks_d
+    FROM s
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov drift statistic "
+    "(operators/profile.py ks_statistic): the binning-free companion "
+    "to q136's PSI — sup |F_a - F_b| over the EXACT empirical CDFs, "
+    "no bin edges to argue about, null distribution known. Both "
+    "samples reduce map-side to per-distinct-value counts, merge "
+    "full-outer on the value axis, and ONE unpartitioned cumulative "
+    "window over the distinct-value frame (bounded by cardinality, "
+    "not rows — the threshold_sweep discipline) computes both CDFs; "
+    "the sup lands exactly on CDF step points by construction. "
+    "Graded comparing the n_chars distribution of English vs "
+    "non-English documents; the oracle mirrors the merge and window "
+    "arithmetic exactly (integer cumulative counts, two correctly-"
+    "rounded divisions, one max).",
+)
+def q191_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import ks_statistic
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )

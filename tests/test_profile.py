@@ -21,3 +21,29 @@ def test_source_scorecard_signals(spark):
     assert b["pct_target_lang"] == 1.0
     # no lm_scores frame: scored count 0, sum NULL
     assert a["n_scored"] == 0 and a["sum_bits_per_char"] is None
+
+
+def test_ks_statistic_known_values(spark):
+    import pytest
+
+    from atiesh_spark.operators.profile import ks_statistic
+
+    # identical samples: D = 0
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    r = ks_statistic(a, a, "v").collect()[0]
+    assert r["ks_d"] == 0.0 and r["n_a"] == r["n_b"] == 10
+
+    # disjoint supports: D = 1
+    b = spark.createDataFrame([(float(i + 100),) for i in range(10)], "v double")
+    assert ks_statistic(a, b, "v").collect()[0]["ks_d"] == 1.0
+
+    # hand-computed: a = {1,2,3,4}, b = {3,4,5,6} -> D = 0.5 at x=2..3
+    a2 = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    b2 = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    assert ks_statistic(a2, b2, "v").collect()[0]["ks_d"] == 0.5
+
+    # NULLs excluded; empty side raises
+    with_null = spark.createDataFrame([(None,), (1.0,)], "v double")
+    assert ks_statistic(with_null, a2, "v").collect()[0]["n_a"] == 1
+    with pytest.raises(ValueError):
+        ks_statistic(a2.filter("v > 99"), b2, "v")
