@@ -639,3 +639,77 @@ def ks_statistic(
         [(int(out["n_a"]), int(out["n_b"]), float(out["ks_d"]))],
         "n_a long, n_b long, ks_d double",
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns: ONE row (n, rows_a, cols_b, dof, chi2,
+    cramers_v) — the categorical companion to ``ks_statistic``
+    (numeric) and ``drift_report`` (per-bucket PSI). The question it
+    answers for a corpus: is language independent of source, label
+    independent of annotator, verdict independent of shard — or is
+    the pipeline quietly confounded?
+
+    ``chi2 = sum (obs - exp)^2 / exp`` over the contingency cells with
+    ``exp = row_total * col_total / n``; ``cramers_v`` =
+    sqrt(chi2 / (n * (min(a,b) - 1))) normalizes to [0, 1] for
+    effect-size reading (NULL when either margin has one category —
+    dof 0, independence vacuous). NULL category values are excluded.
+    Engine shape: one (a, b) cell count (map-side combined), margins
+    derived from the CELL frame (never a second corpus scan), one
+    scalar aggregate over cells — work bounded by distinct-category
+    product, not rows.
+    """
+    base = df.select(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+    from pyspark.sql.window import Window
+
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    with_m = cells.select(
+        "__o",
+        F.sum("__o").over(wa).alias("__ra"),
+        F.sum("__o").over(wb).alias("__cb"),
+        F.sum("__o").over(wall).alias("__n"),
+        F.size(F.collect_set("__a").over(wall)).alias("__ka"),
+        F.size(F.collect_set("__b").over(wall)).alias("__kb"),
+    )
+    exp = F.col("__ra") * F.col("__cb") / F.col("__n")
+    # identity chi2 = sum(o^2/e) - n: zero-observed cells contribute
+    # (0-e)^2/e = e to the textbook sum, and the e's of ALL cells sum
+    # to n — so summing o^2/e over only the OBSERVED cells and
+    # subtracting n is exact without materializing empty cells
+    out = with_m.agg(
+        F.max("__n").alias("n"),
+        F.max("__ka").alias("rows_a"),
+        F.max("__kb").alias("cols_b"),
+        (
+            F.sum(F.col("__o") * F.col("__o") / exp) - F.max("__n")
+        ).alias("__chi2"),
+    ).collect()
+    if not out or out[0]["n"] is None:
+        raise ValueError("no rows with both categories present")
+    r = out[0]
+    ka, kb, n = int(r["rows_a"]), int(r["cols_b"]), int(r["n"])
+    dof = (ka - 1) * (kb - 1)
+    chi2 = float(r["__chi2"])
+    import math
+
+    v = (
+        round(math.sqrt(chi2 / (n * (min(ka, kb) - 1))), 4)
+        if dof > 0
+        else None
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, ka, kb, dof, round(chi2, 4), v)],
+        "n long, rows_a long, cols_b long, dof long, chi2 double, "
+        "cramers_v double",
+    )

@@ -7370,3 +7370,55 @@ def q191_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") != "en"),
         "n_chars",
     )
+
+
+@register(
+    "q192_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT lang AS a, source AS b, count(*) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT o,
+               SUM(o) OVER (PARTITION BY a) AS ra,
+               SUM(o) OVER (PARTITION BY b) AS cb,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    dims AS (
+        SELECT count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells
+    ),
+    agg AS (
+        SELECT max(n) AS n,
+               SUM(o * o / (ra * cb / CAST(n AS DOUBLE))) - max(n) AS chi2
+        FROM m
+    )
+    SELECT CAST(agg.n AS BIGINT) AS n,
+           CAST(dims.ka AS BIGINT) AS rows_a,
+           CAST(dims.kb AS BIGINT) AS cols_b,
+           CAST((dims.ka - 1) * (dims.kb - 1) AS BIGINT) AS dof,
+           round(agg.chi2, 4) AS chi2,
+           round(sqrt(agg.chi2 / (agg.n * (least(dims.ka, dims.kb) - 1))), 4)
+               AS cramers_v
+    FROM agg, dims
+    """,
+    doc="Chi-squared independence test (operators/profile.py "
+    "chi2_independence): the categorical companion to q191's KS "
+    "(numeric) and q136's PSI (per-bucket) — is language independent "
+    "of source, or is the corpus quietly confounded? Computed via "
+    "the identity chi2 = sum(o^2/e) - n, which needs only the "
+    "OBSERVED contingency cells (zero-observed cells contribute "
+    "exactly their expectation e to the textbook sum, and all e's "
+    "sum to n) — no empty-cell materialization, work bounded by the "
+    "category product; Cramer's V normalizes to effect size. One "
+    "map-side cell count, margins from the CELL frame (never a "
+    "second corpus scan), one scalar aggregate; pinned to the "
+    "textbook 2x2 value in tests. Graded on lang x source of the "
+    "documents table with the oracle mirroring the identity.",
+)
+def q192_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import chi2_independence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_independence(docs, "lang", "source")

@@ -47,3 +47,31 @@ def test_ks_statistic_known_values(spark):
     assert ks_statistic(with_null, a2, "v").collect()[0]["n_a"] == 1
     with pytest.raises(ValueError):
         ks_statistic(a2.filter("v > 99"), b2, "v")
+
+
+def test_chi2_independence_textbook_2x2(spark):
+    import pytest
+
+    from atiesh_spark.operators.profile import chi2_independence
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # n*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) = 60*300^2/30^4 = 6.6667
+    assert r["chi2"] == 6.6667 and r["dof"] == 1
+    assert r["cramers_v"] == round((6.666666666666667 / 60) ** 0.5, 4)
+    # perfectly independent table: chi2 ~ 0
+    ind = spark.createDataFrame(
+        [("x", "p")] * 6 + [("x", "q")] * 6 + [("y", "p")] * 3 + [("y", "q")] * 3,
+        "a string, b string",
+    )
+    assert abs(chi2_independence(ind, "a", "b").collect()[0]["chi2"]) < 1e-6
+    # single-category margin: dof 0, V undefined (NULL)
+    single = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    r3 = chi2_independence(single, "a", "b").collect()[0]
+    assert r3["dof"] == 0 and r3["cramers_v"] is None
+    with pytest.raises(ValueError):
+        chi2_independence(df.filter("a = 'zzz'"), "a", "b")
