@@ -713,3 +713,61 @@ def chi2_independence(
         "n long, rows_a long, cols_b long, dof long, chi2 double, "
         "cramers_v double",
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns: ONE row
+    (n, rho). The metric-redundancy question for a quality pipeline —
+    if the LM score and a trained gate rank documents the same way
+    (rho -> 1), one of them is not earning its compute; if a new
+    signal is rank-orthogonal (rho -> 0), it adds information.
+    Spearman (not Pearson on raw values) because curation decisions
+    are RANK decisions — thresholds, ntiles, top-k — and rank
+    correlation is invariant to any monotone rescaling of either
+    score.
+
+    Exact treatment of ties: average (fractional) ranks via the
+    standard cumulative construction — for a tie group of size ``g``
+    preceded by ``c`` rows, every member ranks ``c + (g + 1) / 2`` —
+    then rho is the Pearson correlation of the two rank columns
+    (``F.corr``). All rank arithmetic is exact multiples of 0.5 far
+    below 2^53, so ranks are engine-identical; the final correlation
+    is one aggregate, rounded 4dp. Rows with a NULL on either side
+    are excluded (no rank, no pair). Engine shape: two value-count
+    windows (the threshold_sweep shape, bounded by distinct values)
+    joined back by value + one correlation aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(col_x).cast("double").alias("__x"),
+        F.col(col_y).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        g = base.groupBy(F.col(col)).agg(F.count(F.lit(1)).alias("__g"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            F.col(col),
+            (
+                F.coalesce(F.sum("__g").over(w), F.lit(0))
+                + (F.col("__g") + 1) / 2.0
+            ).alias(out),
+        )
+    rx = avg_ranks("__x", "__rx")
+    ry = avg_ranks("__y", "__ry")
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    out = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("__rx", "__ry"), 4).alias("rho"),
+    ).collect()[0]
+    if not out["n"]:
+        raise ValueError("no rows with both values present")
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(out["n"]), out["rho"])], "n long, rho double"
+    )

@@ -7422,3 +7422,72 @@ def q192_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chi2_independence(docs, "lang", "source")
+
+
+@register(
+    "q193_spearman_score_length",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, substring(text, i, 3) AS sh
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)
+    ),
+    tri3 AS (SELECT doc_id, sh FROM tri WHERE length(sh) = 3),
+    ck AS (SELECT sh, count(*) AS c FROM tri3 GROUP BY sh),
+    cp AS (SELECT substring(sh, 1, 2) AS pfx, sum(c) AS c FROM ck GROUP BY 1),
+    v AS (SELECT count(DISTINCT substring(sh, 3, 1)) AS v FROM ck),
+    scored AS (
+        SELECT t.doc_id,
+               round(avg(-log2((ck.c + 1.0) / (cp.c + 1.0 * v.v))), 4)
+                   AS bpc
+        FROM tri3 t
+        JOIN ck USING (sh)
+        JOIN cp ON substring(t.sh, 1, 2) = cp.pfx
+        CROSS JOIN v
+        GROUP BY t.doc_id
+    ),
+    base AS (
+        SELECT s.bpc AS x, CAST(d.n_chars AS DOUBLE) AS y
+        FROM documents d JOIN scored s USING (doc_id)
+    ),
+    gx AS (SELECT x, count(*) AS g FROM base GROUP BY x),
+    rx AS (
+        SELECT x, COALESCE(SUM(g) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (g + 1) / 2.0 AS rnk
+        FROM gx
+    ),
+    gy AS (SELECT y, count(*) AS g FROM base GROUP BY y),
+    ry AS (
+        SELECT y, COALESCE(SUM(g) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (g + 1) / 2.0 AS rnk
+        FROM gy
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx.rnk, ry.rnk), 4) AS rho
+    FROM base JOIN rx USING (x) JOIN ry USING (y)
+    """,
+    doc="Spearman rank correlation (operators/profile.py "
+    "spearman_corr): the metric-redundancy detector — here q94's LM "
+    "bits/char vs document length: rho near +-1 means the expensive "
+    "score is mostly re-ranking by length and a curation gate could "
+    "use the cheap signal; rho near 0 means it adds information. "
+    "Spearman over Pearson because curation decisions are RANK "
+    "decisions (thresholds, ntiles, top-k) and rank correlation is "
+    "invariant to monotone rescaling. Exact average ranks via the "
+    "threshold_sweep cumulative construction (tie group of g after c "
+    "rows ranks c + (g+1)/2 — exact 0.5-multiples, engine-identical)"
+    ", then one corr aggregate. Pinned to a hand-computed tied-rank "
+    "case in tests; oracle mirrors ranks and corr arithmetic.",
+)
+def q193_spearman_score_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.profile import spearman_corr
+    from atiesh_spark.operators.textstats import ngram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm_scores(docs, "doc_id", "text", k=3, smooth=1.0)
+    joined = docs.select("doc_id", F.col("n_chars").cast("double").alias("len")).join(
+        lm.select("doc_id", F.col("bits_per_char")), "doc_id"
+    )
+    return spearman_corr(joined, "bits_per_char", "len")

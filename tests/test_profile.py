@@ -75,3 +75,30 @@ def test_chi2_independence_textbook_2x2(spark):
     assert r3["dof"] == 0 and r3["cramers_v"] is None
     with pytest.raises(ValueError):
         chi2_independence(df.filter("a = 'zzz'"), "a", "b")
+
+
+def test_spearman_corr_ranks_and_ties(spark):
+    import pytest
+
+    from atiesh_spark.operators.profile import spearman_corr
+
+    # perfect monotone (nonlinear): rho exactly 1 — rank invariance
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 100.0), (3.0, 101.0), (4.0, 5000.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0]["rho"] == 1.0
+    # hand-computed tied-rank case
+    tied = spark.createDataFrame(
+        [(1.0, 4.0), (2.0, 3.0), (2.0, 2.0), (3.0, 1.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(tied, "x", "y").collect()[0]["rho"] == -0.9487
+    # NULLs excluded
+    with_null = spark.createDataFrame(
+        [(1.0, 1.0), (None, 2.0), (2.0, None), (3.0, 3.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(with_null, "x", "y").collect()[0]["n"] == 2
+    with pytest.raises(ValueError):
+        spearman_corr(mono.filter("x > 99"), "x", "y")
