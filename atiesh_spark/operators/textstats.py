@@ -438,7 +438,12 @@ def winnow_fingerprints(
         raise ValueError("k and w must be >= 1")
     shift = 1 << 24
     s = F.lower(F.col(text_col))
-    n = F.length(s) - k + 1  # number of k-grams
+    # Hash every gram INSIDE the positions-array transform, then
+    # explode only (pos, packed-hash) structs: exploding the text
+    # column itself would copy the full document into every gram row
+    # (O(len^2) bytes of transient row buffer per doc — ruinous for
+    # megabyte documents), while the HOF keeps the text evaluated
+    # once per element with rows that carry 16 bytes.
     grams = (
         _fanout(df.select(F.col(id_col), s.alias("__s")))
         .filter(F.length("__s") >= k)
@@ -446,23 +451,27 @@ def winnow_fingerprints(
             F.col(id_col),
             (F.length("__s") - k + 1).alias("__n"),
             F.explode(
-                F.sequence(F.lit(1), F.length("__s") - k + 1)
-            ).alias("__pos"),
-            F.col("__s"),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__s") - k + 1),
+                    lambda i: (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.substring(F.col("__s"), i, k)), 1, 9
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        * shift
+                        + i
+                    ),
+                )
+            ).alias("__hp"),
         )
         .select(
             F.col(id_col),
             F.col("__n"),
-            F.col("__pos"),
-            (
-                F.conv(
-                    F.substring(F.md5(F.substring(F.col("__s"), F.col("__pos"), k)), 1, 9),
-                    16,
-                    10,
-                ).cast("long")
-                * shift
-                + F.col("__pos")
-            ).alias("__hp"),
+            (F.col("__hp") % shift).cast("int").alias("__pos"),
+            F.col("__hp"),
         )
     )
     win = (
