@@ -115,31 +115,12 @@ MAX_STALENESS_ROUNDS = -(-len(QUERIES) // _DRIVER_WINDOW) + 1
 #: of round 2's silent accident. (Empty in round 4: the window has room
 #: for every never-graded query.)
 DEFERRED_FIRST_GRADE: dict[str, str] = {
-    # Round 6 session 2 registered 52 new queries against a 50-slot
-    # window; the five highest-numbered wait one round for their first
-    # driver grade. Interim evidence for each: hand-run through
-    # scripts/verify_parity.py at sf0.01 (Spark-vs-DuckDB hash MATCH,
-    # same flow as the driver) in round 6, plus the unit tests named.
-    "q189_embedding_hygiene": (
-        "parity MATCH r6 (planted NULL/wrong-dim/zero/NaN all counted); "
-        "test_similarity.py::test_embedding_hygiene_counts_each_defect_once"
-    ),
-    "q190_edit_distance_pairs": (
-        "parity MATCH r6 (72/72 planted leet pairs); "
-        "test_dedup.py::test_edit_distance_pairs_verifies_candidates"
-    ),
-    "q191_ks_drift": (
-        "parity MATCH r6; identical/disjoint/hand-computed-0.5 cases in "
-        "test_profile.py::test_ks_statistic_known_values"
-    ),
-    "q192_chi2_independence": (
-        "parity MATCH r6; textbook 2x2 pinned in "
-        "test_profile.py::test_chi2_independence_textbook_2x2"
-    ),
-    "q193_spearman_score_length": (
-        "parity MATCH r6; tied-rank hand value pinned in "
-        "test_profile.py::test_spearman_corr_ranks_and_ties"
-    ),
+    # Round 7: empty. The five round-6 deferrals (q189-q193) lead the
+    # round-7 window via the never-graded-first derived order, and the
+    # rest of the window goes to the r3-stale cohort (q36/q37/q50/
+    # q63-q100) per the round-6 verdict's rotation mandate. New
+    # registrations this round are limited to what displaces nothing
+    # past the staleness bound.
 }
 
 
