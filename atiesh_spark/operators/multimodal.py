@@ -452,6 +452,8 @@ def _parse_wav(blob: bytes) -> tuple[int, int, "object"]:
         )
     if channels < 1:
         raise ValueError("channels must be >= 1")
+    if sample_rate < 1:
+        raise ValueError("sample_rate must be >= 1")
     if len(data) % (2 * channels):
         raise ValueError("data payload not frame-aligned")
     arr = np.frombuffer(data, dtype="<i2")

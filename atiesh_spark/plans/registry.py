@@ -48,6 +48,33 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def mean_of_rounded_violations(sql: str) -> list[str]:
+    """Mechanical check for canon rule 2 (module docstring): an oracle
+    must never AVG an expression that was already ROUND()ed per-row —
+    the mean of 4dp values can land exactly on a .00005 boundary where
+    Spark's and DuckDB's float paths round apart (q188, round 6). The
+    HUGEINT rule has its runtime twin in scripts/verify_parity.py; this
+    one is statically checkable, so both verify_parity and a guard test
+    run it over every registered oracle. Returns the offending
+    ``AVG(...)`` argument snippets (empty list = clean).
+    """
+    import re
+
+    hits: list[str] = []
+    for m in re.finditer(r"\bAVG\s*\(", sql, flags=re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        arg = sql[m.end() : i - 1]
+        if re.search(r"\bROUND\s*\(", arg, flags=re.IGNORECASE):
+            hits.append(arg.strip()[:120])
+    return hits
+
+
 def register(
     name: str,
     oracle: str | None,

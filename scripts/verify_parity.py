@@ -14,6 +14,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 from atiesh_spark import get_spark  # noqa: E402
+from atiesh_spark.plans.registry import mean_of_rounded_violations  # noqa: E402
 import __spark_entry__ as e  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -53,6 +54,18 @@ def main() -> int:
         srows = canon([tuple(r) for r in sdf.collect()], sdf.columns)
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)})", flush=True)
+            continue
+        # Canon rule 2 (registry.py): AVG of per-row-ROUND()ed values can
+        # land on a .00005 boundary where the engines round apart (q188).
+        rounded_means = mean_of_rounded_violations(oracles[name])
+        if rounded_means:
+            failed.append(name)
+            print(
+                f"{name}: ORACLE CANON ERROR — AVG over ROUND()ed values "
+                f"{rounded_means}; output the SUM instead "
+                "(registry.py canonicalization rule 2)",
+                flush=True,
+            )
             continue
         res = con.sql(oracles[name])
         # The driver's hasher serializes DuckDB HUGEINT (INT128, from any

@@ -143,9 +143,13 @@ def test_wav_decode_real_roundtrip(spark):
     mono = encode_wav(8000, s.tobytes())
     bad = mono[:30]  # truncated mid-fmt
     notwav = b"OggS" + mono[4:]
+    zero_rate = encode_wav(1, s.tobytes())
+    # sample_rate=0 parses cleanly but must become an error row, not a
+    # ZeroDivisionError that kills the whole Arrow batch.
+    zero_rate = zero_rate[:24] + b"\x00\x00\x00\x00" + zero_rate[28:]
     df = spark.createDataFrame(
         [(1, bytearray(mono)), (2, bytearray(bad)), (3, bytearray(notwav)),
-         (4, None)],
+         (4, None), (5, bytearray(zero_rate))],
         "media_id long, blob binary",
     )
     got = {r["media_id"]: r for r in decode_wav(df, "media_id", "blob").collect()}
@@ -162,6 +166,7 @@ def test_wav_decode_real_roundtrip(spark):
     assert got[2]["error"] is not None and got[2]["sample_rate"] is None
     assert "not a RIFF/WAVE" in got[3]["error"]
     assert got[4]["error"] == "NULL blob"
+    assert "sample_rate" in got[5]["error"] and got[5]["duration_ms"] is None
 
 
 def test_wav_stereo_features_use_channel_zero(spark):

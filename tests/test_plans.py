@@ -611,3 +611,33 @@ def test_hashed_features_single_aggregate_no_pivot(spark):
     )
     assert plan.count("Exchange") <= 2  # fanout + the (doc) aggregate
     assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_oracle_canon_no_mean_of_rounded():
+    """Canon rule 2 (registry.py docstring, the q188 lesson): no oracle
+    may AVG an expression already ROUND()ed per-row — the mean of 4dp
+    values can land exactly on a .00005 rounding boundary where Spark
+    and DuckDB round apart. Checks every registered oracle statically,
+    and proves the detector actually fires on a violating string."""
+    from atiesh_spark.plans.registry import QUERIES, mean_of_rounded_violations
+
+    bad = {
+        name: hits
+        for name, spec in QUERIES.items()
+        if spec.oracle and (hits := mean_of_rounded_violations(spec.oracle))
+    }
+    assert not bad, f"oracles AVG over ROUND()ed values: {bad}"
+
+    # The detector must fire on the exact shape q188's first attempt had
+    # (mean of per-row 4dp scores), including nested/aliased forms...
+    assert mean_of_rounded_violations(
+        "SELECT src, ROUND(AVG(ROUND(score, 4)), 4) AS mean_q FROM t GROUP BY src"
+    )
+    assert mean_of_rounded_violations(
+        "SELECT avg( 1.0 * round(x, 2) / n ) FROM t"
+    )
+    # ...and stay quiet on the sanctioned shapes: SUM of rounded values,
+    # and rounding applied OUTSIDE the AVG.
+    assert not mean_of_rounded_violations(
+        "SELECT CAST(SUM(ROUND(score, 4)) AS BIGINT), ROUND(AVG(score), 4) FROM t"
+    )
