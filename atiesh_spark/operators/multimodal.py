@@ -6,8 +6,13 @@ Pandas UDFs (``mapInPandas``) so bytes never round-trip through the
 driver and partitioning stays in control of the plan.
 
 Decode honesty: this container has no image/audio libraries, so the
-actual codec step is STUBBED — ``decode_media`` uses PIL if importable,
-else a clearly-marked deterministic fake (seeded from the blob bytes).
+generic ``decode_media`` codec step is STUBBED — it uses PIL if
+importable, else a clearly-marked deterministic fake (seeded from the
+blob bytes). But three format families decode for REAL in pure numpy:
+netpbm P5/P6 (``decode_ppm``, below), RIFF/WAVE PCM16 (``decode_wav``,
+below), and baseline JPEG (``operators/jpeg.py`` — full marker parse,
+huffman, IDCT). Only the remaining compressed formats (progressive
+JPEG, PNG, mp3/ogg/flac, video) stay behind the library-gated stub.
 Everything Spark-side — schemas, UDF signatures, Arrow batch shapes,
 fan-out of frames — is real and tested; swapping the stub for a real
 codec touches only ``_decode_blob``.
@@ -370,8 +375,9 @@ def resize_ppm(
 # alone — the audio analogue of the netpbm image path above. Canonical
 # WAV (the format every real audio tool emits: ffmpeg, sox, arecord)
 # needs nothing but a chunk walk and a frombuffer, so the decode step
-# is genuinely real for PCM16; compressed formats (mp3/ogg/flac) stay
-# behind the library-gated stub in decode_media.
+# is genuinely real for PCM16; compressed audio (mp3/ogg/flac) stays
+# behind the library-gated stub in decode_media. (Baseline JPEG went
+# real in round 7 — see operators/jpeg.py.)
 # ---------------------------------------------------------------------------
 
 WAV_DECODED_SCHEMA = StructType(

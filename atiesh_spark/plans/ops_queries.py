@@ -7491,3 +7491,80 @@ def q193_spearman_score_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm.select("doc_id", F.col("bits_per_char")), "doc_id"
     )
     return spearman_corr(joined, "bits_per_char", "len")
+
+
+@register(
+    "q194_jpeg_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 * (2 + doc_id % 2) AS INT) AS width,
+               CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+               (2 + doc_id % 2) * (1 + doc_id % 3) AS nb
+        FROM documents
+    ),
+    blocks AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id * 7 + 13 * t.b) % 256 AS v
+        FROM dims d, unnest(generate_series(0, d.nb - 1)) AS t(b)
+    )
+    SELECT doc_id AS media_id, 'JFIF' AS format, width, height,
+           CAST(1 AS INT) AS n_components,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_r,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_g,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_b
+    FROM blocks GROUP BY doc_id, width, height
+    """,
+    doc="REAL compressed-image decode (operators/jpeg.py): baseline "
+    "sequential JPEG (ITU-T T.81) in pure numpy — marker parse, "
+    "canonical huffman, dequant, zigzag, 8x8 IDCT — closing the last "
+    "multimodal 'partial' (q161/q162 made netpbm/WAV real in round 6; "
+    "JPEG-class formats stayed PIL-gated until now). The graded query "
+    "synthesizes a grayscale JPEG per document whose 8x8 blocks are "
+    "constants v_b = (doc_id*7 + 13*b) % 256 at quality 100: all-ones "
+    "quant tables make the DC-only round trip bit-exact (DC = 8*(v-128) "
+    "survives quantize/dequantize unchanged, AC are true zeros), so "
+    "the oracle reproduces the decoded channel means arithmetically "
+    "WITHOUT any decoder while the decode still runs the full marker/ "
+    "huffman/IDCT path — including real DC-difference coding across "
+    "blocks, since consecutive block values differ by 13. The lossy "
+    "path (every AC category, ZRL, EOB, 4:2:0 upsampling, restart "
+    "markers) is differential-tested in test_jpeg.py against the "
+    "encoder. Progressive/12-bit/arithmetic-coded blobs become error "
+    "ROWS, not task failures.",
+)
+def q194_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.jpeg import decode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.jpeg import encode_jpeg_baseline
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (2 + did % 2), 8 * (1 + did % 3)
+                px = np.zeros((h, w), dtype=np.uint8)
+                b = 0
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            did * 7 + 13 * b
+                        ) % 256
+                        b += 1
+                blobs.append(encode_jpeg_baseline(px, quality=100))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_jpeg(media, "doc_id", "blob").select(
+        "media_id", "format", "width", "height", "n_components",
+        "mean_r", "mean_g", "mean_b",
+    )
