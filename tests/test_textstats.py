@@ -490,3 +490,53 @@ def test_remove_overlap_spans_merges_overlapping_regions(spark):
     # merged region 3..12 removed: keep 'ab' + 'mnopqrstuvwxyz'
     assert r["text_clean"] == "ab" + "mnopqrstuvwxyz"
     assert r["n_removed"] == 10
+
+
+def test_streaming_copy_detector_equals_batch_spans(spark, tmp_path):
+    """maintain -> probe -> span-localize composed in one foreachBatch:
+    after three batches + a replayed final batch, the accumulated pair
+    store equals the one-shot winnow_overlap_spans over the full
+    corpus (no hash exceeds max_df at any prefix here, so prefix-df
+    == corpus-df and the contract is exact equality)."""
+    import hashlib
+
+    from atiesh_spark.operators.textstats import (
+        StreamingCopyDetector,
+        winnow_overlap_spans,
+    )
+
+    def h(x):
+        return hashlib.md5(str(x).encode()).hexdigest()
+
+    rows = []
+    for i in range(8):
+        passage = f"xq {h(i + 500003)} {h(i + 600003)} qx"
+        rows.append((i, f"alpha {h(i)} {passage} end"))
+        if i % 2 == 0:
+            rows.append((i + 100, f"second {h(i + 70001)} {passage} more"))
+        if i % 4 == 0:
+            rows.append((i + 200, f"third {h(i + 90001)} {passage} fin"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    det = StreamingCopyDetector(
+        str(tmp_path / "cd"), "doc_id", "text", k=5, w=4, max_df=4,
+        min_shared=2,
+    )
+    for b, pred in enumerate(["doc_id < 100", "doc_id >= 100 and doc_id < 200",
+                              "doc_id >= 200"]):
+        det(docs.filter(pred), b + 1)
+    det(docs.filter("doc_id >= 200"), 3)  # replay final batch
+    got = sorted(map(tuple, det.read(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            winnow_overlap_spans(
+                docs, "doc_id", "text", k=5, w=4, max_df=4, min_shared=2
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # every base doc with variants produced its pairs
+    pair_ids = {(r[0], r[1]) for r in got}
+    assert (0, 100) in pair_ids and (0, 200) in pair_ids
+    assert (100, 200) in pair_ids and (2, 102) in pair_ids
