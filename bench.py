@@ -27,6 +27,26 @@ from atiesh_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Two-tier cells (round-6 verdict item 7): the per-round diff should
+# concentrate signal in the cells that can actually regress visibly.
+# COLD_CELLS = every cell that benched < 0.5 s at sf0.1 in BENCH_r06
+# (17 of 47; 4.6 s of the 66 s total) — trivially row-local plans whose
+# round-over-round movement has been pure co-tenant noise (r6 verdict:
+# "worst movers are all sub-second absolute ... noise band").  They are
+# skipped by default and re-recorded with SPARK_GRAFT_BENCH_FULL=1
+# (do that whenever one of their operators changes, or quarterly).
+# Every heavy family (dedup, ANN/PQ, winnowing, tokenizers, BM25,
+# Bradley-Terry, logreg, PCA, streaming replay) keeps >= 1 hot cell.
+COLD_CELLS = frozenset({
+    "q04_body_split", "q08_route_first_accepted", "q09_batch_assembly",
+    "q12_window_tumbling", "q19_topk_orders", "q24_exact_dedup",
+    "q29_embedding_topk", "q32_text_stats", "q37_session_window",
+    "q135_threshold_sweep", "q139_leakage_safe_split",
+    "q144_url_canonicalize", "q146_markup_strip",
+    "q148_intra_doc_line_dedup", "q150_dataset_card",
+    "q152_sentence_chunks", "q157_pack_offsets",
+})
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -36,7 +56,11 @@ def main() -> None:
     spark = get_spark(app_name="atiesh-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    names = [n for n, s in QUERIES.items() if s.headline]
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    names = [
+        n for n, s in QUERIES.items()
+        if s.headline and (full or n not in COLD_CELLS)
+    ]
 
     # JVM/codegen warmup on the smallest table so q1 isn't charged for it.
     materialize(QUERIES["q19_topk_orders"].spark(spark, SF_DIR))
@@ -70,6 +94,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": 2,
     }
+    if not full:
+        skipped = sorted(
+            n for n, s in QUERIES.items() if s.headline and n in COLD_CELLS
+        )
+        if skipped:
+            record["cold_cells_skipped"] = skipped
     if errors:
         record["errors"] = errors
     print(json.dumps(record))
