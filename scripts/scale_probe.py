@@ -68,6 +68,12 @@ HEAVY = [
     "q163_winnow_fingerprints",
     "q164_winnow_overlap_pairs",
     "q167_logreg_quality_gate",
+    # round 7: the winnowing TAIL — q178 composes q164's pairs with
+    # connected components (pointer jumping), q184 composes them with
+    # span-hull string surgery, the two most allocation-heavy stages
+    # in the family (round-6 verdict item 5)
+    "q178_winnow_dedup_clusters",
+    "q184_winnow_span_removal",
 ]
 
 
