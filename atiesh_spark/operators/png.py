@@ -1,0 +1,318 @@
+"""PNG (ISO/IEC 15948 / RFC 2083) codec in pure stdlib zlib + numpy —
+REAL compressed-format decode with no image library.
+
+With baseline JPEG real since round 7 (``operators/jpeg.py``), PNG was
+the largest format still behind the PIL-gated ``decode_media`` stub.
+It needs nothing beyond what this container already ships: DEFLATE is
+stdlib ``zlib``, and the five scanline filters (None/Sub/Up/Average/
+Paeth) are small integer recurrences — Up is fully vectorized, Sub is
+a per-lane ``np.add.accumulate`` (uint8 wraparound IS the mod-256 the
+spec asks for), and only Average/Paeth walk pixels (their predictor
+depends on the just-reconstructed left neighbour and floor-averaging
+breaks the accumulate trick).
+
+The encoder exists for tests and synthetic media generation (the
+q161/q162/q194 pattern: plant closed-form pixels, decode with the
+REAL decoder, reproduce the expected values arithmetically in the
+oracle); the decoder is the production path, driven per Arrow batch
+by :func:`decode_png` below.
+
+Supported: 8-bit depth, color types 0 (grayscale), 2 (RGB),
+3 (palette + PLTE), 6 (RGBA), all five filter types, multi-IDAT
+streams, CRC validation on every chunk. Interlaced (Adam7), 16-bit,
+and 1/2/4-bit depths raise ValueError — the caller surfaces those as
+error ROWS (corrupt or unsupported media is a data fact at 100 TB,
+not an exception).
+
+Reference parity: the reference pipeline moves opaque event payloads
+(atiesh core has no codecs at all); this module is part of the
+training-data extension surface, built from the public spec.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # color type -> samples per pixel
+
+
+# ---------------------------------------------------------------- encode
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Forward-apply scanline filter ``ftype`` (encoder side).
+
+    ``row``/``prev`` are the RAW (unfiltered) current and prior
+    scanlines as int32; returns the filtered bytes as uint8."""
+    left = np.zeros_like(row)
+    left[bpp:] = row[:-bpp]
+    upleft = np.zeros_like(prev)
+    upleft[bpp:] = prev[:-bpp]
+    if ftype == 0:
+        out = row
+    elif ftype == 1:  # Sub
+        out = row - left
+    elif ftype == 2:  # Up
+        out = row - prev
+    elif ftype == 3:  # Average
+        out = row - (left + prev) // 2
+    elif ftype == 4:  # Paeth
+        p = left + prev - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        )
+        out = row - pred
+    else:
+        raise ValueError(f"bad filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(
+    px: np.ndarray,
+    filters: int | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Test/synthetic-media encoder for 8-bit PNG.
+
+    ``px`` is (h, w) uint8 for grayscale — or palette INDICES when
+    ``palette`` (a (n, 3) uint8 array) is given — (h, w, 3) for RGB,
+    (h, w, 4) for RGBA. ``filters`` pins one filter type for every
+    scanline; ``None`` cycles ``row % 5`` so a round-trip test
+    exercises all five reconstruction paths in one image."""
+    px = np.asarray(px, dtype=np.uint8)
+    if palette is not None:
+        if px.ndim != 2:
+            raise ValueError("palette image must be 2-D indices")
+        color_type = 3
+    elif px.ndim == 2:
+        color_type = 0
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type = 2
+    elif px.ndim == 3 and px.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    h, w = px.shape[:2]
+    bpp = _CHANNELS[color_type]
+    raw = px.reshape(h, w * bpp).astype(np.int32)
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        f = (y % 5) if filters is None else filters
+        lines.append(bytes([f]) + _filter_row(f, raw[y], prev, bpp).tobytes())
+        prev = raw[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = [_SIGNATURE, _chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not len(pal):
+            raise ValueError("palette must be (n, 3) uint8")
+        if int(px.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        out.append(_chunk(b"PLTE", pal.tobytes()))
+    out.append(_chunk(b"IDAT", zlib.compress(b"".join(lines), 6)))
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------- decode
+
+def _unfilter(
+    ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline (decoder side). ``cur`` is the filtered
+    uint8 line, ``prev`` the already-reconstructed prior line."""
+    if ftype == 0:
+        return cur.copy()
+    if ftype == 2:  # Up — fully vectorized
+        return cur + prev  # uint8 wraparound == mod 256
+    if ftype == 1:  # Sub — per-lane prefix sum with uint8 wraparound
+        n = len(cur)
+        out = cur.copy()
+        lanes = out[: n - n % bpp].reshape(-1, bpp)
+        np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=lanes)
+        return out
+    # Average / Paeth: the left neighbour is the RECONSTRUCTED byte, so
+    # the recurrence is inherently sequential along x.
+    out = np.zeros_like(cur)
+    c, p = cur.astype(np.int32), prev.astype(np.int32)
+    if ftype == 3:
+        for x in range(len(cur)):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (c[x] + (left + p[x]) // 2) % 256
+        return out
+    if ftype == 4:
+        for x in range(len(cur)):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(p[x])
+            cc = int(p[x - bpp]) if x >= bpp else 0
+            q = a + b - cc
+            pa, pb, pc = abs(q - a), abs(q - b), abs(q - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[x] = (c[x] + pred) % 256
+        return out
+    raise ValueError(f"bad filter type {ftype}")
+
+
+def _parse_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, n_channels, pixels) from an 8-bit PNG blob.
+    ``pixels`` is (h, w) uint8 for grayscale, (h, w, c) otherwise
+    (palette images come back EXPANDED to RGB, c=3). Raises ValueError
+    on anything malformed or unsupported — the caller turns that into
+    an ``error`` row instead of killing the batch (same contract as
+    _parse_jpeg / _parse_netpbm / _parse_wav)."""
+    if len(blob) < 8 or blob[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, palette, idat, ended = 8, None, None, [], False
+    while pos + 8 <= len(blob):
+        (clen,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > len(blob):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype.decode('latin1')}")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("bad PLTE length")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        # tEXt/tIME/gAMA/ancillary: skip
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not ended:
+        raise ValueError("missing IEND")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit depth supported (got {depth})")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if not (0 < w and 0 < h):
+        raise ValueError("bad dimensions")
+    if not idat:
+        raise ValueError("no IDAT data")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from None
+    bpp = _CHANNELS[color_type]
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("decompressed size mismatch")
+    flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(flt[y, 0])
+        if ft > 4:
+            raise ValueError(f"bad filter type {ft} on row {y}")
+        prev = _unfilter(ft, flt[y, 1:], prev, bpp)
+        out[y] = prev
+    if color_type == 0:
+        return w, h, 1, out
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE")
+        if int(out.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return w, h, 3, palette[out]  # expand indices -> RGB
+    return w, h, bpp, out.reshape(h, w, bpp)
+
+
+PNG_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_r", FloatType()),
+        StructField("mean_g", FloatType()),
+        StructField("mean_b", FloatType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decode_png(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL compressed-image decode for PNG blobs: chunk walk with CRC
+    validation + stdlib inflate + scanline unfiltering + palette
+    expansion, one Arrow batch at a time through ``mapInPandas`` —
+    bytes never visit the driver, and a malformed / unsupported blob
+    yields an ``error`` row instead of failing the task (the
+    q161/q162/q194 contract). Grayscale reports its single channel in
+    all three mean columns; RGBA reports the color channels (alpha is
+    coverage, not color). Rounding to 4dp keeps the means
+    oracle-checkable cross-engine."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    if blob is None:
+                        raise ValueError("NULL blob")
+                    w, h, nc, px = _parse_png(bytes(blob))
+                    if nc == 1:
+                        m = round(float(px.mean()), 4)
+                        means = [m, m, m]
+                    else:
+                        means = [
+                            round(float(px[:, :, c].mean()), 4)
+                            for c in range(3)
+                        ]
+                    out.append((mid, "PNG", w, h, nc, *means, None))
+                except ValueError as exc:
+                    out.append(
+                        (mid, None, None, None, None, None, None, None, str(exc))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "format", "width", "height", "n_channels",
+                    "mean_r", "mean_g", "mean_b", "error",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        gen, schema=PNG_DECODED_SCHEMA
+    )

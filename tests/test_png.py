@@ -1,0 +1,170 @@
+"""PNG codec tests: LOSSLESS round trips across every color type and
+every scanline filter (PNG is exact, so unlike JPEG every test is
+array_equal), palette expansion, CRC/structure validation, and the
+error-row behavior of the decode_png operator."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from atiesh_spark.operators.png import (
+    _parse_png,
+    decode_png,
+    encode_png,
+)
+
+
+def _gradient(h: int, w: int, channels: int = 0) -> np.ndarray:
+    """Deterministic pixels with structure in both axes, so Average and
+    Paeth predictors actually predict (all-random input would make
+    every filter equivalent)."""
+    y, x = np.mgrid[0:h, 0:w]
+    if channels == 0:
+        return ((3 * x + 7 * y) % 256).astype(np.uint8)
+    return np.stack(
+        [((3 * x + 7 * y + 41 * c) % 256) for c in range(channels)], axis=-1
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_gray_roundtrip_each_filter(ftype):
+    px = _gradient(21, 17)
+    w, h, nc, dec = _parse_png(encode_png(px, filters=ftype))
+    assert (w, h, nc) == (17, 21, 1)
+    assert np.array_equal(dec, px)
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_color_roundtrip_mixed_filters(channels):
+    """filters=None cycles row % 5 — one image drives all five
+    reconstruction paths with bpp > 1."""
+    px = _gradient(23, 19, channels)
+    w, h, nc, dec = _parse_png(encode_png(px))
+    assert (w, h, nc) == (19, 23, channels)
+    assert np.array_equal(dec, px)
+
+
+def test_palette_expands_to_rgb():
+    pal = np.array([[255, 0, 0], [0, 128, 0], [10, 20, 30]], dtype=np.uint8)
+    idx = (np.arange(6 * 5).reshape(6, 5) % 3).astype(np.uint8)
+    w, h, nc, dec = _parse_png(encode_png(idx, palette=pal))
+    assert (w, h, nc) == (5, 6, 3)
+    assert np.array_equal(dec, pal[idx])
+
+
+def test_multi_idat_streams_concatenate():
+    """IDAT may be split arbitrarily; the inflate stream spans chunks."""
+    px = _gradient(9, 11)
+    blob = encode_png(px, filters=2)
+    # split the single IDAT into two chunks at an arbitrary byte
+    pos = 8
+    out = [blob[:8]]
+    while pos < len(blob):
+        (clen,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + clen]
+        if ctype == b"IDAT" and clen > 4:
+            for part in (data[:3], data[3:]):
+                out.append(
+                    struct.pack(">I", len(part)) + b"IDAT" + part
+                    + struct.pack(
+                        ">I", zlib.crc32(b"IDAT" + part) & 0xFFFFFFFF
+                    )
+                )
+        else:
+            out.append(blob[pos : pos + 12 + clen])
+        pos += 12 + clen
+    _, _, _, dec = _parse_png(b"".join(out))
+    assert np.array_equal(dec, px)
+
+
+def test_ancillary_chunks_skipped():
+    px = _gradient(4, 4)
+    blob = encode_png(px, filters=0)
+    text = b"tEXtkey\x00value"
+    extra = (
+        struct.pack(">I", len(text) - 4) + text
+        + struct.pack(">I", zlib.crc32(text) & 0xFFFFFFFF)
+    )
+    # insert after IHDR (signature 8 + IHDR chunk 12+13 = 33)
+    _, _, _, dec = _parse_png(blob[:33] + extra + blob[33:])
+    assert np.array_equal(dec, px)
+
+
+def test_malformed_blobs_raise_value_error():
+    px = _gradient(8, 8)
+    good = encode_png(px)
+    # corrupt one IDAT payload byte -> CRC mismatch
+    bad_crc = bytearray(good)
+    bad_crc[50] ^= 0xFF
+    interlaced = bytearray(good)
+    interlaced[28] = 1  # IHDR interlace flag (sig 8 + len/type 8 + 12th byte)
+    sixteen_bit = bytearray(good)
+    sixteen_bit[24] = 16  # IHDR bit depth
+    for bad in (
+        b"",
+        b"\xff\xd8\xff\xe0",           # JPEG SOI
+        good[:20],                      # truncated mid-IHDR
+        bytes(bad_crc),
+        bytes(interlaced),              # CRC now wrong too — still an error
+        bytes(sixteen_bit),
+        good[: len(good) - 12],         # IEND removed
+    ):
+        with pytest.raises(ValueError):
+            _parse_png(bad)
+
+
+def test_interlace_and_depth_rejected_with_fixed_crc():
+    """Re-CRC the tampered IHDR so the INTENDED validation path fires
+    (not just the CRC check)."""
+    px = _gradient(8, 8)
+    good = encode_png(px)
+    for offset, value, msg in ((28, 1, "interlaced"), (24, 16, "8-bit")):
+        b = bytearray(good)
+        b[offset] = value
+        ihdr = bytes(b[12:16]) + bytes(b[16:29])
+        b[29:33] = struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+        with pytest.raises(ValueError, match=msg):
+            _parse_png(bytes(b))
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4, 2), dtype=np.uint8))  # 2 channels
+    with pytest.raises(ValueError):
+        encode_png(
+            np.full((2, 2), 9, dtype=np.uint8),
+            palette=np.zeros((3, 3), dtype=np.uint8),
+        )  # index out of range
+    with pytest.raises(ValueError):
+        encode_png(
+            np.zeros((2, 2, 3), dtype=np.uint8),
+            palette=np.zeros((2, 3), dtype=np.uint8),
+        )  # palette with non-index pixels
+
+
+def test_decode_png_operator_error_rows(spark):
+    px = _gradient(12, 10, 3)
+    good = encode_png(px)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(good[:25])),
+            (3, bytearray(b"\xff\xd8\xff\xe0")),
+            (4, None),
+        ],
+        "media_id long, blob binary",
+    )
+    got = {r["media_id"]: r for r in decode_png(df, "media_id", "blob").collect()}
+    r1 = got[1]
+    assert (r1["format"], r1["width"], r1["height"], r1["n_channels"]) == (
+        "PNG", 10, 12, 3,
+    )
+    for i, col in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert abs(r1[col] - round(float(px[:, :, i].mean()), 4)) < 1e-4
+    assert r1["error"] is None
+    assert got[2]["error"] is not None and got[2]["width"] is None
+    assert "not a PNG" in got[3]["error"]
+    assert got[4]["error"] == "NULL blob"
