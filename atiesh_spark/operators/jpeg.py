@@ -41,6 +41,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: Reject frames larger than this many pixels BEFORE allocating the
+#: component planes: SOF0 dimensions are attacker-controlled (up to
+#: 65535x65535 ~= 34 GB of float64 per plane), and a hostile blob must
+#: become an error row, not an executor OOM.
+MAX_PIXELS = 64_000_000  # ~64 MP, plenty for any training-data image
+
 # --------------------------------------------------------------------------
 # Annex K constants (public spec tables).
 # --------------------------------------------------------------------------
@@ -493,25 +499,44 @@ def _parse_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 huff[(cls, tid)] = _build_decode(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("short SOF0 segment")
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("short SOF0 component list")
+            if fh == 0 or fw == 0:
+                raise ValueError("zero frame dimension")
+            if fh * fw > MAX_PIXELS:
+                raise ValueError(
+                    f"frame {fw}x{fh} exceeds pixel budget {MAX_PIXELS}"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0) JPEG supported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI segment")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if not body:
+                raise ValueError("empty SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("short SOS component list")
             scan_tables = {}
             for i in range(ns):
                 cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
@@ -637,7 +662,8 @@ def decode_jpeg(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                             round(float(px[:, :, c].mean()), 4) for c in range(3)
                         ]
                     out.append((mid, "JFIF", w, h, nc, *means, None))
-                except ValueError as exc:
+                except (ValueError, struct.error, IndexError,
+                        ZeroDivisionError, OverflowError) as exc:
                     out.append(
                         (mid, None, None, None, None, None, None, None, str(exc))
                     )

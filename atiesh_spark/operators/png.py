@@ -51,6 +51,11 @@ from pyspark.sql.types import (
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # color type -> samples per pixel
 
+#: Reject frames larger than this many pixels BEFORE inflating IDAT:
+#: IHDR dimensions are attacker-controlled, and a hostile blob must
+#: become an error row, not an executor OOM (same budget as jpeg.py).
+MAX_PIXELS = 64_000_000
+
 
 # ---------------------------------------------------------------- encode
 
@@ -201,6 +206,8 @@ def _parse_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         if ctype == b"IHDR":
             if ihdr is not None:
                 raise ValueError("duplicate IHDR")
+            if len(data) != 13:
+                raise ValueError(f"bad IHDR length {len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             if len(data) % 3 or not data:
@@ -228,15 +235,25 @@ def _parse_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("interlaced (Adam7) PNG not supported")
     if not (0 < w and 0 < h):
         raise ValueError("bad dimensions")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"frame {w}x{h} exceeds pixel budget {MAX_PIXELS}")
     if not idat:
         raise ValueError("no IDAT data")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise ValueError(f"IDAT inflate failed: {exc}") from None
     bpp = _CHANNELS[color_type]
     stride = w * bpp
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # Bounded inflate: a few-KB decompression bomb must become an error
+    # row, never a multi-GB allocation. Cap output at the IHDR-derived
+    # size; anything past it is malformed by definition.
+    try:
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(b"".join(idat), expected)
+        if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
+            raise ValueError("decompressed size mismatch (oversized IDAT)")
+        raw += dobj.flush()
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from None
+    if len(raw) != expected:
         raise ValueError("decompressed size mismatch")
     flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -301,7 +318,8 @@ def decode_png(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                             for c in range(3)
                         ]
                     out.append((mid, "PNG", w, h, nc, *means, None))
-                except ValueError as exc:
+                except (ValueError, struct.error, IndexError,
+                        ZeroDivisionError, OverflowError) as exc:
                     out.append(
                         (mid, None, None, None, None, None, None, None, str(exc))
                     )

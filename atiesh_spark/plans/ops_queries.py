@@ -7609,35 +7609,42 @@ def q194_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operator left' item.",
 )
 def q195_shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
     from atiesh_spark.operators.compaction import export_training_shards
 
-    # Stable scratch path: the export overwrites it on re-run, and it
-    # must outlive this function (the driver collects the returned
-    # DataFrame lazily, after we return).
-    path = "/tmp/atiesh_spark_q195_shards"
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    export_training_shards(
-        docs, path, "n_chars", "doc_id", num_shards=8, fmt="json"
-    )
-    back = spark.read.json(path)  # shard= partition dirs -> shard column
-    recomputed = (
-        back.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("n_chars").cast("double")).alias("total_weight"),
+    # Private scratch dir + localCheckpoint before rmtree (the q196
+    # lifecycle): a fixed shared path races when two sessions on one
+    # host (driver + parity + bench) export concurrently, and the
+    # checkpoint lets us clean up eagerly instead of leaking the dir.
+    path = tempfile.mkdtemp(prefix="atiesh_spark_q195_shards_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        export_training_shards(
+            docs, path, "n_chars", "doc_id", num_shards=8, fmt="json"
         )
-    )
-    total = recomputed.agg(F.sum("total_weight").alias("__t"))
-    recomputed = recomputed.crossJoin(F.broadcast(total)).select(
-        F.col("shard").cast("int").alias("shard"),
-        "n_rows",
-        "total_weight",
-        F.round(F.col("total_weight") / F.col("__t"), 4).alias("weight_share"),
-    )
-    persisted = spark.read.parquet(f"{path}/_manifest.parquet")
-    return recomputed.join(
-        persisted, ["shard", "n_rows", "total_weight", "weight_share"], "inner"
-    )
+        back = spark.read.json(path)  # shard= partition dirs -> shard column
+        recomputed = (
+            back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("n_chars").cast("double")).alias("total_weight"),
+            )
+        )
+        total = recomputed.agg(F.sum("total_weight").alias("__t"))
+        recomputed = recomputed.crossJoin(F.broadcast(total)).select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_rows",
+            "total_weight",
+            F.round(F.col("total_weight") / F.col("__t"), 4).alias("weight_share"),
+        )
+        persisted = spark.read.parquet(f"{path}/_manifest.parquet")
+        return recomputed.join(
+            persisted, ["shard", "n_rows", "total_weight", "weight_share"], "inner"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register(

@@ -3,6 +3,8 @@ graded-query contract), differential encode/decode over the full
 AC/huffman path, subsampling, restart markers, and the error-row
 behavior of the decode_jpeg operator."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -119,3 +121,54 @@ def test_decode_jpeg_operator_error_rows(spark):
     assert got[2]["error"] is not None and got[2]["width"] is None
     assert "not a JPEG" in got[3]["error"]
     assert got[4]["error"] == "NULL blob"
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _sof0(h: int, w: int, hv: int = 0x11) -> bytes:
+    return _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, hv, 0]))
+
+
+def test_hostile_segments_raise_value_error_not_task_killers():
+    """ADVICE r7: malformed structure that used to escape as
+    ZeroDivisionError / struct.error / IndexError (killing the whole
+    Arrow batch) must surface as ValueError from the parser."""
+    soi = b"\xff\xd8"
+    cases = {
+        "zero sampling factor": soi + _sof0(8, 8, hv=0x00),
+        "short SOF0 segment": soi + _seg(0xC0, b"\x08\x00"),
+        "short SOF0 component list": soi
+        + _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x11, 0])),
+        "short DRI segment": soi + _seg(0xDD, b"\x01"),
+        "empty SOS segment": soi + _sof0(8, 8) + _seg(0xDA, b""),
+        "short SOS component list": soi + _sof0(8, 8) + _seg(0xDA, b"\x02\x01\x00"),
+        "zero frame dimension": soi + _sof0(0, 8),
+        "pixel budget": soi + _sof0(65535, 65535),
+    }
+    for label, blob in cases.items():
+        with pytest.raises(ValueError):
+            _parse_jpeg(blob)
+
+
+def test_hostile_segments_become_error_rows(spark):
+    """The same hostile blobs through the operator: every one must be
+    an error ROW, and the well-formed sibling in the same Arrow batch
+    must still decode (the batch survives)."""
+    px, _ = _const_block_gray(2, 8, 8)
+    good = encode_jpeg_baseline(px, quality=100)
+    soi = b"\xff\xd8"
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(soi + _sof0(8, 8, hv=0x00))),
+        (3, bytearray(soi + _seg(0xC0, b"\x08\x00"))),
+        (4, bytearray(soi + _sof0(8, 8) + _seg(0xDA, b""))),
+        (5, bytearray(soi + _sof0(65535, 65535))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in decode_jpeg(df, "media_id", "blob").collect()}
+    assert got[1]["error"] is None and got[1]["width"] == 8
+    for mid in (2, 3, 4, 5):
+        assert got[mid]["error"] is not None and got[mid]["width"] is None
+    assert "pixel budget" in got[5]["error"]

@@ -168,3 +168,38 @@ def test_decode_png_operator_error_rows(spark):
     assert got[2]["error"] is not None and got[2]["width"] is None
     assert "not a PNG" in got[3]["error"]
     assert got[4]["error"] == "NULL blob"
+
+
+def test_bad_ihdr_length_with_valid_crc_is_value_error():
+    """ADVICE r7: an IHDR whose length is not 13 but whose CRC is valid
+    used to escape as struct.error and kill the task; it must be a
+    ValueError -> error row."""
+    from atiesh_spark.operators.png import _SIGNATURE, _chunk
+
+    short_ihdr = _SIGNATURE + _chunk(
+        b"IHDR", struct.pack(">IIBBBB", 8, 8, 8, 0, 0, 0)  # 12 bytes
+    ) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        _parse_png(short_ihdr)
+
+
+def test_decompression_bomb_is_error_row_not_oom():
+    """A few-KB IDAT that inflates far past the IHDR-derived size must
+    be rejected by the bounded inflate, and oversized dimensions must
+    be rejected before inflating at all."""
+    from atiesh_spark.operators.png import _SIGNATURE, _chunk
+
+    # 8x8 gray IHDR, but IDAT inflates to 16 MB of zeros.
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+    bomb = _SIGNATURE + ihdr + _chunk(
+        b"IDAT", zlib.compress(b"\x00" * (16 * 1024 * 1024), 9)
+    ) + _chunk(b"IEND", b"")
+    assert len(bomb) < 32_000  # it IS a bomb: tiny on the wire
+    with pytest.raises(ValueError, match="size mismatch"):
+        _parse_png(bomb)
+
+    huge = _SIGNATURE + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    ) + _chunk(b"IDAT", zlib.compress(b"\x00")) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="pixel budget"):
+        _parse_png(huge)
