@@ -7795,3 +7795,77 @@ def q196_copy_detect_stream_replay(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+@register(
+    "q197_png_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents
+    ),
+    pix AS (
+        SELECT d.doc_id, d.width, d.height, xx.x AS x, yy.y AS y
+        FROM dims d,
+             unnest(generate_series(0, d.width - 1)) AS xx(x),
+             unnest(generate_series(0, d.height - 1)) AS yy(y)
+    )
+    SELECT doc_id AS media_id, 'PNG' AS format, width, height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(round(avg((3 * x + 7 * y + doc_id) % 256), 4) AS FLOAT)
+               AS mean_r,
+           CAST(round(avg((3 * x + 7 * y + 41 + doc_id) % 256), 4) AS FLOAT)
+               AS mean_g,
+           CAST(round(avg((3 * x + 7 * y + 82 + doc_id) % 256), 4) AS FLOAT)
+               AS mean_b
+    FROM pix GROUP BY doc_id, width, height
+    """,
+    doc="REAL lossless-image decode (operators/png.py): chunk walk with "
+    "CRC validation, stdlib inflate bounded by the IHDR-derived size, "
+    "and full scanline unfiltering — the graded query synthesizes an "
+    "RGB PNG per document with planted gradient pixels "
+    "px[y,x,c] = (3x + 7y + 41c + doc_id) % 256 and filters=None so "
+    "every scanline cycles through all FIVE filter types (None/Sub/Up/"
+    "Average/Paeth): each decoded row exercises a different "
+    "reconstruction path, and because PNG is lossless the oracle "
+    "reproduces the channel means arithmetically without a decoder. "
+    "Companion to q194 (JPEG, lossy, DC-exact planting); together the "
+    "two prove both compressed-image decode families end-to-end. "
+    "Malformed blobs (bad CRC, short IHDR, decompression bombs, "
+    "oversized dims) become error ROWS, not task failures "
+    "(test_png.py).",
+)
+def q197_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.png import decode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.png import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + did % 7
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [(3 * x + 7 * y + 41 * c + did) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                blobs.append(encode_png(px, filters=None))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_png(media, "doc_id", "blob").select(
+        "media_id", "format", "width", "height", "n_channels",
+        "mean_r", "mean_g", "mean_b",
+    )
