@@ -212,3 +212,95 @@ class StreamingHeavyHitters:
     def read(self, spark) -> DataFrame:
         """(item, est, n_total) — the sentinel row is filtered out."""
         return self.store.read(spark).filter(F.col("item").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, 2005) — the probabilistic
+# counterpart to Misra-Gries above: overcounts, never undercounts.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(row_expr, key_col, width: int):
+    """Bucket index for sketch row ``row_expr``: md5-derived, so the
+    identical expression exists in ANSI SQL and the sketch is
+    bit-identical cross-engine (same discipline as decontaminate.py's
+    KM hashing)."""
+    h = F.md5(F.concat(row_expr.cast("string"), F.lit(":"), F.col(key_col)))
+    return F.conv(h.substr(1, 8), 16, 10).cast("long") % width
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(r, bucket, cnt) count-min sketch of ``key_col`` occurrences.
+
+    The sketch is a RELATION, not a blob: each input row lands in one
+    bucket per hash row, so the whole build is one explode (x depth)
+    plus ONE groupBy on (r, bucket) — map-side partial aggregation
+    collapses each partition to <= depth x width rows before the
+    shuffle, the classic mergeable-summary shape (Agarwal et al., PODS
+    2012). At 100 TB the shuffle is bounded by partitions x depth x
+    width rows regardless of key cardinality — the reason to use a CMS
+    instead of an exact groupBy over billions of distinct keys.
+
+    Estimates via :func:`countmin_estimate` satisfy the classic bound:
+    ``exact <= est <= exact + eps * n`` with probability 1 - delta for
+    ``width = ceil(e / eps)``, ``depth = ceil(ln(1 / delta))``.
+    Deterministic given (depth, width): the hash family is md5-derived,
+    so a DuckDB oracle reproduces the sketch cell-for-cell. NULL keys
+    are ignored (absence, not a value).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1))
+    ).alias("r")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), rows)
+        .select(
+            F.col("r"),
+            _cms_bucket(F.col("r"), key_col, width).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(key, est) point estimates from a :func:`countmin_sketch`.
+
+    Re-derives each key's ``depth`` buckets, joins them against the
+    sketch relation, and takes the row-wise MIN. The sketch side is at
+    most depth x width rows — always broadcast-able — so the estimate
+    is a broadcast hash join against the (small) key list: no shuffle
+    of the sketch, work proportional to |keys| x depth. A key absent
+    from every joined cell estimates 0 (its buckets may simply be
+    empty), preserved via the left join + coalesce.
+    """
+    probes = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("r"),
+            _cms_bucket(F.col("r"), key_col, width).alias("bucket"),
+        )
+    )
+    joined = probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -7869,3 +7869,83 @@ def q197_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "format", "width", "height", "n_channels",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+@register(
+    "q198_countmin_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT u.t AS token
+        FROM documents,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> length(t) > 0)) AS u(t)
+    ),
+    rws AS (SELECT r FROM unnest(generate_series(0, 3)) t(r)),
+    sketch AS (
+        SELECT r,
+               ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || token),
+                                  1, 8))::BIGINT % 512 AS bucket,
+               COUNT(*) AS cnt
+        FROM toks, rws GROUP BY 1, 2
+    ),
+    exact AS (SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token),
+    topk AS (
+        SELECT token, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, token LIMIT 20
+    ),
+    probe AS (
+        SELECT k.token, k.exact_cnt, r.r,
+               ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || k.token),
+                                  1, 8))::BIGINT % 512 AS bucket
+        FROM topk k, rws r
+    ),
+    est AS (
+        SELECT p.token, p.exact_cnt, MIN(coalesce(s.cnt, 0)) AS est_cnt
+        FROM probe p LEFT JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+        GROUP BY p.token, p.exact_cnt
+    )
+    SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           est_cnt >= exact_cnt AS overcount_ok
+    FROM est
+    """,
+    doc="Count-min sketch point estimates vs exact counts "
+    "(operators/frequent.py countmin_sketch/countmin_estimate; Cormode "
+    "& Muthukrishnan 2005) — the probabilistic complement to q145's "
+    "Misra-Gries: CMS overcounts, never undercounts, and is graded "
+    "EXACTLY because the hash family is md5-derived and the sketch is "
+    "a RELATION the oracle rebuilds cell-for-cell. Plan shape: the "
+    "build is one explode(x depth) + ONE groupBy(r, bucket) with "
+    "map-side combine collapsing every partition to <= depth x width "
+    "rows before the shuffle (mergeable-summary shape); the estimate "
+    "broadcast-joins the <= 4x512-row sketch against the probe keys. "
+    "At 100 TB the shuffle is bounded by partitions x depth x width "
+    "regardless of token cardinality — the reason a CMS exists. The "
+    "overcount_ok column is the sketch's defining invariant, graded "
+    "per key.",
+)
+def q198_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.frequent import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    sketch = countmin_sketch(toks, "token", depth=4, width=512)
+    topk = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    est = countmin_estimate(sketch, topk.select("token"), "token",
+                            depth=4, width=512)
+    return topk.join(est, "token").select(
+        "token",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("est").cast("long").alias("est_cnt"),
+        (F.col("est") >= F.col("exact_cnt")).alias("overcount_ok"),
+    )

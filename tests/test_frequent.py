@@ -111,3 +111,72 @@ def test_streaming_heavy_hitters_survives_full_prune(spark, tmp_path):
     store = hh.read(spark).collect()
     assert store and store[0]["n_total"] == 13
     assert {r["item"] for r in store} == {"d"}
+
+
+def test_countmin_never_undercounts_and_eps_bound(spark):
+    from atiesh_spark.operators.frequent import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(3000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "key string")
+    n = df.count()
+    d, w = 4, 64
+    sketch = countmin_sketch(df, "key", depth=d, width=w)
+    # sketch is summary-sized and each hash row conserves mass
+    per_row = {
+        r["r"]: r["s"]
+        for r in sketch.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert per_row == {r: n for r in range(d)}
+    assert sketch.count() <= d * w
+
+    exact = {r["key"]: r["c"] for r in
+             df.groupBy("key").agg(F.count(F.lit(1)).alias("c")).collect()}
+    keys = df.select("key").distinct()
+    est = {r["key"]: r["est"]
+           for r in countmin_estimate(sketch, keys, "key", d, w).collect()}
+    eps_n = (2.718281828 / w) * n  # e/w * n, the classic bound
+    for k, ex in exact.items():
+        assert est[k] >= ex, f"{k}: undercount {est[k]} < {ex}"
+        assert est[k] <= ex + eps_n
+
+
+def test_countmin_absent_key_estimates_bounded_and_nulls_ignored(spark):
+    from atiesh_spark.operators.frequent import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "key string"
+    )
+    sketch = countmin_sketch(df, "key", depth=4, width=32)
+    assert sketch.agg(F.sum("cnt")).collect()[0][0] == 3 * 4  # NULL dropped
+    probe = spark.createDataFrame([("zzz",), ("a",)], "key string")
+    est = {r["key"]: r["est"]
+           for r in countmin_estimate(sketch, probe, "key", 4, 32).collect()}
+    assert est["a"] >= 2
+    assert 0 <= est["zzz"] <= 3  # absent key: only collision mass
+
+    with pytest.raises(ValueError):
+        countmin_sketch(df, "key", depth=0, width=32)
+
+
+def test_countmin_sketch_is_mergeable(spark):
+    """Building the sketch on a union == summing the two sketches
+    cell-wise: the monoid property that makes CMS shard-safe."""
+    from atiesh_spark.operators.frequent import countmin_sketch
+
+    a = spark.createDataFrame([(f"x{i % 5}",) for i in range(100)], "key string")
+    b = spark.createDataFrame([(f"x{i % 7}",) for i in range(80)], "key string")
+    merged = (
+        countmin_sketch(a, "key", 4, 32)
+        .unionByName(countmin_sketch(b, "key", 4, 32))
+        .groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = countmin_sketch(a.unionByName(b), "key", 4, 32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
