@@ -8008,3 +8008,87 @@ def q199_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
     hashes = phash_images(media, "doc_id", "blob", codec="jpeg")
     return near_dup_pairs_by_phash(hashes, max_distance=0, bands=4)
+
+
+@register(
+    "q200_gif_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 5 AS INT) AS width,
+               CAST(8 + doc_id % 4 AS INT) AS height,
+               CAST(3 + doc_id % 4 AS INT) AS n_frames
+        FROM documents
+    ),
+    fr AS (
+        SELECT m.*, ff.f AS frame_idx
+        FROM m, unnest(generate_series(0, m.n_frames - 1)) AS ff(f)
+        WHERE ff.f % 2 = 0
+    ),
+    pix AS (
+        SELECT fr.doc_id, fr.frame_idx, fr.width, fr.height,
+               (2 * xx.x + 5 * yy.y + 13 * fr.frame_idx + fr.doc_id) % 256
+                   AS v
+        FROM fr,
+             unnest(generate_series(0, fr.width - 1)) AS xx(x),
+             unnest(generate_series(0, fr.height - 1)) AS yy(y)
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           width, height,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_r,
+           CAST(round(avg((v + 85) % 256), 4) AS FLOAT) AS mean_g,
+           CAST(round(avg((v + 170) % 256), 4) AS FLOAT) AS mean_b
+    FROM pix GROUP BY doc_id, frame_idx, width, height
+    """,
+    doc="REAL animated-image decode with stride-based frame sampling "
+    "(operators/gif.py): GIF89a container walk + variable-width LZW "
+    "from the public spec (clear/EOI, width growth to 12 bits, KwKwK, "
+    "clear-reset), palette expansion to RGB — the engine's video-"
+    "shaped path, because 'decode every k-th frame' is the pipeline "
+    "op a training-data system runs over video containers. The query "
+    "synthesizes one multi-frame GIF per document (3 + doc_id % 4 "
+    "frames of planted indices (2x + 5y + 13*frame + doc_id) % 256 "
+    "into the identity-ish palette (i, i+85, i+170)) and samples "
+    "stride=2; GIF is lossless so the oracle reproduces per-frame "
+    "channel means arithmetically. The SKIP path matters at scale: "
+    "sub-block framing lets non-sampled frames be skipped without "
+    "LZW-decoding them (~1/k of the decode work — proven by a test "
+    "whose skipped frame holds corrupt LZW, test_gif.py). Malformed "
+    "blobs become error ROWS, never task failures.",
+)
+def q200_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.gif import sample_gif_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.gif import encode_gif
+
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack(
+            [i % 256, (i + 85) % 256, (i + 170) % 256], axis=-1
+        ).astype(np.uint8)
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 5, 8 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [
+                    ((2 * x + 5 * y + 13 * f + did) % 256).astype(np.uint8)
+                    for f in range(3 + did % 4)
+                ]
+                blobs.append(encode_gif(frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return sample_gif_frames(media, "doc_id", "blob", stride=2).select(
+        "media_id", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+    )
