@@ -1,0 +1,117 @@
+"""Media-catalog tests: header-only metadata across all five real
+codecs, truncated blobs keeping their sniffed format, and the proof
+that GIF cataloging never LZW-decodes (corrupt payload bytes with
+valid sub-block framing still catalog fine)."""
+
+import numpy as np
+import pytest
+
+from atiesh_spark.operators.gif import encode_gif
+from atiesh_spark.operators.jpeg import encode_jpeg_baseline
+from atiesh_spark.operators.media import (
+    _gif_header,
+    _jpeg_header,
+    _png_header,
+    _pnm_header,
+    _wav_header,
+    catalog_media,
+    sniff_format,
+)
+from atiesh_spark.operators.multimodal import encode_ppm, encode_wav
+from atiesh_spark.operators.png import encode_png
+
+
+def _pal(n):
+    i = np.arange(n, dtype=np.int64)
+    return np.stack([i, (i + 85) % 256, (i + 170) % 256], -1).astype(np.uint8)
+
+
+def _gradient(h, w, c=3):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [((3 * x + 7 * y + 41 * k) % 256) for k in range(c)], -1
+    ).astype(np.uint8)
+
+
+def _blobs():
+    return {
+        "png": encode_png(_gradient(12, 17)),
+        "jpeg": encode_jpeg_baseline(_gradient(10, 15)),
+        "gif": encode_gif(
+            [(_gradient(7, 9)[:, :, 0] % 16) for _ in range(3)], _pal(16)
+        ),
+        "wav": encode_wav(11025, b"\x00\x00" * 500),
+        "pnm": encode_ppm(6, 4, bytes(6 * 4 * 3)),
+    }
+
+
+def test_sniff_on_tiny_prefixes():
+    for fmt, blob in _blobs().items():
+        assert sniff_format(blob) == fmt
+        assert sniff_format(blob[:4]) == fmt
+    assert sniff_format(b"\x00\x01\x02\x03") == "unknown"
+
+
+def test_headers_extract_without_decode():
+    b = _blobs()
+    assert _png_header(b["png"]) == (17, 12)
+    assert _jpeg_header(b["jpeg"]) == (15, 10)
+    assert _gif_header(b["gif"]) == (9, 7, 3)
+    assert _wav_header(b["wav"]) == (11025, 500)
+    assert _pnm_header(b["pnm"]) == (6, 4)
+
+
+def test_gif_header_skips_lzw():
+    """Valid sub-block framing around garbage codes must still
+    catalog: header cost is structural, not decode."""
+    import struct as st
+
+    from atiesh_spark.operators.gif import _sub_blocks
+
+    out = bytearray(b"GIF89a" + st.pack("<HH", 5, 5))
+    out += bytes([0x80 | 0x01, 0, 0]) + _pal(4).tobytes()
+    for _ in range(4):
+        out += b"\x2c" + st.pack("<HHHH", 0, 0, 5, 5) + b"\x00\x02"
+        out += _sub_blocks(b"\xff" * 9)
+    out += b"\x3b"
+    assert _gif_header(bytes(out)) == (5, 5, 4)
+
+
+def test_truncated_headers_raise():
+    for fmt, blob in _blobs().items():
+        with pytest.raises(ValueError):
+            {
+                "png": _png_header,
+                "jpeg": _jpeg_header,
+                "gif": _gif_header,
+                "wav": _wav_header,
+                "pnm": _pnm_header,
+            }[fmt](blob[:4])
+
+
+def test_catalog_operator_mixed_column(spark):
+    b = _blobs()
+    rows = [
+        (0, bytearray(b["png"])),
+        (1, bytearray(b["jpeg"])),
+        (2, bytearray(b["gif"])),
+        (3, bytearray(b["wav"])),
+        (4, bytearray(b["pnm"])),
+        (5, bytearray(b["png"][:4])),   # truncated, magic survives
+        (6, bytearray(b"garbage!")),    # unknown magic
+        (7, None),                      # NULL blob
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r.media_id: r for r in catalog_media(df, "media_id", "blob").collect()}
+    assert (got[0].format, got[0].ok, got[0].width, got[0].height,
+            got[0].sample_rate, got[0].n_frames) == ("png", True, 17, 12, -1, 1)
+    assert (got[2].format, got[2].n_frames) == ("gif", 3)
+    assert (got[3].format, got[3].sample_rate, got[3].n_frames) == (
+        "wav", 11025, 500)
+    assert (got[5].format, got[5].ok, got[5].width) == ("png", False, -1)
+    assert (got[6].format, got[6].ok) == ("unknown", False)
+    assert (got[7].format, got[7].ok) == ("unknown", False)
+    # NULL-free catalog: every cell materialized
+    for r in got.values():
+        assert None not in (r.format, r.ok, r.width, r.height,
+                            r.sample_rate, r.n_frames)
