@@ -8331,3 +8331,65 @@ def q203_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
     return catalog_media(media, "doc_id", "blob")
+
+
+@register(
+    "q204_gif_temporal_dedup",
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 43 AS seed FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(4 AS BIGINT) AS shared_grams
+    FROM m a JOIN m b ON a.seed = b.seed AND a.doc_id < b.doc_id
+    """,
+    doc="Video-shaped temporal near-duplicate detection end-to-end "
+    "(operators/video.py): GIF decode (q200's codec) -> per-frame "
+    "BT.601-luma pHash (q199's hash) -> time-ordered 3-gram "
+    "xxhash64 fingerprints via ONE window lead (JVM-side, no Python "
+    "in the gram stage) -> df-capped equi-join pairs. The query "
+    "plants one 6-frame noise animation per document from seed = "
+    "doc_id % 43; equal seeds give byte-identical GIFs hence all 4 "
+    "temporal grams shared, and all 43x6 planted frames were "
+    "verified pairwise pHash-distinct (pinned by test_video.py), so "
+    "cross-seed docs share ZERO grams and the oracle is pure "
+    "arithmetic. Temporal order is the point of the gram: a shuffled "
+    "frame multiset is NOT a near-duplicate animation "
+    "(test_temporal_grams_order_sensitive). Candidate fan-out is "
+    "bounded by |grams| * max_df², the shared discipline of the "
+    "MinHash/winnowing/image/audio dedup family.",
+)
+def q204_gif_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.video import (
+        frame_phashes,
+        temporal_grams,
+        temporal_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.gif import encode_gif
+
+        pal = np.stack([np.arange(256)] * 3, axis=-1).astype(np.uint8)
+        n = np.arange(32 * 32, dtype=np.int64)
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                s = int(did) % 43
+                frames = [
+                    ((n * (2654435761 + s * 101 + f * 137) + s * s * 1013
+                      + f * f * 2027 + s * f * 7919) % 251 % 256)
+                    .reshape(32, 32).astype(np.uint8)
+                    for f in range(6)
+                ]
+                blobs.append(encode_gif(frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    ph = frame_phashes(media, "doc_id", "blob")
+    return temporal_near_dup_pairs(temporal_grams(ph, gram=3), min_shared=3)
