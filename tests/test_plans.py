@@ -662,3 +662,41 @@ def test_bench_cold_cells_are_real_headline_queries():
         "q107_bm25_topk", "q111_nb_classify", "q94_lm_quality",
     ):
         assert anchor in hot, anchor
+
+
+def test_round8_media_lab_plan_shapes(spark):
+    """Round-8 media family plan gates:
+
+    - q201 (spectral features) and q203 (media catalog) are row-local
+      mapInPandas pipelines — ZERO exchanges; feature/catalog rows are
+      the only thing that survives the executor.
+    - q202 (audio landmark dedup) and q204 (temporal pHash dedup)
+      candidate-join through equal grams only: no cartesian product or
+      nested-loop join anywhere in their physical plans.
+    """
+    for name in ("q201_audio_spectral", "q203_media_catalog"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+    for name in ("q202_audio_fingerprint_dedup", "q204_gif_temporal_dedup"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_temporal_gram_stage_is_jvm_side(spark):
+    """video.temporal_grams on an already-materialized phash frame is
+    pure window + xxhash64 codegen: one exchange (the media_id window
+    partition), no Python evaluation."""
+    from atiesh_spark.operators.video import temporal_grams
+
+    ph = spark.createDataFrame(
+        [(1, 0, 11, None), (1, 1, 22, None), (1, 2, 33, None)],
+        "media_id long, frame_idx int, phash long, error string",
+    )
+    g = temporal_grams(ph, gram=3)
+    plan = g._sc._jvm.PythonSQLUtils.explainString(
+        g._jdf.queryExecution(), "simple"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
