@@ -246,3 +246,52 @@ def catalog_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         gen, schema=CATALOG_SCHEMA
     )
+
+
+class StreamingMediaCatalog:
+    """foreachBatch maintenance loop for the media catalog: each
+    arriving micro-batch is sniffed/header-walked ONCE (only the new
+    blobs — history is never re-cataloged), then upserted by media_id
+    into a ``VersionedStore`` (last write wins, so a re-sent blob's
+    fresh catalog row replaces its old one). Built on the versioned
+    store's replay contract: a re-run batch id re-reads the same
+    pre-batch state and rewrites the same output, so the loop is
+    effectively-once on top of a checkpointed source.
+
+    Per-batch work is ∝ batch size: the only touch of history is the
+    media_id anti-join against a catalog whose rows are ~50 bytes —
+    at 100 TB of media the catalog is GBs, and the blobs themselves
+    never re-enter the pipeline.
+
+    Usage: ``stream.writeStream.foreachBatch(cat)`` or the test
+    harness's ``_replay_chunks``; read the current catalog back with
+    ``cat.read(spark)``.
+    """
+
+    def __init__(self, path: str, id_col: str, blob_col: str,
+                 keep_versions: int = 2) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        self.store = VersionedStore(path, keep_versions=keep_versions)
+        self.id_col = id_col
+        self.blob_col = blob_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # materialize: the catalog row set is tiny and referenced twice
+        # (anti-join keys + union); without this the blobs would be
+        # re-sniffed once per reference
+        fresh = catalog_media(
+            batch_df, self.id_col, self.blob_col
+        ).localCheckpoint()
+        prev = self.store.read_before(spark, batch_id)
+        if prev is not None:
+            fresh = prev.join(
+                fresh.select(F.col("media_id").alias("__mid")),
+                F.col("media_id") == F.col("__mid"),
+                "left_anti",
+            ).unionByName(fresh)
+        self.store.write(fresh, batch_id)
+
+    def read(self, spark) -> DataFrame:
+        return self.store.read(spark)

@@ -8012,6 +8012,7 @@ def q199_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q200_gif_frame_sample",
+    headline=True,
     oracle="""
     WITH m AS (
         SELECT doc_id,
@@ -8171,6 +8172,75 @@ def q201_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_seeded_wav(docs: DataFrame, seeds: int) -> DataFrame:
+    """Planted tone-sequence WAVs, seed = doc_id % seeds (sqmix bin
+    formula). The registered q202 pins seeds=53 so its DuckDB oracle
+    can enumerate the duplicate groups; scripts/scale_probe.py scales
+    ``seeds`` with the corpus so docs-per-seed — hence dup-group size
+    and pair output — stays CONSTANT under a 10x probe (a real corpus
+    grows its doc count, not its duplicate multiplicity)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.multimodal import encode_wav
+
+        i = np.arange(256)
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                s = int(did) % seeds
+                bins = [
+                    4 + (s * s * 29 + w * w * 43 + s * w * 7
+                         + s * 13 + w * 19) % 97
+                    for w in range(10)
+                ]
+                parts = [
+                    0.5 * np.sin(2 * np.pi * b * (i + 0.5) / 256)
+                    for b in bins
+                ]
+                pcm = np.round(
+                    32767 * np.concatenate(parts)
+                ).astype("<i2").tobytes()
+                blobs.append(encode_wav(8000, pcm))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(synth, schema="doc_id long, blob binary")
+
+
+def synth_seeded_gif(docs: DataFrame, seeds: int) -> DataFrame:
+    """Planted 6-frame noise GIFs, seed = doc_id % seeds; same scaled-
+    seeds rationale as synth_seeded_wav (q204 pins seeds=43)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.gif import encode_gif
+
+        pal = np.stack([np.arange(256)] * 3, axis=-1).astype(np.uint8)
+        n = np.arange(32 * 32, dtype=np.int64)
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                s = int(did) % seeds
+                frames = [
+                    ((n * (2654435761 + s * 101 + f * 137) + s * s * 1013
+                      + f * f * 2027 + s * f * 7919) % 251 % 256)
+                    .reshape(32, 32).astype(np.uint8)
+                    for f in range(6)
+                ]
+                blobs.append(encode_gif(frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(synth, schema="doc_id long, blob binary")
+
+
 @register(
     "q202_audio_fingerprint_dedup",
     oracle="""
@@ -8196,45 +8266,67 @@ def q201_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded by |grams| * max_df², never |docs|².",
 )
 def q202_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     from atiesh_spark.operators.audio import (
         audio_fingerprint,
         audio_near_dup_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synth_seeded_wav(docs, seeds=53)
+    fp = audio_fingerprint(media, "doc_id", "blob", frame=256, gram=3)
+    return audio_near_dup_pairs(fp, min_shared=4)
+
+
+def synth_mixed_media(docs: DataFrame) -> DataFrame:
+    """One blob per doc_id across all five real codecs (format =
+    doc_id % 5, arithmetic dimensions); every 17th blob truncated to
+    4 bytes — sniffable magic, unparseable header. Shared by q203 and
+    the streaming catalog replay (q205), whose oracles reproduce the
+    same arithmetic over their respective id spaces."""
+    from collections.abc import Iterator
+
+    import pandas as pd
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from atiesh_spark.operators.multimodal import encode_wav
+        from atiesh_spark.operators.gif import encode_gif
+        from atiesh_spark.operators.jpeg import encode_jpeg_baseline
+        from atiesh_spark.operators.multimodal import encode_ppm, encode_wav
+        from atiesh_spark.operators.png import encode_png
 
-        i = np.arange(256)
+        pal4 = np.zeros((4, 3), dtype=np.uint8)
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
-                s = int(did) % 53
-                bins = [
-                    4 + (s * s * 29 + w * w * 43 + s * w * 7
-                         + s * 13 + w * 19) % 97
-                    for w in range(10)
-                ]
-                parts = [
-                    0.5 * np.sin(2 * np.pi * b * (i + 0.5) / 256)
-                    for b in bins
-                ]
-                pcm = np.round(
-                    32767 * np.concatenate(parts)
-                ).astype("<i2").tobytes()
-                blobs.append(encode_wav(8000, pcm))
+                did = int(did)
+                kind = did % 5
+                if kind == 0:
+                    blob = encode_png(
+                        np.zeros((16 + did % 5, 16 + did % 7),
+                                 dtype=np.uint8)
+                    )
+                elif kind == 1:
+                    blob = encode_jpeg_baseline(
+                        np.zeros((10 + did % 7, 12 + did % 9),
+                                 dtype=np.uint8)
+                    )
+                elif kind == 2:
+                    fr = np.zeros((7 + did % 5, 9 + did % 6),
+                                  dtype=np.uint8)
+                    blob = encode_gif([fr] * (2 + did % 3), pal4)
+                elif kind == 3:
+                    blob = encode_wav(
+                        8000 + 1000 * (did % 3),
+                        b"\x00\x00" * (300 + did % 100),
+                    )
+                else:
+                    w, h = 10 + did % 9, 10 + did % 3
+                    blob = encode_ppm(w, h, bytes(w * h * 3))
+                blobs.append(blob[:4] if did % 17 == 0 else blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
-    fp = audio_fingerprint(media, "doc_id", "blob", frame=256, gram=3)
-    return audio_near_dup_pairs(fp, min_shared=4)
+    return docs.mapInPandas(synth, schema="doc_id long, blob binary")
 
 
 @register(
@@ -8282,55 +8374,10 @@ def q202_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped, and the driver canon rejects mixed-NULL columns.",
 )
 def q203_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     from atiesh_spark.operators.media import catalog_media
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from atiesh_spark.operators.gif import encode_gif
-        from atiesh_spark.operators.jpeg import encode_jpeg_baseline
-        from atiesh_spark.operators.multimodal import encode_ppm, encode_wav
-        from atiesh_spark.operators.png import encode_png
-
-        pal4 = np.zeros((4, 3), dtype=np.uint8)
-        for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                kind = did % 5
-                if kind == 0:
-                    blob = encode_png(
-                        np.zeros((16 + did % 5, 16 + did % 7),
-                                 dtype=np.uint8)
-                    )
-                elif kind == 1:
-                    blob = encode_jpeg_baseline(
-                        np.zeros((10 + did % 7, 12 + did % 9),
-                                 dtype=np.uint8)
-                    )
-                elif kind == 2:
-                    fr = np.zeros((7 + did % 5, 9 + did % 6),
-                                  dtype=np.uint8)
-                    blob = encode_gif([fr] * (2 + did % 3), pal4)
-                elif kind == 3:
-                    blob = encode_wav(
-                        8000 + 1000 * (did % 3),
-                        b"\x00\x00" * (300 + did % 100),
-                    )
-                else:
-                    w, h = 10 + did % 9, 10 + did % 3
-                    blob = encode_ppm(w, h, bytes(w * h * 3))
-                blobs.append(blob[:4] if did % 17 == 0 else blob)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
-    return catalog_media(media, "doc_id", "blob")
+    return catalog_media(synth_mixed_media(docs), "doc_id", "blob")
 
 
 @register(
@@ -8358,10 +8405,6 @@ def q203_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash/winnowing/image/audio dedup family.",
 )
 def q204_gif_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     from atiesh_spark.operators.video import (
         frame_phashes,
         temporal_grams,
@@ -8369,27 +8412,89 @@ def q204_gif_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from atiesh_spark.operators.gif import encode_gif
-
-        pal = np.stack([np.arange(256)] * 3, axis=-1).astype(np.uint8)
-        n = np.arange(32 * 32, dtype=np.int64)
-        for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                s = int(did) % 43
-                frames = [
-                    ((n * (2654435761 + s * 101 + f * 137) + s * s * 1013
-                      + f * f * 2027 + s * f * 7919) % 251 % 256)
-                    .reshape(32, 32).astype(np.uint8)
-                    for f in range(6)
-                ]
-                blobs.append(encode_gif(frames, pal))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = synth_seeded_gif(docs, seeds=43)
     ph = frame_phashes(media, "doc_id", "blob")
     return temporal_near_dup_pairs(temporal_grams(ph, gram=3), min_shared=3)
+
+
+@register(
+    "q205_media_catalog_stream_replay",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id AS media_id,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                ELSE 'pnm' END AS format,
+           doc_id % 17 <> 0 AS ok,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN -1
+                WHEN doc_id % 5 = 0 THEN 16 + doc_id % 7
+                WHEN doc_id % 5 = 1 THEN 12 + doc_id % 9
+                WHEN doc_id % 5 = 2 THEN 9 + doc_id % 6
+                WHEN doc_id % 5 = 4 THEN 10 + doc_id % 9
+                ELSE -1 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN -1
+                WHEN doc_id % 5 = 0 THEN 16 + doc_id % 5
+                WHEN doc_id % 5 = 1 THEN 10 + doc_id % 7
+                WHEN doc_id % 5 = 2 THEN 7 + doc_id % 5
+                WHEN doc_id % 5 = 4 THEN 10 + doc_id % 3
+                ELSE -1 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN -1
+                WHEN doc_id % 5 = 3 THEN 8000 + 1000 * (doc_id % 3)
+                ELSE -1 END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN -1
+                WHEN doc_id % 5 = 2 THEN 2 + doc_id % 3
+                WHEN doc_id % 5 = 3 THEN 300 + doc_id % 100
+                ELSE 1 END AS INT) AS n_frames
+    FROM corpus
+    """,
+    doc="Incremental media-catalog maintenance, replay-graded "
+    "(operators/media.py StreamingMediaCatalog): three micro-batches "
+    "of mixed-format blobs (base docs, +1M ids for the even docs, "
+    "+2M for the %3 docs) stream through ONE foreachBatch loop that "
+    "sniffs only the NEW blobs and upserts by media_id into a "
+    "VersionedStore; the final batch replays under the same batch id "
+    "and the store must converge (the versioned-store contract: same "
+    "pre-batch state re-read, same output rewritten). The "
+    "accumulated catalog must hash-equal the one-shot batch catalog "
+    "over the full id union — the oracle recomputes q203's "
+    "arithmetic over the three-way corpus. Per-batch work is ∝ "
+    "batch size: history is touched only through a media_id "
+    "anti-join on ~50-byte catalog rows, and historical blobs are "
+    "never re-sniffed.",
+)
+def q205_media_catalog_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.media import StreamingMediaCatalog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"))
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"))
+    )
+    media = synth_mixed_media(ids)
+    chunks = [
+        F.col("doc_id") < 1000000,
+        (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000),
+        F.col("doc_id") >= 2000000,
+    ]
+    tmp = tempfile.mkdtemp(prefix="media_catalog_replay_")
+    try:
+        cat = StreamingMediaCatalog(tmp, "doc_id", "blob")
+        _replay_chunks(media, cat, chunks)
+        final = cat.read(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final

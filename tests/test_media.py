@@ -115,3 +115,35 @@ def test_catalog_operator_mixed_column(spark):
     for r in got.values():
         assert None not in (r.format, r.ok, r.width, r.height,
                             r.sample_rate, r.n_frames)
+
+
+def test_streaming_catalog_upsert_and_replay(spark, tmp_path):
+    """Upsert semantics: a re-sent media_id's fresh row replaces the
+    old one; replaying the last batch id converges to the same state
+    (the VersionedStore contract)."""
+    from atiesh_spark.operators.media import StreamingMediaCatalog
+
+    b = _blobs()
+    cat = StreamingMediaCatalog(str(tmp_path / "cat"), "media_id", "blob")
+    df1 = spark.createDataFrame(
+        [(1, bytearray(b["png"])), (2, bytearray(b["wav"]))],
+        "media_id long, blob binary",
+    )
+    cat(df1, 1)
+    # id 2 re-arrives as a gif, id 3 is new
+    df2 = spark.createDataFrame(
+        [(2, bytearray(b["gif"])), (3, bytearray(b["pnm"]))],
+        "media_id long, blob binary",
+    )
+    cat(df2, 2)
+    got = {r.media_id: r for r in cat.read(spark).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].format == "png"
+    assert got[2].format == "gif" and got[2].n_frames == 3  # replaced
+    assert got[3].format == "pnm"
+    # replay batch 2: same pre-batch state re-read, same rows rewritten
+    cat(df2, 2)
+    again = {r.media_id: r for r in cat.read(spark).collect()}
+    assert {(r.media_id, r.format, r.width) for r in again.values()} == {
+        (r.media_id, r.format, r.width) for r in got.values()
+    }
