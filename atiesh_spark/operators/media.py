@@ -248,6 +248,52 @@ def catalog_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     )
 
 
+def media_gate(
+    catalog: DataFrame,
+    min_pixels: int = 144,
+    min_audio_frames: int = 320,
+    min_anim_frames: int = 3,
+) -> DataFrame:
+    """Reason-coded admission verdict per catalog row — the media
+    twin of the text pipeline's ordered-rule filters (q176): the
+    FIRST failing rule names the verdict, so downstream triage can
+    group drops by cause without re-deriving them. Rules, in order:
+
+    1. ``broken``      — the catalog could not parse the blob;
+    2. ``too_small``   — image area below ``min_pixels`` (tiny images
+       are icons/trackers, not training signal);
+    3. ``too_short``   — audio shorter than ``min_audio_frames``;
+    4. ``no_motion``   — animation with fewer than ``min_anim_frames``
+       frames (a 1-2 frame GIF is a still, not a clip);
+    5. ``pass``.
+
+    Pure column composition over the (already tiny) catalog — zero
+    additional shuffles, codegen end-to-end; NULL-free like its
+    input."""
+    is_image = F.col("format").isin("png", "jpeg", "gif", "pnm")
+    verdict = (
+        F.when(~F.col("ok"), F.lit("broken"))
+        .when(
+            is_image & (F.col("width") * F.col("height") < min_pixels),
+            F.lit("too_small"),
+        )
+        .when(
+            (F.col("format") == "wav")
+            & (F.col("n_frames") < min_audio_frames),
+            F.lit("too_short"),
+        )
+        .when(
+            (F.col("format") == "gif")
+            & (F.col("n_frames") < min_anim_frames),
+            F.lit("no_motion"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    return catalog.select(
+        "media_id", "format", verdict.alias("verdict")
+    )
+
+
 class StreamingMediaCatalog:
     """foreachBatch maintenance loop for the media catalog: each
     arriving micro-batch is sniffed/header-walked ONCE (only the new

@@ -8498,3 +8498,56 @@ def q205_media_catalog_stream_replay(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final
+
+
+@register(
+    "q206_media_quality_gate",
+    oracle="""
+    WITH cat AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                    ELSE 'pnm' END AS format,
+               doc_id % 17 <> 0 AS ok,
+               CASE WHEN doc_id % 5 = 0 THEN 16 + doc_id % 7
+                    WHEN doc_id % 5 = 1 THEN 12 + doc_id % 9
+                    WHEN doc_id % 5 = 2 THEN 9 + doc_id % 6
+                    WHEN doc_id % 5 = 4 THEN 10 + doc_id % 9
+                    ELSE -1 END AS width,
+               CASE WHEN doc_id % 5 = 0 THEN 16 + doc_id % 5
+                    WHEN doc_id % 5 = 1 THEN 10 + doc_id % 7
+                    WHEN doc_id % 5 = 2 THEN 7 + doc_id % 5
+                    WHEN doc_id % 5 = 4 THEN 10 + doc_id % 3
+                    ELSE -1 END AS height,
+               CASE WHEN doc_id % 5 = 2 THEN 2 + doc_id % 3
+                    WHEN doc_id % 5 = 3 THEN 300 + doc_id % 100
+                    ELSE 1 END AS n_frames
+        FROM documents
+    )
+    SELECT media_id, format,
+           CASE WHEN NOT ok THEN 'broken'
+                WHEN format IN ('png', 'jpeg', 'gif', 'pnm')
+                     AND width * height < 144 THEN 'too_small'
+                WHEN format = 'wav' AND n_frames < 320 THEN 'too_short'
+                WHEN format = 'gif' AND n_frames < 3 THEN 'no_motion'
+                ELSE 'pass' END AS verdict
+    FROM cat
+    """,
+    doc="Reason-coded media admission gate (operators/media.py "
+    "media_gate) over the q203 catalog — the media twin of the text "
+    "pipeline's ordered-rule filters (q176): the FIRST failing rule "
+    "names the verdict (broken -> too_small -> too_short -> "
+    "no_motion -> pass), so a 100 TB ingest can group its drops by "
+    "cause without re-deriving them. The q203 planting exercises "
+    "every verdict: the %17 truncations are broken, small JPEG/GIF/"
+    "PNM dims fall under the 144-pixel floor, WAVs with doc_id%100 "
+    "< 20 are under the 320-frame minimum, and 2-frame GIFs that "
+    "pass the size rule land no_motion. Pure column composition on "
+    "the catalog — no shuffle beyond the catalog's own (none), "
+    "codegen end-to-end.",
+)
+def q206_media_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.media import catalog_media, media_gate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return media_gate(catalog_media(synth_mixed_media(docs), "doc_id", "blob"))

@@ -147,3 +147,27 @@ def test_streaming_catalog_upsert_and_replay(spark, tmp_path):
     assert {(r.media_id, r.format, r.width) for r in again.values()} == {
         (r.media_id, r.format, r.width) for r in got.values()
     }
+
+
+def test_media_gate_rule_order(spark):
+    """First failing rule names the verdict: broken beats too_small,
+    too_small beats no_motion."""
+    from atiesh_spark.operators.media import media_gate
+
+    rows = [
+        (0, "png", False, 2, 2, -1, 1),      # broken wins over size
+        (1, "jpeg", True, 10, 10, -1, 1),    # 100 < 144 -> too_small
+        (2, "gif", True, 8, 8, -1, 2),       # size fails first
+        (3, "gif", True, 20, 20, -1, 2),     # size ok -> no_motion
+        (4, "wav", True, -1, -1, 8000, 100), # too_short
+        (5, "wav", True, -1, -1, 8000, 500), # pass
+        (6, "png", True, 32, 32, -1, 1),     # pass
+    ]
+    cat = spark.createDataFrame(
+        rows,
+        "media_id long, format string, ok boolean, width int, "
+        "height int, sample_rate int, n_frames int",
+    )
+    got = {r.media_id: r.verdict for r in media_gate(cat).collect()}
+    assert got == {0: "broken", 1: "too_small", 2: "too_small",
+                   3: "no_motion", 4: "too_short", 5: "pass", 6: "pass"}
