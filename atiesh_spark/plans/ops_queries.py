@@ -8551,3 +8551,71 @@ def q206_media_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return media_gate(catalog_media(synth_mixed_media(docs), "doc_id", "blob"))
+
+
+@register(
+    "q207_multimodal_manifest",
+    oracle="""
+    WITH verd AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                    ELSE 'pnm' END AS format,
+               CASE WHEN doc_id % 17 = 0 THEN 'broken'
+                    WHEN doc_id % 5 IN (0, 1, 2, 4) AND
+                         (CASE WHEN doc_id % 5 = 0 THEN 16 + doc_id % 7
+                               WHEN doc_id % 5 = 1 THEN 12 + doc_id % 9
+                               WHEN doc_id % 5 = 2 THEN 9 + doc_id % 6
+                               ELSE 10 + doc_id % 9 END)
+                         * (CASE WHEN doc_id % 5 = 0 THEN 16 + doc_id % 5
+                                 WHEN doc_id % 5 = 1 THEN 10 + doc_id % 7
+                                 WHEN doc_id % 5 = 2 THEN 7 + doc_id % 5
+                                 ELSE 10 + doc_id % 3 END) < 144
+                         THEN 'too_small'
+                    WHEN doc_id % 5 = 3 AND 300 + doc_id % 100 < 320
+                         THEN 'too_short'
+                    WHEN doc_id % 5 = 2 AND 2 + doc_id % 3 < 3
+                         THEN 'no_motion'
+                    ELSE 'pass' END AS verdict
+        FROM documents
+    )
+    SELECT v.format, v.verdict,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                    t -> length(t) > 0))) AS BIGINT)
+               AS sum_tokens
+    FROM verd v JOIN documents d USING (doc_id)
+    GROUP BY v.format, v.verdict
+    """,
+    doc="The multimodal pretrain-manifest flagship — q117's text "
+    "composite extended across modalities in ONE declarative plan: "
+    "mixed-format blobs flow catalog (q203, header-only mapInPandas) "
+    "-> reason-coded gate (q206, column composition) -> co-keyed "
+    "join against the paired TEXT side's whitespace token counts "
+    "(q34's operator) -> per-(format, verdict) admission report with "
+    "token budgets. This is the table a multimodal training-data "
+    "run plans from: how much paired text each modality contributes "
+    "and why the rest was dropped. Plan shape: the media leg is "
+    "row-local until the ONE doc_id equi-join (co-partitionable at "
+    "100 TB; both legs shuffle once on the join key), then a "
+    "map-side-combined groupBy on the ~20-row (format, verdict) "
+    "space. BIGINT casts per the HUGEINT canon rule.",
+)
+def q207_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.media import catalog_media, media_gate
+    from atiesh_spark.operators.textstats import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_mixed_media(docs.select("doc_id"))
+    verd = media_gate(catalog_media(media, "doc_id", "blob"))
+    toks = token_counts(docs, "doc_id", "text").select(
+        "doc_id", "n_ws_tokens"
+    )
+    return (
+        verd.join(toks, verd.media_id == toks.doc_id)
+        .groupBy("format", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_ws_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
