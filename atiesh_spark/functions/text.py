@@ -158,3 +158,79 @@ def strip_markup(col: Column | str) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
     return F.trim(c)
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (the ftfy core trick, expressed in pure codegen)
+# ---------------------------------------------------------------------------
+
+#: The characters cp1252 shows for bytes 0x80-0x9F (the slots Windows
+#: maps to printables; undefined slots 81/8D/8F/90/9D stay as C1
+#: controls and need no translation). A UTF-8 document misread as
+#: cp1252 shows these characters where continuation bytes were.
+_CP1252_HIGH = (
+    "€‚ƒ„…†‡ˆ‰Š"
+    "‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"
+)
+_C1_BYTES = (
+    "\x80\x82\x83\x84\x85\x86\x87\x88\x89\x8a"
+    "\x8b\x8c\x8e\x91\x92\x93\x94\x95\x96\x97"
+    "\x98\x99\x9a\x9b\x9c\x9e\x9f"
+)
+
+#: A UTF-8 sequence misread as latin1/cp1252: a lead byte (0xC2-0xDF
+#: two-byte, 0xE0-0xEF three-byte, 0xF0-0xF4 four-byte — as latin1
+#: chars) followed by a continuation byte shown as latin1 0x80-0xBF
+#: or one of cp1252's printable stand-ins.
+_MOJIBAKE_HINT = (
+    "[\u00c2-\u00f4]"
+    "[\u0080-\u00bf" + _CP1252_HIGH + "]"
+)
+
+
+def to_mojibake(col: Column | str) -> Column:
+    """The BREAKAGE direction, for tests and planted oracles: render
+    ``col``'s UTF-8 bytes as a cp1252 reader would mislabel them.
+    Pure codegen: encode to UTF-8 bytes, decode the bytes as latin1
+    (byte == codepoint), then show the C1 range the way cp1252 does."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(
+        F.decode(F.encode(c, "UTF-8"), "ISO-8859-1"),
+        _C1_BYTES, _CP1252_HIGH,
+    )
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair UTF-8-read-as-cp1252 mojibake ('cafÃ©' -> 'café') — the
+    core of ftfy's fixer as ONE codegen expression, no Python in the
+    plan: map cp1252's printable stand-ins back to raw C1 bytes
+    (translate), reinterpret the latin1 codepoints as bytes (encode),
+    and read those bytes back as a string. The candidate replaces the
+    input only when (a) every input char was latin1-representable (a
+    per-row lazy ``when`` guard — Spark 4's ``encode`` RAISES on
+    unmappable chars instead of substituting, so CJK/Cyrillic text
+    must never reach it), (b) the input shows a mojibake
+    lead+continuation pattern (a clean accented capital before a
+    space fails this), (c) the reinterpreted bytes are valid UTF-8
+    (``is_valid_utf8`` — the bytes-to-string cast is deliberately the
+    LENIENT path), and (d) something actually changed. Idempotent on
+    already-clean text by construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    translated = F.translate(c, _CP1252_HIGH, _C1_BYTES)
+    # latin1-representability is checked AFTER the translate: the
+    # cp1252 stand-ins a broken document legitimately contains are
+    # themselves above U+00FF and map down to C1 first
+    latin1_ok = ~translated.rlike("[^\\u0000-\\u00ff]")
+    candidate = F.encode(
+        F.when(latin1_ok, translated).otherwise(F.lit("")),
+        "ISO-8859-1",
+    ).cast("string")
+    looks_broken = c.rlike(_MOJIBAKE_HINT)
+    return F.when(
+        latin1_ok
+        & looks_broken
+        & F.is_valid_utf8(candidate)
+        & (candidate != c),
+        candidate,
+    ).otherwise(c)

@@ -8619,3 +8619,58 @@ def q207_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ws_tokens").cast("long").alias("sum_tokens"),
         )
     )
+
+
+@register(
+    "q208_mojibake_repair",
+    oracle="""
+    WITH orig AS (
+        SELECT doc_id,
+               'caf' || chr(233) || ' ' || chr(8220)
+                   || md5(CAST(doc_id AS VARCHAR)) || chr(8221)
+                   || ' ' || chr(8364) || CAST(doc_id AS VARCHAR) AS t
+        FROM documents
+    )
+    SELECT doc_id, t AS text_out, doc_id % 3 = 0 AS changed FROM orig
+    """,
+    doc="Encoding-damage repair for crawl text (functions/text.py "
+    "fix_mojibake — the core of ftfy's UTF-8-read-as-cp1252 fixer, "
+    "Speer 2019, as ONE codegen expression with no Python and no "
+    "shuffle): cp1252 printable stand-ins translate back to C1 "
+    "bytes, the latin1 codepoints re-encode to bytes, and the bytes "
+    "re-read as UTF-8 — kept only when the input shows a UTF-8 "
+    "lead+continuation pattern rendered as latin1 AND the "
+    "reinterpretation is valid UTF-8 AND something changed (clean "
+    "accented text and non-latin1 scripts pass through; the repair "
+    "is idempotent). Spark 4's strict encode/decode raises on "
+    "malformed data, so the operator rides the lenient binary->"
+    "string cast gated by is_valid_utf8 and a per-row lazy WHEN. "
+    "The query plants 'caf(e-acute) (left-quote)md5(right-quote) "
+    "(euro)N' per doc — every damage class: 2-byte UTF-8, cp1252 "
+    "C1 stand-ins, multi-byte punctuation — mangles every third "
+    "doc with the graded to_mojibake inverse, and must restore the "
+    "original EXACTLY (the oracle rebuilds it with chr() "
+    "arithmetic) while leaving clean docs byte-identical.",
+)
+def q208_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.functions.text import fix_mojibake, to_mojibake
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    orig = F.concat(
+        F.lit("café “"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit("” €"),
+        F.col("doc_id").cast("string"),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, to_mojibake(orig))
+        .otherwise(orig)
+        .alias("text"),
+    )
+    fixed = fix_mojibake(F.col("text"))
+    return staged.select(
+        "doc_id",
+        fixed.alias("text_out"),
+        (fixed != F.col("text")).alias("changed"),
+    )

@@ -282,3 +282,62 @@ def test_strip_markup_rules(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+class TestMojibake:
+    """fix_mojibake: the ftfy-core repair as pure codegen."""
+
+    CASES = [
+        "café naïve “quoted” €42 — done",
+        "plain ascii text",
+        "line one\nline two café\nwith newlines",
+        "it’s clean — smart punctuation…",
+        "русский text",
+        "日本語のテキスト",
+        "emoji \U0001f389 party",
+    ]
+
+    def test_round_trip_and_idempotence(self, spark):
+        from pyspark.sql import functions as F
+
+        from atiesh_spark.functions.text import fix_mojibake, to_mojibake
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)], "id long, t string"
+        )
+        out = df.select(
+            "id", "t",
+            fix_mojibake(to_mojibake("t")).alias("repaired"),
+            fix_mojibake("t").alias("noop"),
+            fix_mojibake(fix_mojibake(to_mojibake("t"))).alias("twice"),
+        ).collect()
+        for r in out:
+            assert r.repaired == r.t, r.id      # breakage inverts
+            assert r.noop == r.t, r.id          # clean text untouched
+            assert r.twice == r.t, r.id         # idempotent after repair
+
+    def test_clean_lookalikes_pass_through(self, spark):
+        """A genuine accented capital before a space is NOT mojibake
+        (no continuation-class char follows), and invalid
+        reinterpretations never replace the input."""
+        from atiesh_spark.functions.text import fix_mojibake
+
+        rows = [
+            (1, "Ã is a clean accented capital"),
+            (2, "ééé all high latin1, no lead pattern"),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        for r in df.select("t", fix_mojibake("t").alias("f")).collect():
+            assert r.f == r.t
+
+    def test_plan_is_pure_codegen(self, spark):
+        from atiesh_spark.functions.text import fix_mojibake
+
+        df = spark.createDataFrame([(1, "x")], "id long, t string")
+        out = df.select(fix_mojibake("t").alias("f"))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
