@@ -378,3 +378,83 @@ class StreamingBm25Index:
             post, lens, query_terms, id_col=self.id_col, k=k, k1=k1, b=b,
             round_to=round_to,
         )
+
+
+def retrieval_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-query ranking-quality metrics at cutoff ``k`` — the
+    evaluation loop every retrieval/RAG pipeline closes with
+    (Järvelin & Kekäläinen TOIS 2002 for NDCG; binary relevance):
+
+    - ``mrr``       reciprocal rank of the first relevant hit in the
+                    top ``k`` (0.0 if none),
+    - ``ndcg_at_k`` DCG over the top ``k`` with gain 1/log2(rank+1),
+                    normalized by the ideal DCG of min(k, n_rel),
+    - ``recall_at_k`` relevant-in-top-k / n_rel,
+    - ``n_rel``     total relevant documents for the query.
+
+    ``runs``: (query_id, doc_id, rank) with 1-based ranks;
+    ``qrels``: (query_id, doc_id) — the binary relevance set.
+
+    Queries present in ``runs`` but with no qrels row emit zero
+    metrics with ``n_rel`` 0 (NULL-free output, driver canon). Plan
+    shape: ONE equi-join of the rank-filtered top-k against qrels,
+    two grouped aggregations (per-query metrics, per-query n_rel),
+    and an ideal-DCG computed JVM-side from a ``sequence`` fold —
+    never a per-rank explode of the corpus. At 100 TB the cost is
+    ∝ |runs ∩ top-k| + |qrels|, independent of corpus size.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    topk = runs.filter(F.col("rank") <= k)
+    marked = topk.join(
+        qrels.select("query_id", "doc_id", F.lit(1).alias("__rel")),
+        ["query_id", "doc_id"],
+        "left",
+    )
+    per_q = marked.groupBy("query_id").agg(
+        F.max(
+            F.when(F.col("__rel").isNotNull(), 1.0 / F.col("rank"))
+        ).alias("__mrr"),
+        F.sum(
+            F.when(F.col("__rel").isNotNull(),
+                   1.0 / F.log2(F.col("rank") + 1))
+        ).alias("__dcg"),
+        F.count(F.col("__rel")).alias("__hits"),
+    )
+    n_rel = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    joined = per_q.join(n_rel, "query_id", "left").na.fill(
+        {"n_rel": 0}
+    )
+    ideal_n = F.least(F.lit(k), F.col("n_rel"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(ideal_n, F.lit(1))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return joined.select(
+        "query_id",
+        F.round(F.coalesce(F.col("__mrr"), F.lit(0.0)), round_to)
+            .alias("mrr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / idcg,
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias(f"ndcg_at_{k}"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("__hits").cast("double") / F.col("n_rel"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias(f"recall_at_{k}"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+    )

@@ -8674,3 +8674,119 @@ def q208_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed.alias("text_out"),
         (fixed != F.col("text")).alias("changed"),
     )
+
+
+@register(
+    "q209_retrieval_eval",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+               label AS qlabel
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               round(SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))), 4)
+                   AS sim
+        FROM (SELECT q.query_id, e.vec_id AS doc_id,
+                     unnest(CAST(e.embedding AS DOUBLE[])) AS a,
+                     unnest(q.qe) AS b
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS rnk
+        FROM scored
+    ),
+    qrels AS (
+        SELECT q.query_id, e.vec_id AS doc_id
+        FROM q JOIN embeddings e
+          ON e.label = q.qlabel AND e.vec_id <> q.query_id
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+    hits AS (
+        SELECT t.query_id, t.rnk
+        FROM ranked t JOIN qrels r
+          ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        WHERE t.rnk <= 10
+    ),
+    perq AS (
+        SELECT query_id, max(1.0 / rnk) AS mrr_raw,
+               SUM(1.0 / log2(rnk + 1)) AS dcg,
+               count(*) AS hits10
+        FROM hits GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT n.query_id, SUM(1.0 / log2(t.i + 1)) AS idcg
+        FROM nrel n,
+             unnest(generate_series(1, least(10, n.n_rel))) AS t(i)
+        GROUP BY n.query_id
+    )
+    SELECT q.query_id,
+           CAST(round(coalesce(p.mrr_raw, 0), 4) AS DOUBLE) AS mrr,
+           CAST(round(coalesce(p.dcg, 0) / i.idcg, 4) AS DOUBLE)
+               AS ndcg_at_10,
+           CAST(round(coalesce(p.hits10, 0) * 1.0 / n.n_rel, 4) AS DOUBLE)
+               AS recall_at_10,
+           CAST(n.n_rel AS BIGINT) AS n_rel
+    FROM q
+    LEFT JOIN perq p USING (query_id)
+    JOIN nrel n USING (query_id)
+    JOIN ideal i USING (query_id)
+    """,
+    doc="Ranking-quality evaluation (operators/retrieval.py "
+    "retrieval_eval; Järvelin & Kekäläinen TOIS 2002): per-query "
+    "MRR, binary-gain NDCG@10, and recall@10 — the loop every "
+    "retrieval/RAG pipeline closes with, completing the evaluation "
+    "family next to q156 (pairs), q159 (classifier), q160 "
+    "(clustering). Graded end-to-end on a REAL ranking: 16 query "
+    "vectors ranked against the corpus by exact cosine (q29's "
+    "rounded-sim + id tie-break, so order is engine-independent), "
+    "with relevance = the embeddings table's own label classes "
+    "(self excluded) — the oracle replays ranking and metrics in "
+    "SQL. Plan shape: top-k join against qrels + two grouped "
+    "aggregations; ideal DCG is a JVM-side sequence fold, never a "
+    "per-rank corpus explode. Metric cost is ∝ |top-k| + |qrels|, "
+    "independent of corpus size.",
+)
+def q209_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from atiesh_spark.operators.retrieval import retrieval_eval
+    from atiesh_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    d = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        as_double("embedding").alias("de"),
+        "label",
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id", "doc_id",
+            F.round(cosine(F.col("qe"), F.col("de")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+    runs = scored.select(
+        "query_id", "doc_id", F.row_number().over(w).alias("rank")
+    )
+    qrels = (
+        q.select("query_id", "qlabel")
+        .join(d.select("doc_id", "label"),
+              F.col("label") == F.col("qlabel"))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_eval(runs, qrels, k=10)

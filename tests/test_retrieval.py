@@ -280,3 +280,44 @@ def test_streaming_bm25_within_batch_duplicates_collapse(spark, tmp_path):
         (r["token"], r["tf"]) for r in post.filter("doc_id = 5").collect()
     }
     assert got5 == {("gamma", 2)}  # max text wins; no cross-version tf
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """Metrics against hand-computed values: relevant at ranks 2 and 5
+    with one more relevant outside the top-k."""
+    import math
+
+    from atiesh_spark.operators.retrieval import retrieval_eval
+
+    runs = spark.createDataFrame(
+        [("a", f"d{r}", r) for r in range(1, 6)]
+        + [("b", f"d{r}", r) for r in range(1, 4)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("a", "d2"), ("a", "d5"), ("a", "d99"), ("b", "d1")],
+        "query_id string, doc_id string",
+    )
+    got = {r.query_id: r for r in retrieval_eval(runs, qrels, k=5).collect()}
+    a = got["a"]
+    assert a.mrr == 0.5
+    dcg = 1 / math.log2(3) + 1 / math.log2(6)
+    idcg = 1 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert a.ndcg_at_5 == round(dcg / idcg, 4)
+    assert a.recall_at_5 == round(2 / 3, 4)
+    assert a.n_rel == 3
+    b = got["b"]
+    assert b.mrr == 1.0 and b.ndcg_at_5 == 1.0 and b.recall_at_5 == 1.0
+
+
+def test_retrieval_eval_no_qrels_query_zeroes(spark):
+    from atiesh_spark.operators.retrieval import retrieval_eval
+
+    runs = spark.createDataFrame(
+        [("q", "d1", 1)], "query_id string, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [], "query_id string, doc_id string"
+    )
+    [r] = retrieval_eval(runs, qrels, k=10).collect()
+    assert (r.mrr, r.ndcg_at_10, r.recall_at_10, r.n_rel) == (0.0, 0.0, 0.0, 0)
