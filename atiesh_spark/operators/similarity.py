@@ -1559,3 +1559,84 @@ def embedding_hygiene(
         F.round(F.min(F.when(clean, norm)), 4).alias("min_norm"),
         F.round(F.max(F.when(clean, norm)), 4).alias("max_norm"),
     )
+
+
+def bitext_margin_pairs(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 4,
+    num_planes: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    min_margin: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL 2019): align
+    each ``emb_a`` vector with its best ``emb_b`` candidate scored by
+    the RATIO margin — cosine divided by the mean of both sides'
+    k-nearest-candidate cosines — which suppresses hub vectors that
+    are merely close to everything. Emits (id_a, id_b, sim, margin)
+    for each a-side best alignment with margin strictly above
+    ``min_margin`` (1.0 = better than the neighborhood average; a
+    vector whose only candidate is its match has margin exactly 1.0
+    and is deliberately excluded as unsupported).
+
+    Scale shape: candidates are LSH-bucket pairs (the md5-derived
+    hyperplane signatures both engines can reproduce), never A x B —
+    per-bucket work is bounded exactly as in the ANN family, and the
+    k-NN means are per-id aggregates over candidates only. The
+    default ``num_planes=4`` is the small-corpus/oracle-enumerable
+    setting (the q110 precedent); production passes ``None`` for
+    corpus-sized planes via ``auto_num_planes``.
+    """
+    from pyspark.sql import Window
+
+    sig_a = emb_a.select(
+        F.col(id_col).alias("id_a"),
+        as_double(vec_col).alias("__va"),
+        _bucket_expr(vec_col, num_planes).alias("bucket"),
+    )
+    sig_b = emb_b.select(
+        F.col(id_col).alias("id_b"),
+        as_double(vec_col).alias("__vb"),
+        _bucket_expr(vec_col, num_planes).alias("bucket"),
+    )
+    cand = sig_a.join(sig_b, "bucket").select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+            .alias("sim"),
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.desc("sim"), F.asc("id_a"))
+    knn_a = (
+        cand.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_a")
+        .agg(F.avg("sim").alias("__knn_a"))
+    )
+    knn_b = (
+        cand.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_b")
+        .agg(F.avg("sim").alias("__knn_b"))
+    )
+    margins = (
+        cand.join(knn_a, "id_a")
+        .join(knn_b, "id_b")
+        .select(
+            "id_a", "id_b", "sim",
+            F.round(
+                F.col("sim")
+                / ((F.col("__knn_a") + F.col("__knn_b")) / 2.0),
+                round_to,
+            ).alias("margin"),
+        )
+    )
+    wbest = Window.partitionBy("id_a").orderBy(
+        F.desc("margin"), F.asc("id_b")
+    )
+    return (
+        margins.withColumn("__r", F.row_number().over(wbest))
+        .filter((F.col("__r") == 1) & (F.col("margin") > min_margin))
+        .drop("__r")
+    )

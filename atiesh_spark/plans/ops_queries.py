@@ -8790,3 +8790,100 @@ def q209_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id")
     )
     return retrieval_eval(runs, qrels, k=10)
+
+
+@register(
+    "q210_bitext_margin_mining",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS d,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT p, d,
+               ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR),
+                                    1, 1))::INT % 2) * 2 - 1)::DOUBLE AS sgn
+        FROM (SELECT unnest(generate_series(0, 3)) AS p),
+             (SELECT unnest(generate_series(0, 63)) AS d)
+    ),
+    proj AS (
+        SELECT v.vec_id, s.p, round(SUM(v.x * s.sgn), 6) AS pr
+        FROM v JOIN signs s ON v.d = s.d
+        GROUP BY v.vec_id, s.p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY p) AS bucket
+        FROM proj GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT ba.vec_id AS id_a, bb.vec_id AS id_b
+        FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket
+        WHERE ba.vec_id % 2 = 0 AND bb.vec_id % 2 = 1
+    ),
+    cand AS (
+        SELECT id_a, id_b,
+               round(SUM(x * y) / (sqrt(SUM(x * x)) * sqrt(SUM(y * y))), 4)
+                   AS sim
+        FROM (SELECT p.id_a, p.id_b,
+                     unnest(CAST(ea.embedding AS DOUBLE[])) AS x,
+                     unnest(CAST(eb.embedding AS DOUBLE[])) AS y
+              FROM pairs p
+              JOIN embeddings ea ON ea.vec_id = p.id_a
+              JOIN embeddings eb ON eb.vec_id = p.id_b)
+        GROUP BY id_a, id_b
+    ),
+    ka AS (
+        SELECT id_a, avg(sim) AS knn_a
+        FROM (SELECT id_a, sim,
+                     row_number() OVER (PARTITION BY id_a
+                                        ORDER BY sim DESC, id_b) AS r
+              FROM cand)
+        WHERE r <= 4 GROUP BY id_a
+    ),
+    kb AS (
+        SELECT id_b, avg(sim) AS knn_b
+        FROM (SELECT id_b, sim,
+                     row_number() OVER (PARTITION BY id_b
+                                        ORDER BY sim DESC, id_a) AS r
+              FROM cand)
+        WHERE r <= 4 GROUP BY id_b
+    ),
+    margins AS (
+        SELECT c.id_a, c.id_b, c.sim,
+               round(c.sim / ((ka.knn_a + kb.knn_b) / 2), 4) AS margin
+        FROM cand c JOIN ka USING (id_a) JOIN kb USING (id_b)
+    ),
+    best AS (
+        SELECT id_a, id_b, sim, margin,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY margin DESC, id_b) AS r
+        FROM margins
+    )
+    SELECT id_a, id_b, sim, margin FROM best
+    WHERE r = 1 AND margin > 1.0
+    """,
+    doc="Margin-based bitext mining (operators/similarity.py "
+    "bitext_margin_pairs; Artetxe & Schwenk ACL 2019): align each "
+    "even-id vector with its best odd-id candidate by the RATIO "
+    "margin — cosine over the mean of both sides' 4-nearest-"
+    "candidate cosines — which suppresses hub vectors near "
+    "everything; ids whose only support is the pair itself (margin "
+    "exactly 1.0) are excluded. The parallel-corpus mining step for "
+    "translation data, built on the ANN family's md5-derived "
+    "hyperplane buckets: candidates are bucket pairs, never A x B, "
+    "and the oracle replays buckets, cosines, k-NN means, margins, "
+    "and the best-pair selection in SQL (planes pinned to 4 for "
+    "enumerability — the q110 precedent; production passes "
+    "num_planes=None for corpus-sized buckets via auto_num_planes).",
+)
+def q210_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.similarity import bitext_margin_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_a = emb.filter(F.col("vec_id") % 2 == 0)
+    emb_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin_pairs(emb_a, emb_b, k=4, num_planes=4)
