@@ -68,32 +68,28 @@ def phash_gray(px: np.ndarray) -> int:
     ys = np.linspace(0, h, _N + 1)
     xs = np.linspace(0, w, _N + 1)
 
-    def _box(y0, y1, x0, x1):
-        # integral-image box sum with fractional edges
-        def at(y, x):
-            yi, xi = int(y), int(x)
-            fy, fx = y - yi, x - xi
-            v = ii[yi, xi]
-            if fy:
-                v += fy * (ii[min(yi + 1, h), xi] - ii[yi, xi])
-            if fx:
-                v += fx * (ii[yi, min(xi + 1, w)] - ii[yi, xi])
-            if fy and fx:
-                v += fy * fx * (
-                    ii[min(yi + 1, h), min(xi + 1, w)]
-                    - ii[min(yi + 1, h), xi]
-                    - ii[yi, min(xi + 1, w)]
-                    + ii[yi, xi]
-                )
-            return v
-
-        return at(y1, x1) - at(y0, x1) - at(y1, x0) + at(y0, x0)
-
-    small = np.empty((_N, _N), dtype=np.float64)
-    for i in range(_N):
-        for j in range(_N):
-            area = (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j])
-            small[i, j] = _box(ys[i], ys[i + 1], xs[j], xs[j + 1]) / area
+    # Fully vectorized bilinear integral-image sampling at the 33x33
+    # grid corners, then the 2-D difference gives every cell's box sum.
+    # Term structure and evaluation ORDER mirror the original scalar
+    # at()/_box() exactly (A + fy*(B-A) + fx*(C-A) + fy*fx*(D-B-C+A);
+    # zero fractions contribute an exact +0.0), so hashes are
+    # BIT-IDENTICAL to the per-cell loop this replaced — pinned by
+    # test_imagehash.py::test_vectorized_matches_scalar_reference.
+    yi = ys.astype(np.int64)
+    xi = xs.astype(np.int64)
+    fy = (ys - yi)[:, None]
+    fx = (xs - xi)[None, :]
+    yc = np.minimum(yi + 1, h)
+    xc = np.minimum(xi + 1, w)
+    a = ii[np.ix_(yi, xi)]
+    b = ii[np.ix_(yc, xi)]
+    c = ii[np.ix_(yi, xc)]
+    d = ii[np.ix_(yc, xc)]
+    at = a + fy * (b - a)
+    at = at + fx * (c - a)
+    at = at + (fy * fx) * (d - b - c + a)
+    area = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+    small = (at[1:, 1:] - at[:-1, 1:] - at[1:, :-1] + at[:-1, :-1]) / area
     dct = _DCT32 @ small @ _DCT32.T
     block = dct[:_K, :_K].flatten()
     med = float(np.median(block[1:]))  # DC excluded from the threshold

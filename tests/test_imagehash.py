@@ -101,3 +101,60 @@ def test_phash_images_error_rows_and_rgb_luma(spark):
     assert got[4]["phash"] is not None
     with pytest.raises(ValueError):
         phash_images(df, "media_id", "blob", codec="webp")
+
+
+def test_vectorized_matches_scalar_reference():
+    """The vectorized area-resample must be BIT-identical to the
+    original per-cell loop (same term structure and float op order) —
+    a drift here would silently shift every stored pHash."""
+    import numpy as np
+
+    from atiesh_spark.operators.imagehash import _DCT32, _K, _N, phash_gray
+
+    def reference(px):
+        h, w = px.shape
+        ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+        ii[1:, 1:] = np.cumsum(
+            np.cumsum(px.astype(np.float64), axis=0), axis=1
+        )
+        ys = np.linspace(0, h, _N + 1)
+        xs = np.linspace(0, w, _N + 1)
+
+        def at(y, x):
+            yi, xi = int(y), int(x)
+            fy, fx = y - yi, x - xi
+            v = ii[yi, xi]
+            if fy:
+                v += fy * (ii[min(yi + 1, h), xi] - ii[yi, xi])
+            if fx:
+                v += fx * (ii[yi, min(xi + 1, w)] - ii[yi, xi])
+            if fy and fx:
+                v += fy * fx * (
+                    ii[min(yi + 1, h), min(xi + 1, w)]
+                    - ii[min(yi + 1, h), xi]
+                    - ii[yi, min(xi + 1, w)]
+                    + ii[yi, xi]
+                )
+            return v
+
+        def box(y0, y1, x0, x1):
+            return at(y1, x1) - at(y0, x1) - at(y1, x0) + at(y0, x0)
+
+        small = np.empty((_N, _N), dtype=np.float64)
+        for i in range(_N):
+            for j in range(_N):
+                area = (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j])
+                small[i, j] = box(ys[i], ys[i + 1], xs[j], xs[j + 1]) / area
+        dct = _DCT32 @ small @ _DCT32.T
+        block = dct[:_K, :_K].flatten()
+        med = float(np.median(block[1:]))
+        bits = 0
+        for bpos, v in enumerate(block):
+            if v > med:
+                bits |= 1 << bpos
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    rng = np.random.default_rng(3)
+    for h, w in [(32, 32), (17, 23), (64, 48), (5, 200), (200, 5), (1, 1)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert phash_gray(px) == reference(px), (h, w)
