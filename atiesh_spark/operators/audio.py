@@ -39,6 +39,8 @@ from struct import error as struct_error
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from atiesh_spark.session import widen_for_python_stage
 from pyspark.sql.types import (
     FloatType,
     IntegerType,
@@ -147,7 +149,9 @@ def spectral_features(
                 ],
             )
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=SPECTRAL_SCHEMA
     )
 
@@ -199,7 +203,9 @@ def audio_fingerprint(
                 out, columns=["media_id", "gram_idx", "fp_hash", "error"]
             )
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=FINGERPRINT_SCHEMA
     )
 

@@ -31,6 +31,8 @@ from collections.abc import Iterator
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from atiesh_spark.session import widen_for_python_stage
 from pyspark.sql.types import (
     FloatType,
     IntegerType,
@@ -370,6 +372,8 @@ def sample_gif_frames(
                 ],
             )
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=GIF_FRAMES_SCHEMA
     )

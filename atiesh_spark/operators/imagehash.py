@@ -36,6 +36,8 @@ from collections.abc import Iterator
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from atiesh_spark.session import widen_for_python_stage
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -162,7 +164,9 @@ def phash_images(
                     out.append((mid, None, str(exc)))
             yield pd.DataFrame(out, columns=["media_id", "phash", "error"])
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=PHASH_SCHEMA
     )
 

@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from atiesh_spark.session import widen_for_python_stage
 from pyspark.sql.types import (
     FloatType,
     IntegerType,
@@ -675,6 +677,8 @@ def decode_jpeg(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                 ],
             )
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=JPEG_DECODED_SCHEMA
     )

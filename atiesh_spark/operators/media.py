@@ -31,6 +31,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from atiesh_spark.session import widen_for_python_stage
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
@@ -243,7 +245,9 @@ def catalog_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                 ],
             )
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=CATALOG_SCHEMA
     )
 

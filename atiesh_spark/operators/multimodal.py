@@ -29,6 +29,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from atiesh_spark.session import widen_for_python_stage
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -139,7 +141,9 @@ def decode_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(decode_batches, DECODED_SCHEMA)
+    return widen_for_python_stage(df.select(id_col, blob_col)).mapInPandas(
+        decode_batches, DECODED_SCHEMA
+    )
 
 
 @F.pandas_udf(ArrayType(FloatType()))
@@ -190,7 +194,9 @@ def resize_image(df: DataFrame, id_col: str, blob_col: str, width: int, height: 
                 out.append(buf.getvalue())
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "resized_blob": out})
 
-    return df.select(id_col, blob_col).mapInPandas(resize_batches, out_schema)
+    return widen_for_python_stage(df.select(id_col, blob_col)).mapInPandas(
+        resize_batches, out_schema
+    )
 
 
 def sample_frames(
@@ -231,7 +237,9 @@ def sample_frames(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_blob": blobs}
             )
 
-    return df.select(id_col, blob_col, duration_ms_col).mapInPandas(frame_batches, FRAME_SCHEMA)
+    return widen_for_python_stage(
+        df.select(id_col, blob_col, duration_ms_col)
+    ).mapInPandas(frame_batches, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -336,8 +344,8 @@ def decode_ppm(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                 ],
             )
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(blob_col)
+    return widen_for_python_stage(
+        df.select(F.col(id_col).alias(id_col), F.col(blob_col))
     ).mapInPandas(gen, schema=PPM_DECODED_SCHEMA)
 
 
@@ -368,7 +376,9 @@ def resize_ppm(
                 {id_col: pdf[id_col], blob_col: blobs}
             )
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=f"{id_col} long, {blob_col} binary"
     )
 
@@ -519,6 +529,6 @@ def decode_wav(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                 ],
             )
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(blob_col)
+    return widen_for_python_stage(
+        df.select(F.col(id_col).alias(id_col), F.col(blob_col))
     ).mapInPandas(gen, schema=WAV_DECODED_SCHEMA)

@@ -1401,3 +1401,49 @@ class StreamingCopyDetector:
 
     def read(self, spark) -> DataFrame:
         return self.pairs.read(spark)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "zlib_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    UTF-8 bytes) — the cheap whole-document redundancy signal the
+    Gopher/Dolma-class curation stacks use alongside the per-pattern
+    repetition fractions of ``gopher_rules``: templated or looped text
+    compresses far below natural prose, machine-generated high-entropy
+    noise compresses above it, and the ratio needs no corpus pass, no
+    vocabulary, and no shuffle.
+
+    Arrow-batched pandas UDF over stdlib zlib at a FIXED level so the
+    bytes (hence the ratio) are deterministic; empty/NULL text yields
+    NULL (no bytes to judge — surface it, never 0). Row-local: scoring
+    100 TB rides the scan like the rest of the quality family; the
+    ratio composes with ``curation``'s reason-coded gates as an
+    ordinary numeric column.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: hints are evaluated against module globals (PEP 563 +
+    # pyspark's get_type_hints), so the locally-imported pd cannot be
+    # referenced in the signature — annotate via __annotations__.
+    def _ratio_fn(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    _ratio_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_ratio_fn, "double")
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

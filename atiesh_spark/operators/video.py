@@ -35,6 +35,8 @@ from collections.abc import Iterator
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from atiesh_spark.session import widen_for_python_stage
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -92,7 +94,9 @@ def frame_phashes(
                 out, columns=["media_id", "frame_idx", "phash", "error"]
             )
 
-    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+    return widen_for_python_stage(
+        df.select(F.col(id_col), F.col(blob_col))
+    ).mapInPandas(
         gen, schema=FRAME_PHASH_SCHEMA
     )
 

@@ -132,3 +132,211 @@ def domain_stats(
             round_to,
         ).alias("dup_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+#: Closing tags that terminate a text block. Non-capturing group so the
+#: same pattern drives Spark's split (Java regex) and an RE2 engine.
+BLOCK_SPLIT_RE = r"(?i)</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|th|section|article|blockquote)>"
+
+#: HTML entities decoded after tag stripping (the practical set; a full
+#: entity table is a broadcast-join extension). ``&amp;`` is decoded
+#: LAST so ``&amp;lt;`` round-trips to the literal text ``&lt;`` instead
+#: of double-decoding to ``<``.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _block_text(block: Column) -> Column:
+    """Visible text of one HTML block: tags stripped, entities decoded,
+    whitespace collapsed. Tag stripping runs FIRST so a decoded
+    ``&lt;tag&gt;`` stays literal text (never re-parsed as markup)."""
+    txt = F.regexp_replace(block, r"<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(txt, r"[ \t\r\n]+", " "))
+
+
+def extract_html_content(
+    df: DataFrame,
+    html_col: str,
+    min_text_chars: int = 25,
+    max_link_density_pct: int = 33,
+) -> DataFrame:
+    """Boilerplate removal for crawl HTML: keep text blocks that read
+    like content, drop navigation/footer chrome — the jusText/
+    trafilatura core signal (Pomikalek 2011: block-level link density
+    + length), reduced to its deterministic skeleton so the SAME rule
+    runs in any engine. The in-page complement of ``functions/text.py
+    strip_markup`` (which flattens ALL markup and defers boilerplate
+    judgment) and of ``line_dedup`` (which removes CROSS-document
+    boilerplate by frequency): this operator decides per block, inside
+    one page, with no corpus pass.
+
+    Pipeline (all row-local codegen — regexp + higher-order functions,
+    zero shuffles, zero Python UDFs; extraction of 100 TB of HTML rides
+    the scan):
+
+    1. ``<script>``/``<style>`` elements removed outright (their text
+       is never content);
+    2. the page splits into blocks at closing block-level tags
+       (``BLOCK_SPLIT_RE``);
+    3. per block: visible text (tags stripped, entities decoded,
+       whitespace collapsed), its length, and the length of text
+       inside ``<a>`` elements;
+    4. a block is CONTENT iff ``text_chars >= min_text_chars`` and
+       ``link_chars * 100 <= max_link_density_pct * text_chars`` —
+       the density test is pure integer arithmetic so engines can
+       never disagree on the boundary.
+
+    Appends: ``clean_text`` (kept blocks joined with newlines),
+    ``n_blocks`` (non-empty blocks), ``kept_blocks``,
+    ``content_chars``, ``boiler_chars``.
+
+    Every regex is written in the Java∩RE2 dialect (non-capturing
+    groups, no backreferences, explicit ``[ \\t\\r\\n]`` class) — the
+    q54/q144 discipline that keeps the rule portable and
+    oracle-checkable.
+    """
+    h = F.col(html_col)
+    for tag in ("script", "style"):
+        h = F.regexp_replace(h, rf"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+
+    link_pat = F.lit(r"(?is)<a[^>]*>(.*?)</a>")
+    zero = F.lit(0).cast("int")
+
+    def stats(b: Column) -> Column:
+        txt = _block_text(b)
+        link_chars = F.aggregate(
+            F.regexp_extract_all(b, link_pat, F.lit(1)),
+            zero,
+            lambda acc, x: acc + F.length(_block_text(x)),
+        )
+        return F.struct(
+            txt.alias("txt"),
+            F.length(txt).alias("text_chars"),
+            link_chars.alias("link_chars"),
+        )
+
+    blocks = F.transform(F.split(h, BLOCK_SPLIT_RE), stats)
+    blocks = F.filter(blocks, lambda s: s["text_chars"] > 0)
+    kept = F.filter(
+        blocks,
+        lambda s: (s["text_chars"] >= F.lit(min_text_chars))
+        & (s["link_chars"] * 100 <= F.lit(max_link_density_pct) * s["text_chars"]),
+    )
+    sum_chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, zero, lambda acc, s: acc + s["text_chars"]
+    )
+    return (
+        df.withColumn("_blocks", blocks)
+        .withColumn("_kept", kept)
+        .select(
+            "*",
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["txt"]), "\n"
+            ).alias("clean_text"),
+            F.size("_blocks").alias("n_blocks"),
+            F.size("_kept").alias("kept_blocks"),
+            sum_chars(F.col("_kept")).alias("content_chars"),
+            (sum_chars(F.col("_blocks")) - sum_chars(F.col("_kept"))).alias(
+                "boiler_chars"
+            ),
+        )
+        .drop("_blocks", "_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt-style URL admission (RFC 9309 longest-match)
+# ---------------------------------------------------------------------------
+
+#: Regex metacharacters escaped when translating a robots path pattern
+#: to a regex. ``*`` is excluded (it is the robots wildcard) and the
+#: trailing ``$`` anchor is handled separately.
+_ROBOTS_ESCAPE_RE = r"([.^$+?(){}\[\]\\|])"
+
+
+def _robots_regex(pattern: Column) -> Column:
+    """Translate an RFC 9309 path pattern to an anchored Java/RE2
+    regex: ``*`` matches any run of characters, a trailing ``$``
+    anchors the end, everything else is literal."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    escaped = F.regexp_replace(body, _ROBOTS_ESCAPE_RE, r"\\$1")
+    wild = F.replace(escaped, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def apply_robots_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Admission decision per URL under robots.txt semantics (RFC
+    9309 / Google's reference matcher): among the host's rules whose
+    path pattern matches the URL path, the LONGEST pattern wins; on a
+    length tie the least-restrictive (Allow) rule wins; a URL
+    matching no rule is allowed.
+
+    ``rules`` is ``(host, allow boolean, pattern)`` — parsed per-host
+    Disallow/Allow lines, a crawl-metadata dimension that is small by
+    construction (robots files are KBs). Plan shape: the rules
+    aggregate to ONE array row per host (the only shuffle, on the KB-
+    sized dimension), broadcast-join onto the URL frame, and the
+    match + longest-wins selection run as row-local higher-order
+    functions (filter by in-plan regex, array_max over a
+    (length, allow) sort key) — the URL fact table NEVER shuffles;
+    admission of 100 TB of URLs rides the scan. Patterns translate
+    to regexes in-plan (``_robots_regex``: ``*`` -> ``.*``, trailing
+    ``$`` -> anchor, metacharacters escaped), so arbitrary rule sets
+    work, not just sanitized ones.
+
+    Appends ``allowed`` and ``matched_rule`` ('' when no rule
+    matched).
+    """
+    from pyspark.sql.functions import broadcast
+
+    host_rules = (
+        rules.select(
+            F.col("host").alias("_r_host"),
+            F.struct(
+                F.length("pattern").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("allow").alias("allow"),
+                F.col("pattern").alias("pattern"),
+                _robots_regex(F.col("pattern")).alias("regex"),
+            ).alias("r"),
+        )
+        .groupBy("_r_host")
+        .agg(F.collect_list("r").alias("_rules"))
+    )
+    joined = urls.join(
+        broadcast(host_rules),
+        F.col(host_col) == F.col("_r_host"),
+        "left",
+    )
+    path = F.col(path_col)
+    matching = F.filter(
+        F.col("_rules"), lambda r: F.regexp_like(path, r["regex"])
+    )
+    win = F.array_max(matching)
+    return joined.select(
+        *urls.columns,
+        F.coalesce(win["allow"], F.lit(True)).alias("allowed"),
+        F.coalesce(win["pattern"], F.lit("")).alias("matched_rule"),
+    )

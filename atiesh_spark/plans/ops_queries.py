@@ -8887,3 +8887,390 @@ def q210_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_a = emb.filter(F.col("vec_id") % 2 == 0)
     emb_b = emb.filter(F.col("vec_id") % 2 == 1)
     return bitext_margin_pairs(emb_a, emb_b, k=4, num_planes=4)
+
+
+@register(
+    "q211_html_extract",
+    oracle=r"""
+    WITH pages AS (
+        SELECT doc_id,
+            '<html><head><title>' || source
+            || '</title><style>p{color:red}</style></head><body>'
+            || '<div id="nav"><a href="/">Home</a> <a href="/x">Archive</a>'
+            || ' <a href="/y">About &amp; Contact</a></div>'
+            || '<script type="text/javascript">var id=' || doc_id
+            || '; if(id<10){id=10;}</script>'
+            || '<h2>Doc ' || doc_id || '</h2>'
+            || '<p>' || text
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' <a href="/more">Read more</a>' ELSE '' END
+            || '</p>'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '<p>Short &quot;note&quot; &#39;n&#39; &lt;b&gt;'
+                         || ' &nbsp; entity line here</p>'
+                    ELSE '' END
+            || '<div id="footer"><a href="/tos">Terms</a> &amp;'
+            || ' <a href="/priv">Privacy</a> (c) 2026</div>'
+            || '</body></html>' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(html,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+        FROM pages
+    ),
+    exarr AS (
+        SELECT doc_id,
+               regexp_split_to_array(h,
+          '(?i)</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|th|section|article|blockquote)>'
+               ) AS arr
+        FROM stripped
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(arr) AS block,
+               unnest(range(1, len(arr) + 1)) AS i
+        FROM exarr
+    ),
+    btxt AS (
+        SELECT doc_id, i,
+            trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(
+                    regexp_replace(block, '<[^>]*>', ' ', 'g'),
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                '[ \t\r\n]+', ' ', 'g')) AS txt,
+            coalesce(list_sum(list_transform(
+                regexp_extract_all(block, '(?is)<a[^>]*>(.*?)</a>', 1),
+                u -> length(trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                        regexp_replace(u, '<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                    '[ \t\r\n]+', ' ', 'g'))))), 0) AS link_chars
+        FROM ex
+    ),
+    judged AS (
+        SELECT doc_id, i, txt, length(txt) AS text_chars,
+               (length(txt) >= 25
+                AND link_chars * 100 <= 33 * length(txt)) AS keep
+        FROM btxt
+        WHERE length(txt) > 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_blocks,
+           CAST(coalesce(sum(text_chars) FILTER (WHERE keep), 0)
+                AS BIGINT) AS content_chars,
+           CAST(coalesce(sum(text_chars) FILTER (WHERE NOT keep), 0)
+                AS BIGINT) AS boiler_chars,
+           md5(coalesce(string_agg(txt, chr(10) ORDER BY i)
+                        FILTER (WHERE keep), '')) AS clean_md5
+    FROM judged
+    GROUP BY doc_id
+    """,
+    headline=True,
+    doc="HTML main-content extraction (operators/web.py "
+    "extract_html_content): boilerplate removal for crawl pages — the "
+    "jusText/trafilatura core signal (Pomikalek 2011) reduced to its "
+    "deterministic skeleton: script/style elements removed, the page "
+    "split into blocks at closing block-level tags, per-block visible "
+    "text (tags stripped FIRST, then entities decoded so &lt;b&gt; "
+    "stays literal, whitespace collapsed), and a block kept iff "
+    "text_chars >= 25 AND link_chars*100 <= 33*text_chars — the "
+    "density gate is integer arithmetic so engines cannot disagree on "
+    "the boundary. Pages are synthesized deterministically from "
+    "doc_id/source/text in BOTH engines (q144 pattern) with a "
+    "link-dense nav, a script containing a literal '<', a short "
+    "heading, the document body, an entity-only paragraph on even "
+    "ids, and a link-dense footer — every rule fires. All row-local "
+    "codegen (regexp + HOFs, Java-cap-RE2 dialect, zero shuffles, "
+    "zero Python UDFs): extracting 100 TB of HTML rides the scan. "
+    "Graded EXACTLY per page: block counts, content/boiler chars, "
+    "and md5 of the extracted text.",
+)
+def q211_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.web import extract_html_content
+
+    d = F.col("doc_id")
+    pages = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit("</title><style>p{color:red}</style></head><body>"),
+            F.lit('<div id="nav"><a href="/">Home</a> <a href="/x">Archive</a>'),
+            F.lit(' <a href="/y">About &amp; Contact</a></div>'),
+            F.lit('<script type="text/javascript">var id='),
+            d.cast("string"),
+            F.lit("; if(id<10){id=10;}</script>"),
+            F.lit("<h2>Doc "),
+            d.cast("string"),
+            F.lit("</h2>"),
+            F.lit("<p>"),
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(' <a href="/more">Read more</a>'))
+            .otherwise(F.lit("")),
+            F.lit("</p>"),
+            F.when(
+                d % 2 == 0,
+                F.lit(
+                    "<p>Short &quot;note&quot; &#39;n&#39; &lt;b&gt;"
+                    " &nbsp; entity line here</p>"
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<div id="footer"><a href="/tos">Terms</a> &amp;'),
+            F.lit(' <a href="/priv">Privacy</a> (c) 2026</div>'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    out = extract_html_content(pages, "html")
+    return out.select(
+        "doc_id",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("kept_blocks").cast("long").alias("kept_blocks"),
+        F.col("content_chars").cast("long").alias("content_chars"),
+        F.col("boiler_chars").cast("long").alias("boiler_chars"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+@register(
+    "q212_warc_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 32 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY doc_id % 32
+                                   ORDER BY doc_id) - 1 AS BIGINT)
+               AS rec_index,
+           'response' AS warc_type,
+           'https://corpus.example/doc/' || doc_id AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    doc="WARC archive ingestion end-to-end (sources/warc.py): the "
+    "documents table is packed into 32 ISO 28500 WARC/1.0 blobs "
+    "(encode_warc_records inside one applyInPandas over the shard "
+    "key — version line, CRLF headers, Content-Length framing, "
+    "record separators), then parse_warc_records splits the blobs "
+    "back into record rows in one mapInPandas pass (no shuffle, "
+    "work proportional to blob bytes, the codec-family error-row "
+    "contract for truncated/corrupt archives — unit tests cover bad "
+    "magic, truncation, missing separator, bad Content-Length). "
+    "Graded EXACTLY: every record's shard, index-in-archive, type, "
+    "target URI, payload byte length, and payload md5 must match "
+    "the oracle computing them directly from the source rows — the "
+    "write->read round trip proves both the framing and the parser "
+    "on real multi-byte UTF-8 payloads. In production the blob "
+    "frame comes from spark.read.format('binaryFile') over a crawl "
+    "bucket; parallelism = archive files.",
+)
+def q212_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from atiesh_spark.sources.warc import (
+        encode_warc_records,
+        parse_warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 32).alias("shard")
+    )
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (f"https://corpus.example/doc/{int(d)}", t.encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"shard": [key[0]], "blob": [encode_warc_records(recs)]}
+        )
+
+    blobs = docs.groupBy("shard").applyInPandas(
+        build, "shard bigint, blob binary"
+    )
+    recs = parse_warc_records(blobs, "blob", id_cols=("shard",))
+    return recs.select(
+        "shard",
+        F.col("rec_index").cast("long").alias("rec_index"),
+        "warc_type",
+        "target_uri",
+        "content_length",
+        F.md5("body").alias("body_md5"),
+    )
+
+
+@register(
+    "q213_compression_quality",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           true AS rep_below_nat_all,
+           true AS ratios_in_bounds,
+           true AS class_means_ordered
+    FROM documents
+    """,
+    doc="Compression-ratio quality signal (operators/textstats.py "
+    "compression_ratio): per-document zlib ratio (compressed/raw "
+    "bytes, fixed level 6) — the Gopher/Dolma-class whole-document "
+    "redundancy check: templated text compresses far below natural "
+    "prose, high-entropy noise above it. The ratio is not "
+    "SQL-expressible, so the grade is the sketch-family pattern "
+    "(q45/q104): three deterministic variants per document — NAT "
+    "(the text), REP (its first 40 chars repeated 10x), NOISE (8 "
+    "chained md5 hex digests, built entirely in codegen) — and the "
+    "oracle pins the class-separation truths measured to hold with "
+    "wide margins at this corpus: every REP ratio below its NAT "
+    "ratio (max rep 0.13 vs min nat 0.40 at sf0.01), all ratios in "
+    "(0, 1.2] (tiny docs exceed 1.0 from the zlib header — "
+    "documented, bounded), and strict ordering of the three class "
+    "means. One Arrow-batched pandas UDF pass over the exploded "
+    "variants, one groupBy(doc_id) shuffle of 3-row groups, one "
+    "global digest.",
+)
+def q213_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    noise = F.col("text")
+    chain = []
+    for _ in range(8):
+        noise = F.md5(noise)
+        chain.append(noise)
+    variants = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("nat").alias("variant"),
+                         F.col("text").alias("vtext")),
+                F.struct(F.lit("rep").alias("variant"),
+                         F.repeat(F.substring("text", 1, 40), 10).alias("vtext")),
+                F.struct(F.lit("noise").alias("variant"),
+                         F.concat(*chain).alias("vtext")),
+            )
+        ).alias("v"),
+    ).select("doc_id", "v.variant", F.col("v.vtext").alias("vtext"))
+    rated = compression_ratio(variants, "vtext")
+    per_doc = rated.groupBy("doc_id").agg(
+        F.max(F.when(F.col("variant") == "rep", F.col("zlib_ratio"))).alias("r_rep"),
+        F.max(F.when(F.col("variant") == "nat", F.col("zlib_ratio"))).alias("r_nat"),
+        F.max(F.when(F.col("variant") == "noise", F.col("zlib_ratio"))).alias("r_noise"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bool_and(F.col("r_rep") < F.col("r_nat")).alias("rep_below_nat_all"),
+        F.bool_and(
+            (F.col("r_rep") > 0) & (F.col("r_rep") <= 1.2)
+            & (F.col("r_nat") > 0) & (F.col("r_nat") <= 1.2)
+            & (F.col("r_noise") > 0) & (F.col("r_noise") <= 1.2)
+        ).alias("ratios_in_bounds"),
+        ((F.avg("r_rep") < F.avg("r_nat")) & (F.avg("r_nat") < F.avg("r_noise")))
+        .alias("class_means_ordered"),
+    )
+
+
+@register(
+    "q214_robots_admission",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'a.example.com'
+                    ELSE 'b.example.com' END AS host,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '/docs/' || lang || '/p' || (doc_id % 5)
+                         || CASE WHEN doc_id % 4 = 0 THEN '/print'
+                                 ELSE '' END
+                    ELSE CASE WHEN doc_id % 3 = 0
+                              THEN '/private/f' || (doc_id % 5)
+                              ELSE '/pub/f' || (doc_id % 5) END
+               END AS path
+        FROM documents
+    ),
+    rules(host, allow, pattern) AS (VALUES
+        ('a.example.com', false, '/docs/'),
+        ('a.example.com', true,  '/docs/en'),
+        ('a.example.com', false, '/*/print$'),
+        ('b.example.com', true,  '/'),
+        ('b.example.com', false, '/private/'),
+        ('b.example.com', false, '/pub/f1$'),
+        ('b.example.com', true,  '/pub/*1$')
+    ),
+    hits AS (
+        SELECT u.doc_id, u.host, u.path, r.allow, r.pattern,
+               row_number() OVER (
+                   PARTITION BY u.doc_id
+                   ORDER BY length(r.pattern) DESC, r.allow DESC,
+                            r.pattern
+               ) AS rk
+        FROM urls u
+        JOIN rules r
+          ON u.host = r.host
+         AND regexp_matches(u.path,
+               '^' || replace(
+                   CASE WHEN r.pattern LIKE '%$'
+                        THEN left(r.pattern, length(r.pattern) - 1)
+                        ELSE r.pattern END, '*', '.*')
+               || CASE WHEN r.pattern LIKE '%$' THEN '$' ELSE '' END)
+    )
+    SELECT doc_id, host, path, allow AS allowed, pattern AS matched_rule
+    FROM hits WHERE rk = 1
+    """,
+    doc="robots.txt admission filtering (operators/web.py "
+    "apply_robots_rules; RFC 9309): per-URL allow/deny under the "
+    "longest-match rule — among a host's matching Allow/Disallow "
+    "patterns the longest wins, a length tie goes to Allow, no match "
+    "means allowed. Plan shape for 100 TB of URLs: the KB-sized rule "
+    "dimension aggregates to one array row per host (the only "
+    "shuffle, on the dimension), broadcast-joins onto the URL frame, "
+    "and match + winner selection are row-local HOFs (filter by "
+    "in-plan translated regex, array_max over the (length, allow) "
+    "key) — the URL fact never shuffles. Patterns translate to "
+    "regexes in-plan: '*' -> '.*', trailing '$' -> end anchor, "
+    "metacharacters escaped. The synthesized fixture fires every "
+    "branch: prefix-over-prefix override (/docs/en beats /docs/), "
+    "wildcard-with-anchor dominance (/*/print$ beats both), an exact "
+    "length tie decided by Allow (/pub/f1$ vs /pub/*1$), and a "
+    "catch-all '/'. Graded EXACTLY per URL: decision + winning rule.",
+)
+def q214_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.web import apply_robots_rules
+
+    d = F.col("doc_id")
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 2 == 0, F.lit("a.example.com"))
+        .otherwise(F.lit("b.example.com"))
+        .alias("host"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("/docs/"), F.col("lang"), F.lit("/p"),
+                (d % 5).cast("string"),
+                F.when(d % 4 == 0, F.lit("/print")).otherwise(F.lit("")),
+            ),
+        )
+        .otherwise(
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("/private/f"), (d % 5).cast("string")),
+            ).otherwise(
+                F.concat(F.lit("/pub/f"), (d % 5).cast("string"))
+            )
+        )
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.example.com", False, "/docs/"),
+            ("a.example.com", True, "/docs/en"),
+            ("a.example.com", False, "/*/print$"),
+            ("b.example.com", True, "/"),
+            ("b.example.com", False, "/private/"),
+            ("b.example.com", False, "/pub/f1$"),
+            ("b.example.com", True, "/pub/*1$"),
+        ],
+        "host string, allow boolean, pattern string",
+    )
+    return apply_robots_rules(urls, rules)

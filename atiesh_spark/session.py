@@ -60,3 +60,25 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def widen_for_python_stage(df, min_partitions: int | None = None):
+    """Give a CPU-bound Arrow/pandas stage (codec decode, perceptual
+    hashing, archive parsing) enough partitions to use every core.
+
+    A narrow scan — one small parquet file, one kafka partition —
+    yields one split, and every operator until the next shuffle runs
+    on ONE core; for a Python decode stage that turns a 32-core box
+    into a 1-core box. At warehouse scale inputs arrive in thousands
+    of files and this is a plan-analysis no-op (the partition count is
+    already >= cores, nothing is added). On narrow inputs it inserts
+    one round-robin shuffle of the already-pruned (id, blob) columns —
+    cheap next to the decode it unblocks. Widening only, never a
+    coalesce: an already-wide layout passes through untouched, so
+    blob-sized rows are never shuffled at scale.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

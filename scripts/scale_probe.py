@@ -77,6 +77,16 @@ HEAVY = [
     # round 8: the codec-heaviest row-local media cell (GIF encode +
     # stride-2 LZW decode per doc) — should scale ~linearly
     "q200_gif_frame_sample",
+    # round 8: the rest of the media lab. q199 composes JPEG decode +
+    # pHash (vectorized area resample + DCT) with the LSH-banded
+    # Hamming join (the only media cell with a join); q201/q202 are
+    # row-local WAV synth + rFFT per doc feeding either a codegen agg
+    # (q201) or the landmark-pair self-join (q202); q204 chains the
+    # GIF codec with per-frame pHash and an adjacent-frame lag window.
+    "q199_image_phash_dedup",
+    "q201_audio_spectral",
+    "q202_audio_fingerprint_dedup",
+    "q204_gif_temporal_dedup",
 ]
 
 

@@ -668,15 +668,19 @@ def test_round8_media_lab_plan_shapes(spark):
     """Round-8 media family plan gates:
 
     - q201 (spectral features) and q203 (media catalog) are row-local
-      mapInPandas pipelines — ZERO exchanges; feature/catalog rows are
-      the only thing that survives the executor.
+      mapInPandas pipelines: the ONLY exchange permitted is
+      widen_for_python_stage's round-robin repartition (inserted on
+      narrow inputs so the Python decode stage uses every core; a
+      no-op on warehouse-wide inputs). No hash/range exchange — the
+      decoded rows themselves never shuffle.
     - q202 (audio landmark dedup) and q204 (temporal pHash dedup)
       candidate-join through equal grams only: no cartesian product or
       nested-loop join anywhere in their physical plans.
     """
     for name in ("q201_audio_spectral", "q203_media_catalog"):
         plan = plan_of(spark, name)
-        assert "Exchange" not in plan, name
+        assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, name
+        assert plan.count("RoundRobinPartitioning") <= 1, name
     for name in ("q202_audio_fingerprint_dedup", "q204_gif_temporal_dedup"):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name

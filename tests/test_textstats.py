@@ -540,3 +540,54 @@ def test_streaming_copy_detector_equals_batch_spans(spark, tmp_path):
     pair_ids = {(r[0], r[1]) for r in got}
     assert (0, 100) in pair_ids and (0, 200) in pair_ids
     assert (100, 200) in pair_ids and (2, 102) in pair_ids
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_orders_classes_and_nulls(spark):
+    from atiesh_spark.operators.textstats import compression_ratio
+
+    rep = "abc " * 100
+    nat = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors argue about compression ratios near the harbor wall. "
+        "further down the pier a cartographer sketches tide charts in "
+        "blue ink, pausing to watch gulls wheel above the fish market. "
+        "by evening the argument has moved to entropy coding, huffman "
+        "tables, and whether window sizes matter more than dictionaries "
+        "for prose of modest length written without much repetition."
+    )
+    import hashlib
+
+    h = nat
+    noise = []
+    for _ in range(8):
+        h = hashlib.md5(h.encode()).hexdigest()
+        noise.append(h)
+    noise = "".join(noise)
+    df = spark.createDataFrame(
+        [(1, rep), (2, nat), (3, noise), (4, None), (5, "")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["zlib_ratio"] for r in compression_ratio(df, "text").collect()}
+    # the robust relation: repetition compresses FAR below either prose
+    # or noise (class-mean ordering of nat vs noise is a corpus-scale
+    # property and is graded by q213, not pinned on single short strings)
+    assert out[1] < min(out[2], out[3]) / 3, out
+    assert 0 < out[1] and max(out[2], out[3]) <= 1.2
+    assert out[4] is None and out[5] is None
+
+
+def test_compression_ratio_deterministic_and_level_sensitive(spark):
+    from atiesh_spark.operators.textstats import compression_ratio
+
+    df = spark.createDataFrame([(1, "xyz " * 50)], "id long, text string")
+    a = compression_ratio(df, "text").collect()[0]["zlib_ratio"]
+    b = compression_ratio(df, "text").collect()[0]["zlib_ratio"]
+    assert a == b
+    # level 0 stores raw -> ratio above 1 for this input
+    c = compression_ratio(df, "text", level=0).collect()[0]["zlib_ratio"]
+    assert c > 1.0 > a

@@ -81,3 +81,128 @@ def test_canonicalize_is_idempotent(spark):
     assert all(
         r["url"] == r["canonical_url"] for r in twice.collect()
     ), "canonicalization must be a fixpoint"
+
+
+# ---------------------------------------------------------------------------
+# extract_html_content
+# ---------------------------------------------------------------------------
+
+from atiesh_spark.operators.web import apply_robots_rules, extract_html_content
+
+
+def _extract(spark, html: str) -> dict:
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    return extract_html_content(df, "html").collect()[0].asDict()
+
+
+def test_html_extract_keeps_content_drops_chrome(spark):
+    long_para = "word " * 20  # 100 chars, no links
+    html = (
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        f"<p>{long_para}</p>"
+        '<div><a href="/tos">Terms</a> <a href="/p">Privacy</a></div>'
+    )
+    r = _extract(spark, html)
+    assert r["kept_blocks"] == 1
+    assert r["n_blocks"] == 3
+    assert r["clean_text"] == long_para.strip()
+    assert r["content_chars"] == len(long_para.strip())
+    assert r["boiler_chars"] > 0
+
+
+def test_html_extract_strips_script_style_with_hostile_bodies(spark):
+    html = (
+        "<style>p{color:red}</style>"
+        '<script type="x">var a=1; if(a<2){a=2;}</script>'
+        f"<p>{'content here ' * 5}</p>"
+    )
+    r = _extract(spark, html)
+    assert r["kept_blocks"] == 1
+    assert "color" not in r["clean_text"] and "var" not in r["clean_text"]
+
+
+def test_html_extract_entities_decode_after_tag_strip(spark):
+    # &lt;b&gt; must survive as literal text, never re-parsed as a tag
+    html = "<p>x &lt;b&gt; &amp; &quot;q&quot; &#39;s&#39; y" + " pad" * 10 + "</p>"
+    r = _extract(spark, html)
+    assert "<b>" in r["clean_text"]
+    assert "& \"q\" 's'" in r["clean_text"]
+
+
+def test_html_extract_link_density_boundary_is_integer_exact(spark):
+    # tag strip replaces tags with a space, so text = a's + ' ' + b's
+    # = 31 chars; max 33% -> keep iff link_chars*100 <= 33*31 = 1023
+    # kept: 9 link chars, 900 <= 1023
+    keep = "<p>" + "a" * 21 + '<a href="/">' + "b" * 9 + "</a></p>"
+    # dropped: 11 link chars, 1100 > 1023
+    drop = "<p>" + "a" * 19 + '<a href="/">' + "b" * 11 + "</a></p>"
+    r = _extract(spark, keep + drop)
+    assert r["n_blocks"] == 2 and r["kept_blocks"] == 1
+    assert r["clean_text"] == "a" * 21 + " " + "b" * 9
+
+
+def test_html_extract_short_blocks_dropped(spark):
+    r = _extract(spark, "<h2>Doc 7</h2><p>tiny</p>")
+    assert r["n_blocks"] == 2 and r["kept_blocks"] == 0
+    assert r["clean_text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# apply_robots_rules
+# ---------------------------------------------------------------------------
+
+
+def _rules(spark):
+    return spark.createDataFrame(
+        [
+            ("h", False, "/docs/"),
+            ("h", True, "/docs/en"),
+            ("h", False, "/*/print$"),
+            ("h", False, "/pub/f1$"),
+            ("h", True, "/pub/*1$"),
+        ],
+        "host string, allow boolean, pattern string",
+    )
+
+
+def _decide(spark, path: str, host: str = "h") -> dict:
+    urls = spark.createDataFrame([(1, host, path)], "id long, host string, path string")
+    return apply_robots_rules(urls, _rules(spark)).collect()[0].asDict()
+
+
+def test_robots_longest_match_wins(spark):
+    assert _decide(spark, "/docs/fr/p1")["allowed"] is False
+    r = _decide(spark, "/docs/en/p1")
+    assert r["allowed"] is True and r["matched_rule"] == "/docs/en"
+
+
+def test_robots_wildcard_anchor_dominates(spark):
+    r = _decide(spark, "/docs/en/p1/print")
+    assert r["allowed"] is False and r["matched_rule"] == "/*/print$"
+    # anchor means no match when more path follows
+    assert _decide(spark, "/docs/en/printer")["allowed"] is True
+
+
+def test_robots_length_tie_goes_to_allow(spark):
+    r = _decide(spark, "/pub/f1")
+    assert r["allowed"] is True and r["matched_rule"] == "/pub/*1$"
+
+
+def test_robots_no_match_allows(spark):
+    r = _decide(spark, "/open/x")
+    assert r["allowed"] is True and r["matched_rule"] == ""
+    r2 = _decide(spark, "/anything", host="unknown.host")
+    assert r2["allowed"] is True and r2["matched_rule"] == ""
+
+
+def test_robots_metacharacters_are_literal(spark):
+    rules = spark.createDataFrame(
+        [("h", False, "/a.b(c)/")], "host string, allow boolean, pattern string"
+    )
+    urls = spark.createDataFrame(
+        [(1, "h", "/a.b(c)/x"), (2, "h", "/aXb(c)/x")],
+        "id long, host string, path string",
+    )
+    out = {r["id"]: r["allowed"] for r in apply_robots_rules(urls, rules).collect()}
+    assert out[1] is False  # literal match
+    assert out[2] is True   # '.' is not a regex dot
