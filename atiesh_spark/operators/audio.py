@@ -226,7 +226,12 @@ def audio_near_dup_pairs(
     |docs|²."""
     keys = fp.filter(F.col("error").isNull()).select(
         "media_id", "fp_hash"
-    ).distinct()
+    ).distinct().localCheckpoint()  # the df aggregate and BOTH self-join
+    # sides read this frame; without materialization each re-runs the
+    # upstream Python decode (WAV parse + FFT), turning one decode pass
+    # into three. The checkpoint is the narrow (id, int64) digest —
+    # ~16 bytes/row vs the megabyte blobs it came from — the same
+    # discipline as the SimHash block join (dedup.py:545).
     rare = (
         keys.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("df"))

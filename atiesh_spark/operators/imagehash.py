@@ -198,7 +198,11 @@ def near_dup_pairs_by_phash(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    h = hashes.filter(F.col("phash").isNotNull()).select("media_id", "phash")
+    h = hashes.filter(F.col("phash").isNotNull()).select(
+        "media_id", "phash"
+    ).localCheckpoint()  # bucket sizing and BOTH self-join sides read
+    # this; unmaterialized, each re-runs the JPEG decode + DCT upstream.
+    # (id, int64) rows only — tiny next to the blobs (dedup.py:545).
     banded = h.select(
         "media_id",
         "phash",

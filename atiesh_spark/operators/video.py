@@ -137,7 +137,10 @@ def temporal_near_dup_pairs(
     ``max_df`` documents are dropped before the self-join (a black
     frame repeated across a corpus identifies nothing and would
     contribute df² candidates)."""
-    keys = grams.select("media_id", "fp_hash").distinct()
+    keys = grams.select("media_id", "fp_hash").distinct().localCheckpoint()
+    # Materialize the narrow gram digest once: the df-cap aggregate and
+    # both self-join sides otherwise each re-run the upstream LZW decode
+    # + pHash stage (dedup.py:545 discipline).
     rare = (
         keys.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -8172,6 +8172,9 @@ def q201_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M64 = (1 << 64) - 1  # 64-bit wraparound for the seed-mixing hashes
+
+
 def synth_seeded_wav(docs: DataFrame, seeds: int) -> DataFrame:
     """Planted tone-sequence WAVs, seed = doc_id % seeds (sqmix bin
     formula). The registered q202 pins seeds=53 so its DuckDB oracle
@@ -8193,11 +8196,22 @@ def synth_seeded_wav(docs: DataFrame, seeds: int) -> DataFrame:
             blobs = []
             for did in pdf["doc_id"]:
                 s = int(did) % seeds
-                bins = [
-                    4 + (s * s * 29 + w * w * 43 + s * w * 7
-                         + s * 13 + w * 19) % 97
-                    for w in range(10)
-                ]
+                # splitmix-style 64-bit mix of (seed, window): the
+                # earlier polynomial-mod-97 formula made the WHOLE tone
+                # sequence a function of s % 97, so any seed count
+                # beyond 97 silently merged duplicate groups (measured:
+                # 530 scaled-probe seeds collapsed to ~97 patterns,
+                # median gram df 94 -> 472, join fan-out 54x). Mixing
+                # keeps sequences distinct at any seed count; bins stay
+                # in [4, 100] within every 128-bin frame.
+                bins = []
+                for w in range(10):
+                    h = (s * 0x9E3779B97F4A7C15
+                         + w * 0xBF58476D1CE4E5B9) & _M64
+                    h ^= h >> 31
+                    h = (h * 0xD6E8FEB86659FD93) & _M64
+                    h ^= h >> 32
+                    bins.append(4 + h % 97)
                 parts = [
                     0.5 * np.sin(2 * np.pi * b * (i + 0.5) / 256)
                     for b in bins
@@ -8229,12 +8243,23 @@ def synth_seeded_gif(docs: DataFrame, seeds: int) -> DataFrame:
             blobs = []
             for did in pdf["doc_id"]:
                 s = int(did) % seeds
-                frames = [
-                    ((n * (2654435761 + s * 101 + f * 137) + s * s * 1013
-                      + f * f * 2027 + s * f * 7919) % 251 % 256)
-                    .reshape(32, 32).astype(np.uint8)
-                    for f in range(6)
-                ]
+                # Same mixed-hash rationale as synth_seeded_wav: the
+                # old affine-mod-251 pattern made every frame a
+                # function of s % 251, merging duplicate groups once
+                # the scaled probe crossed 251 seeds.
+                frames = []
+                for f in range(6):
+                    h = (s * 0x9E3779B97F4A7C15
+                         + f * 0x94D049BB133111EB) & _M64
+                    h ^= h >> 31
+                    h = (h * 0xD6E8FEB86659FD93) & _M64
+                    h ^= h >> 32
+                    mult = 1 + h % 250
+                    off = (h >> 16) % 251
+                    frames.append(
+                        ((n * mult + off) % 251 % 256)
+                        .reshape(32, 32).astype(np.uint8)
+                    )
                 blobs.append(encode_gif(frames, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
