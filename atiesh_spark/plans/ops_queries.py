@@ -9299,3 +9299,290 @@ def q214_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host string, allow boolean, pattern string",
     )
     return apply_robots_rules(urls, rules)
+
+
+# ---------------------------------------------------------------------------
+# Generation-quality evaluation: corpus BLEU / chrF (operators/evaluate.py)
+# ---------------------------------------------------------------------------
+
+_EVAL_TOKS = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+#: Shared candidate/reference fixture for q215/q216, mirrored verbatim in
+#: both oracles: candidate = the document text; reference = the same word
+#: list with every word at 0-based position i where (i + doc_id) % 7 == 0
+#: replaced by 'alt<i>' (a per-doc-shifted ~1/7 substitution rate, so
+#: precisions land strictly inside (0, 1)), then the first (doc_id % 4)
+#: words appended again (references run LONGER than candidates, so the
+#: brevity penalty branch exp(1 - r_len/c_len) actually fires per group).
+#: The token array is materialized as its own column first — inlining
+#: the split into the position lambda re-tokenizes per WORD (O(len^2)
+#: per row; measured 2.8 s of pure fixture cost at sf0.1).
+_EVAL_REF_EXPR = (
+    "array_join(concat("
+    "transform(sequence(1, size(__toks)), "
+    "i -> IF((i - 1 + doc_id) % 7 = 0, "
+    "concat('alt', cast(i - 1 AS string)), "
+    "element_at(__toks, i))), "
+    "slice(__toks, 1, cast(doc_id % 4 AS int))"
+    "), ' ')"
+)
+
+#: DuckDB twin of the fixture (1-based list positions, hence i - 1).
+_EVAL_PAIRS_SQL = r"""
+    base AS (
+        SELECT doc_id AS pair_id, lang, text AS cand,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT pair_id, lang, cand,
+               array_to_string(list_concat(
+                   list_transform(generate_series(1, len(toks)),
+                       i -> CASE WHEN (i - 1 + pair_id) % 7 = 0
+                                 THEN 'alt' || CAST(i - 1 AS VARCHAR)
+                                 ELSE toks[CAST(i AS INT)] END),
+                   toks[1:CAST(pair_id % 4 AS INT)]), ' ') AS ref
+        FROM base WHERE len(toks) > 0
+    )
+"""
+
+
+def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.session import widen_for_python_stage
+
+    docs = widen_for_python_stage(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+    )
+    toked = docs.select(
+        "doc_id", "lang", "text", F.expr(_EVAL_TOKS).alias("__toks")
+    ).filter(F.expr("size(__toks) > 0"))
+    return toked.select(
+        F.col("doc_id").alias("pair_id"),
+        "lang",
+        F.col("text").alias("cand"),
+        F.expr(_EVAL_REF_EXPR).alias("ref"),
+    )
+
+
+@register(
+    "q215_corpus_bleu",
+    oracle="WITH "
+    + _EVAL_PAIRS_SQL
+    + r""",
+    sides AS (
+        SELECT pair_id, 'c' AS side,
+               list_filter(string_split_regex(cand, '\s+'),
+                           x -> x <> '') AS w
+        FROM pairs
+        UNION ALL
+        SELECT pair_id, 'r',
+               list_filter(string_split_regex(ref, '\s+'), x -> x <> '')
+        FROM pairs
+    ),
+    grams AS (
+        SELECT pair_id, side, nn.n AS n,
+               unnest(list_transform(
+                   generate_series(1, len(w) - nn.n + 1),
+                   i -> array_to_string(
+                       w[CAST(i AS INT):CAST(i + nn.n - 1 AS INT)], ' ')
+               )) AS gram
+        FROM sides, (SELECT unnest([1, 2, 3, 4]) AS n) nn
+        WHERE len(w) >= nn.n
+    ),
+    cnt AS (
+        SELECT pair_id, side, n, gram, count(*) AS c
+        FROM grams GROUP BY pair_id, side, n, gram
+    ),
+    clip AS (
+        SELECT c.pair_id, c.n, SUM(LEAST(c.c, r.c)) AS clipped
+        FROM cnt c JOIN cnt r
+          ON c.pair_id = r.pair_id AND c.n = r.n AND c.gram = r.gram
+         AND c.side = 'c' AND r.side = 'r'
+        GROUP BY c.pair_id, c.n
+    ),
+    tot AS (
+        SELECT pair_id, n,
+               SUM(CASE WHEN side = 'c' THEN c END) AS c_total,
+               SUM(CASE WHEN side = 'r' THEN c END) AS r_total
+        FROM cnt GROUP BY pair_id, n
+        HAVING SUM(CASE WHEN side = 'c' THEN c END) IS NOT NULL
+           AND SUM(CASE WHEN side = 'r' THEN c END) IS NOT NULL
+    ),
+    pern AS (
+        SELECT p.lang AS grp, t.n,
+               SUM(COALESCE(j.clipped, 0)) AS clipped,
+               SUM(t.c_total) AS c_total,
+               SUM(t.r_total) AS r_total,
+               COUNT(*) AS n_pairs
+        FROM tot t
+        LEFT JOIN clip j ON j.pair_id = t.pair_id AND j.n = t.n
+        JOIN pairs p ON p.pair_id = t.pair_id
+        GROUP BY p.lang, t.n
+    ),
+    grid AS (
+        SELECT g.grp, nn.n
+        FROM (SELECT DISTINCT grp FROM pern) g,
+             (SELECT unnest([1, 2, 3, 4]) AS n) nn
+    ),
+    filled AS (
+        SELECT grid.grp, grid.n,
+               COALESCE(p.clipped, 0) AS clipped,
+               COALESCE(p.c_total, 0) AS c_total,
+               COALESCE(p.r_total, 0) AS r_total,
+               COALESCE(p.n_pairs, 0) AS n_pairs
+        FROM grid LEFT JOIN pern p
+          ON p.grp = grid.grp AND p.n = grid.n
+    ),
+    scored AS (
+        SELECT grp,
+               MAX(CASE WHEN n = 1 THEN n_pairs END) AS n_pairs,
+               MAX(CASE WHEN n = 1 THEN c_total END) AS c_len,
+               MAX(CASE WHEN n = 1 THEN r_total END) AS r_len,
+               MAX(CASE WHEN n = 1 THEN clipped END) AS clip1,
+               MAX(CASE WHEN n = 1
+                        THEN round(clipped / c_total, 4) END) AS p1,
+               MAX(CASE WHEN n = 2
+                        THEN round((clipped + 1) / (c_total + 1), 4)
+                   END) AS p2,
+               MAX(CASE WHEN n = 3
+                        THEN round((clipped + 1) / (c_total + 1), 4)
+                   END) AS p3,
+               MAX(CASE WHEN n = 4
+                        THEN round((clipped + 1) / (c_total + 1), 4)
+                   END) AS p4,
+               SUM(ln(GREATEST(
+                   CASE WHEN n = 1 THEN clipped / c_total
+                        ELSE (clipped + 1) / (c_total + 1) END,
+                   1e-300))) / 4 AS logmean
+        FROM filled GROUP BY grp
+    )
+    SELECT grp AS lang,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(c_len AS BIGINT) AS c_len,
+           CAST(r_len AS BIGINT) AS r_len,
+           CAST(round(CASE WHEN c_len >= r_len THEN 1.0
+                           ELSE exp(1.0 - r_len / c_len) END, 4)
+                AS DOUBLE) AS bp,
+           CAST(p1 AS DOUBLE) AS p1, CAST(p2 AS DOUBLE) AS p2,
+           CAST(p3 AS DOUBLE) AS p3, CAST(p4 AS DOUBLE) AS p4,
+           CAST(round(CASE WHEN clip1 = 0 THEN 0.0
+                           ELSE (CASE WHEN c_len >= r_len THEN 1.0
+                                      ELSE exp(1.0 - r_len / c_len) END)
+                                * exp(logmean) END, 4)
+                AS DOUBLE) AS bleu
+    FROM scored
+    """,
+    doc="Corpus-level BLEU per language group (operators/evaluate.py "
+    "corpus_bleu; Papineni et al. ACL 2002, add-one smoothing for "
+    "n >= 2 per Lin & Och 2004): the closing metric of any "
+    "generation/translation pipeline. Fixture: reference = the "
+    "candidate's word list with a per-doc-shifted 1-in-7 "
+    "substitution plus doc_id%4 words re-appended, so precisions sit "
+    "strictly inside (0,1), the brevity penalty fires (refs run "
+    "longer), and both engines rebuild the identical pair table from "
+    "documents alone. Plan shape for 100 TB: ONE n-gram explode per "
+    "side covering all 4 orders -> map-side-combined per-(pair,n,"
+    "gram) counts -> one equi-join that reuses the groupBy "
+    "partitioning -> integer sums per (group,n). All precisions are "
+    "ratios of exact integer sums; the only cross-engine float ops "
+    "are the final ln/exp/divide, rounded to 4dp both sides. The "
+    "(group,n) grid completion makes orders no candidate reaches an "
+    "exact smoothed 1.0 instead of a NULL that poisons the log-mean.",
+)
+def q215_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.evaluate import corpus_bleu
+
+    return corpus_bleu(
+        _eval_pairs(spark, sf_dir), "pair_id", "cand", "ref", "lang"
+    )
+
+
+@register(
+    "q216_corpus_chrf",
+    oracle="WITH "
+    + _EVAL_PAIRS_SQL
+    + r""",
+    sides AS (
+        SELECT pair_id, 'c' AS side,
+               regexp_replace(cand, '\s+', '', 'g') AS s
+        FROM pairs
+        UNION ALL
+        SELECT pair_id, 'r', regexp_replace(ref, '\s+', '', 'g')
+        FROM pairs
+    ),
+    grams AS (
+        SELECT pair_id, side, nn.n AS n,
+               unnest(list_transform(
+                   generate_series(1, length(s) - nn.n + 1),
+                   i -> substr(s, CAST(i AS INT), nn.n))) AS gram
+        FROM sides, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) nn
+        WHERE length(s) >= nn.n
+    ),
+    cnt AS (
+        SELECT pair_id, side, n, gram, count(*) AS c
+        FROM grams GROUP BY pair_id, side, n, gram
+    ),
+    clip AS (
+        SELECT c.pair_id, c.n, SUM(LEAST(c.c, r.c)) AS clipped
+        FROM cnt c JOIN cnt r
+          ON c.pair_id = r.pair_id AND c.n = r.n AND c.gram = r.gram
+         AND c.side = 'c' AND r.side = 'r'
+        GROUP BY c.pair_id, c.n
+    ),
+    tot AS (
+        SELECT pair_id, n,
+               SUM(CASE WHEN side = 'c' THEN c END) AS c_total,
+               SUM(CASE WHEN side = 'r' THEN c END) AS r_total
+        FROM cnt GROUP BY pair_id, n
+        HAVING SUM(CASE WHEN side = 'c' THEN c END) IS NOT NULL
+           AND SUM(CASE WHEN side = 'r' THEN c END) IS NOT NULL
+    ),
+    pern AS (
+        SELECT p.lang AS grp, t.n,
+               SUM(COALESCE(j.clipped, 0)) AS clipped,
+               SUM(t.c_total) AS c_total,
+               SUM(t.r_total) AS r_total,
+               COUNT(*) AS n_pairs
+        FROM tot t
+        LEFT JOIN clip j ON j.pair_id = t.pair_id AND j.n = t.n
+        JOIN pairs p ON p.pair_id = t.pair_id
+        GROUP BY p.lang, t.n
+        HAVING SUM(t.c_total) > 0 AND SUM(t.r_total) > 0
+    ),
+    scored AS (
+        SELECT grp, MAX(n_pairs) AS n_pairs,
+               AVG(clipped / c_total) AS p,
+               AVG(clipped / r_total) AS r
+        FROM pern GROUP BY grp
+    )
+    SELECT grp AS lang,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(round(p, 4) AS DOUBLE) AS chr_p,
+           CAST(round(r, 4) AS DOUBLE) AS chr_r,
+           CAST(round(CASE WHEN p = 0 AND r = 0 THEN 0.0
+                           ELSE 5 * p * r / (4 * p + r) END, 4)
+                AS DOUBLE) AS chrf
+    FROM scored
+    """,
+    headline=True,
+    doc="Corpus-level chrF2 per language group (operators/evaluate.py "
+    "corpus_chrf; Popović WMT 2015): character n-gram (n=1..6, "
+    "whitespace stripped) precision/recall averaged arithmetically "
+    "over effective orders, combined recall-weighted (beta=2). Same "
+    "engine-mirrored fixture as q215. The character explode is the "
+    "heavy variant (6 orders x every char position x both sides), "
+    "which is why this query carries the evaluation family's hot "
+    "bench cell: one explode per side, map-side combine to "
+    "per-(pair,n,gram) counts, one partitioning-reusing equi-join, "
+    "integer sums per (group,n) — metric cost linear in corpus "
+    "characters at any scale, never all-pairs.",
+)
+def q216_corpus_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.evaluate import corpus_chrf
+
+    return corpus_chrf(
+        _eval_pairs(spark, sf_dir), "pair_id", "cand", "ref", "lang"
+    )

@@ -1,0 +1,170 @@
+"""corpus_bleu / corpus_chrf (operators/evaluate.py) against
+hand-computed Papineni-2002 / Popović-2015 values."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.evaluate import corpus_bleu, corpus_chrf
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "pair_id bigint, grp string, cand string, ref string"
+    )
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+class TestCorpusBleu:
+    def test_hand_computed_single_pair(self, spark):
+        # cand unigrams clipped 5/6; bigrams 3/5 -> (3+1)/(5+1);
+        # trigram overlap only "on the mat" -> (1+1)/(4+1);
+        # no 4-gram overlap -> (0+1)/(3+1). c_len = r_len = 6 -> bp 1.
+        df = corpus_bleu(
+            _pairs(spark, [(1, "g", "the cat sat on the mat",
+                            "the cat is on the mat")]),
+            "pair_id", "cand", "ref", "grp",
+        )
+        r = _one(df)
+        assert (r["n_pairs"], r["c_len"], r["r_len"]) == (1, 6, 6)
+        assert r["bp"] == 1.0
+        assert r["p1"] == round(5 / 6, 4)
+        assert r["p2"] == round(4 / 6, 4)
+        assert r["p3"] == round(2 / 5, 4)
+        assert r["p4"] == round(1 / 4, 4)
+        expected = math.exp(
+            (math.log(5 / 6) + math.log(4 / 6)
+             + math.log(2 / 5) + math.log(1 / 4)) / 4
+        )
+        assert r["bleu"] == pytest.approx(round(expected, 4), abs=1e-9)
+
+    def test_identical_is_one(self, spark):
+        r = _one(corpus_bleu(
+            _pairs(spark, [(1, "g", "a b c d e", "a b c d e")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert (r["p1"], r["p2"], r["p3"], r["p4"]) == (1.0, 1.0, 1.0, 1.0)
+        assert r["bleu"] == 1.0
+
+    def test_short_text_grid_completion(self, spark):
+        # Two-word texts have no 3-/4-grams anywhere in the group: the
+        # (group, n) grid must fill those orders with the smoothed
+        # (0+1)/(0+1) = 1, not NULL-poison the log mean.
+        r = _one(corpus_bleu(
+            _pairs(spark, [(1, "g", "a b", "a b")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert (r["p3"], r["p4"]) == (1.0, 1.0)
+        assert r["bleu"] == 1.0
+
+    def test_no_unigram_overlap_scores_zero(self, spark):
+        r = _one(corpus_bleu(
+            _pairs(spark, [(1, "g", "x y z", "a b c")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert r["p1"] == 0.0
+        assert r["bleu"] == 0.0
+
+    def test_brevity_penalty(self, spark):
+        # cand 2 tokens vs ref 4 -> bp = exp(1 - 4/2) = exp(-1).
+        r = _one(corpus_bleu(
+            _pairs(spark, [(1, "g", "a b", "a b a b")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert r["bp"] == round(math.exp(-1), 4)
+
+    def test_corpus_pools_counts_per_group(self, spark):
+        # Corpus BLEU sums counts over the group BEFORE the ratio:
+        # p1 = (2 + 0) / (2 + 2) = 0.5, NOT mean(1, 0) of per-pair
+        # scores.
+        df = corpus_bleu(
+            _pairs(spark, [(1, "g", "a b", "a b"),
+                           (2, "g", "x y", "p q")]),
+            "pair_id", "cand", "ref", "grp",
+        )
+        assert _one(df)["p1"] == 0.5
+
+    def test_groups_are_independent(self, spark):
+        df = corpus_bleu(
+            _pairs(spark, [(1, "g1", "a b c", "a b c"),
+                           (2, "g2", "x y z", "p q r")]),
+            "pair_id", "cand", "ref", "grp",
+        )
+        got = {r["grp"]: r["bleu"] for r in df.collect()}
+        assert got == {"g1": 1.0, "g2": 0.0}
+
+
+class TestCorpusChrf:
+    def test_identical_is_one(self, spark):
+        r = _one(corpus_chrf(
+            _pairs(spark, [(1, "g", "abcdef gh", "abcdef gh")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert (r["chr_p"], r["chr_r"], r["chrf"]) == (1.0, 1.0, 1.0)
+
+    def test_hand_computed(self, spark):
+        # 'abc' vs 'abd': n=1 -> 2/3 both sides; n=2 ('ab','bc' vs
+        # 'ab','bd') -> 1/2; n=3 -> 0/1. Effective orders 1..3, so
+        # P = R = (2/3 + 1/2 + 0) / 3, and F-beta with P == R is P.
+        r = _one(corpus_chrf(
+            _pairs(spark, [(1, "g", "abc", "abd")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        expected = round((2 / 3 + 1 / 2 + 0) / 3, 4)
+        assert r["chr_p"] == expected
+        assert r["chr_r"] == expected
+        assert r["chrf"] == expected
+
+    def test_whitespace_is_stripped(self, spark):
+        # chrF operates on the space-stripped stream: 'a b' == 'ab'.
+        r = _one(corpus_chrf(
+            _pairs(spark, [(1, "g", "a b", "ab")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert r["chrf"] == 1.0
+
+    def test_recall_weighting(self, spark):
+        # cand 'ab', ref 'abab' (effective orders 1..2 on both sides):
+        # P: n1 2/2, n2 1/1 -> 1.0 ; R: n1 2/4, n2 1/3 -> 5/12.
+        # chrF2 = 5PR / (4P + R) with beta = 2 leans toward recall.
+        r = _one(corpus_chrf(
+            _pairs(spark, [(1, "g", "ab", "abab")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        p, rr = 1.0, (2 / 4 + 1 / 3) / 2
+        assert r["chr_p"] == 1.0
+        assert r["chr_r"] == round(rr, 4)
+        assert r["chrf"] == round(5 * p * rr / (4 * p + rr), 4)
+
+    def test_zero_overlap(self, spark):
+        r = _one(corpus_chrf(
+            _pairs(spark, [(1, "g", "aaa", "bbb")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert (r["chr_p"], r["chr_r"], r["chrf"]) == (0.0, 0.0, 0.0)
+
+
+def test_plan_no_python_and_bounded_exchanges(spark):
+    # Both metrics must stay JVM-side (no Python workers in the plan)
+    # and shuffle a bounded number of times: ONE tagged gram explode
+    # feeds map-side-combined counts, and the narrowing aggregates
+    # reuse keys — the measured plans are 7 exchanges for BLEU (the
+    # grid join broadcasts) and 4 for chrF. A jump past these bounds
+    # means a subtree started recomputing or a join stopped
+    # broadcasting.
+    pairs = _pairs(spark, [(1, "g", "a b c", "a b d")])
+    bleu = corpus_bleu(pairs, "pair_id", "cand", "ref", "grp")
+    chrf = corpus_chrf(pairs, "pair_id", "cand", "ref", "grp")
+    for df, max_exchanges in ((bleu, 8), (chrf, 5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert plan.count("Exchange") <= max_exchanges
+    bleu_plan = bleu._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in bleu_plan  # the (group, n) grid join
