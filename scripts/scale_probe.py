@@ -87,6 +87,11 @@ HEAVY = [
     "q201_audio_spectral",
     "q202_audio_fingerprint_dedup",
     "q204_gif_temporal_dedup",
+    # round 8 (session 2): the generation-eval family — the char-gram
+    # explode (6 orders x every char x both sides) is the heaviest
+    # relational text path added this round; BLEU is its word twin
+    "q215_corpus_bleu",
+    "q216_corpus_chrf",
 ]
 
 
