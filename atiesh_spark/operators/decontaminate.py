@@ -165,19 +165,25 @@ def decontaminate_bloom(
     and a shingle "maybe hits" when all ``k_hashes`` of its positions
     matched — one map-side-combined groupBy(doc) after it.
     """
+    from atiesh_spark.functions.text import ws_tokens
+
     flt = bloom_positions(
-        bench.select(F.col(bench_text_col)).withColumn(
-            "__sh", F.explode(_wordgrams(F.col(bench_text_col), n))
-        ).select(F.col("__sh")),
+        bench.select(ws_tokens(F.col(bench_text_col)).alias("__ws"))
+        .select(F.explode(_wordgrams(F.col("__ws"), n)).alias("__sh")),
         "__sh",
         m_bits,
         k_hashes,
     )
     if broadcast_filter:
         flt = F.broadcast(flt)
-    sh = docs.select(
-        F.col(id_col), F.explode(_wordgrams(F.col(text_col), n)).alias("__sh")
-    ).distinct()
+    sh = (
+        docs.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__ws"))
+        .select(
+            F.col(id_col),
+            F.explode(_wordgrams(F.col("__ws"), n)).alias("__sh"),
+        )
+        .distinct()
+    )
     pos = sh.select(
         id_col, "__sh",
         F.posexplode(_bloom_pos(F.col("__sh"), m_bits, k_hashes)).alias(
@@ -208,11 +214,12 @@ def decontaminate_bloom(
     )
 
 
-def _wordgrams(text: Column, n: int) -> Column:
-    """Space-joined word n-grams of a text column (array<string>)."""
-    from atiesh_spark.functions.text import ws_tokens
-
-    ws = ws_tokens(text)
+def _wordgrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams over an ALREADY-MATERIALIZED token
+    array column (array<string>). Callers must project ``ws_tokens``
+    into its own column first — passing the tokenizer expression
+    inline re-splits the text once per gram position (the O(words^2)
+    lambda trap, see operators/evaluate.py)."""
     return F.when(
         F.size(ws) >= n,
         F.transform(

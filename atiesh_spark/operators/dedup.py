@@ -79,9 +79,13 @@ def word_shingles(
     ``n`` tokens contribute no shingles. Plugs into the same ``shingles=``
     slot of ngram_jaccard_pairs / minhash_lsh_pairs.
     """
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
-    )
+    # The token array is materialized as its own projection BEFORE the
+    # positional transform: inlining the split into gram() re-tokenizes
+    # the text once per (position, offset) pair — O(words^2) per row
+    # (the trap measured at 20x+ on the regexp-based chrF path,
+    # operators/evaluate.py). CollapseProject won't re-inline a
+    # non-trivial alias referenced more than once.
+    toks = F.col("__toks")
     positions = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
 
     def gram(i):
@@ -96,6 +100,12 @@ def word_shingles(
 
     out = (
         _fanout(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+            ).alias("__toks"),
+        )
         .select(F.col(id_col), F.explode(F.transform(positions, gram)).alias("sh"))
         .filter(F.col("sh").isNotNull())
     )
