@@ -85,11 +85,14 @@ def bpe_pair_counts(
     One corpus shuffle (word freq), then a vocab-sized explode and a
     charset^2-bounded groupBy; selection is TakeOrderedAndProject.
     """
+    # Symbols are materialized before the positional pair transform:
+    # inlining _chars into _adjacent_pairs rebuilds the char array on
+    # every element_at (the O(len^2) lambda trap, operators/evaluate.py).
     words = word_freq_table(df, text_col, min_count)
-    sym = _chars(F.col("word"))
     return (
         words.filter(F.length("word") >= 2)
-        .select(F.explode(_adjacent_pairs(sym)).alias("__p"), "n_word")
+        .select(_chars(F.col("word")).alias("__sym"), "n_word")
+        .select(F.explode(_adjacent_pairs(F.col("__sym"))).alias("__p"), "n_word")
         .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
         .agg(F.sum("n_word").alias("n_pairs"))
         .orderBy(F.col("n_pairs").desc(), "a", "b")
