@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from atiesh_spark.session import widen_for_python_stage
 
-__all__ = ["corpus_bleu", "corpus_chrf"]
+__all__ = ["corpus_bleu", "corpus_chrf", "corpus_rouge_n"]
 
 
 def _word_ngrams(col: str, n_max: int) -> str:
@@ -280,4 +280,58 @@ def corpus_chrf(
         F.round("__p", round_to).alias("chr_p"),
         F.round("__r", round_to).alias("chr_r"),
         F.round(chrf, round_to).alias("chrf"),
+    )
+
+
+def corpus_rouge_n(
+    pairs: DataFrame,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    group_col: str,
+    n: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """ROUGE-N per ``group_col``: (group, n_pairs, sum_p, sum_r,
+    sum_f1) — SUMS of the per-pair rounded scores, with the mean left
+    to the reader as sum/n_pairs.
+
+    Lin 2004 (Text Summarization Branches Out): per-pair n-gram
+    precision/recall/F1 with reference-side clipping — unlike BLEU the
+    canonical ROUGE is a per-pair score averaged over the corpus, so
+    the per-pair ratios (exact integer divisions) are rounded first
+    and SUMMED, never averaged after rounding (a mean of 4dp values
+    can land exactly on a .00005 boundary where engines round apart;
+    a sum of 0.0001-multiples is itself a 0.0001-multiple). Pairs
+    where either side has no order-n gram (text shorter than n words)
+    are excluded, the standard empty-reference convention — n_pairs
+    counts what was scored.
+
+    Same single-shuffle kernel as corpus_bleu; cost linear in corpus
+    tokens.
+    """
+    counts = _clipped_counts(
+        pairs, pair_col, group_col, cand_col, ref_col,
+        _word_prep, _word_ngrams, n,
+    ).filter(F.col("n") == n)
+    p = F.col("clipped") / F.col("c_total")
+    r = F.col("clipped") / F.col("r_total")
+    f1 = F.when(
+        F.col("clipped") > 0, 2 * p * r / (p + r)
+    ).otherwise(F.lit(0.0))
+    per_pair = counts.select(
+        F.col("__grp").alias("grp"),
+        F.round(p, round_to).alias("__p"),
+        F.round(r, round_to).alias("__r"),
+        F.round(f1, round_to).alias("__f1"),
+    )
+    return per_pair.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("__p"), round_to).alias("sum_p"),
+        F.round(F.sum("__r"), round_to).alias("sum_r"),
+        F.round(F.sum("__f1"), round_to).alias("sum_f1"),
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "sum_p", "sum_r", "sum_f1",
     )

@@ -9586,3 +9586,179 @@ def q216_corpus_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_chrf(
         _eval_pairs(spark, sf_dir), "pair_id", "cand", "ref", "lang"
     )
+
+
+@register(
+    "q217_corpus_rouge2",
+    oracle="WITH "
+    + _EVAL_PAIRS_SQL
+    + r""",
+    sides AS (
+        SELECT pair_id, 'c' AS side,
+               list_filter(string_split_regex(cand, '\s+'),
+                           x -> x <> '') AS w
+        FROM pairs
+        UNION ALL
+        SELECT pair_id, 'r',
+               list_filter(string_split_regex(ref, '\s+'), x -> x <> '')
+        FROM pairs
+    ),
+    grams AS (
+        SELECT pair_id, side,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> array_to_string(
+                       w[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               )) AS gram
+        FROM sides WHERE len(w) >= 2
+    ),
+    cnt AS (
+        SELECT pair_id, side, gram, count(*) AS c
+        FROM grams GROUP BY pair_id, side, gram
+    ),
+    clip AS (
+        SELECT c.pair_id, SUM(LEAST(c.c, r.c)) AS clipped
+        FROM cnt c JOIN cnt r
+          ON c.pair_id = r.pair_id AND c.gram = r.gram
+         AND c.side = 'c' AND r.side = 'r'
+        GROUP BY c.pair_id
+    ),
+    tot AS (
+        SELECT pair_id,
+               SUM(CASE WHEN side = 'c' THEN c END) AS c_total,
+               SUM(CASE WHEN side = 'r' THEN c END) AS r_total
+        FROM cnt GROUP BY pair_id
+        HAVING SUM(CASE WHEN side = 'c' THEN c END) IS NOT NULL
+           AND SUM(CASE WHEN side = 'r' THEN c END) IS NOT NULL
+    ),
+    perpair AS (
+        SELECT p.lang AS grp,
+               round(COALESCE(j.clipped, 0) / t.c_total, 4) AS pp,
+               round(COALESCE(j.clipped, 0) / t.r_total, 4) AS rr,
+               round(CASE WHEN COALESCE(j.clipped, 0) > 0
+                          THEN 2 * (COALESCE(j.clipped, 0) / t.c_total)
+                               * (COALESCE(j.clipped, 0) / t.r_total)
+                               / ((COALESCE(j.clipped, 0) / t.c_total)
+                                  + (COALESCE(j.clipped, 0) / t.r_total))
+                          ELSE 0.0 END, 4) AS ff
+        FROM tot t
+        LEFT JOIN clip j ON j.pair_id = t.pair_id
+        JOIN pairs p ON p.pair_id = t.pair_id
+    )
+    SELECT grp AS lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(SUM(pp), 4) AS DOUBLE) AS sum_p,
+           CAST(round(SUM(rr), 4) AS DOUBLE) AS sum_r,
+           CAST(round(SUM(ff), 4) AS DOUBLE) AS sum_f1
+    FROM perpair GROUP BY grp
+    """,
+    doc="ROUGE-2 per language group (operators/evaluate.py "
+    "corpus_rouge_n; Lin 2004): per-pair bigram precision/recall/F1 "
+    "with reference-side clipping — the summarization-eval complement "
+    "of q215's corpus-pooled BLEU, reported as SUMS of per-pair "
+    "rounded scores (the registry canon: a mean of 4dp values can "
+    "land exactly on a .00005 boundary; a sum of 0.0001-multiples "
+    "cannot). Same engine-mirrored fixture and single-shuffle "
+    "clipped-count kernel as q215/q216; per-pair ratios are exact "
+    "integer divisions, so both engines compute bit-identical "
+    "doubles before the one rounding.",
+)
+def q217_corpus_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.evaluate import corpus_rouge_n
+
+    return corpus_rouge_n(
+        _eval_pairs(spark, sf_dir), "pair_id", "cand", "ref", "lang", n=2
+    )
+
+
+@register(
+    "q218_kn_bigram_ppl",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[CAST(i AS INT)])) AS w1,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[CAST(i + 1 AS INT)])) AS w2
+        FROM base WHERE len(toks) >= 2
+    ),
+    c12 AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    w1s AS (
+        SELECT w1, SUM(c12) AS c1, count(*) AS r1 FROM c12 GROUP BY w1
+    ),
+    w2s AS (
+        SELECT w2, count(*) AS l2 FROM c12 GROUP BY w2
+    ),
+    total AS (SELECT count(*) AS d_total FROM c12),
+    model AS (
+        SELECT c.w1, c.w2,
+               GREATEST(c.c12 - 0.75, 0.0) / a.c1
+               + (0.75 * a.r1 / a.c1) * (b.l2 / t.d_total) AS p_kn
+        FROM c12 c
+        JOIN w1s a ON a.w1 = c.w1
+        JOIN w2s b ON b.w2 = c.w2
+        CROSS JOIN total t
+    ),
+    perdoc AS (
+        SELECT g.doc_id, g.lang,
+               count(*) AS n_bg,
+               round(SUM(log2(m.p_kn)) / count(*), 4) AS mean_log2p
+        FROM bg g JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
+        GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+           CAST(round(SUM(mean_log2p), 4) AS DOUBLE) AS sum_log2p,
+           CAST(round(pow(2.0, -round(SUM(mean_log2p), 4) / count(*)), 4)
+                AS DOUBLE) AS ppl
+    FROM perdoc GROUP BY lang
+    """,
+    doc="Interpolated Kneser-Ney bigram LM quality scores "
+    "(operators/ngramlm.py kn_bigram_model + kn_score_docs; Kneser & "
+    "Ney 1995, Chen & Goodman 1998, fixed discount 0.75): the "
+    "KenLM-style word-vocabulary scorer next to q94's charset-bounded "
+    "char-trigram model — trained on the corpus in the same plan, "
+    "each doc scored by mean log2 P_KN over its bigrams, reported per "
+    "language as SUM of per-doc 4dp-rounded means plus the group "
+    "perplexity 2^(-mean). Scale: ONE corpus shuffle to the bigram "
+    "count table; context totals, continuation counts, and left-"
+    "context counts are grouped passes over that vocabulary-sized "
+    "relation (never the corpus); the distinct-bigram total "
+    "broadcasts as one row; scoring is a single (w1, w2) equi-join "
+    "that reuses the model's groupBy partitioning. Self-scoring the "
+    "training corpus makes every probability well-defined (no OOV), "
+    "so the oracle can replay train+score exactly; all probabilities "
+    "are fixed-shape arithmetic over exact integer counts.",
+)
+def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.ngramlm import kn_bigram_model, kn_score_docs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    model = kn_bigram_model(docs, "doc_id", "text", discount=0.75)
+    scores = kn_score_docs(docs, model, "doc_id", "text")
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("mean_log2p"), 4).alias("sum_log2p"),
+        )
+        .select(
+            "lang", "n_docs", "n_bigrams", "sum_log2p",
+            F.round(
+                F.pow(F.lit(2.0), -F.col("sum_log2p") / F.col("n_docs")), 4
+            ).alias("ppl"),
+        )
+    )

@@ -168,3 +168,59 @@ def test_plan_no_python_and_bounded_exchanges(spark):
         assert plan.count("Exchange") <= max_exchanges
     bleu_plan = bleu._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in bleu_plan  # the (group, n) grid join
+
+
+class TestCorpusRougeN:
+    def test_hand_computed_rouge2(self, spark):
+        from atiesh_spark.operators.evaluate import corpus_rouge_n
+
+        # cand "the cat sat on the mat" vs ref "the cat is on the mat":
+        # bigram overlap 3 of 5 (cand) / 5 (ref) -> P = R = 0.6,
+        # F1 = 0.6.
+        df = corpus_rouge_n(
+            _pairs(spark, [(1, "g", "the cat sat on the mat",
+                            "the cat is on the mat")]),
+            "pair_id", "cand", "ref", "grp", n=2,
+        )
+        r = _one(df)
+        assert r["n_pairs"] == 1
+        assert (r["sum_p"], r["sum_r"], r["sum_f1"]) == (0.6, 0.6, 0.6)
+
+    def test_sums_are_per_pair_not_pooled(self, spark):
+        from atiesh_spark.operators.evaluate import corpus_rouge_n
+
+        # Pair 1 scores F1 = 1.0, pair 2 scores 0.0: ROUGE averages
+        # per-pair (sum 1.0 over n_pairs 2), it does NOT pool counts
+        # (pooling would give 2/4 = 0.5 precision but a different F1
+        # shape on asymmetric pairs).
+        df = corpus_rouge_n(
+            _pairs(spark, [(1, "g", "a b c", "a b c"),
+                           (2, "g", "x y z", "p q r")]),
+            "pair_id", "cand", "ref", "grp", n=2,
+        )
+        r = _one(df)
+        assert r["n_pairs"] == 2
+        assert r["sum_f1"] == 1.0
+
+    def test_short_pair_excluded(self, spark):
+        from atiesh_spark.operators.evaluate import corpus_rouge_n
+
+        # A one-word reference has no bigrams: the pair is excluded
+        # (standard empty-reference convention), n_pairs counts only
+        # what was scored.
+        df = corpus_rouge_n(
+            _pairs(spark, [(1, "g", "a b c", "a b c"),
+                           (2, "g", "a b", "a")]),
+            "pair_id", "cand", "ref", "grp", n=2,
+        )
+        r = _one(df)
+        assert r["n_pairs"] == 1
+
+    def test_zero_overlap_scores_zero(self, spark):
+        from atiesh_spark.operators.evaluate import corpus_rouge_n
+
+        r = _one(corpus_rouge_n(
+            _pairs(spark, [(1, "g", "a b c", "x y z")]),
+            "pair_id", "cand", "ref", "grp", n=2,
+        ))
+        assert (r["sum_p"], r["sum_r"], r["sum_f1"]) == (0.0, 0.0, 0.0)

@@ -1,0 +1,115 @@
+"""Interpolated Kneser-Ney bigram LM (operators/ngramlm.py) against
+hand-computed Chen & Goodman values."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from atiesh_spark.operators.ngramlm import kn_bigram_model, kn_score_docs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestModel:
+    def test_hand_computed_counts_and_probability(self, spark):
+        # Corpus: "a b a b a c". Bigrams: (a,b)x2, (b,a)x2, (a,c)x1.
+        # c(a)=3, N1+(a *)=2; c(b)=2, N1+(b *)=1.
+        # N1+(* a)=1, N1+(* b)=1, N1+(* c)=1; N1+(* *)=3.
+        m = {
+            (r["w1"], r["w2"]): r
+            for r in kn_bigram_model(
+                _docs(spark, [(1, "a b a b a c")]), "doc_id", "text"
+            ).collect()
+        }
+        ab = m[("a", "b")]
+        assert (ab["c12"], ab["c1"], ab["r1"], ab["l2"]) == (2, 3, 2, 1)
+        # P(b|a) = (2-.75)/3 + (.75*2/3)*(1/3)
+        assert ab["p_kn"] == pytest.approx(
+            (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3), abs=1e-12
+        )
+        ac = m[("a", "c")]
+        assert ac["p_kn"] == pytest.approx(
+            (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3), abs=1e-12
+        )
+
+    def test_probabilities_normalize_per_context(self, spark):
+        # Interpolated KN is a proper distribution over seen
+        # continuations' mass: summing P(w2|w1) over the model rows of
+        # one context w1 gives max(c-d,0)/c1 totals plus the backoff
+        # mass spread over the CONTINUATION distribution — for a w1
+        # whose every w2 is seen, the sum over seen w2 is
+        # 1 - d*r1/c1 * (1 - sum_seen P_cont). With this tiny corpus
+        # every w2 in the vocab follows 'a', so P(.|a) sums to 1.
+        rows = kn_bigram_model(
+            _docs(spark, [(1, "a b a c a b")]), "doc_id", "text"
+        ).filter(F.col("w1") == "a").collect()
+        # bigrams: (a,b)x2 (b,a)x1 (c,a)x1 (a,c)x1 -> contexts of a:
+        # b,c seen; P_cont covers {a,b,c}; a also continues (after
+        # b and c) so sum_seen P_cont for w2 in {b,c} < 1 and the
+        # total is < 1 by exactly the unseen continuation mass.
+        total = sum(r["p_kn"] for r in rows)
+        d, c1, r1 = 0.75, 3, 2
+        # seen mass + backoff weight * P_cont(b,c) where
+        # l2: b=1 (after a), c=1 (after a), a=2 (after b, after c);
+        # d_total = 4
+        expected = ((2 - d) / c1 + (1 - d) / c1) + (d * r1 / c1) * (2 / 4)
+        assert total == pytest.approx(expected, abs=1e-12)
+
+
+class TestScoring:
+    def test_self_scoring_no_oov(self, spark):
+        docs = _docs(spark, [(1, "a b a b"), (2, "b a b")])
+        model = kn_bigram_model(docs, "doc_id", "text")
+        out = {r["doc_id"]: r for r in
+               kn_score_docs(docs, model, "doc_id", "text").collect()}
+        assert out[1]["n_bigrams"] == 3 and out[1]["oov_bigrams"] == 0
+        assert out[2]["n_bigrams"] == 2 and out[2]["oov_bigrams"] == 0
+
+    def test_mean_log2p_hand_computed(self, spark):
+        docs = _docs(spark, [(1, "a b a b a c")])
+        model = kn_bigram_model(docs, "doc_id", "text")
+        row = kn_score_docs(docs, model, "doc_id", "text").collect()[0]
+        pab = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+        pba = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 3)
+        pac = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+        expected = (
+            2 * math.log2(pab) + 2 * math.log2(pba) + math.log2(pac)
+        ) / 5
+        assert row["mean_log2p"] == pytest.approx(round(expected, 4),
+                                                  abs=1e-9)
+
+    def test_oov_bigrams_counted_not_scored(self, spark):
+        train = _docs(spark, [(1, "a b a b")])
+        model = kn_bigram_model(train, "doc_id", "text")
+        test = _docs(spark, [(9, "a b x y")])
+        row = kn_score_docs(test, model, "doc_id", "text").collect()[0]
+        # bigrams: (a,b) in-vocab; (b,x) and (x,y) OOV
+        assert row["n_bigrams"] == 1
+        assert row["oov_bigrams"] == 2
+        # mean over the single in-vocab bigram only
+        pab = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 2)
+        assert row["mean_log2p"] == pytest.approx(round(math.log2(pab), 4),
+                                                  abs=1e-9)
+
+    def test_single_token_doc_has_no_row(self, spark):
+        docs = _docs(spark, [(1, "a b"), (2, "solo")])
+        model = kn_bigram_model(docs, "doc_id", "text")
+        ids = {r["doc_id"] for r in
+               kn_score_docs(docs, model, "doc_id", "text").collect()}
+        assert ids == {1}
+
+
+def test_plan_model_join_reuses_partitioning(spark):
+    # Scoring joins on (w1, w2) — the model's groupBy key. The executed
+    # plan must not Python-evaluate anything, and the distinct-bigram
+    # total must arrive as a broadcast, not a shuffle.
+    docs = _docs(spark, [(1, "a b c a b")])
+    model = kn_bigram_model(docs, "doc_id", "text")
+    df = kn_score_docs(docs, model, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
