@@ -255,3 +255,92 @@ def bcubed_eval(
             round_to,
         ).alias("f1"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round_to: int = 4,
+    dist_round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bucketed
+    semantic deduplication — (id_col, cluster, sq_dist, is_dup).
+
+    Each vector is assigned to its nearest centroid (row-local codegen
+    argmin over the centroid literals — distances ROUNDED to
+    ``dist_round_to`` before the argmin so assignment is engine- and
+    partitioning-independent, ties to the lower cluster id). Within a
+    cluster, x is a duplicate if some y has
+    round(cos(x, y), sim_round_to) >= threshold and y is the better
+    keeper: the paper keeps the example with the LOWEST cosine
+    similarity to its centroid, i.e. the larger sq_dist wins, exact
+    ties to the smaller id. The cluster IS the candidate blocking —
+    the pairwise cosine is quadratic only within a cluster, and at
+    corpus scale k grows with the corpus (the paper uses ~sqrt(N)
+    clusters), so the per-cluster quadratic and the join-key
+    cardinality both stay healthy; nothing is ever all-pairs.
+
+    The assignment relation is localCheckpoint()ed before the
+    self-join: it feeds both join sides and the final verdict frame,
+    and without pinning, the scan + argmin subtree would execute
+    three times (the dedup.py SimHash discipline).
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from atiesh_spark.operators.similarity import cosine
+
+    d = len(centroids[0])
+    vec = as_double(vec_col)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_sq_dist(vec, c), dist_round_to).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    assigned = (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == d))
+        .select(
+            F.col(id_col),
+            best["c"].alias("cluster"),
+            best["d"].alias("sq_dist"),
+            vec.alias("__v"),
+        )
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ia"), "cluster",
+        F.col("sq_dist").alias("__da"), F.col("__v").alias("__va"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__ib"), "cluster",
+        F.col("sq_dist").alias("__db"), F.col("__v").alias("__vb"),
+    )
+    better_keeper = (F.col("__db") > F.col("__da")) | (
+        (F.col("__db") == F.col("__da")) & (F.col("__ib") < F.col("__ia"))
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("__ia") != F.col("__ib"))
+        .filter(
+            F.round(cosine(F.col("__va"), F.col("__vb")), sim_round_to)
+            >= threshold
+        )
+        .filter(better_keeper)
+        .select(F.col("__ia").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster", "sq_dist")
+        .join(dups.withColumn("is_dup", F.lit(True)), id_col, "left")
+        .fillna(False, subset=["is_dup"])
+    )

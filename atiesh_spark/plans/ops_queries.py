@@ -9762,3 +9762,125 @@ def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl"),
         )
     )
+
+
+@register(
+    "q219_semantic_dedup",
+    oracle=r"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    fix AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + 10000, list_transform(v, x -> x * 1.25)
+        FROM e WHERE vec_id % 50 = 0
+    ),
+    seeds AS (
+        SELECT v AS sv,
+               row_number() OVER (
+                   ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                               1, 15))::BIGINT, vec_id
+               ) - 1 AS cl
+        FROM (SELECT * FROM e
+              ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                          1, 15))::BIGINT, vec_id
+              LIMIT 4)
+    ),
+    dist AS (
+        SELECT f.vec_id, s.cl, round(SUM((a - b) * (a - b)), 6) AS d
+        FROM (SELECT vec_id, unnest(v) AS a,
+                     generate_subscripts(v, 1) AS i FROM fix) f
+        JOIN (SELECT cl, unnest(sv) AS b,
+                     generate_subscripts(sv, 1) AS i FROM seeds) s
+          ON f.i = s.i
+        GROUP BY f.vec_id, s.cl
+    ),
+    asg AS (
+        SELECT vec_id, cl AS cluster, d AS sq_dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cl) AS rk
+        FROM dist
+    ),
+    av AS (
+        SELECT a.vec_id, a.cluster, a.sq_dist, f.v
+        FROM (SELECT * FROM asg WHERE rk = 1) a
+        JOIN fix f USING (vec_id)
+    ),
+    pc AS (
+        SELECT x.vec_id AS ia, y.vec_id AS ib,
+               x.sq_dist AS da, y.sq_dist AS db,
+               round(SUM(xa * ya)
+                     / (sqrt(SUM(xa * xa)) * sqrt(SUM(ya * ya))), 4) AS cos
+        FROM (SELECT vec_id, cluster, sq_dist, unnest(v) AS xa,
+                     generate_subscripts(v, 1) AS i FROM av) x
+        JOIN (SELECT vec_id, cluster, sq_dist, unnest(v) AS ya,
+                     generate_subscripts(v, 1) AS i FROM av) y
+          ON x.cluster = y.cluster AND x.i = y.i
+         AND x.vec_id <> y.vec_id
+        GROUP BY x.vec_id, y.vec_id, x.sq_dist, y.sq_dist
+    ),
+    dup AS (
+        SELECT DISTINCT ia AS vec_id FROM pc
+        WHERE cos >= 0.95
+          AND (db > da OR (db = da AND ib < ia))
+    )
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dup,
+           CAST(COALESCE(MIN(d.vec_id), -1) AS BIGINT) AS min_dup_id,
+           CAST(COALESCE(MAX(d.vec_id), -1) AS BIGINT) AS max_dup_id
+    FROM av a LEFT JOIN dup d USING (vec_id)
+    GROUP BY a.cluster
+    """,
+    doc="SemDeDup semantic deduplication (operators/cluster.py "
+    "semantic_dedup; Abbas et al. 2023 arXiv:2303.09540): cluster-"
+    "bucketed embedding dedup — assign to the nearest of k centroids "
+    "(rounded-distance codegen argmin over literals, zero shuffles), "
+    "pairwise cosine ONLY within a cluster, drop x when a same-"
+    "cluster y has round(cos,4) >= 0.95 and is the better keeper "
+    "(paper rule: lowest similarity to the centroid survives = larger "
+    "sq_dist, ties to smaller id). The corpus has no natural cosine-"
+    ">=0.95 pairs (measured max 0.51), so the fixture PLANTS them: "
+    "every vec_id % 50 == 0 re-enters as id+10000 scaled by 1.25 — "
+    "scaling preserves cosine exactly (1.0) while changing the "
+    "centroid distance, so the keeper choice is exercised and both "
+    "engines rebuild the identical fixture in-plan. Centroids are the "
+    "4 md5-smallest-id seed VECTORS (kmeans_fit's init, replayable in "
+    "SQL; the Lloyd-refined variant stays invariant-graded as q129). "
+    "Scale: the clustering IS the blocking — quadratic only within a "
+    "cluster, k grows ~sqrt(N) at corpus scale so join-key "
+    "cardinality and per-cluster cost stay bounded; the assignment "
+    "relation is localCheckpoint()ed once and feeds both join sides.",
+)
+def q219_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.cluster import semantic_dedup
+    from atiesh_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.25).alias("embedding"),
+    )
+    fixture = emb.unionByName(copies)
+    seeds = (
+        emb.orderBy(md5_long(F.col("vec_id").cast("string"), 15), "vec_id")
+        .limit(4)
+        .select("embedding")
+        .collect()
+    )
+    cents = [list(r["embedding"]) for r in seeds]
+    out = semantic_dedup(fixture, cents, threshold=0.95)
+    return out.groupBy(F.col("cluster").cast("bigint").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dup"),
+        F.coalesce(
+            F.min(F.when(F.col("is_dup"), F.col("vec_id"))), F.lit(-1)
+        ).cast("bigint").alias("min_dup_id"),
+        F.coalesce(
+            F.max(F.when(F.col("is_dup"), F.col("vec_id"))), F.lit(-1)
+        ).cast("bigint").alias("max_dup_id"),
+    )

@@ -150,3 +150,89 @@ def test_bcubed_eval_known_values(spark):
     r2 = bcubed_eval(truth.withColumnRenamed("truth_rep", "cluster_rep"),
                      truth, "id").collect()[0]
     assert r2["precision"] == 1.0 and r2["recall"] == 1.0 and r2["f1"] == 1.0
+
+
+class TestSemanticDedup:
+    """SemDeDup (semantic_dedup): cluster-bucketed cosine dedup."""
+
+    @staticmethod
+    def _emb(spark, rows):
+        return spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+
+    def test_scaled_copy_is_duplicate_keeper_is_farther(self, spark):
+        from atiesh_spark.operators.cluster import semantic_dedup
+
+        # Centroid at origin-ish: both vectors point the same way
+        # (cos = 1.0); the SCALED copy is farther from the centroid and
+        # must be the keeper (paper rule: lowest centroid similarity
+        # survives), the original is the duplicate.
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [2.0, 0.0])])
+        out = {r["vec_id"]: r for r in semantic_dedup(
+            emb, [[0.0, 0.0]], threshold=0.95,
+            id_col="vec_id", vec_col="emb",
+        ).collect()}
+        assert out[1]["is_dup"] is True
+        assert out[2]["is_dup"] is False
+
+    def test_cross_cluster_pairs_not_compared(self, spark):
+        from atiesh_spark.operators.cluster import semantic_dedup
+
+        # Identical-direction vectors assigned to DIFFERENT clusters are
+        # never compared — the cluster is the candidate block.
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [10.0, 0.0])])
+        cents = [[1.0, 0.0], [10.0, 0.0]]
+        out = semantic_dedup(
+            emb, cents, threshold=0.95, id_col="vec_id", vec_col="emb"
+        ).collect()
+        assert all(not r["is_dup"] for r in out)
+        assert {r["cluster"] for r in out} == {0, 1}
+
+    def test_below_threshold_kept(self, spark):
+        from atiesh_spark.operators.cluster import semantic_dedup
+
+        # cos([1,0],[0,1]) = 0 < threshold: both kept.
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        out = semantic_dedup(
+            emb, [[0.5, 0.5]], threshold=0.95,
+            id_col="vec_id", vec_col="emb",
+        ).collect()
+        assert all(not r["is_dup"] for r in out)
+
+    def test_equal_distance_tie_keeps_smaller_id(self, spark):
+        from atiesh_spark.operators.cluster import semantic_dedup
+
+        # Exactly equal vectors: same distance, cos = 1; the smaller id
+        # is the keeper by the documented tie rule.
+        emb = self._emb(spark, [(7, [1.0, 1.0]), (3, [1.0, 1.0])])
+        out = {r["vec_id"]: r for r in semantic_dedup(
+            emb, [[0.0, 0.0]], threshold=0.95,
+            id_col="vec_id", vec_col="emb",
+        ).collect()}
+        assert out[3]["is_dup"] is False
+        assert out[7]["is_dup"] is True
+
+    def test_transitive_group_keeps_exactly_one(self, spark):
+        from atiesh_spark.operators.cluster import semantic_dedup
+
+        # Three colinear vectors in one cluster: everyone similar to
+        # everyone; only the farthest-from-centroid survives.
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [2.0, 0.0]),
+                                (3, [3.0, 0.0])])
+        out = {r["vec_id"]: r["is_dup"] for r in semantic_dedup(
+            emb, [[0.0, 0.0]], threshold=0.95,
+            id_col="vec_id", vec_col="emb",
+        ).collect()}
+        assert out == {1: True, 2: True, 3: False}
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pt
+
+        from atiesh_spark.operators.cluster import semantic_dedup
+
+        emb = self._emb(spark, [(1, [1.0, 0.0])])
+        with _pt.raises(ValueError, match="threshold"):
+            semantic_dedup(emb, [[0.0, 0.0]], threshold=0.0,
+                           id_col="vec_id", vec_col="emb")
+        with _pt.raises(ValueError, match="centroids"):
+            semantic_dedup(emb, [], threshold=0.9,
+                           id_col="vec_id", vec_col="emb")
