@@ -38,10 +38,15 @@ registry canon).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["kn_bigram_model", "kn_score_docs"]
+__all__ = [
+    "kn_bigram_model",
+    "kn_score_docs",
+    "model_from_counts",
+    "StreamingNgramLM",
+]
 
 
 def _doc_bigrams(
@@ -79,6 +84,16 @@ def kn_bigram_model(
     """
     bg = _doc_bigrams(docs, id_col, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return model_from_counts(c12, discount)
+
+
+def model_from_counts(c12: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Derive the full KN model from a (w1, w2, c12) counts relation —
+    the counts are the model's sufficient statistic (mergeable by
+    summing c12), which is what makes the incremental
+    :class:`StreamingNgramLM` exact: context totals, continuation
+    counts, and the distinct-bigram total are all functions of the
+    counts table alone, never of the raw corpus."""
     w1s = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("r1")
     )
@@ -135,3 +150,59 @@ def kn_score_docs(
             round_to,
         ).alias("mean_log2p"),
     )
+
+
+class StreamingNgramLM:
+    """foreachBatch maintenance loop for the KN bigram model.
+
+    Each micro-batch's bigram counts fold into a
+    :class:`~atiesh_spark.sources.versioned.VersionedStore` of
+    (w1, w2, c12) — the model's mergeable sufficient statistic. Batch
+    B reads the newest state < B and overwrites v{B}, so a replayed
+    batch (Structured Streaming re-runs a batch id after failure)
+    converges to the identical counts — effectively-once without
+    touching raw history. The store holds VOCABULARY^2-bounded count
+    rows, never corpus text; per batch the work is the batch's own
+    bigram explode plus a union-groupBy against the count relation.
+
+    ``model(spark)`` derives the full interpolated-KN relation from
+    the current counts via :func:`model_from_counts`; by construction
+    it equals the batch :func:`kn_bigram_model` over everything
+    ingested so far (graded end-to-end by the q220 replay query
+    against the q218 batch oracle).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        discount: float = 0.75,
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        self.store = VersionedStore(path, keep_versions)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.discount = discount
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        new = _doc_bigrams(batch_df, self.id_col, self.text_col).groupBy(
+            "w1", "w2"
+        ).agg(F.count(F.lit(1)).alias("c12"))
+        prev = self.store.read_before(batch_df.sparkSession, batch_id)
+        merged = (
+            new
+            if prev is None
+            else prev.unionByName(new)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c12").cast("bigint").alias("c12"))
+        )
+        self.store.write(merged, batch_id)
+
+    def counts(self, spark: SparkSession) -> DataFrame:
+        return self.store.read(spark)
+
+    def model(self, spark: SparkSession) -> DataFrame:
+        return model_from_counts(self.counts(spark), self.discount)

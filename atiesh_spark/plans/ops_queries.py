@@ -9884,3 +9884,67 @@ def q219_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("is_dup"), F.col("vec_id"))), F.lit(-1)
         ).cast("bigint").alias("max_dup_id"),
     )
+
+
+from atiesh_spark.plans.registry import QUERIES as _QUERIES
+
+
+@register(
+    "q220_kn_lm_stream_replay",
+    # Graded EQUAL to the batch path: the incremental model over the
+    # three replayed chunks must reproduce q218's exact output, so the
+    # oracle IS q218's oracle (the q154 two-stage == one-stage pattern).
+    oracle=_QUERIES["q218_kn_bigram_ppl"].oracle,
+    doc="Streaming KN-LM maintenance loop, replay-graded "
+    "(operators/ngramlm.py StreamingNgramLM): the documents table "
+    "arrives as three foreachBatch micro-batches (doc_id % 3) folded "
+    "into a VersionedStore of (w1, w2, c12) counts — the model's "
+    "mergeable sufficient statistic — with the LAST batch REPLAYED "
+    "under its own batch id (the failure-recovery path Structured "
+    "Streaming actually exercises). The final store-derived model "
+    "scores the full corpus and must equal the batch q218 output "
+    "bit-for-bit, which is why the oracle is literally q218's: "
+    "incremental == batch is the graded contract. Per batch the loop "
+    "shuffles only the batch's own bigrams plus the vocabulary-sized "
+    "count relation; raw history is never re-read.",
+)
+def q220_kn_lm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.ngramlm import StreamingNgramLM, kn_score_docs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    chunks = [
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 3 == 1,
+        F.col("doc_id") % 3 == 2,
+    ]
+    tmp = tempfile.mkdtemp(prefix="knlm_replay_")
+    try:
+        lm = StreamingNgramLM(tmp, "doc_id", "text", discount=0.75)
+        _replay_chunks(docs, lm, chunks)
+        model = lm.model(spark)
+        scores = kn_score_docs(docs, model, "doc_id", "text")
+        result = (
+            scores.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+                F.round(F.sum("mean_log2p"), 4).alias("sum_log2p"),
+            )
+            .select(
+                "lang", "n_docs", "n_bigrams", "sum_log2p",
+                F.round(
+                    F.pow(F.lit(2.0),
+                          -F.col("sum_log2p") / F.col("n_docs")), 4
+                ).alias("ppl"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

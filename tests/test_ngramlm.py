@@ -113,3 +113,64 @@ def test_plan_model_join_reuses_partitioning(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+class TestStreamingNgramLM:
+    def test_replay_converges_to_batch_counts(self, spark, tmp_path):
+        from atiesh_spark.operators.ngramlm import (
+            StreamingNgramLM,
+            kn_bigram_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 3} common w{i % 5} tail common w{i % 3}")
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        lm = StreamingNgramLM(str(tmp_path / "st"), "doc_id", "text")
+        for b, pred in enumerate(
+            ["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]
+        ):
+            lm(docs.filter(pred), b + 1)
+        lm(docs.filter("doc_id % 3 = 2"), 3)  # replay the last batch
+        got = sorted(map(tuple, lm.model(spark).collect()))
+        want = sorted(map(tuple,
+                          kn_bigram_model(docs, "doc_id", "text").collect()))
+        assert got == want and len(got) > 0
+
+    def test_from_real_stream(self, spark, tmp_path):
+        """End-to-end through Structured Streaming (checkpointed
+        foreachBatch, availableNow): the drained incremental model must
+        equal the one-shot batch fit — the q220 contract on the REAL
+        engine."""
+        from atiesh_spark.operators.ngramlm import (
+            StreamingNgramLM,
+            kn_bigram_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"stream doc {i} shares these filler words {i % 4}")
+             for i in range(16)],
+            "doc_id long, text string",
+        )
+        src = str(tmp_path / "src")
+        docs.filter("doc_id % 2 = 0").write.parquet(f"{src}/part=a")
+        docs.filter("doc_id % 2 = 1").write.parquet(f"{src}/part=b")
+
+        lm = StreamingNgramLM(str(tmp_path / "lm"), "doc_id", "text")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/part=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(lm)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, lm.model(spark).collect()))
+        want = sorted(map(tuple,
+                          kn_bigram_model(docs, "doc_id", "text").collect()))
+        assert got == want and len(got) > 0
