@@ -9785,7 +9785,7 @@ def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT * FROM e
               ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
                                           1, 15))::BIGINT, vec_id
-              LIMIT 4)
+              LIMIT 16)
     ),
     dist AS (
         SELECT f.vec_id, s.cl, round(SUM((a - b) * (a - b)), 6) AS d
@@ -9807,15 +9807,25 @@ def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT * FROM asg WHERE rk = 1) a
         JOIN fix f USING (vec_id)
     ),
+    nrm AS (
+        SELECT vec_id, sqrt(SUM(a * a)) AS nv
+        FROM (SELECT vec_id, unnest(v) AS a FROM av)
+        GROUP BY vec_id
+    ),
+    avu AS (
+        SELECT a.vec_id, a.cluster, a.sq_dist,
+               list_transform(a.v, x -> x / n.nv) AS u
+        FROM av a JOIN nrm n USING (vec_id)
+        WHERE n.nv > 0
+    ),
     pc AS (
         SELECT x.vec_id AS ia, y.vec_id AS ib,
                x.sq_dist AS da, y.sq_dist AS db,
-               round(SUM(xa * ya)
-                     / (sqrt(SUM(xa * xa)) * sqrt(SUM(ya * ya))), 4) AS cos
-        FROM (SELECT vec_id, cluster, sq_dist, unnest(v) AS xa,
-                     generate_subscripts(v, 1) AS i FROM av) x
-        JOIN (SELECT vec_id, cluster, sq_dist, unnest(v) AS ya,
-                     generate_subscripts(v, 1) AS i FROM av) y
+               round(SUM(xa * ya), 4) AS cos
+        FROM (SELECT vec_id, cluster, sq_dist, unnest(u) AS xa,
+                     generate_subscripts(u, 1) AS i FROM avu) x
+        JOIN (SELECT vec_id, cluster, sq_dist, unnest(u) AS ya,
+                     generate_subscripts(u, 1) AS i FROM avu) y
           ON x.cluster = y.cluster AND x.i = y.i
          AND x.vec_id <> y.vec_id
         GROUP BY x.vec_id, y.vec_id, x.sq_dist, y.sq_dist
@@ -9830,7 +9840,7 @@ def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(d.vec_id) AS BIGINT) AS n_dup,
            CAST(COALESCE(MIN(d.vec_id), -1) AS BIGINT) AS min_dup_id,
            CAST(COALESCE(MAX(d.vec_id), -1) AS BIGINT) AS max_dup_id
-    FROM av a LEFT JOIN dup d USING (vec_id)
+    FROM avu a LEFT JOIN dup d USING (vec_id)
     GROUP BY a.cluster
     """,
     doc="SemDeDup semantic deduplication (operators/cluster.py "
@@ -9840,7 +9850,9 @@ def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairwise cosine ONLY within a cluster, drop x when a same-"
     "cluster y has round(cos,4) >= 0.95 and is the better keeper "
     "(paper rule: lowest similarity to the centroid survives = larger "
-    "sq_dist, ties to smaller id). The corpus has no natural cosine-"
+    "sq_dist, ties to smaller id); vectors normalize ONCE before the "
+    "pair join so the quadratic stage pays one dot product per pair, "
+    "not two extra norm folds. The corpus has no natural cosine-"
     ">=0.95 pairs (measured max 0.51), so the fixture PLANTS them: "
     "every vec_id % 50 == 0 re-enters as id+10000 scaled by 1.25 — "
     "scaling preserves cosine exactly (1.0) while changing the "
@@ -9868,7 +9880,7 @@ def q219_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = emb.unionByName(copies)
     seeds = (
         emb.orderBy(md5_long(F.col("vec_id").cast("string"), 15), "vec_id")
-        .limit(4)
+        .limit(16)
         .select("embedding")
         .collect()
     )
