@@ -92,6 +92,9 @@ HEAVY = [
     # relational text path added this round; BLEU is its word twin
     "q215_corpus_bleu",
     "q216_corpus_chrf",
+    # round 8 (session 2): the KN bigram LM — the bigram count table
+    # grows sublinearly (vocab-bounded), scoring rides one equi-join
+    "q218_kn_bigram_ppl",
 ]
 
 
@@ -231,6 +234,42 @@ def main() -> None:
         "sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)
     }
     print(f"  hard_negatives_auto_planes: {a}s -> {b}s ({round(b/a,2)}x)", file=sys.stderr)
+
+    # SemDeDup's scale path sizes k WITH the corpus (the paper uses
+    # ~sqrt(N) clusters); the registered q219 pins k=16 only so its
+    # oracle can enumerate the seeds. Measure the k-proportional
+    # variant: 16 clusters at sf0.1, 160 at the derived sf1, so the
+    # per-cluster quadratic stays constant-sized as the corpus grows.
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.cluster import semantic_dedup
+    from atiesh_spark.operators.similarity import as_double
+    from pyspark.sql import functions as _F
+
+    def run_semdedup(sf_dir: str, k: int) -> float:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("embedding")
+        )
+        seeds = (
+            emb.orderBy(md5_long(_F.col("vec_id").cast("string"), 15),
+                        "vec_id")
+            .limit(k).select("embedding").collect()
+        )
+        cents = [list(r["embedding"]) for r in seeds]
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            semantic_dedup(
+                emb, cents, threshold=0.95
+            ).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 2)
+
+    a, b = run_semdedup(BASE, 16), run_semdedup(OUT, 160)
+    out["semdedup_k_proportional"] = {
+        "sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)
+    }
+    print(f"  semdedup_k_proportional: {a}s -> {b}s ({round(b/a,2)}x)", file=sys.stderr)
 
     # Blocklist engine crossover: time inplan (one codegen contains per
     # pattern) vs automaton (broadcast Aho-Corasick, one scan) at
