@@ -257,7 +257,7 @@ def bcubed_eval(
     )
 
 
-def semantic_dedup(
+def semantic_dedup_exact(
     emb: DataFrame,
     centroids: list[list[float]],
     threshold: float,
@@ -268,6 +268,14 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bucketed
     semantic deduplication — (id_col, cluster, sq_dist, is_dup).
+
+    The ORACLE-REPLAYABLE variant: deterministic assignment to LITERAL
+    centroids and the paper's keeper rule, so a SQL oracle can replay
+    the whole verdict (q219). similarity.semantic_dedup is the
+    MLlib-KMeans + connected-components variant (min-id keeper,
+    library-specific cells, invariant-graded as q73) — same paper, two
+    deployment shapes; this one is also the building block when the
+    centroids come from kmeans_fit.
 
     Each vector is assigned to its nearest centroid (row-local codegen
     argmin over the centroid literals — distances ROUNDED to

@@ -9844,7 +9844,8 @@ def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.cluster
     """,
     doc="SemDeDup semantic deduplication (operators/cluster.py "
-    "semantic_dedup; Abbas et al. 2023 arXiv:2303.09540): cluster-"
+    "semantic_dedup_exact — the oracle-replayable complement of q73's "
+    "MLlib-KMeans variant; Abbas et al. 2023 arXiv:2303.09540): cluster-"
     "bucketed embedding dedup — assign to the nearest of k centroids "
     "(rounded-distance codegen argmin over literals, zero shuffles), "
     "pairwise cosine ONLY within a cluster, drop x when a same-"
@@ -9867,7 +9868,7 @@ def q218_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q219_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atiesh_spark.functions.hashing import md5_long
-    from atiesh_spark.operators.cluster import semantic_dedup
+    from atiesh_spark.operators.cluster import semantic_dedup_exact
     from atiesh_spark.operators.similarity import as_double
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -9885,7 +9886,7 @@ def q219_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cents = [list(r["embedding"]) for r in seeds]
-    out = semantic_dedup(fixture, cents, threshold=0.95)
+    out = semantic_dedup_exact(fixture, cents, threshold=0.95)
     return out.groupBy(F.col("cluster").cast("bigint").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dup"),

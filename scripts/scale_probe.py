@@ -241,7 +241,7 @@ def main() -> None:
     # variant: 16 clusters at sf0.1, 160 at the derived sf1, so the
     # per-cluster quadratic stays constant-sized as the corpus grows.
     from atiesh_spark.functions.hashing import md5_long
-    from atiesh_spark.operators.cluster import semantic_dedup
+    from atiesh_spark.operators.cluster import semantic_dedup_exact as semantic_dedup
     from atiesh_spark.operators.similarity import as_double
     from pyspark.sql import functions as _F
 

@@ -160,7 +160,7 @@ class TestSemanticDedup:
         return spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
 
     def test_scaled_copy_is_duplicate_keeper_is_farther(self, spark):
-        from atiesh_spark.operators.cluster import semantic_dedup
+        from atiesh_spark.operators.cluster import semantic_dedup_exact as semantic_dedup
 
         # Centroid at origin-ish: both vectors point the same way
         # (cos = 1.0); the SCALED copy is farther from the centroid and
@@ -175,7 +175,7 @@ class TestSemanticDedup:
         assert out[2]["is_dup"] is False
 
     def test_cross_cluster_pairs_not_compared(self, spark):
-        from atiesh_spark.operators.cluster import semantic_dedup
+        from atiesh_spark.operators.cluster import semantic_dedup_exact as semantic_dedup
 
         # Identical-direction vectors assigned to DIFFERENT clusters are
         # never compared — the cluster is the candidate block.
@@ -188,7 +188,7 @@ class TestSemanticDedup:
         assert {r["cluster"] for r in out} == {0, 1}
 
     def test_below_threshold_kept(self, spark):
-        from atiesh_spark.operators.cluster import semantic_dedup
+        from atiesh_spark.operators.cluster import semantic_dedup_exact as semantic_dedup
 
         # cos([1,0],[0,1]) = 0 < threshold: both kept.
         emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
@@ -199,7 +199,7 @@ class TestSemanticDedup:
         assert all(not r["is_dup"] for r in out)
 
     def test_equal_distance_tie_keeps_smaller_id(self, spark):
-        from atiesh_spark.operators.cluster import semantic_dedup
+        from atiesh_spark.operators.cluster import semantic_dedup_exact as semantic_dedup
 
         # Exactly equal vectors: same distance, cos = 1; the smaller id
         # is the keeper by the documented tie rule.
@@ -212,7 +212,7 @@ class TestSemanticDedup:
         assert out[7]["is_dup"] is True
 
     def test_transitive_group_keeps_exactly_one(self, spark):
-        from atiesh_spark.operators.cluster import semantic_dedup
+        from atiesh_spark.operators.cluster import semantic_dedup_exact as semantic_dedup
 
         # Three colinear vectors in one cluster: everyone similar to
         # everyone; only the farthest-from-centroid survives.
@@ -227,7 +227,7 @@ class TestSemanticDedup:
     def test_threshold_validation(self, spark):
         import pytest as _pt
 
-        from atiesh_spark.operators.cluster import semantic_dedup
+        from atiesh_spark.operators.cluster import semantic_dedup_exact as semantic_dedup
 
         emb = self._emb(spark, [(1, [1.0, 0.0])])
         with _pt.raises(ValueError, match="threshold"):
