@@ -848,3 +848,109 @@ def sentence_chunks(
         n_sents.cast("long").alias("n_sentences"),
         F.length("chunk_text").cast("long").alias("n_chars"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate_pct: int = 15,
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4, the
+    seq2seq denoising objective): (id_col, n_spans, input, target).
+
+    Each whitespace token is masked iff
+    md5_long(id:position) % 100 < ``rate_pct`` — the repo's
+    hash-deterministic contract standing in for T5's RNG (runs are
+    therefore geometric with mean 1/(1-r) rather than length-sampled;
+    the objective's shape — sentinel in the input, sentinel + span in
+    the target, closing sentinel — is exact). Consecutive masked
+    tokens form one span: the input keeps unmasked tokens with
+    ``<extra_id_k>`` where span k was excised; the target lists each
+    sentinel followed by its tokens and ends with the closing
+    sentinel. A doc with nothing masked yields the original tokens
+    and target ``<extra_id_0>``; empty docs are dropped.
+
+    Row-local: the token array is materialized once (never re-split
+    inside the position lambda), one md5 per token, and both output
+    strings build in a single aggregate() accumulator walk — zero
+    shuffles, rides the scan at any corpus size. Deterministic, so an
+    independent SQL window-function replay grades the strings exactly
+    (q221).
+    """
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.functions.text import ws_tokens
+
+    if not 0 < rate_pct < 100:
+        raise ValueError("rate_pct must be in (0, 100)")
+    base = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    # sequence(1, 0) DESCENDS; the filter guard keeps element_at off
+    # position 0 (ANSI: array indices start at 1)
+    positions = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
+        lambda i: i <= F.size("__toks"),
+    )
+
+    def masked(i):
+        return (
+            md5_long(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            % 100
+            < rate_pct
+        )
+
+    acc0 = F.struct(
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+        F.lit(0).alias("k"),
+        F.lit(False).alias("prev"),
+    )
+
+    def step(acc, i):
+        tok = F.element_at("__toks", i)
+        m = masked(i)
+        sent = F.concat(
+            F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
+        )
+        inp = (
+            F.when(m & ~acc["prev"],
+                   F.concat(acc["inp"], F.lit(" "), sent))
+            .when(m, acc["inp"])
+            .otherwise(F.concat(acc["inp"], F.lit(" "), tok))
+        )
+        tgt = (
+            F.when(m & ~acc["prev"],
+                   F.concat(acc["tgt"], F.lit(" "), sent, F.lit(" "), tok))
+            .when(m, F.concat(acc["tgt"], F.lit(" "), tok))
+            .otherwise(acc["tgt"])
+        )
+        k = F.when(m & ~acc["prev"], acc["k"] + 1).otherwise(acc["k"])
+        return F.struct(
+            inp.alias("inp"), tgt.alias("tgt"),
+            k.alias("k"), m.alias("prev"),
+        )
+
+    def finish(acc):
+        closing = F.concat(
+            F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
+        )
+        return F.struct(
+            F.ltrim(acc["inp"]).alias("input"),
+            F.ltrim(F.concat(acc["tgt"], F.lit(" "), closing))
+            .alias("target"),
+            acc["k"].cast("bigint").alias("n_spans"),
+        )
+
+    out = F.aggregate(positions, acc0, step, finish)
+    return base.select(
+        F.col(id_col),
+        out["n_spans"].alias("n_spans"),
+        out["input"].alias("input"),
+        out["target"].alias("target"),
+    )

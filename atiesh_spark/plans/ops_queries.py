@@ -9961,3 +9961,83 @@ def q220_kn_lm_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "q221_span_corruption",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, toks[CAST(i AS INT)] AS tok,
+               (('0x' || substring(md5(doc_id::VARCHAR || ':'
+                                       || i::VARCHAR), 1, 15))::BIGINT
+                % 100) < 15 AS m
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i
+              FROM base WHERE len(toks) > 0)
+    ),
+    runs AS (
+        SELECT *,
+               CASE WHEN m AND NOT coalesce(
+                        lag(m) OVER (PARTITION BY doc_id ORDER BY i),
+                        false)
+                    THEN 1 ELSE 0 END AS run_start
+        FROM pos
+    ),
+    runnum AS (
+        SELECT *,
+               SUM(run_start) OVER (PARTITION BY doc_id
+                                    ORDER BY i) AS run_id
+        FROM runs
+    ),
+    inp AS (
+        SELECT doc_id,
+               string_agg(
+                   CASE WHEN NOT m THEN tok
+                        ELSE '<extra_id_' || (run_id - 1) || '>' END,
+                   ' ' ORDER BY i) AS input
+        FROM runnum WHERE NOT m OR run_start = 1
+        GROUP BY doc_id
+    ),
+    tgt AS (
+        SELECT doc_id,
+               string_agg(
+                   CASE WHEN run_start = 1
+                        THEN '<extra_id_' || (run_id - 1) || '> ' || tok
+                        ELSE tok END,
+                   ' ' ORDER BY i) AS t,
+               MAX(run_id) AS k
+        FROM runnum WHERE m GROUP BY doc_id
+    )
+    SELECT i.doc_id,
+           CAST(COALESCE(t.k, 0) AS BIGINT) AS n_spans,
+           i.input AS input,
+           CASE WHEN t.t IS NULL THEN '<extra_id_0>'
+                ELSE t.t || ' <extra_id_' || t.k || '>' END AS target
+    FROM inp i LEFT JOIN tgt t USING (doc_id)
+    """,
+    doc="T5 span-corruption pairs (operators/corpus.py span_corruption; "
+    "Raffel et al. 2020 §3.1.4): the seq2seq denoising objective built "
+    "deterministically — token i masks iff md5_long(doc_id:i) % 100 < "
+    "15 (the repo's hash contract standing in for T5's RNG; runs are "
+    "geometric rather than length-sampled, the sentinel structure is "
+    "exact). Consecutive masks collapse to <extra_id_k> in the input; "
+    "the target lists each sentinel + its span and closes with the "
+    "final sentinel. Graded as EXACT STRINGS per document: the Spark "
+    "side is one row-local aggregate() accumulator walk over the "
+    "materialized token array (zero shuffles, one md5 per token), the "
+    "oracle an independent window-function replay (lag run starts, "
+    "running SUM run ids, ordered string_agg) — two different "
+    "algorithms, same strings, which is the strongest equivalence the "
+    "driver can check.",
+)
+def q221_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corruption(docs, "doc_id", "text", rate_pct=15)

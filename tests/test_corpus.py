@@ -540,3 +540,89 @@ def test_sentence_chunks_packing_rules(spark):
 
     with _pt.raises(ValueError):
         sentence_chunks(df, "doc_id", "text", max_chars=0)
+
+
+class TestSpanCorruption:
+    def test_t5_shape_hand_checked(self, spark):
+        from atiesh_spark.operators.corpus import span_corruption
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+        )
+        r = span_corruption(docs, "doc_id", "text", rate_pct=15).collect()[0]
+        # structure invariants that hold for ANY mask draw:
+        toks = set("alpha beta gamma delta".split())
+        inp, tgt = r["input"].split(), r["target"].split()
+        k = r["n_spans"]
+        # every token appears exactly once across input+target (minus
+        # sentinels), input sentinels are 0..k-1, target ends with
+        # <extra_id_k>
+        sent = {f"<extra_id_{i}>" for i in range(k)}
+        assert [t for t in inp if t.startswith("<extra")] == sorted(
+            sent, key=lambda s: int(s[10:-1])
+        )
+        assert tgt[-1] == f"<extra_id_{k}>"
+        body = [t for t in inp + tgt if not t.startswith("<extra")]
+        assert sorted(body) == sorted(toks)
+
+    def test_nothing_masked(self, spark):
+        from atiesh_spark.operators.corpus import span_corruption
+
+        # rate 1%: overwhelmingly likely nothing masks in 3 tokens with
+        # this fixed id — pin a known-clean fixture by checking output
+        # consistency instead of luck: n_spans == 0 implies original
+        # text and the bare closing sentinel.
+        docs = spark.createDataFrame(
+            [(424242, "x y z")], "doc_id bigint, text string"
+        )
+        r = span_corruption(docs, "doc_id", "text", rate_pct=1).collect()[0]
+        if r["n_spans"] == 0:
+            assert r["input"] == "x y z"
+            assert r["target"] == "<extra_id_0>"
+        else:
+            assert r["target"].endswith(f"<extra_id_{r['n_spans']}>")
+
+    def test_empty_doc_dropped(self, spark):
+        from atiesh_spark.operators.corpus import span_corruption
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "   ")], "doc_id bigint, text string"
+        )
+        out = span_corruption(docs, "doc_id", "text").collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+    def test_deterministic_across_runs(self, spark):
+        from atiesh_spark.operators.corpus import span_corruption
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{j} " * 20) for i, j in enumerate([1, 2, 3])],
+            "doc_id bigint, text string",
+        )
+        a = sorted(map(tuple, span_corruption(
+            docs, "doc_id", "text").collect()))
+        b = sorted(map(tuple, span_corruption(
+            docs.repartition(7), "doc_id", "text").collect()))
+        assert a == b
+
+    def test_rate_validation(self, spark):
+        import pytest as _pt
+
+        from atiesh_spark.operators.corpus import span_corruption
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with _pt.raises(ValueError, match="rate_pct"):
+            span_corruption(docs, "doc_id", "text", rate_pct=0)
+
+    def test_plan_is_row_local(self, spark):
+        from atiesh_spark.operators.corpus import span_corruption
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id bigint, text string"
+        )
+        plan = (
+            span_corruption(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # zero shuffles: rides the scan
