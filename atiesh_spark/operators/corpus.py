@@ -954,3 +954,69 @@ def span_corruption(
         out["input"].alias("input"),
         out["target"].alias("target"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tranches: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (Heaps 1978): how much NEW
+    vocabulary each additional tranche of corpus buys — the
+    data-acquisition planning report (diminishing vocab returns are
+    the classic signal that more of the same source stops helping).
+    Output, one row per tranche k = 0..tranches-1, cumulative over
+    tranches 0..k: (tranche, n_docs, n_tokens, vocab).
+
+    Tranches are md5 hash buckets of the document id — a deterministic
+    stand-in for acquisition order, so the curve is a pure function of
+    the data (rerun/engine stable). The trick that keeps this ONE
+    pass: a type's first appearance is its MINIMUM tranche, so
+    vocab(k) = |{gram : min_tranche(gram) <= k}| — one
+    map-side-combined groupBy(gram) -> min aggregate (vocabulary-
+    sized), then a ``tranches``-row histogram + running sum. No
+    per-prefix distinct-count rescans, no corpus re-read per point.
+    """
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.functions.text import ws_tokens
+    from pyspark.sql import Window
+
+    if tranches < 2:
+        raise ValueError("tranches must be >= 2")
+    base = df.select(
+        F.col(id_col),
+        (md5_long(F.col(id_col).cast("string")) % tranches).alias("__t"),
+        ws_tokens(F.col(text_col)).alias("__toks"),
+    )
+    per_doc = base.select(
+        "__t", F.size("__toks").alias("__n"), "__toks"
+    )
+    doc_tok = per_doc.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum("__n").alias("__tokens"),
+    )
+    first_seen = (
+        per_doc.select("__t", F.explode("__toks").alias("__g"))
+        .groupBy("__g")
+        .agg(F.min("__t").alias("__first"))
+        .groupBy(F.col("__first").alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__new_vocab"))
+    )
+    grid = df.sparkSession.range(tranches).select(
+        F.col("id").cast("long").alias("__t")
+    )
+    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    # the frame under the window is `tranches` rows — a driver-bounded
+    # constant, so the single-partition window sort is free
+    return (
+        grid.join(doc_tok, "__t", "left")
+        .join(first_seen, "__t", "left")
+        .fillna(0, subset=["__docs", "__tokens", "__new_vocab"])
+        .select(
+            F.col("__t").alias("tranche"),
+            F.sum("__docs").over(w).cast("bigint").alias("n_docs"),
+            F.sum("__tokens").over(w).cast("bigint").alias("n_tokens"),
+            F.sum("__new_vocab").over(w).cast("bigint").alias("vocab"),
+        )
+    )

@@ -10041,3 +10041,55 @@ def q221_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return span_corruption(docs, "doc_id", "text", rate_pct=15)
+
+
+@register(
+    "q222_vocab_growth",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 10 AS t,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    dt AS (
+        SELECT t, count(*) AS docs, SUM(len(toks)) AS tokens
+        FROM base GROUP BY t
+    ),
+    fs AS (
+        SELECT first_t AS t, count(*) AS new_vocab
+        FROM (SELECT g, MIN(t) AS first_t
+              FROM (SELECT t, unnest(toks) AS g FROM base)
+              GROUP BY g)
+        GROUP BY first_t
+    ),
+    grid AS (SELECT unnest(generate_series(0, 9)) AS t)
+    SELECT CAST(grid.t AS BIGINT) AS tranche,
+           CAST(SUM(COALESCE(dt.docs, 0))
+                OVER (ORDER BY grid.t) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(dt.tokens, 0))
+                OVER (ORDER BY grid.t) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(fs.new_vocab, 0))
+                OVER (ORDER BY grid.t) AS BIGINT) AS vocab
+    FROM grid
+    LEFT JOIN dt ON dt.t = grid.t
+    LEFT JOIN fs ON fs.t = grid.t
+    """,
+    doc="Heaps-law vocabulary-growth curve (operators/corpus.py "
+    "vocab_growth; Heaps 1978): cumulative docs / tokens / distinct "
+    "vocabulary over 10 md5-bucket corpus tranches — the "
+    "data-acquisition planning report (diminishing vocabulary returns "
+    "signal source exhaustion). The one-pass trick: a type's first "
+    "appearance is its MINIMUM tranche, so every curve point falls "
+    "out of ONE vocabulary-sized groupBy(gram)->min aggregate plus a "
+    "10-row histogram and running sum — never a per-prefix "
+    "distinct-count rescan of the corpus. The final window sorts a "
+    "constant 10-row frame; integer-exact outputs end to end.",
+)
+def q222_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_growth(docs, "doc_id", "text", tranches=10)

@@ -626,3 +626,48 @@ class TestSpanCorruption:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Exchange" not in plan  # zero shuffles: rides the scan
+
+
+class TestVocabGrowth:
+    def test_hand_computed_curve(self, spark):
+        from atiesh_spark.operators.corpus import vocab_growth
+
+        # Ids chosen so every doc lands in a known tranche is fragile
+        # (md5); instead verify the INVARIANTS that define the curve:
+        # monotone non-decreasing, final row = exact corpus totals.
+        docs = spark.createDataFrame(
+            [(i, "alpha beta " + f"uniq{i}") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        rows = vocab_growth(docs, "doc_id", "text", tranches=10).collect()
+        rows.sort(key=lambda r: r["tranche"])
+        assert [r["tranche"] for r in rows] == list(range(10))
+        for a, b in zip(rows, rows[1:]):
+            assert b["n_docs"] >= a["n_docs"]
+            assert b["n_tokens"] >= a["n_tokens"]
+            assert b["vocab"] >= a["vocab"]
+        last = rows[-1]
+        assert last["n_docs"] == 20
+        assert last["n_tokens"] == 60
+        assert last["vocab"] == 22  # alpha, beta, uniq0..uniq19
+
+    def test_vocab_counts_types_not_tokens(self, spark):
+        from atiesh_spark.operators.corpus import vocab_growth
+
+        docs = spark.createDataFrame(
+            [(1, "x x x x"), (2, "x y y x")], "doc_id bigint, text string"
+        )
+        last = sorted(
+            vocab_growth(docs, "doc_id", "text", tranches=2).collect(),
+            key=lambda r: r["tranche"],
+        )[-1]
+        assert last["vocab"] == 2 and last["n_tokens"] == 8
+
+    def test_tranche_validation(self, spark):
+        import pytest as _pt
+
+        from atiesh_spark.operators.corpus import vocab_growth
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with _pt.raises(ValueError, match="tranches"):
+            vocab_growth(docs, "doc_id", "text", tranches=1)
