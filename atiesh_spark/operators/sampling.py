@@ -757,3 +757,54 @@ def pack_with_offsets(
         (run - F.col(cost_col)).cast("long").alias("start_offset"),
         run.cast("long").alias("end_offset"),
     )
+
+
+def excess_loss_weights(
+    per_group: DataFrame,
+    group_col: str,
+    n_col: str,
+    loss_col: str,
+    eta: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429, one exponentiated-gradient step with the corpus
+    itself as reference): (group, n, bits, excess, weight).
+
+    ``per_group`` carries one row per domain with its example count
+    (``n_col``) and its MEAN loss in bits (``loss_col``, e.g. the KN
+    bits/bigram from ngramlm — higher = harder for the reference
+    model). excess = max(0, bits - corpus_mean_bits); weight ∝
+    baseline share × exp(eta · excess), normalized — hard domains are
+    upweighted relative to their natural share, domains at or below
+    the corpus mean keep it. The input is a DOMAIN-sized relation
+    (never per-example), so every step here is a broadcast-total
+    crossJoin + row-local arithmetic: the expensive part (per-example
+    loss) already happened upstream.
+    """
+    total = per_group.agg(
+        F.sum(n_col).alias("__tn"),
+        F.sum(F.col(loss_col) * F.col(n_col)).alias("__tl"),
+    )
+    base = per_group.crossJoin(F.broadcast(total)).select(
+        F.col(group_col),
+        F.col(n_col).alias("__n"),
+        F.col(loss_col).alias("__bits"),
+        (F.col(n_col) / F.col("__tn")).alias("__share"),
+        F.greatest(
+            F.col(loss_col) - F.col("__tl") / F.col("__tn"), F.lit(0.0)
+        ).alias("__excess"),
+    )
+    scored = base.select(
+        group_col, "__n", "__bits", "__excess",
+        (F.col("__share") * F.exp(F.lit(float(eta)) * F.col("__excess")))
+        .alias("__raw"),
+    )
+    z = scored.agg(F.sum("__raw").alias("__z"))
+    return scored.crossJoin(F.broadcast(z)).select(
+        F.col(group_col),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round("__bits", round_to).alias("bits"),
+        F.round("__excess", round_to).alias("excess"),
+        F.round(F.col("__raw") / F.col("__z"), round_to).alias("weight"),
+    )

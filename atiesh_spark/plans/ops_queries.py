@@ -9671,10 +9671,11 @@ def q217_corpus_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q218_kn_bigram_ppl",
-    oracle=r"""
-    WITH base AS (
+#: Shared KN-bigram CTE chain (train + per-doc scoring) — q218 grades
+#: the per-language report, q220 the streaming replay (same oracle),
+#: q223 the mixture weights derived from the same perdoc relation.
+_KN_PERDOC_SQL = r"""
+    base AS (
         SELECT doc_id, lang,
                list_filter(string_split_regex(text, '\s+'),
                            x -> x <> '') AS toks
@@ -9713,7 +9714,14 @@ def q217_corpus_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(SUM(log2(m.p_kn)) / count(*), 4) AS mean_log2p
         FROM bg g JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
         GROUP BY g.doc_id, g.lang
-    )
+    )"""
+
+
+@register(
+    "q218_kn_bigram_ppl",
+    oracle="WITH "
+    + _KN_PERDOC_SQL
+    + r"""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
@@ -10093,3 +10101,65 @@ def q222_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return vocab_growth(docs, "doc_id", "text", tranches=10)
+
+
+@register(
+    "q223_domain_reweighting",
+    oracle="WITH "
+    + _KN_PERDOC_SQL
+    + r""",
+    pl AS (
+        SELECT lang, count(*) AS n,
+               -round(SUM(mean_log2p), 4) / count(*) AS bits
+        FROM perdoc GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(bits * n) AS tl FROM pl),
+    b AS (
+        SELECT lang, n, bits,
+               n / t.tn AS share,
+               GREATEST(bits - t.tl / t.tn, 0.0) AS excess
+        FROM pl, tot t
+    ),
+    s AS (SELECT *, share * exp(1.0 * excess) AS raw FROM b),
+    z AS (SELECT SUM(raw) AS z FROM s)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(bits, 4) AS DOUBLE) AS bits,
+           CAST(round(excess, 4) AS DOUBLE) AS excess,
+           CAST(round(raw / z.z, 4) AS DOUBLE) AS weight
+    FROM s, z
+    """,
+    doc="DoReMi-style domain reweighting (operators/sampling.py "
+    "excess_loss_weights; Xie et al. 2023 arXiv:2305.10429, one "
+    "exponentiated-gradient step): per-language KN bits/bigram (from "
+    "the q218 model, trained in the same plan) become mixture weights "
+    "— share x exp(eta x max(0, bits - corpus_mean)), normalized, so "
+    "hard domains are upweighted and at-or-below-mean domains keep "
+    "their natural share. The weight math runs on a DOMAIN-sized "
+    "relation (5 rows here): two broadcast-total crossJoins + row-"
+    "local arithmetic; the per-example cost is the q218 scoring "
+    "pipeline this composes. Graded end to end: the oracle replays "
+    "train -> score -> per-lang bits -> weights in SQL.",
+)
+def q223_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.ngramlm import kn_bigram_model, kn_score_docs
+    from atiesh_spark.operators.sampling import excess_loss_weights
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    model = kn_bigram_model(docs, "doc_id", "text", discount=0.75)
+    scores = kn_score_docs(docs, model, "doc_id", "text")
+    per_lang = (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("mean_log2p"), 4).alias("__slp"),
+        )
+        .select(
+            "lang", "n_docs",
+            (-F.col("__slp") / F.col("n_docs")).alias("bits"),
+        )
+    )
+    return excess_loss_weights(per_lang, "lang", "n_docs", "bits", eta=1.0)

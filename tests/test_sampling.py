@@ -527,3 +527,54 @@ def test_pack_with_offsets_layout(spark):
             off = e
     # offsets restart at every pack
     assert all(docs[0][2] == 0 for docs in by_pack.values())
+
+
+class TestExcessLossWeights:
+    def test_hand_computed(self, spark):
+        import math
+
+        from atiesh_spark.operators.sampling import excess_loss_weights
+
+        # two domains, equal sizes: mean bits = 5; only 'hard' (6 bits)
+        # has excess 1; weights = share*exp(excess) normalized.
+        pg = spark.createDataFrame(
+            [("easy", 10, 4.0), ("hard", 10, 6.0)],
+            "dom string, n bigint, bits double",
+        )
+        out = {r["dom"]: r for r in excess_loss_weights(
+            pg, "dom", "n", "bits", eta=1.0).collect()}
+        assert out["easy"]["excess"] == 0.0
+        assert out["hard"]["excess"] == 1.0
+        raw_e, raw_h = 0.5 * 1.0, 0.5 * math.exp(1.0)
+        z = raw_e + raw_h
+        assert out["easy"]["weight"] == round(raw_e / z, 4)
+        assert out["hard"]["weight"] == round(raw_h / z, 4)
+
+    def test_weights_sum_to_one_and_uniform_when_equal(self, spark):
+        from atiesh_spark.operators.sampling import excess_loss_weights
+
+        pg = spark.createDataFrame(
+            [("a", 30, 5.0), ("b", 10, 5.0), ("c", 60, 5.0)],
+            "dom string, n bigint, bits double",
+        )
+        rows = excess_loss_weights(pg, "dom", "n", "bits").collect()
+        # equal losses: zero excess everywhere -> weights = natural
+        # shares
+        got = {r["dom"]: r["weight"] for r in rows}
+        assert got == {"a": 0.3, "b": 0.1, "c": 0.6}
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+
+    def test_size_weighted_corpus_mean(self, spark):
+        from atiesh_spark.operators.sampling import excess_loss_weights
+
+        # corpus mean is SIZE-weighted: (90*1 + 10*11)/100 = 2, so the
+        # big easy domain sits below the mean and the small hard one
+        # carries excess 9.
+        pg = spark.createDataFrame(
+            [("big", 90, 1.0), ("small", 10, 11.0)],
+            "dom string, n bigint, bits double",
+        )
+        out = {r["dom"]: r for r in excess_loss_weights(
+            pg, "dom", "n", "bits").collect()}
+        assert out["big"]["excess"] == 0.0
+        assert out["small"]["excess"] == 9.0
