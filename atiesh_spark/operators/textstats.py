@@ -1447,3 +1447,76 @@ def compression_ratio(
     _ratio = pandas_udf(_ratio_fn, "double")
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def luhn_card_audit(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Checksum-validated card-number audit: (id_col, n_candidates,
+    n_valid, n_invalid), one row per document that contains at least
+    one candidate.
+
+    The regex-only PII scrub (redact_pii) treats every 13-19 digit run
+    as a card — at corpus scale that over-redacts order ids and
+    timestamps. This operator separates LOOKS-LIKE from IS: a
+    candidate is a whitespace token of digit groups (dashes allowed)
+    whose digit count is 13-19; it is VALID iff it passes the Luhn
+    mod-10 checksum (ISO/IEC 7812) — double every second digit from
+    the right, subtract 9 when it exceeds 9, total divisible by 10.
+    The precision gate a redaction pipeline applies before destroying
+    non-PII tokens.
+
+    All row-local codegen: tokens materialize once, candidates keep
+    their digit string in a struct (never re-normalized per digit),
+    and the checksum is one aggregate() fold per candidate — zero
+    shuffles beyond the final projection, no lookaround regex (the
+    rule stays portable to RE2-based engines for oracle replay).
+    """
+    from atiesh_spark.functions.text import ws_tokens
+
+    base = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    cand_digits = F.filter(
+        F.transform(
+            F.filter(
+                F.col("__toks"),
+                lambda t: t.rlike(r"^[0-9]+(-[0-9]+)*$"),
+            ),
+            lambda t: F.regexp_replace(t, "-", ""),
+        ),
+        lambda d: (F.length(d) >= 13) & (F.length(d) <= 19),
+    )
+
+    def luhn_ok(d):
+        # i counts 1-based from the RIGHT; even i doubles
+        def dig(i):
+            return F.ascii(d.substr(F.length(d) - i + 1, F.lit(1))) - 48
+
+        total = F.aggregate(
+            F.sequence(F.lit(1), F.length(d)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 0,
+                F.when(dig(i) * 2 > 9, dig(i) * 2 - 9)
+                .otherwise(dig(i) * 2),
+            ).otherwise(dig(i)),
+        )
+        return total % 10 == 0
+
+    staged = (
+        base.select(F.col(id_col), cand_digits.alias("__cands"))
+        .filter(F.size("__cands") > 0)
+        .select(
+            F.col(id_col),
+            F.size("__cands").cast("bigint").alias("n_candidates"),
+            # materialized so the fold runs once, not once per use
+            F.size(F.filter("__cands", luhn_ok))
+            .cast("bigint").alias("n_valid"),
+        )
+    )
+    return staged.select(
+        id_col, "n_candidates", "n_valid",
+        (F.col("n_candidates") - F.col("n_valid")).alias("n_invalid"),
+    )

@@ -10163,3 +10163,88 @@ def q223_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return excess_loss_weights(per_lang, "lang", "n_docs", "bits", eta=1.0)
+
+
+@register(
+    "q224_luhn_card_audit",
+    oracle=r"""
+    WITH fix AS (
+        SELECT doc_id,
+               text || CASE doc_id % 5
+                   WHEN 0 THEN ' 4111111111111111'
+                   WHEN 1 THEN ' 5500-0055-5555-5559'
+                   WHEN 2 THEN ' 4111111111111112'
+                   WHEN 3 THEN ' 340000000000009'
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    cands AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       list_filter(
+                           list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> ''),
+                           t -> regexp_full_match(t, '[0-9]+(-[0-9]+)*')),
+                       t -> replace(t, '-', '')),
+                   d -> length(d) BETWEEN 13 AND 19) AS cs
+        FROM fix
+    ),
+    per AS (
+        SELECT doc_id, cs,
+               list_filter(cs, d ->
+                   list_aggregate(
+                       list_transform(
+                           generate_series(1, length(d)),
+                           i -> CASE WHEN i % 2 = 0 THEN
+                                    CASE WHEN CAST(substring(d,
+                                             length(d) - i + 1, 1)
+                                             AS INT) * 2 > 9
+                                         THEN CAST(substring(d,
+                                              length(d) - i + 1, 1)
+                                              AS INT) * 2 - 9
+                                         ELSE CAST(substring(d,
+                                              length(d) - i + 1, 1)
+                                              AS INT) * 2 END
+                                ELSE CAST(substring(d,
+                                     length(d) - i + 1, 1) AS INT)
+                                END),
+                       'sum') % 10 = 0) AS valid
+        FROM cands WHERE len(cs) > 0
+    )
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_candidates,
+           CAST(len(valid) AS BIGINT) AS n_valid,
+           CAST(len(cs) - len(valid) AS BIGINT) AS n_invalid
+    FROM per
+    """,
+    doc="Luhn-validated card-number audit (operators/textstats.py "
+    "luhn_card_audit; ISO/IEC 7812 mod-10): the PRECISION gate on top "
+    "of q42's regex-only PII scrub — a 13-19-digit token is only a "
+    "card if its checksum verifies, so order ids and timestamps stop "
+    "being redacted. The corpus has zero natural candidates "
+    "(measured), so the fixture plants the public test PANs per "
+    "doc_id % 5: two plain valid (Visa 16, Amex 15), one dashed valid "
+    "(the digit-group normalization path), one checksum-broken, one "
+    "clean — every branch of candidate extraction and validation "
+    "fires and the expected counts are exact per document. All "
+    "row-local: tokens materialize once, one aggregate() checksum "
+    "fold per candidate, no lookaround regex (RE2-portable by "
+    "construction, which is what lets the oracle replay it).",
+)
+def q224_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import luhn_card_audit
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit(" 4111111111111111"))
+            .when(d % 5 == 1, F.lit(" 5500-0055-5555-5559"))
+            .when(d % 5 == 2, F.lit(" 4111111111111112"))
+            .when(d % 5 == 3, F.lit(" 340000000000009"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return luhn_card_audit(docs, "doc_id", "text")

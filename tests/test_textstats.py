@@ -591,3 +591,44 @@ def test_compression_ratio_deterministic_and_level_sensitive(spark):
     # level 0 stores raw -> ratio above 1 for this input
     c = compression_ratio(df, "text", level=0).collect()[0]["zlib_ratio"]
     assert c > 1.0 > a
+
+
+class TestLuhnCardAudit:
+    def test_known_pans(self, spark):
+        from atiesh_spark.operators.textstats import luhn_card_audit
+
+        docs = spark.createDataFrame(
+            [(1, "pay 4111111111111111 now"),          # valid Visa
+             (2, "ref 4111111111111112 shipped"),      # checksum broken
+             (3, "amex 340000000000009 and visa 4111-1111-1111-1111"),
+             (4, "no candidates 123 here 12345678901234567890")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               luhn_card_audit(docs, "doc_id", "text").collect()}
+        assert set(out) == {1, 2, 3}  # doc 4: too short / too long
+        assert (out[1]["n_valid"], out[1]["n_invalid"]) == (1, 0)
+        assert (out[2]["n_valid"], out[2]["n_invalid"]) == (0, 1)
+        assert (out[3]["n_candidates"], out[3]["n_valid"]) == (2, 2)
+
+    def test_dash_groups_normalize(self, spark):
+        from atiesh_spark.operators.textstats import luhn_card_audit
+
+        docs = spark.createDataFrame(
+            [(1, "5500-0055-5555-5559")], "doc_id bigint, text string"
+        )
+        r = luhn_card_audit(docs, "doc_id", "text").collect()[0]
+        assert (r["n_candidates"], r["n_valid"]) == (1, 1)
+
+    def test_plan_is_row_local(self, spark):
+        from atiesh_spark.operators.textstats import luhn_card_audit
+
+        docs = spark.createDataFrame(
+            [(1, "4111111111111111")], "doc_id bigint, text string"
+        )
+        plan = (
+            luhn_card_audit(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
