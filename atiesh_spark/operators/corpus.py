@@ -1020,3 +1020,63 @@ def vocab_growth(
             F.sum("__new_vocab").over(w).cast("bigint").alias("vocab"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: (source_1, source_2,
+    n_grams_1, n_grams_2, shared, jaccard) for every source pair that
+    shares at least one distinct word n-gram — the corpus-composition
+    audit that answers "which of my sources are mirrors of each
+    other" BEFORE any per-document dedup runs (two crawls of the same
+    site light up here even when no two documents are near-dups).
+
+    Plan shape: one distinct (source, gram) relation (word_shingles —
+    fan-out guard + materialized tokens), a gram-keyed self-join
+    whose fan-out is bounded by S^2 per gram (S = number of sources,
+    a catalog-sized constant, never corpus-sized), and per-source
+    distinct totals off the same relation. Jaccard over DISTINCT gram
+    sets, rounded to 4dp — all counts exact integers.
+    """
+    from atiesh_spark.operators.dedup import word_shingles
+
+    grams = word_shingles(
+        df.select(source_col, text_col), source_col, text_col,
+        n=n, distinct=True,
+    ).localCheckpoint()  # feeds totals AND both self-join sides
+    totals = grams.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__ng")
+    )
+    a = grams.select(F.col(source_col).alias("source_1"), "sh")
+    b = grams.select(F.col(source_col).alias("source_2"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    t1 = totals.select(
+        F.col(source_col).alias("source_1"), F.col("__ng").alias("__n1")
+    )
+    t2 = totals.select(
+        F.col(source_col).alias("source_2"), F.col("__ng").alias("__n2")
+    )
+    return (
+        shared.join(F.broadcast(t1), "source_1")
+        .join(F.broadcast(t2), "source_2")
+        .select(
+            "source_1", "source_2",
+            F.col("__n1").cast("bigint").alias("n_grams_1"),
+            F.col("__n2").cast("bigint").alias("n_grams_2"),
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared")
+                / (F.col("__n1") + F.col("__n2") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -10248,3 +10248,53 @@ def q224_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return luhn_card_audit(docs, "doc_id", "text")
+
+
+@register(
+    "q225_source_overlap_matrix",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[CAST(i AS INT)] || ' '
+                        || w[CAST(i + 1 AS INT)])) AS sh
+        FROM toks WHERE len(w) >= 2
+    ),
+    totals AS (SELECT source, count(*) AS ng FROM grams GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_1, b.source AS source_2,
+               count(*) AS shared
+        FROM grams a JOIN grams b
+          ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.source_1, s.source_2,
+           CAST(t1.ng AS BIGINT) AS n_grams_1,
+           CAST(t2.ng AS BIGINT) AS n_grams_2,
+           CAST(s.shared AS BIGINT) AS shared,
+           CAST(round(s.shared / (t1.ng + t2.ng - s.shared), 4)
+                AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN totals t1 ON t1.source = s.source_1
+    JOIN totals t2 ON t2.source = s.source_2
+    """,
+    doc="Cross-source n-gram overlap matrix (operators/corpus.py "
+    "source_overlap_matrix): distinct word-bigram Jaccard for every "
+    "source pair — the corpus-composition audit that catches mirror "
+    "sources (two crawls of one site) before any per-document dedup. "
+    "ONE distinct (source, gram) relation feeds per-source totals and "
+    "a gram-keyed self-join whose fan-out is S^2-bounded per gram "
+    "(S = catalog-sized source count); totals broadcast back onto the "
+    "S^2-row matrix. Exact integer counts, 4dp Jaccard.",
+)
+def q225_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.corpus import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return source_overlap_matrix(docs, "text", "source", n=2)

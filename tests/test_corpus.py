@@ -671,3 +671,43 @@ class TestVocabGrowth:
         docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
         with _pt.raises(ValueError, match="tranches"):
             vocab_growth(docs, "doc_id", "text", tranches=1)
+
+
+class TestSourceOverlapMatrix:
+    def test_hand_computed(self, spark):
+        from atiesh_spark.operators.corpus import source_overlap_matrix
+
+        # s1 grams: {a b, b c}; s2 grams: {a b, b d}; s3 grams: {x y}
+        docs = spark.createDataFrame(
+            [("s1", "a b c"), ("s2", "a b d"), ("s3", "x y")],
+            "source string, text string",
+        )
+        rows = source_overlap_matrix(docs, "text", "source").collect()
+        out = {(r["source_1"], r["source_2"]): r for r in rows}
+        assert set(out) == {("s1", "s2")}  # s3 shares nothing
+        r = out[("s1", "s2")]
+        assert (r["n_grams_1"], r["n_grams_2"], r["shared"]) == (2, 2, 1)
+        assert r["jaccard"] == round(1 / 3, 4)
+
+    def test_distinct_grams_not_occurrences(self, spark):
+        from atiesh_spark.operators.corpus import source_overlap_matrix
+
+        # repeated bigrams inside a source count once
+        docs = spark.createDataFrame(
+            [("s1", "a b a b a b"), ("s2", "a b")],
+            "source string, text string",
+        )
+        r = source_overlap_matrix(docs, "text", "source").collect()[0]
+        # s1 distinct grams: {a b, b a}; s2: {a b}
+        assert (r["n_grams_1"], r["n_grams_2"], r["shared"]) == (2, 1, 1)
+        assert r["jaccard"] == 0.5
+
+    def test_mirror_sources_jaccard_one(self, spark):
+        from atiesh_spark.operators.corpus import source_overlap_matrix
+
+        docs = spark.createDataFrame(
+            [("a", "the same mirrored text"), ("b", "the same mirrored text")],
+            "source string, text string",
+        )
+        r = source_overlap_matrix(docs, "text", "source").collect()[0]
+        assert r["jaccard"] == 1.0
