@@ -198,3 +198,79 @@ def validate_conversations(
             & (F.col("last_role") == roles[1])
         ).alias("valid"),
     )
+
+
+def flatten_tree(
+    df: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Flatten a parent-pointer hierarchy into root-to-node paths:
+    (id_col, root, depth, path) — the thread-ingestion step that turns
+    forum/conversation trees into linear sequences an SFT pipeline can
+    assemble (roots have depth 0; ``path`` is the '/'-joined id chain
+    from the root down to the node).
+
+    Pointer DOUBLING, not per-level iteration: each round every node
+    splices its furthest-known ancestor's chain onto its own and
+    inherits that ancestor's pointer, so the unresolved depth HALVES —
+    ceil(log2(max_depth)) rounds of one self-join each (the
+    connected-components discipline, dedup.py), with the narrow
+    (id, anc, chain) state localCheckpoint()ed per round so no round
+    recomputes its predecessors. A cycle or a deeper-than-max_depth
+    chain leaves anc unresolved and raises rather than silently
+    truncating.
+    """
+    import math
+
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    state = df.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("anc"),
+        F.array(F.col(id_col)).alias("chain"),
+    ).localCheckpoint()
+    for _ in range(max(1, math.ceil(math.log2(max_depth)))):
+        anc_side = state.select(
+            F.col("id").alias("__aid"),
+            F.col("anc").alias("__aanc"),
+            F.col("chain").alias("__achain"),
+        )
+        state = (
+            state.join(anc_side, state["anc"] == anc_side["__aid"], "left")
+            .select(
+                "id",
+                # a parent id absent from the table dangles: treat the
+                # node as rooted there (splice nothing) rather than
+                # NULLing the chain through concat(chain, NULL)
+                F.when(
+                    F.col("anc").isNotNull()
+                    & F.col("__achain").isNotNull(),
+                    F.col("__aanc"),
+                ).alias("__next_anc"),
+                F.when(
+                    F.col("anc").isNotNull()
+                    & F.col("__achain").isNotNull(),
+                    F.concat(F.col("chain"), F.col("__achain")),
+                )
+                .otherwise(F.col("chain"))
+                .alias("chain"),
+            )
+            .select("id", F.col("__next_anc").alias("anc"), "chain")
+            .localCheckpoint()
+        )
+        if state.filter(F.col("anc").isNotNull()).isEmpty():
+            break
+    else:
+        if not state.filter(F.col("anc").isNotNull()).isEmpty():
+            raise ValueError(
+                f"unresolved ancestors after max_depth={max_depth} "
+                "doubling rounds — cycle or deeper tree than declared"
+            )
+    return state.select(
+        F.col("id").alias(id_col),
+        F.element_at("chain", -1).alias("root"),
+        (F.size("chain") - 1).cast("bigint").alias("depth"),
+        F.array_join(F.reverse("chain"), "/").alias("path"),
+    )

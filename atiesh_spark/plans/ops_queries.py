@@ -10298,3 +10298,51 @@ def q225_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return source_overlap_matrix(docs, "text", "source", n=2)
+
+
+@register(
+    "q226_thread_tree_flatten",
+    oracle=r"""
+    WITH RECURSIVE tree AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = 0 THEN NULL
+                    ELSE (doc_id - 1) // 2 END AS parent
+        FROM documents
+    ),
+    walk AS (
+        SELECT doc_id, doc_id AS root, 0 AS depth,
+               CAST(doc_id AS VARCHAR) AS path
+        FROM tree WHERE parent IS NULL
+        UNION ALL
+        SELECT t.doc_id, w.root, w.depth + 1,
+               w.path || '/' || t.doc_id
+        FROM tree t JOIN walk w ON t.parent = w.doc_id
+    )
+    SELECT doc_id, CAST(root AS BIGINT) AS root,
+           CAST(depth AS BIGINT) AS depth, path
+    FROM walk
+    """,
+    doc="Parent-pointer hierarchy flattening (operators/sequences.py "
+    "flatten_tree): forum/conversation trees -> root-to-node paths, "
+    "the thread-ingestion step before assemble_sequences turns them "
+    "into SFT training sequences. POINTER DOUBLING: every node "
+    "splices its furthest-known ancestor's chain each round, so depth "
+    "halves per self-join — ceil(log2(depth)) rounds on the narrow "
+    "localCheckpoint()ed (id, anc, chain) state, the connected-"
+    "components discipline, vs the oracle's natural recursive-CTE "
+    "walk (two different algorithms, same exact paths). Fixture: the "
+    "binary tree parent=(id-1)//2 over the documents ids — ~9 levels "
+    "at sf0.01, every splice round exercised; dangling parents root "
+    "in place rather than NULLing chains (unit-tested).",
+)
+def q226_thread_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.sequences import flatten_tree
+
+    d = F.col("doc_id")
+    nodes = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.floor((d - 1) / 2).cast("bigint"))
+        .alias("parent"),
+    )
+    return flatten_tree(nodes, "doc_id", "parent", max_depth=64)

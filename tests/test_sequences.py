@@ -144,3 +144,64 @@ def test_validate_conversations_flags(spark):
         validate_conversations(df, "conv", "role", "content", ["turn"], roles=("a", "a"))
     with pytest.raises(ValueError):
         validate_conversations(df, "conv", "role", "content", ["turn"], min_turns=0)
+
+
+class TestFlattenTree:
+    def test_binary_tree_paths(self, spark):
+        from atiesh_spark.operators.sequences import flatten_tree
+
+        rows = [(i, None if i == 0 else (i - 1) // 2) for i in range(15)]
+        df = spark.createDataFrame(rows, "node bigint, parent bigint")
+        out = {r["node"]: r for r in
+               flatten_tree(df, "node", "parent").collect()}
+        assert out[0]["path"] == "0" and out[0]["depth"] == 0
+        assert out[7]["path"] == "0/1/3/7" and out[7]["depth"] == 3
+        assert all(r["root"] == 0 for r in out.values())
+
+    def test_forest_with_multiple_roots(self, spark):
+        from atiesh_spark.operators.sequences import flatten_tree
+
+        df = spark.createDataFrame(
+            [(1, None), (2, 1), (10, None), (11, 10), (12, 11)],
+            "node bigint, parent bigint",
+        )
+        out = {r["node"]: r for r in
+               flatten_tree(df, "node", "parent").collect()}
+        assert out[2]["root"] == 1
+        assert out[12]["path"] == "10/11/12"
+        assert out[10]["depth"] == 0
+
+    def test_dangling_parent_roots_in_place(self, spark):
+        from atiesh_spark.operators.sequences import flatten_tree
+
+        # parent 99 does not exist: node 5 becomes its own root with a
+        # one-element path instead of a NULLed chain
+        df = spark.createDataFrame(
+            [(5, 99)], "node bigint, parent bigint"
+        )
+        r = flatten_tree(df, "node", "parent").collect()[0]
+        assert (r["root"], r["depth"], r["path"]) == (5, 0, "5")
+
+    def test_deep_chain_within_budget(self, spark):
+        from atiesh_spark.operators.sequences import flatten_tree
+
+        # a 33-node path needs 6 doubling rounds; max_depth=64 covers it
+        df = spark.createDataFrame(
+            [(i, None if i == 0 else i - 1) for i in range(33)],
+            "node bigint, parent bigint",
+        )
+        out = {r["node"]: r for r in
+               flatten_tree(df, "node", "parent").collect()}
+        assert out[32]["depth"] == 32
+        assert out[32]["path"] == "/".join(str(i) for i in range(33))
+
+    def test_cycle_raises(self, spark):
+        import pytest as _pt
+
+        from atiesh_spark.operators.sequences import flatten_tree
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1)], "node bigint, parent bigint"
+        )
+        with _pt.raises(ValueError, match="unresolved"):
+            flatten_tree(df, "node", "parent", max_depth=8)
