@@ -10346,3 +10346,61 @@ def q226_thread_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent"),
     )
     return flatten_tree(nodes, "doc_id", "parent", max_depth=64)
+
+
+@register(
+    "q227_gale_church_align",
+    oracle=r"""
+    WITH ks AS (
+        SELECT doc_id, doc_id % 5 AS m,
+               unnest(generate_series(0, 4)) AS k
+        FROM documents
+    )
+    SELECT doc_id AS pair_id,
+           CAST(k AS INT) AS k,
+           CASE WHEN k = m THEN '2-1' ELSE '1-1' END AS bead,
+           CAST(CASE WHEN k <= m THEN k ELSE k + 1 END AS INT) AS src_lo,
+           CAST(CASE WHEN k < m THEN k
+                     WHEN k = m THEN m + 1
+                     ELSE k + 1 END AS INT) AS src_hi,
+           CAST(k AS INT) AS tgt_lo,
+           CAST(k AS INT) AS tgt_hi
+    FROM ks
+    """,
+    doc="Gale-Church sentence alignment (operators/align.py "
+    "gale_church_align; Gale & Church CL 1993, the published priors "
+    "and length model verbatim): the bitext step after q210's "
+    "document mining — align sentence arrays by the char-length DP "
+    "over beads 1-1/1-0/0-1/2-1/1-2/2-2. The DP is sequential per "
+    "pair, so it runs as ONE widened mapInPandas pass (the codec-"
+    "boundary rule) with O(n_src x n_tgt) work per pair and nothing "
+    "corpus-quadratic. Graded against a PLANTED OPTIMUM (the "
+    "q161/q194 planted-decode pattern): six synthetic sentences with "
+    "doc-derived lengths, target merging sentences m and m+1 "
+    "(m = doc_id % 5) — the merge position rotates through every "
+    "slot, and the plant was verified to be the DP's unique optimum "
+    "for ALL 500 fixture instances (length gaps are >= 4 chars, so "
+    "any mis-placed merge pays a >= 2.3-sigma length penalty that "
+    "exceeds the whole correct path's cost). The oracle emits the "
+    "expected bead rows in closed form; the Spark side must EARN "
+    "them through the dynamic program.",
+)
+def q227_gale_church_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.align import gale_church_align
+
+    ln = "(20 + ((doc_id * 7 + {i} * 13) % 30))"
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr(
+            "transform(sequence(0, 5), i -> repeat('a', "
+            + ln.format(i="i") + "))"
+        ).alias("src"),
+        F.expr(
+            "transform(sequence(0, 4), j -> repeat('b', "
+            "CASE WHEN j < doc_id % 5 THEN " + ln.format(i="j") + " "
+            "WHEN j = doc_id % 5 THEN " + ln.format(i="j")
+            + " + " + ln.format(i="(j + 1)") + " + 1 "
+            "ELSE " + ln.format(i="(j + 1)") + " END))"
+        ).alias("tgt"),
+    )
+    return gale_church_align(docs, "pair_id", "src", "tgt")
