@@ -1520,3 +1520,58 @@ def luhn_card_audit(
         id_col, "n_candidates", "n_valid",
         (F.col("n_candidates") - F.col("n_valid")).alias("n_invalid"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_k: int = 1000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Coverage of a fixed top-K corpus vocabulary per group:
+    (group, n_tokens, covered, coverage, oov_types) — the vocabulary-
+    planning twin of the Heaps curve (corpus.vocab_growth): a K-entry
+    vocab chosen on corpus frequency covers each language/domain
+    unevenly, and the groups with low coverage are the ones a shared
+    tokenizer will shred into bytes/UNKs.
+
+    vocab = the top_k most frequent tokens corpus-wide (count desc,
+    token asc — deterministic tie-break). Plan: ONE token-count
+    shuffle (map-side combined), TakeOrderedAndProject for the top-k,
+    then the K-row vocab broadcasts onto the per-(group, token)
+    occurrence counts — the corpus never shuffles twice and the
+    selection never range-sorts globally.
+    """
+    from atiesh_spark.functions.text import ws_tokens
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    toks = df.select(
+        F.col(group_col).alias("__grp"),
+        F.explode(ws_tokens(F.col(text_col))).alias("__tok"),
+    )
+    counts = toks.groupBy("__grp", "__tok").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    vocab = (
+        counts.groupBy("__tok")
+        .agg(F.sum("__n").alias("__total"))
+        .orderBy(F.desc("__total"), F.asc("__tok"))
+        .limit(top_k)
+        .select("__tok", F.lit(True).alias("__in_vocab"))
+    )
+    flagged = counts.join(F.broadcast(vocab), "__tok", "left")
+    return flagged.groupBy(F.col("__grp").alias(group_col)).agg(
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab"), F.col("__n")).otherwise(F.lit(0)))
+        .cast("bigint").alias("covered"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab"), F.col("__n"))
+                  .otherwise(F.lit(0))) / F.sum("__n"),
+            round_to,
+        ).alias("coverage"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), F.lit(1))
+              .otherwise(F.lit(0)))
+        .cast("bigint").alias("oov_types"),
+    )

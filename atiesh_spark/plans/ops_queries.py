@@ -10404,3 +10404,49 @@ def q227_gale_church_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tgt"),
     )
     return gale_church_align(docs, "pair_id", "src", "tgt")
+
+
+@register(
+    "q228_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+        SELECT lang AS grp,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT grp, tok, count(*) AS n FROM toks GROUP BY grp, tok
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, SUM(n) AS total FROM counts GROUP BY tok
+            ORDER BY total DESC, tok ASC LIMIT 50
+        )
+    )
+    SELECT c.grp AS lang,
+           CAST(SUM(c.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.n ELSE 0 END)
+                AS BIGINT) AS covered,
+           CAST(round(SUM(CASE WHEN v.tok IS NOT NULL THEN c.n
+                               ELSE 0 END) * 1.0 / SUM(c.n), 4)
+                AS DOUBLE) AS coverage,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_types
+    FROM counts c LEFT JOIN vocab v ON v.tok = c.tok
+    GROUP BY c.grp
+    """,
+    doc="Fixed-vocabulary coverage per language (operators/textstats.py "
+    "vocab_coverage): share of each language's token occurrences "
+    "covered by the top-50 corpus-frequency vocabulary (deterministic "
+    "count-desc/token-asc tie-break) plus its out-of-vocab type count "
+    "— the vocabulary-planning twin of q222's Heaps curve; languages "
+    "with low coverage are the ones a shared tokenizer shreds. ONE "
+    "token-count shuffle, TakeOrderedAndProject top-k, K-row vocab "
+    "broadcast back — the corpus never shuffles twice.",
+)
+def q228_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.textstats import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return vocab_coverage(docs, "text", "lang", top_k=50)

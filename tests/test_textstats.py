@@ -632,3 +632,40 @@ class TestLuhnCardAudit:
         )
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestVocabCoverage:
+    def test_hand_computed(self, spark):
+        from atiesh_spark.operators.textstats import vocab_coverage
+
+        # corpus counts: a=4, b=3, c=1, d=1 -> top_k=2 vocab {a, b}
+        docs = spark.createDataFrame(
+            [("g1", "a a b c"), ("g2", "a a b b d")],
+            "grp string, text string",
+        )
+        out = {r["grp"]: r for r in
+               vocab_coverage(docs, "text", "grp", top_k=2).collect()}
+        assert (out["g1"]["n_tokens"], out["g1"]["covered"]) == (4, 3)
+        assert out["g1"]["coverage"] == 0.75
+        assert out["g1"]["oov_types"] == 1  # c
+        assert out["g2"]["coverage"] == 0.8
+        assert out["g2"]["oov_types"] == 1  # d
+
+    def test_tie_break_is_token_asc(self, spark):
+        from atiesh_spark.operators.textstats import vocab_coverage
+
+        # x and y tie at 2; top_k=1 must pick 'x' (token asc)
+        docs = spark.createDataFrame(
+            [("g", "x y x y")], "grp string, text string"
+        )
+        r = vocab_coverage(docs, "text", "grp", top_k=1).collect()[0]
+        assert r["covered"] == 2 and r["oov_types"] == 1
+
+    def test_full_vocab_full_coverage(self, spark):
+        from atiesh_spark.operators.textstats import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [("g", "p q r")], "grp string, text string"
+        )
+        r = vocab_coverage(docs, "text", "grp", top_k=100).collect()[0]
+        assert r["coverage"] == 1.0 and r["oov_types"] == 0
