@@ -17,7 +17,9 @@ portable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _FLOATING = ("double", "float")
@@ -770,4 +772,87 @@ def spearman_corr(
     spark = df.sparkSession
     return spark.createDataFrame(
         [(int(out["n"]), out["rho"])], "n long, rho double"
+    )
+
+
+#: Cumulative Poisson(1) thresholds for hash-uniform -> weight lookup;
+#: exact decimal literals so Spark and any SQL oracle parse the SAME
+#: doubles (e^-1 * sum_{j<=k} 1/j! for k = 0..5; mass above c5 -> 6).
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicas: int = 40,
+    round_to: int = 4,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean of an
+    INTEGER metric column: one row (n, mean, ci_lo, ci_hi, replicas)
+    with a nearest-rank 90% interval (5th/95th percentile of the
+    replica means).
+
+    The Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams") replaces resampling-with-
+    replacement — impossible in one distributed pass — with an
+    independent Poisson(1) weight per (row, replica), drawn here from
+    md5(id:replica) so every weight is a pure function of the data
+    (the repo determinism contract, not RNG). Each replica's mean is
+    a ratio of EXACT integer sums, so the whole interval is
+    bit-reproducible on any engine or partitioning — no float
+    summation order anywhere until the final rounding.
+
+    Plan shape: ONE map-side-combined aggregate producing 2·replicas
+    integer sums (plus n and the plain sum); the replica means sort
+    as a constant-size in-plan array. Cost: ``replicas`` md5s per row
+    inside codegen — linear, no shuffle beyond the single aggregate.
+    """
+    from atiesh_spark.functions.hashing import md5_long
+
+    if replicas < 10:
+        raise ValueError("replicas must be >= 10 for a usable interval")
+    x = F.col(value_col).cast("long")
+
+    def weight(b: int) -> Column:
+        u = md5_long(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{b}"))
+        ) / F.lit(float(1 << 60))
+        w = F.lit(6)
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        return w
+
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+    ]
+    for b in range(replicas):
+        wb = weight(b)
+        aggs.append(F.sum(wb * x).alias(f"__wx{b}"))
+        aggs.append(F.sum(wb).alias(f"__w{b}"))
+    agg = df.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"__wx{b}") / F.col(f"__w{b}")
+                for b in range(replicas)
+            ]
+        )
+    )
+    lo_rank = max(1, math.ceil(0.05 * replicas))
+    hi_rank = math.ceil(0.95 * replicas)
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.col("__sx") / F.col("__n"), round_to).alias("mean"),
+        F.round(F.element_at(means, lo_rank), round_to).alias("ci_lo"),
+        F.round(F.element_at(means, hi_rank), round_to).alias("ci_hi"),
+        F.lit(replicas).cast("bigint").alias("replicas"),
     )

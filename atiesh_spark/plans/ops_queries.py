@@ -10450,3 +10450,68 @@ def q228_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
     return vocab_coverage(docs, "text", "lang", top_k=50)
+
+
+@register(
+    "q229_bootstrap_ci",
+    oracle=r"""
+    WITH vals AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS v
+        FROM documents
+    ),
+    draws AS (
+        SELECT doc_id, v, b,
+               (('0x' || substring(md5(doc_id::VARCHAR || ':'
+                                       || b::VARCHAR), 1, 15))::BIGINT)
+               / 1152921504606846976.0 AS u
+        FROM vals, (SELECT unnest(generate_series(0, 39)) AS b)
+    ),
+    w AS (
+        SELECT b, v,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    ELSE 6 END AS w
+        FROM draws
+    ),
+    reps AS (
+        SELECT b, SUM(w * v) * 1.0 / SUM(w) AS m FROM w GROUP BY b
+    ),
+    sorted AS (
+        SELECT m, row_number() OVER (ORDER BY m) AS rk FROM reps
+    ),
+    base AS (SELECT count(*) AS n, SUM(v) AS sx FROM vals)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(sx * 1.0 / n, 4) AS DOUBLE) AS mean,
+           CAST(round((SELECT m FROM sorted WHERE rk = 2), 4)
+                AS DOUBLE) AS ci_lo,
+           CAST(round((SELECT m FROM sorted WHERE rk = 38), 4)
+                AS DOUBLE) AS ci_hi,
+           CAST(40 AS BIGINT) AS replicas
+    FROM base
+    """,
+    doc="Poisson-bootstrap confidence interval (operators/profile.py "
+    "bootstrap_ci; Chamandy et al. 2012): a nearest-rank 90% CI for "
+    "the corpus mean tokens/doc from 40 replicas whose per-(row, "
+    "replica) Poisson(1) weights derive from md5(id:replica) — the "
+    "one-pass, hash-deterministic stand-in for resampling that a "
+    "distributed engine can actually run. Every replica mean is a "
+    "ratio of EXACT integer sums (no float summation order anywhere "
+    "until the final rounding), so both engines produce bit-identical "
+    "intervals. Plan: ONE map-side-combined aggregate emitting 82 "
+    "integer sums; the 40 replica means sort as a constant in-plan "
+    "array. The statistics-lab companion to q183/q186/q192/q193.",
+)
+def q229_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.functions.text import ws_tokens
+    from atiesh_spark.operators.profile import bootstrap_ci
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_toks")
+    )
+    return bootstrap_ci(docs, "doc_id", "n_toks", replicas=40)

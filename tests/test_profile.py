@@ -102,3 +102,52 @@ def test_spearman_corr_ranks_and_ties(spark):
     assert spearman_corr(with_null, "x", "y").collect()[0]["n"] == 2
     with pytest.raises(ValueError):
         spearman_corr(mono.filter("x > 99"), "x", "y")
+
+
+class TestBootstrapCI:
+    def test_interval_brackets_mean_and_is_deterministic(self, spark):
+        from atiesh_spark.operators.profile import bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, 10 + i % 7) for i in range(200)], "id bigint, v bigint"
+        )
+        a = tuple(bootstrap_ci(df, "id", "v").collect()[0])
+        b = tuple(bootstrap_ci(df.repartition(9), "id", "v").collect()[0])
+        assert a == b  # integer-exact replica sums: partition-stable
+        n, mean, lo, hi, reps = a
+        assert n == 200 and reps == 40
+        assert lo <= mean <= hi
+        assert lo < hi  # non-degenerate interval on varied data
+
+    def test_constant_metric_collapses_interval(self, spark):
+        from atiesh_spark.operators.profile import bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, 5) for i in range(50)], "id bigint, v bigint"
+        )
+        r = bootstrap_ci(df, "id", "v").collect()[0]
+        # every replica mean of a constant column is that constant
+        assert (r["mean"], r["ci_lo"], r["ci_hi"]) == (5.0, 5.0, 5.0)
+
+    def test_replicas_validation(self, spark):
+        import pytest as _pt
+
+        from atiesh_spark.operators.profile import bootstrap_ci
+
+        df = spark.createDataFrame([(1, 1)], "id bigint, v bigint")
+        with _pt.raises(ValueError, match="replicas"):
+            bootstrap_ci(df, "id", "v", replicas=5)
+
+    def test_plan_is_one_aggregate(self, spark):
+        from atiesh_spark.operators.profile import bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(10)], "id bigint, v bigint"
+        )
+        plan = (
+            bootstrap_ci(df, "id", "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        # global aggregate: exactly one exchange (partial -> final)
+        assert plan.count("Exchange") <= 1
