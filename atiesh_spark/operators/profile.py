@@ -856,3 +856,96 @@ def bootstrap_ci(
         F.round(F.element_at(means, hi_rank), round_to).alias("ci_hi"),
         F.lit(replicas).cast("bigint").alias("replicas"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    round_to: int = 4,
+) -> DataFrame:
+    """Mann-Whitney U test (Mann & Whitney 1947) between ``group_a``
+    and everything else: one row (n_a, n_b, u, z, p_value) — the
+    nonparametric two-sample drift companion to the exact KS statistic
+    (q191): does group A's metric distribution sit higher or lower
+    than B's, with no normality assumption?
+
+    Scale shape: U never ranks the corpus. From per-DISTINCT-VALUE
+    counts (one map-side-combined groupBy),
+    U_A = sum_v n_a(v) * (B_less(v) + n_b(v)/2) with B_less a running
+    sum over the distinct-value frame — the only window sort is over
+    distinct metric values, a histogram-sized relation, never the
+    rows. Ties use the standard midrank convention and the
+    tie-corrected normal approximation
+    sigma^2 = n_a n_b / 12 * ((N + 1) - sum(t^3 - t) / (N (N - 1))).
+    U is an exact multiple of 0.5 (integer arithmetic doubled), so
+    everything up to the final z/p is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.col(value_col).alias("__v"),
+            F.when(F.col(group_col) == group_a, F.lit(1))
+            .otherwise(F.lit(0)).alias("__is_a"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.sum("__is_a").alias("__na"),
+            (F.count(F.lit(1)) - F.sum("__is_a")).alias("__nb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # 2U as an exact integer: 2 * sum n_a(v) * (B_less(v) + n_b(v)/2)
+    #                       = sum n_a(v) * (2 B_less(v) + n_b(v))
+    per_v = counts.select(
+        "__na", "__nb",
+        (F.col("__na")
+         * (2 * F.coalesce(F.sum("__nb").over(w), F.lit(0))
+            + F.col("__nb"))).alias("__u2"),
+        ((F.col("__na") + F.col("__nb"))
+         * (F.col("__na") + F.col("__nb"))
+         * (F.col("__na") + F.col("__nb"))
+         - (F.col("__na") + F.col("__nb"))).alias("__t3t"),
+    )
+    agg = per_v.agg(
+        F.sum("__na").alias("__NA"),
+        F.sum("__nb").alias("__NB"),
+        F.sum("__u2").alias("__U2"),
+        F.sum("__t3t").alias("__T"),
+    )
+    na, nb = F.col("__NA"), F.col("__NB")
+    n = na + nb
+    u = F.col("__U2") / 2
+    sigma2 = (
+        na * nb / F.lit(12.0)
+        * ((n + 1) - F.col("__T") / (n * (n - 1)))
+    )
+    z = (u - na * nb / 2) / F.sqrt(sigma2)
+    # Two-sided p = erfc(|z| / sqrt(2)). Neither Spark nor typical SQL
+    # oracles ship erf, so both sides use the SAME closed form:
+    # Abramowitz & Stegun 7.1.26 (|error| < 1.5e-7, far inside the 4dp
+    # rounding) — pure +,*,exp arithmetic, mirrored verbatim in the
+    # oracle so the doubles agree to the ulp.
+    base = agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        u.alias("u"),
+        F.round(z, round_to).alias("z"),
+        (F.abs(z) / F.sqrt(F.lit(2.0))).alias("__x"),
+    )
+    t = 1 / (1 + 0.3275911 * F.col("__x"))
+    erf_x = 1 - (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    ) * F.exp(-F.col("__x") * F.col("__x"))
+    return base.select(
+        "n_a", "n_b", "u", "z",
+        F.round(1 - erf_x, round_to).alias("p_value"),
+    )

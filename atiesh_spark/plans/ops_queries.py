@@ -10515,3 +10515,79 @@ def q229_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_toks")
     )
     return bootstrap_ci(docs, "doc_id", "n_toks", replicas=40)
+
+
+@register(
+    "q230_mann_whitney_drift",
+    oracle=r"""
+    WITH vals AS (
+        SELECT len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ),
+    counts AS (
+        SELECT v, SUM(is_a) AS na, count(*) - SUM(is_a) AS nb
+        FROM vals GROUP BY v
+    ),
+    perv AS (
+        SELECT na, nb,
+               na * (2 * COALESCE(SUM(nb) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) + nb) AS u2,
+               (na + nb) * (na + nb) * (na + nb) - (na + nb) AS t3t
+        FROM counts
+    ),
+    agg AS (
+        SELECT SUM(na) AS na, SUM(nb) AS nb,
+               SUM(u2) AS u2, SUM(t3t) AS t
+        FROM perv
+    ),
+    stat AS (
+        SELECT na, nb, u2 / 2 AS u,
+               (u2 / 2 - na * nb / 2)
+               / sqrt(na * nb / 12.0
+                      * ((na + nb + 1)
+                         - t / ((na + nb) * (na + nb - 1)))) AS z
+        FROM agg
+    ),
+    tail AS (
+        SELECT na, nb, u, z, abs(z) / sqrt(2.0) AS x,
+               1 / (1 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+        FROM stat
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(u AS DOUBLE) AS u,
+           CAST(round(z, 4) AS DOUBLE) AS z,
+           CAST(round(1 - (1 - (0.254829592 * tt
+                                - 0.284496736 * tt * tt
+                                + 1.421413741 * tt * tt * tt
+                                - 1.453152027 * tt * tt * tt * tt
+                                + 1.061405429 * tt * tt * tt * tt * tt)
+                               * exp(-x * x)), 4) AS DOUBLE) AS p_value
+    FROM tail
+    """,
+    doc="Mann-Whitney U drift test (operators/profile.py "
+    "mann_whitney_u; Mann & Whitney 1947, midrank ties, tie-corrected "
+    "normal approximation): does English documents' token-count "
+    "distribution sit above or below the rest of the corpus — the "
+    "nonparametric companion to q191's exact KS in the statistics "
+    "lab. Scale shape: U computes from per-DISTINCT-VALUE counts "
+    "(one map-side-combined groupBy); the only window sort is the "
+    "histogram-sized distinct-value frame, never a corpus rank. 2U "
+    "is an exact integer (midranks fold into the x2 algebra), so "
+    "everything to the final z/p is engine-exact; the normal tail "
+    "uses the Abramowitz-Stegun 7.1.26 erf polynomial (< 1.5e-7 "
+    "error) mirrored VERBATIM in both engines because neither ships "
+    "erf natively.",
+)
+def q230_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.functions.text import ws_tokens
+    from atiesh_spark.operators.profile import mann_whitney_u
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(ws_tokens(F.col("text"))).alias("n_toks"),
+        F.col("lang"),
+    )
+    return mann_whitney_u(docs, "n_toks", "lang", "en")

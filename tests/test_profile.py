@@ -151,3 +151,52 @@ class TestBootstrapCI:
         assert "BatchEvalPython" not in plan
         # global aggregate: exactly one exchange (partial -> final)
         assert plan.count("Exchange") <= 1
+
+
+class TestMannWhitneyU:
+    def test_complete_separation(self, spark):
+        from atiesh_spark.operators.profile import mann_whitney_u
+
+        rows = [(i, "A", 100 + i) for i in range(50)] + [
+            (i + 50, "B", i) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, g string, v bigint")
+        r = mann_whitney_u(df, "v", "g", "A").collect()[0]
+        assert (r["n_a"], r["n_b"], r["u"]) == (50, 50, 2500.0)
+        # no ties: sigma^2 = 2500 * 101 / 12, z = 1250 / sqrt(.)
+        assert r["z"] == 8.6173
+        assert r["p_value"] == 0.0
+
+    def test_identical_distributions(self, spark):
+        from atiesh_spark.operators.profile import mann_whitney_u
+
+        rows = [(i, "A", i % 10) for i in range(50)] + [
+            (i + 50, "B", i % 10) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, g string, v bigint")
+        r = mann_whitney_u(df, "v", "g", "A").collect()[0]
+        assert r["u"] == 1250.0  # exactly n_a * n_b / 2
+        assert r["z"] == 0.0 and r["p_value"] == 1.0
+
+    def test_midrank_ties_hand_computed(self, spark):
+        from atiesh_spark.operators.profile import mann_whitney_u
+
+        # A = [1, 2], B = [2, 3]: pairs (1<2), (1<3), (2=2 -> 0.5),
+        # (2<3) -> U_A counts B-below-A: 0 + 0 + 0.5 + 0 = 0.5
+        df = spark.createDataFrame(
+            [(1, "A", 1), (2, "A", 2), (3, "B", 2), (4, "B", 3)],
+            "id bigint, g string, v bigint",
+        )
+        r = mann_whitney_u(df, "v", "g", "A").collect()[0]
+        assert r["u"] == 0.5
+
+    def test_partition_stable(self, spark):
+        from atiesh_spark.operators.profile import mann_whitney_u
+
+        rows = [(i, "A" if i % 3 else "B", (i * 7) % 23)
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "id bigint, g string, v bigint")
+        a = tuple(mann_whitney_u(df, "v", "g", "A").collect()[0])
+        b = tuple(mann_whitney_u(df.repartition(11), "v", "g", "A")
+                  .collect()[0])
+        assert a == b
