@@ -458,3 +458,74 @@ def retrieval_eval(
         ).alias(f"recall_at_{k}"),
         F.col("n_rel").cast("long").alias("n_rel"),
     )
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings relation: (token, id_col, positions) with
+    1-based token positions sorted ascending — the phrase-capable
+    extension of the tf-only index (bm25_index / inverted_index). One
+    explode + one map-side-combined groupBy; per (token, doc) the
+    positions array is bounded by the doc's own length. Persist
+    partitioned by token at scale so a phrase query prunes to its
+    terms' partitions.
+    """
+    from atiesh_spark.functions.text import ws_tokens
+    from atiesh_spark.operators.dedup import _fanout
+
+    base = _fanout(docs.select(id_col, text_col)).select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    return (
+        base.select(
+            id_col,
+            F.posexplode("__toks").alias("__p0", "token"),
+        )
+        .groupBy("token", id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.col("__p0") + 1))
+            .alias("positions")
+        )
+    )
+
+
+def phrase_search(
+    postings: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching over positional postings: (id_col,
+    n_occurrences) for every document containing the consecutive
+    token sequence ``phrase``.
+
+    Work is proportional to the PHRASE TERMS' postings, never the
+    corpus: each term's postings filter by a literal token (pushed to
+    the scan / partition pruning on a token-partitioned store), the
+    k relations equi-join on the doc id, and alignment is one
+    row-local HOF — occurrences are the positions p of the first term
+    with p+j present in term j's positions for every j. Duplicate
+    phrase terms are handled naturally (the same postings row joins
+    under each alias).
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase must have at least 2 tokens")
+    joined = None
+    for j, term in enumerate(phrase):
+        side = (
+            postings.filter(F.col("token") == term)
+            .select(F.col(id_col), F.col("positions").alias(f"__pos{j}"))
+        )
+        joined = side if joined is None else joined.join(side, id_col)
+    def aligned(p):
+        out = None
+        for j in range(1, len(phrase)):
+            c = F.array_contains(F.col(f"__pos{j}"), p + j)
+            out = c if out is None else out & c
+        return out
+
+    return joined.select(
+        F.col(id_col),
+        F.size(F.filter(F.col("__pos0"), aligned))
+        .cast("bigint").alias("n_occurrences"),
+    ).filter(F.col("n_occurrences") > 0)

@@ -10591,3 +10591,69 @@ def q230_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
     )
     return mann_whitney_u(docs, "n_toks", "lang", "en")
+
+
+@register(
+    "q231_phrase_search",
+    oracle=r"""
+    WITH fix AS (
+        SELECT doc_id,
+               text || CASE doc_id % 7
+                   WHEN 0 THEN ' alpha beta gamma'
+                   WHEN 3 THEN ' alpha beta gamma alpha beta gamma'
+                   WHEN 5 THEN ' alpha beta delta'
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS w
+        FROM fix
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(generate_series(1, len(w) - 2),
+                i -> w[CAST(i AS INT)] = 'alpha'
+                 AND w[CAST(i + 1 AS INT)] = 'beta'
+                 AND w[CAST(i + 2 AS INT)] = 'gamma')) AS BIGINT)
+               AS n_occurrences
+    FROM toks
+    WHERE len(list_filter(generate_series(1, len(w) - 2),
+              i -> w[CAST(i AS INT)] = 'alpha'
+               AND w[CAST(i + 1 AS INT)] = 'beta'
+               AND w[CAST(i + 2 AS INT)] = 'gamma')) > 0
+    """,
+    doc="Exact phrase search over positional postings "
+    "(operators/retrieval.py positional_postings + phrase_search): "
+    "the phrase-capable extension of the BM25/inverted-index family — "
+    "(token, doc, sorted positions) postings built in one explode + "
+    "one map-side-combined groupBy, then a 3-term phrase query whose "
+    "work is bounded by the PHRASE TERMS' postings (literal token "
+    "filters prune the scan; k-way doc-id equi-join; alignment is one "
+    "row-local HOF checking p+j membership per following term). The "
+    "fixture plants 'alpha beta gamma' once (doc_id%7==0), twice "
+    "(%7==3, overlapping-window robustness), and a near-miss 'alpha "
+    "beta delta' (%7==5) that the alignment must REJECT; the oracle "
+    "recomputes occurrences by direct window scan — index path vs "
+    "scan path must agree exactly.",
+)
+def q231_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.retrieval import (
+        phrase_search,
+        positional_postings,
+    )
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(" alpha beta gamma"))
+            .when(d % 7 == 3,
+                  F.lit(" alpha beta gamma alpha beta gamma"))
+            .when(d % 7 == 5, F.lit(" alpha beta delta"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    idx = positional_postings(docs)
+    return phrase_search(idx, ["alpha", "beta", "gamma"])

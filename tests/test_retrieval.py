@@ -321,3 +321,86 @@ def test_retrieval_eval_no_qrels_query_zeroes(spark):
     )
     [r] = retrieval_eval(runs, qrels, k=10).collect()
     assert (r.mrr, r.ndcg_at_10, r.recall_at_10, r.n_rel) == (0.0, 0.0, 0.0, 0)
+
+
+class TestPhraseSearch:
+    def test_counts_and_rejects(self, spark):
+        from atiesh_spark.operators.retrieval import (
+            phrase_search,
+            positional_postings,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the fast key order the fast key"),
+             (2, "fast the key"),          # right words, wrong order
+             (3, "the fast"),              # too short for the phrase
+             (4, "x the fast key y")],
+            "doc_id bigint, text string",
+        )
+        idx = positional_postings(docs)
+        out = {r["doc_id"]: r["n_occurrences"] for r in
+               phrase_search(idx, ["the", "fast", "key"]).collect()}
+        assert out == {1: 2, 4: 1}
+
+    def test_repeated_term_in_phrase(self, spark):
+        from atiesh_spark.operators.retrieval import (
+            phrase_search,
+            positional_postings,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "go go go stop"), (2, "go stop go")],
+            "doc_id bigint, text string",
+        )
+        idx = positional_postings(docs)
+        out = {r["doc_id"]: r["n_occurrences"] for r in
+               phrase_search(idx, ["go", "go"]).collect()}
+        assert out == {1: 2}  # positions 1-2 and 2-3
+
+    def test_indexed_equals_direct_scan(self, spark):
+        from pyspark.sql import functions as F
+
+        from atiesh_spark.functions.text import ws_tokens
+        from atiesh_spark.operators.retrieval import (
+            phrase_search,
+            positional_postings,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 3} common w{i % 5} common w{i % 3} tail")
+             for i in range(40)],
+            "doc_id bigint, text string",
+        )
+        phrase = ["common", "w2"]
+        idx = positional_postings(docs)
+        indexed = {r["doc_id"]: r["n_occurrences"] for r in
+                   phrase_search(idx, phrase).collect()}
+        toks = docs.select(
+            "doc_id", ws_tokens(F.col("text")).alias("w")
+        )
+        scan = {
+            r["doc_id"]: r["c"]
+            for r in toks.select(
+                "doc_id",
+                F.size(F.expr(
+                    "filter(sequence(1, greatest(size(w) - 1, 1)), "
+                    "i -> i + 1 <= size(w) AND w[i - 1] = 'common' "
+                    "AND w[i] = 'w2')"
+                )).alias("c"),
+            ).filter(F.col("c") > 0).collect()
+        }
+        assert indexed == scan and len(indexed) > 0
+
+    def test_short_phrase_rejected(self, spark):
+        import pytest as _pt
+
+        from atiesh_spark.operators.retrieval import (
+            phrase_search,
+            positional_postings,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id bigint, text string"
+        )
+        with _pt.raises(ValueError, match="phrase"):
+            phrase_search(positional_postings(docs), ["solo"])
