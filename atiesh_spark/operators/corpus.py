@@ -871,90 +871,105 @@ def span_corruption(
     sentinel. A doc with nothing masked yields the original tokens
     and target ``<extra_id_0>``; empty docs are dropped.
 
-    Row-local: the token array is materialized once (never re-split
-    inside the position lambda), one md5 per token, and both output
-    strings build in a single aggregate() accumulator walk — zero
-    shuffles, rides the scan at any corpus size. Deterministic, so an
-    independent SQL window-function replay grades the strings exactly
-    (q221).
+    LINEAR in document length: an accumulator-fold build would copy
+    the growing output string once per token (O(n^2) transient bytes
+    on megabyte documents — the winnowing lesson), so this runs as
+    positions exploded once, ONE per-doc window (lag for run starts,
+    running sum for span ids), and a grouped sorted-array re-assembly
+    that reuses the window's partitioning — one exchange total.
     """
     from atiesh_spark.functions.hashing import md5_long
     from atiesh_spark.functions.text import ws_tokens
+    from atiesh_spark.operators.dedup import _fanout
+    from pyspark.sql import Window
 
     if not 0 < rate_pct < 100:
         raise ValueError("rate_pct must be in (0, 100)")
-    base = df.select(
+    base = _fanout(df.select(id_col, text_col)).select(
         F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") > 0)
-    # sequence(1, 0) DESCENDS; the filter guard keeps element_at off
-    # position 0 (ANSI: array indices start at 1)
-    positions = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
-        lambda i: i <= F.size("__toks"),
-    )
-
-    def masked(i):
-        return (
+    pos = base.select(
+        F.col(id_col),
+        F.posexplode("__toks").alias("__i", "__tok"),
+    ).select(
+        id_col, "__tok",
+        (F.col("__i") + 1).alias("__p"),
+        (
             md5_long(
                 F.concat(
                     F.col(id_col).cast("string"), F.lit(":"),
-                    i.cast("string"),
+                    (F.col("__i") + 1).cast("string"),
                 )
             )
             % 100
             < rate_pct
+        ).alias("__m"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__p")
+    marked = pos.select(
+        id_col, "__tok", "__p", "__m",
+        (F.col("__m")
+         & ~F.coalesce(F.lag("__m").over(w), F.lit(False)))
+        .alias("__start"),
+    ).select(
+        id_col, "__tok", "__p", "__m", "__start",
+        F.sum(F.col("__start").cast("int")).over(
+            Window.partitionBy(id_col).orderBy("__p")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__run"),
+    )
+    sent = F.concat(
+        F.lit("<extra_id_"), (F.col("__run") - 1).cast("string"),
+        F.lit(">"),
+    )
+    pieces = marked.select(
+        id_col, "__p", "__run",
+        F.when(~F.col("__m"), F.col("__tok"))
+        .when(F.col("__start"), sent)
+        .alias("__inp_piece"),
+        F.when(
+            F.col("__m") & F.col("__start"),
+            F.concat(sent, F.lit(" "), F.col("__tok")),
         )
-
-    acc0 = F.struct(
-        F.lit("").alias("inp"),
-        F.lit("").alias("tgt"),
-        F.lit(0).alias("k"),
-        F.lit(False).alias("prev"),
+        .when(F.col("__m"), F.col("__tok"))
+        .alias("__tgt_piece"),
     )
 
-    def step(acc, i):
-        tok = F.element_at("__toks", i)
-        m = masked(i)
-        sent = F.concat(
-            F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
-        )
-        inp = (
-            F.when(m & ~acc["prev"],
-                   F.concat(acc["inp"], F.lit(" "), sent))
-            .when(m, acc["inp"])
-            .otherwise(F.concat(acc["inp"], F.lit(" "), tok))
-        )
-        tgt = (
-            F.when(m & ~acc["prev"],
-                   F.concat(acc["tgt"], F.lit(" "), sent, F.lit(" "), tok))
-            .when(m, F.concat(acc["tgt"], F.lit(" "), tok))
-            .otherwise(acc["tgt"])
-        )
-        k = F.when(m & ~acc["prev"], acc["k"] + 1).otherwise(acc["k"])
-        return F.struct(
-            inp.alias("inp"), tgt.alias("tgt"),
-            k.alias("k"), m.alias("prev"),
+    def joined(piece_col: str) -> Column:
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col(piece_col).isNotNull(),
+                            F.struct(
+                                F.col("__p").alias("p"),
+                                F.col(piece_col).alias("s"),
+                            ),
+                        )
+                    )
+                ),
+                lambda st: st["s"],
+            ),
+            " ",
         )
 
-    def finish(acc):
-        closing = F.concat(
-            F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
-        )
-        return F.struct(
-            F.ltrim(acc["inp"]).alias("input"),
-            F.ltrim(F.concat(acc["tgt"], F.lit(" "), closing))
-            .alias("target"),
-            acc["k"].cast("bigint").alias("n_spans"),
-        )
-
-    out = F.aggregate(positions, acc0, step, finish)
-    return base.select(
+    agg = pieces.groupBy(id_col).agg(
+        joined("__inp_piece").alias("input"),
+        joined("__tgt_piece").alias("__tgt_body"),
+        F.max("__run").cast("bigint").alias("n_spans"),
+    )
+    closing = F.concat(
+        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
+    )
+    return agg.select(
         F.col(id_col),
-        out["n_spans"].alias("n_spans"),
-        out["input"].alias("input"),
-        out["target"].alias("target"),
+        "n_spans",
+        "input",
+        F.when(F.col("__tgt_body") == "", closing)
+        .otherwise(F.concat(F.col("__tgt_body"), F.lit(" "), closing))
+        .alias("target"),
     )
-
 
 def vocab_growth(
     df: DataFrame,

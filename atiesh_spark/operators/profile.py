@@ -906,7 +906,9 @@ def mann_whitney_u(
         (F.col("__na")
          * (2 * F.coalesce(F.sum("__nb").over(w), F.lit(0))
             + F.col("__nb"))).alias("__u2"),
-        ((F.col("__na") + F.col("__nb"))
+        # computed in DOUBLE: a tie group of ~2M rows cubes past the
+        # long range; the term only feeds the variance, a double anyway
+        ((F.col("__na") + F.col("__nb")).cast("double")
          * (F.col("__na") + F.col("__nb"))
          * (F.col("__na") + F.col("__nb"))
          - (F.col("__na") + F.col("__nb"))).alias("__t3t"),

@@ -613,7 +613,7 @@ class TestSpanCorruption:
         with _pt.raises(ValueError, match="rate_pct"):
             span_corruption(docs, "doc_id", "text", rate_pct=0)
 
-    def test_plan_is_row_local(self, spark):
+    def test_plan_shape_linear_one_keyed_exchange(self, spark):
         from atiesh_spark.operators.corpus import span_corruption
 
         docs = spark.createDataFrame(
@@ -625,7 +625,13 @@ class TestSpanCorruption:
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
-        assert "Exchange" not in plan  # zero shuffles: rides the scan
+        # LINEAR build: the fan-out round-robin plus ONE doc-keyed
+        # exchange shared by the window and the re-assembly groupBy —
+        # a third exchange would mean the groupBy stopped reusing the
+        # window's partitioning (and an accumulator-fold rewrite with
+        # zero exchanges would reintroduce the O(n^2) string-copy
+        # transient on megabyte docs).
+        assert plan.count("Exchange") <= 2
 
 
 class TestVocabGrowth:
