@@ -95,6 +95,13 @@ HEAVY = [
     # round 8 (session 2): the KN bigram LM — the bigram count table
     # grows sublinearly (vocab-bounded), scoring rides one equi-join
     "q218_kn_bigram_ppl",
+    # round 8 (session 2): span corruption (one per-doc window over
+    # exploded positions), tree flattening (log-depth doubling joins),
+    # Gale-Church (per-pair python DP), phrase search (postings joins)
+    "q221_span_corruption",
+    "q226_thread_tree_flatten",
+    "q227_gale_church_align",
+    "q231_phrase_search",
 ]
 
 
