@@ -529,3 +529,45 @@ def phrase_search(
         F.size(F.filter(F.col("__pos0"), aligned))
         .cast("bigint").alias("n_occurrences"),
     ).filter(F.col("n_occurrences") > 0)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    top_k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher SIGIR 2009):
+    fuse ranked lists by fused(d) = sum over lists of 1/(c + rank_d) —
+    the standard hybrid-retrieval combiner for a lexical (BM25) and a
+    dense (embedding) ranking, robust to incomparable score scales
+    because only RANKS enter. Returns the fused top_k:
+    (id_col, n_lists, rrf), ordered by rounded fused score with id
+    tie-break so the cut is engine-deterministic.
+
+    Scale shape: each input ranking is already top-k-bounded, so the
+    union + groupBy runs on lists-x-k rows — a driver-bounded digest,
+    never the corpus. With two lists the per-id sum is a single
+    commutative addition (bit-exact under any execution order); for
+    many lists the final rounding absorbs summation order.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least 2 rankings")
+    if c < 1 or top_k < 1:
+        raise ValueError("c and top_k must be >= 1")
+    contrib = None
+    for r in rankings:
+        side = r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(c) + F.col(rank_col))).alias("__s"),
+        )
+        contrib = side if contrib is None else contrib.unionByName(side)
+    fused = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.round(F.sum("__s"), round_to).alias("rrf"),
+    )
+    return fused.orderBy(
+        F.desc("rrf"), F.asc(id_col)
+    ).limit(top_k)

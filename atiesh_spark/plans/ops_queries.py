@@ -10657,3 +10657,125 @@ def q231_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = positional_postings(docs)
     return phrase_search(idx, ["alpha", "beta", "gamma"])
+
+
+@register(
+    "q232_hybrid_rrf",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    lengths AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        WHERE t IN ('sort', 'hash', 'join')
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    bm AS (
+        SELECT tf.doc_id,
+               round(SUM(
+                   ln(1.0 + (corpus.n - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * lengths.dl / corpus.avgdl))), 4) AS s
+        FROM tf
+        JOIN dfreq USING (t)
+        JOIN lengths USING (doc_id)
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+    ),
+    bmrank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+        FROM bm ORDER BY s DESC, doc_id LIMIT 20
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = 0
+    ),
+    sims AS (
+        SELECT e.vec_id AS doc_id,
+               round(SUM(a * b)
+                     / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))), 4) AS sim
+        FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS a,
+                     generate_subscripts(CAST(embedding AS DOUBLE[]), 1)
+                         AS i
+              FROM embeddings) e
+        JOIN (SELECT unnest(qv) AS b,
+                     generate_subscripts(qv, 1) AS i FROM q) qq
+          ON e.i = qq.i
+        GROUP BY e.vec_id
+    ),
+    dnrank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk
+        FROM sims ORDER BY sim DESC, doc_id LIMIT 20
+    ),
+    contrib AS (
+        SELECT doc_id, 1.0 / (60 + rnk) AS s FROM bmrank
+        UNION ALL
+        SELECT doc_id, 1.0 / (60 + rnk) AS s FROM dnrank
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(round(SUM(s), 4) AS DOUBLE) AS rrf
+    FROM contrib GROUP BY doc_id
+    ORDER BY round(SUM(s), 4) DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval via Reciprocal Rank Fusion "
+    "(operators/retrieval.py rrf_fuse; Cormack, Clarke & Buettcher "
+    "SIGIR 2009, c=60): BM25 top-20 for ['sort','hash','join'] fused "
+    "with the dense top-20 by exact cosine to the vec_id-0 query "
+    "embedding — the standard lexical+dense combiner, rank-only so "
+    "score scales never need calibration. Both input rankings use "
+    "the q107/q209 determinism discipline (rounded score, id "
+    "tie-break); the fusion runs on lists x k rows (a digest, never "
+    "the corpus), the two-list per-id sum is a single commutative "
+    "addition, and the fused cut orders by rounded score with id "
+    "tie-break. The oracle replays BM25, cosine, both rankings, and "
+    "the fusion end to end.",
+)
+def q232_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from atiesh_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from atiesh_spark.operators.similarity import as_double, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, ["sort", "hash", "join"], k=20, round_to=4)
+    bm_rank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("__q")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(as_double("embedding"), F.col("__q")), 4)
+            .alias("sim"),
+        )
+    )
+    dn_rank = (
+        sims.orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse([bm_rank, dn_rank], "doc_id", "rank", c=60, top_k=10)

@@ -404,3 +404,52 @@ class TestPhraseSearch:
         )
         with _pt.raises(ValueError, match="phrase"):
             phrase_search(positional_postings(docs), ["solo"])
+
+
+class TestRrfFuse:
+    @staticmethod
+    def _rank(spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, rank int")
+
+    def test_hand_computed_fusion(self, spark):
+        from atiesh_spark.operators.retrieval import rrf_fuse
+
+        a = self._rank(spark, [(1, 1), (2, 2), (3, 3)])
+        b = self._rank(spark, [(3, 1), (1, 2), (4, 3)])
+        out = {r["doc_id"]: r for r in
+               rrf_fuse([a, b], top_k=4).collect()}
+        assert out[1]["rrf"] == round(1 / 61 + 1 / 62, 4)
+        assert out[1]["n_lists"] == 2
+        assert out[3]["rrf"] == round(1 / 63 + 1 / 61, 4)
+        assert out[4]["n_lists"] == 1
+        # doc 1 (ranks 1+2) beats doc 3 (ranks 3+1): 1/61+1/62 > 1/63+1/61
+        ordered = rrf_fuse([a, b], top_k=4).collect()
+        assert ordered[0]["doc_id"] == 1
+
+    def test_single_list_presence_still_scores(self, spark):
+        from atiesh_spark.operators.retrieval import rrf_fuse
+
+        a = self._rank(spark, [(1, 1)])
+        b = self._rank(spark, [(2, 1)])
+        out = {r["doc_id"]: r["rrf"] for r in
+               rrf_fuse([a, b], top_k=5).collect()}
+        assert out == {1: round(1 / 61, 4), 2: round(1 / 61, 4)}
+
+    def test_top_k_cut_with_id_tiebreak(self, spark):
+        from atiesh_spark.operators.retrieval import rrf_fuse
+
+        # docs 5 and 9 fuse to identical scores; the cut keeps the
+        # smaller id
+        a = self._rank(spark, [(5, 1), (9, 1)])
+        b = self._rank(spark, [(5, 2), (9, 2)])
+        out = rrf_fuse([a, b], top_k=1).collect()
+        assert [r["doc_id"] for r in out] == [5]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from atiesh_spark.operators.retrieval import rrf_fuse
+
+        a = self._rank(spark, [(1, 1)])
+        with _pt.raises(ValueError, match="rankings"):
+            rrf_fuse([a])
