@@ -30,7 +30,7 @@ operator is the query-time path and deliberately shares its tokenizer
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atiesh_spark.functions.text import ws_tokens
@@ -571,3 +571,52 @@ def rrf_fuse(
     return fused.orderBy(
         F.desc("rrf"), F.asc(id_col)
     ).limit(top_k)
+
+
+class StreamingPositionalIndex:
+    """foreachBatch maintenance loop for the positional postings index
+    — continuous crawler indexing: each micro-batch's documents are
+    (re-)indexed and UPSERTED by document id into a
+    :class:`~atiesh_spark.sources.versioned.VersionedStore` (a
+    re-ingested doc's old postings drop via an anti-join on the
+    batch's id set, a broadcast-sized frame; history rows are touched
+    only by that anti-join, never re-tokenized). Batch B reads the
+    newest state < B and overwrites v{B}, so Structured Streaming's
+    batch replays converge — the StreamingWinnowIndex discipline.
+    ``postings(spark)`` serves :func:`phrase_search` directly; by
+    construction it equals the batch :func:`positional_postings` over
+    the latest version of every ingested doc (graded end-to-end by
+    the q233 replay query against q231's literal oracle).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        keep_versions: int = 2,
+    ) -> None:
+        from atiesh_spark.sources.versioned import VersionedStore
+
+        self.store = VersionedStore(path, keep_versions)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        new = positional_postings(batch_df, self.id_col, self.text_col)
+        prev = self.store.read_before(batch_df.sparkSession, batch_id)
+        if prev is None:
+            merged = new
+        else:
+            ids = batch_df.select(self.id_col).distinct()
+            merged = prev.join(
+                F.broadcast(ids), self.id_col, "left_anti"
+            ).unionByName(new)
+        self.store.write(merged, batch_id)
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        # the upsert's anti-join reorders columns (join key first);
+        # pin the positional_postings contract order on the way out
+        return self.store.read(spark).select(
+            "token", self.id_col, "positions"
+        )

@@ -10779,3 +10779,61 @@ def q232_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rrf_fuse([bm_rank, dn_rank], "doc_id", "rank", c=60, top_k=10)
+
+
+@register(
+    "q233_phrase_index_stream_replay",
+    # Graded EQUAL to the batch path: the incrementally maintained
+    # index must answer the q231 phrase query identically, so the
+    # oracle IS q231's (the q220/q154 equal-paths pattern).
+    oracle=_QUERIES["q231_phrase_search"].oracle,
+    doc="Streaming positional-index maintenance, replay-graded "
+    "(operators/retrieval.py StreamingPositionalIndex): the q231 "
+    "fixture corpus arrives as three foreachBatch micro-batches "
+    "(doc_id % 3) upserted by doc id into a VersionedStore — a "
+    "re-ingested doc's old postings drop via a broadcast anti-join on "
+    "the batch's id set, history is never re-tokenized — with the "
+    "LAST batch REPLAYED under its own batch id (the recovery path). "
+    "The final store must answer the 3-term phrase query identically "
+    "to the one-shot q231 index, so the oracle is literally q231's: "
+    "incremental == batch is the graded contract, the continuous-"
+    "crawler-indexing twin of q220's streaming KN-LM.",
+)
+def q233_phrase_index_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.retrieval import (
+        StreamingPositionalIndex,
+        phrase_search,
+    )
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(" alpha beta gamma"))
+            .when(d % 7 == 3,
+                  F.lit(" alpha beta gamma alpha beta gamma"))
+            .when(d % 7 == 5, F.lit(" alpha beta delta"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    chunks = [
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 3 == 1,
+        F.col("doc_id") % 3 == 2,
+    ]
+    tmp = tempfile.mkdtemp(prefix="phraseidx_replay_")
+    try:
+        idx = StreamingPositionalIndex(tmp, "doc_id", "text")
+        _replay_chunks(docs, idx, chunks)
+        result = phrase_search(
+            idx.postings(spark), ["alpha", "beta", "gamma"]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

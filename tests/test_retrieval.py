@@ -453,3 +453,70 @@ class TestRrfFuse:
         a = self._rank(spark, [(1, 1)])
         with _pt.raises(ValueError, match="rankings"):
             rrf_fuse([a])
+
+
+class TestStreamingPositionalIndex:
+    def test_replay_and_upsert_converge_to_batch(self, spark, tmp_path):
+        from atiesh_spark.operators.retrieval import (
+            StreamingPositionalIndex,
+            positional_postings,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 3} shared w{i % 5} shared tail") for i in range(9)],
+            "doc_id long, text string",
+        )
+        idx = StreamingPositionalIndex(str(tmp_path / "st"))
+        for b, pred in enumerate(
+            ["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]
+        ):
+            idx(docs.filter(pred), b + 1)
+        idx(docs.filter("doc_id % 3 = 2"), 3)  # replay the last batch
+        got = sorted(map(tuple, idx.postings(spark).collect()))
+        want = sorted(map(tuple,
+                          positional_postings(docs).collect()))
+        assert got == want and len(got) > 0
+        # UPSERT: re-ingest doc 0 with new text; its old postings must
+        # vanish and everyone else stays
+        new0 = spark.createDataFrame(
+            [(0, "completely different body")], "doc_id long, text string"
+        )
+        idx(new0, 4)
+        updated = docs.filter("doc_id != 0").unionByName(new0)
+        got2 = sorted(map(tuple, idx.postings(spark).collect()))
+        want2 = sorted(map(tuple,
+                           positional_postings(updated).collect()))
+        assert got2 == want2
+
+    def test_from_real_stream(self, spark, tmp_path):
+        """Checkpointed foreachBatch + availableNow drain: the drained
+        index equals the one-shot batch index (the q233 contract on
+        the real engine)."""
+        from atiesh_spark.operators.retrieval import (
+            StreamingPositionalIndex,
+            positional_postings,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"stream doc {i % 4} with common words") for i in range(12)],
+            "doc_id long, text string",
+        )
+        src = str(tmp_path / "src")
+        docs.filter("doc_id % 2 = 0").write.parquet(f"{src}/part=a")
+        docs.filter("doc_id % 2 = 1").write.parquet(f"{src}/part=b")
+        idx = StreamingPositionalIndex(str(tmp_path / "idx"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/part=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(idx)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, idx.postings(spark).collect()))
+        want = sorted(map(tuple, positional_postings(docs).collect()))
+        assert got == want and len(got) > 0
