@@ -54,7 +54,15 @@ _VAR_PER_CHAR = 6.8
 
 def _match_cost(l1: int, l2: int) -> float:
     """-log 2(1 - Phi(|delta|)) with delta = (l2 - l1)/sqrt(l1 * s^2).
-    l1 == 0 (insertion beads) costs only the prior."""
+
+    Insertion/deletion beads are length-penalized too (delta computed
+    with the empty side at 0 and the sqrt floor max(l1, 1)), matching
+    the published implementation's behavior — deletions of long
+    sentences are expensive, which is why 1-0/0-1 beads only win when
+    no merge can absorb the sentence (see the unit tests). Only the
+    doubly-empty case short-circuits to the bare prior. Note the
+    penalty is asymmetric between 1-0 and 0-1 (delta normalizes by
+    the SOURCE length), as in the original."""
     if l1 <= 0 and l2 <= 0:
         return 0.0
     delta = (l2 - l1) / math.sqrt(max(l1, 1) * _VAR_PER_CHAR)

@@ -37,11 +37,13 @@ from atiesh_spark.session import widen_for_python_stage
 __all__ = ["corpus_bleu", "corpus_chrf", "corpus_rouge_n"]
 
 
-def _word_ngrams(col: str, n_max: int) -> str:
-    """SQL for array<struct<n,gram>> of ALL word n-grams n=1..n_max
-    over an already-materialized token-array column — one explode
-    covers every order, and the lambda body only slices the bound
-    array reference (never re-tokenizes)."""
+def _word_ngrams(col: str, n_max: int, n_min: int = 1) -> str:
+    """SQL for array<struct<n,gram>> of ALL word n-grams
+    n = n_min..n_max over an already-materialized token-array column —
+    one explode covers every order, and the lambda body only slices
+    the bound array reference (never re-tokenizes). Single-order
+    callers (ROUGE-N) pass n_min == n_max so lower orders are never
+    built or shuffled."""
     # sequence(1, k) with k < 1 DESCENDS ([1, 0]); the filter guard
     # (not greatest()) is what keeps short texts from feeding slice()
     # a zero start.
@@ -50,7 +52,7 @@ def _word_ngrams(col: str, n_max: int) -> str:
         f"i -> i + {n} - 1 <= size({col})), "
         f"i -> struct({n} AS n, "
         f"concat_ws(' ', slice({col}, i, {n})) AS gram))"
-        for n in range(1, n_max + 1)
+        for n in range(n_min, n_max + 1)
     )
     return f"flatten(array({per_n}))"
 
@@ -193,7 +195,14 @@ def corpus_bleu(
     )
     # Unigram totals double as corpus candidate/reference token
     # lengths (every token is a 1-gram).
-    p_exact = F.col("clipped") / F.col("c_total")
+    # guard the exact unigram ratio: a group whose every pair was
+    # filtered out reaches this projection as an all-zero grid row
+    # BEFORE the n_pairs > 0 filter drops it, and 0/0 THROWS under
+    # Spark 4 ANSI (on in this repo's session) instead of the NULL a
+    # non-ANSI engine would shrug at; the guarded value never survives
+    p_exact = F.when(
+        F.col("c_total") > 0, F.col("clipped") / F.col("c_total")
+    ).otherwise(F.lit(0.0))
     p_smooth = (F.col("clipped") + 1) / (F.col("c_total") + 1)
     p_n = F.when(F.col("n") == 1, p_exact).otherwise(p_smooth)
     agg = per_group.groupBy("grp").agg(
@@ -310,10 +319,14 @@ def corpus_rouge_n(
     Same single-shuffle kernel as corpus_bleu; cost linear in corpus
     tokens.
     """
+    # single-order gram builder: orders < n would be exploded,
+    # shuffled, and aggregated only to be filtered out again
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _word_prep, _word_ngrams, n,
-    ).filter(F.col("n") == n)
+        _word_prep,
+        lambda c, nm: _word_ngrams(c, nm, n_min=n),
+        n,
+    )
     p = F.col("clipped") / F.col("c_total")
     r = F.col("clipped") / F.col("r_total")
     f1 = F.when(

@@ -839,10 +839,16 @@ def bootstrap_ci(
         aggs.append(F.sum(wb * x).alias(f"__wx{b}"))
         aggs.append(F.sum(wb).alias(f"__w{b}"))
     agg = df.agg(*aggs)
+    # a replica whose every Poisson weight drew 0 (likely only on
+    # tiny inputs: P ~ replicas * 0.368^n) contributes the point
+    # estimate instead of throwing ANSI DIVIDE_BY_ZERO
     means = F.array_sort(
         F.array(
             *[
-                F.col(f"__wx{b}") / F.col(f"__w{b}")
+                F.when(
+                    F.col(f"__w{b}") > 0,
+                    F.col(f"__wx{b}") / F.col(f"__w{b}"),
+                ).otherwise(F.col("__sx") / F.col("__n"))
                 for b in range(replicas)
             ]
         )
@@ -926,7 +932,12 @@ def mann_whitney_u(
         na * nb / F.lit(12.0)
         * ((n + 1) - F.col("__T") / (n * (n - 1)))
     )
-    z = (u - na * nb / 2) / F.sqrt(sigma2)
+    # sigma2 = 0 (all values tied, or a group matched zero rows) has
+    # no defined z; return z = 0 / p = 1 (no evidence of a shift)
+    # instead of the ANSI DIVIDE_BY_ZERO the raw division throws
+    z = F.when(
+        sigma2 > 0, (u - na * nb / 2) / F.sqrt(sigma2)
+    ).otherwise(F.lit(0.0))
     # Two-sided p = erfc(|z| / sqrt(2)). Neither Spark nor typical SQL
     # oracles ship erf, so both sides use the SAME closed form:
     # Abramowitz & Stegun 7.1.26 (|error| < 1.5e-7, far inside the 4dp

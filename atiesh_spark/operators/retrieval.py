@@ -603,6 +603,20 @@ class StreamingPositionalIndex:
         self.text_col = text_col
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Within-batch dedup FIRST: two fetches of the same doc in one
+        # micro-batch would otherwise have their tokenizations MERGED
+        # by positional_postings' groupBy(token, doc), yielding
+        # positions belonging to neither version (phantom phrase
+        # hits that persist, since later upserts only anti-join on
+        # id). One deterministic version per id survives — max by
+        # md5(text); a source with fetch timestamps should pre-dedup
+        # on those instead.
+        batch_df = batch_df.groupBy(self.id_col).agg(
+            F.expr(
+                f"max_by({self.text_col}, md5(cast({self.text_col} "
+                "as binary)))"
+            ).alias(self.text_col)
+        )
         new = positional_postings(batch_df, self.id_col, self.text_col)
         prev = self.store.read_before(batch_df.sparkSession, batch_id)
         if prev is None:

@@ -10310,9 +10310,13 @@ def q225_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     walk AS (
+        -- seeds: true roots AND dangling parents (absent from the
+        -- table) — mirroring flatten_tree's documented convention
+        -- that a node with a missing parent roots in place
         SELECT doc_id, doc_id AS root, 0 AS depth,
                CAST(doc_id AS VARCHAR) AS path
         FROM tree WHERE parent IS NULL
+           OR parent NOT IN (SELECT doc_id FROM tree)
         UNION ALL
         SELECT t.doc_id, w.root, w.depth + 1,
                w.path || '/' || t.doc_id

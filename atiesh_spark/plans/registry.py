@@ -142,10 +142,10 @@ MAX_STALENESS_ROUNDS = -(-len(QUERIES) // _DRIVER_WINDOW) + 1
 #: of round 2's silent accident. (Empty in round 4: the window has room
 #: for every never-graded query.)
 DEFERRED_FIRST_GRADE: dict[str, str] = {
-    # Round 8: empty. All 34 round-8 registrations (q197-q230) fit the
-    # 50-slot window as first-grades; the remaining 16 slots rotate the
-    # least-recently-graded (q102-q117). The displaced rotation tail
-    # (q118-q122, q45, q47, q51-q53, q60-q62, q01-q03) plus the
+    # Round 8: empty. All 37 round-8 registrations (q197-q233) fit the
+    # 50-slot window as first-grades; the remaining 13 slots rotate the
+    # least-recently-graded (q102-q114). The displaced rotation tail
+    # (q115-q122, q45, q47, q51-q53, q60-q62, q01-q03) plus the
     # 19-query r4 remainder (q02-q20) were all hand-certified this
     # round (MATCH sweeps recorded in SCALE.md) and lead the round-9
     # rotation by derived order. Round 9's first action remains
