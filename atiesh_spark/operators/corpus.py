@@ -156,15 +156,18 @@ def chunk_documents(
     size - stride chars — the standard retrieval-indexing windowing. The
     last chunk may be short; every document yields at least one chunk
     (an empty doc yields one empty chunk, so no document silently
-    disappears from the chunked corpus). sequence + posexplode +
-    Column.substr stay in whole-stage codegen.
+    disappears from the chunked corpus — NULL text is coalesced to ''
+    first, as char_entropy does, because a NULL would otherwise
+    propagate into the generator expressions and emit a NULL-chunk
+    row instead of the contracted empty chunk). sequence + posexplode
+    + Column.substr stay in whole-stage codegen.
     """
     if size <= 0:
         raise ValueError("size must be > 0")
     stride = size if stride is None else stride
     if stride <= 0:
         raise ValueError("stride must be > 0")
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     starts = F.sequence(
         F.lit(0), F.greatest(F.length(text) - 1, F.lit(0)), F.lit(stride)
     )

@@ -78,17 +78,27 @@ def _clipped_counts(
     prep,
     grams,
     n_max: int,
+    keep_one_sided: bool = False,
 ) -> DataFrame:
     """Per-(pair, group, n): candidate gram total, reference gram
     total, and the clipped overlap sum(min(cand_count, ref_count)) —
-    the shared kernel of BLEU and chrF.
+    the shared kernel of BLEU, chrF and ROUGE-N.
 
     ``prep`` maps a raw text column name to the per-row prepped
     Column (token array / stripped string) — materialized ONCE in
     its own projection. ``grams`` is _word_ngrams or _char_ngrams
-    over the materialized column. Only (pair, n) rows where BOTH
-    sides produced at least one gram survive (grams absent from one
-    side clip to 0 and contribute nothing).
+    over the materialized column.
+
+    ``keep_one_sided`` controls the empty-side convention: corpus
+    BLEU/chrF (sacrebleu aggregation) keep a (pair, n) row when only
+    ONE side produced grams — a candidate facing an empty/short
+    reference still counts in the precision denominator (clipped = 0)
+    and both unigram totals still feed the corpus lengths. Per-pair
+    metrics (ROUGE-N) pass False: a pair with no order-n grams on
+    either side has an undefined score and is excluded (the standard
+    empty-reference convention; callers document it). Rows where BOTH
+    totals are zero cannot exist — a (pair, n) group only forms from
+    at least one exploded gram row.
     """
     # Widen BEFORE the gram explode: a single small parquet file scans
     # as one split, and without this the entire explode+count runs on
@@ -122,15 +132,14 @@ def _clipped_counts(
             (F.count(F.lit(1)) - F.sum("g.is_c")).alias("r_cnt"),
         )
     )
-    return (
-        cnt.groupBy(pair_col, "__grp", "n")
-        .agg(
-            F.sum(F.least("c_cnt", "r_cnt")).alias("clipped"),
-            F.sum("c_cnt").alias("c_total"),
-            F.sum("r_cnt").alias("r_total"),
-        )
-        .filter((F.col("c_total") > 0) & (F.col("r_total") > 0))
+    out = cnt.groupBy(pair_col, "__grp", "n").agg(
+        F.sum(F.least("c_cnt", "r_cnt")).alias("clipped"),
+        F.sum("c_cnt").alias("c_total"),
+        F.sum("r_cnt").alias("r_total"),
     )
+    if keep_one_sided:
+        return out
+    return out.filter((F.col("c_total") > 0) & (F.col("r_total") > 0))
 
 
 def _word_prep(col: str) -> Column:
@@ -161,10 +170,17 @@ def corpus_bleu(
     ((clipped+1)/(total+1), Lin & Och 2004) so a group with no
     higher-order match degrades instead of hitting log 0; p1 stays
     exact, and a group with p1 = 0 scores bleu = 0.
+
+    Empty-side pairs follow the published corpus aggregation
+    (keep_one_sided=True): a candidate facing an empty reference still
+    feeds the p_n denominators (clipped = 0) and both sides' unigram
+    totals still feed c_len/r_len, matching sacrebleu. A group whose
+    candidates are ALL empty lands c_len = 0: bp is defined as 0 there
+    (r_len > 0 means maximal brevity) instead of dividing by zero.
     """
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _word_prep, _word_ngrams, max_n,
+        _word_prep, _word_ngrams, max_n, keep_one_sided=True,
     )
     per_group = counts.groupBy(F.col("__grp").alias("grp"), "n").agg(
         F.sum("clipped").alias("clipped"),
@@ -218,8 +234,13 @@ def corpus_bleu(
         (F.sum(F.when(F.col("n") <= max_n, F.log(p_n))) / max_n)
         .alias("__logmean"),
     )
-    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
-        F.exp(F.lit(1.0) - F.col("r_len") / F.col("c_len"))
+    bp = (
+        F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0))
+        .when(
+            F.col("c_len") > 0,
+            F.exp(F.lit(1.0) - F.col("r_len") / F.col("c_len")),
+        )
+        .otherwise(F.lit(0.0))  # all-empty candidates: ANSI-safe bp
     )
     bleu = F.when(F.col("clip1") == 0, F.lit(0.0)).otherwise(
         bp * F.exp(F.col("__logmean"))
@@ -252,14 +273,16 @@ def corpus_chrf(
     whitespace stripped), averaged ARITHMETICALLY over n, combined as
     F_beta = (1+beta^2) * P * R / (beta^2 * P + R) with beta = 2
     (recall-weighted — the published chrF2). Corpus-level: counts sum
-    over the group before the per-n ratios. Orders longer than every
+    over the group before the per-n ratios, and one-sided pairs keep
+    contributing their grams to the side that has them (sacrebleu
+    aggregation, keep_one_sided=True). Orders longer than every
     candidate/reference in the group contribute nothing and are
     excluded from the average (the sacrebleu "effective order"
-    convention).
+    convention — the group-level both-sides filter below).
     """
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _char_prep, _char_ngrams, max_n,
+        _char_prep, _char_ngrams, max_n, keep_one_sided=True,
     )
     per_group = (
         counts.groupBy(F.col("__grp").alias("grp"), "n")

@@ -276,6 +276,7 @@ def countmin_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 1024,
+    validate: bool = True,
 ) -> DataFrame:
     """(key, est) point estimates from a :func:`countmin_sketch`.
 
@@ -286,7 +287,40 @@ def countmin_estimate(
     of the sketch, work proportional to |keys| x depth. A key absent
     from every joined cell estimates 0 (its buckets may simply be
     empty), preserved via the left join + coalesce.
+
+    ``validate`` (default on) checks the caller's (depth, width)
+    against the sketch relation itself — a mismatch re-derives
+    DIFFERENT buckets than the build and silently returns wrong
+    (usually 0) estimates, so it raises instead. The check is one
+    aggregate over the <= depth x width sketch rows: every row index
+    0..depth-1 must be populated (any non-empty sketch hashes every
+    key into every row) and every bucket must sit below ``width``.
+    Necessary-not-sufficient (a narrower build whose buckets happen
+    to fit stays undetected), but it catches the common off-by-config
+    cases. Pass ``validate=False`` to skip the extra (tiny) job.
     """
+    if validate:
+        probe = sketch.agg(
+            F.max("r").alias("max_r"),
+            F.min("r").alias("min_r"),
+            F.max("bucket").alias("max_b"),
+            F.min("bucket").alias("min_b"),
+        ).first()
+        if probe["max_r"] is not None:  # empty sketch: everything is 0
+            if probe["min_r"] != 0 or probe["max_r"] != depth - 1:
+                raise ValueError(
+                    f"sketch rows span [{probe['min_r']}, "
+                    f"{probe['max_r']}] but depth={depth} expects "
+                    f"[0, {depth - 1}] — the sketch was built with a "
+                    "different depth"
+                )
+            if probe["min_b"] < 0 or probe["max_b"] >= width:
+                raise ValueError(
+                    f"sketch buckets span [{probe['min_b']}, "
+                    f"{probe['max_b']}] but width={width} expects "
+                    f"[0, {width - 1}] — the sketch was built with a "
+                    "different width"
+                )
     probes = (
         keys.filter(F.col(key_col).isNotNull())
         .select(

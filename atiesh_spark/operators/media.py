@@ -328,6 +328,19 @@ class StreamingMediaCatalog:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Within-batch dedup FIRST (the StreamingPositionalIndex /
+        # StreamingBm25Index discipline): two sends of the same
+        # media_id in one micro-batch would otherwise BOTH survive
+        # cataloging — the anti-join only removes HISTORY rows — and
+        # persist two catalog rows for one id, breaking the
+        # last-write-wins keyed-state contract. One deterministic
+        # blob per id survives (max by md5); a source with fetch
+        # timestamps should pre-dedup on those instead.
+        batch_df = batch_df.groupBy(self.id_col).agg(
+            F.expr(
+                f"max_by({self.blob_col}, md5({self.blob_col}))"
+            ).alias(self.blob_col)
+        )
         # materialize: the catalog row set is tiny and referenced twice
         # (anti-join keys + union); without this the blobs would be
         # re-sniffed once per reference

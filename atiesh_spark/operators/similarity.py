@@ -1620,15 +1620,20 @@ def bitext_margin_pairs(
         .groupBy("id_b")
         .agg(F.avg("sim").alias("__knn_b"))
     )
+    # Guard the ratio: with negative-cosine candidate sets the mean
+    # neighborhood similarity can be 0 (ANSI DIVIDE_BY_ZERO would
+    # abort the job) or negative (a sign-flipped margin that sorts
+    # backwards). Such neighborhoods carry no usable margin signal —
+    # NULL the row so the min_margin filter drops it, matching the
+    # ANSI-guard discipline of corpus_bleu / mann_whitney_u.
+    den = (F.col("__knn_a") + F.col("__knn_b")) / 2.0
     margins = (
         cand.join(knn_a, "id_a")
         .join(knn_b, "id_b")
         .select(
             "id_a", "id_b", "sim",
-            F.round(
-                F.col("sim")
-                / ((F.col("__knn_a") + F.col("__knn_b")) / 2.0),
-                round_to,
+            F.when(
+                den > 0, F.round(F.col("sim") / den, round_to)
             ).alias("margin"),
         )
     )

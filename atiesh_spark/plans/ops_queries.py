@@ -9404,12 +9404,16 @@ def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.pair_id, c.n
     ),
     tot AS (
+        -- one-sided (pair, n) rows are KEPT (sacrebleu corpus
+        -- aggregation): an empty-reference pair still counts its
+        -- candidate grams in the precision denominator, mirroring
+        -- keep_one_sided=True in operators/evaluate.py
         SELECT pair_id, n,
-               SUM(CASE WHEN side = 'c' THEN c END) AS c_total,
-               SUM(CASE WHEN side = 'r' THEN c END) AS r_total
+               COALESCE(SUM(CASE WHEN side = 'c' THEN c END), 0)
+                   AS c_total,
+               COALESCE(SUM(CASE WHEN side = 'r' THEN c END), 0)
+                   AS r_total
         FROM cnt GROUP BY pair_id, n
-        HAVING SUM(CASE WHEN side = 'c' THEN c END) IS NOT NULL
-           AND SUM(CASE WHEN side = 'r' THEN c END) IS NOT NULL
     ),
     pern AS (
         SELECT p.lang AS grp, t.n,
@@ -9443,7 +9447,9 @@ def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(CASE WHEN n = 1 THEN r_total END) AS r_len,
                MAX(CASE WHEN n = 1 THEN clipped END) AS clip1,
                MAX(CASE WHEN n = 1
-                        THEN round(clipped / c_total, 4) END) AS p1,
+                        THEN round(CASE WHEN c_total > 0
+                                        THEN clipped / c_total
+                                        ELSE 0.0 END, 4) END) AS p1,
                MAX(CASE WHEN n = 2
                         THEN round((clipped + 1) / (c_total + 1), 4)
                    END) AS p2,
@@ -9454,7 +9460,9 @@ def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN round((clipped + 1) / (c_total + 1), 4)
                    END) AS p4,
                SUM(ln(GREATEST(
-                   CASE WHEN n = 1 THEN clipped / c_total
+                   CASE WHEN n = 1 THEN
+                            CASE WHEN c_total > 0
+                                 THEN clipped / c_total ELSE 0.0 END
                         ELSE (clipped + 1) / (c_total + 1) END,
                    1e-300))) / 4 AS logmean
         FROM filled GROUP BY grp
@@ -9464,13 +9472,17 @@ def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c_len AS BIGINT) AS c_len,
            CAST(r_len AS BIGINT) AS r_len,
            CAST(round(CASE WHEN c_len >= r_len THEN 1.0
-                           ELSE exp(1.0 - r_len / c_len) END, 4)
+                           WHEN c_len > 0
+                                THEN exp(1.0 - r_len / c_len)
+                           ELSE 0.0 END, 4)
                 AS DOUBLE) AS bp,
            CAST(p1 AS DOUBLE) AS p1, CAST(p2 AS DOUBLE) AS p2,
            CAST(p3 AS DOUBLE) AS p3, CAST(p4 AS DOUBLE) AS p4,
            CAST(round(CASE WHEN clip1 = 0 THEN 0.0
                            ELSE (CASE WHEN c_len >= r_len THEN 1.0
-                                      ELSE exp(1.0 - r_len / c_len) END)
+                                      WHEN c_len > 0
+                                           THEN exp(1.0 - r_len / c_len)
+                                      ELSE 0.0 END)
                                 * exp(logmean) END, 4)
                 AS DOUBLE) AS bleu
     FROM scored
@@ -9533,12 +9545,15 @@ def q215_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.pair_id, c.n
     ),
     tot AS (
+        -- one-sided (pair, n) rows KEPT (sacrebleu aggregation),
+        -- mirroring keep_one_sided=True; the group-level HAVING
+        -- below is the separate "effective order" filter
         SELECT pair_id, n,
-               SUM(CASE WHEN side = 'c' THEN c END) AS c_total,
-               SUM(CASE WHEN side = 'r' THEN c END) AS r_total
+               COALESCE(SUM(CASE WHEN side = 'c' THEN c END), 0)
+                   AS c_total,
+               COALESCE(SUM(CASE WHEN side = 'r' THEN c END), 0)
+                   AS r_total
         FROM cnt GROUP BY pair_id, n
-        HAVING SUM(CASE WHEN side = 'c' THEN c END) IS NOT NULL
-           AND SUM(CASE WHEN side = 'r' THEN c END) IS NOT NULL
     ),
     pern AS (
         SELECT p.lang AS grp, t.n,

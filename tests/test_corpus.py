@@ -717,3 +717,23 @@ class TestSourceOverlapMatrix:
         )
         r = source_overlap_matrix(docs, "text", "source").collect()[0]
         assert r["jaccard"] == 1.0
+
+
+def test_chunk_documents_null_text_yields_one_empty_chunk(spark):
+    """NULL text must behave like empty text — one empty chunk — so no
+    document silently disappears from (or NULL-poisons) the chunked
+    corpus; the docstring contract is 'every document yields at least
+    one chunk'."""
+    from atiesh_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abcd")], "doc_id bigint, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(df, "doc_id", "text", size=2).collect()
+    }
+    assert set(got) == {(1, 0), (2, 0), (3, 0), (3, 1)}
+    assert got[(1, 0)]["chunk_text"] == ""
+    assert got[(1, 0)]["n_chunk_chars"] == 0
+    assert got[(3, 1)]["chunk_text"] == "cd"

@@ -224,3 +224,59 @@ class TestCorpusRougeN:
             "pair_id", "cand", "ref", "grp", n=2,
         ))
         assert (r["sum_p"], r["sum_r"], r["sum_f1"]) == (0.0, 0.0, 0.0)
+
+
+class TestEmptySideConvention:
+    """keep_one_sided kernel rows: the published corpus aggregation
+    (sacrebleu) keeps a candidate facing an empty reference in the
+    precision denominators and corpus lengths; ROUGE (per-pair) keeps
+    its documented exclusion convention — covered above."""
+
+    def test_bleu_empty_reference_feeds_denominator(self, spark):
+        # pair 1 identical (3 tokens), pair 2 candidate "x y" vs empty
+        # reference: c_len pools 3+2, r_len pools 3+0, and pair 2's
+        # unigrams dilute p1 to 3/5 with clipped 0 (sacrebleu keeps
+        # candidate grams in the denominator when the reference lacks
+        # that order; the old kernel dropped the pair entirely).
+        r = _one(corpus_bleu(
+            _pairs(spark, [(1, "g", "a b c", "a b c"),
+                           (2, "g", "x y", "")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert (r["n_pairs"], r["c_len"], r["r_len"]) == (2, 5, 3)
+        assert r["bp"] == 1.0  # c_len >= r_len
+        assert r["p1"] == round(3 / 5, 4)
+        assert r["p2"] == round((2 + 1) / (3 + 1), 4)
+        import math
+        expected = math.exp(
+            (math.log(3 / 5) + math.log(3 / 4)
+             + math.log(1.0) + math.log(1.0)) / 4
+        )
+        assert r["bleu"] == pytest.approx(round(expected, 4), abs=1e-9)
+
+    def test_bleu_all_empty_candidates_is_ansi_safe(self, spark):
+        # A group whose every candidate is empty lands c_len = 0: bp
+        # is defined 0 (maximal brevity) instead of dividing by zero
+        # under ANSI, and bleu scores 0 via clip1 = 0.
+        r = _one(corpus_bleu(
+            _pairs(spark, [(1, "g", "", "a b")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert (r["c_len"], r["r_len"]) == (0, 2)
+        assert r["bp"] == 0.0
+        assert r["bleu"] == 0.0
+
+    def test_chrf_empty_reference_feeds_precision_denominator(self, spark):
+        # pair 1: cand/ref both "ab"; pair 2: cand "cd", empty ref.
+        # Effective orders are n = 1, 2 (two-char strings). Precision
+        # pools pair 2's chars into the denominator: p = avg(2/4, 1/2)
+        # = 0.5; recall sees only pair 1's reference grams: r =
+        # avg(2/2, 1/1) = 1.0; chrF2 = 5*p*r / (4p + r).
+        r = _one(corpus_chrf(
+            _pairs(spark, [(1, "g", "ab", "ab"),
+                           (2, "g", "cd", "")]),
+            "pair_id", "cand", "ref", "grp",
+        ))
+        assert r["chr_p"] == 0.5
+        assert r["chr_r"] == 1.0
+        assert r["chrf"] == round(5 * 0.5 * 1.0 / (4 * 0.5 + 1.0), 4)

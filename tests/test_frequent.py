@@ -180,3 +180,39 @@ def test_countmin_sketch_is_mergeable(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_countmin_estimate_validates_build_params(spark):
+    """A (depth, width) that differs from the sketch's build params
+    re-derives DIFFERENT buckets and silently estimates wrong (often
+    0); countmin_estimate now checks the sketch relation itself and
+    raises instead."""
+    from atiesh_spark.operators.frequent import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 10}",) for i in range(200)], "key string"
+    )
+    sketch = countmin_sketch(df, "key", depth=4, width=32)
+    probe = spark.createDataFrame([("k0",)], "key string")
+
+    with pytest.raises(ValueError, match="different depth"):
+        countmin_estimate(sketch, probe, "key", depth=6, width=32).collect()
+    with pytest.raises(ValueError, match="different width"):
+        countmin_estimate(sketch, probe, "key", depth=4, width=16).collect()
+    # matching params estimate normally; validate=False skips the probe
+    est = countmin_estimate(sketch, probe, "key", 4, 32).collect()
+    assert est[0]["est"] >= 20
+    est2 = countmin_estimate(
+        sketch, probe, "key", 4, 32, validate=False
+    ).collect()
+    assert est2[0]["est"] == est[0]["est"]
+    # an EMPTY sketch carries no build evidence: every key is 0, no raise
+    empty = countmin_sketch(
+        spark.createDataFrame([], "key string"), "key", 4, 32
+    )
+    assert countmin_estimate(empty, probe, "key", 9, 99).collect()[0][
+        "est"
+    ] == 0

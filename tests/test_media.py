@@ -171,3 +171,32 @@ def test_media_gate_rule_order(spark):
     got = {r.media_id: r.verdict for r in media_gate(cat).collect()}
     assert got == {0: "broken", 1: "too_small", 2: "too_small",
                    3: "no_motion", 4: "too_short", 5: "pass", 6: "pass"}
+
+
+def test_streaming_catalog_collapses_in_batch_duplicates(spark, tmp_path):
+    """Two sends of the same media_id inside ONE micro-batch must
+    collapse to a single catalog row (the anti-join only clears
+    HISTORY rows) — last-write-wins keyed state, the
+    StreamingPositionalIndex discipline."""
+    from atiesh_spark.operators.media import StreamingMediaCatalog
+
+    b = _blobs()
+    cat = StreamingMediaCatalog(str(tmp_path / "cat"), "media_id", "blob")
+    dup = spark.createDataFrame(
+        [(1, bytearray(b["png"])), (1, bytearray(b["gif"])),
+         (2, bytearray(b["wav"]))],
+        "media_id long, blob binary",
+    )
+    cat(dup, 1)
+    rows = cat.read(spark).collect()
+    assert len(rows) == 2  # one row per id, not three
+    got = {r.media_id: r for r in rows}
+    # deterministic winner: max_by(blob, md5(blob)) — recompute it
+    import hashlib
+    winner = max(
+        [bytes(b["png"]), bytes(b["gif"])],
+        key=lambda x: hashlib.md5(x).hexdigest(),
+    )
+    expect_fmt = "png" if winner == bytes(b["png"]) else "gif"
+    assert got[1].format == expect_fmt
+    assert got[2].format == "wav"

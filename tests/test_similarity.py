@@ -943,3 +943,27 @@ def test_bitext_margin_pairs_semantics(spark):
             assert got[a_id].id_b == b_id
             assert got[a_id].margin > 1.0
     assert got, "at least one side must align"
+
+
+def test_bitext_margin_degenerate_neighborhood_is_ansi_safe(spark):
+    """A candidate neighborhood whose mean similarity is 0 or negative
+    carries no usable margin signal: the ratio is NULLed and the row
+    excluded, instead of an ANSI DIVIDE_BY_ZERO abort (zero mean) or a
+    sign-flipped margin (negative mean)."""
+    from atiesh_spark.operators.similarity import bitext_margin_pairs
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    # orthogonal: cos = 0 -> knn means 0 -> denominator exactly 0
+    b_zero = spark.createDataFrame(
+        [(10, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    # opposite: cos = -1 -> denominator negative
+    b_neg = spark.createDataFrame(
+        [(20, [-1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    # num_planes=0: every vector shares the single empty-signature
+    # bucket, forcing the degenerate candidates to meet
+    assert bitext_margin_pairs(a, b_zero, k=2, num_planes=0).collect() == []
+    assert bitext_margin_pairs(a, b_neg, k=2, num_planes=0).collect() == []
