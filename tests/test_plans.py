@@ -704,3 +704,26 @@ def test_temporal_gram_stage_is_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_every_headline_cell_has_a_baseline_anchor():
+    """The 2x perf gate compares BENCH_r{N} cells against BASELINE.md;
+    a headline query with neither a BASELINE.md mention nor a
+    COLD_CELLS entry has NO anchor, so a regression in it is invisible
+    to the gate (q211 shipped exactly this way in round 8 — benched
+    1.53 s, no baseline row). Mechanical guard: every headline cell
+    must appear in BASELINE.md (any row/note naming it) or be a
+    documented cold cell."""
+    import bench
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    baseline = (repo / "BASELINE.md").read_text()
+    unanchored = [
+        n for n, s in QUERIES.items()
+        if s.headline and n not in baseline and n not in bench.COLD_CELLS
+    ]
+    assert not unanchored, (
+        f"headline bench cells with no BASELINE.md anchor and no "
+        f"COLD_CELLS entry: {unanchored} — record a baseline row "
+        "(first recorded bench value) or classify the cell"
+    )
