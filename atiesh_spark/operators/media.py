@@ -6,8 +6,8 @@ TRIAGE: what formats are in this column, what are their dimensions /
 sample rates / frame counts, and which blobs are broken. This operator
 answers that with HEADER walks only: PNG reads IHDR, JPEG scans
 markers to SOF, GIF walks the container skipping every LZW payload at
-the sub-block level, WAV walks RIFF chunks, netpbm parses the ASCII
-header. No pixel or sample is ever decoded, so per-blob cost is
+the sub-block level, WAV and MJPEG-AVI walk RIFF chunks (AVI reads
+avih only — no frame is decoded), netpbm parses the ASCII header. No pixel or sample is ever decoded, so per-blob cost is
 O(header) (GIF: O(blob/255) length hops), not O(pixels) — the
 difference between a metadata pass and a decode pass at scale.
 
@@ -60,7 +60,10 @@ _NA = -1
 def sniff_format(blob: bytes) -> str:
     """Container format from the magic prefix alone (works on
     truncated blobs down to a handful of bytes): png / jpeg / gif /
-    wav / pnm / unknown."""
+    wav / avi / pnm / unknown. RIFF sub-types split on the form type
+    at bytes 8:12; a RIFF blob too short to carry one sniffs as wav
+    (the dominant RIFF in ingest, and what this sniffer returned
+    before AVI support — q203's truncated-blob fixture relies on it)."""
     if blob.startswith(b"\x89PNG"):
         return "png"
     if blob.startswith(b"\xff\xd8"):
@@ -68,7 +71,7 @@ def sniff_format(blob: bytes) -> str:
     if blob.startswith(b"GIF8"):
         return "gif"
     if blob.startswith(b"RIFF"):
-        return "wav"
+        return "avi" if blob[8:12] == b"AVI " else "wav"
     if blob[:2] in (b"P5", b"P6"):
         return "pnm"
     return "unknown"
@@ -228,6 +231,12 @@ def catalog_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                         w, h, nf = _gif_header(b)
                     elif fmt == "wav":
                         sr, nf = _wav_header(b)
+                    elif fmt == "avi":
+                        from atiesh_spark.operators.avi import (
+                            _avi_header,
+                        )
+
+                        _usec, nf, w, h = _avi_header(b)
                     elif fmt == "pnm":
                         w, h = _pnm_header(b)
                         nf = 1

@@ -14,8 +14,11 @@ below), baseline JPEG (``operators/jpeg.py`` — full marker parse,
 huffman, IDCT), and 8-bit PNG (``operators/png.py`` — chunk walk +
 stdlib inflate + scanline unfiltering; registration as a graded query
 is deferred to round 8 so it displaces nothing from the round-7
-grading window). Only the remaining compressed formats (progressive
-JPEG, mp3/ogg/flac, video) stay behind the library-gated stub.
+grading window), and round 9 made MJPEG-in-AVI video real
+(``operators/avi.py``: RIFF container walk + the JPEG decoder, so
+``sample_frames`` emits actual frame bytes for AVI blobs). Only the
+remaining compressed formats (progressive JPEG, mp3/ogg/flac,
+MP4-class video) stay behind the library-gated stub.
 Everything Spark-side — schemas, UDF signatures, Arrow batch shapes,
 fan-out of frames — is real and tested; swapping the stub for a real
 codec touches only ``_decode_blob``.
@@ -24,6 +27,7 @@ codec touches only ``_decode_blob``.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -209,18 +213,43 @@ def sample_frames(
 ) -> DataFrame:
     """Sample video frames -> (media_id, frame_idx, ts_ms, frame_blob).
 
-    Frame *timing* comes from metadata (real); frame *bytes* are the
-    decode STUB (sha256-derived placeholder; a real deployment swaps in
-    a video codec). One input row fans out to ceil(duration/every_ms)
-    rows capped at max_frames — mapInPandas because the output row count
+    REAL for MJPEG AVI blobs (round 9): the RIFF container is walked
+    (operators/avi.py) and ``frame_blob`` is the frame's actual
+    JPEG bytes, with ``ts_ms`` derived from the container's
+    usec-per-frame clock — one frame per ``every_ms`` of real video
+    time, capped at ``max_frames``. Other containers (MP4-class —
+    no codec in this environment) keep the documented STUB payload:
+    timing from the metadata duration column, sha256-derived
+    deterministic placeholder bytes. One input row fans out to at
+    most max_frames rows — mapInPandas because the output row count
     differs from the input's.
     """
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from atiesh_spark.operators.avi import _walk_avi
+
         for pdf in batches:
             ids, idxs, tss, blobs = [], [], [], []
             for mid, blob, dur in zip(pdf[id_col], pdf[blob_col], pdf[duration_ms_col]):
                 if blob is None or mid is None:
                     continue  # null media dropped (see decode_media)
+                b = bytes(blob)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        usec, _total, _w, _h, frames = _walk_avi(b)
+                    except (ValueError, struct.error):
+                        continue  # malformed video dropped, like NULLs
+                    # one frame per every_ms of REAL container time
+                    step = max(1, (every_ms * 1000) // usec)
+                    emitted = 0
+                    for i in range(0, len(frames), step):
+                        if emitted >= max_frames:
+                            break
+                        emitted += 1
+                        ids.append(int(mid))
+                        idxs.append(i)
+                        tss.append(i * usec // 1000)
+                        blobs.append(frames[i])
+                    continue
                 dur = int(dur) if dur is not None and not pd.isna(dur) else 0
                 n = min(max(dur // every_ms, 1), max_frames)
                 for i in range(int(n)):

@@ -10856,3 +10856,85 @@ def q233_phrase_index_stream_replay(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "q234_avi_frame_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 * (2 + doc_id % 2) AS INT) AS width,
+               CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+               1 + doc_id % 4 AS nf
+        FROM documents
+    ),
+    frames AS (
+        SELECT d.doc_id, d.width, d.height, t.f
+        FROM dims d, unnest(generate_series(0, d.nf - 1, 2)) AS t(f)
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * 40 AS BIGINT) AS ts_ms,
+           width, height,
+           CAST((doc_id * 11 + 29 * f) % 256 AS FLOAT) AS mean_r,
+           CAST((doc_id * 11 + 29 * f) % 256 AS FLOAT) AS mean_g,
+           CAST((doc_id * 11 + 29 * f) % 256 AS FLOAT) AS mean_b
+    FROM frames
+    """,
+    doc="REAL video path (operators/avi.py, round 9): MJPEG-in-AVI "
+    "container walk — RIFF LIST/hdrl/avih/movi per the public AVI "
+    "RIFF spec, the chunk-walk discipline proven by the WAV codec — "
+    "with every sampled frame decoded through the baseline-JPEG "
+    "decoder (ITU-T T.81, operators/jpeg.py). Retires the last fake "
+    "data path in the media lab: sample_frames' sha256-stub payload "
+    "is now real frame bytes for AVI containers. The graded query "
+    "plants one AVI per document with 1 + doc_id % 4 constant-gray "
+    "frames v_f = (doc_id*11 + 29*f) % 256 at quality 100 (the q194 "
+    "DC-only device: decode is bit-exact so the oracle reproduces "
+    "channel means arithmetically WITHOUT a decoder), 25 fps (ts_ms "
+    "= 40*f from the container clock), sampled at stride 2 — so the "
+    "oracle is generate_series(0, nf-1, 2) and both engines rebuild "
+    "the identical frame table from documents alone. Malformed "
+    "containers / frames are error ROWS (tested in test_video.py), "
+    "excluded here by construction. Plan shape for 100 TB: synth and "
+    "sample/decode are TWO chained mapInPandas stages over pruned "
+    "(id, blob) columns, zero exchanges, bytes never visit the "
+    "driver; per-row cost is O(frames sampled), the cap/stride "
+    "bound.",
+)
+def q234_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.avi import sample_frames_mjpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.jpeg import encode_jpeg_baseline
+        from atiesh_spark.operators.avi import encode_avi_mjpeg
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (2 + did % 2), 8 * (1 + did % 3)
+                frames = [
+                    encode_jpeg_baseline(
+                        np.full((h, w), (did * 11 + 29 * f) % 256,
+                                dtype=np.uint8),
+                        quality=100,
+                    )
+                    for f in range(1 + did % 4)
+                ]
+                blobs.append(encode_avi_mjpeg(frames, w, h, fps=25))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return sample_frames_mjpeg(media, "doc_id", "blob", every_n=2).select(
+        "media_id", "frame_idx", "ts_ms", "width", "height",
+        "mean_r", "mean_g", "mean_b",
+    )
