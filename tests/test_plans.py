@@ -727,3 +727,20 @@ def test_every_headline_cell_has_a_baseline_anchor():
         f"COLD_CELLS entry: {unanchored} — record a baseline row "
         "(first recorded bench value) or classify the cell"
     )
+
+
+def test_crawl_pipeline_plan_shape(spark):
+    """q235 composes seven operators in ONE plan: the only hash
+    exchanges allowed are the WARC pack groupBy (test-harness-only),
+    the KB-sized robots-rule dimension aggregate, and the final
+    (host, reason) report aggregate; the robots dimension must reach
+    the URL frame via a broadcast join (the URL fact never
+    shuffles), and no cartesian product may appear anywhere."""
+    df = QUERIES["q235_crawl_pipeline"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
