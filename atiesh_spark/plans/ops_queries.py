@@ -11122,6 +11122,7 @@ def _crawl_page_html(d) -> "F.Column":
     FROM verdicts
     GROUP BY host, reason
     """,
+    headline=True,
     doc="The crawl-ingestion chain as ONE plan with a per-stage "
     "attrition report — the FineWeb/CCNet-shaped flagship a real "
     "crawl user runs first, composing seven already-graded operators "
@@ -11133,8 +11134,8 @@ def _crawl_page_html(d) -> "F.Column":
     "-> jusText-style HTML extraction (q211, extract_html_content) "
     "-> a Gopher min-words gate (q149's rule over the EXTRACTED "
     "text) -> zlib compression gate (q213, compression_ratio) -> "
-    "first-failing reason code per page (the q176 verdict "
-    "discipline), reported as (host, reason) -> n_docs / n_repaired "
+    "first-failing reason code per page (the q176_filter_reasons "
+    "verdict discipline), reported as (host, reason) -> n_docs / n_repaired "
     "/ content_chars. Fixture: each document becomes a WARC record "
     "whose payload is a q211-style page around either a mojibake-"
     "damaged marker+text body (doc%3=0 damaged, restored EXACTLY by "

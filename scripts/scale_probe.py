@@ -102,6 +102,12 @@ HEAVY = [
     "q226_thread_tree_flatten",
     "q227_gale_church_align",
     "q231_phrase_search",
+    # round 9: the MJPEG-AVI path (JPEG encode x frames + container
+    # walk + decode per doc, row-local — should scale ~linearly) and
+    # the crawl composite (WARC pack/parse + repair + extraction HOFs
+    # + zlib UDF, one report shuffle)
+    "q234_avi_frame_stats",
+    "q235_crawl_pipeline",
 ]
 
 

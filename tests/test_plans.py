@@ -744,3 +744,15 @@ def test_crawl_pipeline_plan_shape(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_avi_frame_stats_plan_is_zero_exchange(spark):
+    """q234 is two chained mapInPandas stages (synth, walk+decode)
+    over pruned columns: no hash exchange may appear — frame bytes
+    must never shuffle or visit the driver."""
+    df = QUERIES["q234_avi_frame_stats"].spark(spark, SF_SMALL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
