@@ -55,15 +55,54 @@ FRAME_PHASH_SCHEMA = StructType(
 )
 
 
+def _sampled_luma_frames(blob: bytes, stride: int):
+    """[(frame_idx, luma uint8 (h, w)), ...] for every ``stride``-th
+    frame, dispatched on container magic: GIF (LZW walk that skips
+    non-sampled frames) or MJPEG AVI (round-9, ``operators/avi.py``
+    chunk walk + the baseline-JPEG decoder — real video files feed
+    the same temporal-dedup pipeline as animations). Raises
+    ValueError on malformed/unsupported containers."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        from atiesh_spark.operators.avi import _walk_avi
+        from atiesh_spark.operators.jpeg import _parse_jpeg
+
+        _usec, _total, _w, _h, frames = _walk_avi(blob)
+        out = []
+        for idx in range(0, len(frames), stride):
+            _w2, _h2, nc, px = _parse_jpeg(frames[idx])
+            if nc == 1:
+                out.append((idx, px))
+            else:
+                luma = (
+                    px[..., 0].astype(np.int64) * 299
+                    + px[..., 1].astype(np.int64) * 587
+                    + px[..., 2].astype(np.int64) * 114
+                ) // 1000
+                out.append((idx, luma.astype(np.uint8)))
+        return out
+
+    from atiesh_spark.operators.gif import parse_gif_frames
+
+    out = []
+    for idx, _, _, rgb in parse_gif_frames(blob, stride):
+        luma = (
+            rgb[..., 0].astype(np.int64) * 299
+            + rgb[..., 1].astype(np.int64) * 587
+            + rgb[..., 2].astype(np.int64) * 114
+        ) // 1000
+        out.append((idx, luma.astype(np.uint8)))
+    return out
+
+
 def frame_phashes(
     df: DataFrame, id_col: str, blob_col: str, stride: int = 1
 ) -> DataFrame:
     """(media_id, frame_idx, phash, error): decode every ``stride``-th
-    GIF frame, convert to BT.601 integer luma, pHash it. Malformed
-    blobs yield one error row (the q161/q194/q200 contract)."""
+    frame — GIF or MJPEG-AVI, dispatched on magic — convert to BT.601
+    integer luma, pHash it. Malformed blobs yield one error row (the
+    q161/q194/q200 contract)."""
     import pandas as pd
 
-    from atiesh_spark.operators.gif import parse_gif_frames
     from atiesh_spark.operators.imagehash import phash_gray
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -75,18 +114,10 @@ def frame_phashes(
                 try:
                     if blob is None:
                         raise ValueError("NULL blob")
-                    for idx, _, _, rgb in parse_gif_frames(
+                    for idx, luma in _sampled_luma_frames(
                         bytes(blob), stride
                     ):
-                        luma = (
-                            rgb[..., 0].astype(np.int64) * 299
-                            + rgb[..., 1].astype(np.int64) * 587
-                            + rgb[..., 2].astype(np.int64) * 114
-                        ) // 1000
-                        out.append(
-                            (mid, idx,
-                             phash_gray(luma.astype(np.uint8)), None)
-                        )
+                        out.append((mid, idx, phash_gray(luma), None))
                 except (ValueError, struct.error, IndexError,
                         ZeroDivisionError, OverflowError) as exc:
                     out.append((mid, None, None, str(exc)))

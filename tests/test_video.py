@@ -106,3 +106,46 @@ def test_planted_seed_phashes_pairwise_distinct():
     hs = [phash_gray(_noise_frame(s, f))
           for s in range(43) for f in range(6)]
     assert len(set(hs)) == len(hs)
+
+
+def test_temporal_dedup_over_mjpeg_avi(spark):
+    """Round 9: the temporal-dedup pipeline accepts REAL video
+    containers — two MJPEG AVIs with the same frame sequence pair up
+    through frame_phashes -> temporal_grams -> temporal_near_dup_pairs,
+    a third with different content does not."""
+    import numpy as np
+
+    from atiesh_spark.operators.avi import encode_avi_mjpeg
+    from atiesh_spark.operators.jpeg import encode_jpeg_baseline
+    from atiesh_spark.operators.video import (
+        frame_phashes,
+        temporal_grams,
+        temporal_near_dup_pairs,
+    )
+
+    def mk(seed: int) -> bytes:
+        frames = []
+        for f in range(4):
+            y, x = np.mgrid[0:32, 0:48]
+            px = ((x * (f + 2) + y * seed) % 256).astype(np.uint8)
+            frames.append(encode_jpeg_baseline(px, quality=90))
+        return encode_avi_mjpeg(frames, 48, 32, fps=10)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mk(3))), (2, bytearray(mk(3))),
+         (3, bytearray(mk(17)))],
+        "media_id long, blob binary",
+    )
+    ph = frame_phashes(df, "media_id", "blob")
+    rows = ph.collect()
+    assert all(r.error is None for r in rows)
+    assert len(rows) == 12  # 3 videos x 4 frames
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.media_id, {})[r.frame_idx] = r.phash
+    assert by_vid[1] == by_vid[2]  # identical content, identical hashes
+    assert by_vid[1] != by_vid[3]  # guard: content actually differs
+    pairs = temporal_near_dup_pairs(
+        temporal_grams(ph, gram=3), min_shared=2
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
