@@ -524,9 +524,17 @@ def _parse_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                     raise ValueError(f"bad sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2: huffman progressive (round 9)
+            from atiesh_spark.operators.jpeg_progressive import (
+                parse_jpeg_progressive,
+            )
+
+            return parse_jpeg_progressive(blob)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0) JPEG supported")
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("short DRI segment")

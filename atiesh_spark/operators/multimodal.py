@@ -16,9 +16,11 @@ stdlib inflate + scanline unfiltering; registration as a graded query
 is deferred to round 8 so it displaces nothing from the round-7
 grading window), and round 9 made MJPEG-in-AVI video real
 (``operators/avi.py``: RIFF container walk + the JPEG decoder, so
-``sample_frames`` emits actual frame bytes for AVI blobs). Only the
-remaining compressed formats (progressive JPEG, mp3/ogg/flac,
-MP4-class video) stay behind the library-gated stub.
+``sample_frames`` emits actual frame bytes for AVI blobs) and
+progressive JPEG real too (``operators/jpeg_progressive.py``, T.81
+Annex G, dispatched transparently by ``decode_jpeg``). Only
+mp3/ogg/flac audio and MP4-class video stay behind the
+library-gated stub.
 Everything Spark-side — schemas, UDF signatures, Arrow batch shapes,
 fan-out of frames — is real and tested; swapping the stub for a real
 codec touches only ``_decode_blob``.

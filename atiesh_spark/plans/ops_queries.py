@@ -11267,3 +11267,87 @@ def q235_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_repaired"),
         F.sum("cc").cast("long").alias("content_chars"),
     )
+
+
+@register(
+    "q236_jpeg_progressive_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 * (2 + doc_id % 2) AS INT) AS width,
+               CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+               (2 + doc_id % 2) * (1 + doc_id % 3) AS nb
+        FROM documents
+    ),
+    blocks AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id * 5 + 17 * t.b) % 256 AS v
+        FROM dims d, unnest(generate_series(0, d.nb - 1)) AS t(b)
+    )
+    SELECT doc_id AS media_id, 'JFIF' AS format, width, height,
+           CAST(1 AS INT) AS n_components,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_r,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_g,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_b
+    FROM blocks GROUP BY doc_id, width, height
+    """,
+    doc="PROGRESSIVE JPEG decode (operators/jpeg_progressive.py, "
+    "round 9): ITU-T T.81 Annex G huffman-progressive — spectral "
+    "selection AND successive approximation — closing the last JPEG "
+    "mode gap (q194 made baseline real in r7; progressive blobs were "
+    "error rows until now). The graded query re-runs the q194 device "
+    "through the DEFAULT progressive scan script (interleaved DC at "
+    "Al=1 + DC refinement bit, AC bands at Al=2 refined down to full "
+    "precision, EOB-run batching across the all-zero AC bands of "
+    "constant blocks): grayscale JPEGs whose 8x8 blocks are "
+    "constants v_b = (doc_id*5 + 17*b) % 256 at quality 100, where "
+    "all-ones quant tables make the multi-scan DC reconstruction "
+    "((DC >> 1) << 1 | refinement bit) bit-exact, so the oracle "
+    "reproduces the decoded channel means arithmetically WITHOUT a "
+    "decoder while the decode exercises the full multi-scan "
+    "coefficient-accumulation path. decode_jpeg dispatches on SOF2 "
+    "transparently, so one Spark frame can mix baseline and "
+    "progressive blobs (tested). The lossy path (random pixels, odd "
+    "dims, 4:2:0, deep bit-plane scripts, spectral-only scripts) is "
+    "differential-tested in test_jpeg_progressive.py against the "
+    "baseline codec, which shares its quantization arithmetic "
+    "exactly. Plan shape: synth + decode are chained mapInPandas "
+    "over pruned columns, zero exchanges, bytes never on the driver.",
+)
+def q236_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.jpeg import decode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.jpeg_progressive import (
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (2 + did % 2), 8 * (1 + did % 3)
+                px = np.zeros((h, w), dtype=np.uint8)
+                b = 0
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            did * 5 + 17 * b
+                        ) % 256
+                        b += 1
+                blobs.append(encode_jpeg_progressive(px, quality=100))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_jpeg(media, "doc_id", "blob").select(
+        "media_id", "format", "width", "height", "n_components",
+        "mean_r", "mean_g", "mean_b",
+    )
