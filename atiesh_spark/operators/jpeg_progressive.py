@@ -191,6 +191,36 @@ def _default_scans(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
     ]
 
 
+class _ScanWriter:
+    """Per-scan entropy writer with restart-marker support: call
+    ``next_unit`` before each MCU/block; on an interval boundary it
+    runs ``pre`` (the AC EOB-run flush — EOB runs may not span a
+    restart), byte-aligns, emits RSTn, swaps in a fresh bit writer,
+    and runs ``reset`` (DC predictor / state rebinding)."""
+
+    def __init__(self, interval: int) -> None:
+        self.interval = interval
+        self.bw = _BitWriter()
+        self.chunks = bytearray()
+        self.unit = 0
+        self.rst = 0
+
+    def next_unit(self, reset, pre=None) -> None:
+        if self.interval and self.unit and self.unit % self.interval == 0:
+            if pre is not None:
+                pre()
+            self.chunks += self.bw.flush()
+            self.chunks += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+            self.bw = _BitWriter()
+            reset()
+        self.unit += 1
+
+    def finish(self) -> bytes:
+        self.chunks += self.bw.flush()
+        return bytes(self.chunks)
+
+
 class _AcScanState:
     """EOB-run + pending-correction-bit accumulator shared by the AC
     first/refine encoders (libjpeg's emit_eobrun discipline)."""
@@ -297,14 +327,18 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsample: bool = False,
     scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JPEG bytes for a (h, w) grayscale or
     (h, w, 3) RGB uint8 array — writer side, used by tests and
     synthetic media generation. ``scans`` is a list of
     (component_indices, Ss, Se, Ah, Al); the default script exercises
-    spectral selection AND successive approximation. Shares the
-    baseline encoder's quantization arithmetic exactly, so decoding
-    this stream must equal decoding the baseline stream."""
+    spectral selection AND successive approximation.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    scan units (MCUs for interleaved scans, blocks otherwise), with
+    DC predictors and EOB runs reset per T.81. Shares the baseline
+    encoder's quantization arithmetic exactly, so decoding this
+    stream must equal decoding the baseline stream."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8 or px.ndim not in (2, 3):
         raise ValueError("pixels must be uint8 (h, w) or (h, w, 3)")
@@ -341,6 +375,10 @@ def encode_jpeg_progressive(
     )[: 2 if gray else 4]:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        if not 0 < restart_interval <= 0xFFFF:
+            raise ValueError("restart_interval out of range")
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     dc_codes = [
         _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS) if i == 0
@@ -356,85 +394,71 @@ def encode_jpeg_progressive(
             td = 0 if ci == 0 else 1
             out += struct.pack("BB", ci + 1, (td << 4) | td)
         out += struct.pack("BBB", ss, se, (ah << 4) | al)
-        bw = _BitWriter()
+        sw = _ScanWriter(restart_interval)
         if ss == 0:
             if se != 0:
                 raise ValueError("DC scan must have Se = 0")
-            if ah == 0:
-                preds = {ci: 0 for ci in scomps}
-                if ns > 1:
-                    for my in range(mcus_y):
-                        for mx in range(mcus_x):
-                            for ci in scomps:
-                                c = comps[ci]
-                                for by in range(c["vi"]):
-                                    for bx in range(c["hi"]):
-                                        v = int(
-                                            c["coefs"][
-                                                my * c["vi"] + by,
-                                                mx * c["hi"] + bx, 0,
-                                            ]
-                                        ) >> al
-                                        diff = v - preds[ci]
-                                        preds[ci] = v
-                                        size = _category(diff)
-                                        bw.put(*dc_codes[ci][size])
-                                        if size:
-                                            amp = (
-                                                diff if diff >= 0
-                                                else diff + (1 << size) - 1
-                                            )
-                                            bw.put(amp, size)
+            preds = {ci: 0 for ci in scomps}
+
+            def reset_dc():
+                for ci in scomps:
+                    preds[ci] = 0
+
+            def dc_unit(ci, yb, xb):
+                v = int(comps[ci]["coefs"][yb, xb, 0])
+                if ah == 0:
+                    v >>= al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size = _category(diff)
+                    sw.bw.put(*dc_codes[ci][size])
+                    if size:
+                        amp = (diff if diff >= 0
+                               else diff + (1 << size) - 1)
+                        sw.bw.put(amp, size)
                 else:
-                    ci = scomps[0]
-                    c = comps[ci]
-                    for yb in range(c["used_by"]):
-                        for xb in range(c["used_bx"]):
-                            v = int(c["coefs"][yb, xb, 0]) >> al
-                            diff = v - preds[ci]
-                            preds[ci] = v
-                            size = _category(diff)
-                            bw.put(*dc_codes[ci][size])
-                            if size:
-                                amp = (diff if diff >= 0
-                                       else diff + (1 << size) - 1)
-                                bw.put(amp, size)
+                    sw.bw.put((v >> al) & 1, 1)
+
+            if ns > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        sw.next_unit(reset_dc)
+                        for ci in scomps:
+                            c = comps[ci]
+                            for by in range(c["vi"]):
+                                for bx in range(c["hi"]):
+                                    dc_unit(
+                                        ci, my * c["vi"] + by,
+                                        mx * c["hi"] + bx,
+                                    )
             else:
-                # DC refinement: one raw bit per block, MCU order when
-                # interleaved
-                if ns > 1:
-                    for my in range(mcus_y):
-                        for mx in range(mcus_x):
-                            for ci in scomps:
-                                c = comps[ci]
-                                for by in range(c["vi"]):
-                                    for bx in range(c["hi"]):
-                                        v = int(
-                                            c["coefs"][
-                                                my * c["vi"] + by,
-                                                mx * c["hi"] + bx, 0,
-                                            ]
-                                        )
-                                        bw.put((v >> al) & 1, 1)
-                else:
-                    c = comps[scomps[0]]
-                    for yb in range(c["used_by"]):
-                        for xb in range(c["used_bx"]):
-                            bw.put((int(c["coefs"][yb, xb, 0]) >> al) & 1, 1)
+                ci0 = scomps[0]
+                c = comps[ci0]
+                for yb in range(c["used_by"]):
+                    for xb in range(c["used_bx"]):
+                        sw.next_unit(reset_dc)
+                        dc_unit(ci0, yb, xb)
         else:
             if ns != 1:
                 raise ValueError("AC scans are single-component")
             c = comps[scomps[0]]
-            st = _AcScanState(bw, ac_codes)
+            st = _AcScanState(sw.bw, ac_codes)
+
+            def reset_ac():
+                st.bw = sw.bw  # the restart replaced the bit writer
+
             for yb in range(c["used_by"]):
                 for xb in range(c["used_bx"]):
+                    # a restart byte-aligns, so the EOB run (and its
+                    # buffered correction bits) must flush BEFORE it
+                    sw.next_unit(reset_ac, pre=st.flush_eobrun)
                     band = c["coefs"][yb, xb, ss : se + 1]
                     if ah == 0:
                         _encode_ac_first(st, band, al)
                     else:
                         _encode_ac_refine(st, band, al)
             st.flush_eobrun()
-        out += bw.flush()
+        out += sw.finish()
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -138,3 +138,20 @@ def test_spark_decode_mixed_formats(spark):
     # quality 100 constant block: DC-exact round trip on BOTH paths
     assert got[1].mean_r == 99.0 and got[2].mean_r == 99.0
     assert got[3].error is not None
+
+
+def test_restart_intervals():
+    """DRI + RSTn inside progressive scans: DC predictors and EOB runs
+    reset at every boundary, in interleaved and single-component
+    scans alike — decode must still equal baseline."""
+    px_g = RNG.integers(0, 256, (40, 40)).astype(np.uint8)
+    for ri in (1, 3, 7):
+        blob = encode_jpeg_progressive(px_g, quality=75, restart_interval=ri)
+        base = _parse_jpeg(encode_jpeg_baseline(px_g, quality=75))
+        assert np.array_equal(base[3], parse_jpeg_progressive(blob)[3])
+    px_c = RNG.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    blob = encode_jpeg_progressive(
+        px_c, quality=80, subsample=True, restart_interval=2
+    )
+    base = _parse_jpeg(encode_jpeg_baseline(px_c, quality=80, subsample=True))
+    assert np.array_equal(base[3], parse_jpeg_progressive(blob)[3])
