@@ -108,6 +108,10 @@ HEAVY = [
     # + zlib UDF, one report shuffle)
     "q234_avi_frame_stats",
     "q235_crawl_pipeline",
+    # round 9: multi-scan progressive decode (6 scans re-traverse the
+    # coefficient planes per image — heavier per-byte than baseline,
+    # still row-local)
+    "q236_jpeg_progressive_decode",
 ]
 
 
