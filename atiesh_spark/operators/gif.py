@@ -175,14 +175,28 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _interlace_rows(h: int) -> np.ndarray:
+    """GIF 4-pass interlace row order (GIF89a spec Appendix E): the
+    row index each delivered scanline lands on — passes start at rows
+    0/4/2/1 with strides 8/8/4/2."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+
+
 def encode_gif(
     frames: list[np.ndarray],
     palette: np.ndarray,
     delay_cs: int = 4,
+    interlace: bool = False,
 ) -> bytes:
     """GIF89a encoder for tests/synthetic media: ``frames`` are (h, w)
     uint8 index arrays into ``palette`` ((n, 3) uint8, n a power of two
-    >= 4); all frames full-size at origin."""
+    >= 4); all frames full-size at origin. ``interlace=True`` writes
+    each frame's rows in the 4-pass interlace order with the
+    descriptor flag set (round 9, so the decoder's deinterlace path is
+    differentially testable)."""
     pal = np.asarray(palette, dtype=np.uint8)
     if pal.ndim != 2 or pal.shape[1] != 3:
         raise ValueError("palette must be (n, 3) uint8")
@@ -210,9 +224,10 @@ def encode_gif(
         # graphic control extension (89a): delay, no transparency
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, fw, fh)
-        out.append(0)  # no local color table, not interlaced
+        out.append(0x40 if interlace else 0)  # no LCT; interlace flag
         out.append(min_code)
-        out += _sub_blocks(_lzw_encode(fr.flatten(), min_code))
+        rows = fr[_interlace_rows(fh)] if interlace else fr
+        out += _sub_blocks(_lzw_encode(rows.flatten(), min_code))
     out += b"\x3b"  # trailer
     return bytes(out)
 
@@ -243,7 +258,8 @@ def parse_gif_frames(
     """[(frame_idx, width, height, rgb (h, w, 3) uint8), ...] for
     frames with ``frame_idx % stride == 0``. Non-sampled frames are
     structurally skipped WITHOUT LZW decoding. Raises ValueError on
-    malformed/unsupported blobs (interlace, missing color table)."""
+    malformed/unsupported blobs (missing color table); interlaced
+    frames deinterlace via the 4-pass row map (round 9)."""
     if stride < 1:
         raise ValueError("stride must be >= 1")
     if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
@@ -282,8 +298,7 @@ def parse_gif_frames(
         fx, fy, fw, fh = struct.unpack("<HHHH", blob[pos : pos + 8])
         fpacked = blob[pos + 8]
         pos += 9
-        if fpacked & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(fpacked & 0x40)
         lct = gct
         if fpacked & 0x80:
             ln = 2 << (fpacked & 0x07)
@@ -311,7 +326,13 @@ def parse_gif_frames(
             ind = _lzw_decode(data, min_code, fw * fh)
             if int(ind.max(initial=0)) >= len(lct):
                 raise ValueError("pixel index outside color table")
-            frames.append((idx, fw, fh, lct[ind].reshape(fh, fw, 3)))
+            grid = ind.reshape(fh, fw)
+            if interlaced:
+                # scanlines arrive in 4-pass order; scatter them back
+                out = np.empty_like(grid)
+                out[_interlace_rows(fh)] = grid
+                grid = out
+            frames.append((idx, fw, fh, lct[grid.reshape(-1)].reshape(fh, fw, 3)))
         idx += 1
     return frames
 

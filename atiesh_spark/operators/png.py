@@ -99,10 +99,30 @@ def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.n
     return (out % 256).astype(np.uint8)
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 4.5.9)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pw, ph); a pass with
+    no pixels contributes NO scanline bytes (PNG spec)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
 def encode_png(
     px: np.ndarray,
     filters: int | None = None,
     palette: np.ndarray | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Test/synthetic-media encoder for 8-bit PNG.
 
@@ -110,7 +130,10 @@ def encode_png(
     ``palette`` (a (n, 3) uint8 array) is given — (h, w, 3) for RGB,
     (h, w, 4) for RGBA. ``filters`` pins one filter type for every
     scanline; ``None`` cycles ``row % 5`` so a round-trip test
-    exercises all five reconstruction paths in one image."""
+    exercises all five reconstruction paths in one image.
+    ``interlace=True`` writes Adam7 (round 9): each pass is its own
+    filtered scanline sequence over the pass sub-image, per the
+    spec's reduced-image rule."""
     px = np.asarray(px, dtype=np.uint8)
     if palette is not None:
         if px.ndim != 2:
@@ -126,14 +149,31 @@ def encode_png(
         raise ValueError(f"unsupported pixel shape {px.shape}")
     h, w = px.shape[:2]
     bpp = _CHANNELS[color_type]
-    raw = px.reshape(h, w * bpp).astype(np.int32)
-    prev = np.zeros(w * bpp, dtype=np.int32)
+    px3 = px.reshape(h, w, bpp)
     lines = []
-    for y in range(h):
-        f = (y % 5) if filters is None else filters
-        lines.append(bytes([f]) + _filter_row(f, raw[y], prev, bpp).tobytes())
-        prev = raw[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub = px3[y0::dy, x0::dx]
+            raw = sub.reshape(ph, pw * bpp).astype(np.int32)
+            prev = np.zeros(pw * bpp, dtype=np.int32)
+            for y in range(ph):
+                f = (y % 5) if filters is None else filters
+                lines.append(
+                    bytes([f]) + _filter_row(f, raw[y], prev, bpp).tobytes()
+                )
+                prev = raw[y]
+    else:
+        raw = px3.reshape(h, w * bpp).astype(np.int32)
+        prev = np.zeros(w * bpp, dtype=np.int32)
+        for y in range(h):
+            f = (y % 5) if filters is None else filters
+            lines.append(
+                bytes([f]) + _filter_row(f, raw[y], prev, bpp).tobytes()
+            )
+            prev = raw[y]
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     out = [_SIGNATURE, _chunk(b"IHDR", ihdr)]
     if palette is not None:
         pal = np.asarray(palette, dtype=np.uint8)
@@ -233,8 +273,8 @@ def _parse_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError(f"unsupported color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if not (0 < w and 0 < h):
         raise ValueError("bad dimensions")
     if w * h > MAX_PIXELS:
@@ -243,7 +283,11 @@ def _parse_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("no IDAT data")
     bpp = _CHANNELS[color_type]
     stride = w * bpp
-    expected = h * (1 + stride)
+    passes = _adam7_passes(w, h) if interlace else []
+    expected = (
+        sum(ph * (1 + pw * bpp) for *_rest, pw, ph in passes)
+        if interlace else h * (1 + stride)
+    )
     # Bounded inflate: a few-KB decompression bomb must become an error
     # row, never a multi-GB allocation. Cap output at the IHDR-derived
     # size; anything past it is malformed by definition.
@@ -257,15 +301,34 @@ def _parse_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError(f"IDAT inflate failed: {exc}") from None
     if len(raw) != expected:
         raise ValueError("decompressed size mismatch")
-    flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = int(flt[y, 0])
-        if ft > 4:
-            raise ValueError(f"bad filter type {ft} on row {y}")
-        prev = _unfilter(ft, flt[y, 1:], prev, bpp)
-        out[y] = prev
+
+    def unfilter_image(flt: np.ndarray, n_rows: int, row_bytes: int):
+        img = np.zeros((n_rows, row_bytes), dtype=np.uint8)
+        prev = np.zeros(row_bytes, dtype=np.uint8)
+        for y in range(n_rows):
+            ft = int(flt[y, 0])
+            if ft > 4:
+                raise ValueError(f"bad filter type {ft} on row {y}")
+            prev = _unfilter(ft, flt[y, 1:], prev, bpp)
+            img[y] = prev
+        return img
+
+    if interlace:
+        # Adam7: each pass is an independent reduced image (its own
+        # filter chain), scattered back onto the (dx, dy) grid
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        for x0, y0, dx, dy, pw, ph in passes:
+            n = ph * (1 + pw * bpp)
+            flt = buf[off : off + n].reshape(ph, 1 + pw * bpp)
+            off += n
+            sub = unfilter_image(flt, ph, pw * bpp).reshape(ph, pw, bpp)
+            img[y0::dy, x0::dx] = sub
+        out = img.reshape(h, stride)
+    else:
+        flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+        out = unfilter_image(flt, h, stride)
     if color_type == 0:
         return w, h, 1, out
     if color_type == 3:

@@ -126,13 +126,26 @@ def test_malformed_blobs_raise(mutate):
         parse_gif_frames(mutate(blob))
 
 
-def test_interlaced_rejected():
+def test_interlace_flag_reorders_rows():
+    """Round 9: the interlace flag is honored, not rejected. Setting
+    the flag on NON-interlaced data must deinterlace (i.e., scramble
+    these rows), proving the flag actually drives the row map — the
+    faithful round trip is test_interlaced_round_trip."""
+    import numpy as np
+
     pal = _pal(8)
-    blob = bytearray(encode_gif([_frame(6, 6, 8)], pal))
+    fr = _frame(12, 6, 8)
+    blob = bytearray(encode_gif([fr], pal))
     sep = next(i for i in range(13, len(blob)) if blob[i] == 0x2C)
     blob[sep + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        parse_gif_frames(bytes(blob))
+    got = parse_gif_frames(bytes(blob))[0][3]
+    plain = parse_gif_frames(encode_gif([fr], pal))[0][3]
+    assert got.shape == plain.shape
+    assert not np.array_equal(got, plain)  # rows moved
+    # same multiset of rows, just permuted by the 4-pass map
+    assert sorted(r.tobytes() for r in got) == sorted(
+        r.tobytes() for r in plain
+    )
 
 
 def test_pixel_budget_enforced():
@@ -166,3 +179,20 @@ def test_operator_error_rows_and_frame_rows(spark):
     assert len(by_id[2]) == 1 and by_id[2][0].error is not None
     assert by_id[2][0].frame_idx is None
     assert len(by_id[3]) == 1 and "NULL" in by_id[3][0].error
+
+
+def test_interlaced_round_trip():
+    """4-pass interlaced frames must decode to the same pixels as
+    their non-interlaced twins (GIF89a Appendix E row order)."""
+    import numpy as np
+
+    from atiesh_spark.operators.gif import encode_gif, parse_gif_frames
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    for h, w in [(13, 9), (16, 8), (1, 5), (2, 5), (9, 4)]:
+        fr = rng.integers(0, 8, (h, w)).astype(np.uint8)
+        plain = parse_gif_frames(encode_gif([fr], pal))
+        inter = parse_gif_frames(encode_gif([fr], pal, interlace=True))
+        assert np.array_equal(plain[0][3], inter[0][3])
+        assert np.array_equal(plain[0][3], pal[fr])

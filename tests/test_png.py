@@ -118,10 +118,17 @@ def test_malformed_blobs_raise_value_error():
 
 def test_interlace_and_depth_rejected_with_fixed_crc():
     """Re-CRC the tampered IHDR so the INTENDED validation path fires
-    (not just the CRC check)."""
+    (not just the CRC check). Adam7 (interlace=1) became REAL in round
+    9, so the checked cases are an UNKNOWN interlace method (2), a
+    16-bit depth, and flipping a sequential stream to interlace=1 —
+    the pass-size accounting must reject the mis-sized payload."""
     px = _gradient(8, 8)
     good = encode_png(px)
-    for offset, value, msg in ((28, 1, "interlaced"), (24, 16, "8-bit")):
+    for offset, value, msg in (
+        (28, 2, "interlace"),
+        (24, 16, "8-bit"),
+        (28, 1, "size mismatch"),
+    ):
         b = bytearray(good)
         b[offset] = value
         ihdr = bytes(b[12:16]) + bytes(b[16:29])
@@ -203,3 +210,56 @@ def test_decompression_bomb_is_error_row_not_oom():
     ) + _chunk(b"IDAT", zlib.compress(b"\x00")) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="pixel budget"):
         _parse_png(huge)
+
+
+def test_adam7_interlace_round_trip():
+    """Round 9: Adam7 interlaced PNGs decode identically to their
+    non-interlaced twins — every pass its own filtered reduced image,
+    scattered back on the (dx, dy) grid — across all color types,
+    tiny dims (passes that vanish), and the all-five-filters cycle."""
+    import numpy as np
+
+    from atiesh_spark.operators.png import _parse_png, encode_png
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.integers(0, 256, (13, 9)).astype(np.uint8), None),
+        (rng.integers(0, 256, (1, 1)).astype(np.uint8), None),   # pass 1 only
+        (rng.integers(0, 256, (2, 3)).astype(np.uint8), None),   # most passes empty
+        (rng.integers(0, 256, (17, 21, 3)).astype(np.uint8), None),
+        (rng.integers(0, 256, (8, 8, 4)).astype(np.uint8), None),
+        (rng.integers(0, 5, (11, 6)).astype(np.uint8),
+         rng.integers(0, 256, (5, 3)).astype(np.uint8)),
+    ]
+    for px, pal in cases:
+        plain = _parse_png(encode_png(px, palette=pal))
+        inter = _parse_png(encode_png(px, palette=pal, interlace=True))
+        assert plain[:3] == inter[:3]
+        assert np.array_equal(plain[3], inter[3])
+
+
+def test_adam7_truncated_pass_is_error():
+    """Interlaced size accounting: dropping bytes from the tail pass
+    must fail the IHDR-derived size check, not mis-scatter."""
+    import numpy as np
+    import pytest
+
+    from atiesh_spark.operators.png import _parse_png, encode_png
+
+    px = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    blob = encode_png(px, interlace=True)
+    # corrupt: truncate the final IDAT chunk's payload (re-CRC'd blob
+    # is complex; simplest valid corruption is re-encoding a SHORTER
+    # image under the original IHDR) — emulate by swapping IHDR dims up
+    import struct
+    import zlib
+
+    bigger = bytearray(blob)
+    i = bigger.index(b"IHDR")
+    bigger[i + 4 : i + 12] = struct.pack(">II", 16, 16)  # claims 16x16
+    # fix IHDR CRC so the chunk walk reaches the size check
+    data = bytes(bigger[i + 4 : i + 17])
+    crc = zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF
+    bigger[i + 17 : i + 21] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="size mismatch"):
+        _parse_png(bytes(bigger))
