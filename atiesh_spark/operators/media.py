@@ -60,7 +60,7 @@ _NA = -1
 def sniff_format(blob: bytes) -> str:
     """Container format from the magic prefix alone (works on
     truncated blobs down to a handful of bytes): png / jpeg / gif /
-    wav / avi / pnm / unknown. RIFF sub-types split on the form type
+    wav / avi / pnm / bmp / unknown. RIFF sub-types split on the form type
     at bytes 8:12; a RIFF blob too short to carry one sniffs as wav
     (the dominant RIFF in ingest, and what this sniffer returned
     before AVI support — q203's truncated-blob fixture relies on it)."""
@@ -74,6 +74,8 @@ def sniff_format(blob: bytes) -> str:
         return "avi" if blob[8:12] == b"AVI " else "wav"
     if blob[:2] in (b"P5", b"P6"):
         return "pnm"
+    if blob.startswith(b"BM"):
+        return "bmp"
     return "unknown"
 
 
@@ -231,6 +233,11 @@ def catalog_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                         w, h, nf = _gif_header(b)
                     elif fmt == "wav":
                         sr, nf = _wav_header(b)
+                    elif fmt == "bmp":
+                        from atiesh_spark.operators.bmp import bmp_header
+
+                        w, h = bmp_header(b)
+                        nf = 1
                     elif fmt == "avi":
                         from atiesh_spark.operators.avi import (
                             _avi_header,

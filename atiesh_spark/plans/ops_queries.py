@@ -11351,3 +11351,75 @@ def q236_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "format", "width", "height", "n_components",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+@register(
+    "q237_bmp_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 4 AS INT) AS width,
+               CAST(2 + doc_id % 5 AS INT) AS height
+        FROM documents
+    ),
+    rows_ AS (
+        SELECT d.doc_id, d.width, d.height,
+               (d.doc_id * 5 + 11 * t.y) % 256 AS v
+        FROM dims d, unnest(generate_series(0, d.height - 1)) AS t(y)
+    )
+    SELECT doc_id AS media_id, 'BMP' AS format, width, height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_r,
+           CAST(round(avg((v + 40) % 256), 4) AS FLOAT) AS mean_g,
+           CAST(round(avg((v + 80) % 256), 4) AS FLOAT) AS mean_b
+    FROM rows_ GROUP BY doc_id, width, height
+    """,
+    doc="BMP/DIB decode (operators/bmp.py, round 9): uncompressed "
+    "BI_RGB Windows bitmaps — 24-bit BGR, 32-bit BGRX, 8-bit palette "
+    "— header walk, 4-byte row unpadding, BGR->RGB swizzle, and the "
+    "SIGNED-height row-order rule (positive = bottom-up, negative = "
+    "top-down; the sign is unit-pinned by a mirror test). BMP is "
+    "lossless, so the oracle needs no quality-100 device: the query "
+    "plants one 24-bit bottom-up BMP per document whose row y is the "
+    "constant (R,G,B) = (v, (v+40)%256, (v+80)%256) with v = "
+    "(doc_id*5 + 11y) % 256 and width 3+doc_id%4 (every 4-byte pad "
+    "residue fires), and the oracle reproduces each channel mean "
+    "arithmetically. Distinct per-channel values prove the BGR "
+    "swizzle end-to-end (a swapped channel shifts the mean by ±40/"
+    "±80). RLE/bitfield compressions are error ROWS; catalog_media "
+    "sniffs 'BM' and reads dimensions from the header alone. Plan "
+    "shape: chained mapInPandas over pruned columns, zero exchanges.",
+)
+def q237_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.bmp import decode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.bmp import encode_bmp
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 4, 2 + did % 5
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    v = (did * 5 + 11 * y) % 256
+                    px[y, :, 0] = v
+                    px[y, :, 1] = (v + 40) % 256
+                    px[y, :, 2] = (v + 80) % 256
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_bmp(media, "doc_id", "blob").select(
+        "media_id", "format", "width", "height", "n_channels",
+        "mean_r", "mean_g", "mean_b",
+    )
