@@ -178,6 +178,13 @@ def _wav_header(blob: bytes) -> tuple[int, int]:
             if size < 16:
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", blob[pos + 8 : pos + 24])
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if size < 40:
+                    raise ValueError("extensible fmt chunk too short")
+                (sub,) = struct.unpack(
+                    "<H", blob[pos + 32 : pos + 34]
+                )
+                fmt = (sub,) + fmt[1:]
         elif cid == b"data":
             data_size = size
             break
@@ -185,11 +192,18 @@ def _wav_header(blob: bytes) -> tuple[int, int]:
     if fmt is None or data_size is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16 or channels < 1 or sample_rate < 1:
+    # the uncompressed layouts decode_wav reads (round 9): PCM16,
+    # PCM8, IEEE float32, G.711 A-law / mu-law
+    if (audio_format, bits) not in (
+        (1, 16), (1, 8), (3, 32), (6, 8), (7, 8)
+    ):
         raise ValueError("unsupported wav format")
-    if data_size % (2 * channels):
+    if channels < 1 or sample_rate < 1:
+        raise ValueError("unsupported wav format")
+    bpf = channels * bits // 8
+    if data_size % bpf:
         raise ValueError("data payload not frame-aligned")
-    return sample_rate, data_size // (2 * channels)
+    return sample_rate, data_size // bpf
 
 
 def _pnm_header(blob: bytes) -> tuple[int, int]:

@@ -440,38 +440,82 @@ WAV_DECODED_SCHEMA = StructType(
 )
 
 
-def encode_wav(sample_rate: int, samples: bytes, channels: int = 1) -> bytes:
-    """A canonical 44-byte-header RIFF/WAVE PCM16 blob — the writer
-    side, used by tests and synthetic media generation. ``samples`` is
-    interleaved little-endian int16 bytes (len must be a multiple of
-    2*channels)."""
+def encode_wav(
+    sample_rate: int,
+    samples: bytes,
+    channels: int = 1,
+    audio_format: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """A canonical 44-byte-header RIFF/WAVE blob — the writer side,
+    used by tests and synthetic media generation. Default is PCM16
+    (``samples`` = interleaved little-endian int16 bytes); round 9
+    also writes the other real-world uncompressed layouts the decoder
+    now reads: (format, bits) = (1, 8) unsigned PCM8, (3, 32) IEEE
+    float32, (6, 8) G.711 A-law, (7, 8) G.711 mu-law."""
     import struct
 
-    if len(samples) % (2 * channels):
+    if (audio_format, bits) not in ((1, 16), (1, 8), (3, 32), (6, 8), (7, 8)):
+        raise ValueError(
+            f"unsupported (format, bits) = ({audio_format}, {bits})"
+        )
+    bpf = channels * bits // 8
+    if len(samples) % bpf:
         raise ValueError(
             f"sample bytes ({len(samples)}) not a multiple of frame "
-            f"size ({2 * channels})"
+            f"size ({bpf})"
         )
-    byte_rate = sample_rate * channels * 2
+    byte_rate = sample_rate * bpf
     hdr = (
         b"RIFF"
         + struct.pack("<I", 36 + len(samples))
         + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate,
-                      channels * 2, 16)
+        + struct.pack("<IHHIIHH", 16, audio_format, channels, sample_rate,
+                      byte_rate, bpf, bits)
         + b"data"
         + struct.pack("<I", len(samples))
     )
     return hdr + samples
 
 
+def _g711_tables():
+    """256-entry mu-law / A-law -> linear int16 expansion tables (ITU
+    G.711; the classic CCITT expansion arithmetic)."""
+    import numpy as np
+
+    ulaw = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        ulaw[b] = -x if u & 0x80 else x
+    alaw = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        alaw[b] = -x if a & 0x80 else x
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def _parse_wav(blob: bytes) -> tuple[int, int, "object"]:
     """(sample_rate, channels, int16 ndarray of interleaved samples)
-    from a RIFF/WAVE PCM16 blob. A real chunk walk — tolerates extra
-    chunks (LIST/fact/cue) in any order before ``data``, with odd-size
-    pad bytes per the RIFF spec. Raises ValueError on anything
-    malformed; the caller turns that into an ``error`` row instead of
-    killing the batch."""
+    from a RIFF/WAVE blob. A real chunk walk — tolerates extra chunks
+    (LIST/fact/cue) in any order before ``data``, with odd-size pad
+    bytes per the RIFF spec. Round 9 widened the sample layouts to
+    everything uncompressed a real corpus carries: PCM16, unsigned
+    PCM8 ((v-128)<<8), IEEE float32 (clipped to [-1,1] and scaled to
+    int16 — the downstream features live in the int16 domain), G.711
+    A-law/mu-law (table expansion per the CCITT arithmetic), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) whose real format leads the
+    SubFormat GUID. Raises ValueError on anything malformed; the
+    caller turns that into an ``error`` row instead of killing the
+    batch."""
     import struct
 
     import numpy as np
@@ -489,6 +533,11 @@ def _parse_wav(blob: bytes) -> tuple[int, int, "object"]:
             if size < 16:
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if size < 40:
+                    raise ValueError("extensible fmt chunk too short")
+                (sub,) = struct.unpack("<H", body[24:26])
+                fmt = (sub,) + fmt[1:]
         elif cid == b"data":
             data = body
             break  # fmt must precede data in a valid file
@@ -496,17 +545,33 @@ def _parse_wav(blob: bytes) -> tuple[int, int, "object"]:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if (audio_format, bits) not in (
+        (1, 16), (1, 8), (3, 32), (6, 8), (7, 8)
+    ):
         raise ValueError(
-            f"only PCM16 supported, got format={audio_format} bits={bits}"
+            f"unsupported wav layout: format={audio_format} bits={bits}"
         )
     if channels < 1:
         raise ValueError("channels must be >= 1")
     if sample_rate < 1:
         raise ValueError("sample_rate must be >= 1")
-    if len(data) % (2 * channels):
+    if len(data) % (channels * bits // 8):
         raise ValueError("data payload not frame-aligned")
-    arr = np.frombuffer(data, dtype="<i2")
+    if (audio_format, bits) == (1, 16):
+        arr = np.frombuffer(data, dtype="<i2")
+    elif (audio_format, bits) == (1, 8):
+        # unsigned 8-bit PCM, midpoint 128 -> int16 full scale
+        arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                - 128) << 8)
+    elif audio_format == 3:
+        f = np.clip(np.frombuffer(data, dtype="<f4"), -1.0, 1.0)
+        if not np.isfinite(f).all():
+            raise ValueError("non-finite float samples")
+        arr = np.round(f.astype(np.float64) * 32767.0).astype(np.int16)
+    elif audio_format == 6:
+        arr = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    else:  # 7: mu-law
+        arr = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
     return sample_rate, channels, arr
 
 

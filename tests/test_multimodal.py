@@ -208,3 +208,112 @@ def test_wav_parser_tolerates_extra_chunks():
         _parse_wav(encode_wav(8000, s.tobytes())[:-1])  # truncated data
     with pytest.raises(ValueError):
         encode_wav(8000, b"\x01\x02\x03")  # not frame-aligned
+
+
+class TestWavLayouts:
+    """Round 9: the uncompressed layouts beyond PCM16 — PCM8, IEEE
+    float32, G.711 A-law/mu-law, and WAVE_FORMAT_EXTENSIBLE."""
+
+    def test_g711_table_knowns(self):
+        """Pin the classic CCITT expansion anchors (G.711 / Sun audio
+        tables): mu-law 0x00 -> -32124, 0xFF -> 0; A-law has no zero —
+        0x55 -> +8, 0xD5 -> -8; both tables odd-symmetric."""
+        import numpy as np
+
+        from atiesh_spark.operators.multimodal import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+        )
+
+        assert _ULAW_TABLE[0x00] == -32124
+        assert _ULAW_TABLE[0x80] == 32124
+        assert _ULAW_TABLE[0xFF] == 0
+        assert _ALAW_TABLE[0x55] == 8
+        assert _ALAW_TABLE[0xD5] == -8
+        assert int(np.abs(_ALAW_TABLE).max()) == 32256
+        # sign symmetry: byte with sign bit flipped negates the value
+        for t, flip in ((_ULAW_TABLE, 0x80), (_ALAW_TABLE, 0x80)):
+            for b in (3, 77, 120):
+                assert t[b ^ flip] == -t[b]
+
+    def test_decode_all_layouts(self, spark):
+        import struct as st
+
+        import numpy as np
+
+        from atiesh_spark.operators.multimodal import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            decode_wav,
+            encode_wav,
+        )
+
+        pcm16 = np.array([0, 1000, -1000, 500], dtype="<i2")
+        pcm8 = bytes([128, 138, 118, 200])
+        flt = st.pack("<4f", 0.0, 0.5, -0.5, 1.0)
+        g711 = bytes([0x00, 0x80, 0xFF, 0x55])
+        rows = [
+            (1, bytearray(encode_wav(8000, pcm16.tobytes()))),
+            (2, bytearray(encode_wav(8000, pcm8, audio_format=1, bits=8))),
+            (3, bytearray(encode_wav(8000, flt, audio_format=3, bits=32))),
+            (4, bytearray(encode_wav(8000, g711, audio_format=6, bits=8))),
+            (5, bytearray(encode_wav(8000, g711, audio_format=7, bits=8))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, blob binary")
+        got = {r.media_id: r for r in
+               decode_wav(df, "media_id", "blob").collect()}
+        for mid in (1, 2, 3, 4, 5):
+            assert got[mid].error is None, got[mid]
+            assert got[mid].n_frames == 4
+        assert got[1].peak == 1000
+        assert got[2].peak == (200 - 128) << 8
+        assert got[3].peak == 32767  # 1.0 scales to full int16
+        assert got[4].peak == int(np.abs(_ALAW_TABLE[list(g711)]).max())
+        assert got[5].peak == int(np.abs(_ULAW_TABLE[list(g711)]).max())
+
+    def test_extensible_header_and_catalog(self, spark):
+        """WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real format leads the
+        SubFormat GUID; both the decoder and the catalog honor it."""
+        import struct as st
+
+        import numpy as np
+
+        from atiesh_spark.operators.media import catalog_media
+        from atiesh_spark.operators.multimodal import _parse_wav
+
+        samples = np.array([10, -10, 20, -20], dtype="<i2").tobytes()
+        ext = st.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        ext += st.pack("<HHI", 22, 16, 1)  # cbSize, valid bits, mask
+        # SubFormat GUID: format code 1 (PCM) + the fixed KSDATAFORMAT
+        # suffix 00001000-8000-00AA-00389B71
+        ext += (st.pack("<I", 1)
+                + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71")
+        blob = (b"RIFF" + st.pack("<I", 4 + 8 + len(ext) + 8 + len(samples))
+                + b"WAVEfmt " + st.pack("<I", len(ext)) + ext
+                + b"data" + st.pack("<I", len(samples)) + samples)
+        sr, ch, arr = _parse_wav(blob)
+        assert (sr, ch) == (8000, 1)
+        assert arr.tolist() == [10, -10, 20, -20]
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "media_id long, blob binary")
+        cat = catalog_media(df, "media_id", "blob").collect()[0]
+        assert (cat.format, cat.ok, cat.sample_rate, cat.n_frames) == (
+            "wav", True, 8000, 4)
+
+    def test_malformed_layouts_are_errors(self, spark):
+        import struct as st
+
+        from atiesh_spark.operators.multimodal import _parse_wav, encode_wav
+
+        with pytest.raises(ValueError, match="unsupported"):
+            encode_wav(8000, b"\x00\x00", audio_format=2, bits=16)
+        # 24-bit PCM: honestly unsupported, must raise not misread
+        blob = bytearray(encode_wav(8000, b"\x00" * 6))
+        blob[34:36] = st.pack("<H", 24)
+        with pytest.raises(ValueError, match="unsupported wav layout"):
+            _parse_wav(bytes(blob))
+        # non-finite float samples
+        bad = encode_wav(8000, st.pack("<2f", float("nan"), 0.0),
+                         audio_format=3, bits=32)
+        with pytest.raises(ValueError, match="non-finite"):
+            _parse_wav(bad)
