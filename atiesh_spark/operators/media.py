@@ -60,7 +60,7 @@ _NA = -1
 def sniff_format(blob: bytes) -> str:
     """Container format from the magic prefix alone (works on
     truncated blobs down to a handful of bytes): png / jpeg / gif /
-    wav / avi / pnm / bmp / unknown. RIFF sub-types split on the form type
+    wav / avi / pnm / bmp / tiff / unknown. RIFF sub-types split on the form type
     at bytes 8:12; a RIFF blob too short to carry one sniffs as wav
     (the dominant RIFF in ingest, and what this sniffer returned
     before AVI support — q203's truncated-blob fixture relies on it)."""
@@ -76,6 +76,8 @@ def sniff_format(blob: bytes) -> str:
         return "pnm"
     if blob.startswith(b"BM"):
         return "bmp"
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -251,6 +253,11 @@ def catalog_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                         from atiesh_spark.operators.bmp import bmp_header
 
                         w, h = bmp_header(b)
+                        nf = 1
+                    elif fmt == "tiff":
+                        from atiesh_spark.operators.tiff import tiff_header
+
+                        w, h = tiff_header(b)
                         nf = 1
                     elif fmt == "avi":
                         from atiesh_spark.operators.avi import (

@@ -11423,3 +11423,105 @@ def q237_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "format", "width", "height", "n_channels",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+@register(
+    "q238_tiff_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 4 AS INT) AS width,
+               CAST(2 + doc_id % 5 AS INT) AS height,
+               doc_id % 4 AS layout
+        FROM documents
+    ),
+    rows_ AS (
+        SELECT d.doc_id, d.width, d.height, d.layout,
+               (d.doc_id * 7 + 13 * t.y) % 256 AS v
+        FROM dims d, unnest(generate_series(0, d.height - 1)) AS t(y)
+    )
+    SELECT doc_id AS media_id, 'TIFF' AS format, width, height,
+           CAST(CASE WHEN layout IN (0, 1) THEN 1 ELSE 3 END AS INT)
+               AS n_channels,
+           CAST(round(avg(v), 4) AS FLOAT) AS mean_r,
+           CAST(round(avg(CASE WHEN layout IN (0, 1) THEN v
+                               ELSE (v + 40) % 256 END), 4) AS FLOAT)
+               AS mean_g,
+           CAST(round(avg(CASE WHEN layout IN (0, 1) THEN v
+                               ELSE (v + 80) % 256 END), 4) AS FLOAT)
+               AS mean_b
+    FROM rows_ GROUP BY doc_id, width, height, layout
+    """,
+    doc="Baseline TIFF decode (operators/tiff.py, round 9): the "
+    "scanned-document format — IFD walk with the inline-vs-offset "
+    "value rule, BOTH byte orders, multi-strip assembly, photometric "
+    "normalization (WhiteIsZero scans invert back), palette-color "
+    "expansion (16-bit ColorMap >> 8). Lossless, so the oracle is "
+    "pure row-gradient arithmetic (the q237 device): per document, "
+    "row y carries v = (doc_id*7 + 13y) % 256, delivered through one "
+    "of four rotating layouts — (0) grayscale little-endian single "
+    "strip, (1) grayscale WhiteIsZero big-endian 2-row strips (the "
+    "wire bytes are INVERTED, so polarity normalization is on the "
+    "graded path), (2) RGB little-endian with channel offsets "
+    "(v, v+40, v+80 — a swapped channel shifts a mean), (3) palette "
+    "big-endian with pal[y] holding the same offsets. LZW/PackBits "
+    "stay error ROWS; catalog_media sniffs II*/MM* with an O(header) "
+    "dims walk. Plan shape: chained mapInPandas over pruned columns, "
+    "zero exchanges.",
+)
+def q238_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.tiff import decode_tiff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 4, 2 + did % 5
+                v = np.array(
+                    [(did * 7 + 13 * y) % 256 for y in range(h)],
+                    dtype=np.uint8,
+                )
+                layout = did % 4
+                if layout == 0:
+                    px = np.repeat(v[:, None], w, axis=1)
+                    blob = encode_tiff(px)
+                elif layout == 1:
+                    px = np.repeat(v[:, None], w, axis=1)
+                    blob = encode_tiff(
+                        px, rows_per_strip=2, big_endian=True,
+                        white_is_zero=True,
+                    )
+                elif layout == 2:
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0] = v[:, None]
+                    px[:, :, 1] = (v[:, None].astype(int) + 40) % 256
+                    px[:, :, 2] = (v[:, None].astype(int) + 80) % 256
+                    blob = encode_tiff(px)
+                else:
+                    pal = np.zeros((h, 3), dtype=np.uint8)
+                    pal[:, 0] = v
+                    pal[:, 1] = (v.astype(int) + 40) % 256
+                    pal[:, 2] = (v.astype(int) + 80) % 256
+                    idx = np.repeat(
+                        np.arange(h, dtype=np.uint8)[:, None], w, axis=1
+                    )
+                    blob = encode_tiff(idx, palette=pal, big_endian=True)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_tiff(media, "doc_id", "blob").select(
+        "media_id", "format", "width", "height", "n_channels",
+        "mean_r", "mean_g", "mean_b",
+    )
