@@ -1,11 +1,12 @@
 """Baseline TIFF codec in pure numpy + struct — the scanned-document
 format: digitization pipelines (books, forms, archival corpora) still
 deliver uncompressed or lightly-wrapped TIFF in volume. Scope is
-TIFF 6.0 baseline, uncompressed (Compression=1): 8-bit grayscale
+TIFF 6.0 baseline, uncompressed (Compression=1) or PackBits
+(32773, the RLE virtually every scanner emits): 8-bit grayscale
 (both photometric polarities — WhiteIsZero scans are common), 8-bit
 RGB, and palette-color, with multi-strip layouts and BOTH byte orders
-('II' little / 'MM' big endian). LZW/PackBits/JPEG-in-TIFF stay error
-ROWS (the codec-family contract).
+('II' little / 'MM' big endian). LZW/JPEG-in-TIFF stay error ROWS
+(the codec-family contract).
 
 Format facts (public: the Adobe TIFF 6.0 specification): an 8-byte
 header (byte order, magic 42, first IFD offset); each IFD is a
@@ -48,6 +49,62 @@ __all__ = ["encode_tiff", "decode_tiff"]
 
 MAX_PIXELS = 64_000_000  # shared budget (jpeg/png/bmp rationale)
 
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF compression 32773): repeat runs of 2-128
+    as (257-n, byte), literal runs of 1-128 as (n-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a repeat run
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run: until the next >=3 repeat or 128 bytes
+        j = i
+        while (
+            j < n and j - i < 128
+            and not (j + 2 < n and data[j + 1] == data[j]
+                     and data[j + 2] == data[j])
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_packbits_encode`, bounded at ``expected``
+    output bytes (a crafted strip must not balloon)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b == 128:  # noop per spec
+            continue
+        if b < 128:  # literal of b+1 bytes
+            if i + b + 1 > n:
+                raise ValueError("packbits literal truncated")
+            out += data[i : i + b + 1]
+            i += b + 1
+        else:  # repeat next byte 257-b times
+            if i >= n:
+                raise ValueError("packbits run truncated")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"packbits strip decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
 
@@ -57,6 +114,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     big_endian: bool = False,
     white_is_zero: bool = False,
+    packbits: bool = False,
 ) -> bytes:
     """Writer side (tests + synthetic media): (h, w) uint8 grayscale,
     (h, w, 3) uint8 RGB, or 2-D palette indices + ``palette``
@@ -91,6 +149,8 @@ def encode_tiff(
     strips = [
         data_px[y : y + rps].tobytes() for y in range(0, h, rps)
     ]
+    if packbits:
+        strips = [_packbits_encode(st) for st in strips]
 
     def entry(tag: int, typ: int, count: int, value) -> tuple[bytes, bytes]:
         """(12-byte IFD entry, out-of-line payload or b'')."""
@@ -111,7 +171,7 @@ def encode_tiff(
     tags: list[tuple[int, int, int, object]] = [
         (256, 4, 1, w), (257, 4, 1, h),
         (258, 3, spp, [8] * spp),
-        (259, 3, 1, 1),                      # uncompressed
+        (259, 3, 1, 32773 if packbits else 1),
         (262, 3, 1, photometric),
         (277, 3, 1, spp),
         (278, 4, 1, rps),
@@ -263,8 +323,10 @@ def _parse_tiff(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     photometric = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
-    if comp != 1:
-        raise ValueError(f"only uncompressed TIFF supported, got {comp}")
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"only uncompressed/PackBits TIFF supported, got {comp}"
+        )
     if any(b != 8 for b in bits) or len(bits) != spp:
         raise ValueError(f"only 8-bit samples supported, got {bits}")
     if spp not in (1, 3):
@@ -280,11 +342,19 @@ def _parse_tiff(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     offsets, counts = tags[273], tags[279]
     if len(offsets) != len(counts):
         raise ValueError("strip offset/count length mismatch")
+    rps = tags.get(278, [h])[0] or h
+    row_bytes = w * spp
     parts = []
-    for off, cnt in zip(offsets, counts):
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(blob):
             raise ValueError("strip overruns blob")
-        parts.append(blob[off : off + cnt])
+        part = blob[off : off + cnt]
+        if comp == 32773:
+            n_rows = min(rps, h - si * rps)
+            if n_rows <= 0:
+                raise ValueError("more strips than rows")
+            part = _packbits_decode(part, n_rows * row_bytes)
+        parts.append(part)
     raw = b"".join(parts)
     need = w * h * spp
     if len(raw) != need:

@@ -11464,8 +11464,9 @@ def q237_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wire bytes are INVERTED, so polarity normalization is on the "
     "graded path), (2) RGB little-endian with channel offsets "
     "(v, v+40, v+80 — a swapped channel shifts a mean), (3) palette "
-    "big-endian with pal[y] holding the same offsets. LZW/PackBits "
-    "stay error ROWS; catalog_media sniffs II*/MM* with an O(header) "
+    "big-endian with pal[y] holding the same offsets. Layout 1 is "
+    "also PackBits-compressed (32773, the scanner RLE — real "
+    "decompression on the graded path); LZW stays an error ROW; catalog_media sniffs II*/MM* with an O(header) "
     "dims walk. Plan shape: chained mapInPandas over pruned columns, "
     "zero exchanges.",
 )
@@ -11500,7 +11501,7 @@ def q238_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     px = np.repeat(v[:, None], w, axis=1)
                     blob = encode_tiff(
                         px, rows_per_strip=2, big_endian=True,
-                        white_is_zero=True,
+                        white_is_zero=True, packbits=True,
                     )
                 elif layout == 2:
                     px = np.zeros((h, w, 3), dtype=np.uint8)

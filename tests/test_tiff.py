@@ -104,3 +104,31 @@ def test_spark_decode_and_catalog(spark):
     assert (cat[1].format, cat[1].ok, cat[1].width, cat[1].height) == (
         "tiff", True, 6, 4)
     assert (cat[2].format, cat[2].ok) == ("tiff", False)
+
+
+class TestPackBits:
+    def test_codec_round_trip(self):
+        from atiesh_spark.operators.tiff import (
+            _packbits_decode,
+            _packbits_encode,
+        )
+
+        for data in (b"", b"a", b"a" * 300, b"ab" * 200, b"aaabccdddd",
+                     bytes(RNG.integers(0, 256, 500))):
+            assert _packbits_decode(_packbits_encode(data), len(data)) == data
+        with pytest.raises(ValueError, match="truncated"):
+            _packbits_decode(b"\x05ab", 6)  # literal cut short
+        with pytest.raises(ValueError, match="expected"):
+            _packbits_decode(b"\x00a", 5)  # too little output
+
+    def test_tiff_packbits_strips(self):
+        g = (RNG.integers(0, 4, (9, 7)) * 60).astype(np.uint8)
+        blob = encode_tiff(g, rows_per_strip=2, big_endian=True,
+                           packbits=True, white_is_zero=True)
+        got = _parse_tiff(blob)
+        assert np.array_equal(got[3], g)
+        # the wire really is compressed: a run-heavy image shrinks
+        runny = np.repeat(np.arange(16, dtype=np.uint8), 64).reshape(16, 64)
+        assert len(encode_tiff(runny, packbits=True)) < len(
+            encode_tiff(runny)
+        )
