@@ -67,7 +67,12 @@ MAX_FRAME_PIXELS = 1 << 26  # 64 Mpixel per frame
 
 
 def encode_avi_mjpeg(
-    frames: list[bytes], width: int, height: int, fps: int = 25
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+    _fourcc: bytes = b"MJPG",
+    _chunk_id: bytes = b"00dc",
 ) -> bytes:
     """An MJPEG AVI blob from per-frame baseline-JPEG bytes — the
     writer side, used by tests and synthetic media generation (the
@@ -107,7 +112,7 @@ def encode_avi_mjpeg(
     )
     strh = (
         b"vids"
-        + b"MJPG"
+        + _fourcc
         + struct.pack(
             "<IHHIIIIIIIi4H",
             0,                   # dwFlags
@@ -125,7 +130,9 @@ def encode_avi_mjpeg(
     )
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        40, width, height, 1, 24,
+        b"\x00\x00\x00\x00" if _fourcc == b"DIB " else _fourcc,
+        width * height * 3,
         0, 0, 0, 0,
     )
     hdrl = lst(
@@ -137,11 +144,63 @@ def encode_avi_mjpeg(
     idx = b""
     for f in frames:
         # idx1 offsets are relative to the start of the 'movi' fourcc
-        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(f))
-        movi_body += chunk(b"00dc", f)
+        idx += _chunk_id + struct.pack("<III", 0x10, len(movi_body), len(f))
+        movi_body += chunk(_chunk_id, f)
     movi = chunk(b"LIST", movi_body)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avi_dib(
+    frames: list["np.ndarray"], fps: int = 25
+) -> bytes:
+    """An UNCOMPRESSED AVI (BI_RGB 'DIB ' stream, round 9) from
+    (h, w, 3) RGB uint8 frames: each '00db' chunk is a bottom-up,
+    4-byte-row-padded BGR bitmap — the raw-capture layout screen
+    recorders and lab instruments emit. Writer side for tests and
+    synthetic media."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = []
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.shape != (h, w, 3):
+            raise ValueError("all frames must be (h, w, 3) and equal size")
+        blobs.append(_dib_encode_frame(fr))
+    return encode_avi_mjpeg(
+        blobs, w, h, fps=fps, _fourcc=b"DIB ", _chunk_id=b"00db"
+    )
+
+
+def _dib_row_stride(w: int) -> int:
+    return ((w * 3 + 3) // 4) * 4
+
+
+def _dib_encode_frame(fr: "np.ndarray") -> bytes:
+    h, w = fr.shape[:2]
+    stride = _dib_row_stride(w)
+    out = bytearray()
+    for row in fr[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        out += line + b"\x00" * (stride - len(line))
+    return bytes(out)
+
+
+def _dib_decode_frame(data: bytes, w: int, h: int) -> "np.ndarray":
+    """(h, w, 3) RGB from one bottom-up padded BGR '00db' payload."""
+    import numpy as np
+
+    stride = _dib_row_stride(w)
+    if len(data) != stride * h:
+        raise ValueError(
+            f"DIB frame is {len(data)} bytes, expected {stride * h}"
+        )
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(img[::-1])  # bottom-up -> natural
 
 
 def _avi_header(blob: bytes) -> tuple[int, int, int, int]:
@@ -160,11 +219,47 @@ def _walk_avi(
     ``frames_too=False`` skips materializing frame bytes (header-only
     cost). Tolerates unknown chunks and LIST 'rec ' groupings per the
     RIFF spec; raises ValueError on structural damage or budget
-    violations."""
+    violations. Use :func:`_walk_avi_full` when the video stream's
+    codec (from strf biCompression) is also needed."""
+    usec, total, w, h, frames, _codec = _walk_avi_full(blob, frames_too)
+    return usec, total, w, h, frames
+
+
+def _walk_avi_full(
+    blob: bytes, frames_too: bool = True
+) -> tuple[int, int, int, int, list[bytes], str]:
+    """As :func:`_walk_avi` plus the video stream codec derived from
+    the strl/strf BITMAPINFOHEADER: 'mjpg' (biCompression 'MJPG'),
+    'rgb' (BI_RGB 24-bit uncompressed DIB frames, round 9), or
+    'unknown' — absent/other strf falls back to 'mjpg' since MJPEG is
+    what this module historically accepted and per-frame magic
+    validation catches mismatches as error rows anyway."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI blob")
     header: tuple[int, int, int, int] | None = None
     frames: list[bytes] = []
+    codec = "mjpg"
+
+    def walk_strl(body: bytes) -> None:
+        nonlocal codec
+        pos = 0
+        while pos + 8 <= len(body):
+            ckid = body[pos : pos + 4]
+            (size,) = struct.unpack("<I", body[pos + 4 : pos + 8])
+            if pos + 8 + size > len(body):
+                raise ValueError("strl chunk overruns container")
+            if ckid == b"strf" and size >= 20:
+                comp = body[pos + 8 + 16 : pos + 8 + 20]
+                (bits,) = struct.unpack(
+                    "<H", body[pos + 8 + 14 : pos + 8 + 16]
+                )
+                if comp == b"MJPG":
+                    codec = "mjpg"
+                elif comp == b"\x00\x00\x00\x00" and bits == 24:
+                    codec = "rgb"
+                else:
+                    codec = "unknown"
+            pos += 8 + size + (size & 1)
 
     def walk_movi(body: bytes) -> None:
         pos = 0
@@ -212,6 +307,20 @@ def _walk_avi(
                         f"more than {MAX_FRAMES_PER_CONTAINER} frames"
                     )
                 header = (usec, total, w, h)
+                # locate the first strl for the video codec
+                spos = 8 + asz + (asz & 1)
+                while spos + 8 <= len(body):
+                    sid = body[spos : spos + 4]
+                    (ssz,) = struct.unpack(
+                        "<I", body[spos + 4 : spos + 8]
+                    )
+                    if spos + 8 + ssz > len(body):
+                        raise ValueError("hdrl sub-chunk overruns")
+                    if (sid == b"LIST"
+                            and body[spos + 8 : spos + 12] == b"strl"):
+                        walk_strl(body[spos + 12 : spos + 8 + ssz])
+                        break
+                    spos += 8 + ssz + (ssz & 1)
             elif ltype == b"movi":
                 if header is None:
                     raise ValueError("movi before hdrl")
@@ -220,7 +329,7 @@ def _walk_avi(
     if header is None:
         raise ValueError("no hdrl header list")
     usec, total, w, h = header
-    return usec, total, w, h, frames
+    return usec, total, w, h, frames, codec
 
 
 FRAME_STATS_SCHEMA = StructType(
@@ -276,7 +385,9 @@ def sample_frames_mjpeg(
                 try:
                     if blob is None:
                         raise ValueError("NULL blob")
-                    usec, _total, _w, _h, frames = _walk_avi(bytes(blob))
+                    usec, _total, cw, ch, frames, codec = _walk_avi_full(
+                        bytes(blob)
+                    )
                 except (ValueError, struct.error, IndexError,
                         OverflowError) as exc:
                     out.append((mid, None, None, None, None,
@@ -287,10 +398,16 @@ def sample_frames_mjpeg(
                         break
                     ts = i * usec // 1000
                     try:
-                        w, h, nc, px = _parse_jpeg(frames[i])
+                        if codec == "rgb":
+                            # uncompressed 'DIB ' stream (round 9):
+                            # frame dims come from the container header
+                            px = _dib_decode_frame(frames[i], cw, ch)
+                            w, h = cw, ch
+                        else:
+                            w, h, nc, px = _parse_jpeg(frames[i])
                         if w * h > MAX_FRAME_PIXELS:
                             raise ValueError("frame pixel budget exceeded")
-                        if nc == 1:
+                        if px.ndim == 2:
                             m = round(float(px.mean()), 4)
                             means = (m, m, m)
                         else:

@@ -58,18 +58,25 @@ FRAME_PHASH_SCHEMA = StructType(
 def _sampled_luma_frames(blob: bytes, stride: int):
     """[(frame_idx, luma uint8 (h, w)), ...] for every ``stride``-th
     frame, dispatched on container magic: GIF (LZW walk that skips
-    non-sampled frames) or MJPEG AVI (round-9, ``operators/avi.py``
-    chunk walk + the baseline-JPEG decoder — real video files feed
+    non-sampled frames) or AVI (round-9, ``operators/avi.py``
+    chunk walk + the baseline-JPEG decoder for MJPEG streams, raw
+    DIB frame decode for uncompressed 'DIB ' streams — real video files feed
     the same temporal-dedup pipeline as animations). Raises
     ValueError on malformed/unsupported containers."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
-        from atiesh_spark.operators.avi import _walk_avi
+        from atiesh_spark.operators.avi import (
+            _dib_decode_frame,
+            _walk_avi_full,
+        )
         from atiesh_spark.operators.jpeg import _parse_jpeg
 
-        _usec, _total, _w, _h, frames = _walk_avi(blob)
+        _usec, _total, cw, ch, frames, codec = _walk_avi_full(blob)
         out = []
         for idx in range(0, len(frames), stride):
-            _w2, _h2, nc, px = _parse_jpeg(frames[idx])
+            if codec == "rgb":
+                px, nc = _dib_decode_frame(frames[idx], cw, ch), 3
+            else:
+                _w2, _h2, nc, px = _parse_jpeg(frames[idx])
             if nc == 1:
                 out.append((idx, px))
             else:

@@ -196,3 +196,118 @@ class TestIntegration:
         w, h, nc, px = _parse_jpeg(bytes(rows[2].frame_blob))
         assert (w, h) == (24, 16)
         assert float(px.mean()) == float((11 + 29 * 2) % 256)
+
+
+class TestDibAvi:
+    """Round 9: uncompressed 'DIB ' AVI streams — bottom-up padded BGR
+    frames — decode through the same samplers as MJPEG."""
+
+    def _frames(self, n=4, h=6, w=5):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        return [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+                for _ in range(n)]
+
+    def test_dib_frame_round_trip(self):
+        import numpy as np
+
+        from atiesh_spark.operators.avi import (
+            _dib_decode_frame,
+            _dib_encode_frame,
+        )
+
+        for w in (1, 2, 3, 4, 5):  # every 4-byte pad residue
+            fr = self._frames(1, 3, w)[0]
+            assert np.array_equal(_dib_decode_frame(
+                _dib_encode_frame(fr), w, 3), fr)
+
+    def test_sampler_decodes_dib(self, spark):
+        import numpy as np
+
+        from atiesh_spark.operators.avi import (
+            _walk_avi_full,
+            encode_avi_dib,
+            sample_frames_mjpeg,
+        )
+
+        frames = self._frames()
+        avi = encode_avi_dib(frames, fps=10)
+        assert _walk_avi_full(avi)[5] == "rgb"
+        df = spark.createDataFrame([(1, bytearray(avi))],
+                                   "media_id long, blob binary")
+        rows = {r.frame_idx: r for r in
+                sample_frames_mjpeg(df, "media_id", "blob").collect()}
+        assert set(rows) == {0, 1, 2, 3}
+        for i, fr in enumerate(frames):
+            r = rows[i]
+            assert r.error is None
+            assert (r.width, r.height) == (5, 6)
+            assert r.ts_ms == i * 100
+            import pytest as _pt
+
+            want = tuple(
+                round(float(fr[:, :, c].mean()), 4) for c in range(3)
+            )
+            # FloatType is float32 on the wire; compare at its precision
+            assert (r.mean_r, r.mean_g, r.mean_b) == _pt.approx(
+                want, abs=1e-3
+            )
+
+    def test_temporal_dedup_over_dib(self, spark):
+        from atiesh_spark.operators.avi import encode_avi_dib
+        from atiesh_spark.operators.video import (
+            frame_phashes,
+            temporal_grams,
+            temporal_near_dup_pairs,
+        )
+        import numpy as np
+
+        def mk(seed):
+            rng = np.random.default_rng(seed)
+            y, x = np.mgrid[0:32, 0:48]
+            return [((x * (f + 2) + y * int(rng.integers(1, 9))) % 256)
+                    .astype(np.uint8)[..., None].repeat(3, axis=2)
+                    for f in range(4)]
+
+        a = mk(1)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_avi_dib(a))),
+             (2, bytearray(encode_avi_dib(a))),
+             (3, bytearray(encode_avi_dib(mk(2))))],
+            "media_id long, blob binary",
+        )
+        pairs = temporal_near_dup_pairs(
+            temporal_grams(frame_phashes(df, "media_id", "blob"), gram=3),
+            min_shared=2,
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+    def test_bad_dib_frame_is_error_row(self, spark):
+        import struct as st
+
+        from atiesh_spark.operators.avi import (
+            encode_avi_dib,
+            sample_frames_mjpeg,
+        )
+
+        avi = bytearray(encode_avi_dib(self._frames(2)))
+        # shrink the second 00db chunk size by 4: frame byte count no
+        # longer matches stride*h -> per-frame error, sibling survives
+        j = avi.index(b"00db", avi.index(b"00db") + 4)
+        (sz,) = st.unpack("<I", avi[j + 4 : j + 8])
+        avi[j + 4 : j + 8] = st.pack("<I", sz - 4)
+        # remove the dropped bytes so the container stays aligned
+        del avi[j + 8 + sz - 4 : j + 8 + sz]
+        # fix RIFF + movi LIST sizes
+        (riff,) = st.unpack("<I", avi[4:8])
+        avi[4:8] = st.pack("<I", riff - 4)
+        m = avi.index(b"movi")
+        (msz,) = st.unpack("<I", avi[m - 4 : m])
+        avi[m - 4 : m] = st.pack("<I", msz - 4)
+        df = spark.createDataFrame([(1, bytes(avi))],
+                                   "media_id long, blob binary")
+        rows = {r.frame_idx: r for r in
+                sample_frames_mjpeg(df, "media_id", "blob").collect()}
+        assert rows[0].error is None
+        assert rows[1].error is not None and "DIB frame" in rows[1].error
