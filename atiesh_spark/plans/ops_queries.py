@@ -11526,3 +11526,69 @@ def q238_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "format", "width", "height", "n_channels",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+@register(
+    "q239_zip_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 16 AS BIGINT) AS archive_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 16
+                                   ORDER BY doc_id) - 1 AS INT)
+               AS member_index,
+           'doc/' || doc_id || '.txt' AS name,
+           CAST(8 AS INT) AS method,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    doc="ZIP archive ingestion end-to-end (sources/zipsrc.py, round "
+    "9): the documents table is packed into 16 ZIP blobs "
+    "(encode_zip inside one applyInPandas over the shard key — "
+    "PKWARE local headers, deflate members, central directory, "
+    "EOCD; interop-tested against the stdlib zipfile BOTH ways), "
+    "then parse_zip_members explodes the blobs back into member "
+    "rows in one mapInPandas pass: EOCD located from the tail, the "
+    "central directory walked as the authoritative member table "
+    "(the APPNOTE rule — local headers can lie), payloads inflated "
+    "with ballooning bounded at the declared size and every CRC-32 "
+    "verified. Graded EXACTLY per member: shard, index-in-archive, "
+    "name, method, inflated byte length, payload md5 — the write->"
+    "read round trip proves framing and parser on real multi-byte "
+    "UTF-8 payloads (the q212 WARC discipline; CRC and compressed "
+    "size are parser-internal since no SQL engine reproduces "
+    "deflate). Structural damage is one error row; a damaged member "
+    "errors alone while siblings extract (tested). In production "
+    "the blob frame comes from spark.read.format('binaryFile') over "
+    "a dataset-dump bucket; parallelism = archive files.",
+)
+def q239_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from atiesh_spark.sources.zipsrc import encode_zip, parse_zip_members
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("archive_id")
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"doc/{int(d)}.txt", t.encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"archive_id": [key[0]], "blob": [encode_zip(members)]}
+        )
+
+    blobs = docs.groupBy("archive_id").applyInPandas(
+        pack, "archive_id bigint, blob binary"
+    )
+    members = parse_zip_members(blobs, "blob", id_cols=("archive_id",))
+    return members.select(
+        "archive_id",
+        "member_index",
+        "name",
+        "method",
+        F.col("size").cast("long").alias("size"),
+        F.md5("body").alias("body_md5"),
+    )

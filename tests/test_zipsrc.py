@@ -1,0 +1,103 @@
+"""ZIP member ingestion (sources/zipsrc.py): writer/parser round trip,
+stdlib-zipfile interop BOTH ways, per-member error isolation, budgets,
+and the Spark explode path."""
+
+import io
+import struct
+import zipfile
+
+import pytest
+
+from atiesh_spark.sources.zipsrc import (
+    encode_zip,
+    parse_zip_blob,
+    parse_zip_members,
+)
+
+MEMBERS = [
+    ("a.txt", b"hello world " * 50),
+    ("dir/b.bin", bytes(range(256))),
+    ("empty", b""),
+    ("unié.txt", "café €".encode()),
+]
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("compress", [True, False])
+    def test_ours_to_ours(self, compress):
+        rows = list(parse_zip_blob(encode_zip(MEMBERS, compress=compress)))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+        assert all(r["error"] is None for r in rows)
+        assert all(r["method"] == (8 if compress else 0) for r in rows
+                   if r["size"] or not compress or True)
+
+    @pytest.mark.parametrize("compress", [True, False])
+    def test_stdlib_reads_ours(self, compress):
+        zf = zipfile.ZipFile(io.BytesIO(encode_zip(MEMBERS, compress)))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == MEMBERS
+
+    def test_ours_reads_stdlib(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for n, b in MEMBERS:
+                z.writestr(n, b)
+        rows = list(parse_zip_blob(buf.getvalue()))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+
+
+class TestErrors:
+    def test_structural_damage_is_one_row(self):
+        rows = list(parse_zip_blob(b"not a zip at all"))
+        assert len(rows) == 1 and "ZIP" in rows[0]["error"]
+        blob = encode_zip(MEMBERS)
+        rows = list(parse_zip_blob(blob[: len(blob) // 2]))
+        assert len(rows) == 1 and rows[0]["error"]
+
+    def test_member_crc_damage_is_isolated(self):
+        blob = bytearray(encode_zip(MEMBERS, compress=False))
+        blob[blob.index(b"hello")] ^= 0xFF
+        rows = list(parse_zip_blob(bytes(blob)))
+        assert "CRC" in rows[0]["error"]
+        assert rows[1]["error"] is None and rows[1]["body"] == MEMBERS[1][1]
+
+    def test_unsupported_method_is_isolated(self):
+        blob = bytearray(encode_zip(MEMBERS, compress=False))
+        i = blob.index(b"PK\x01\x02")  # first central entry: method at +10
+        blob[i + 10 : i + 12] = struct.pack("<H", 12)  # bzip2
+        rows = list(parse_zip_blob(bytes(blob)))
+        assert "method 12" in rows[0]["error"]
+        assert rows[1]["error"] is None
+
+    def test_zip_bomb_budget(self):
+        """A directory entry declaring a huge inflated size is refused
+        BEFORE decompression; a member that actually inflates past its
+        declared size errors too."""
+        blob = bytearray(encode_zip([("x", b"a" * 100)]))
+        i = blob.index(b"PK\x01\x02")
+        blob[i + 24 : i + 28] = struct.pack("<I", 2 << 30)  # usize claim
+        rows = list(parse_zip_blob(bytes(blob)))
+        assert "budget" in rows[0]["error"]
+        # understate the size: inflation past the claim must error, not
+        # silently truncate
+        blob = bytearray(encode_zip([("x", b"a" * 1000)]))
+        i = blob.index(b"PK\x01\x02")
+        blob[i + 24 : i + 28] = struct.pack("<I", 10)
+        rows = list(parse_zip_blob(bytes(blob)))
+        assert rows[0]["error"] is not None
+
+
+def test_spark_member_explode(spark):
+    blob_ok = encode_zip(MEMBERS)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob_ok)), (2, bytearray(b"junk")), (3, None)],
+        "archive_id long, blob binary",
+    )
+    rows = parse_zip_members(df, "blob", id_cols=("archive_id",)).collect()
+    by_arch: dict = {}
+    for r in rows:
+        by_arch.setdefault(r.archive_id, []).append(r)
+    assert len(by_arch[1]) == 4
+    assert [(r.name, bytes(r.body)) for r in
+            sorted(by_arch[1], key=lambda r: r.member_index)] == MEMBERS
+    assert len(by_arch[2]) == 1 and by_arch[2][0].error
+    assert len(by_arch[3]) == 1 and "NULL" in by_arch[3][0].error
