@@ -11592,3 +11592,66 @@ def q239_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("size"),
         F.md5("body").alias("body_md5"),
     )
+
+
+@register(
+    "q240_targz_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 16 AS BIGINT) AS archive_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 16
+                                   ORDER BY doc_id) - 1 AS INT)
+               AS member_index,
+           'doc/' || doc_id || '.txt' AS name,
+           '0' AS typeflag,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    doc="tar.gz archive ingestion end-to-end (sources/tarsrc.py, "
+    "round 9): the documents table is packed into 16 gzip-wrapped "
+    "POSIX ustar blobs (encode_tar inside one applyInPandas over the "
+    "shard key — 512-byte headers with real octal checksums, block "
+    "padding, the two-zero-block trailer, deterministic mtime 0), "
+    "then parse_tar_members explodes them back in one mapInPandas "
+    "pass: budgeted gzip inflate sniffed from the 1f 8b magic, "
+    "header checksums VERIFIED, pax 'x' records and GNU longnames "
+    "honored for the following member (stdlib-tarfile interop tested "
+    "BOTH ways, incl. PAX long paths). Graded EXACTLY per member: "
+    "shard, index, name, typeflag, byte length, payload md5 — the "
+    "q212/q239 archive-round-trip discipline, completing the "
+    "dataset-dump container trio (WARC, ZIP, tar.gz). In production "
+    "the blob frame comes from spark.read.format('binaryFile'); "
+    "parallelism = archive files.",
+)
+def q240_targz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from atiesh_spark.sources.tarsrc import encode_tar, parse_tar_members
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("archive_id")
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"doc/{int(d)}.txt", t.encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"archive_id": [key[0]],
+             "blob": [encode_tar(members, gzipped=True)]}
+        )
+
+    blobs = docs.groupBy("archive_id").applyInPandas(
+        pack, "archive_id bigint, blob binary"
+    )
+    members = parse_tar_members(blobs, "blob", id_cols=("archive_id",))
+    return members.select(
+        "archive_id",
+        "member_index",
+        "name",
+        "typeflag",
+        F.col("size").cast("long").alias("size"),
+        F.md5("body").alias("body_md5"),
+    )

@@ -1,0 +1,129 @@
+"""tar / tar.gz ingestion (sources/tarsrc.py): writer/parser round
+trip, stdlib-tarfile interop BOTH ways (including pax long paths),
+checksum verification, budgets, and the Spark explode path."""
+
+import io
+import tarfile
+
+import pytest
+
+from atiesh_spark.sources.tarsrc import (
+    encode_tar,
+    parse_tar_blob,
+    parse_tar_members,
+)
+
+MEMBERS = [
+    ("a.txt", b"hello " * 100),
+    ("d/b.bin", bytes(range(256))),
+    ("empty", b""),
+    ("unié.txt", "café €".encode()),
+]
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_ours_to_ours_and_stdlib_reads_ours(self, gz):
+        blob = encode_tar(MEMBERS, gzipped=gz)
+        rows = list(parse_tar_blob(blob))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+        assert all(r["error"] is None for r in rows)
+        tf = tarfile.open(
+            fileobj=io.BytesIO(blob), mode="r:gz" if gz else "r:"
+        )
+        assert [(m.name, tf.extractfile(m).read())
+                for m in tf.getmembers()] == MEMBERS
+
+    def test_ours_reads_stdlib_pax(self):
+        """tarfile's default PAX format emits 'x' extended headers our
+        parser must consume (and honor 'path' records)."""
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as t:
+            for n, b in MEMBERS:
+                ti = tarfile.TarInfo(n)
+                ti.size = len(b)
+                t.addfile(ti, io.BytesIO(b))
+        rows = list(parse_tar_blob(buf.getvalue()))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+
+    def test_pax_long_path(self):
+        long = "very/" * 30 + "deep.txt"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.PAX_FORMAT) as t:
+            ti = tarfile.TarInfo(long)
+            ti.size = 3
+            t.addfile(ti, io.BytesIO(b"abc"))
+        rows = list(parse_tar_blob(buf.getvalue()))
+        assert rows[0]["name"] == long and rows[0]["body"] == b"abc"
+
+    def test_gnu_longname(self):
+        long = "gnu/" * 40 + "name.bin"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.GNU_FORMAT) as t:
+            ti = tarfile.TarInfo(long)
+            ti.size = 2
+            t.addfile(ti, io.BytesIO(b"ok"))
+        rows = list(parse_tar_blob(buf.getvalue()))
+        assert rows[0]["name"] == long and rows[0]["body"] == b"ok"
+
+    def test_directories_are_typed_bodyless_rows(self):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as t:
+            ti = tarfile.TarInfo("adir/")
+            ti.type = tarfile.DIRTYPE
+            t.addfile(ti)
+            fi = tarfile.TarInfo("adir/f")
+            fi.size = 1
+            t.addfile(fi, io.BytesIO(b"x"))
+        rows = list(parse_tar_blob(buf.getvalue()))
+        assert rows[0]["typeflag"] == "5" and rows[0]["body"] is None
+        assert rows[1]["body"] == b"x"
+
+
+class TestErrors:
+    def test_checksum_damage(self):
+        blob = bytearray(encode_tar(MEMBERS))
+        blob[0] ^= 0xFF
+        rows = list(parse_tar_blob(bytes(blob)))
+        assert "checksum" in rows[0]["error"]
+
+    def test_misaligned_and_truncated(self):
+        assert "block-aligned" in list(parse_tar_blob(b"x" * 100))[0]["error"]
+        blob = encode_tar(MEMBERS)
+        rows = list(parse_tar_blob(blob[:1024]))
+        assert any(r["error"] for r in rows)
+
+    def test_gzip_bomb_budget(self):
+        import zlib
+
+        from atiesh_spark.sources import tarsrc
+
+        co = zlib.compressobj(9, zlib.DEFLATED, 16 + 15)
+        bomb = co.compress(b"\x00" * (1 << 20)) + co.flush()
+        old = tarsrc.MAX_ARCHIVE_BYTES
+        tarsrc.MAX_ARCHIVE_BYTES = 1 << 16
+        try:
+            rows = list(parse_tar_blob(bomb))
+        finally:
+            tarsrc.MAX_ARCHIVE_BYTES = old
+        assert rows[0]["error"] is not None
+
+
+def test_spark_member_explode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_tar(MEMBERS, gzipped=True))),
+         (2, bytearray(b"not a tar, wrong size")),
+         (3, None)],
+        "archive_id long, blob binary",
+    )
+    rows = parse_tar_members(df, "blob", id_cols=("archive_id",)).collect()
+    by_arch: dict = {}
+    for r in rows:
+        by_arch.setdefault(r.archive_id, []).append(r)
+    assert [(r.name, bytes(r.body)) for r in
+            sorted(by_arch[1], key=lambda r: r.member_index)] == MEMBERS
+    assert len(by_arch[2]) == 1 and by_arch[2][0].error
+    assert len(by_arch[3]) == 1 and "NULL" in by_arch[3][0].error
