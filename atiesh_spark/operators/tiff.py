@@ -192,7 +192,6 @@ def encode_tiff(
     ifd_size = 2 + 12 * n_entries + 4
     pos_extra = 8 + ifd_size
     entries: list[bytes] = []
-    extras: list[bytes] = []
     extra_offsets: dict[int, int] = {}
     # first pass: compute out-of-line sizes to place strips
     off = pos_extra

@@ -210,7 +210,9 @@ def parse_tar_members(
 ) -> DataFrame:
     """Explode tar/tar.gz blobs into member rows: ``id_cols`` carried
     through, plus MEMBER_FIELDS. One mapInPandas pass, work
-    proportional to blob bytes, parallelism = input partitions."""
+    proportional to blob bytes, parallelism = input partitions. A
+    structurally VALID but EMPTY archive contributes zero rows (it
+    has zero members — that is its content, not an error)."""
     import pandas as pd
 
     from atiesh_spark.session import widen_for_python_stage

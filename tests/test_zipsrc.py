@@ -101,3 +101,7 @@ def test_spark_member_explode(spark):
             sorted(by_arch[1], key=lambda r: r.member_index)] == MEMBERS
     assert len(by_arch[2]) == 1 and by_arch[2][0].error
     assert len(by_arch[3]) == 1 and "NULL" in by_arch[3][0].error
+
+
+def test_empty_archive_is_zero_rows_not_error():
+    assert list(parse_zip_blob(encode_zip([]))) == []
