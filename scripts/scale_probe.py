@@ -112,6 +112,13 @@ HEAVY = [
     # coefficient planes per image — heavier per-byte than baseline,
     # still row-local)
     "q236_jpeg_progressive_decode",
+    # round 9 (session close): the archive round trips — applyInPandas
+    # pack + mapInPandas parse, both linear in corpus bytes; the 16
+    # fixed shards mean per-shard groups grow 10x (the realistic
+    # shape: archive size grows with the corpus, archive count with
+    # the fleet)
+    "q239_zip_roundtrip",
+    "q240_targz_roundtrip",
 ]
 
 
