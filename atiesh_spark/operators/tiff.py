@@ -1,12 +1,14 @@
 """Baseline TIFF codec in pure numpy + struct — the scanned-document
 format: digitization pipelines (books, forms, archival corpora) still
 deliver uncompressed or lightly-wrapped TIFF in volume. Scope is
-TIFF 6.0 baseline, uncompressed (Compression=1) or PackBits
-(32773, the RLE virtually every scanner emits): 8-bit grayscale
+TIFF 6.0 baseline, uncompressed (Compression=1), PackBits
+(32773, the RLE virtually every scanner emits), or LZW (5, TIFF 6.0
+section 13 — MSB-first codes with the EarlyChange width rule, a
+DIFFERENT dialect than GIF's LZW in operators/gif.py): 8-bit grayscale
 (both photometric polarities — WhiteIsZero scans are common), 8-bit
 RGB, and palette-color, with multi-strip layouts and BOTH byte orders
-('II' little / 'MM' big endian). LZW/JPEG-in-TIFF stay error ROWS
-(the codec-family contract).
+('II' little / 'MM' big endian). JPEG-in-TIFF and the
+exotic compressions stay error ROWS (the codec-family contract).
 
 Format facts (public: the Adobe TIFF 6.0 specification): an 8-byte
 header (byte order, magic 42, first IFD offset); each IFD is a
@@ -105,6 +107,115 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
         )
     return bytes(out)
 
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5; TIFF 6.0 section 13): unlike
+    GIF's, codes pack MSB-FIRST, the table starts at 9 bits with
+    ClearCode=256 / EOI=257, and the width bumps one code EARLY
+    (the spec's "EarlyChange": at table size 510/1022/2046, not
+    511/1023/2047)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    CLEAR, EOI = 256, 257
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR, width)
+    buf = b""
+    for b in data:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # EarlyChange sync: the decoder (one table entry behind, per
+        # the spec's "when NextCode equals 511, switch to 10 bits")
+        # bumps at next_assignable == 2^w - 1, which maps to the
+        # encoder's next_code == 2^w
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: reset
+            emit(CLEAR, width)
+            width = 9
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_lzw_encode_tiff`, bounded at ``expected``
+    output bytes."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI)")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            width = 9
+            table = table[:258]
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("first LZW code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("LZW output exceeds declared strip size")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # decoder mirrors EarlyChange: bump when the table is one
+        # short of the width's capacity
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"LZW decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
 
@@ -115,6 +226,7 @@ def encode_tiff(
     big_endian: bool = False,
     white_is_zero: bool = False,
     packbits: bool = False,
+    lzw: bool = False,
 ) -> bytes:
     """Writer side (tests + synthetic media): (h, w) uint8 grayscale,
     (h, w, 3) uint8 RGB, or 2-D palette indices + ``palette``
@@ -149,8 +261,12 @@ def encode_tiff(
     strips = [
         data_px[y : y + rps].tobytes() for y in range(0, h, rps)
     ]
+    if packbits and lzw:
+        raise ValueError("pick one compression")
     if packbits:
         strips = [_packbits_encode(st) for st in strips]
+    elif lzw:
+        strips = [_lzw_encode_tiff(st) for st in strips]
 
     def entry(tag: int, typ: int, count: int, value) -> tuple[bytes, bytes]:
         """(12-byte IFD entry, out-of-line payload or b'')."""
@@ -171,7 +287,7 @@ def encode_tiff(
     tags: list[tuple[int, int, int, object]] = [
         (256, 4, 1, w), (257, 4, 1, h),
         (258, 3, spp, [8] * spp),
-        (259, 3, 1, 32773 if packbits else 1),
+        (259, 3, 1, 32773 if packbits else (5 if lzw else 1)),
         (262, 3, 1, photometric),
         (277, 3, 1, spp),
         (278, 4, 1, rps),
@@ -322,9 +438,9 @@ def _parse_tiff(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     photometric = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            f"only uncompressed/PackBits TIFF supported, got {comp}"
+            f"only uncompressed/LZW/PackBits TIFF supported, got {comp}"
         )
     if any(b != 8 for b in bits) or len(bits) != spp:
         raise ValueError(f"only 8-bit samples supported, got {bits}")
@@ -348,11 +464,16 @@ def _parse_tiff(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         if off + cnt > len(blob):
             raise ValueError("strip overruns blob")
         part = blob[off : off + cnt]
-        if comp == 32773:
+        if comp in (5, 32773):
             n_rows = min(rps, h - si * rps)
             if n_rows <= 0:
                 raise ValueError("more strips than rows")
-            part = _packbits_decode(part, n_rows * row_bytes)
+            expected_strip = n_rows * row_bytes
+            part = (
+                _packbits_decode(part, expected_strip)
+                if comp == 32773
+                else _lzw_decode_tiff(part, expected_strip)
+            )
         parts.append(part)
     raw = b"".join(parts)
     need = w * h * spp

@@ -11432,7 +11432,7 @@ def q237_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(3 + doc_id % 4 AS INT) AS width,
                CAST(2 + doc_id % 5 AS INT) AS height,
-               doc_id % 4 AS layout
+               doc_id % 5 AS layout
         FROM documents
     ),
     rows_ AS (
@@ -11441,13 +11441,13 @@ def q237_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dims d, unnest(generate_series(0, d.height - 1)) AS t(y)
     )
     SELECT doc_id AS media_id, 'TIFF' AS format, width, height,
-           CAST(CASE WHEN layout IN (0, 1) THEN 1 ELSE 3 END AS INT)
+           CAST(CASE WHEN layout IN (0, 1, 4) THEN 1 ELSE 3 END AS INT)
                AS n_channels,
            CAST(round(avg(v), 4) AS FLOAT) AS mean_r,
-           CAST(round(avg(CASE WHEN layout IN (0, 1) THEN v
+           CAST(round(avg(CASE WHEN layout IN (0, 1, 4) THEN v
                                ELSE (v + 40) % 256 END), 4) AS FLOAT)
                AS mean_g,
-           CAST(round(avg(CASE WHEN layout IN (0, 1) THEN v
+           CAST(round(avg(CASE WHEN layout IN (0, 1, 4) THEN v
                                ELSE (v + 80) % 256 END), 4) AS FLOAT)
                AS mean_b
     FROM rows_ GROUP BY doc_id, width, height, layout
@@ -11464,9 +11464,11 @@ def q237_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wire bytes are INVERTED, so polarity normalization is on the "
     "graded path), (2) RGB little-endian with channel offsets "
     "(v, v+40, v+80 — a swapped channel shifts a mean), (3) palette "
-    "big-endian with pal[y] holding the same offsets. Layout 1 is "
-    "also PackBits-compressed (32773, the scanner RLE — real "
-    "decompression on the graded path); LZW stays an error ROW; catalog_media sniffs II*/MM* with an O(header) "
+    "big-endian with pal[y] holding the same offsets, (4) grayscale "
+    "LZW big-endian 3-row strips (TIFF 6.0 section 13 MSB-first "
+    "EarlyChange LZW, a different dialect than GIF's, decoded for "
+    "real on the graded path). Layout 1 is PackBits-compressed "
+    "(32773, the scanner RLE — also real decompression); catalog_media sniffs II*/MM* with an O(header) "
     "dims walk. Plan shape: chained mapInPandas over pruned columns, "
     "zero exchanges.",
 )
@@ -11493,7 +11495,7 @@ def q238_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [(did * 7 + 13 * y) % 256 for y in range(h)],
                     dtype=np.uint8,
                 )
-                layout = did % 4
+                layout = did % 5
                 if layout == 0:
                     px = np.repeat(v[:, None], w, axis=1)
                     blob = encode_tiff(px)
@@ -11509,7 +11511,7 @@ def q238_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     px[:, :, 1] = (v[:, None].astype(int) + 40) % 256
                     px[:, :, 2] = (v[:, None].astype(int) + 80) % 256
                     blob = encode_tiff(px)
-                else:
+                elif layout == 3:
                     pal = np.zeros((h, 3), dtype=np.uint8)
                     pal[:, 0] = v
                     pal[:, 1] = (v.astype(int) + 40) % 256
@@ -11518,6 +11520,11 @@ def q238_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.arange(h, dtype=np.uint8)[:, None], w, axis=1
                     )
                     blob = encode_tiff(idx, palette=pal, big_endian=True)
+                else:
+                    px = np.repeat(v[:, None], w, axis=1)
+                    blob = encode_tiff(
+                        px, rows_per_strip=3, big_endian=True, lzw=True
+                    )
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 

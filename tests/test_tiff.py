@@ -68,12 +68,12 @@ class TestMalformed:
             _parse_tiff(good[:30])  # IFD truncated
         with pytest.raises(ValueError, match="strip overruns"):
             _parse_tiff(good[:-5])
-        # flip Compression (tag 259) to LZW (5): honestly unsupported
-        lzw = bytearray(good)
-        i = lzw.index(struct.pack("<HH", 259, 3))
-        lzw[i + 8 : i + 10] = struct.pack("<H", 5)
-        with pytest.raises(ValueError, match="uncompressed"):
-            _parse_tiff(bytes(lzw))
+        # flip Compression (tag 259) to JPEG-in-TIFF (7): unsupported
+        jpg = bytearray(good)
+        i = jpg.index(struct.pack("<HH", 259, 3))
+        jpg[i + 8 : i + 10] = struct.pack("<H", 7)
+        with pytest.raises(ValueError, match="TIFF supported"):
+            _parse_tiff(bytes(jpg))
         # gigapixel IFD claim: refused before strip work
         huge = bytearray(good)
         j = huge.index(struct.pack("<HH", 256, 4))
@@ -132,3 +132,45 @@ class TestPackBits:
         assert len(encode_tiff(runny, packbits=True)) < len(
             encode_tiff(runny)
         )
+
+
+class TestLzw:
+    def test_codec_round_trip_widths_and_reset(self):
+        from atiesh_spark.operators.tiff import (
+            _lzw_decode_tiff,
+            _lzw_encode_tiff,
+        )
+
+        rng = np.random.default_rng(8)
+        for data in (b"", b"a", b"TOBEORNOTTOBEORTOBEORNOT",
+                     b"a" * 5000, bytes(rng.integers(0, 256, 8000)),
+                     bytes(rng.integers(0, 4, 20000)),
+                     bytes(rng.integers(0, 256, 60000))):  # 12-bit + reset
+            enc = _lzw_encode_tiff(data)
+            assert _lzw_decode_tiff(enc, len(data)) == data
+        with pytest.raises(ValueError, match="truncated"):
+            _lzw_decode_tiff(_lzw_encode_tiff(b"abc")[:-2], 3)
+        with pytest.raises(ValueError, match="exceeds"):
+            _lzw_decode_tiff(_lzw_encode_tiff(b"abcdef"), 2)
+
+    def test_known_minimal_stream(self):
+        """Hand-computed wire bytes for 'ab': CLEAR(256) 'a'(97)
+        'b'(98) EOI(257) as 9-bit MSB-first codes — pins the bit
+        packing direction against the TIFF 6.0 spec, independent of
+        the round trip."""
+        from atiesh_spark.operators.tiff import _lzw_encode_tiff
+
+        bits = ""
+        for code in (256, 97, 98, 257):
+            bits += format(code, "09b")
+        bits += "0" * ((-len(bits)) % 8)
+        want = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+        assert _lzw_encode_tiff(b"ab") == want
+
+    def test_tiff_lzw_strips(self):
+        g = (RNG.integers(0, 4, (9, 7)) * 60).astype(np.uint8)
+        blob = encode_tiff(g, rows_per_strip=2, big_endian=True, lzw=True)
+        got = _parse_tiff(blob)
+        assert np.array_equal(got[3], g)
+        runny = np.repeat(np.arange(16, dtype=np.uint8), 64).reshape(16, 64)
+        assert len(encode_tiff(runny, lzw=True)) < len(encode_tiff(runny))
