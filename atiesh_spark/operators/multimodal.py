@@ -96,14 +96,123 @@ def attach_media_metadata(
     return df.withColumn("media_meta", meta)
 
 
-def _decode_blob(blob: bytes) -> dict:
-    """Decode one media blob. PIL when present; deterministic FAKE otherwise.
+def decode_any_image(blob: bytes):
+    """(width, height, mode, pixels) for ANY image format this repo
+    decodes for real — magic-dispatched to the pure-numpy codecs:
+    netpbm, PNG (+Adam7), JPEG (baseline + progressive), GIF (first
+    frame), BMP, TIFF (+PackBits/LZW). ``mode`` is 'L' (pixels
+    (h, w) uint8) or 'RGB' ((h, w, 3) uint8); alpha is dropped (RGBA
+    -> RGB — coverage is not color). Raises ValueError for
+    unrecognized or malformed blobs — round 9's replacement for the
+    PIL dependency across the supported set."""
+    import numpy as np
 
-    STUB: the fake derives an 8x8 'image' from sha256(blob) — stable
-    across runs/engines, so downstream plumbing is testable. Replace the
-    except-branch body with a raise if silent fakes are unacceptable in
-    a given deployment.
-    """
+    if blob[:2] in (b"P5", b"P6"):
+        _fmt, w, h, arr = _parse_netpbm(blob)
+        if arr.shape[2] == 1:
+            return w, h, "L", arr[:, :, 0]
+        return w, h, "RGB", arr
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from atiesh_spark.operators.png import _parse_png
+
+        w, h, nc, px = _parse_png(blob)
+        if nc == 1:
+            return w, h, "L", px.reshape(h, w)
+        if nc == 4:
+            return w, h, "RGB", np.ascontiguousarray(px[:, :, :3])
+        return w, h, "RGB", px
+    if blob[:2] == b"\xff\xd8":
+        from atiesh_spark.operators.jpeg import _parse_jpeg
+
+        w, h, nc, px = _parse_jpeg(blob)
+        return (w, h, "L", px) if nc == 1 else (w, h, "RGB", px)
+    if blob[:4] == b"GIF8":
+        from atiesh_spark.operators.gif import parse_gif_frames
+
+        frames = parse_gif_frames(blob, stride=1)
+        if not frames:
+            raise ValueError("gif has no frames")
+        _idx, w, h, rgb = frames[0]
+        return w, h, "RGB", rgb
+    if blob[:2] == b"BM":
+        from atiesh_spark.operators.bmp import _parse_bmp
+
+        w, h, _nc, px = _parse_bmp(blob)
+        return w, h, "RGB", px
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from atiesh_spark.operators.tiff import _parse_tiff
+
+        w, h, nc, px = _parse_tiff(blob)
+        return (w, h, "L", px) if nc == 1 else (w, h, "RGB", px)
+    raise ValueError("unrecognized image format")
+
+
+def _area_resize_gray(px, oh: int, ow: int):
+    """Exact area-average (box-filter) resample of a (h, w) float or
+    uint8 plane to (oh, ow) — the arbitrary-size generalization of
+    the integral-image device in imagehash.phash_gray: each target
+    cell's value is the mean of its fractional source box, computed
+    from one cumulative sum (deterministic for any size ratio, no
+    interpolation kernels to disagree about)."""
+    import numpy as np
+
+    h, w = px.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(px.astype(np.float64), axis=0), axis=1)
+    ys = np.linspace(0, h, oh + 1)
+    xs = np.linspace(0, w, ow + 1)
+    yi = ys.astype(np.int64)
+    xi = xs.astype(np.int64)
+    fy = (ys - yi)[:, None]
+    fx = (xs - xi)[None, :]
+    yc = np.minimum(yi + 1, h)
+    xc = np.minimum(xi + 1, w)
+    a = ii[np.ix_(yi, xi)]
+    b = ii[np.ix_(yc, xi)]
+    c = ii[np.ix_(yi, xc)]
+    d = ii[np.ix_(yc, xc)]
+    at = a + fy * (b - a) + fx * (c - a) + fy * fx * (d - b - c + a)
+    box = at[1:, 1:] - at[:-1, 1:] - at[1:, :-1] + at[:-1, :-1]
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return box / area
+
+
+def resize_image_array(px, out_h: int, out_w: int):
+    """(out_h, out_w[, 3]) uint8 area-resampled image; accepts the
+    decode_any_image pixel shapes."""
+    import numpy as np
+
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("target dimensions must be positive")
+    if px.ndim == 2:
+        out = _area_resize_gray(px, out_h, out_w)
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    chans = [
+        _area_resize_gray(px[:, :, c], out_h, out_w) for c in range(3)
+    ]
+    out = np.stack(chans, axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _decode_blob(blob: bytes) -> dict:
+    """Decode one media blob. Round 9: the repo's own pure-numpy
+    codecs decode every recognized image format for REAL
+    (``decode_any_image``); PIL covers anything else when present;
+    the deterministic FAKE (an 8x8 'image' from sha256(blob) — stable
+    across runs/engines so downstream plumbing stays testable)
+    remains only for blobs NO decoder recognizes. A recognized-magic
+    blob that fails to parse also falls through (at this layer decode
+    is best-effort triage; the per-format decode_* operators carry
+    the strict error-row contract)."""
+    try:
+        w, h, mode, px = decode_any_image(blob)
+        flat = [int(v) for v in px.reshape(-1)[:16]] if px.ndim == 2 else [
+            int(v) for v in px[:, :, 0].reshape(-1)[:16]
+        ]
+        return {"width": w, "height": h, "mode": mode,
+                "pixels_sample": flat}
+    except ValueError:
+        pass
     try:  # pragma: no cover - PIL absent in this environment
         import io
 
@@ -114,7 +223,7 @@ def _decode_blob(blob: bytes) -> dict:
         flat = [p if isinstance(p, int) else p[0] for p in px]
         return {"width": img.width, "height": img.height, "mode": img.mode,
                 "pixels_sample": flat}
-    except ImportError:
+    except Exception:
         digest = hashlib.sha256(blob).digest()
         return {
             "width": 8,
@@ -173,32 +282,71 @@ def byte_histogram_features(blob: pd.Series) -> pd.Series:
 
 
 def resize_image(df: DataFrame, id_col: str, blob_col: str, width: int, height: int) -> DataFrame:
-    """Resize images -> (media_id, resized_blob).
+    """Resize images -> (media_id, resized_blob, error).
 
-    STUB: requires PIL; raises NotImplementedError in this container.
-    The plan shape (mapInPandas over pruned columns) is the real thing.
+    REAL for every format the repo decodes (round 9): decode via
+    ``decode_any_image`` (netpbm/PNG/JPEG/GIF/BMP/TIFF), exact
+    area-average resample (``resize_image_array``), re-encode as PNG
+    — the vision-data-curation normalization step, pure numpy end to
+    end. Blobs in formats only PIL knows use PIL when importable;
+    otherwise (and for malformed blobs) the row carries an ``error``
+    instead of failing the task — the codec-family contract replaces
+    the old NotImplementedError stub.
     """
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
     out_schema = StructType(
-        [StructField("media_id", LongType()), StructField("resized_blob", BinaryType())]
+        [
+            StructField("media_id", LongType()),
+            StructField("resized_blob", BinaryType()),
+            StructField("error", StringType()),
+        ]
     )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # pragma: no cover - PIL absent in this environment
-            import io
+        from atiesh_spark.operators.png import encode_png
 
-            from PIL import Image
-        except ImportError as exc:
-            raise NotImplementedError(
-                "resize_image needs an image codec (PIL); not available in this container"
-            ) from exc
-        for pdf in batches:  # pragma: no cover
-            out = []
-            for b in pdf[blob_col]:
-                img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out.append(buf.getvalue())
-            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "resized_blob": out})
+        for pdf in batches:
+            ids, blobs, errs = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                ids.append(int(mid) if mid is not None else None)
+                try:
+                    if b is None:
+                        raise ValueError("NULL blob")
+                    b = bytes(b)
+                    try:
+                        _w, _h, _mode, px = decode_any_image(b)
+                        out = resize_image_array(px, height, width)
+                        blobs.append(encode_png(out, filters=0))
+                        errs.append(None)
+                        continue
+                    except ValueError:
+                        pass
+                    try:  # pragma: no cover - PIL absent here
+                        import io
+
+                        from PIL import Image
+
+                        img = Image.open(io.BytesIO(b)).resize(
+                            (width, height)
+                        )
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        blobs.append(buf.getvalue())
+                        errs.append(None)
+                        continue
+                    except ImportError:
+                        raise ValueError(
+                            "unrecognized format and no PIL fallback"
+                        ) from None
+                    except Exception as exc:  # pragma: no cover
+                        raise ValueError(str(exc)) from None
+                except ValueError as exc:
+                    blobs.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {"media_id": ids, "resized_blob": blobs, "error": errs}
+            )
 
     return widen_for_python_stage(df.select(id_col, blob_col)).mapInPandas(
         resize_batches, out_schema

@@ -11662,3 +11662,75 @@ def q240_targz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("size"),
         F.md5("body").alias("body_md5"),
     )
+
+
+@register(
+    "q241_image_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(5 + doc_id % 7 AS INT) AS src_w,
+               CAST(4 + doc_id % 6 AS INT) AS src_h,
+               (doc_id * 3) % 256 AS r,
+               (doc_id * 3 + 40) % 256 AS g,
+               (doc_id * 3 + 80) % 256 AS b
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(r AS FLOAT) AS mean_r,
+           CAST(g AS FLOAT) AS mean_g,
+           CAST(b AS FLOAT) AS mean_b
+    FROM dims
+    """,
+    doc="Image resize normalization graded END TO END (operators/"
+    "multimodal.py resize_image, round 9 — the PIL stub retired for "
+    "every repo-decoded format): per document a constant-color BMP "
+    "with rotating source dimensions (every non-integer scale ratio "
+    "in 5-11 x 4-9 -> 4x3 fires the fractional-box weighting) flows "
+    "through magic-dispatched decode (decode_any_image) -> exact "
+    "area-average resample (integral-image box filter, the phash_gray "
+    "device generalized to arbitrary targets) -> PNG re-encode -> "
+    "the real PNG decoder reads the result back. Constant input "
+    "makes the area mean EXACT at any ratio, so the oracle is pure "
+    "arithmetic: output means equal the planted (r, g, b) = "
+    "(3d, 3d+40, 3d+80) % 256 and dimensions equal the target. The "
+    "channel offsets prove no swizzle slips anywhere in the "
+    "four-codec chain. Unrecognized/malformed blobs are error rows "
+    "(tested); plan shape: two chained mapInPandas stages, zero "
+    "exchanges, bytes never on the driver.",
+)
+def q241_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.multimodal import resize_image
+    from atiesh_spark.operators.png import decode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from atiesh_spark.operators.bmp import encode_bmp
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 7, 4 + did % 6
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (did * 3) % 256
+                px[:, :, 1] = (did * 3 + 40) % 256
+                px[:, :, 2] = (did * 3 + 80) % 256
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    resized = resize_image(media, "doc_id", "blob", 4, 3)
+    return decode_png(resized, "media_id", "resized_blob").select(
+        "media_id", "width", "height", "n_channels",
+        "mean_r", "mean_g", "mean_b",
+    )

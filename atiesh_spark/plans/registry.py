@@ -142,15 +142,15 @@ MAX_STALENESS_ROUNDS = -(-len(QUERIES) // _DRIVER_WINDOW) + 1
 #: of round 2's silent accident. (Empty in round 4: the window has room
 #: for every never-graded query.)
 DEFERRED_FIRST_GRADE: dict[str, str] = {
-    # Round 9: empty. The seven round-9 registrations (q234-q240:
+    # Round 9: empty. The eight round-9 registrations (q234-q241:
     # the codec/source-lab completions) fit the window as
     # first-grades AHEAD of the entire 36-row r4-stale cohort (the
     # round-8 verdict's restraint mandate — the cohort still grades
-    # this round) plus the 7 oldest r5 rows. The seven r5 rows they
-    # displaced (q133/q134/q136-q139/q141, next gradable r10 at
+    # this round) plus the 6 oldest r5 rows. The eight r5 rows they
+    # displaced (q133/q134/q136-q139/q141/q142, next gradable r10 at
     # staleness 5 of 6) were each hand-certified this session via
-    # verify_parity (MATCH), as were q38-q40, q142, and a 235/235
-    # full-registry sweep mid-round.
+    # verify_parity (MATCH), as were q38-q40, q143, and full-registry
+    # sweeps mid-round (235/235) and at close (240/240, pre-q241).
     # Round 10's first action remains `python scripts/update_ledger.py`.
 }
 

@@ -56,11 +56,61 @@ def test_byte_histogram_features(media_df):
     assert sum(feats[3]) == 0.0  # empty blob -> zero vector (len guard)
 
 
-def test_resize_is_cleanly_stubbed(media_df):
-    with pytest.raises(Exception) as exc_info:
-        resize_image(media_df, "media_id", "blob", 32, 32).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def test_resize_real_for_decoded_formats(spark, media_df):
+    """Round 9: resize_image is REAL for every repo-decoded format —
+    decode, exact area resample, PNG re-encode; unrecognized blobs
+    (the text-derived media fixture) become error rows, not task
+    failures or NotImplementedError."""
+    import numpy as np
+
+    from atiesh_spark.operators.bmp import encode_bmp
+    from atiesh_spark.operators.png import _parse_png, encode_png
+
+    rows = resize_image(media_df, "media_id", "blob", 32, 32).collect()
+    assert all(r.error is not None and r.resized_blob is None for r in rows)
+
+    rgb = np.full((10, 14, 3), 0, dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    rgb[:, :, 1] = 90
+    rgb[:, :, 2] = 30
+    gray = np.full((9, 7), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(rgb))), (2, bytearray(encode_png(gray)))],
+        "media_id long, blob binary",
+    )
+    got = {r.media_id: r for r in
+           resize_image(df, "media_id", "blob", 5, 4).collect()}
+    w, h, nc, px = _parse_png(bytes(got[1].resized_blob))
+    assert (w, h, nc) == (5, 4, 3)
+    # constant image: exact constant after area resample + re-encode
+    assert (px[:, :, 0] == 200).all() and (px[:, :, 2] == 30).all()
+    w, h, nc, px = _parse_png(bytes(got[2].resized_blob))
+    assert (w, h, nc) == (5, 4, 1) and (px == 77).all()
+
+
+def test_decode_media_real_path(spark):
+    """decode_media now reports REAL dimensions/mode for recognized
+    formats and keeps the deterministic FAKE only for unrecognized
+    blobs (the q39 fixture contract)."""
+    import hashlib
+
+    import numpy as np
+
+    from atiesh_spark.operators.multimodal import decode_media
+    from atiesh_spark.operators.png import encode_png
+
+    gray = np.full((6, 9), 42, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(gray))), (2, bytearray(b"just text"))],
+        "media_id long, blob binary",
+    )
+    got = {r.media_id: r for r in
+           decode_media(df, "media_id", "blob").collect()}
+    assert (got[1].width, got[1].height, got[1].mode) == (9, 6, "L")
+    assert got[1].pixels_sample == [42] * 16
+    assert (got[2].width, got[2].height, got[2].mode) == (8, 8, "FAKE")
+    assert got[2].pixels_sample == list(
+        hashlib.sha256(b"just text").digest()[:16]
     )
 
 
