@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: schemas, Arrow batch shapes, fan-out —
-the decode step is stubbed (no media libs in container), the Spark side
-is real."""
+"""Multimodal tests: schemas, Arrow batch shapes, fan-out, and (since
+round 9) the REAL decode/resize paths — decode_any_image dispatches to
+the repo's pure-numpy codecs; only unrecognized formats fall back to
+the deterministic FAKE."""
 
 from __future__ import annotations
 
