@@ -119,6 +119,10 @@ HEAVY = [
     # the fleet)
     "q239_zip_roundtrip",
     "q240_targz_roundtrip",
+    # round 9 (session close): remaining codec cells — all row-local
+    "q237_bmp_decode",
+    "q238_tiff_decode",
+    "q241_image_resize",
 ]
 
 
