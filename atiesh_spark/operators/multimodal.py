@@ -644,7 +644,10 @@ def _g711_tables():
         exp = (a >> 4) & 7
         mant = a & 0x0F
         x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
-        alaw[b] = -x if a & 0x80 else x
+        # CCITT A-law convention (g711.c): after a = b ^ 0x55 the sign
+        # bit SET means the sample is POSITIVE — 0x55 decodes to -8,
+        # 0xD5 to +8 (round-10 ADVICE fix; previous table was negated).
+        alaw[b] = x if a & 0x80 else -x
     return ulaw, alaw
 
 
@@ -712,9 +715,13 @@ def _parse_wav(blob: bytes) -> tuple[int, int, "object"]:
         arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
                 - 128) << 8)
     elif audio_format == 3:
-        f = np.clip(np.frombuffer(data, dtype="<f4"), -1.0, 1.0)
-        if not np.isfinite(f).all():
+        raw = np.frombuffer(data, dtype="<f4")
+        # finiteness check BEFORE the clip: np.clip maps +/-inf to full
+        # scale, which would silently pass +/-inf samples (round-10
+        # ADVICE fix); NaN survives clip but inf does not.
+        if not np.isfinite(raw).all():
             raise ValueError("non-finite float samples")
+        f = np.clip(raw, -1.0, 1.0)
         arr = np.round(f.astype(np.float64) * 32767.0).astype(np.int16)
     elif audio_format == 6:
         arr = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]

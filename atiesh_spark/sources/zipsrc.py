@@ -203,7 +203,12 @@ def parse_zip_blob(blob: bytes) -> Iterator[dict]:
             data = blob[dstart : dstart + csize]
             if method == 8:
                 dobj = zlib.decompressobj(-15)
-                body = dobj.decompress(data, usize)
+                # max_length=0 means UNLIMITED to zlib, so a member
+                # declaring usize=0 would inflate fully before the
+                # size-mismatch check — bound it at >=1 byte so a
+                # zero-declared bomb trips the overrun check after one
+                # byte instead of exhausting memory (round-10 ADVICE).
+                body = dobj.decompress(data, max(usize, 1))
                 if dobj.unconsumed_tail and dobj.decompress(
                     dobj.unconsumed_tail, 1
                 ):

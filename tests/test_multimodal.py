@@ -267,8 +267,9 @@ class TestWavLayouts:
 
     def test_g711_table_knowns(self):
         """Pin the classic CCITT expansion anchors (G.711 / Sun audio
-        tables): mu-law 0x00 -> -32124, 0xFF -> 0; A-law has no zero —
-        0x55 -> +8, 0xD5 -> -8; both tables odd-symmetric."""
+        tables, per g711.c): mu-law 0x00 -> -32124, 0xFF -> 0; A-law
+        has no zero — 0x55 -> -8, 0xD5 -> +8 (sign bit set after the
+        0x55 XOR means positive); both tables odd-symmetric."""
         import numpy as np
 
         from atiesh_spark.operators.multimodal import (
@@ -279,8 +280,8 @@ class TestWavLayouts:
         assert _ULAW_TABLE[0x00] == -32124
         assert _ULAW_TABLE[0x80] == 32124
         assert _ULAW_TABLE[0xFF] == 0
-        assert _ALAW_TABLE[0x55] == 8
-        assert _ALAW_TABLE[0xD5] == -8
+        assert _ALAW_TABLE[0x55] == -8
+        assert _ALAW_TABLE[0xD5] == 8
         assert int(np.abs(_ALAW_TABLE).max()) == 32256
         # sign symmetry: byte with sign bit flipped negates the value
         for t, flip in ((_ULAW_TABLE, 0x80), (_ALAW_TABLE, 0x80)):
@@ -363,8 +364,11 @@ class TestWavLayouts:
         blob[34:36] = st.pack("<H", 24)
         with pytest.raises(ValueError, match="unsupported wav layout"):
             _parse_wav(bytes(blob))
-        # non-finite float samples
-        bad = encode_wav(8000, st.pack("<2f", float("nan"), 0.0),
-                         audio_format=3, bits=32)
-        with pytest.raises(ValueError, match="non-finite"):
-            _parse_wav(bad)
+        # non-finite float samples: NaN, and +/-inf which np.clip would
+        # silently map to full scale if checked after clipping
+        # (round-10 ADVICE — finiteness runs on the raw buffer)
+        for v in (float("nan"), float("inf"), float("-inf")):
+            bad = encode_wav(8000, st.pack("<2f", v, 0.0),
+                             audio_format=3, bits=32)
+            with pytest.raises(ValueError, match="non-finite"):
+                _parse_wav(bad)

@@ -85,6 +85,22 @@ class TestErrors:
         rows = list(parse_zip_blob(bytes(blob)))
         assert rows[0]["error"] is not None
 
+    def test_zip_bomb_declared_zero_size(self):
+        """usize=0 must not mean 'unlimited': zlib treats max_length=0
+        as no limit, so a deflate member declaring zero inflated size
+        could allocate its full expansion before the mismatch check
+        (round-10 ADVICE). The bounded call errors after one byte."""
+        blob = bytearray(encode_zip([("x", b"a" * 500_000)]))
+        i = blob.index(b"PK\x01\x02")
+        blob[i + 24 : i + 28] = struct.pack("<I", 0)  # declare usize=0
+        rows = list(parse_zip_blob(bytes(blob)))
+        assert rows[0]["error"] is not None
+        assert rows[0].get("body") is None
+        # a genuinely-empty deflate member with usize=0 still parses
+        blob = encode_zip([("e", b"")])
+        rows = list(parse_zip_blob(blob))
+        assert rows[0]["error"] is None and rows[0]["body"] == b""
+
 
 def test_spark_member_explode(spark):
     blob_ok = encode_zip(MEMBERS)
