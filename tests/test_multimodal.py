@@ -372,3 +372,57 @@ class TestWavLayouts:
                              audio_format=3, bits=32)
             with pytest.raises(ValueError, match="non-finite"):
                 _parse_wav(bad)
+
+
+def test_decode_media_real_dims_cover_codec_lab():
+    """Round-10 contract guard (r9 verdict item 8): ``_decode_blob``
+    must report REAL dimensions (mode 'L' or 'RGB', never 'FAKE') for
+    EVERY format the codec lab decodes — netpbm P5/P6, PNG (straight +
+    Adam7 + palette), JPEG (baseline + progressive), GIF (incl.
+    interlace), BMP (bottom-up + top-down + palette), TIFF (II/MM,
+    PackBits, LZW, white-is-zero). If a new recognized magic ever
+    falls through to the sha256 FAKE stub, this enumeration fails."""
+    import numpy as np
+
+    from atiesh_spark.operators.bmp import encode_bmp
+    from atiesh_spark.operators.gif import encode_gif
+    from atiesh_spark.operators.jpeg import encode_jpeg_baseline
+    from atiesh_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+    from atiesh_spark.operators.multimodal import _decode_blob, encode_ppm
+    from atiesh_spark.operators.png import encode_png
+    from atiesh_spark.operators.tiff import encode_tiff
+
+    h, w = 12, 17
+    gray = (np.add.outer(np.arange(h), np.arange(w)) * 7 % 256).astype(
+        np.uint8
+    )
+    rgb = np.stack([gray, gray[::-1], gray.T[:w, :h].T[:h, :w]], axis=-1)
+    idx = (gray % 8).astype(np.uint8)
+    pal = (np.arange(24).reshape(8, 3) * 9 % 256).astype(np.uint8)
+
+    blobs = {
+        "pgm": b"P5 %d %d 255\n" % (w, h) + gray.tobytes(),
+        "ppm": encode_ppm(w, h, rgb.tobytes()),
+        "png_gray": encode_png(gray),
+        "png_rgb_adam7": encode_png(rgb, interlace=True),
+        "png_palette": encode_png(idx, palette=pal),
+        "jpeg_baseline": encode_jpeg_baseline(rgb),
+        "jpeg_progressive": encode_jpeg_progressive(gray),
+        "gif": encode_gif([idx], pal),
+        "gif_interlace": encode_gif([idx], pal, interlace=True),
+        "bmp": encode_bmp(rgb),
+        "bmp_topdown_pal": encode_bmp(idx, palette=pal, top_down=True),
+        "tiff_le": encode_tiff(gray),
+        "tiff_be_packbits": encode_tiff(rgb, big_endian=True,
+                                        packbits=True),
+        "tiff_lzw_wiz": encode_tiff(gray, lzw=True, white_is_zero=True),
+    }
+    for name, blob in blobs.items():
+        out = _decode_blob(blob)
+        assert out["mode"] in ("L", "RGB"), (name, out["mode"])
+        assert (out["width"], out["height"]) == (w, h), (name, out)
+    # and the FAKE stub still exists, but ONLY for unrecognized bytes
+    fake = _decode_blob(b"\x00\x01unrecognized-magic")
+    assert fake["mode"] == "FAKE" and (fake["width"], fake["height"]) == (8, 8)
