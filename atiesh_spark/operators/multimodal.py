@@ -18,9 +18,12 @@ grading window), and round 9 made MJPEG-in-AVI video real
 (``operators/avi.py``: RIFF container walk + the JPEG decoder, so
 ``sample_frames`` emits actual frame bytes for AVI blobs) and
 progressive JPEG real too (``operators/jpeg_progressive.py``, T.81
-Annex G, dispatched transparently by ``decode_jpeg``). Only
-mp3/ogg/flac audio and MP4-class video stay behind the
-library-gated stub.
+Annex G, dispatched transparently by ``decode_jpeg``). Round 10
+added MPEG-1 audio Layer I/II for real
+(``operators/mpeg_audio.py``, q242). Only MPEG-1 Layer III (MP3
+proper: numeric Huffman/window tables, not re-derivable here) and
+MP4/H.264-class video stay behind the library-gated stub — the
+documented permanent closure lives in COVERAGE.md.
 Everything Spark-side — schemas, UDF signatures, Arrow batch shapes,
 fan-out of frames — is real and tested; swapping the stub for a real
 codec touches only ``_decode_blob``.
@@ -567,9 +570,10 @@ def resize_ppm(
 # alone — the audio analogue of the netpbm image path above. Canonical
 # WAV (the format every real audio tool emits: ffmpeg, sox, arecord)
 # needs nothing but a chunk walk and a frombuffer, so the decode step
-# is genuinely real for PCM16; compressed audio (mp3/ogg/flac) stays
-# behind the library-gated stub in decode_media. (Baseline JPEG went
-# real in round 7 — see operators/jpeg.py.)
+# is genuinely real for PCM16; MPEG-1 Layer I/II (the MP2 class) went
+# real in round 10 (operators/mpeg_audio.py); Layer III (MP3 proper)
+# stays behind the library-gated stub in decode_media — closure in
+# COVERAGE.md. (Baseline JPEG went real in round 7 — operators/jpeg.py.)
 # ---------------------------------------------------------------------------
 
 WAV_DECODED_SCHEMA = StructType(

@@ -11734,3 +11734,180 @@ def q241_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "n_channels",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+@register(
+    "q242_mpeg_audio_decode",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id AS d,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS layer,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS channels,
+               CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END AS fs,
+               1 + doc_id % 3 AS n_frames
+        FROM documents
+    ),
+    cells AS (
+        SELECT d.d, d.layer, d.channels, d.fs, d.n_frames,
+               f.f, c.c, sb.sb, s.s, d.d + f.f AS e
+        FROM docs d,
+             unnest(generate_series(0, d.n_frames - 1)) AS f(f),
+             unnest(generate_series(0, d.channels - 1)) AS c(c),
+             unnest(generate_series(0, 7)) AS sb(sb),
+             unnest(generate_series(
+                 0, CASE WHEN d.layer = 1 THEN 11 ELSE 35 END)) AS s(s)
+    ),
+    vals AS (
+        SELECT *,
+               1 + (e + sb + c) % 3 AS a,
+               CASE WHEN layer = 1 OR sb <= 2 THEN
+                        CASE 1 + (e + sb + c) % 3
+                             WHEN 1 THEN 3 WHEN 2 THEN 7 ELSE 15 END
+                    ELSE
+                        CASE 1 + (e + sb + c) % 3
+                             WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 7 END
+               END AS L,
+               CASE WHEN layer = 1 THEN 0
+                    ELSE CASE (e + sb + c) % 4
+                              WHEN 0 THEN s // 12
+                              WHEN 1 THEN CASE WHEN s // 12 < 2
+                                               THEN 0 ELSE 1 END
+                              WHEN 2 THEN 0
+                              ELSE CASE WHEN s // 12 = 0
+                                        THEN 0 ELSE 1 END
+                         END
+               END AS j
+        FROM cells
+    ),
+    samples AS (
+        SELECT d, layer, channels, fs, n_frames, f, c, sb, s, a, L,
+               3 * ((e + 2 * sb + j + 5 * c) % 7) AS sfi,
+               (e + sb + s + c) % L AS k
+        FROM vals
+    ),
+    cell_sums AS (
+        SELECT d,
+               CAST(SUM(sfi) AS BIGINT) AS sfidx_sum,
+               CAST(SUM(k) AS BIGINT) AS code_sum,
+               CAST(SUM(CAST(round(
+                   POWER(2.0, 1.0 - sfi / 3.0)
+                   * (2 * k - L + 1) / L * 10000.0) AS BIGINT))
+                 AS BIGINT) AS rq_q4_sum
+        FROM samples GROUP BY d
+    ),
+    side_sums AS (
+        SELECT d, CAST(SUM(a) AS BIGINT) AS alloc_sum
+        FROM samples WHERE s = 0 GROUP BY d
+    )
+    SELECT dd.d AS media_id,
+           CAST(dd.layer AS INT) AS layer,
+           CAST(dd.fs AS INT) AS sample_rate,
+           CAST(192 AS INT) AS bitrate_kbps,
+           CAST(dd.channels AS INT) AS channels,
+           CAST(dd.n_frames AS INT) AS n_frames,
+           CAST(dd.n_frames
+                * CASE WHEN dd.layer = 1 THEN 384 ELSE 1152 END
+             AS BIGINT) AS n_samples,
+           ss.alloc_sum, cs.sfidx_sum, cs.code_sum, cs.rq_q4_sum
+    FROM docs dd
+    JOIN cell_sums cs ON cs.d = dd.d
+    JOIN side_sums ss ON ss.d = dd.d
+    """,
+    doc="MPEG-1 audio Layer I/II decode (operators/mpeg_audio.py, "
+    "round 10 — the compressed-audio gap from the r9 verdict): the "
+    "spec-exact bitstream layer of ISO/IEC 11172-3 — sync/header "
+    "walk, frame-length arithmetic (slot=4 bytes in Layer I), Layer "
+    "I uniform 4-bit allocation, Layer II variable-nbal allocation "
+    "over tables A (48 kHz, sblimit 27) and B (44.1 kHz, sblimit "
+    "30), scfsi scalefactor sharing (all four modes planted), "
+    "3/5/9-level sample de-grouping, and requantization on the "
+    "formulaic C/D grid (value = sf * 2k/L). Fixtures plant per-doc "
+    "frames (1-3) rotating layer (25% Layer I), mono/stereo, and "
+    "both sampling rates, with allocation/scalefactor/code fields "
+    "all deterministic in (doc_id, frame, channel, subband, sample); "
+    "the oracle recomputes the decode digests arithmetically. "
+    "Digests are INTEGER-exact: side-info sums plus per-sample "
+    "round(value*10000) summed as int64 — scalefactor indices are "
+    "restricted to multiples of 3 below 21 (dyadic sf = 2^(1-m)), "
+    "which provably keeps every rounded value >= 0.07 away from a "
+    ".5 boundary, so the two engines' float paths cannot round "
+    "apart. Unsupported real-world shapes (Layer III/MP3, free "
+    "bitrate, joint stereo, low-rate C/D tables) are error rows, "
+    "tested in test_mpeg_audio.py; the PCM synthesis filterbank "
+    "(spec structure, documented derived window) is property-tested "
+    "and NOT on the graded path. Plan shape: chained mapInPandas "
+    "over pruned (doc_id) -> synth -> decode, zero exchanges.",
+)
+def q242_mpeg_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.mpeg_audio import decode_mpeg_audio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from atiesh_spark.operators.mpeg_audio import (
+            TABLE_A,
+            TABLE_B,
+            encode_frame_layer1,
+            encode_frame_layer2,
+        )
+
+        def plant_frame(d: int, f: int) -> bytes:
+            e = d + f
+            layer = 1 if d % 4 == 0 else 2
+            ch = 1 if d % 3 == 0 else 2
+            mode = 3 if ch == 1 else 0
+            fs = 48000 if d % 2 == 0 else 44100
+            table = TABLE_A if fs == 48000 else TABLE_B
+            alloc = [[0] * 32 for _ in range(ch)]
+            if layer == 1:
+                sfidx = [[0] * 32 for _ in range(ch)]
+                codes = [[[0] * 12 for _ in range(32)] for _ in range(ch)]
+                for c in range(ch):
+                    for sb in range(8):
+                        a = 1 + (e + sb + c) % 3
+                        alloc[c][sb] = a
+                        sfidx[c][sb] = 3 * ((e + 2 * sb + 5 * c) % 7)
+                        levels = (1 << (a + 1)) - 1
+                        for s in range(12):
+                            codes[c][sb][s] = (e + sb + s + c) % levels
+                return encode_frame_layer1(fs, 192, mode, alloc, sfidx,
+                                           codes)
+            scfsi = [[0] * 32 for _ in range(ch)]
+            sfidx = [[None] * 32 for _ in range(ch)]
+            codes = [[[0] * 36 for _ in range(32)] for _ in range(ch)]
+            for c in range(ch):
+                for sb in range(8):
+                    a = 1 + (e + sb + c) % 3
+                    alloc[c][sb] = a
+                    sc = (e + sb + c) % 4
+                    scfsi[c][sb] = sc
+                    ntrans = {0: 3, 1: 2, 2: 1, 3: 2}[sc]
+                    sfidx[c][sb] = [
+                        3 * ((e + 2 * sb + j + 5 * c) % 7)
+                        for j in range(ntrans)
+                    ]
+                    levels = table[sb][a - 1]
+                    for s in range(36):
+                        codes[c][sb][s] = (e + sb + s + c) % levels
+            return encode_frame_layer2(fs, 192, mode, alloc, scfsi,
+                                       sfidx, codes)
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                blobs.append(
+                    b"".join(plant_frame(d, f) for f in range(1 + d % 3))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_mpeg_audio(media, "doc_id", "blob").select(
+        "media_id", "layer", "sample_rate", "bitrate_kbps", "channels",
+        "n_frames", "n_samples", "alloc_sum", "sfidx_sum", "code_sum",
+        "rq_q4_sum",
+    )
