@@ -11911,3 +11911,87 @@ def q242_mpeg_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames", "n_samples", "alloc_sum", "sfidx_sum", "code_sum",
         "rq_q4_sum",
     )
+
+
+@register(
+    "q243_pdf_text",
+    oracle="""
+    SELECT doc_id AS pdf_id,
+           CAST(p.p AS INT) AS page_index,
+           'doc (' || doc_id || ') page ' || p.p || ' #'
+               || (doc_id * 7 + p.p) AS text,
+           CAST(length('doc (' || doc_id || ') page ' || p.p || ' #'
+               || (doc_id * 7 + p.p)) AS INT) AS n_chars
+    FROM documents,
+         unnest(generate_series(0, doc_id % 3)) AS p(p)
+    """,
+    doc="PDF text extraction end-to-end (sources/pdfsrc.py, round 10 "
+    "— r9 verdict item 4, the last bulk-ingestion container a "
+    "training-data pipeline could not read): per document one PDF "
+    "with 1-3 pages is synthesized by the module's own classic-xref "
+    "writer (catalog -> pages tree -> page objects -> content "
+    "streams, FlateDecode on even doc_ids, stored on odd), then "
+    "parse_pdf_pages explodes the blobs back into per-page text "
+    "rows: xref table walked (the /Prev-chain + scan-fallback "
+    "recovery paths are unit-tested), /Length resolved, streams "
+    "inflated under the zipsrc budget discipline, the page tree "
+    "walked with cycle/depth guards, and the text-showing operators "
+    "lexed for real. Page text is identical across four rotating "
+    "ENCODINGS — (0) one literal Tj with escaped parentheses, (1) a "
+    "TJ array with kerning numbers interleaved, (2) a hex string, "
+    "(3) split consecutive Tj shows — so the oracle is one string "
+    "concat per (doc, page) while the graded path exercises every "
+    "string syntax. Encrypted PDFs, object streams, and non-Flate "
+    "filters are typed error rows (test_pdfsrc.py). Plan shape: "
+    "chained mapInPandas over pruned (doc_id), zero exchanges, "
+    "parallelism = documents; at 100 TB the scale axis is document "
+    "COUNT, per-document work linear in bytes.",
+)
+def q243_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.sources.pdfsrc import parse_pdf_pages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from atiesh_spark.sources.pdfsrc import encode_pdf, text_page
+
+        def page_bytes(d: int, p: int) -> bytes:
+            text = f"doc ({d}) page {p} #{d * 7 + p}".encode("latin-1")
+            layout = (d + p) % 4
+            if layout == 0:
+                return text_page(text)
+            if layout == 1:
+                third = max(1, len(text) // 3)
+                a, b, c = (text[:third], text[third : 2 * third],
+                           text[2 * third :])
+                esc = lambda s: s.replace(b"\\", b"\\\\").replace(
+                    b"(", b"\\(").replace(b")", b"\\)")
+                return (b"BT /F1 12 Tf 72 720 Td [(" + esc(a)
+                        + b") -120 (" + esc(b) + b") -80 (" + esc(c)
+                        + b")] TJ ET")
+            if layout == 2:
+                return (b"BT /F1 12 Tf 72 720 Td <"
+                        + text.hex().encode("ascii") + b"> Tj ET")
+            half = len(text) // 2
+            esc = lambda s: s.replace(b"\\", b"\\\\").replace(
+                b"(", b"\\(").replace(b")", b"\\)")
+            return (b"BT /F1 12 Tf 72 720 Td (" + esc(text[:half])
+                    + b") Tj 0 -14 Td (" + esc(text[half:])
+                    + b") Tj ET")
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                pages = [page_bytes(d, p) for p in range(1 + d % 3)]
+                blobs.append(encode_pdf(pages, compress=(d % 2 == 0)))
+            yield pd.DataFrame({"pdf_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="pdf_id long, blob binary")
+    return parse_pdf_pages(media, "blob", id_cols=("pdf_id",)).select(
+        "pdf_id", "page_index", "text", "n_chars",
+    )
