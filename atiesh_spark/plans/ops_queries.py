@@ -11157,19 +11157,43 @@ def _crawl_page_html(d) -> "F.Column":
     "filter fetched pages on admission first.",
 )
 def q235_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.web import crawl_verdict_rows
+
+    blobs = _crawl_warc_blobs(spark, sf_dir)
+    rated = crawl_verdict_rows(blobs, _crawl_robots_rules(spark))
+    return rated.groupBy("host", "reason").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("repaired").cast("long")).cast("long")
+        .alias("n_repaired"),
+        F.sum("cc").cast("long").alias("content_chars"),
+    )
+
+
+def _crawl_robots_rules(spark: SparkSession) -> DataFrame:
+    """The q235/q244 fixture rule set (q214's shapes)."""
+    return spark.createDataFrame(
+        [
+            ("a.example.com", False, "/docs/"),
+            ("a.example.com", True, "/docs/en"),
+            ("a.example.com", False, "/*/print$"),
+            ("b.example.com", True, "/"),
+            ("b.example.com", False, "/private/"),
+            ("b.example.com", False, "/pub/f1$"),
+            ("b.example.com", True, "/pub/*1$"),
+        ],
+        "host string, allow boolean, pattern string",
+    )
+
+
+def _crawl_warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q235/q244 fixture: documents packed into 16 WARC shards
+    of q211-style pages under q144-class messy URLs, doc%3 mojibake-
+    damaged, doc%7 repeated-substring bodies. Returns (warc_shard,
+    blob) — the shard key doubles as q244's micro-batch split."""
     import pandas as pd
 
-    from atiesh_spark.functions.text import fix_mojibake, to_mojibake
-    from atiesh_spark.operators.textstats import compression_ratio
-    from atiesh_spark.operators.web import (
-        apply_robots_rules,
-        canonicalize_urls,
-        extract_html_content,
-    )
-    from atiesh_spark.sources.warc import (
-        encode_warc_records,
-        parse_warc_records,
-    )
+    from atiesh_spark.functions.text import to_mojibake
+    from atiesh_spark.sources.warc import encode_warc_records
 
     d = F.col("doc_id")
     docs = load_table(spark, sf_dir, "documents").select(
@@ -11217,55 +11241,8 @@ def q235_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"warc_shard": [key[0]], "blob": [encode_warc_records(recs)]}
         )
 
-    blobs = docs.groupBy("warc_shard").applyInPandas(
+    return docs.groupBy("warc_shard").applyInPandas(
         pack, "warc_shard bigint, blob binary"
-    )
-    recs = parse_warc_records(blobs, "blob").select(
-        "target_uri", F.col("body").cast("string").alias("raw")
-    )
-    repaired = recs.select(
-        "target_uri",
-        fix_mojibake(F.col("raw")).alias("html"),
-        (fix_mojibake(F.col("raw")) != F.col("raw")).alias("repaired"),
-    )
-    canon = canonicalize_urls(repaired, "target_uri")
-    rules = spark.createDataFrame(
-        [
-            ("a.example.com", False, "/docs/"),
-            ("a.example.com", True, "/docs/en"),
-            ("a.example.com", False, "/*/print$"),
-            ("b.example.com", True, "/"),
-            ("b.example.com", False, "/private/"),
-            ("b.example.com", False, "/pub/f1$"),
-            ("b.example.com", True, "/pub/*1$"),
-        ],
-        "host string, allow boolean, pattern string",
-    )
-    adm = apply_robots_rules(
-        canon, rules, host_col="host", path_col="path_canonical"
-    )
-    ext = extract_html_content(adm, "html")
-    n_words = F.size(
-        F.expr("filter(split(clean_text, '\\\\s+'), w -> w != '')")
-    )
-    rated = compression_ratio(ext, "clean_text").select(
-        "host",
-        F.when(~F.col("allowed"), F.lit("robots"))
-        .when(F.col("kept_blocks") == 0, F.lit("no_content"))
-        .when(n_words < 15, F.lit("too_short"))
-        .when(F.col("zlib_ratio") <= 0.25, F.lit("low_entropy"))
-        .otherwise(F.lit("ok"))
-        .alias("reason"),
-        "repaired",
-        F.when(F.col("allowed"), F.col("content_chars"))
-        .otherwise(F.lit(0))
-        .alias("cc"),
-    )
-    return rated.groupBy("host", "reason").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.col("repaired").cast("long")).cast("long")
-        .alias("n_repaired"),
-        F.sum("cc").cast("long").alias("content_chars"),
     )
 
 
@@ -11995,3 +11972,53 @@ def q243_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_pdf_pages(media, "blob", id_cols=("pdf_id",)).select(
         "pdf_id", "page_index", "text", "n_chars",
     )
+
+
+@register(
+    "q244_crawl_stream_replay",
+    # Graded EQUAL to the one-shot composite: the streaming twin must
+    # converge to exactly q235's report, so it shares q235's oracle.
+    oracle=None,  # set right after registration: q235's oracle verbatim
+    doc="StreamingCrawlIngest end-to-end, driver-graded (operators/"
+    "web.py StreamingCrawlIngest — round 10, r9 verdict item 6: the "
+    "continuous-crawler flagship that pairs with the batch one): the "
+    "16 WARC shards of q235's fixture stream in as 4 micro-batches of "
+    "archives; each batch runs the FULL ingestion chain — the "
+    "identical crawl_verdict_rows code path the one-shot q235 "
+    "executes: WARC parse -> mojibake repair -> URL canon -> robots "
+    "broadcast admission -> jusText extraction -> Gopher/zlib gates "
+    "-> first-failing reason — and merges the per-page verdicts into "
+    "the incremental (host, reason) attrition store "
+    "(VersionedStore). Per-page verdicts are functions of the page "
+    "alone, so the merge is a plain monoid sum and after ANY prefix "
+    "the store equals the one-shot report over pages seen "
+    "(prefix-asserted in test_web.py); the final batch is replayed "
+    "under the same batch id (VersionedStore convergence), and the "
+    "result must hash-equal q235's oracle — which this query shares "
+    "VERBATIM. 100 TB shape: per-batch work linear in batch bytes, "
+    "store size O(hosts x reasons) — a digest, never page state.",
+)
+def q244_crawl_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from atiesh_spark.operators.web import StreamingCrawlIngest
+
+    blobs = _crawl_warc_blobs(spark, sf_dir).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="crawl_replay_")
+    try:
+        ingest = StreamingCrawlIngest(tmp, _crawl_robots_rules(spark))
+        _replay_chunks(blobs, ingest,
+                       [F.col("warc_shard") % 4 == i for i in range(4)])
+        final = ingest.read(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+import dataclasses as _dc
+
+_QUERIES["q244_crawl_stream_replay"] = _dc.replace(
+    _QUERIES["q244_crawl_stream_replay"],
+    oracle=_QUERIES["q235_crawl_pipeline"].oracle,
+)

@@ -206,3 +206,72 @@ def test_robots_metacharacters_are_literal(spark):
     out = {r["id"]: r["allowed"] for r in apply_robots_rules(urls, rules).collect()}
     assert out[1] is False  # literal match
     assert out[2] is True   # '.' is not a regex dot
+
+
+# ---------------------------------------------------------------------------
+# StreamingCrawlIngest (round 10): the q235 chain as a maintenance loop
+
+
+class TestStreamingCrawlIngest:
+    @staticmethod
+    def _blobs(spark, n_docs: int = 12):
+        import pandas as pd
+
+        from atiesh_spark.sources.warc import encode_warc_records
+
+        def page(d: int) -> bytes:
+            body = (f"<html><body><p>Document {d} has plenty of "
+                    f"prose words here to pass the gopher gate and "
+                    f"then some more unique text {d * 13} with extra "
+                    f"varied content for entropy {d * 31} indeed "
+                    f"absolutely positively truly.</p></body></html>")
+            return body.encode("utf-8")
+
+        rows = []
+        for shard in range(4):
+            recs = [
+                (f"https://h{d % 2}.example.com/p{d}", page(d))
+                for d in range(n_docs) if d % 4 == shard
+            ]
+            rows.append((shard, bytearray(encode_warc_records(recs))))
+        return spark.createDataFrame(rows, "warc_shard long, blob binary")
+
+    def test_prefix_equals_one_shot_and_replay_converges(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from atiesh_spark.operators.web import (
+            StreamingCrawlIngest,
+            crawl_verdict_rows,
+        )
+
+        rules = spark.createDataFrame(
+            [("h0.example.com", False, "/p2$")],
+            "host string, allow boolean, pattern string",
+        )
+        blobs = self._blobs(spark).localCheckpoint()
+
+        def one_shot(df):
+            return sorted(
+                tuple(r) for r in crawl_verdict_rows(df, rules)
+                .groupBy("host", "reason")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum(F.col("repaired").cast("long")).cast("long")
+                     .alias("n_repaired"),
+                     F.sum("cc").cast("long").alias("content_chars"))
+                .collect()
+            )
+
+        ingest = StreamingCrawlIngest(str(tmp_path / "store"), rules)
+        for i in range(4):
+            ingest(blobs.filter(F.col("warc_shard") == i), i + 1)
+            # after EVERY prefix the store equals the one-shot report
+            # over the shards seen so far (monoid additivity)
+            got = sorted(tuple(r) for r in ingest.read(spark).collect())
+            want = one_shot(blobs.filter(F.col("warc_shard") <= i))
+            assert got == want, f"prefix {i}"
+        # replay the final batch under the same id: must converge
+        ingest(blobs.filter(F.col("warc_shard") == 3), 4)
+        got = sorted(tuple(r) for r in ingest.read(spark).collect())
+        assert got == one_shot(blobs)
+        # the robots rule actually fired (h0 has a disallowed page)
+        assert any(r[1] == "robots" for r in got), got
