@@ -12022,3 +12022,133 @@ _QUERIES["q244_crawl_stream_replay"] = _dc.replace(
     _QUERIES["q244_crawl_stream_replay"],
     oracle=_QUERIES["q235_crawl_pipeline"].oracle,
 )
+
+
+@register(
+    "q245_wav_layouts",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 5 AS layout,
+               CAST(48 + doc_id % 17 AS BIGINT) AS n_frames
+        FROM documents
+    ),
+    smp AS (
+        SELECT d.doc_id, d.layout, d.n_frames, t.i,
+               (d.doc_id * 3 + t.i * 7) % 256 AS gb,
+               (d.doc_id * 3 + t.i * 11) % 256 AS pb
+        FROM dims d,
+             unnest(generate_series(0, d.n_frames - 1)) AS t(i)
+    ),
+    g711 AS (
+        SELECT *,
+               xor(gb, 85) AS aa,
+               xor(gb, 255) AS uu
+        FROM smp
+    ),
+    vals AS (
+        SELECT doc_id, layout, n_frames, i,
+               CASE layout
+                   WHEN 0 THEN (doc_id * 131 + i * 7919) % 65536 - 32768
+                   WHEN 1 THEN (pb - 128) * 256
+                   WHEN 2 THEN CAST(round(
+                       ((doc_id + i) % 9 - 4) / 16.0 * 32767.0) AS BIGINT)
+                   WHEN 3 THEN
+                       CASE WHEN (aa & 128) != 0 THEN 1 ELSE -1 END *
+                       CASE WHEN ((aa >> 4) & 7) = 0
+                            THEN (aa & 15) * 16 + 8
+                            ELSE ((aa & 15) * 16 + 264)
+                                 << (((aa >> 4) & 7) - 1) END
+                   ELSE
+                       CASE WHEN (uu & 128) != 0 THEN -1 ELSE 1 END *
+                       ((((uu & 15) * 8 + 132) << ((uu >> 4) & 7)) - 132)
+               END AS v
+        FROM g711
+    ),
+    lagged AS (
+        SELECT doc_id, n_frames, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM vals
+    ),
+    feat AS (
+        SELECT doc_id, n_frames,
+               CAST(MAX(ABS(v)) AS INT) AS peak,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN (pv < 0) != (v < 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY doc_id, n_frames
+    )
+    SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels, n_frames,
+           CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+           peak, zero_crossings, sum_sq,
+           CAST(round(sqrt(sum_sq / n_frames), 4) AS FLOAT) AS rms
+    FROM feat
+    """,
+    doc="Every real-world uncompressed WAV layout graded end-to-end "
+    "(operators/multimodal.py _parse_wav, round 10): q162 grades the "
+    "PCM16 path; this rotates all five layouts the round-9 decoder "
+    "widened to — (0) PCM16, (1) unsigned PCM8 ((b-128)<<8), (2) "
+    "IEEE float32 (finiteness-checked BEFORE clip per the round-10 "
+    "ADVICE fix, scaled round(f*32767)), (3) G.711 A-law, (4) G.711 "
+    "mu-law — and the oracle recomputes the CCITT expansion "
+    "FORMULAICALLY in SQL (xor/shift/mask arithmetic, no table "
+    "transcribed), which pins the round-10 A-law sign-convention fix "
+    "driver-side: after a = b XOR 0x55 the sign bit SET means "
+    "POSITIVE, so a negated table shifts every planted peak/sum_sq. "
+    "Planted float32 samples are k/16 (exactly representable; "
+    "round(k*2047.9375) never lands on .5, so numpy's and DuckDB's "
+    "rounding agree). Features are q162's integer-exact set. Plan "
+    "shape: chained mapInPandas over pruned (doc_id), zero "
+    "exchanges.",
+)
+def q245_wav_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from atiesh_spark.operators.multimodal import decode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        from atiesh_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 48 + d % 17
+                layout = d % 5
+                if layout == 0:
+                    s = ((d * 131 + np.arange(n, dtype=np.int64) * 7919)
+                         % 65536 - 32768)
+                    blob = encode_wav(8000, s.astype("<i2").tobytes())
+                elif layout == 1:
+                    b = ((d * 3 + np.arange(n, dtype=np.int64) * 11)
+                         % 256).astype(np.uint8)
+                    blob = encode_wav(8000, b.tobytes(), audio_format=1,
+                                      bits=8)
+                elif layout == 2:
+                    f = (((d + np.arange(n, dtype=np.int64)) % 9 - 4)
+                         / 16.0).astype("<f4")
+                    blob = encode_wav(8000, f.tobytes(), audio_format=3,
+                                      bits=32)
+                else:
+                    b = ((d * 3 + np.arange(n, dtype=np.int64) * 7)
+                         % 256).astype(np.uint8)
+                    blob = encode_wav(8000, b.tobytes(),
+                                      audio_format=6 if layout == 3 else 7,
+                                      bits=8)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return decode_wav(media, "doc_id", "blob").select(
+        "media_id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "peak", "zero_crossings", "sum_sq", "rms",
+    )
