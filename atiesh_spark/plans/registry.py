@@ -142,16 +142,17 @@ MAX_STALENESS_ROUNDS = -(-len(QUERIES) // _DRIVER_WINDOW) + 1
 #: of round 2's silent accident. (Empty in round 4: the window has room
 #: for every never-graded query.)
 DEFERRED_FIRST_GRADE: dict[str, str] = {
-    # Round 9: empty. The eight round-9 registrations (q234-q241:
-    # the codec/source-lab completions) fit the window as
-    # first-grades AHEAD of the entire 36-row r4-stale cohort (the
-    # round-8 verdict's restraint mandate — the cohort still grades
-    # this round) plus the 6 oldest r5 rows. The eight r5 rows they
-    # displaced (q133/q134/q136-q139/q141/q142, next gradable r10 at
-    # staleness 5 of 6) were each hand-certified this session via
-    # verify_parity (MATCH), as were q38-q40, q143, and full-registry
-    # sweeps mid-round (235/235) and at close (240/240, pre-q241).
-    # Round 10's first action remains `python scripts/update_ledger.py`.
+    # Round 10: empty. Exactly FOUR new registrations (q242 MPEG-1
+    # audio, q243 PDF text, q244 streaming crawl twin, q245 WAV
+    # layouts) lead the window as first-grades, followed by the
+    # ENTIRE 41-row r5-stale cohort (the r9 verdict's mandate:
+    # q21-q35, q38-q44, q46, q48/q49, q54-q59, q129/q130, q132-q134,
+    # q136-q139, q141 — all at staleness 5-of-6 this round) plus the
+    # 5 oldest r6 rows: 4 + 41 + 5 = 50. Every row of that window
+    # was hand-certified via verify_parity THIS session before the
+    # driver run (41/41 + 6/6 r6 candidates + the four new, all
+    # MATCH). Round 11's first action remains
+    # `python scripts/update_ledger.py`.
 }
 
 

@@ -176,6 +176,15 @@ def generate() -> None:
 
 
 def main() -> None:
+    # --copies N: probe at N x sf0.1 instead of the default 10x —
+    # round 10 adds a second probe point (30x) so fixed-overhead
+    # amortization in the row-local codec cells is demonstrable
+    # (r9 verdict item 7). Output dir keyed by the factor.
+    global COPIES, OUT
+    for i, a in enumerate(sys.argv):
+        if a == "--copies" and i + 1 < len(sys.argv):
+            COPIES = int(sys.argv[i + 1])
+            OUT = f"/root/repo/.scale_probe/sf{COPIES / 10:g}"
     if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
         generate()
     if "--gen-only" in sys.argv:
