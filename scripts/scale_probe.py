@@ -123,6 +123,15 @@ HEAVY = [
     "q237_bmp_decode",
     "q238_tiff_decode",
     "q241_image_resize",
+    # round 10: MPEG-1 Layer I/II frame synth + bitstream decode and
+    # the PDF writer/parser round trip — both row-local mapInPandas
+    # chains whose scale axis is document count; and the streaming
+    # crawl twin (4 foreachBatch rounds over the q235 chain + an
+    # O(hosts x reasons) store merge — fixed round count, so the
+    # ratio tracks the underlying chain)
+    "q242_mpeg_audio_decode",
+    "q243_pdf_text",
+    "q244_crawl_stream_replay",
 ]
 
 
