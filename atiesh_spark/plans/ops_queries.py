@@ -11905,11 +11905,17 @@ def q242_mpeg_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="PDF text extraction end-to-end (sources/pdfsrc.py, round 10 "
     "— r9 verdict item 4, the last bulk-ingestion container a "
     "training-data pipeline could not read): per document one PDF "
-    "with 1-3 pages is synthesized by the module's own classic-xref "
+    "with 1-3 pages is synthesized by the module's own writer in a "
+    "rotating FILE LAYOUT — classic xref table, PDF 1.5 xref "
+    "stream, xref stream + ObjStm-packed dictionaries, and the "
+    "full modern layout with PNG-predicted xref rows (the "
+    "dominant real-world shape) — "
     "writer (catalog -> pages tree -> page objects -> content "
     "streams, FlateDecode on even doc_ids, stored on odd), then "
     "parse_pdf_pages explodes the blobs back into per-page text "
-    "rows: xref table walked (the /Prev-chain + scan-fallback "
+    "rows: the xref CHAIN walked (classic tables, xref streams "
+    "incl. /W//Index/type-2 rows and PNG predictor reversal, "
+    "ObjStm member extraction; /Prev-chain + scan-fallback "
     "recovery paths are unit-tested), /Length resolved, streams "
     "inflated under the zipsrc budget discipline, the page tree "
     "walked with cycle/depth guards, and the text-showing operators "
@@ -11965,7 +11971,18 @@ def q243_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 d = int(did)
                 pages = [page_bytes(d, p) for p in range(1 + d % 3)]
-                blobs.append(encode_pdf(pages, compress=(d % 2 == 0)))
+                # file-layout rotation (text and oracle unchanged):
+                # classic xref table, PDF 1.5 xref STREAM, xref
+                # stream + ObjStm-packed dictionaries, and the full
+                # modern layout with PNG-predicted xref rows
+                fl = d % 4
+                blobs.append(encode_pdf(
+                    pages,
+                    compress=(d % 2 == 0),
+                    xref_stream=fl >= 1,
+                    objstm=fl >= 2,
+                    predictor=fl == 3,
+                ))
             yield pd.DataFrame({"pdf_id": pdf["doc_id"], "blob": blobs})
 
     media = docs.mapInPandas(synth, schema="pdf_id long, blob binary")

@@ -9,17 +9,26 @@ file format (ISO 32000 / the classic Adobe PDF 1.x layout):
   types (numbers, booleans, null, names, literal + hex strings,
   arrays, dictionaries) plus indirect references ``N G R`` and
   ``N G obj ... endobj`` bodies;
-- **xref layer** — the classic cross-reference table is walked from
-  ``startxref`` through ``/Prev`` chains; a damaged or missing
-  table (or a PDF 1.5 cross-reference STREAM, which this baseline
-  does not decode) falls back to reconstructing offsets by scanning
-  for ``N G obj`` headers — the same recovery real readers apply to
-  damaged files, so xref-stream PDFs whose objects are not packed
-  into object streams still extract;
+- **xref layer** — the cross-reference chain is walked from
+  ``startxref`` through ``/Prev`` increments: classic tables AND
+  PDF 1.5 cross-reference STREAMS (ISO 32000 §7.5.8: /W field
+  widths, /Index subsections, type-1 offset and type-2
+  in-object-stream rows, FlateDecode with the PNG row predictors
+  real writers emit), plus hybrid-reference ``/XRefStm`` side
+  tables; a damaged chain falls back to reconstructing offsets by
+  scanning for ``N G obj`` headers — the same recovery real readers
+  apply to damaged files (objects packed inside object streams are
+  unreachable in fallback mode: their xref rows were the only
+  pointer to them);
+- **object streams** — ``/ObjStm`` containers (§7.5.7, the dominant
+  modern layout) are decoded: the (objnum, offset) header pairs are
+  lexed and every member parsed and cached in one pass; nesting
+  (illegal per spec) is guarded as a cycle error;
 - **stream layer** — ``/Length`` resolved (possibly indirect),
   ``/Filter /FlateDecode`` inflated with the zipsrc.py budget
   discipline (hard inflated-size cap BEFORE allocation, overrun =
-  error); unfiltered streams pass through; any other filter is a
+  error), ``/DecodeParms`` PNG predictors (all five filter types)
+  reversed; unfiltered streams pass through; any other filter is a
   typed per-document error;
 - **document layer** — trailer ``/Root`` -> ``/Catalog`` ->
   ``/Pages`` tree walked recursively (cycle guard + depth cap),
@@ -34,8 +43,7 @@ file format (ISO 32000 / the classic Adobe PDF 1.x layout):
   encoding maps are out of baseline scope, stated here).
 
 NOT parsed (typed error rows, never misreads): encrypted PDFs
-(``/Encrypt`` in the trailer), object streams (``/ObjStm`` — objects
-compressed inside other streams), and non-Flate filters
+(``/Encrypt`` in the trailer) and non-Flate filters
 (DCT/LZW/ASCII85/...). Those are the same class of documented
 closure as the codec lab's MP3/H.264 paragraph in COVERAGE.md.
 
@@ -274,29 +282,141 @@ def _scan_objects(blob: bytes) -> dict[int, int]:
     return offsets
 
 
-def _parse_xref(blob: bytes) -> tuple[dict[int, int], dict]:
-    """(object offsets, merged trailer dict) via the classic xref
-    table chain; raises to trigger the scan fallback."""
-    tail = blob[-256:]
-    m = None
-    for m in re.finditer(rb"startxref\s+(\d+)", tail):
-        pass
-    if m is None:
-        raise ValueError("no startxref")
-    off = int(m.group(1))
-    offsets: dict[int, int] = {}
-    trailer: dict = {}
-    seen: set[int] = set()
-    while True:
-        if off in seen or off >= len(blob):
-            raise ValueError("bad xref chain")
-        seen.add(off)
-        lex = _Lexer(blob, off)
-        tok = lex.next_token()
-        if not (isinstance(tok, _Op) and str(tok) == "xref"):
-            raise ValueError("xref stream or damaged xref table")
+def _flate(raw: bytes) -> bytes:
+    """Budgeted inflate (the zipsrc discipline: cap BEFORE allocation)."""
+    dobj = zlib.decompressobj()
+    data = dobj.decompress(raw, MAX_STREAM_BYTES)
+    if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
+        raise ValueError("stream inflates past budget")
+    return data + dobj.flush()
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (Predictor >= 10) on a byte matrix
+    — all five filter types, bpp = 1 byte (the /Colors 1
+    /BitsPerComponent 8 case xref streams use)."""
+    rowlen = columns + 1
+    if columns < 1 or len(data) % rowlen:
+        raise ValueError("bad predictor row length")
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        for i in range(columns):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] + a
+            elif ft == 2:
+                v = row[i] + b
+            elif ft == 3:
+                v = row[i] + (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = row[i] + pr
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            row[i] = v & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_filters(sdict: dict, raw: bytes, resolve) -> bytes:
+    """Decode a stream body per /Filter (+ /DecodeParms): FlateDecode
+    with optional PNG predictors; anything else is a typed error."""
+    filt = resolve(sdict.get("Filter"))
+    if filt is None:
+        return raw
+    parms = resolve(sdict.get("DecodeParms"))
+    filters = filt if isinstance(filt, list) else [filt]
+    parms_list = parms if isinstance(parms, list) else [parms]
+    data = raw
+    for i, f in enumerate(filters):
+        f = str(resolve(f))
+        p = resolve(parms_list[i]) if i < len(parms_list) else None
+        if f != "FlateDecode":
+            raise ValueError(f"unsupported stream filter {f}")
+        data = _flate(data)
+        if isinstance(p, dict):
+            pred = resolve(p.get("Predictor", 1))
+            if isinstance(pred, int) and pred >= 10:
+                cols = resolve(p.get("Columns", 1))
+                if not isinstance(cols, int):
+                    raise ValueError("bad /Columns")
+                data = _png_unpredict(data, cols)
+            elif pred not in (None, 1):
+                raise ValueError(f"unsupported predictor {pred}")
+    return data
+
+
+def _xref_stream_entries(
+    d: dict, data: bytes,
+    offsets: dict[int, int], compressed: dict[int, tuple[int, int]],
+) -> None:
+    """Apply one decoded cross-reference STREAM's rows (ISO 32000
+    §7.5.8): /W field widths, /Index subsections; type 1 = offset,
+    type 2 = (object-stream number, index within it); first section
+    seen wins (the chain is walked newest-first)."""
+    w = d.get("W")
+    size = d.get("Size")
+    if not (isinstance(w, list) and len(w) == 3
+            and all(isinstance(x, int) and 0 <= x <= 8 for x in w)):
+        raise ValueError("bad xref stream /W")
+    if not isinstance(size, int) or size < 0:
+        raise ValueError("bad xref stream /Size")
+    index = d.get("Index", [0, size])
+    if (not isinstance(index, list) or len(index) % 2
+            or not all(isinstance(x, int) and x >= 0 for x in index)):
+        raise ValueError("bad xref stream /Index")
+    rw = sum(w)
+    if rw == 0:
+        raise ValueError("zero-width xref stream rows")
+    pos = 0
+    for s, c in zip(index[::2], index[1::2]):
+        if len(offsets) + len(compressed) + c > MAX_OBJECTS:
+            raise ValueError("object count exceeds budget")
+        for k in range(c):
+            if pos + rw > len(data):
+                raise ValueError("xref stream data truncated")
+            fields = []
+            for width in w:
+                fields.append(
+                    int.from_bytes(data[pos : pos + width], "big")
+                    if width else None
+                )
+                pos += width
+            t = fields[0] if w[0] else 1
+            num = s + k
+            if num in offsets or num in compressed:
+                continue
+            if t == 1:
+                if fields[1] is None:
+                    raise ValueError("xref stream type-1 row missing offset")
+                offsets[num] = fields[1]
+            elif t == 2:
+                if fields[1] is None or fields[2] is None:
+                    raise ValueError("xref stream type-2 row incomplete")
+                compressed[num] = (fields[1], fields[2])
+            # type 0 (free) and unknown types: no entry
+
+
+def _read_xref_at(
+    blob: bytes, off: int,
+    offsets: dict[int, int], compressed: dict[int, tuple[int, int]],
+) -> dict:
+    """Parse ONE cross-reference section at ``off`` — classic table
+    OR xref stream — into the maps; returns its trailer dict."""
+    lex = _Lexer(blob, off)
+    tok = lex.next_token()
+    if isinstance(tok, _Op) and str(tok) == "xref":
         while True:
-            save = lex.pos
             t = lex.next_token()
             if isinstance(t, _Op) and str(t) == "trailer":
                 break
@@ -316,18 +436,82 @@ def _parse_xref(blob: bytes) -> tuple[dict[int, int], dict]:
                     raise ValueError("truncated xref entry")
                 kind = ent[17:18]
                 num = start + k
-                if kind == b"n" and num not in offsets:
+                if kind == b"n" and num not in offsets \
+                        and num not in compressed:
                     offsets[num] = int(ent[:10])
             lex.pos = pos + 20 * count
         t = lex.next_object()
         if not isinstance(t, dict):
             raise ValueError("bad trailer")
+        return t
+    if isinstance(tok, int):
+        # "N G obj << /Type /XRef ... >> stream": PDF 1.5 xref stream.
+        # Spec requires every entry in its dictionary to be DIRECT.
+        g = lex.next_token()
+        kw = lex.next_token()
+        if not (isinstance(g, int) and isinstance(kw, _Op)
+                and str(kw) == "obj"):
+            raise ValueError("damaged xref section header")
+        d = lex.next_object()
+        st = lex.next_token()
+        if not (isinstance(d, dict) and isinstance(st, _Op)
+                and str(st) == "stream" and d.get("Type") == "XRef"):
+            raise ValueError("object at startxref is not an XRef stream")
+        length = d.get("Length")
+        if not isinstance(length, int) or length < 0:
+            raise ValueError("xref stream /Length must be direct")
+        p = lex.pos
+        if blob[p : p + 2] == b"\r\n":
+            p += 2
+        elif blob[p : p + 1] == b"\n":
+            p += 1
+        raw = blob[p : p + length]
+        if len(raw) != length:
+            raise ValueError("xref stream truncated")
+        data = _apply_filters(d, raw, lambda v: v)
+        _xref_stream_entries(d, data, offsets, compressed)
+        return d
+    raise ValueError("damaged xref table")
+
+
+def _parse_xref(
+    blob: bytes,
+) -> tuple[dict[int, int], dict[int, tuple[int, int]], dict]:
+    """(object offsets, compressed-object map, merged trailer) via
+    the cross-reference chain from ``startxref`` — classic tables,
+    xref streams, /Prev incremental chains, and hybrid-reference
+    /XRefStm side tables; raises to trigger the scan fallback."""
+    tail = blob[-256:]
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass
+    if m is None:
+        raise ValueError("no startxref")
+    off = m.group(1)
+    offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
+    trailer: dict = {}
+    seen: set[int] = set()
+    off = int(off)
+    while off is not None:
+        if off in seen or off >= len(blob):
+            raise ValueError("bad xref chain")
+        if len(seen) > 1000:
+            raise ValueError("xref chain exceeds budget")
+        seen.add(off)
+        t = _read_xref_at(blob, off, offsets, compressed)
         for k, v in t.items():
             trailer.setdefault(k, v)
-        if "Prev" in t and isinstance(t["Prev"], int):
-            off = t["Prev"]
-            continue
-        return offsets, trailer
+        # hybrid-reference file: the classic section's /XRefStm points
+        # at the xref STREAM carrying the compressed-object entries
+        xs = t.get("XRefStm")
+        if isinstance(xs, int) and xs not in seen and xs < len(blob):
+            seen.add(xs)
+            st = _read_xref_at(blob, xs, offsets, compressed)
+            for k, v in st.items():
+                trailer.setdefault(k, v)
+        off = t.get("Prev") if isinstance(t.get("Prev"), int) else None
+    return offsets, compressed, trailer
 
 
 class _Doc:
@@ -336,13 +520,18 @@ class _Doc:
             raise ValueError("not a PDF (missing %PDF- header)")
         self.blob = blob
         self._cache: dict[int, object] = {}
+        self.compressed: dict[int, tuple[int, int]] = {}
+        self._objstm_loading: set[int] = set()
         try:
-            self.offsets, self.trailer = _parse_xref(blob)
+            self.offsets, self.compressed, self.trailer = _parse_xref(blob)
             if "Root" not in self.trailer:
                 raise ValueError("trailer missing /Root")
         except ValueError:
-            # damaged/absent/stream xref: reconstruct by scanning
+            # damaged/absent xref: reconstruct by scanning (objects
+            # packed inside object streams are unreachable this way —
+            # their xref rows were the only pointer to them)
             self.offsets = _scan_objects(blob)
+            self.compressed = {}
             self.trailer = self._scan_trailer()
         if "Encrypt" in self.trailer:
             raise ValueError("encrypted PDF unsupported")
@@ -372,6 +561,9 @@ class _Doc:
             return self._cache[num]
         off = self.offsets.get(num)
         if off is None:
+            cm = self.compressed.get(num)
+            if cm is not None:
+                return self._get_from_objstm(num, cm[0])
             raise ValueError(f"object {num} missing from xref")
         lex = _Lexer(self.blob, off)
         n = lex.next_token()
@@ -406,25 +598,52 @@ class _Doc:
         return body
 
     def _defilter(self, sdict: dict, raw: bytes) -> bytes:
-        filt = self.resolve(sdict.get("Filter"))
-        if filt is None:
-            return raw
-        filters = filt if isinstance(filt, list) else [filt]
-        data = raw
-        for f in filters:
-            f = str(self.resolve(f))
-            if f == "FlateDecode":
-                dobj = zlib.decompressobj()
-                # the zipsrc budget discipline: cap BEFORE allocation
-                data = dobj.decompress(data, MAX_STREAM_BYTES)
-                if dobj.unconsumed_tail and dobj.decompress(
-                    dobj.unconsumed_tail, 1
-                ):
-                    raise ValueError("stream inflates past budget")
-                data += dobj.flush()
-            else:
-                raise ValueError(f"unsupported stream filter {f}")
-        return data
+        return _apply_filters(sdict, raw, self.resolve)
+
+    def _get_from_objstm(self, num: int, container: int):
+        """Load an object stored inside an object stream (ISO 32000
+        §7.5.7): the container's stream body starts with /N
+        (objnum, offset) integer pairs; object i's body begins at
+        /First + offset_i, with no obj/endobj wrapper. All members
+        are parsed and cached in one pass (a later get() for a
+        sibling is free). Containers must not nest (spec rule) —
+        the loading guard turns a crafted cycle into an error."""
+        if container in self._objstm_loading:
+            raise ValueError("object stream cycle")
+        self._objstm_loading.add(container)
+        try:
+            cont = self.get(container)
+            if not (isinstance(cont, dict) and "__stream__" in cont
+                    and cont.get("Type") == "ObjStm"):
+                raise ValueError(f"object {num}: container {container} "
+                                 "is not an object stream")
+            n = self.resolve(cont.get("N"))
+            first = self.resolve(cont.get("First"))
+            if not (isinstance(n, int) and 0 <= n <= MAX_OBJECTS
+                    and isinstance(first, int) and first >= 0):
+                raise ValueError("bad object stream /N or /First")
+            data = cont["__stream__"]
+            lex = _Lexer(data)
+            pairs = []
+            for _ in range(n):
+                onum = lex.next_token()
+                ooff = lex.next_token()
+                if not (isinstance(onum, int) and isinstance(ooff, int)):
+                    raise ValueError("bad object stream header pair")
+                pairs.append((onum, ooff))
+            for onum, ooff in pairs:
+                if onum in self._cache:
+                    continue
+                if first + ooff > len(data):
+                    raise ValueError("object stream member offset "
+                                     "out of range")
+                self._cache[onum] = _Lexer(data, first + ooff).next_object()
+        finally:
+            self._objstm_loading.discard(container)
+        if num not in self._cache:
+            raise ValueError(f"object {num} not present in its "
+                             f"object stream {container}")
+        return self._cache[num]
 
     # -- page tree ---------------------------------------------------
 
@@ -531,21 +750,37 @@ def _pdf_escape(s: bytes) -> bytes:
              .replace(b")", b"\\)"))
 
 
-def encode_pdf(pages: list[bytes], compress: bool = True) -> bytes:
-    """A classic-xref PDF whose page i's content stream is
-    ``pages[i]`` (raw content-stream bytes, e.g. ``BT ... ET``).
-    ``compress=True`` FlateDecodes every content stream."""
-    objs: dict[int, bytes] = {}
+def encode_pdf(
+    pages: list[bytes],
+    compress: bool = True,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    predictor: bool = False,
+) -> bytes:
+    """A PDF whose page i's content stream is ``pages[i]`` (raw
+    content-stream bytes, e.g. ``BT ... ET``). ``compress``
+    FlateDecodes every content stream. ``xref_stream=True`` writes
+    the PDF 1.5 layout (cross-reference STREAM instead of the
+    classic table); ``objstm=True`` additionally packs every
+    non-stream object (catalog, pages node, page dicts, font) into
+    one object stream — the dominant modern layout (requires
+    ``xref_stream``); ``predictor=True`` PNG-up-predicts the xref
+    stream rows (/DecodeParms /Predictor 12), as most real writers
+    do."""
+    if objstm and not xref_stream:
+        raise ValueError("object streams require an xref stream")
+    dict_objs: dict[int, bytes] = {}
+    stream_objs: dict[int, bytes] = {}
     n_pages = len(pages)
     page_ids = [3 + 2 * i for i in range(n_pages)]
     font_id = 3 + 2 * n_pages
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
-    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    objs[2] = (b"<< /Type /Pages /Kids [ " + kids
-               + b" ] /Count %d >>" % n_pages)
+    dict_objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    dict_objs[2] = (b"<< /Type /Pages /Kids [ " + kids
+                    + b" ] /Count %d >>" % n_pages)
     for i, content in enumerate(pages):
         pid, cid = page_ids[i], page_ids[i] + 1
-        objs[pid] = (
+        dict_objs[pid] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 %d 0 R >> >> "
             b"/Contents %d 0 R >>" % (font_id, cid)
@@ -556,23 +791,94 @@ def encode_pdf(pages: list[bytes], compress: bool = True) -> bytes:
         else:
             data = content
             head = b"<< /Length %d >>" % len(data)
-        objs[cid] = head + b"\nstream\n" + data + b"\nendstream"
-    objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
-                     b"/BaseFont /Helvetica >>")
+        stream_objs[cid] = head + b"\nstream\n" + data + b"\nendstream"
+    dict_objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
+                          b"/BaseFont /Helvetica >>")
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
+    if not xref_stream:
+        objs = {**dict_objs, **stream_objs}
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        size = max(objs) + 1
+        out += b"xref\n0 %d\n" % size
+        out += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            out += b"%010d 00000 n \n" % offsets[num]
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (size, xref_off))
+        return bytes(out)
+
+    # ---- PDF 1.5 layout: xref stream (+ optional object stream) ----
+    objstm_id = font_id + 1
+    xref_id = font_id + 2 if objstm else font_id + 1
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    in_stm: dict[int, int] = {}  # objnum -> index within the ObjStm
+    if objstm:
+        members = sorted(dict_objs)
+        bodies, offs, pos = [], [], 0
+        for num in members:
+            offs.append(pos)
+            body = dict_objs[num] + b"\n"
+            bodies.append(body)
+            pos += len(body)
+        header = b" ".join(
+            b"%d %d" % (num, off) for num, off in zip(members, offs)
+        ) + b"\n"
+        payload = header + b"".join(bodies)
+        data = zlib.compress(payload)
+        offsets[objstm_id] = len(out)
+        out += (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
+                b"/Length %d /Filter /FlateDecode >>\nstream\n"
+                % (objstm_id, len(members), len(header), len(data)))
+        out += data + b"\nendstream\nendobj\n"
+        for idx, num in enumerate(members):
+            in_stm[num] = idx
+        regular = stream_objs
+    else:
+        regular = {**dict_objs, **stream_objs}
+    for num in sorted(regular):
         offsets[num] = len(out)
-        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        out += b"%d 0 obj\n" % num + regular[num] + b"\nendobj\n"
+
     xref_off = len(out)
-    size = max(objs) + 1
-    out += b"xref\n0 %d\n" % size
-    out += b"0000000000 65535 f \n"
-    for num in range(1, size):
-        out += b"%010d 00000 n \n" % offsets[num]
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\n"
-            b"startxref\n%d\n%%%%EOF\n" % (size, xref_off))
+    size = xref_id + 1
+    rows = bytearray()
+    w = (1, 4, 2)
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in in_stm:
+            t, f2, f3 = 2, objstm_id, in_stm[num]
+        elif num == xref_id:
+            t, f2, f3 = 1, xref_off, 0
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    rw = sum(w)
+    parms = b""
+    if predictor:
+        # PNG "up" filter (type 2) per row, as real writers emit
+        filtered = bytearray()
+        prev = bytes(rw)
+        for r in range(0, len(rows), rw):
+            row = rows[r : r + rw]
+            filtered += b"\x02" + bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(rw)
+            )
+            prev = row
+        rows = filtered
+        parms = b" /DecodeParms << /Predictor 12 /Columns %d >>" % rw
+    data = zlib.compress(bytes(rows))
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] "
+            b"/Root 1 0 R /Filter /FlateDecode%s /Length %d >>\nstream\n"
+            % (xref_id, size, parms, len(data)))
+    out += data + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
 
 

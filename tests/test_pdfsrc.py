@@ -156,3 +156,116 @@ def test_spark_page_explode(spark):
     assert len(by_id[2]) == 1 and by_id[2][0].error is not None
     assert by_id[3][0].error == "NULL blob"
     assert by_id[2][0].page_index is None
+
+
+class TestModernLayouts:
+    """PDF 1.5 cross-reference streams + object streams (round 10)."""
+
+    PAGES = [text_page(b"alpha (x)"), text_page(b"beta"),
+             text_page(b"gamma")]
+    WANT = ["alpha (x)", "beta", "gamma"]
+
+    @pytest.mark.parametrize("kw", [
+        {"xref_stream": True},
+        {"xref_stream": True, "predictor": True},
+        {"xref_stream": True, "objstm": True},
+        {"xref_stream": True, "objstm": True, "predictor": True},
+        {"xref_stream": True, "objstm": True, "compress": False},
+    ])
+    def test_round_trips(self, kw):
+        assert extract_pdf_pages(encode_pdf(self.PAGES, **kw)) == self.WANT
+
+    def test_objstm_requires_xref_stream(self):
+        with pytest.raises(ValueError, match="xref stream"):
+            encode_pdf(self.PAGES, objstm=True)
+
+    def test_many_pages_modern(self):
+        many = [text_page(b"pg %d" % i) for i in range(40)]
+        blob = encode_pdf(many, xref_stream=True, objstm=True,
+                          predictor=True)
+        assert extract_pdf_pages(blob) == [f"pg {i}" for i in range(40)]
+
+    def test_png_unpredict_all_filters(self):
+        """The predictor reversal handles every PNG filter type, not
+        just the 'up' rows this repo's writer emits."""
+        from atiesh_spark.sources.pdfsrc import _png_unpredict
+
+        cols = 5
+        plain = [bytes((r * 7 + c * 13) % 256 for c in range(cols))
+                 for r in range(6)]
+        # forward-filter each row with a different type (0..4, then 2)
+        data = bytearray()
+        prev = bytes(cols)
+        for r, row in enumerate(plain):
+            ft = [0, 1, 2, 3, 4, 2][r]
+            enc = bytearray()
+            for i in range(cols):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ft == 0:
+                    v = row[i]
+                elif ft == 1:
+                    v = row[i] - a
+                elif ft == 2:
+                    v = row[i] - b
+                elif ft == 3:
+                    v = row[i] - (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                    v = row[i] - pr
+                enc.append(v & 0xFF)
+            data += bytes([ft]) + enc
+            prev = row
+        assert _png_unpredict(bytes(data), cols) == b"".join(plain)
+        with pytest.raises(ValueError, match="filter type"):
+            _png_unpredict(b"\x07" + b"\x00" * cols, cols)
+        with pytest.raises(ValueError, match="row length"):
+            _png_unpredict(b"\x00\x01", 5)
+
+    def test_objstm_cycle_and_missing_member_are_errors(self):
+        blob = encode_pdf(self.PAGES, xref_stream=True, objstm=True)
+        # point a type-2 row's container at ITSELF via a crafted doc:
+        # simpler — corrupt the ObjStm /N so a member is missing
+        bad = blob.replace(b"/Type /ObjStm /N 6", b"/Type /ObjStm /N 2")
+        with pytest.raises(ValueError):
+            extract_pdf_pages(bad)
+
+    def test_scan_fallback_documented_objstm_gap(self):
+        """With a destroyed startxref, an ObjStm-packed PDF cannot be
+        recovered by scanning (the members' only pointers were the
+        xref rows) — must be a typed error, not a misread."""
+        blob = bytearray(encode_pdf(self.PAGES, xref_stream=True,
+                                    objstm=True))
+        i = bytes(blob).rfind(b"startxref")
+        blob[i : i + 9] = b"startxrEF"
+        with pytest.raises(ValueError):
+            extract_pdf_pages(bytes(blob))
+        # but a NON-objstm xref-stream PDF recovers fine by scanning
+        blob2 = bytearray(encode_pdf(self.PAGES, xref_stream=True))
+        i = bytes(blob2).rfind(b"startxref")
+        blob2[i : i + 9] = b"startxrEF"
+        assert extract_pdf_pages(bytes(blob2)) == self.WANT
+
+    def test_hybrid_reference_xrefstm(self):
+        """A classic table whose trailer carries /XRefStm (the hybrid
+        layout Acrobat emits): the side xref stream supplies the
+        compressed-object rows."""
+        modern = encode_pdf(self.PAGES, xref_stream=True, objstm=True)
+        # find the xref stream object's offset from startxref
+        import re as _re
+
+        m = list(_re.finditer(rb"startxref\s+(\d+)", modern))[-1]
+        xs_off = int(m.group(1))
+        body = modern[: m.start()]  # drop startxref/%%EOF
+        out = bytearray(body)
+        xref_off = len(out)
+        # minimal classic section: only the free-list head, with
+        # /XRefStm pointing at the existing xref stream
+        out += (b"xref\n0 1\n0000000000 65535 f \n"
+                b"trailer\n<< /Size 9 /Root 1 0 R /XRefStm %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (xs_off, xref_off))
+        assert extract_pdf_pages(bytes(out)) == self.WANT
