@@ -12169,3 +12169,66 @@ def q245_wav_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "sample_rate", "channels", "n_frames", "duration_ms",
         "peak", "zero_crossings", "sum_sq", "rms",
     )
+
+
+@register(
+    "q246_tarxz_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 16 AS BIGINT) AS archive_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 16
+                                   ORDER BY doc_id) - 1 AS INT)
+               AS member_index,
+           'doc/' || doc_id || '.txt' AS name,
+           '0' AS typeflag,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    doc="tar.xz / tar.bz2 archive ingestion end-to-end "
+    "(sources/tarsrc.py, round 10): q240 grades the gzip wrapper; "
+    "this completes the stream-compressor set real dataset dumps "
+    "arrive under — the 16 ustar shards are wrapped in xz (even "
+    "shards, the 0xFD '7zXZ' magic via stdlib lzma) or bz2 (odd "
+    "shards, the 'BZh' magic via stdlib bz2), and parse_tar_members "
+    "sniffs the magic and decompresses under the SAME pre-allocation "
+    "budget discipline as the gzip path (max_length-capped "
+    "decompress; output past MAX_ARCHIVE_BYTES stays buffered in "
+    "the decompressor and the archive becomes one error row instead "
+    "of an allocation). Oracle identical to q240's — the wrapper "
+    "must be invisible to member content. Per-member grading: "
+    "shard, index, name, typeflag, byte length, payload md5. "
+    "Parallelism = archive files; per-archive work linear in bytes.",
+)
+def q246_tarxz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from atiesh_spark.sources.tarsrc import encode_tar, parse_tar_members
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("archive_id")
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"doc/{int(d)}.txt", t.encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        comp = "xz" if key[0] % 2 == 0 else "bz2"
+        return pd.DataFrame(
+            {"archive_id": [key[0]],
+             "blob": [encode_tar(members, compression=comp)]}
+        )
+
+    blobs = docs.groupBy("archive_id").applyInPandas(
+        pack, "archive_id bigint, blob binary"
+    )
+    members = parse_tar_members(blobs, "blob", id_cols=("archive_id",))
+    return members.select(
+        "archive_id",
+        "member_index",
+        "name",
+        "typeflag",
+        F.col("size").cast("long").alias("size"),
+        F.md5("body").alias("body_md5"),
+    )

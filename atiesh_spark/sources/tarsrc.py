@@ -1,7 +1,9 @@
-"""tar / tar.gz archive ingestion: parse tarball blobs into member
-rows — the third dataset-dump container beside WARC (sources/warc.py)
-and ZIP (sources/zipsrc.py); most published corpora ship as
-``.tar.gz``.
+"""tar / tar.gz / tar.xz / tar.bz2 archive ingestion: parse tarball
+blobs into member rows — the third dataset-dump container beside WARC
+(sources/warc.py) and ZIP (sources/zipsrc.py); most published corpora
+ship as ``.tar.gz``, with ``.tar.xz``/``.tar.bz2`` (round 10, stdlib
+lzma/bz2 under the same pre-allocation budget) covering the rest of
+the stream-compressor set.
 
 Format facts (public: POSIX.1-1988 ustar + the GNU/pax extensions a
 parser must at least SKIP): 512-byte header blocks — name(100)
@@ -82,11 +84,19 @@ def _header(name: str, size: int, typeflag: bytes = b"0") -> bytes:
 
 
 def encode_tar(
-    members: list[tuple[str, bytes]], gzipped: bool = False
+    members: list[tuple[str, bytes]],
+    gzipped: bool = False,
+    compression: str | None = None,
 ) -> bytes:
     """Serialize ``(name, payload)`` pairs as a POSIX ustar blob (the
-    writer half of the round trip); ``gzipped=True`` wraps the result
-    in a gzip stream (.tar.gz)."""
+    writer half of the round trip). ``compression`` wraps the result:
+    ``"gz"`` (gzip, also reachable via the legacy ``gzipped=True``),
+    ``"xz"`` (.tar.xz), or ``"bz2"`` (.tar.bz2) — the three stream
+    compressors real dataset dumps arrive under, all stdlib."""
+    if gzipped:
+        if compression not in (None, "gz"):
+            raise ValueError("conflicting compression arguments")
+        compression = "gz"
     out = bytearray()
     for name, payload in members:
         out += _header(name, len(payload))
@@ -94,9 +104,19 @@ def encode_tar(
         pad = (-len(payload)) % 512
         out += b"\x00" * pad
     out += b"\x00" * 1024
-    if gzipped:
+    if compression == "gz":
         co = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
         return co.compress(bytes(out)) + co.flush()
+    if compression == "xz":
+        import lzma
+
+        return lzma.compress(bytes(out), format=lzma.FORMAT_XZ)
+    if compression == "bz2":
+        import bz2
+
+        return bz2.compress(bytes(out))
+    if compression is not None:
+        raise ValueError(f"unknown compression {compression!r}")
     return bytes(out)
 
 
@@ -131,6 +151,37 @@ def parse_tar_blob(blob: bytes) -> Iterator[dict]:
             blob += dobj.flush()
         except (zlib.error, ValueError) as exc:
             yield err(None, f"gzip inflate failed: {exc}")
+            return
+    elif blob[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        try:
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            data = d.decompress(blob, MAX_ARCHIVE_BYTES)
+            # the same pre-allocation budget as the gzip path: with
+            # max_length set, remaining output stays buffered inside
+            # the decompressor instead of being materialized
+            if not d.eof:
+                raise ValueError(
+                    "xz payload exceeds archive budget or is truncated"
+                )
+            blob = data
+        except (lzma.LZMAError, ValueError) as exc:
+            yield err(None, f"xz decompress failed: {exc}")
+            return
+    elif blob[:3] == b"BZh":
+        import bz2
+
+        try:
+            d = bz2.BZ2Decompressor()
+            data = d.decompress(blob, MAX_ARCHIVE_BYTES)
+            if not d.eof:
+                raise ValueError(
+                    "bz2 payload exceeds archive budget or is truncated"
+                )
+            blob = data
+        except (OSError, ValueError) as exc:
+            yield err(None, f"bz2 decompress failed: {exc}")
             return
     if len(blob) % 512:
         yield err(None, f"not block-aligned ({len(blob)} bytes)")

@@ -132,3 +132,63 @@ def test_spark_member_explode(spark):
 def test_empty_archive_is_zero_rows_not_error():
     assert list(parse_tar_blob(encode_tar([]))) == []
     assert list(parse_tar_blob(encode_tar([], gzipped=True))) == []
+
+
+class TestXzBz2:
+    """Round 10: the remaining stream compressors dataset dumps
+    arrive under — .tar.xz and .tar.bz2 (stdlib lzma / bz2), same
+    budget discipline as gzip."""
+
+    @pytest.mark.parametrize("comp,mode", [("xz", "r:xz"),
+                                           ("bz2", "r:bz2")])
+    def test_round_trip_and_stdlib_interop(self, comp, mode):
+        blob = encode_tar(MEMBERS, compression=comp)
+        rows = list(parse_tar_blob(blob))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+        assert all(r["error"] is None for r in rows)
+        tf = tarfile.open(fileobj=io.BytesIO(blob), mode=mode)
+        assert [(m.name, tf.extractfile(m).read())
+                for m in tf.getmembers()] == MEMBERS
+        # and stdlib-written archives read back through ours
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode=f"w:{comp}") as w:
+            for name, payload in MEMBERS:
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                w.addfile(info, io.BytesIO(payload))
+        rows = list(parse_tar_blob(buf.getvalue()))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+
+    @pytest.mark.parametrize("comp", ["xz", "bz2"])
+    def test_bomb_budget(self, comp):
+        import bz2 as _bz2
+        import lzma as _lzma
+
+        from atiesh_spark.sources import tarsrc
+
+        raw = b"\x00" * (1 << 20)
+        bomb = (_lzma.compress(raw) if comp == "xz"
+                else _bz2.compress(raw))
+        old = tarsrc.MAX_ARCHIVE_BYTES
+        tarsrc.MAX_ARCHIVE_BYTES = 1 << 16
+        try:
+            rows = list(parse_tar_blob(bomb))
+        finally:
+            tarsrc.MAX_ARCHIVE_BYTES = old
+        assert rows[0]["error"] is not None
+        assert "budget" in rows[0]["error"]
+
+    @pytest.mark.parametrize("comp", ["xz", "bz2"])
+    def test_truncated_stream_is_error(self, comp):
+        blob = encode_tar(MEMBERS, compression=comp)
+        rows = list(parse_tar_blob(blob[: len(blob) // 2]))
+        assert rows[0]["error"] is not None
+
+    def test_writer_arg_validation(self):
+        with pytest.raises(ValueError, match="unknown compression"):
+            encode_tar(MEMBERS, compression="zst")
+        with pytest.raises(ValueError, match="conflicting"):
+            encode_tar(MEMBERS, gzipped=True, compression="xz")
+        # legacy spelling still equals the new one
+        assert encode_tar(MEMBERS, gzipped=True) == encode_tar(
+            MEMBERS, compression="gz")
