@@ -12232,3 +12232,68 @@ def q246_tarxz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("size"),
         F.md5("body").alias("body_md5"),
     )
+
+
+@register(
+    "q247_warcgz_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 32 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY doc_id % 32
+                                   ORDER BY doc_id) - 1 AS BIGINT)
+               AS rec_index,
+           'response' AS warc_type,
+           'https://corpus.example/doc/' || doc_id AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    doc="Gzipped WARC ingestion end-to-end (sources/warc.py + "
+    "sources/tarsrc.py gunzip_concat, round 10): CommonCrawl does "
+    "not ship plain .warc — it ships .warc.gz with ONE GZIP MEMBER "
+    "PER RECORD (record-granular range requests), so the inflate "
+    "path must loop over concatenated members; a single-member "
+    "decompressobj pass silently drops every record after the first "
+    "into unused_data (the exact bug this round fixed in the tar.gz "
+    "path, now regression-graded here). Fixture: q212's 32 shards "
+    "written gzipped=True (one member per record, stdlib-gzip "
+    "interop unit-tested), parsed back through the member-looping "
+    "budgeted inflate; oracle identical to q212's — compression "
+    "must be invisible to record content. Parallelism = archive "
+    "files; budget cumulative across members, enforced BEFORE "
+    "materialization.",
+)
+def q247_warcgz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from atiesh_spark.sources.warc import (
+        encode_warc_records,
+        parse_warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 32).alias("shard")
+    )
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (f"https://corpus.example/doc/{int(d)}", t.encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"shard": [key[0]],
+             "blob": [encode_warc_records(recs, gzipped=True)]}
+        )
+
+    blobs = docs.groupBy("shard").applyInPandas(
+        build, "shard bigint, blob binary"
+    )
+    recs = parse_warc_records(blobs, "blob", id_cols=("shard",))
+    return recs.select(
+        "shard",
+        F.col("rec_index").cast("long").alias("rec_index"),
+        "warc_type",
+        "target_uri",
+        "content_length",
+        F.md5("body").alias("body_md5"),
+    )

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["encode_tar", "parse_tar_members"]
+__all__ = ["encode_tar", "gunzip_concat", "parse_tar_members"]
 
 MAX_MEMBERS = 100_000
 MAX_MEMBER_BYTES = 1 << 30   # per-member budget
@@ -120,6 +120,28 @@ def encode_tar(
     return bytes(out)
 
 
+def gunzip_concat(blob: bytes, max_bytes: int) -> bytes:
+    """Inflate a gzip stream of one or MORE members (gzip, pigz, and
+    the CommonCrawl .warc.gz convention all emit concatenated
+    members; a single decompressobj pass silently DROPS everything
+    after the first member via ``unused_data`` — the round-10 fix).
+    The budget is cumulative across members and enforced with
+    max_length so output past it is never materialized."""
+    out = bytearray()
+    rest = blob
+    while rest[:2] == b"\x1f\x8b":
+        dobj = zlib.decompressobj(16 + 15)
+        out += dobj.decompress(rest, max_bytes - len(out) + 1)
+        if len(out) > max_bytes:
+            raise ValueError("gzip payload exceeds archive budget")
+        if not dobj.eof:
+            raise ValueError("truncated gzip member")
+        rest = dobj.unused_data
+    if rest.strip(b"\x00"):
+        raise ValueError("trailing garbage after gzip members")
+    return bytes(out)
+
+
 def _verify_checksum(block: bytes) -> None:
     stored = _octal(block[148:156])
     computed = sum(block) - sum(block[148:156]) + 8 * 0x20
@@ -142,13 +164,7 @@ def parse_tar_blob(blob: bytes) -> Iterator[dict]:
 
     if blob[:2] == b"\x1f\x8b":
         try:
-            dobj = zlib.decompressobj(16 + 15)
-            blob = dobj.decompress(blob, MAX_ARCHIVE_BYTES)
-            if dobj.unconsumed_tail and dobj.decompress(
-                dobj.unconsumed_tail, 1
-            ):
-                raise ValueError("gzip payload exceeds archive budget")
-            blob += dobj.flush()
+            blob = gunzip_concat(blob, MAX_ARCHIVE_BYTES)
         except (zlib.error, ValueError) as exc:
             yield err(None, f"gzip inflate failed: {exc}")
             return

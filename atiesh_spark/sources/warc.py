@@ -53,15 +53,22 @@ RECORD_FIELDS = [
 ]
 
 
-def encode_warc_records(records: list[tuple[str, bytes]]) -> bytes:
+def encode_warc_records(
+    records: list[tuple[str, bytes]], gzipped: bool = False
+) -> bytes:
     """Serialize ``(target_uri, payload)`` pairs as a WARC/1.0 blob.
 
     The writer half of the round trip: tests and the graded query
     synthesize archives with it, and its output is byte-exact ISO
     28500 framing (version line, CRLF headers, Content-Length payload,
     CRLF CRLF separator) so ``parse_warc_blob`` is exercised on the
-    real wire shape.
+    real wire shape. ``gzipped=True`` writes the ``.warc.gz``
+    convention CommonCrawl actually ships: each record is its OWN
+    gzip member and the file is the member concatenation (record-
+    granular range requests are why crawls store it this way).
     """
+    import zlib
+
     out = bytearray()
     for uri, payload in records:
         header = (
@@ -71,14 +78,36 @@ def encode_warc_records(records: list[tuple[str, bytes]]) -> bytes:
             f"Content-Length: {len(payload)}\r\n"
             f"\r\n"
         ).encode("utf-8")
-        out += header + payload + _CRLF2
+        rec = header + payload + _CRLF2
+        if gzipped:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+            out += co.compress(rec) + co.flush()
+        else:
+            out += rec
     return bytes(out)
 
 
 def parse_warc_blob(blob: bytes) -> Iterator[dict]:
     """Yield one dict per record (RECORD_FIELDS shape). A structural
     defect yields a final error row and stops — offsets after a
-    framing violation are garbage, resync is guesswork."""
+    framing violation are garbage, resync is guesswork. ``.warc.gz``
+    blobs (the 1f 8b magic) are inflated first via the multi-member
+    loop in sources/tarsrc.gunzip_concat — CommonCrawl writes one
+    gzip member PER RECORD, so a single-member inflate would silently
+    drop every record after the first."""
+    if blob[:2] == b"\x1f\x8b":
+        import zlib
+
+        from atiesh_spark.sources.tarsrc import (
+            MAX_ARCHIVE_BYTES,
+            gunzip_concat,
+        )
+
+        try:
+            blob = gunzip_concat(blob, MAX_ARCHIVE_BYTES)
+        except (zlib.error, ValueError) as exc:
+            yield _err(0, f"gzip inflate failed: {exc}")
+            return
     pos, idx, n = 0, 0, len(blob)
     while pos < n:
         if not blob.startswith(b"WARC/", pos):

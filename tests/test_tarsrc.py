@@ -192,3 +192,30 @@ class TestXzBz2:
         # legacy spelling still equals the new one
         assert encode_tar(MEMBERS, gzipped=True) == encode_tar(
             MEMBERS, compression="gz")
+
+
+class TestMultiMemberGzip:
+    def test_concatenated_members_fully_inflate(self):
+        """gzip/pigz emit concatenated members; the old single-pass
+        inflate dropped everything after member 1 into unused_data
+        (round-10 fix)."""
+        import zlib
+
+        from atiesh_spark.sources.tarsrc import gunzip_concat
+
+        def gzm(b):
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+            return co.compress(b) + co.flush()
+
+        t = encode_tar([("a", b"x" * 600)])
+        half = len(t) // 2
+        multi = gzm(t[:half]) + gzm(t[half:])
+        rows = list(parse_tar_blob(multi))
+        assert rows[0]["error"] is None and rows[0]["body"] == b"x" * 600
+        assert gunzip_concat(multi, 1 << 20) == t
+        with pytest.raises(ValueError, match="budget"):
+            gunzip_concat(gzm(b"\x00" * 100000), 1000)
+        with pytest.raises(ValueError, match="truncated"):
+            gunzip_concat(gzm(b"data" * 100)[:20], 1 << 20)
+        with pytest.raises(ValueError, match="garbage"):
+            gunzip_concat(gzm(b"a") + b"JUNK", 1 << 20)

@@ -86,3 +86,63 @@ def test_body_md5_matches_source_text():
     assert hashlib.md5(rec["body"]).hexdigest() == hashlib.md5(
         text.encode("utf-8")
     ).hexdigest()
+
+
+class TestWarcGz:
+    """Round 10: .warc.gz — one gzip member per record, the actual
+    CommonCrawl layout; the inflate path must loop over members."""
+
+    RECS = [("https://a/1", b"hello"), ("https://b/2", b"world " * 50),
+            ("https://c/3", b"")]
+
+    def test_round_trip_is_multi_member(self):
+        import gzip
+
+        from atiesh_spark.sources.warc import (
+            encode_warc_records,
+            parse_warc_blob,
+        )
+
+        gz = encode_warc_records(self.RECS, gzipped=True)
+        # genuinely one member per record, and stdlib-gzip readable
+        assert gz.count(b"\x1f\x8b\x08") == len(self.RECS)
+        assert gzip.decompress(gz) == encode_warc_records(self.RECS)
+        rows = list(parse_warc_blob(gz))
+        assert [(r["target_uri"], r["body"]) for r in rows] == [
+            (u, p) for u, p in self.RECS]
+        assert all(r["error"] is None for r in rows)
+
+    def test_single_member_pass_would_have_dropped_records(self):
+        """Documents the bug class this path guards against: only the
+        FIRST member survives a non-looping inflate."""
+        import zlib
+
+        from atiesh_spark.sources.warc import (
+            encode_warc_records,
+            parse_warc_blob,
+        )
+
+        gz = encode_warc_records(self.RECS, gzipped=True)
+        d = zlib.decompressobj(16 + 15)
+        first_only = d.decompress(gz)
+        assert len(list(parse_warc_blob(first_only))) == 1
+        assert len(list(parse_warc_blob(gz))) == len(self.RECS)
+
+    def test_truncated_and_bomb_are_error_rows(self):
+        from atiesh_spark.sources import tarsrc
+        from atiesh_spark.sources.warc import (
+            encode_warc_records,
+            parse_warc_blob,
+        )
+
+        gz = encode_warc_records(self.RECS, gzipped=True)
+        rows = list(parse_warc_blob(gz[: len(gz) // 2]))
+        assert rows[-1]["error"] is not None
+        old = tarsrc.MAX_ARCHIVE_BYTES
+        tarsrc.MAX_ARCHIVE_BYTES = 16
+        try:
+            rows = list(parse_warc_blob(gz))
+        finally:
+            tarsrc.MAX_ARCHIVE_BYTES = old
+        assert rows[0]["error"] is not None
+        assert "budget" in rows[0]["error"]
