@@ -12297,3 +12297,66 @@ def q247_warcgz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.md5("body").alias("body_md5"),
     )
+
+
+@register(
+    "q248_zip64_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id % 16 AS BIGINT) AS archive_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 16
+                                   ORDER BY doc_id) - 1 AS INT)
+               AS member_index,
+           'doc/' || doc_id || '.txt' AS name,
+           CAST(8 AS INT) AS method,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    doc="ZIP64 archive ingestion end-to-end (sources/zipsrc.py, "
+    "round 10): ANY archive over 4 GiB or 65535 members — i.e. "
+    "every realistically-sized dump at 100 TB — carries the ZIP64 "
+    "structures, so the reader must follow the EOCD64 locator to "
+    "the 8-byte counts/offsets and resolve the 0xFFFFFFFF central-"
+    "directory sentinels from the 0x0001 extra field (values "
+    "present for exactly the maxed fields, in usize/csize/offset "
+    "order — APPNOTE sections 4.3.14-15/4.5.3). Fixture: q239's 16 "
+    "shards with the ZIP64 structures FORCED on even shards "
+    "(encode_zip zip64=True, the same device zipfile's force_zip64 "
+    "uses — stdlib interop unit-tested BOTH ways) and classic "
+    "framing on odd, under the same oracle: the container "
+    "generation must be invisible to member content. Budgets and "
+    "CRC verification unchanged from q239; a damaged locator or a "
+    "maxed field without its extra is a typed error row.",
+)
+def q248_zip64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from atiesh_spark.sources.zipsrc import encode_zip, parse_zip_members
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("archive_id")
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"doc/{int(d)}.txt", t.encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"archive_id": [key[0]],
+             "blob": [encode_zip(members, zip64=(key[0] % 2 == 0))]}
+        )
+
+    blobs = docs.groupBy("archive_id").applyInPandas(
+        pack, "archive_id bigint, blob binary"
+    )
+    members = parse_zip_members(blobs, "blob", id_cols=("archive_id",))
+    return members.select(
+        "archive_id",
+        "member_index",
+        "name",
+        "method",
+        F.col("size").cast("long").alias("size"),
+        F.md5("body").alias("body_md5"),
+    )

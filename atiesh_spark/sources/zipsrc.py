@@ -4,8 +4,12 @@ ZIP is the other arrival container of bulk training data (dataset
 dumps, scraped-site exports, submission bundles — the WARC sibling
 for non-crawl corpora). A ZIP file is a sequence of local-file
 records followed by a CENTRAL DIRECTORY and an End-Of-Central-
-Directory (EOCD) record; the central directory is the authoritative
-member table (the PKWARE APPNOTE rule — local headers can lie, and
+Directory (EOCD) record — plus, for any archive over 4 GiB or 65535
+members (i.e. every realistically-sized dump at 100 TB), the ZIP64
+EOCD record + locator and 0x0001 extra fields whose 8-byte values
+replace the maxed 0xFFFFFFFF sentinels (round 10; forced-ZIP64
+writer + stdlib interop tested both ways); the central directory is
+the authoritative member table (the PKWARE APPNOTE rule — local headers can lie, and
 streaming writers leave sizes to data descriptors), so this parser
 locates the EOCD from the tail, walks the central directory, and
 reads each member's payload via its local-header offset. Stored (0)
@@ -67,14 +71,25 @@ _CDIR_SIG = b"PK\x01\x02"
 _LOCAL_SIG = b"PK\x03\x04"
 
 
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+
+
 def encode_zip(
-    members: list[tuple[str, bytes]], compress: bool = True
+    members: list[tuple[str, bytes]],
+    compress: bool = True,
+    zip64: bool = False,
 ) -> bytes:
     """Serialize ``(name, payload)`` pairs as a ZIP blob — the writer
     half of the round trip (tests + graded synthesis), byte-exact
     PKWARE framing: local headers, central directory, EOCD. ``compress``
     deflates members (raw deflate, method 8); False stores them
-    (method 0). Names are UTF-8 (the language-encoding flag is set)."""
+    (method 0). Names are UTF-8 (the language-encoding flag is set).
+    ``zip64=True`` forces the ZIP64 structures any >4 GiB / >65535-
+    member archive carries (APPNOTE §4.5.3/4.3.14: 0xFFFFFFFF
+    sentinels with the real values in the 0x0001 extra field, EOCD64
+    record + locator, maxed classic EOCD) so the reader's 8-byte
+    path is testable at fixture size."""
     out = bytearray()
     central = bytearray()
     for name, payload in members:
@@ -88,45 +103,105 @@ def encode_zip(
             data = payload
             method = 0
         offset = len(out)
+        version = 45 if zip64 else 20
+        if zip64:
+            l_extra = struct.pack("<HHQQ", 0x0001, 16,
+                                  len(payload), len(data))
+            l_csize = l_usize = 0xFFFFFFFF
+        else:
+            l_extra = b""
+            l_csize, l_usize = len(data), len(payload)
         local = _LOCAL_SIG + struct.pack(
             "<HHHHHIIIHH",
-            20,          # version needed
+            version,
             0x0800,      # general purpose: UTF-8 names
             method,
             0, 0,        # dos time/date (fixed: deterministic archives)
             crc,
-            len(data),
-            len(payload),
+            l_csize,
+            l_usize,
             len(nb),
-            0,           # extra length
+            len(l_extra),
         )
-        out += local + nb + data
+        out += local + nb + l_extra + data
+        if zip64:
+            c_extra = struct.pack("<HHQQQ", 0x0001, 24,
+                                  len(payload), len(data), offset)
+            c_csize = c_usize = c_off = 0xFFFFFFFF
+        else:
+            c_extra = b""
+            c_csize, c_usize, c_off = len(data), len(payload), offset
         central += _CDIR_SIG + struct.pack(
             "<HHHHHHIIIHHHHHII",
-            20, 20,      # version made by / needed
+            45 if zip64 else 20, version,
             0x0800,
             method,
             0, 0,        # time/date
             crc,
-            len(data),
-            len(payload),
+            c_csize,
+            c_usize,
             len(nb),
-            0, 0,        # extra/comment length
+            len(c_extra), 0,  # extra/comment length
             0,           # disk number start
             0,           # internal attrs
             0,           # external attrs
-            offset,
-        ) + nb
+            c_off,
+        ) + nb + c_extra
     cd_offset = len(out)
     out += central
-    out += _EOCD_SIG + struct.pack(
-        "<HHHHIIH",
-        0, 0,
-        len(members), len(members),
-        len(central), cd_offset,
-        0,
-    )
+    if zip64:
+        eocd64_off = len(out)
+        out += _EOCD64_SIG + struct.pack(
+            "<QHHIIQQQQ",
+            44,          # size of remainder
+            45, 45,      # version made by / needed
+            0, 0,        # disk numbers
+            len(members), len(members),
+            len(central), cd_offset,
+        )
+        out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, eocd64_off, 1)
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH",
+            0, 0,
+            0xFFFF, 0xFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF,
+            0,
+        )
+    else:
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH",
+            0, 0,
+            len(members), len(members),
+            len(central), cd_offset,
+            0,
+        )
     return bytes(out)
+
+
+def _zip64_extra(
+    extra: bytes, usize: int, csize: int, loc_off: int
+) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF central-directory sentinels from the ZIP64
+    extra field (id 0x0001): the extra carries an 8-byte value for
+    EACH maxed field, in uncompressed-size / compressed-size /
+    local-offset order (APPNOTE §4.5.3)."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        fid, sz = struct.unpack("<HH", extra[pos : pos + 4])
+        body = extra[pos + 4 : pos + 4 + sz]
+        if fid == 0x0001:
+            at = 0
+            out = []
+            for v in (usize, csize, loc_off):
+                if v == 0xFFFFFFFF:
+                    if at + 8 > len(body):
+                        raise ValueError("ZIP64 extra field too short")
+                    v = struct.unpack("<Q", body[at : at + 8])[0]
+                    at += 8
+                out.append(v)
+            return out[0], out[1], out[2]
+        pos += 4 + sz
+    raise ValueError("maxed field without a ZIP64 extra")
 
 
 def _find_eocd(blob: bytes) -> int:
@@ -155,6 +230,25 @@ def parse_zip_blob(blob: bytes) -> Iterator[dict]:
         cd_size, cd_offset = struct.unpack(
             "<II", blob[eocd + 12 : eocd + 20]
         )
+        # ZIP64 (APPNOTE §4.3.15): a locator immediately precedes the
+        # EOCD when any classic field is maxed; follow it to the
+        # EOCD64 record for the 8-byte counts/offsets. Any archive
+        # over 4 GiB or 65535 members arrives this way.
+        loc = eocd - 20
+        if loc >= 0 and blob[loc : loc + 4] == _EOCD64_LOC_SIG:
+            (_disk, e64_off, _ndisks) = struct.unpack(
+                "<IQI", blob[loc + 4 : loc + 20]
+            )
+            if e64_off + 56 > len(blob) or \
+                    blob[e64_off : e64_off + 4] != _EOCD64_SIG:
+                raise ValueError("bad ZIP64 EOCD locator")
+            (_sz, _vm, _vn, _d1, _d2, _n_disk, n64,
+             cd_size64, cd_off64) = struct.unpack(
+                "<QHHIIQQQQ", blob[e64_off + 4 : e64_off + 56]
+            )
+            if n64 > MAX_MEMBERS:
+                raise ValueError(f"more than {MAX_MEMBERS} members")
+            n_members, cd_size, cd_offset = n64, cd_size64, cd_off64
         if n_members > MAX_MEMBERS:
             raise ValueError(f"more than {MAX_MEMBERS} members")
         if cd_offset + cd_size > len(blob):
@@ -183,7 +277,16 @@ def parse_zip_blob(blob: bytes) -> Iterator[dict]:
             name = blob[pos + 46 : pos + 46 + nlen].decode(
                 "utf-8", errors="replace"
             )
+            extra = blob[pos + 46 + nlen : pos + 46 + nlen + xlen]
+            # advance FIRST so a bad entry errors alone instead of
+            # cascading to every following member
             pos += 46 + nlen + xlen + clen
+            if 0xFFFFFFFF in (usize, csize, loc_off):
+                # ZIP64 extra field 0x0001: 8-byte values for exactly
+                # the maxed fields, in usize/csize/offset order
+                usize, csize, loc_off = _zip64_extra(
+                    extra, usize, csize, loc_off,
+                )
             row.update(
                 name=name, method=method, compressed_size=csize,
                 size=usize, crc32=crc,

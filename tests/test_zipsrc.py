@@ -121,3 +121,55 @@ def test_spark_member_explode(spark):
 
 def test_empty_archive_is_zero_rows_not_error():
     assert list(parse_zip_blob(encode_zip([]))) == []
+
+
+class TestZip64:
+    """Round 10: the ZIP64 structures every >4 GiB / >65535-member
+    archive carries, forced at fixture size so the 8-byte path is
+    actually exercised."""
+
+    def test_round_trip_and_stdlib_interop_both_ways(self):
+        import io
+        import zipfile
+
+        blob = encode_zip(MEMBERS, zip64=True)
+        rows = list(parse_zip_blob(blob))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+        assert all(r["error"] is None for r in rows)
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == MEMBERS
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as w:
+            for name, payload in MEMBERS:
+                with w.open(name, "w", force_zip64=True) as f:
+                    f.write(payload)
+        rows = list(parse_zip_blob(buf.getvalue()))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+
+    def test_sentinels_and_locator_are_real(self):
+        blob = encode_zip(MEMBERS, zip64=True)
+        assert b"PK\x06\x06" in blob and b"PK\x06\x07" in blob
+        # classic EOCD counts are maxed — a reader ignoring ZIP64
+        # would see 0xFFFF members
+        i = blob.rfind(b"PK\x05\x06")
+        assert blob[i + 10 : i + 12] == b"\xff\xff"
+
+    def test_damaged_locator_is_structural_error(self):
+        blob = bytearray(encode_zip(MEMBERS, zip64=True))
+        i = bytes(blob).rfind(b"PK\x06\x06")
+        blob[i] ^= 0xFF
+        rows = list(parse_zip_blob(bytes(blob)))
+        assert rows[0]["error"] is not None
+        assert "ZIP64" in rows[0]["error"]
+
+    def test_maxed_field_without_extra_is_member_error(self):
+        """A 0xFFFFFFFF sentinel whose ZIP64 extra is missing must be
+        that member's typed error, not a misread."""
+        blob = bytearray(encode_zip(MEMBERS))  # classic
+        i = blob.index(b"PK\x01\x02")
+        # max out the first entry's uncompressed size
+        blob[i + 24 : i + 28] = b"\xff\xff\xff\xff"
+        rows = list(parse_zip_blob(bytes(blob)))
+        assert rows[0]["error"] is not None
+        assert "ZIP64 extra" in rows[0]["error"]
+        assert rows[1]["error"] is None  # sibling member unaffected
