@@ -132,6 +132,12 @@ HEAVY = [
     "q242_mpeg_audio_decode",
     "q243_pdf_text",
     "q244_crawl_stream_replay",
+    # round 10 (session close): the archive-compression closure —
+    # same shard-parallel shape as q239/q240, scale axis = archive
+    # count, per-shard work linear in bytes
+    "q246_tarxz_roundtrip",
+    "q247_warcgz_roundtrip",
+    "q248_zip64_roundtrip",
 ]
 
 
