@@ -60,7 +60,7 @@ _NA = -1
 def sniff_format(blob: bytes) -> str:
     """Container format from the magic prefix alone (works on
     truncated blobs down to a handful of bytes): png / jpeg / gif /
-    wav / avi / pnm / bmp / tiff / unknown. RIFF sub-types split on the form type
+    wav / avi / pnm / bmp / tiff / mpeg_audio / unknown. RIFF sub-types split on the form type
     at bytes 8:12; a RIFF blob too short to carry one sniffs as wav
     (the dominant RIFF in ingest, and what this sniffer returned
     before AVI support — q203's truncated-blob fixture relies on it)."""
@@ -78,6 +78,10 @@ def sniff_format(blob: bytes) -> str:
         return "bmp"
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if len(blob) >= 2 and blob[0] == 0xFF and blob[1] & 0xF0 == 0xF0:
+        # 12-bit MPEG audio sync (after the JPEG \xff\xd8 branch, so
+        # no clash); round 10, paired with operators/mpeg_audio.py
+        return "mpeg_audio"
     return "unknown"
 
 
@@ -249,6 +253,12 @@ def catalog_media(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                         w, h, nf = _gif_header(b)
                     elif fmt == "wav":
                         sr, nf = _wav_header(b)
+                    elif fmt == "mpeg_audio":
+                        from atiesh_spark.operators.mpeg_audio import (
+                            mpeg_audio_header,
+                        )
+
+                        sr, nf = mpeg_audio_header(b)
                     elif fmt == "bmp":
                         from atiesh_spark.operators.bmp import bmp_header
 
@@ -319,7 +329,7 @@ def media_gate(
             F.lit("too_small"),
         )
         .when(
-            (F.col("format") == "wav")
+            F.col("format").isin("wav", "mpeg_audio")
             & (F.col("n_frames") < min_audio_frames),
             F.lit("too_short"),
         )

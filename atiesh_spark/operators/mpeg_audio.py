@@ -684,3 +684,38 @@ def decode_mpeg_audio(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     return widen_for_python_stage(base).mapInPandas(
         gen, schema=f"media_id long, {MPEG_FIELDS}"
     )
+
+
+MAX_CATALOG_FRAMES = 10_000_000  # header-walk budget (~3 days of audio)
+
+
+def mpeg_audio_header(blob: bytes) -> tuple[int, int]:
+    """(sample_rate, total sample frames) from HEADER ARITHMETIC
+    alone — the catalog_media triage walk: hop frame to frame via the
+    frame-length formula without touching any audio data, O(#frames)
+    4-byte reads. Raises ValueError on malformed streams; mixed
+    sample rates mid-stream are malformed (the decoder enforces the
+    same)."""
+    off = 0
+    sr = None
+    frames = 0
+    while off < len(blob):
+        if len(blob) - off < 4:
+            if blob[off:].strip(b"\x00"):
+                raise ValueError("trailing bytes after last frame")
+            break
+        hdr = _parse_header(blob, off)
+        if sr is None:
+            sr = hdr["sample_rate"]
+            spf = 384 if hdr["layer"] == 1 else 1152
+        elif hdr["sample_rate"] != sr:
+            raise ValueError("sample rate changes mid-stream")
+        if off + hdr["frame_len"] > len(blob):
+            raise ValueError("frame extends past blob end")
+        frames += 1
+        if frames > MAX_CATALOG_FRAMES:
+            raise ValueError("frame count exceeds catalog budget")
+        off += hdr["frame_len"]
+    if not frames:
+        raise ValueError("no MPEG audio frames")
+    return sr, frames * spf

@@ -200,3 +200,48 @@ def test_streaming_catalog_collapses_in_batch_duplicates(spark, tmp_path):
     expect_fmt = "png" if winner == bytes(b["png"]) else "gif"
     assert got[1].format == expect_fmt
     assert got[2].format == "wav"
+
+
+class TestMpegAudioCatalog:
+    """Round 10: MPEG-1 audio streams in the triage catalog — sniffed
+    from the 12-bit sync, metadata from header arithmetic alone."""
+
+    def test_sniff_and_header_walk(self):
+        from atiesh_spark.operators.media import sniff_format
+        from atiesh_spark.operators.mpeg_audio import mpeg_audio_header
+        from tests.test_mpeg_audio import _layer1_frame, _layer2_frame
+
+        b1, _ = _layer1_frame()
+        b2, _ = _layer2_frame(fs=44100)
+        assert sniff_format(b1) == "mpeg_audio"
+        assert sniff_format(b2) == "mpeg_audio"
+        assert sniff_format(b"\xff\xd8rest") == "jpeg"  # no clash
+        assert mpeg_audio_header(b1) == (48000, 384)
+        assert mpeg_audio_header(b2 + b2 + b2) == (44100, 3 * 1152)
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            mpeg_audio_header(b2[:100])  # truncated frame
+
+    def test_catalog_and_gate(self, spark):
+        from atiesh_spark.operators.media import catalog_media, media_gate
+        from tests.test_mpeg_audio import _layer2_frame
+
+        blob, _ = _layer2_frame()
+        rows = {r.media_id: r for r in catalog_media(
+            spark.createDataFrame(
+                [(1, bytearray(blob + blob)),
+                 (2, bytearray(blob[:50]))],  # truncated: broken row
+                "media_id long, blob binary",
+            ), "media_id", "blob").collect()}
+        assert (rows[1].format, rows[1].ok, rows[1].sample_rate,
+                rows[1].n_frames) == ("mpeg_audio", True, 48000, 2304)
+        assert (rows[2].format, rows[2].ok) == ("mpeg_audio", False)
+        cat = catalog_media(
+            spark.createDataFrame(
+                [(1, bytearray(blob * 3)), (2, bytearray(blob))],
+                "media_id long, blob binary",
+            ), "media_id", "blob")
+        verdicts = {r.media_id: r.verdict for r in
+                    media_gate(cat, min_audio_frames=2000).collect()}
+        assert verdicts == {1: "pass", 2: "too_short"}
