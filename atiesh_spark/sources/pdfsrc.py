@@ -283,12 +283,20 @@ def _scan_objects(blob: bytes) -> dict[int, int]:
 
 
 def _flate(raw: bytes) -> bytes:
-    """Budgeted inflate (the zipsrc discipline: cap BEFORE allocation)."""
-    dobj = zlib.decompressobj()
-    data = dobj.decompress(raw, MAX_STREAM_BYTES)
-    if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
-        raise ValueError("stream inflates past budget")
-    return data + dobj.flush()
+    """Budgeted inflate (the zipsrc discipline: cap BEFORE
+    allocation). zlib errors surface as ValueError so a corrupted
+    stream is a per-document error row, not a task-killing exception
+    (found by the round-10 fuzz suite)."""
+    try:
+        dobj = zlib.decompressobj()
+        data = dobj.decompress(raw, MAX_STREAM_BYTES)
+        if dobj.unconsumed_tail and dobj.decompress(
+            dobj.unconsumed_tail, 1
+        ):
+            raise ValueError("stream inflates past budget")
+        return data + dobj.flush()
+    except zlib.error as exc:
+        raise ValueError(f"flate stream corrupt: {exc}") from exc
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:

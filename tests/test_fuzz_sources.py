@@ -1,0 +1,102 @@
+"""Hostile-bytes fuzz for the round-10 parsers: whatever the bytes,
+the contract is parse-or-ValueError (the operators turn that into
+error rows) — never an unexpected exception type, hang, or huge
+allocation. Two generators per target: arbitrary bytes, and valid
+fixtures with byte-level mutations (much deeper reach into the
+parse)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from atiesh_spark.operators.mpeg_audio import (
+    mpeg_audio_header,
+    parse_mpeg_frames,
+)
+from atiesh_spark.sources.pdfsrc import encode_pdf, extract_pdf_pages, text_page
+from atiesh_spark.sources.tarsrc import parse_tar_blob
+from atiesh_spark.sources.zipsrc import encode_zip, parse_zip_blob
+
+FUZZ = settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _mutate(blob: bytes, edits: list[tuple[int, int]]) -> bytes:
+    out = bytearray(blob)
+    for pos, val in edits:
+        out[pos % len(out)] = val
+    return bytes(out)
+
+
+_EDITS = st.lists(
+    st.tuples(st.integers(0, 1 << 20), st.integers(0, 255)),
+    min_size=1, max_size=8,
+)
+
+
+class TestPdfFuzz:
+    @FUZZ
+    @given(st.binary(max_size=512))
+    def test_arbitrary_bytes(self, blob):
+        try:
+            pages = extract_pdf_pages(b"%PDF-1.4\n" + blob)
+            assert isinstance(pages, list)
+        except (ValueError, RecursionError):
+            pass
+
+    @FUZZ
+    @given(_EDITS, st.booleans(), st.booleans())
+    def test_mutated_valid_pdf(self, edits, xref_stream, objstm):
+        base = encode_pdf(
+            [text_page(b"alpha"), text_page(b"beta (x)")],
+            xref_stream=xref_stream or objstm, objstm=objstm,
+        )
+        try:
+            pages = extract_pdf_pages(_mutate(base, edits))
+            assert isinstance(pages, list)
+        except (ValueError, RecursionError):
+            pass
+
+
+class TestArchiveFuzz:
+    @FUZZ
+    @given(_EDITS, st.booleans())
+    def test_mutated_zip(self, edits, zip64):
+        base = encode_zip([("a", b"hello " * 20), ("b", b"")],
+                          zip64=zip64)
+        rows = list(parse_zip_blob(_mutate(base, edits)))
+        # generator-of-rows contract: errors are rows, never raises
+        assert all(isinstance(r, dict) for r in rows)
+
+    @FUZZ
+    @given(st.binary(max_size=256))
+    def test_arbitrary_tar_bytes(self, blob):
+        rows = list(parse_tar_blob(blob + b"\x00" * ((-len(blob)) % 512)))
+        assert all(isinstance(r, dict) for r in rows)
+
+
+class TestMpegFuzz:
+    @FUZZ
+    @given(st.binary(min_size=4, max_size=600))
+    def test_arbitrary_bytes(self, blob):
+        data = b"\xff\xf0" + blob  # force the sync prefix path
+        for fn in (parse_mpeg_frames, mpeg_audio_header):
+            try:
+                fn(data)
+            except ValueError:
+                pass
+
+    @FUZZ
+    @given(_EDITS)
+    def test_mutated_valid_frame(self, edits):
+        from tests.test_mpeg_audio import _layer2_frame
+
+        base, _ = _layer2_frame()
+        try:
+            parse_mpeg_frames(_mutate(base, edits))
+        except ValueError:
+            pass
