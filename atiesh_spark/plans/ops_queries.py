@@ -11890,6 +11890,49 @@ def q242_mpeg_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _pdf_fixture_blob(d: int) -> bytes:
+    """The q243/q249 shared fixture: one PDF for document ``d`` —
+    1-3 pages of 'doc (d) page p #k' text under a rotating page
+    ENCODING ((d+p)%4: literal Tj with escaped parens / TJ array /
+    hex string / split Tj shows) and a rotating FILE LAYOUT (d%4:
+    classic xref, xref stream, +ObjStm, +PNG-predicted xref), deflate
+    on even ids."""
+    from atiesh_spark.sources.pdfsrc import encode_pdf, text_page
+
+    def esc(s: bytes) -> bytes:
+        return (s.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+                 .replace(b")", b"\\)"))
+
+    def page_bytes(p: int) -> bytes:
+        text = f"doc ({d}) page {p} #{d * 7 + p}".encode("latin-1")
+        layout = (d + p) % 4
+        if layout == 0:
+            return text_page(text)
+        if layout == 1:
+            third = max(1, len(text) // 3)
+            a, b, c = (text[:third], text[third : 2 * third],
+                       text[2 * third :])
+            return (b"BT /F1 12 Tf 72 720 Td [(" + esc(a)
+                    + b") -120 (" + esc(b) + b") -80 (" + esc(c)
+                    + b")] TJ ET")
+        if layout == 2:
+            return (b"BT /F1 12 Tf 72 720 Td <"
+                    + text.hex().encode("ascii") + b"> Tj ET")
+        half = len(text) // 2
+        return (b"BT /F1 12 Tf 72 720 Td (" + esc(text[:half])
+                + b") Tj 0 -14 Td (" + esc(text[half:]) + b") Tj ET")
+
+    fl = d % 4
+    return encode_pdf(
+        [page_bytes(p) for p in range(1 + d % 3)],
+        compress=(d % 2 == 0),
+        xref_stream=fl >= 1,
+        objstm=fl >= 2,
+        predictor=fl == 3,
+    )
+
+
 @register(
     "q243_pdf_text",
     oracle="""
@@ -11940,49 +11983,8 @@ def q243_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from atiesh_spark.sources.pdfsrc import encode_pdf, text_page
-
-        def page_bytes(d: int, p: int) -> bytes:
-            text = f"doc ({d}) page {p} #{d * 7 + p}".encode("latin-1")
-            layout = (d + p) % 4
-            if layout == 0:
-                return text_page(text)
-            if layout == 1:
-                third = max(1, len(text) // 3)
-                a, b, c = (text[:third], text[third : 2 * third],
-                           text[2 * third :])
-                esc = lambda s: s.replace(b"\\", b"\\\\").replace(
-                    b"(", b"\\(").replace(b")", b"\\)")
-                return (b"BT /F1 12 Tf 72 720 Td [(" + esc(a)
-                        + b") -120 (" + esc(b) + b") -80 (" + esc(c)
-                        + b")] TJ ET")
-            if layout == 2:
-                return (b"BT /F1 12 Tf 72 720 Td <"
-                        + text.hex().encode("ascii") + b"> Tj ET")
-            half = len(text) // 2
-            esc = lambda s: s.replace(b"\\", b"\\\\").replace(
-                b"(", b"\\(").replace(b")", b"\\)")
-            return (b"BT /F1 12 Tf 72 720 Td (" + esc(text[:half])
-                    + b") Tj 0 -14 Td (" + esc(text[half:])
-                    + b") Tj ET")
-
         for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                pages = [page_bytes(d, p) for p in range(1 + d % 3)]
-                # file-layout rotation (text and oracle unchanged):
-                # classic xref table, PDF 1.5 xref STREAM, xref
-                # stream + ObjStm-packed dictionaries, and the full
-                # modern layout with PNG-predicted xref rows
-                fl = d % 4
-                blobs.append(encode_pdf(
-                    pages,
-                    compress=(d % 2 == 0),
-                    xref_stream=fl >= 1,
-                    objstm=fl >= 2,
-                    predictor=fl == 3,
-                ))
+            blobs = [_pdf_fixture_blob(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"pdf_id": pdf["doc_id"], "blob": blobs})
 
     media = docs.mapInPandas(synth, schema="pdf_id long, blob binary")
@@ -12360,3 +12362,65 @@ def q248_zip64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("size"),
         F.md5("body").alias("body_md5"),
     )
+
+
+@register(
+    "q249_pdf_corpus_ingest",
+    # Shares q243's oracle verbatim (set right below): the archive
+    # transport must be invisible to extracted page content.
+    oracle=None,
+    doc="Bulk PDF-corpus ingestion composite (round 10): how PDF "
+    "dumps actually arrive — ARCHIVES of documents — composing three "
+    "graded operators end-to-end in ONE plan: per document a PDF in "
+    "q243's rotating file layout (classic/xref-stream/ObjStm/"
+    "predictor) is packed as 'doc/{id}.pdf' into one of 8 tar.gz "
+    "shards (encode_tar in applyInPandas), parse_tar_members "
+    "explodes the archives (budgeted multi-member gunzip, checksum "
+    "verification), the member NAME recovers the document id "
+    "(regexp codegen), and parse_pdf_pages extracts per-page text. "
+    "Graded against q243's oracle VERBATIM — tar framing, gzip "
+    "wrapping, and PDF layout all invisible to page content. Plan "
+    "shape: pack groupBy (harness-only; production reads binaryFile "
+    "archives) -> two chained mapInPandas stages -> zero further "
+    "exchanges; parallelism = archives then members; every budget "
+    "(inflate caps, member counts, stream/page/tree budgets) "
+    "enforced before allocation.",
+)
+def q249_pdf_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from atiesh_spark.sources.pdfsrc import parse_pdf_pages
+    from atiesh_spark.sources.tarsrc import encode_tar, parse_tar_members
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("archive_id")
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"doc/{int(d)}.pdf", _pdf_fixture_blob(int(d)))
+            for d in pdf["doc_id"]
+        ]
+        return pd.DataFrame(
+            {"archive_id": [key[0]],
+             "blob": [encode_tar(members, compression="gz")]}
+        )
+
+    blobs = docs.groupBy("archive_id").applyInPandas(
+        pack, "archive_id bigint, blob binary"
+    )
+    members = parse_tar_members(blobs, "blob").select(
+        F.regexp_extract("name", r"doc/(\d+)\.pdf", 1)
+        .cast("long").alias("pdf_id"),
+        F.col("body").alias("blob"),
+    )
+    return parse_pdf_pages(members, "blob", id_cols=("pdf_id",)).select(
+        "pdf_id", "page_index", "text", "n_chars",
+    )
+
+
+_QUERIES["q249_pdf_corpus_ingest"] = _dc.replace(
+    _QUERIES["q249_pdf_corpus_ingest"],
+    oracle=_QUERIES["q243_pdf_text"].oracle,
+)
