@@ -12369,6 +12369,7 @@ def q248_zip64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shares q243's oracle verbatim (set right below): the archive
     # transport must be invisible to extracted page content.
     oracle=None,
+    headline=True,
     doc="Bulk PDF-corpus ingestion composite (round 10): how PDF "
     "dumps actually arrive — ARCHIVES of documents — composing three "
     "graded operators end-to-end in ONE plan: per document a PDF in "
