@@ -477,3 +477,92 @@ class StreamingCrawlIngest:
 
     def read(self, spark) -> DataFrame:
         return self.store.read(spark)
+
+
+ROBOTS_RULE_FIELDS = "rule_index int, allow boolean, pattern string"
+
+
+def _parse_robots_text(text: str, agent: str) -> list[tuple[bool, str]]:
+    """One robots.txt body -> ordered (allow, pattern) rules for
+    ``agent``, per RFC 9309 group semantics: a GROUP is one or more
+    consecutive ``User-agent`` lines followed by its rules; the rules
+    in force are the union of every group naming the agent's product
+    token (case-insensitive exact match), falling back to the union
+    of ``*`` groups when no specific group exists. Field names are
+    case-insensitive, ``#`` starts a comment, unknown fields
+    (Crawl-delay, Sitemap, ...) are skipped without ending a group,
+    and an EMPTY Disallow value means "nothing disallowed" (no rule
+    emitted). Returns patterns in file order — downstream precedence
+    (longest-match, allow wins ties) is ``apply_robots_rules``'s job,
+    not the parser's."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(value.lower())
+            in_agent_run = True
+        elif field in ("allow", "disallow"):
+            in_agent_run = False
+            if cur_agents and value:
+                cur_rules.append((field == "allow", value))
+        else:
+            in_agent_run = False  # Crawl-delay/Sitemap/unknown: skip
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    specific = [r for agents, rules in groups if agent in agents
+                for r in rules]
+    if any(agent in agents for agents, _ in groups):
+        return specific
+    return [r for agents, rules in groups if "*" in agents
+            for r in rules]
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    agent: str,
+) -> DataFrame:
+    """Explode robots.txt BODIES into the ``(host, allow, pattern)``
+    rule rows ``apply_robots_rules`` consumes — closing the last gap
+    in the crawl-admission chain (fetch robots -> PARSE -> apply).
+    One mapInPandas pass over the host dimension (KBs per row, hosts
+    not pages — tiny by construction); a host whose robots yields no
+    rules for the agent contributes zero rows, which downstream means
+    allow-all (the RFC default)."""
+    import pandas as pd
+
+    from atiesh_spark.session import widen_for_python_stage
+
+    base = df.select(df[host_col].alias("host"), df[text_col].alias("t"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf["host"], pdf["t"]):
+                if text is None:
+                    continue  # unfetchable robots = allow-all
+                for i, (allow, pattern) in enumerate(
+                    _parse_robots_text(str(text), agent)
+                ):
+                    rows.append({"host": host, "rule_index": i,
+                                 "allow": allow, "pattern": pattern})
+            yield pd.DataFrame(
+                rows, columns=["host", "rule_index", "allow", "pattern"]
+            )
+
+    return widen_for_python_stage(base).mapInPandas(
+        gen, schema=f"host string, {ROBOTS_RULE_FIELDS}"
+    )

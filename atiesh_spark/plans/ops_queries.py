@@ -12425,3 +12425,78 @@ _QUERIES["q249_pdf_corpus_ingest"] = _dc.replace(
     _QUERIES["q249_pdf_corpus_ingest"],
     oracle=_QUERIES["q243_pdf_text"].oracle,
 )
+
+
+@register(
+    "q250_robots_parse",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 4 AS v FROM documents),
+    r0 AS (
+        SELECT 'h' || doc_id || '.example.com' AS host,
+               0 AS rule_index,
+               v = 3 AS allow,
+               CASE v WHEN 0 THEN '/private/'
+                      WHEN 1 THEN '/bot' || doc_id % 7 || '/'
+                      WHEN 2 THEN '/x' || doc_id % 5
+                      ELSE '/a' || doc_id % 3 || '/' END AS pattern
+        FROM d
+    ),
+    r1 AS (
+        SELECT 'h' || doc_id || '.example.com' AS host,
+               1 AS rule_index,
+               v = 0 AS allow,
+               CASE WHEN v = 0 THEN '/private/pub$' ELSE '/y' END
+                   AS pattern
+        FROM d WHERE v IN (0, 2)
+    )
+    SELECT host, CAST(rule_index AS INT) AS rule_index, allow, pattern
+    FROM r0
+    UNION ALL
+    SELECT host, CAST(rule_index AS INT) AS rule_index, allow, pattern
+    FROM r1
+    """,
+    doc="robots.txt PARSING (operators/web.py parse_robots_rules, "
+    "round 10): the last gap in the crawl-admission chain — q214/"
+    "q235 grade rule APPLICATION from a rules table, this grades "
+    "turning fetched robots.txt BODIES into that table under RFC "
+    "9309 group semantics. Fixture: one robots body per document's "
+    "host rotating four shapes — (0) wildcard group with Disallow + "
+    "anchored Allow, (1) a specific atieshbot group that must WIN "
+    "over (and fully displace) a deny-all wildcard group, (2) "
+    "case-mixed field/agent names with comments (inline and "
+    "full-line), an unknown field (Crawl-delay) mid-group that must "
+    "not end the group, and two Disallow lines, (3) a multi-"
+    "User-agent run sharing one group where an EMPTY Disallow value "
+    "emits no rule (the RFC allow-all spelling). Output is the "
+    "ordered (host, rule_index, allow, pattern) rule table the "
+    "broadcast-join admission operator consumes; the oracle "
+    "reconstructs every expected row arithmetically. Plan shape: "
+    "codegen text synthesis -> one mapInPandas over the HOST "
+    "dimension (KBs per host; hosts, never pages), zero exchanges.",
+)
+def q250_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atiesh_spark.operators.web import parse_robots_rules
+
+    d = F.col("doc_id")
+    v = d % 4
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), d.cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(v == 0, F.lit(
+            "User-agent: *\nDisallow: /private/\nAllow: /private/pub$\n"
+        )).when(v == 1, F.concat(
+            F.lit("User-agent: atieshbot\nDisallow: /bot"),
+            (d % 7).cast("string"),
+            F.lit("/\n\nUser-agent: *\nDisallow: /\n"),
+        )).when(v == 2, F.concat(
+            F.lit("# fetched robots\nUser-Agent: AtieshBot\nDisallow: /x"),
+            (d % 5).cast("string"),
+            F.lit(" # inline comment\nCrawl-delay: 3\nDisallow: /y\n"),
+        )).otherwise(F.concat(
+            F.lit("User-agent: foo\nUser-agent: atieshbot\n"
+                  "Disallow:\nAllow: /a"),
+            (d % 3).cast("string"),
+            F.lit("/\n"),
+        )).alias("robots_txt"),
+    )
+    return parse_robots_rules(docs, "host", "robots_txt", "atieshbot")

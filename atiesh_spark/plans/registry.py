@@ -142,19 +142,23 @@ MAX_STALENESS_ROUNDS = -(-len(QUERIES) // _DRIVER_WINDOW) + 1
 #: of round 2's silent accident. (Empty in round 4: the window has room
 #: for every never-graded query.)
 DEFERRED_FIRST_GRADE: dict[str, str] = {
-    # Round 10: empty. EIGHT new registrations (q242 MPEG-1 audio,
+    # Round 10: empty. NINE new registrations (q242 MPEG-1 audio,
     # q243 PDF text, q244 streaming crawl twin, q245 WAV layouts,
     # q246 tar.xz/bz2, q247 warc.gz, q248 ZIP64, q249 PDF-corpus
-    # composite) lead the window as first-grades, followed by the
-    # ENTIRE 41-row r5-stale cohort (the r9 verdict's mandate:
-    # q21-q35, q38-q44, q46, q48/q49, q54-q59, q129/q130, q132-q134,
-    # q136-q139, q141 — all at staleness 5-of-6 this round) plus the
-    # single oldest r6 row (q131): 8 + 41 + 1 = 50, inside the <= 9
-    # first-grade budget the window arithmetic allows. Every row was hand-certified via
-    # verify_parity THIS session before the driver run (the 41-row
-    # cohort 41/41, all six r6 candidates 6/6, and each new
-    # registration on landing — all MATCH). Round 11's first action
-    # remains `python scripts/update_ledger.py`.
+    # composite, q250 robots.txt parsing) lead the window as
+    # first-grades, followed by the ENTIRE 41-row r5-stale cohort
+    # (the r9 verdict's mandate: q21-q35, q38-q44, q46, q48/q49,
+    # q54-q59, q129/q130, q132-q134, q136-q139, q141 — all at
+    # staleness 5-of-6 this round): 9 + 41 = 50, exactly the <= 9
+    # first-grade budget the window arithmetic allows (the oldest r6
+    # rows, q131/q135, wait for r11 at staleness 5 of 6 — inside the
+    # bound, and both carry this-session verify_parity MATCHes).
+    # Every window row was hand-certified via verify_parity THIS
+    # session before the driver run (the 41-row cohort 41/41, all
+    # six r6 candidates 6/6, each new registration on landing, and
+    # two FULL-REGISTRY sweeps — 248/248 mid-close and 249/249 at
+    # close, with q250 MATCHed on landing after). Round 11's first
+    # action remains `python scripts/update_ledger.py`.
 }
 
 

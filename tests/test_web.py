@@ -275,3 +275,76 @@ class TestStreamingCrawlIngest:
         assert got == one_shot(blobs)
         # the robots rule actually fired (h0 has a disallowed page)
         assert any(r[1] == "robots" for r in got), got
+
+
+class TestParseRobots:
+    """parse_robots_rules (round 10): RFC 9309 group semantics."""
+
+    def test_group_semantics(self):
+        from atiesh_spark.operators.web import _parse_robots_text as p
+
+        t0 = "User-agent: *\nDisallow: /private/\nAllow: /private/pub$\n"
+        assert p(t0, "atieshbot") == [(False, "/private/"),
+                                      (True, "/private/pub$")]
+        # a specific group fully displaces the wildcard group
+        t1 = ("User-agent: atieshbot\nDisallow: /bot3/\n\n"
+              "User-agent: *\nDisallow: /\n")
+        assert p(t1, "atieshbot") == [(False, "/bot3/")]
+        assert p(t1, "otherbot") == [(False, "/")]
+        # case-insensitive fields/agents, comments, unknown fields
+        # mid-group do not end the group
+        t2 = ("# hi\nUser-Agent: AtieshBot\nDisallow: /x2 # inline\n"
+              "Crawl-delay: 3\nDisallow: /y\n")
+        assert p(t2, "atieshbot") == [(False, "/x2"), (False, "/y")]
+        # shared UA run; EMPTY Disallow emits no rule (allow-all)
+        t3 = ("User-agent: foo\nUser-agent: atieshbot\n"
+              "Disallow:\nAllow: /a1/\n")
+        assert p(t3, "atieshbot") == [(True, "/a1/")]
+        # multiple matching groups merge, file order preserved
+        t4 = ("User-agent: atieshbot\nDisallow: /a\n\n"
+              "User-agent: atieshbot\nAllow: /b\n")
+        assert p(t4, "atieshbot") == [(False, "/a"), (True, "/b")]
+        # a new user-agent run AFTER rules starts a new group
+        t5 = ("User-agent: *\nDisallow: /one\n"
+              "User-agent: zbot\nDisallow: /two\n")
+        assert p(t5, "atieshbot") == [(False, "/one")]
+        assert p(t5, "zbot") == [(False, "/two")]
+        # no matching group at all -> no rules -> allow-all downstream
+        assert p("User-agent: zbot\nDisallow: /\n", "atieshbot") == []
+
+    def test_spark_parse_and_apply_composition(self, spark):
+        """Bodies -> rules -> admission, end to end: the full chain a
+        crawler runs (fetch robots, PARSE, apply)."""
+        from pyspark.sql import functions as F
+
+        from atiesh_spark.operators.web import (
+            apply_robots_rules,
+            parse_robots_rules,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /priv/\n"
+                       "Allow: /priv/ok$\n"),
+             ("b.com", "User-agent: crawler\nDisallow: /\n"),
+             ("c.com", None)],  # unfetchable robots: allow-all
+            "host string, body string",
+        )
+        rules = parse_robots_rules(robots, "host", "body", "crawler")
+        got = sorted(tuple(r) for r in rules.collect())
+        assert got == [("a.com", 0, False, "/priv/"),
+                       ("a.com", 1, True, "/priv/ok$"),
+                       ("b.com", 0, False, "/")]
+        urls = spark.createDataFrame(
+            [("a.com", "/priv/x"), ("a.com", "/priv/ok"),
+             ("a.com", "/pub"), ("b.com", "/any"), ("c.com", "/any")],
+            "host string, path string",
+        )
+        verdicts = {
+            (r.host, r.path): r.allowed
+            for r in apply_robots_rules(urls, rules).collect()
+        }
+        assert verdicts == {("a.com", "/priv/x"): False,
+                            ("a.com", "/priv/ok"): True,
+                            ("a.com", "/pub"): True,
+                            ("b.com", "/any"): False,
+                            ("c.com", "/any"): True}
