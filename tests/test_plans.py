@@ -756,3 +756,27 @@ def test_avi_frame_stats_plan_is_zero_exchange(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round10_ingestion_plan_shapes(spark):
+    """Round-10 ingestion cells keep the container-stack shuffle
+    story: the per-document decode chains (MPEG audio, PDF text,
+    WAV layouts, robots parsing) are chained mapInPandas over pruned
+    columns with ZERO hash exchanges; the archive round trips and
+    the PDF-corpus composite allow exactly ONE (the pack groupBy,
+    test-harness-only — production reads binaryFile archives); no
+    plan may contain a cartesian product."""
+    zero_exchange = ["q242_mpeg_audio_decode", "q243_pdf_text",
+                     "q245_wav_layouts", "q250_robots_parse"]
+    one_exchange = ["q246_tarxz_roundtrip", "q247_warcgz_roundtrip",
+                    "q248_zip64_roundtrip", "q249_pdf_corpus_ingest"]
+    for name, cap in [(n, 0) for n in zero_exchange] + [
+            (n, 1) for n in one_exchange]:
+        df = QUERIES[name].spark(spark, SF_SMALL)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= cap, (name, n_ex, cap)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
