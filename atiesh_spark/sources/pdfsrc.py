@@ -438,8 +438,20 @@ def _read_xref_at(
                 raise ValueError("object count exceeds budget")
             lex._skip_ws()
             pos = lex.pos
+            # Entry stride: the spec says exactly 20 bytes (18 data +
+            # 2-byte EOL: "SP CR", "SP LF", or "CR LF"), but some real
+            # writers emit 19-byte entries with a single-byte EOL —
+            # assuming 20 misaligns the whole walk. Detect from the
+            # first entry's line ending.
+            stride = 20
+            if count > 0:
+                e18 = blob[pos + 18 : pos + 19]
+                e19 = blob[pos + 19 : pos + 20]
+                if e18 not in (b" ",) and not (e18 == b"\r"
+                                               and e19 == b"\n"):
+                    stride = 19
             for k in range(count):
-                ent = blob[pos + 20 * k : pos + 20 * k + 20]
+                ent = blob[pos + stride * k : pos + stride * k + 18]
                 if len(ent) < 18:
                     raise ValueError("truncated xref entry")
                 kind = ent[17:18]
@@ -447,7 +459,7 @@ def _read_xref_at(
                 if kind == b"n" and num not in offsets \
                         and num not in compressed:
                     offsets[num] = int(ent[:10])
-            lex.pos = pos + 20 * count
+            lex.pos = pos + stride * count
         t = lex.next_object()
         if not isinstance(t, dict):
             raise ValueError("bad trailer")
@@ -489,7 +501,10 @@ def _parse_xref(
     the cross-reference chain from ``startxref`` — classic tables,
     xref streams, /Prev incremental chains, and hybrid-reference
     /XRefStm side tables; raises to trigger the scan fallback."""
-    tail = blob[-256:]
+    # ISO 32000 readers tolerate ~1 KiB of junk/comments after %%EOF;
+    # a 256-byte window misses such files and they degrade to the scan
+    # fallback, where ObjStm-packed objects are unreachable.
+    tail = blob[-2048:]
     m = None
     for m in re.finditer(rb"startxref\s+(\d+)", tail):
         pass

@@ -142,6 +142,53 @@ def gunzip_concat(blob: bytes, max_bytes: int) -> bytes:
     return bytes(out)
 
 
+def _xz_concat(blob: bytes, max_bytes: int) -> bytes:
+    """Decompress one or MORE concatenated xz streams (``xz -T``,
+    ``pixz``, and plain ``cat a.xz b.xz`` all emit one stream per
+    block/file; a single LZMADecompressor stops at the first stream's
+    end and leaves the rest in ``unused_data`` — silently truncating
+    the archive). The budget is cumulative across streams; xz stream
+    padding (NUL bytes between/after streams, xz spec §2.1) is
+    tolerated."""
+    import lzma
+
+    out = bytearray()
+    rest = blob
+    while rest[:6] == b"\xfd7zXZ\x00":
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        out += d.decompress(rest, max_bytes - len(out) + 1)
+        if len(out) > max_bytes:
+            raise ValueError("xz payload exceeds archive budget")
+        if not d.eof:
+            raise ValueError("truncated xz stream")
+        rest = d.unused_data.lstrip(b"\x00")
+    if rest:
+        raise ValueError("trailing garbage after xz streams")
+    return bytes(out)
+
+
+def _bz2_concat(blob: bytes, max_bytes: int) -> bytes:
+    """Decompress one or MORE concatenated bz2 streams (``pbzip2``
+    emits one stream per block; ``cat a.bz2 b.bz2`` is valid input to
+    ``bunzip2``). Same loop-over-``unused_data`` discipline as
+    :func:`gunzip_concat`, cumulative budget."""
+    import bz2
+
+    out = bytearray()
+    rest = blob
+    while rest[:3] == b"BZh":
+        d = bz2.BZ2Decompressor()
+        out += d.decompress(rest, max_bytes - len(out) + 1)
+        if len(out) > max_bytes:
+            raise ValueError("bz2 payload exceeds archive budget")
+        if not d.eof:
+            raise ValueError("truncated bz2 stream")
+        rest = d.unused_data.lstrip(b"\x00")
+    if rest:
+        raise ValueError("trailing garbage after bz2 streams")
+    return bytes(out)
+
+
 def _verify_checksum(block: bytes) -> None:
     stored = _octal(block[148:156])
     computed = sum(block) - sum(block[148:156]) + 8 * 0x20
@@ -172,30 +219,13 @@ def parse_tar_blob(blob: bytes) -> Iterator[dict]:
         import lzma
 
         try:
-            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-            data = d.decompress(blob, MAX_ARCHIVE_BYTES)
-            # the same pre-allocation budget as the gzip path: with
-            # max_length set, remaining output stays buffered inside
-            # the decompressor instead of being materialized
-            if not d.eof:
-                raise ValueError(
-                    "xz payload exceeds archive budget or is truncated"
-                )
-            blob = data
+            blob = _xz_concat(blob, MAX_ARCHIVE_BYTES)
         except (lzma.LZMAError, ValueError) as exc:
             yield err(None, f"xz decompress failed: {exc}")
             return
     elif blob[:3] == b"BZh":
-        import bz2
-
         try:
-            d = bz2.BZ2Decompressor()
-            data = d.decompress(blob, MAX_ARCHIVE_BYTES)
-            if not d.eof:
-                raise ValueError(
-                    "bz2 payload exceeds archive budget or is truncated"
-                )
-            blob = data
+            blob = _bz2_concat(blob, MAX_ARCHIVE_BYTES)
         except (OSError, ValueError) as exc:
             yield err(None, f"bz2 decompress failed: {exc}")
             return

@@ -90,6 +90,34 @@ class TestRoundTrip:
         assert extract_pdf_pages(bytes(upd)) == ["revised"]
 
 
+class TestWriterQuirks:
+    """Real-world deviations from the letter of ISO 32000 that a
+    reader must tolerate (round 11)."""
+
+    def test_19_byte_xref_entries(self):
+        """Some writers end classic xref entries with a SINGLE EOL
+        byte (19-byte entries); a fixed 20-byte stride misaligns the
+        walk and degrades readable files to the scan fallback."""
+        import re
+
+        blob = encode_pdf([text_page(b"nineteen"), text_page(b"bytes")])
+        for eol in (b"\n", b"\r"):
+            quirky = re.sub(rb"(\d{10} \d{5} [nf]) \n",
+                            rb"\1" + eol, blob)
+            assert quirky != blob
+            assert extract_pdf_pages(quirky) == ["nineteen", "bytes"]
+
+    def test_trailing_junk_after_eof_keeps_xref_chain(self):
+        """ISO 32000 readers tolerate ~1 KiB of junk after %%EOF.
+        The ObjStm layout proves the xref CHAIN (not the scan
+        fallback, which cannot reach object-stream members) survived
+        the junk."""
+        blob = encode_pdf([text_page(b"tolerant")],
+                          xref_stream=True, objstm=True)
+        junk = b"\n% trailing viewer cruft " + b"#" * 640 + b"\n"
+        assert extract_pdf_pages(blob + junk) == ["tolerant"]
+
+
 class TestRecoveryAndErrors:
     def test_scan_fallback_on_damaged_xref(self):
         b = bytearray(encode_pdf([text_page(b"rescue me")]))

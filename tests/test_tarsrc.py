@@ -184,6 +184,49 @@ class TestXzBz2:
         rows = list(parse_tar_blob(blob[: len(blob) // 2]))
         assert rows[0]["error"] is not None
 
+    @pytest.mark.parametrize("comp", ["xz", "bz2"])
+    def test_concatenated_streams_fully_decompress(self, comp):
+        """pbzip2 / pixz / ``xz -T`` emit ONE STREAM PER BLOCK; a
+        single-decompressor pass stops at the first stream's end and
+        silently drops every member after it (round-11 fix, mirrors
+        the round-10 gunzip_concat fix)."""
+        import bz2 as _bz2
+        import lzma as _lzma
+
+        comp_fn = (
+            (lambda b: _lzma.compress(b, format=_lzma.FORMAT_XZ))
+            if comp == "xz" else _bz2.compress
+        )
+        raw = encode_tar(MEMBERS)
+        # split the tar mid-archive across two independent streams,
+        # like a parallel compressor's block boundary
+        cut = 512 * 3
+        blob = comp_fn(raw[:cut]) + comp_fn(raw[cut:])
+        rows = list(parse_tar_blob(blob))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+        assert all(r["error"] is None for r in rows)
+
+    def test_xz_stream_padding_between_streams(self):
+        """xz spec §2.1 allows NUL padding (multiple of 4) between
+        and after streams — pixz writes it; tolerate it."""
+        import lzma as _lzma
+
+        raw = encode_tar(MEMBERS)
+        one = _lzma.compress(raw[:512], format=_lzma.FORMAT_XZ)
+        two = _lzma.compress(raw[512:], format=_lzma.FORMAT_XZ)
+        blob = one + b"\x00" * 8 + two + b"\x00" * 4
+        rows = list(parse_tar_blob(blob))
+        assert [(r["name"], r["body"]) for r in rows] == MEMBERS
+
+    @pytest.mark.parametrize("comp", ["xz", "bz2"])
+    def test_trailing_garbage_after_streams_is_error(self, comp):
+        """Non-stream bytes after the last stream must surface as an
+        error row, never be silently dropped."""
+        blob = encode_tar(MEMBERS, compression=comp) + b"garbage!"
+        rows = list(parse_tar_blob(blob))
+        assert rows[0]["error"] is not None
+        assert "trailing garbage" in rows[0]["error"]
+
     def test_writer_arg_validation(self):
         with pytest.raises(ValueError, match="unknown compression"):
             encode_tar(MEMBERS, compression="zst")
