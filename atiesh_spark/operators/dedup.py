@@ -312,6 +312,24 @@ def minhash_band_signatures(
     )
 
 
+def _star_route_buckets(
+    members: DataFrame, hot: DataFrame, id_col: str
+) -> DataFrame:
+    """(id_1, id_2) star pairs for HOT (band, band_sig) buckets: every
+    member links to the bucket's min id (the hub). Linear in bucket
+    size, and connectivity-equivalent to the quadratic all-pairs for
+    ``connected_components`` — a hot bucket's members end up in one
+    cluster either way. Since the hub is the bucket min, id_1 < id_2
+    always holds."""
+    return (
+        members.join(hot, ["band", "band_sig"])
+        .filter(F.col(id_col) != F.col("__hub"))
+        .select(
+            F.col("__hub").alias("id_1"), F.col(id_col).alias("id_2")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -321,6 +339,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingles: DataFrame | None = None,
     broadcast_dim: bool | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >= 1 identical signature band.
 
@@ -328,6 +347,19 @@ def minhash_lsh_pairs(
     cross product. ``shingles``: optional precomputed distinct (id_col,
     sh) frame (see ngram_jaccard_pairs). Output: distinct (id_1, id_2),
     id_1 < id_2.
+
+    ``max_bucket`` caps the quadratic self-join per bucket (the same
+    hub-explosion discipline as ``rare_shingle_candidates``'s max_df and
+    ``textstats.winnow_overlap_pairs``): a NATURALLY hot bucket — a
+    boilerplate-identical band over millions of near-identical pages —
+    would otherwise self-join quadratically. Buckets larger than the cap
+    are STAR-ROUTED, not dropped: every member pairs with the bucket's
+    min id, which is linear work and preserves exactly the
+    connected-components clustering the all-pairs join would produce
+    (hot-bucket members are exact-dup-class anyway). Only pair-level
+    completeness WITHIN a hot bucket is reduced — downstream Jaccard
+    verifiers see the star edges, not all C(n,2). ``None`` disables the
+    cap.
     """
     # materialize once: both sides of the bucket self-join otherwise
     # recompute the whole signature pipeline (branch re-aliasing defeats
@@ -336,20 +368,40 @@ def minhash_lsh_pairs(
         df, id_col, text_col, k, num_hashes, bands,
         shingles=shingles, broadcast_dim=broadcast_dim,
     ).localCheckpoint()
+    star = None
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2 (a pair needs two docs)")
+        stats = band_sigs.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__hub")
+        )
+        hot = stats.filter(F.col("__sz") > max_bucket).select(
+            "band", "band_sig", "__hub"
+        )
+        star = _star_route_buckets(band_sigs, hot, id_col)
+        band_sigs = band_sigs.join(
+            stats.filter(F.col("__sz") <= max_bucket)
+            .select("band", "band_sig"),
+            ["band", "band_sig"],
+            "left_semi",
+        )
     left = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
     right = band_sigs.select(F.col(id_col).alias("id_2"), "band", "band_sig")
-    return (
+    pairs = (
         left.join(right, ["band", "band_sig"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def incremental_lsh_candidates(
     new_bands: DataFrame,
     old_bands: DataFrame,
     id_col: str = "doc_id",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Incremental dedup candidates for a NEW batch against a corpus.
 
@@ -362,24 +414,82 @@ def incremental_lsh_candidates(
     |new| x bucket width: the old corpus is joined, never re-hashed —
     the only shape that works when the corpus is 100 TB and the batch is
     1 GB.
+
+    ``max_bucket`` bounds "bucket width" itself (same discipline as
+    ``minhash_lsh_pairs``): an OLD-store bucket wider than the cap —
+    boilerplate band over millions of archived near-dups — would fan
+    every matching new doc out to millions of old ids. Hot old buckets
+    are routed to ONE representative (the bucket's min old id): the new
+    doc is still flagged as a duplicate of the old corpus, and the
+    survivor policy keeps the old copy regardless of WHICH old id
+    matched. Bucket widths are counted only over buckets the new batch
+    actually touches (left-semi first), so the per-batch cost stays
+    proportional to the batch. New-vs-new hot buckets star-route to the
+    bucket's min new id, preserving within-batch connectivity. ``None``
+    disables the cap.
     """
     new_ck = new_bands.localCheckpoint()  # feeds three join sides
+    old_side = old_bands
+    if max_bucket is not None:
+        if max_bucket < 1:
+            raise ValueError("max_bucket must be >= 1")
+        touched = new_ck.select("band", "band_sig").distinct()
+        old_touched = old_bands.join(
+            touched, ["band", "band_sig"], "left_semi"
+        )
+        ostats = old_touched.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__hub")
+        )
+        # hot old buckets collapse to their representative; small ones
+        # pass through untouched
+        old_side = old_touched.join(
+            ostats.filter(F.col("__sz") <= max_bucket)
+            .select("band", "band_sig"),
+            ["band", "band_sig"],
+            "left_semi",
+        ).unionByName(
+            ostats.filter(F.col("__sz") > max_bucket).select(
+                F.col("__hub").alias(id_col), "band", "band_sig"
+            )
+        )
     old_new = (
-        old_bands.select(F.col(id_col).alias("id_1"), "band", "band_sig")
+        old_side.select(F.col(id_col).alias("id_1"), "band", "band_sig")
         .join(
             new_ck.select(F.col(id_col).alias("id_2"), "band", "band_sig"),
             ["band", "band_sig"],
         )
         .select("id_1", "id_2")
     )
-    left = new_ck.select(F.col(id_col).alias("id_1"), "band", "band_sig")
-    right = new_ck.select(F.col(id_col).alias("id_2"), "band", "band_sig")
+    new_small = new_ck
+    new_star = None
+    if max_bucket is not None:
+        nstats = new_ck.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__hub")
+        )
+        new_star = _star_route_buckets(
+            new_ck,
+            nstats.filter(F.col("__sz") > max_bucket).select(
+                "band", "band_sig", "__hub"
+            ),
+            id_col,
+        )
+        new_small = new_ck.join(
+            nstats.filter(F.col("__sz") <= max_bucket)
+            .select("band", "band_sig"),
+            ["band", "band_sig"],
+            "left_semi",
+        )
+    left = new_small.select(F.col(id_col).alias("id_1"), "band", "band_sig")
+    right = new_small.select(F.col(id_col).alias("id_2"), "band", "band_sig")
     new_new = (
         left.join(right, ["band", "band_sig"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
     )
-    return old_new.unionByName(new_new).distinct()
+    out = old_new.unionByName(new_new)
+    if new_star is not None:
+        out = out.unionByName(new_star)
+    return out.distinct()
 
 
 def connected_components(

@@ -143,6 +143,65 @@ def test_incremental_candidates_cover_batch_pairs(spark):
     assert inc == expected and len(inc) > 0
 
 
+def test_hot_band_bucket_is_star_routed_not_quadratic(spark):
+    """A boilerplate-identical band bucket (every doc the same text —
+    the degenerate worst case of millions of near-dup pages) must not
+    self-join quadratically once it exceeds max_bucket: the cap routes
+    the bucket through its min-id hub, keeping connectivity identical
+    while pair count drops from C(n,2) to n-1 (round-11 hardening,
+    mirrors rare_shingle_candidates' max_df)."""
+    n = 12
+    df = corpus(spark, [BASE] * n)
+    capped = {(r["id_1"], r["id_2"]) for r in
+              minhash_lsh_pairs(df, "doc_id", "text", max_bucket=5).collect()}
+    # star edges only: hub 0 to every other member
+    assert capped == {(0, i) for i in range(1, n)}
+    # connectivity unchanged vs the uncapped quadratic join
+    from atiesh_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs_df = spark.createDataFrame(sorted(capped), "id_1 long, id_2 long")
+    labels = {r["doc_id"]: r["cluster_id"] for r in
+              connected_components(pairs_df, ids, "doc_id").collect()}
+    assert set(labels.values()) == {0}
+    # small buckets are untouched by the cap
+    uncapped = {(r["id_1"], r["id_2"]) for r in
+                minhash_lsh_pairs(df, "doc_id", "text",
+                                  max_bucket=None).collect()}
+    assert len(uncapped) == n * (n - 1) // 2
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_pairs(df, "doc_id", "text", max_bucket=1)
+
+
+def test_incremental_hot_old_bucket_routes_to_representative(spark):
+    """A hot OLD-store bucket must fan each matching new doc out to ONE
+    representative old id, not the whole bucket — and new docs must
+    still all be flagged as duplicates of the old corpus."""
+    from atiesh_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_signatures,
+    )
+
+    old = corpus(spark, [BASE] * 8)                      # ids 0..7
+    new = spark.createDataFrame(
+        [(100, BASE), (101, BASE)], "doc_id long, text string"
+    )
+    old_bands = minhash_band_signatures(old, "doc_id", "text")
+    new_bands = minhash_band_signatures(new, "doc_id", "text")
+    got = {(r["id_1"], r["id_2"]) for r in
+           incremental_lsh_candidates(new_bands, old_bands,
+                                      max_bucket=3).collect()}
+    # old->new collapses to the hub (min old id = 0); new-vs-new pair kept
+    assert got == {(0, 100), (0, 101), (100, 101)}
+    # uncapped: full fan-out for comparison
+    full = {(r["id_1"], r["id_2"]) for r in
+            incremental_lsh_candidates(new_bands, old_bands,
+                                       max_bucket=None).collect()}
+    assert full == {(i, nid) for i in range(8) for nid in (100, 101)} | {(100, 101)}
+
+
 def test_select_representatives_policies(spark):
     from atiesh_spark.operators.dedup import select_representatives
 
