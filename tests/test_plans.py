@@ -716,17 +716,18 @@ def test_every_headline_cell_has_a_baseline_anchor():
     documented cold cell."""
     import bench
 
-    repo = pathlib.Path(__file__).resolve().parent.parent
-    baseline = (repo / "BASELINE.md").read_text()
-    unanchored = [
-        n for n, s in QUERIES.items()
-        if s.headline and n not in baseline and n not in bench.COLD_CELLS
-    ]
+    headline = {n for n, s in QUERIES.items() if s.headline}
+    unanchored = sorted(headline - set(bench.ANCHORS))
     assert not unanchored, (
-        f"headline bench cells with no BASELINE.md anchor and no "
-        f"COLD_CELLS entry: {unanchored} — record a baseline row "
-        "(first recorded bench value) or classify the cell"
+        f"headline bench cells with no bench.ANCHORS entry: "
+        f"{unanchored} — record the cell's first bench value in the "
+        "canonical anchor dict (bench.py --check-anchors reads it)"
     )
+    stale = sorted(set(bench.ANCHORS) - headline)
+    assert not stale, f"ANCHORS entries for non-headline cells: {stale}"
+    assert all(v > 0 for v in bench.ANCHORS.values())
+    # cold cells are anchored too (the full-bench artifact covers them)
+    assert bench.COLD_CELLS <= set(bench.ANCHORS)
 
 
 def test_crawl_pipeline_plan_shape(spark):
