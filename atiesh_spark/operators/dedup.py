@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -312,21 +312,16 @@ def minhash_band_signatures(
     )
 
 
-def _star_route_buckets(
-    members: DataFrame, hot: DataFrame, id_col: str
-) -> DataFrame:
-    """(id_1, id_2) star pairs for HOT (band, band_sig) buckets: every
-    member links to the bucket's min id (the hub). Linear in bucket
-    size, and connectivity-equivalent to the quadratic all-pairs for
-    ``connected_components`` — a hot bucket's members end up in one
-    cluster either way. Since the hub is the bucket min, id_1 < id_2
-    always holds."""
-    return (
-        members.join(hot, ["band", "band_sig"])
-        .filter(F.col(id_col) != F.col("__hub"))
-        .select(
-            F.col("__hub").alias("id_1"), F.col(id_col).alias("id_2")
-        )
+def _annotate_buckets(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Annotate (id, band, band_sig) rows with their bucket's size and
+    hub (min id) via ONE window over the (band, band_sig) partitioning
+    the downstream pair join shuffles on anyway — the hot-bucket cap
+    costs a sort, not an extra aggregate plus joins."""
+    w = Window.partitionBy("band", "band_sig")
+    return bands_df.select(
+        id_col, "band", "band_sig",
+        F.count(F.lit(1)).over(w).alias("__sz"),
+        F.min(id_col).over(w).alias("__hub"),
     )
 
 
@@ -367,24 +362,23 @@ def minhash_lsh_pairs(
     band_sigs = minhash_band_signatures(
         df, id_col, text_col, k, num_hashes, bands,
         shingles=shingles, broadcast_dim=broadcast_dim,
-    ).localCheckpoint()
+    )
     star = None
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError("max_bucket must be >= 2 (a pair needs two docs)")
-        stats = band_sigs.groupBy("band", "band_sig").agg(
-            F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__hub")
+        band_sigs = _annotate_buckets(band_sigs, id_col).localCheckpoint()
+        star = (
+            band_sigs.filter(
+                (F.col("__sz") > max_bucket)
+                & (F.col(id_col) != F.col("__hub"))
+            ).select(
+                F.col("__hub").alias("id_1"), F.col(id_col).alias("id_2")
+            )
         )
-        hot = stats.filter(F.col("__sz") > max_bucket).select(
-            "band", "band_sig", "__hub"
-        )
-        star = _star_route_buckets(band_sigs, hot, id_col)
-        band_sigs = band_sigs.join(
-            stats.filter(F.col("__sz") <= max_bucket)
-            .select("band", "band_sig"),
-            ["band", "band_sig"],
-            "left_semi",
-        )
+        band_sigs = band_sigs.filter(F.col("__sz") <= max_bucket)
+    else:
+        band_sigs = band_sigs.localCheckpoint()
     left = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
     right = band_sigs.select(F.col(id_col).alias("id_2"), "band", "band_sig")
     pairs = (
@@ -428,30 +422,37 @@ def incremental_lsh_candidates(
     bucket's min new id, preserving within-batch connectivity. ``None``
     disables the cap.
     """
-    new_ck = new_bands.localCheckpoint()  # feeds three join sides
-    old_side = old_bands
+    new_star = None
     if max_bucket is not None:
         if max_bucket < 1:
             raise ValueError("max_bucket must be >= 1")
-        touched = new_ck.select("band", "band_sig").distinct()
-        old_touched = old_bands.join(
-            touched, ["band", "band_sig"], "left_semi"
+        new_ck = _annotate_buckets(
+            new_bands, id_col
+        ).localCheckpoint()  # feeds three join sides
+        new_star = new_ck.filter(
+            (F.col("__sz") > max_bucket) & (F.col(id_col) != F.col("__hub"))
+        ).select(F.col("__hub").alias("id_1"), F.col(id_col).alias("id_2"))
+        new_small = new_ck.filter(F.col("__sz") <= max_bucket)
+        # old-store bucket widths, counted ONLY over buckets the new
+        # batch touches (left-semi first — per-batch cost stays
+        # proportional to the batch); a hot old bucket keeps exactly
+        # its hub row (the id == __hub filter IS the one-representative
+        # collapse, no distinct needed)
+        old_ann = _annotate_buckets(
+            old_bands.join(
+                new_ck.select("band", "band_sig").distinct(),
+                ["band", "band_sig"],
+                "left_semi",
+            ),
+            id_col,
         )
-        ostats = old_touched.groupBy("band", "band_sig").agg(
-            F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__hub")
+        old_side = old_ann.filter(
+            (F.col("__sz") <= max_bucket) | (F.col(id_col) == F.col("__hub"))
         )
-        # hot old buckets collapse to their representative; small ones
-        # pass through untouched
-        old_side = old_touched.join(
-            ostats.filter(F.col("__sz") <= max_bucket)
-            .select("band", "band_sig"),
-            ["band", "band_sig"],
-            "left_semi",
-        ).unionByName(
-            ostats.filter(F.col("__sz") > max_bucket).select(
-                F.col("__hub").alias(id_col), "band", "band_sig"
-            )
-        )
+    else:
+        new_ck = new_bands.localCheckpoint()  # feeds three join sides
+        new_small = new_ck
+        old_side = old_bands
     old_new = (
         old_side.select(F.col(id_col).alias("id_1"), "band", "band_sig")
         .join(
@@ -460,25 +461,6 @@ def incremental_lsh_candidates(
         )
         .select("id_1", "id_2")
     )
-    new_small = new_ck
-    new_star = None
-    if max_bucket is not None:
-        nstats = new_ck.groupBy("band", "band_sig").agg(
-            F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__hub")
-        )
-        new_star = _star_route_buckets(
-            new_ck,
-            nstats.filter(F.col("__sz") > max_bucket).select(
-                "band", "band_sig", "__hub"
-            ),
-            id_col,
-        )
-        new_small = new_ck.join(
-            nstats.filter(F.col("__sz") <= max_bucket)
-            .select("band", "band_sig"),
-            ["band", "band_sig"],
-            "left_semi",
-        )
     left = new_small.select(F.col(id_col).alias("id_1"), "band", "band_sig")
     right = new_small.select(F.col(id_col).alias("id_2"), "band", "band_sig")
     new_new = (
