@@ -24,10 +24,16 @@ on whatever scan reads the rows. The canonical form:
 7. duplicate slashes in the path collapsed, trailing slash dropped,
    empty path normalized to ``/``.
 
-``registered_domain`` is the last two host labels — deliberately NOT a
-public-suffix list (no external data files in-plan); documented
-approximation, exact for .com/.org/... and one level off for ccSLDs
-like .co.uk. Swap in a broadcast suffix table if that matters.
+``registered_domain`` is the last two host labels, EXCEPT when those
+two labels are themselves a public suffix (``co.uk``, ``com.au``, …),
+in which case the last three are kept. The suffix set is
+``PUBLIC_SUFFIXES_2`` below — a frozen snapshot of the ~200 most
+common two-label public suffixes from the public-suffix list
+(publicsuffix.org), embedded so the rule stays row-local codegen (an
+InSet literal, no external data file, no join). Rarer 2-label
+suffixes and all 3-label suffixes (e.g. ``act.edu.au``) still
+over-aggregate by one level — swap in a broadcast full-PSL table if
+that matters.
 
 No counterpart in the reference (it transports events, it does not
 parse URLs); this extends the training-data surface like the rest of
@@ -41,6 +47,100 @@ from pyspark.sql import functions as F
 
 #: Query parameters that never identify a resource.
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref|mc_eid)(=.*)?$"
+
+#: Frozen snapshot of the most common TWO-label public suffixes
+#: (publicsuffix.org, public data): when a host ends in one of these,
+#: the registered domain is the last THREE labels. Kept to the
+#: high-traffic ccSLD sets so the in-plan literal stays small; the
+#: docstring above records the approximation for the long tail.
+PUBLIC_SUFFIXES_2 = (
+    # United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    # Australia
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    # Brazil
+    "art.br", "com.br", "edu.br", "gov.br", "mil.br", "net.br", "org.br",
+    # Japan
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    # New Zealand
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "maori.nz",
+    "net.nz", "org.nz", "school.nz",
+    # India
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    # China
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    # South Africa
+    "ac.za", "co.za", "edu.za", "gov.za", "net.za", "org.za", "web.za",
+    # South Korea
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    # Mexico / Argentina / Chile / Colombia / Peru / Venezuela
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar",
+    "net.ar", "org.ar", "tur.ar",
+    "co.cl", "gob.cl", "gov.cl", "mil.cl",
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co", "org.co",
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
+    "co.ve", "com.ve", "edu.ve", "gob.ve", "info.ve", "mil.ve",
+    "net.ve", "org.ve", "web.ve",
+    # Turkey
+    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "com.tr", "dr.tr", "edu.tr",
+    "gen.tr", "gov.tr", "info.tr", "k12.tr", "mil.tr", "name.tr",
+    "net.tr", "org.tr", "pol.tr", "tv.tr", "web.tr",
+    # Taiwan / Hong Kong / Singapore
+    "club.tw", "com.tw", "ebiz.tw", "edu.tw", "game.tw", "gov.tw",
+    "idv.tw", "mil.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    # Thailand / Indonesia / Malaysia / Philippines / Vietnam
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "sch.id", "web.id",
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my", "org.my",
+    "com.ph", "edu.ph", "gov.ph", "mil.ph", "net.ph", "ngo.ph", "org.ph",
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn",
+    "info.vn", "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    # Israel / Ukraine / Poland
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il",
+    "net.il", "org.il",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "biz.pl", "com.pl", "edu.pl", "gov.pl", "info.pl", "mil.pl",
+    "net.pl", "org.pl", "waw.pl",
+    # Egypt / Saudi Arabia / UAE / Nigeria / Kenya
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "info.eg", "mil.eg",
+    "name.eg", "net.eg", "org.eg", "sci.eg",
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa",
+    "pub.sa", "sch.sa",
+    "ac.ae", "co.ae", "gov.ae", "mil.ae", "net.ae", "org.ae", "sch.ae",
+    "com.ng", "edu.ng", "gov.ng", "mil.ng", "mobi.ng", "name.ng",
+    "net.ng", "org.ng", "sch.ng",
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    # Pakistan / Bangladesh / Sri Lanka / Nepal
+    "biz.pk", "com.pk", "edu.pk", "fam.pk", "gov.pk", "net.pk",
+    "org.pk", "web.pk",
+    "ac.bd", "com.bd", "edu.bd", "gov.bd", "mil.bd", "net.bd", "org.bd",
+    "ac.lk", "com.lk", "edu.lk", "gov.lk", "grp.lk", "int.lk",
+    "ltd.lk", "net.lk", "org.lk", "sch.lk", "web.lk",
+    "com.np", "edu.np", "gov.np", "mil.np", "net.np", "org.np",
+    # Western Europe ccSLDs
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    "edu.it", "gov.it",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    "ac.at", "co.at", "gv.at", "or.at", "priv.at",
+    "co.hu", "info.hu", "org.hu",
+    "com.ro", "firm.ro", "info.ro", "nom.ro", "org.ro", "store.ro",
+    "tm.ro",
+    # Canada (provincial + federal)
+    "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "ns.ca", "on.ca",
+    "qc.ca", "sk.ca",
+)
 
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 
@@ -88,10 +188,22 @@ def canonicalize_urls(
     path = F.when(path == "", F.lit("/")).otherwise(path)
 
     labels = F.split(host, r"\.")
-    reg_dom = F.when(
-        F.size(labels) >= 2,
-        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
-    ).otherwise(host)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    reg_dom = (
+        F.when(
+            (F.size(labels) >= 3) & last2.isin(*PUBLIC_SUFFIXES_2),
+            F.concat_ws(
+                ".",
+                F.element_at(labels, -3),
+                F.element_at(labels, -2),
+                F.element_at(labels, -1),
+            ),
+        )
+        .when(F.size(labels) >= 2, last2)
+        .otherwise(host)
+    )
 
     parsed = scheme != ""
     return (

@@ -3165,6 +3165,15 @@ _Q144_URL_RE = (
 )
 
 
+def _psl_sql_list() -> str:
+    """The embedded public-suffix snapshot as a SQL IN-list, generated
+    from the SAME tuple the Spark side compiles into its InSet — the
+    two engines cannot drift."""
+    from atiesh_spark.operators.web import PUBLIC_SUFFIXES_2
+
+    return ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+
+
 @register(
     "q144_url_canonicalize",
     oracle=r"""
@@ -3219,7 +3228,14 @@ _Q144_URL_RE = (
         FROM parts
     )
     SELECT doc_id, url, host,
-           CASE WHEN len(string_split(host, '.')) >= 2
+           CASE WHEN len(string_split(host, '.')) >= 3
+                     AND string_split(host, '.')[-2] || '.'
+                         || string_split(host, '.')[-1]
+                         IN (__PSL_LIST__)
+                THEN string_split(host, '.')[-3] || '.'
+                     || string_split(host, '.')[-2] || '.'
+                     || string_split(host, '.')[-1]
+                WHEN len(string_split(host, '.')) >= 2
                 THEN string_split(host, '.')[-2] || '.'
                      || string_split(host, '.')[-1]
                 ELSE host END AS registered_domain,
@@ -3231,7 +3247,7 @@ _Q144_URL_RE = (
            || path
            || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
     FROM norm
-    """,
+    """.replace("__PSL_LIST__", _psl_sql_list()),
     headline=True,
     doc="URL canonicalization (operators/web.py canonicalize_urls): "
     "the first step of every crawl-derived pipeline — scheme/host "

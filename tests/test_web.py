@@ -50,6 +50,36 @@ def test_canonicalize_subdomain_and_unparseable(spark):
     assert bad["canonical_url"] is None and bad["host"] is None
 
 
+def test_registered_domain_public_suffixes(spark):
+    """ccSLD hosts must keep THREE labels (round 11: the embedded PSL
+    snapshot) — a bbc.co.uk page previously over-aggregated to co.uk,
+    merging every .co.uk site into one domain for caps and stats."""
+    cases = {
+        "https://www.bbc.co.uk/news": "bbc.co.uk",
+        "https://shop.example.com.au/x": "example.com.au",
+        "https://www.u-tokyo.ac.jp/": "u-tokyo.ac.jp",
+        "https://a.b.gov.br/doc": "b.gov.br",
+        # the bare suffix itself has no registrable part; last-2 rule
+        # applies (documented degenerate)
+        "https://co.uk/": "co.uk",
+        # non-PSL two-label stays two labels even at depth
+        "https://a.b.example.org/": "example.org",
+    }
+    for url, want in cases.items():
+        assert _canon(spark, url)["registered_domain"] == want, url
+
+
+def test_psl_snapshot_shape():
+    """Every snapshot entry is a lowercase two-label suffix, no dups —
+    the invariant both the Spark InSet and the generated oracle
+    IN-list rely on."""
+    from atiesh_spark.operators.web import PUBLIC_SUFFIXES_2
+
+    assert len(PUBLIC_SUFFIXES_2) == len(set(PUBLIC_SUFFIXES_2))
+    for s in PUBLIC_SUFFIXES_2:
+        assert s == s.lower() and s.count(".") == 1 and "'" not in s
+
+
 def test_domain_stats_dup_share(spark):
     df = spark.createDataFrame(
         [
