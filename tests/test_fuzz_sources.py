@@ -49,12 +49,18 @@ class TestPdfFuzz:
             pass
 
     @FUZZ
-    @given(_EDITS, st.booleans(), st.booleans())
-    def test_mutated_valid_pdf(self, edits, xref_stream, objstm):
+    @given(_EDITS, st.booleans(), st.booleans(), st.booleans())
+    def test_mutated_valid_pdf(self, edits, xref_stream, objstm,
+                               narrow_xref):
         base = encode_pdf(
             [text_page(b"alpha"), text_page(b"beta (x)")],
             xref_stream=xref_stream or objstm, objstm=objstm,
         )
+        if narrow_xref and not (xref_stream or objstm):
+            # round-11 stride-detection path: 19-byte xref entries
+            import re
+
+            base = re.sub(rb"(\d{10} \d{5} [nf]) \n", rb"\1\n", base)
         try:
             pages = extract_pdf_pages(_mutate(base, edits))
             assert isinstance(pages, list)
@@ -76,6 +82,36 @@ class TestArchiveFuzz:
     @given(st.binary(max_size=256))
     def test_arbitrary_tar_bytes(self, blob):
         rows = list(parse_tar_blob(blob + b"\x00" * ((-len(blob)) % 512)))
+        assert all(isinstance(r, dict) for r in rows)
+
+    @FUZZ
+    @given(_EDITS, st.sampled_from(["xz", "bz2", "gz"]), st.integers(1, 3))
+    def test_mutated_concatenated_streams(self, edits, comp, n_streams):
+        """Round-11 path: multi-stream tar archives with byte-level
+        damage anywhere (stream headers, checksums, the inter-stream
+        boundary) must yield error ROWS, never raise."""
+        import bz2 as _bz2
+        import lzma as _lzma
+        import zlib as _zlib
+
+        from atiesh_spark.sources.tarsrc import encode_tar
+
+        def one(b):
+            if comp == "xz":
+                return _lzma.compress(b, format=_lzma.FORMAT_XZ)
+            if comp == "bz2":
+                return _bz2.compress(b)
+            co = _zlib.compressobj(6, _zlib.DEFLATED, 16 + 15)
+            return co.compress(b) + co.flush()
+
+        raw = encode_tar([("m%d" % i, b"payload %d " % i * 9)
+                          for i in range(4)])
+        cut = len(raw) // n_streams
+        blob = b"".join(
+            one(raw[i * cut: (i + 1) * cut if i < n_streams - 1 else None])
+            for i in range(n_streams)
+        )
+        rows = list(parse_tar_blob(_mutate(blob, edits)))
         assert all(isinstance(r, dict) for r in rows)
 
 
