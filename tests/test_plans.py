@@ -664,6 +664,28 @@ def test_bench_cold_cells_are_real_headline_queries():
         assert anchor in hot, anchor
 
 
+def test_capped_lsh_plan_shapes(spark):
+    """Round-11 gate: the hot-bucket cap must stay a WINDOW on the
+    partitioning the pair join uses, not an extra aggregate + joins
+    (the first implementation cost ~1 s/query at sf0.1 before the
+    rewrite — this pins the cheap shape). Post-checkpoint, q26's
+    visible plan is the bucket self-join + distinct (<= 2 hash
+    exchanges); the incremental twin allows its three join sides +
+    distinct (<= 7). No cartesian product or nested-loop join may
+    appear in either, cap on or off."""
+    for name, max_ex in (
+        ("q26_minhash_lsh", 2),
+        ("q58_incremental_dedup", 7),
+    ):
+        df = QUERIES[name].spark(spark, SF_SMALL)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange hashpartitioning") <= max_ex, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_round8_media_lab_plan_shapes(spark):
     """Round-8 media family plan gates:
 
