@@ -479,19 +479,27 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
     if k <= 0:
         raise ValueError("k must be > 0")
     v = as_double(vec_col)
-    e1 = df.select(F.posexplode(v).alias("i", "xi"), F.col(vec_col).alias("__v"))
-    e2 = e1.select("i", "xi", F.posexplode(as_double("__v")).alias("j", "xj"))
-    sums2 = {
-        (r["i"], r["j"]): r["sxy"]
-        for r in e2.groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sxy"))
-        .collect()
-    }
-    firsts = (
-        df.select(F.posexplode(v).alias("i", "xi"))
-        .groupBy("i")
+    # Upper triangle only (covariance is symmetric): each row explodes
+    # index i, then pair-explodes just the TAIL slice [i..d), so the
+    # fan-out is d(d+1)/2 rows per vector, not d^2 — half the explode,
+    # hash-agg, and shuffle work. A sentinel j = -1 row per (vector, i)
+    # carries the first-moment stats (sum, count, non-null count), so
+    # ONE job and one scan produce every number the driver needs
+    # (previously two collect jobs scanning the corpus twice).
+    e1 = df.select(F.posexplode(v).alias("i", "xi"), v.alias("__v"))
+    pairs = e1.select(
+        "i",
+        "xi",
+        F.posexplode(
+            F.slice(F.col("__v"), F.col("i") + 1, F.size(F.col("__v")))
+        ).alias("p", "xj"),
+    ).select("i", "xi", (F.col("i") + F.col("p")).alias("j"), "xj")
+    sentinel = e1.select("i", "xi", F.lit(-1).alias("j"), F.lit(1.0).alias("xj"))
+    moments = (
+        pairs.unionByName(sentinel)
+        .groupBy("i", "j")
         .agg(
-            F.sum("xi").alias("sx"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
             F.count(F.lit(1)).alias("n"),
             # NULL elements inside a full-length vector keep the row
             # count intact while F.sum silently skips them — count the
@@ -500,6 +508,8 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
         )
         .collect()
     )
+    firsts = [r for r in moments if r["j"] == -1]
+    sums2 = {(r["i"], r["j"]): r["sxy"] for r in moments if r["j"] >= 0}
     d = len(firsts)
     if k > d:
         raise ValueError(f"k={k} exceeds vector dimension {d}")
@@ -514,10 +524,11 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
     n = firsts[0]["n"]
     mean = np.zeros(d)
     for r in firsts:
-        mean[r["i"]] = r["sx"] / n
+        mean[r["i"]] = r["sxy"] / n  # sentinel xj = 1.0 -> sxy = sum(xi)
     cov = np.zeros((d, d))
     for (i, j), sxy in sums2.items():
         cov[i, j] = sxy / n - mean[i] * mean[j]
+        cov[j, i] = cov[i, j]
     eigvals, eigvecs = np.linalg.eigh((cov + cov.T) / 2.0)
     order = np.argsort(eigvals)[::-1][:k]
     comps = []
