@@ -74,6 +74,9 @@ HEAVY = [
     # in the family (round-6 verdict item 5)
     "q178_winnow_dedup_clusters",
     "q184_winnow_span_removal",
+    # round 11: the PCA moment job after the upper-triangle + sentinel
+    # fusion — should be ~linear (one scan, d^2-bounded shuffle)
+    "q98_pca_embeddings",
     # round 8: the codec-heaviest row-local media cell (GIF encode +
     # stride-2 LZW decode per doc) — should scale ~linearly
     "q200_gif_frame_sample",
