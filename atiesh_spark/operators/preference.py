@@ -106,35 +106,69 @@ def bradley_terry(
         return spark.createDataFrame(
             [], "item string, n_wins long, n_games long, rating double"
         )
-    # iterate: ratings are a k-row digest collected per round and
-    # re-broadcast as a small DataFrame (never a literal tree)
-    p = {r["__i"]: 1.0 / n_items for r in wins.select("__i").collect()}
-    for _ in range(iters):
-        p_df = spark.createDataFrame(
-            [(k, v) for k, v in p.items()], ["__item", "__p"]
-        )
-        terms = (
-            sym.join(
-                broadcast(p_df.select(F.col("__item").alias("__i"),
-                                      F.col("__p").alias("__pi"))),
-                "__i",
+    # iterate. The smoothed-game frame `sym` is itself bounded (<=
+    # 2 x distinct observed pairs, and items are already capped by
+    # max_items), so when it fits the same bounded-digest budget the
+    # PCA eigensolve and k-means centroids use, the 10 MM rounds run
+    # driver-side in numpy on ONE collect of (i, j, g) — a single job
+    # replaces 10 sequential join jobs whose cost was pure per-round
+    # overhead. Past the pair budget, the original per-round
+    # broadcast-join loop runs instead (ratings stay a k-row digest
+    # collected per round, never a literal tree).
+    n_pairs = sym.count()
+    if n_pairs <= 250_000:
+        import numpy as np
+
+        items = sorted({r["__i"] for r in wins.select("__i").collect()})
+        idx = {it: x for x, it in enumerate(items)}
+        rows = sorted(
+            (r["__i"], r["__j"], r["__g"]) for r in sym.collect()
+        )  # fixed order: float accumulation is deterministic per run
+        ii = np.array([idx[i] for i, _, _ in rows], dtype=np.int64)
+        jj = np.array([idx[j] for _, j, _ in rows], dtype=np.int64)
+        gg = np.array([g for _, _, g in rows], dtype=np.float64)
+        Wv = np.zeros(len(items))
+        for r in wins.collect():
+            Wv[idx[r["__i"]]] = r["__W"]
+        pv = np.full(len(items), 1.0 / n_items)
+        for _ in range(iters):
+            denom = np.zeros(len(items))
+            np.add.at(denom, ii, gg / (pv[ii] + pv[jj]))
+            pv = Wv / denom
+            pv /= pv.sum()
+        p = {it: float(pv[x]) for it, x in idx.items()}
+    else:
+        p = {r["__i"]: 1.0 / n_items for r in wins.select("__i").collect()}
+        for _ in range(iters):
+            p_df = spark.createDataFrame(
+                [(k, v) for k, v in p.items()], ["__item", "__p"]
             )
-            .join(
-                broadcast(p_df.select(F.col("__item").alias("__j"),
-                                      F.col("__p").alias("__pj"))),
-                "__j",
+            terms = (
+                sym.join(
+                    broadcast(p_df.select(F.col("__item").alias("__i"),
+                                          F.col("__p").alias("__pi"))),
+                    "__i",
+                )
+                .join(
+                    broadcast(p_df.select(F.col("__item").alias("__j"),
+                                          F.col("__p").alias("__pj"))),
+                    "__j",
+                )
+                .groupBy("__i")
+                .agg(
+                    F.sum(
+                        F.col("__g") / (F.col("__pi") + F.col("__pj"))
+                    ).alias("__d")
+                )
             )
-            .groupBy("__i")
-            .agg(F.sum(F.col("__g") / (F.col("__pi") + F.col("__pj"))).alias("__d"))
-        )
-        new = {
-            r["__i"]: r["__W"] / r["__d"]
-            for r in wins.join(terms, "__i").collect()
-        }
-        # sum in sorted-key order: collect() row order is not
-        # deterministic, and float addition isn't associative
-        total = sum(v for _, v in sorted(new.items()))
-        p = {k: v / total for k, v in sorted(new.items())}
+            new = {
+                r["__i"]: r["__W"] / r["__d"]
+                for r in wins.join(terms, "__i").collect()
+            }
+            # sum in sorted-key order: collect() row order is not
+            # deterministic, and float addition isn't associative
+            total = sum(v for _, v in sorted(new.items()))
+            p = {k: v / total for k, v in sorted(new.items())}
     raw_wins = counts.groupBy(F.col("__w").alias("__i")).agg(
         F.sum("__n").alias("n_wins")
     )
