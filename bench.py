@@ -90,7 +90,9 @@ ANCHORS: dict[str, float] = {
     "q148_intra_doc_line_dedup": 0.32, "q149_gopher_rules": 1.65,
     "q150_dataset_card": 0.51, "q152_sentence_chunks": 0.35,
     "q163_winnow_fingerprints": 0.96, "q164_winnow_overlap_pairs": 2.62,
-    "q166_bradley_terry": 5.22, "q167_logreg_quality_gate": 2.36,
+    # q166 re-anchored 5.22 -> 2.30 in r11: the MM rounds moved
+    # driver-side onto the bounded pair digest (BASELINE.md r11 note)
+    "q166_bradley_terry": 2.30, "q167_logreg_quality_gate": 2.36,
     # r8/r9/r10 additions
     "q200_gif_frame_sample": 4.27, "q211_html_extract": 1.53,
     "q216_corpus_chrf": 4.56, "q235_crawl_pipeline": 2.40,
