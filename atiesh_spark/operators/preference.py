@@ -30,6 +30,7 @@ def bradley_terry(
     iters: int = 10,
     smooth: float = 0.5,
     max_items: int = 100_000,
+    max_digest_pairs: int = 250_000,
 ) -> DataFrame:
     """Bradley-Terry strengths from pairwise judgments via the MM
     algorithm (Hunter, "MM algorithms for generalized Bradley-Terry
@@ -116,7 +117,7 @@ def bradley_terry(
     # broadcast-join loop runs instead (ratings stay a k-row digest
     # collected per round, never a literal tree).
     n_pairs = sym.count()
-    if n_pairs <= 250_000:
+    if n_pairs <= max_digest_pairs:
         import numpy as np
 
         items = sorted({r["__i"] for r in wins.select("__i").collect()})

@@ -46,6 +46,25 @@ def test_bradley_terry_matches_reference_mm(spark):
     assert got["A"]["rating"] > got["C"]["rating"] > got["B"]["rating"]
 
 
+def test_bradley_terry_digest_and_join_paths_agree(spark):
+    """Round 11: the MM rounds run driver-side (numpy on one collect
+    of the pair digest) when the digest fits max_digest_pairs, with
+    the per-round broadcast-join loop as the past-budget fallback.
+    Both paths must produce identical 4dp ratings on the same
+    judgments — max_digest_pairs=0 forces the join loop."""
+    from atiesh_spark.operators.preference import bradley_terry
+
+    rows = ([("A", "B")] * 3 + [("B", "A")] + [("A", "C")] * 2
+            + [("C", "B")] * 2 + [("D", "A")] * 4 + [("B", "D")])
+    df = spark.createDataFrame(rows, "w string, l string")
+    digest = {r["item"]: tuple(r) for r in
+              bradley_terry(df, "w", "l", iters=10).collect()}
+    joined = {r["item"]: tuple(r) for r in
+              bradley_terry(df, "w", "l", iters=10,
+                            max_digest_pairs=0).collect()}
+    assert digest == joined
+
+
 def test_bradley_terry_edges(spark):
     from atiesh_spark.operators.preference import bradley_terry
 
