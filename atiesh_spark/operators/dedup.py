@@ -634,6 +634,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     total_bits: int = 60,
+    max_block: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -641,19 +642,56 @@ def simhash_near_pairs(
     there can still be near — standard multi-probe tradeoff, documented) so
     the join is per-block, not all-pairs.
     Output: (id_1, id_2, hamming).
+
+    ``max_block`` is the same hot-bucket discipline as
+    ``minhash_lsh_pairs``'s max_bucket: boilerplate-identical pages
+    share a simhash, hence a prefix block, and an uncapped block
+    self-joins quadratically. Oversized blocks star-route through the
+    block's min-id member — whose fingerprint rides along, so star
+    edges still honor ``max_hamming`` and carry an exact ``hamming``
+    value. ``None`` disables the cap.
     """
     blocked = sim_df.withColumn(
         "block", F.expr(f"shiftright(simhash, {total_bits - prefix_bits})")
-    ).localCheckpoint()  # both self-join sides reuse the fingerprints
+    )
+    star = None
+    if max_block is not None:
+        if max_block < 2:
+            raise ValueError("max_block must be >= 2 (a pair needs two docs)")
+        w = Window.partitionBy("block")
+        blocked = blocked.select(
+            id_col, "simhash", "block",
+            F.count(F.lit(1)).over(w).alias("__sz"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+            ).over(w).alias("__hub"),
+        ).localCheckpoint()  # both self-join sides reuse the fingerprints
+        star = (
+            blocked.filter(
+                (F.col("__sz") > max_block)
+                & (F.col(id_col) != F.col("__hub.i"))
+            )
+            .withColumn("hamming", F.bit_count(F.expr("__hub.s ^ simhash")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(
+                F.col("__hub.i").alias("id_1"),
+                F.col(id_col).alias("id_2"),
+                "hamming",
+            )
+        )
+        blocked = blocked.filter(F.col("__sz") <= max_block)
+    else:
+        blocked = blocked.localCheckpoint()
     a = blocked.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("s1"), "block")
     b = blocked.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("s2"), "block")
-    return (
+    pairs = (
         a.join(b, "block")
         .filter(F.col("id_1") < F.col("id_2"))
         .withColumn("hamming", F.bit_count(F.expr("s1 ^ s2")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+    return pairs if star is None else pairs.unionByName(star)
 
 
 def rare_shingle_candidates(

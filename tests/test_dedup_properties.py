@@ -175,6 +175,24 @@ def test_hot_band_bucket_is_star_routed_not_quadratic(spark):
         minhash_lsh_pairs(df, "doc_id", "text", max_bucket=1)
 
 
+def test_simhash_hot_block_is_star_routed(spark):
+    """Identical texts share a simhash, hence a prefix block; past
+    max_block the block must star-route (hamming 0 edges to the min-id
+    hub), not self-join quadratically — and small blocks plus the
+    hamming threshold behave exactly as uncapped."""
+    from atiesh_spark.operators.dedup import simhash, simhash_near_pairs
+
+    n = 10
+    df = corpus(spark, [BASE] * n + ["something quite different here zz"])
+    sims = simhash(df, "doc_id", "text")
+    capped = {(r["id_1"], r["id_2"]): r["hamming"] for r in
+              simhash_near_pairs(sims, "doc_id", max_block=4).collect()}
+    assert capped == {(0, i): 0 for i in range(1, n)}
+    full = {(r["id_1"], r["id_2"]) for r in
+            simhash_near_pairs(sims, "doc_id", max_block=None).collect()}
+    assert len(full) == n * (n - 1) // 2
+
+
 def test_incremental_hot_old_bucket_routes_to_representative(spark):
     """A hot OLD-store bucket must fan each matching new doc out to ONE
     representative old id, not the whole bucket — and new docs must
