@@ -664,6 +664,35 @@ def test_bench_cold_cells_are_real_headline_queries():
         assert anchor in hot, anchor
 
 
+def test_check_anchors_reads_both_artifact_shapes(tmp_path, capsys):
+    """bench.check_anchors must accept raw bench.py output AND the
+    driver-wrapped BENCH_r{N}.json shape ({"parsed": {...}}), compute
+    ratios only for anchored cells, and gate on the aggregate."""
+    import json
+
+    import bench
+
+    inner = {
+        "queries": {"q26_minhash_lsh": bench.ANCHORS["q26_minhash_lsh"],
+                    "q_unknown_cell": 1.0},
+        "loadavg": [1.0, 2.0, 3.0], "cpus": 32,
+    }
+    raw = tmp_path / "raw.json"
+    raw.write_text(json.dumps(inner))
+    wrapped = tmp_path / "wrapped.json"
+    wrapped.write_text(json.dumps({"n": 11, "parsed": inner}))
+    for p in (raw, wrapped):
+        assert bench.check_anchors(str(p)) == 0
+        out = capsys.readouterr().out
+        assert "1.00x" in out and "q_unknown_cell" in out
+    # a 2x-aggregate artifact returns nonzero
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"queries": {
+        "q26_minhash_lsh": 3 * bench.ANCHORS["q26_minhash_lsh"]}}))
+    assert bench.check_anchors(str(bad)) == 1
+    capsys.readouterr()
+
+
 def test_capped_lsh_plan_shapes(spark):
     """Round-11 gate: the hot-bucket cap must stay a WINDOW on the
     partitioning the pair join uses, not an extra aggregate + joins
