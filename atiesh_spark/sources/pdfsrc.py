@@ -240,6 +240,12 @@ class _Lexer:
                 t = self.next_token()
                 if t == "]":
                     return arr
+                if t is None:
+                    # EOF inside an array: next_token() returns None
+                    # WITHOUT advancing, so falling through would
+                    # append None forever (real hang, found by the
+                    # round-11 fuzz run mid-suite)
+                    raise ValueError("unterminated array")
                 self.pos = save
                 arr.append(self.next_object())
         if isinstance(tok, int):

@@ -7,6 +7,9 @@ parse)."""
 
 from __future__ import annotations
 
+import signal
+from contextlib import contextmanager
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -23,6 +26,25 @@ FUZZ = settings(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+
+
+@contextmanager
+def watchdog(seconds: float = 20.0):
+    """Fail (don't freeze) if one example hangs: the round-11 suite
+    run sat inside an infinite lexer loop for 30+ minutes because
+    deadline=None has no hang protection. SIGALRM turns a hang into
+    a failing example hypothesis can then shrink."""
+
+    def fire(signum, frame):
+        raise AssertionError("parser hang: example exceeded watchdog")
+
+    old = signal.signal(signal.SIGALRM, fire)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _mutate(blob: bytes, edits: list[tuple[int, int]]) -> bytes:
@@ -43,7 +65,8 @@ class TestPdfFuzz:
     @given(st.binary(max_size=512))
     def test_arbitrary_bytes(self, blob):
         try:
-            pages = extract_pdf_pages(b"%PDF-1.4\n" + blob)
+            with watchdog():
+                pages = extract_pdf_pages(b"%PDF-1.4\n" + blob)
             assert isinstance(pages, list)
         except (ValueError, RecursionError):
             pass
@@ -62,7 +85,8 @@ class TestPdfFuzz:
 
             base = re.sub(rb"(\d{10} \d{5} [nf]) \n", rb"\1\n", base)
         try:
-            pages = extract_pdf_pages(_mutate(base, edits))
+            with watchdog():
+                pages = extract_pdf_pages(_mutate(base, edits))
             assert isinstance(pages, list)
         except (ValueError, RecursionError):
             pass
@@ -111,7 +135,8 @@ class TestArchiveFuzz:
             one(raw[i * cut: (i + 1) * cut if i < n_streams - 1 else None])
             for i in range(n_streams)
         )
-        rows = list(parse_tar_blob(_mutate(blob, edits)))
+        with watchdog():
+            rows = list(parse_tar_blob(_mutate(blob, edits)))
         assert all(isinstance(r, dict) for r in rows)
 
 

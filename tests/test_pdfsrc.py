@@ -118,6 +118,41 @@ class TestWriterQuirks:
         assert extract_pdf_pages(blob + junk) == ["tolerant"]
 
 
+class TestLexerTermination:
+    """Round-11 fuzz regression: next_token() returns None at EOF
+    WITHOUT advancing, so an unterminated array made _compose append
+    None forever — a real hang (one malformed PDF would wedge an
+    executor task for good). Every open collection must raise at
+    EOF instead."""
+
+    def test_unterminated_array_raises(self):
+        for src in (b"[1 2 3", b"[[1 2", b"<< /K [1 2 >>", b"[(s) /N"):
+            with pytest.raises(ValueError):
+                _Lexer(src).next_object()
+
+    def test_unterminated_dict_raises(self):
+        with pytest.raises(ValueError):
+            _Lexer(b"<< /A 1 /B 2").next_object()
+
+    @pytest.mark.parametrize("edits", [
+        [(20, 64), (61, 249), (722, 88), (787, 197)],
+        [(85, 22), (180, 14), (188, 97), (261, 118), (603, 52),
+         (685, 209), (737, 234)],
+    ])
+    def test_captured_hang_inputs_raise_promptly(self, edits):
+        """The two EXACT mutated documents the round-11 fuzz session
+        captured looping forever (byte edits replayed against the
+        same deterministic fixture): must now raise, fast."""
+        base = bytearray(encode_pdf(
+            [text_page(b"alpha"), text_page(b"beta (x)")],
+            xref_stream=True,
+        ))
+        for pos, val in edits:
+            base[pos] = val
+        with pytest.raises(ValueError):
+            extract_pdf_pages(bytes(base))
+
+
 class TestRecoveryAndErrors:
     def test_scan_fallback_on_damaged_xref(self):
         b = bytearray(encode_pdf([text_page(b"rescue me")]))
