@@ -12,6 +12,7 @@ of freezing the suite."""
 
 from __future__ import annotations
 
+import os
 import signal
 import struct
 from contextlib import contextmanager
@@ -47,8 +48,11 @@ from atiesh_spark.sources.warc import encode_warc_records, parse_warc_blob
 TYPED = (ValueError, struct.error, IndexError, ZeroDivisionError,
          OverflowError)
 
+# Soak knob: CI runs the default 120 examples; a long-running session
+# can re-run the same suites at fuzz depth (e.g. 3000) without code
+# edits via SPARK_GRAFT_FUZZ_EXAMPLES=3000 python -m pytest ...
 FUZZ = settings(
-    max_examples=120,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "120")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

@@ -7,6 +7,7 @@ parse)."""
 
 from __future__ import annotations
 
+import os
 import signal
 from contextlib import contextmanager
 
@@ -21,8 +22,11 @@ from atiesh_spark.sources.pdfsrc import encode_pdf, extract_pdf_pages, text_page
 from atiesh_spark.sources.tarsrc import parse_tar_blob
 from atiesh_spark.sources.zipsrc import encode_zip, parse_zip_blob
 
+# Soak knob: CI runs the default 120 examples; a long-running session
+# can re-run the same suites at fuzz depth (e.g. 3000) without code
+# edits via SPARK_GRAFT_FUZZ_EXAMPLES=3000 python -m pytest ...
 FUZZ = settings(
-    max_examples=120,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "120")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
