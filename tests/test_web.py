@@ -238,6 +238,101 @@ def test_robots_metacharacters_are_literal(spark):
     assert out[2] is True   # '.' is not a regex dot
 
 
+def test_robots_differential_vs_python_reference(spark):
+    """Batch differential: hundreds of metacharacter-laden patterns and
+    paths decided by the in-plan Spark matcher must agree with an
+    independent Python ``re`` reference of the documented semantics
+    (longest pattern among matches wins; length tie -> allow; no match
+    -> allowed). One Spark job for the whole grid — the point is depth
+    the point-wise tests above cannot reach (hostile escapes, ``*``
+    runs, ``$`` mid-pattern vs trailing, unicode), plus proof that no
+    generated pattern compiles into an invalid in-plan regex."""
+    import random
+    import re as _re
+
+    rng = random.Random(9309)  # the RFC number; fixed for reproducibility
+    meta = list(".^$+?(){}[]\\|*/")
+    alpha = list("abXé7% ~-_")
+
+    def rand_pattern() -> str:
+        n = rng.randint(1, 8)
+        p = "".join(rng.choice(meta if rng.random() < 0.5 else alpha)
+                    for _ in range(n))
+        return "/" + p if rng.random() < 0.7 else p
+
+    patterns = sorted({rand_pattern() for _ in range(150)})
+    paths = sorted({rand_pattern() + rand_pattern() for _ in range(80)})
+    rules_rows = [
+        ("h", rng.random() < 0.5, p) for p in patterns
+    ]
+
+    def ref_decide(path: str):
+        best = None
+        for _, allow, pat in rules_rows:
+            anchored = pat.endswith("$")
+            body = pat[:-1] if anchored else pat
+            rx = "^" + _re.sub(
+                r"([.^$+?(){}\[\]\\|])", r"\\\1", body
+            ).replace("*", ".*") + ("$" if anchored else "")
+            if _re.search(rx, path):
+                # struct-comparison key used by array_max on the Spark
+                # side: (length, allow-as-int, pattern)
+                key = (len(pat), int(allow), pat)
+                if best is None or key > best[0]:
+                    best = (key, allow, pat)
+        if best is None:
+            return True, ""
+        return best[1], best[2]
+
+    rules = spark.createDataFrame(
+        rules_rows, "host string, allow boolean, pattern string"
+    )
+    urls = spark.createDataFrame(
+        [(i, "h", p) for i, p in enumerate(paths)],
+        "id long, host string, path string",
+    )
+    got = {
+        r["id"]: (r["allowed"], r["matched_rule"])
+        for r in apply_robots_rules(urls, rules).collect()
+    }
+    want = {i: ref_decide(p) for i, p in enumerate(paths)}
+    diffs = {
+        i: (paths[i], got[i], want[i])
+        for i in want if got[i] != want[i]
+    }
+    assert not diffs, f"{len(diffs)} disagreements, e.g. {list(diffs.items())[:3]}"
+
+
+def test_robots_text_parser_total_on_hostile_bodies():
+    """_parse_robots_text is reached by mapInPandas over fetched crawl
+    bytes — arbitrary text must parse to (bool, non-empty-str) rules,
+    never raise: one escaping exception would kill the whole Arrow
+    batch on the cluster. Pure Python, so hypothesis drives it
+    directly (no per-example Spark job)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from atiesh_spark.operators.web import _parse_robots_text
+
+    lineish = st.text(
+        alphabet=st.sampled_from(
+            list("Uuser-agent:AlowDisc/*$#\t \r\nxé%")
+        ),
+        max_size=200,
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(lineish, st.sampled_from(["*", "crawler", "a b"]))
+    def check(body, agent):
+        rules = _parse_robots_text(body, agent)
+        assert isinstance(rules, list)
+        for allow, pattern in rules:
+            assert isinstance(allow, bool)
+            assert isinstance(pattern, str) and pattern
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # StreamingCrawlIngest (round 10): the q235 chain as a maintenance loop
 
