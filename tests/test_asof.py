@@ -213,6 +213,52 @@ def test_bucketed_asof_equals_plain_asof(spark, direction, bucket_size):
     assert plain.columns == bucketed.columns
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(spark, direction):
+    """Randomized differential against pandas.merge_asof — an
+    independent reference implementation of as-of semantics (inclusive
+    boundary, per-key, NULL on no match). The fixed-fixture tests
+    above pin the documented edge cases; this pins the bulk semantics
+    on 200x80 random rows where hand-enumeration can't reach. Right
+    (uid, t) pairs are unique so both engines' answers are
+    tie-free-identical by construction."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20240816)
+    left_rows = [
+        (rng.randint(1, 6), rng.randint(0, 300), f"e{i}")
+        for i in range(200)
+    ]
+    right_keys = {(rng.randint(1, 6), rng.randint(0, 300))
+                  for _ in range(80)}
+    right_rows = [(u, t, f"m{u}_{t}", u * 1000 + t)
+                  for u, t in sorted(right_keys)]
+
+    left = spark.createDataFrame(left_rows, "uid long, t long, ev string")
+    right = spark.createDataFrame(
+        right_rows, "uid long, t long, m string, score long"
+    )
+    got = {
+        r["ev"]: (r["m"], r["score"])
+        for r in asof_join(left, right, on="t", by="uid",
+                           direction=direction).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["uid", "t", "ev"]).sort_values("t")
+    rp = pd.DataFrame(
+        right_rows, columns=["uid", "t", "m", "score"]
+    ).sort_values("t")
+    ref = pd.merge_asof(lp, rp, on="t", by="uid", direction=direction)
+    want = {
+        row.ev: (None if pd.isna(row.m) else row.m,
+                 None if pd.isna(row.score) else int(row.score))
+        for row in ref.itertuples()
+    }
+    assert got == want
+
+
 def test_bucketed_asof_validation(spark, sides):
     from atiesh_spark.operators.asof import asof_join_bucketed
 
