@@ -182,6 +182,59 @@ def test_winnow_shared_substring_guarantee(spark):
     assert 0.1 < frac < 0.8
 
 
+def test_winnow_matches_sequential_python_reference(spark):
+    """Randomized differential against a direct sequential
+    implementation of classic winnowing (Schleimer 2003, leftmost
+    ties) using the operator's exact gram hash (first 9 hex chars of
+    md5, 36 bits). Covers random text with repetitive runs, docs with
+    fewer grams than the window, and docs shorter than k — the bulk
+    selection behavior the theorem tests above can't enumerate."""
+    import hashlib
+    import random
+
+    from atiesh_spark.operators.textstats import winnow_fingerprints
+
+    k, w, shift = 4, 5, 1 << 24
+    rng = random.Random(2003)
+    texts = []
+    for _ in range(30):
+        n = rng.randint(0, 120)
+        t = "".join(rng.choice("abcab ") for _ in range(n))
+        if rng.random() < 0.3:  # plant a repetitive run (tie stress)
+            t += "zzzz" * rng.randint(1, 8)
+        texts.append(t)
+    texts += ["", "ab", "abc", "abcd", "abcde"]  # < k, == k, barely > k
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def ref(doc: str) -> set[tuple[int, int]]:
+        s = doc.lower()
+        n = len(s) - k + 1
+        if n < 1:
+            return set()
+        packed = [
+            int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:9], 16)
+            * shift + (i + 1)  # operator positions are 1-based
+            for i in range(n)
+        ]
+        sel = set()
+        if n <= w:
+            sel.add(min(packed))
+        else:
+            for start in range(n - w + 1):
+                sel.add(min(packed[start:start + w]))
+        return {(p % shift, p // shift) for p in sel}
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {i: set() for i, _ in rows}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got[r["doc_id"]].add((r["fp_pos"], r["fp_hash"]))
+    want = {i: ref(t) for i, t in rows}  # ref yields (pos, hash)
+    bad = {i for i in want if got[i] != want[i]}
+    assert not bad, f"docs {sorted(bad)[:5]} disagree; e.g. doc " \
+        f"{min(bad)}: got {sorted(got[min(bad)])[:4]} want " \
+        f"{sorted(want[min(bad)])[:4]}"
+
+
 def test_winnow_short_and_repetitive_docs(spark):
     from atiesh_spark.operators.textstats import winnow_fingerprints
 
