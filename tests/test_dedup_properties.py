@@ -83,6 +83,43 @@ def test_connected_components_long_chain(spark):
     assert labels.agg(F.max("cluster_id")).first()[0] == 0
 
 
+def test_connected_components_matches_union_find(spark):
+    """Randomized differential against a sequential union-find: on
+    random graphs (dense and sparse, with duplicate edges and
+    self-loops) the distributed min-label propagation must produce
+    exactly the min-id-per-component labeling. The hand-built cases
+    above pin shapes; this pins bulk correctness where component
+    structure is too tangled to enumerate."""
+    import random
+
+    rng = random.Random(41)
+    for n, m in ((60, 80), (50, 12)):
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges += [(7 % n, 7 % n)]  # self-loop must be harmless
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        # min-label: find() roots are min ids because unions keep the
+        # smaller root as parent
+        pairs = spark.createDataFrame(edges, "id_1 long, id_2 long")
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {r["doc_id"]: r["cluster_id"] for r in
+               connected_components(pairs, ids, "doc_id").collect()}
+        assert got == want, f"n={n} m={m}: " + str(
+            {k: (got[k], want[k]) for k in want if got[k] != want[k]})
+
+
 def test_jaccard_candidate_filter_mode(spark):
     """The scale path: exact Jaccard restricted to LSH candidate pairs
     returns exactly the candidate subset of the full result."""
