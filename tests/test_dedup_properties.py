@@ -83,6 +83,77 @@ def test_connected_components_long_chain(spark):
     assert labels.agg(F.max("cluster_id")).first()[0] == 0
 
 
+def test_minhash_signatures_match_python_reference(spark):
+    """Randomized differential for the signature math itself: the
+    documented hash family (md5(seed ':' shingle), lexicographic min
+    over hex digests) re-implemented sequentially must give identical
+    (seed, mh) rows — including sub-k documents whose single shingle
+    is the whole text."""
+    import hashlib
+    import random
+
+    from atiesh_spark.operators.dedup import minhash_signatures
+
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("abcd ") for _ in range(rng.randint(1, 40)))
+             for _ in range(18)]
+    texts += ["a", "ab", "abc"]  # < k, == k boundaries
+    rows = [(i, t) for i, t in enumerate(texts)]
+    k, num_hashes = 3, 8
+
+    def ref(text: str) -> dict[int, str]:
+        n = max(len(text) - k + 1, 1)
+        shingles = {text[i:i + k] for i in range(n)} - {""}
+        return {
+            s: min(
+                hashlib.md5(f"{s}:{sh}".encode()).hexdigest()
+                for sh in shingles
+            )
+            for s in range(num_hashes)
+        }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, dict[int, str]] = {}
+    for r in minhash_signatures(
+        df, "doc_id", "text", k=k, num_hashes=num_hashes
+    ).collect():
+        got.setdefault(r["doc_id"], {})[r["seed"]] = r["mh"]
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
+
+
+def test_simhash_matches_python_reference(spark):
+    """Randomized differential for the SimHash vote math: frequency-
+    weighted ±1 votes per bit of the 60-bit md5 token hash, bit set
+    iff strictly positive — re-implemented sequentially."""
+    import hashlib
+    import random
+
+    from atiesh_spark.operators.dedup import simhash
+
+    rng = random.Random(60)
+    vocab = ["alpha", "beta", "gamma", "x", "the", "thé"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(1, 30)))
+             for _ in range(15)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    bits = 60
+
+    def ref(text: str) -> int:
+        votes = [0] * bits
+        for tok in text.split():
+            th = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for b in range(bits):
+                votes[b] += 1 if (th >> b) & 1 else -1
+        return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(df, "doc_id", "text", bits=bits).collect()}
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
+
+
 def test_connected_components_matches_union_find(spark):
     """Randomized differential against a sequential union-find: on
     random graphs (dense and sparse, with duplicate edges and
