@@ -293,6 +293,81 @@ def test_triangle_stats_known_graph(spark):
         assert got[n]["n_triangles"] == 0
 
 
+def test_triangle_stats_matches_bruteforce_random_graph(spark):
+    """Random-graph differential: per-node triangle counts and
+    clustering coefficients vs an O(n^3) brute force. The known-graph
+    test pins the formula on enumerable shapes; this pins the join
+    pipeline on ~30-node graphs dense enough to have hundreds of
+    wedge candidates."""
+    import random
+    from itertools import combinations
+
+    from atiesh_spark.operators.graph import triangle_stats
+
+    rng = random.Random(101)
+    n = 30
+    edges = sorted({(a, b) for a, b in
+                    (sorted(rng.sample(range(n), 2)) for _ in range(140))})
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {i: 0 for i in range(n)}
+    for a, b, c in combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    for i in range(n):
+        d = len(adj[i])
+        if d == 0:
+            assert i not in got  # isolated nodes don't appear in edges
+            continue
+        assert got[i]["degree"] == d
+        assert got[i]["n_triangles"] == tri[i], f"node {i}"
+        want_cc = round(2 * tri[i] / (d * (d - 1)), 4) if d > 1 else 0.0
+        assert got[i]["clustering"] == pytest.approx(want_cc, abs=1e-4)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Random-graph differential: the distributed join/groupBy rounds
+    must reproduce a dense numpy power iteration of the same update
+    (uniform start, r' = (1-d)/N + d * sum_in r/deg) to within the
+    output rounding."""
+    import random
+
+    import numpy as np
+
+    from atiesh_spark.operators.graph import pagerank
+
+    rng = random.Random(85)
+    n = 25
+    edges = sorted({(a, b) for a, b in
+                    (sorted(rng.sample(range(n), 2)) for _ in range(60))})
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    A = np.zeros((m, m))
+    for a, b in edges:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    deg = A.sum(axis=1)
+    d, iters = 0.85, 5
+    r = np.full(m, 1.0 / m)
+    for _ in range(iters):
+        r = (1 - d) / m + d * (A.T @ (r / deg))
+
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    got = {row["node"]: row for row in
+           pagerank(df, damping=d, iterations=iters).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v]["degree"] == int(deg[idx[v]])
+        assert got[v]["pagerank"] == pytest.approx(r[idx[v]], abs=2e-6), v
+
+
 def test_triangle_stats_dedupes_and_canonicalizes_input(spark):
     from atiesh_spark.operators.graph import triangle_stats
 
