@@ -104,6 +104,54 @@ def test_kmeans_stable_across_partitioning(spark, emb):
     assert a == b
 
 
+def test_kmeans_matches_sequential_lloyd_reference(spark):
+    """Randomized differential against a sequential Lloyd's
+    implementation of the documented contract: md5-smallest-(hash, id)
+    seeding, lowest-index tie-break on assignment, HALF_UP-rounded
+    means as next-round centroids, empty clusters keeping their
+    previous centroid. Exact equality — the fit is specified to be
+    deterministic and engine-independent."""
+    import hashlib
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from atiesh_spark.operators.cluster import kmeans_fit
+
+    rng = random.Random(88)
+    rows = [
+        (i, [round(rng.uniform(-2, 2), 3) for _ in range(4)])
+        for i in range(60)
+    ]
+    k, iters = 5, 3
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def rnd6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    seeds = sorted(rows, key=lambda r: (md5_long(str(r[0])), r[0]))[:k]
+    cents = [list(v) for _, v in seeds]
+    for _ in range(iters):
+        members: dict[int, list[list[float]]] = {}
+        for _, v in rows:
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), ci)
+                for ci, c in enumerate(cents)
+            )[1]
+            members.setdefault(best, []).append(v)
+        cents = [
+            [rnd6(sum(vals) / len(vals))
+             for vals in zip(*members[ci])] if ci in members else cents[ci]
+            for ci in range(k)
+        ]
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_fit(emb, k=k, iterations=iters)
+    assert got == cents
+
+
 def test_kmeans_drops_ragged_vectors(spark):
     """A malformed short vector must be dropped like a NULL — not kill
     the fit under ANSI mode, not skew a mean with null-padded dims."""
