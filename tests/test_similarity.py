@@ -544,6 +544,63 @@ def test_pq_encode_matches_python_reference(spark):
         assert enc[i]["recon_err"] == _pt.approx(err, abs=1e-5)
 
 
+def test_pq_fit_matches_sequential_reference(spark):
+    """Randomized differential for the TRAINING loop (the encode tests
+    cover inference only): same-k-seed-rows-per-subspace init,
+    lowest-code assignment ties, HALF_UP-rounded means, empty codes
+    keeping their previous centroid — a sequential implementation must
+    reproduce the codebooks exactly."""
+    import hashlib
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from atiesh_spark.operators.similarity import pq_fit
+
+    rng = random.Random(2011)
+    d, m, kc, iters = 8, 4, 4, 3
+    sub_d = d // m
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(d)])
+        for i in range(40)
+    ]
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def rnd6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    seeds = sorted(rows, key=lambda r: (md5_long(str(r[0])), r[0]))[:kc]
+    cbs = [
+        [list(v[s * sub_d:(s + 1) * sub_d]) for _, v in seeds]
+        for s in range(m)
+    ]
+    subs = [(s, v[s * sub_d:(s + 1) * sub_d])
+            for _, v in rows for s in range(m)]
+    for _ in range(iters):
+        members: dict[tuple[int, int], list[list[float]]] = {}
+        for s, sv in subs:
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sv, c)), ci)
+                for ci, c in enumerate(cbs[s])
+            )[1]
+            members.setdefault((s, best), []).append(sv)
+        cbs = [
+            [
+                [rnd6(sum(vals) / len(vals))
+                 for vals in zip(*members[(s, c)])]
+                if (s, c) in members else cbs[s][c]
+                for c in range(kc)
+            ]
+            for s in range(m)
+        ]
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pq_fit(emb, num_subspaces=m, codebook_size=kc, iterations=iters)
+    assert got == cbs
+
+
 def test_pq_adc_topk_matches_python_order(spark):
     from atiesh_spark.operators.similarity import (
         pq_adc_topk,
