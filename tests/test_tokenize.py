@@ -304,6 +304,63 @@ def test_viterbi_prefers_high_prob_long_pieces():
     assert _viterbi("aaaa", t2, 4) == _viterbi("aaaa", t2, 4)
 
 
+def test_viterbi_matches_exhaustive_enumeration():
+    """Brute-force differential: for random piece tables and words up
+    to 9 chars, enumerate every segmentation (2^(n-1)) and verify the
+    dp returns one attaining the maximum (total logp, fewer pieces)
+    objective — and exactly the unique argmax when no tie exists.
+    Covers UNK fallbacks, max_len cutoffs, and piece overlaps the
+    hand-built cases can't reach."""
+    import random
+
+    from atiesh_spark.operators.tokenize import _UNK_LOGP, _viterbi
+
+    rng = random.Random(2018)
+    alphabet = "abc"
+    for _ in range(300):
+        pieces = {"".join(rng.choice(alphabet)
+                          for _ in range(rng.randint(1, 3)))
+                  for _ in range(rng.randint(2, 8))}
+        table = {p: round(rng.uniform(-5, -0.1), 6) for p in pieces}
+        max_len = rng.randint(1, 4)
+        w = "".join(rng.choice(alphabet + "x")
+                    for _ in range(rng.randint(1, 9)))
+
+        def seg_score(seg):
+            total = 0.0
+            for p in seg:
+                lp = table.get(p)
+                if lp is None:
+                    if len(p) != 1:
+                        return None
+                    lp = _UNK_LOGP
+                if len(p) > max_len and p not in table:
+                    return None
+                if len(p) > max_len:
+                    return None
+                total += lp
+            return (total, -len(seg))
+
+        n = len(w)
+        best, best_segs = None, []
+        for mask in range(1 << max(n - 1, 0)):
+            cuts = [0] + [i for i in range(1, n)
+                          if mask >> (i - 1) & 1] + [n]
+            seg = [w[cuts[i]:cuts[i + 1]] for i in range(len(cuts) - 1)]
+            sc = seg_score(seg)
+            if sc is None:
+                continue
+            if best is None or sc > best:
+                best, best_segs = sc, [seg]
+            elif sc == best:
+                best_segs.append(seg)
+
+        got = _viterbi(w, table, max_len)
+        assert seg_score(got) == best, (w, table, max_len, got)
+        if len(best_segs) == 1:
+            assert got == best_segs[0], (w, table, max_len)
+
+
 def test_unigram_learn_invariants(spark):
     import math
 
