@@ -49,6 +49,92 @@ def test_ks_statistic_known_values(spark):
         ks_statistic(a2.filter("v > 99"), b2, "v")
 
 
+def test_ks_spearman_mwu_match_bruteforce_random_samples(spark):
+    """Randomized differentials for the three rank statistics against
+    independent restatements: KS vs a direct sup over both empirical
+    CDFs, Spearman vs numpy corrcoef of midranks, and Mann-Whitney U
+    vs O(n^2) PAIR COUNTING (wins + half-ties) — a different formula
+    from the operator's rank-sum construction, so a tie-handling bug
+    in either cannot cancel out. Integer-valued samples force heavy
+    ties everywhere."""
+    import math
+    import random
+
+    import numpy as np
+    import pytest
+
+    from atiesh_spark.operators.profile import (
+        ks_statistic,
+        mann_whitney_u,
+        spearman_corr,
+    )
+
+    rng = random.Random(1947)
+    xs = [rng.randint(0, 12) for _ in range(80)]
+    ys = [x + rng.randint(-3, 3) for x in xs]  # correlated, with ties
+    bs = [rng.randint(2, 15) for _ in range(60)]
+
+    # --- KS ---------------------------------------------------------
+    values = sorted(set(xs) | set(bs))
+    want_d = max(
+        abs(sum(v <= t for v in xs) / len(xs)
+            - sum(v <= t for v in bs) / len(bs))
+        for t in values
+    )
+    a_df = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    b_df = spark.createDataFrame([(float(v),) for v in bs], "v double")
+    r = ks_statistic(a_df, b_df, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (80, 60)
+    assert r["ks_d"] == pytest.approx(want_d, abs=1e-4)
+
+    # --- Spearman ---------------------------------------------------
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r_ = (i + j + 1) / 2.0  # 1-based average rank
+            for t in order[i:j]:
+                ranks[t] = r_
+            i = j
+        return ranks
+
+    rho_want = float(np.corrcoef(midranks(xs), midranks(ys))[0, 1])
+    xy = spark.createDataFrame(list(zip(map(float, xs), map(float, ys))),
+                               "x double, y double")
+    rr = spearman_corr(xy, "x", "y").collect()[0]
+    assert rr["n"] == 80
+    assert rr["rho"] == pytest.approx(rho_want, abs=1e-4)
+
+    # --- Mann-Whitney U ---------------------------------------------
+    u_want = sum(
+        (b < a) + 0.5 * (a == b) for a in xs for b in bs
+    )
+    n_a, n_b = len(xs), len(bs)
+    n = n_a + n_b
+    pooled = xs + bs
+    tie_sum = sum(
+        g ** 3 - g
+        for g in (pooled.count(v) for v in set(pooled))
+    )
+    sigma2 = n_a * n_b / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+    z_want = (u_want - n_a * n_b / 2.0) / math.sqrt(sigma2)
+    p_want = math.erfc(abs(z_want) / math.sqrt(2.0))
+    df = spark.createDataFrame(
+        [(i, "A", float(v)) for i, v in enumerate(xs)]
+        + [(1000 + i, "B", float(v)) for i, v in enumerate(bs)],
+        "id long, g string, v double",
+    )
+    m = mann_whitney_u(df, "v", "g", "A").collect()[0]
+    assert (m["n_a"], m["n_b"]) == (n_a, n_b)
+    assert m["u"] == u_want  # exact multiple of 0.5
+    assert m["z"] == pytest.approx(z_want, abs=1e-4)
+    assert m["p_value"] == pytest.approx(p_want, abs=2e-4)
+
+
 def test_chi2_independence_textbook_2x2(spark):
     import pytest
 
