@@ -21,6 +21,141 @@ def _one(df):
     return rows[0]
 
 
+def test_corpus_bleu_matches_python_reference_random_corpus(spark):
+    """Randomized differential against a sequential implementation of
+    the documented corpus BLEU (Papineni aggregation, add-one
+    smoothing for n >= 2, sacrebleu one-sided convention, bp edge
+    cases) on 40 random pairs across 3 groups with empty sides and
+    tiny-vocab overlap — the gram explode/clip/grid pipeline must
+    reproduce every reported column."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(2002)
+    vocab = ["the", "cat", "sat", "on", "mat", "a"]
+
+    def sent():
+        if rng.random() < 0.1:
+            return ""
+        return " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(1, 10)))
+
+    rows = [(i, f"g{i % 3}", sent(), sent()) for i in range(40)]
+    max_n = 4
+
+    def grams(toks, n):
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    want = {}
+    for g in {r[1] for r in rows}:
+        grp_rows = [r for r in rows if r[1] == g]
+        clipped = [0] * (max_n + 1)
+        ctot = [0] * (max_n + 1)
+        rtot = [0] * (max_n + 1)
+        n_pairs = 0
+        for _, _, cand, ref in grp_rows:
+            ct, rt = cand.split(), ref.split()
+            if ct or rt:
+                n_pairs += 1
+            for n in range(1, max_n + 1):
+                cg, rg = Counter(grams(ct, n)), Counter(grams(rt, n))
+                clipped[n] += sum(min(c, rg[t]) for t, c in cg.items())
+                ctot[n] += sum(cg.values())
+                rtot[n] += sum(rg.values())
+        p = [None] * (max_n + 1)
+        p[1] = clipped[1] / ctot[1] if ctot[1] > 0 else 0.0
+        for n in range(2, max_n + 1):
+            p[n] = (clipped[n] + 1) / (ctot[n] + 1)
+        c_len, r_len = ctot[1], rtot[1]
+        if c_len >= r_len:
+            bp = 1.0
+        elif c_len > 0:
+            bp = math.exp(1.0 - r_len / c_len)
+        else:
+            bp = 0.0
+        if clipped[1] == 0:
+            bleu = 0.0
+        else:
+            bleu = bp * math.exp(
+                sum(math.log(p[n]) for n in range(1, max_n + 1)) / max_n
+            )
+        want[g] = {
+            "n_pairs": n_pairs, "c_len": c_len, "r_len": r_len,
+            "bp": round(bp, 4), "bleu": round(bleu, 4),
+            **{f"p{n}": round(p[n], 4) for n in range(1, max_n + 1)},
+        }
+
+    got = {r["grp"]: r.asDict()
+           for r in corpus_bleu(_pairs(spark, rows),
+                                "pair_id", "cand", "ref", "grp").collect()}
+    assert set(got) == set(want)
+    for g in want:
+        for field, val in want[g].items():
+            assert got[g][field] == pytest.approx(val, abs=2e-4), (g, field)
+
+
+def test_corpus_chrf_matches_python_reference_random_corpus(spark):
+    """Randomized differential for chrF2: whitespace-stripped char
+    1-6-grams, per-pair clipping summed per group, the effective-order
+    filter, arithmetic P/R means and the beta=2 F combination — a
+    sequential implementation must reproduce every reported column."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(2015)
+    vocab = ["the", "cat", "sät", "on", "mat", "a"]
+
+    def sent():
+        if rng.random() < 0.12:
+            return ""
+        return " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(1, 6)))
+
+    rows = [(i, f"g{i % 3}", sent(), sent()) for i in range(40)]
+    max_n, beta = 6, 2.0
+
+    def grams(s, n):
+        return [s[i:i + n] for i in range(len(s) - n + 1)]
+
+    want = {}
+    for g in {r[1] for r in rows}:
+        grp_rows = [r for r in rows if r[1] == g]
+        per_n = {}
+        for n in range(1, max_n + 1):
+            clipped = ctot = rtot = n_pairs = 0
+            for _, _, cand, ref in grp_rows:
+                cs = re.sub(r"\s+", "", cand)
+                rs = re.sub(r"\s+", "", ref)
+                cg, rg = Counter(grams(cs, n)), Counter(grams(rs, n))
+                if cg or rg:
+                    n_pairs += 1
+                clipped += sum(min(c, rg[t]) for t, c in cg.items())
+                ctot += sum(cg.values())
+                rtot += sum(rg.values())
+            if ctot > 0 and rtot > 0:  # effective-order filter
+                per_n[n] = (clipped, ctot, rtot, n_pairs)
+        p = sum(c / ct for c, ct, _, _ in per_n.values()) / len(per_n)
+        r_ = sum(c / rt for c, _, rt, _ in per_n.values()) / len(per_n)
+        b2 = beta * beta
+        chrf = (0.0 if p == 0 and r_ == 0
+                else (1 + b2) * p * r_ / (b2 * p + r_))
+        want[g] = {
+            "n_pairs": max(np for _, _, _, np in per_n.values()),
+            "chr_p": round(p, 4), "chr_r": round(r_, 4),
+            "chrf": round(chrf, 4),
+        }
+
+    got = {r["grp"]: r.asDict()
+           for r in corpus_chrf(_pairs(spark, rows),
+                                "pair_id", "cand", "ref", "grp").collect()}
+    assert set(got) == set(want)
+    for g in want:
+        for field, val in want[g].items():
+            assert got[g][field] == pytest.approx(val, abs=2e-4), (g, field)
+
+
 class TestCorpusBleu:
     def test_hand_computed_single_pair(self, spark):
         # cand unigrams clipped 5/6; bigrams 3/5 -> (3+1)/(5+1);
