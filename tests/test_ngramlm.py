@@ -13,6 +13,71 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
+def test_kn_model_and_scoring_match_python_reference(spark):
+    """Randomized differential: 30 random docs train the model and a
+    sequential implementation of interpolated KN (Chen & Goodman's
+    formula exactly as documented — absolute discount, continuation
+    counts over the distinct-bigram table) must reproduce every model
+    row; scoring (training docs + held-out docs with OOV bigrams)
+    must match per-doc counts and the rounded mean log2 p."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(1995)
+    vocab = ["a", "b", "c", "dd", "e"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(0, 12)))
+             for _ in range(30)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    held = [(100, "a b zz c"), (101, "zz zz"), (102, "e"), (103, "")]
+    d = 0.75
+
+    def bigrams(t):
+        toks = t.split()
+        return list(zip(toks, toks[1:]))
+
+    c12 = Counter(bg for _, t in rows for bg in bigrams(t))
+    c1 = Counter()
+    r1 = Counter()
+    l2 = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        r1[w1] += 1
+        l2[w2] += 1
+    d_total = len(c12)
+    p_kn = {
+        (w1, w2): max(c - d, 0.0) / c1[w1]
+        + d * r1[w1] / c1[w1] * l2[w2] / d_total
+        for (w1, w2), c in c12.items()
+    }
+
+    docs = _docs(spark, rows)
+    model = kn_bigram_model(docs)
+    got_model = {(r["w1"], r["w2"]): r for r in model.collect()}
+    assert set(got_model) == set(c12)
+    for bg, r in got_model.items():
+        assert (r["c12"], r["c1"], r["r1"], r["l2"]) == \
+            (c12[bg], c1[bg[0]], r1[bg[0]], l2[bg[1]]), bg
+        assert r["p_kn"] == pytest.approx(p_kn[bg], abs=1e-12), bg
+
+    score_in = _docs(spark, rows + held)
+    got = {r["doc_id"]: r for r in
+           kn_score_docs(score_in, model).collect()}
+    for i, t in rows + held:
+        bgs = bigrams(t)
+        if not bgs:
+            assert i not in got
+            continue
+        iv = [bg for bg in bgs if bg in p_kn]
+        assert got[i]["n_bigrams"] == len(iv), i
+        assert got[i]["oov_bigrams"] == len(bgs) - len(iv), i
+        if iv:
+            want = round(sum(math.log2(p_kn[bg]) for bg in iv) / len(iv), 4)
+            assert got[i]["mean_log2p"] == pytest.approx(want, abs=1e-4), i
+        else:
+            assert got[i]["mean_log2p"] is None
+
+
 class TestModel:
     def test_hand_computed_counts_and_probability(self, spark):
         # Corpus: "a b a b a c". Bigrams: (a,b)x2, (b,a)x2, (a,c)x1.
