@@ -83,6 +83,80 @@ def test_connected_components_long_chain(spark):
     assert labels.agg(F.max("cluster_id")).first()[0] == 0
 
 
+def test_jaccard_and_containment_match_bruteforce(spark):
+    """Randomized differential for the exact verifiers: n-gram Jaccard
+    (no candidates = exact mode) and containment (full candidate grid)
+    vs O(n^2) set arithmetic over the same char-shingle definition,
+    including the 4dp HALF_UP rounding the thresholds are applied to
+    and sub-k documents whose single shingle is the whole text."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    from atiesh_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(3)
+    base = "the quick brown fox jumps over the lazy dog "
+    texts = []
+    for _ in range(14):
+        if rng.random() < 0.4:  # near-dup family: shared base + noise
+            t = base + "".join(rng.choice("xyz ")
+                               for _ in range(rng.randint(0, 10)))
+        else:
+            t = "".join(rng.choice("abcdef ")
+                        for _ in range(rng.randint(1, 50)))
+        texts.append(t)
+    texts += ["ab", base[:30]]  # sub-k and contained-quote cases
+    rows = [(i, t) for i, t in enumerate(texts)]
+    k, jac_thr, con_thr = 3, 0.2, 0.5
+
+    def rnd4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    def shingle_set(t: str) -> set[str]:
+        n = max(len(t) - k + 1, 1)
+        return {t[i:i + k] for i in range(n)} - {""}
+
+    sets_ = {i: shingle_set(t) for i, t in rows}
+    want_jac, want_con = {}, {}
+    for a, b in combinations(sorted(sets_), 2):
+        inter = len(sets_[a] & sets_[b])
+        union = len(sets_[a] | sets_[b])
+        j = rnd4(inter / union) if union else 0.0
+        if j >= jac_thr:
+            want_jac[(a, b)] = j
+        c1 = rnd4(inter / len(sets_[a]))
+        c2 = rnd4(inter / len(sets_[b]))
+        if max(c1, c2) >= con_thr:
+            want_con[(a, b)] = (c1, c2, j)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_jac = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=k, threshold=jac_thr
+        ).collect()
+    }
+    assert got_jac == want_jac
+
+    grid = spark.createDataFrame(
+        [(a, b) for a, b in combinations(sorted(sets_), 2)],
+        "id_1 long, id_2 long",
+    )
+    got_con = {
+        (r["id_1"], r["id_2"]):
+            (r["containment_1_in_2"], r["containment_2_in_1"], r["jaccard"])
+        for r in containment_pairs(
+            df, "doc_id", "text", k=k, threshold=con_thr, candidates=grid
+        ).collect()
+    }
+    assert got_con == want_con
+
+
 def test_minhash_signatures_match_python_reference(spark):
     """Randomized differential for the signature math itself: the
     documented hash family (md5(seed ':' shingle), lexicographic min
