@@ -73,6 +73,62 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert got[202]["n_tokens"] == 0 and got[202]["log_weight"] == 0.0
 
 
+def test_dsir_weights_match_python_reference(spark):
+    """Randomized differential for the DSIR math: hashed-bucket counts,
+    add-smooth log-likelihood ratios and per-doc sums re-implemented
+    sequentially with the same md5 bucket hash. buckets=64 forces
+    genuine collisions so the hashing path itself is exercised."""
+    import hashlib
+    import math
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.textstats import dsir_log_weights
+
+    rng = random.Random(2302)
+    vocab = ["alpha", "beta", "uno", "dos", "mix", "zz", "thé"]
+    rows = [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(0, 12))),
+         rng.random() < 0.4)
+        for i in range(40)
+    ]
+    buckets, smooth = 64, 1.0
+
+    def bkt(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % buckets
+
+    cs: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    ts = tt = 0
+    for _, text, tgt in rows:
+        for tok in text.split():
+            b = bkt(tok)
+            cs[b] = cs.get(b, 0) + 1
+            ts += 1
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+                tt += 1
+    lr = {
+        b: math.log((ct.get(b, 0) + smooth) / (tt + smooth * buckets))
+        - math.log((cs[b] + smooth) / (ts + smooth * buckets))
+        for b in cs
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r["doc_id"]: r for r in dsir_log_weights(
+        df, "doc_id", "text", target_filter=F.col("tgt"),
+        buckets=buckets, smooth=smooth,
+    ).collect()}
+    for i, text, _ in rows:
+        toks = text.split()
+        assert got[i]["n_tokens"] == len(toks), i
+        want = round(sum(lr[bkt(t)] for t in toks), 4) if toks else 0.0
+        assert got[i]["log_weight"] == pytest.approx(want, abs=1e-4), i
+
+
 def test_dsir_then_weighted_sample_composes(spark):
     from pyspark.sql import functions as F
 
