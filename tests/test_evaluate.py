@@ -156,6 +156,61 @@ def test_corpus_chrf_matches_python_reference_random_corpus(spark):
             assert got[g][field] == pytest.approx(val, abs=2e-4), (g, field)
 
 
+def test_corpus_rouge_n_matches_python_reference_random_corpus(spark):
+    """Randomized differential for the per-pair kernel path (ROUGE
+    passes keep_one_sided=False and rounds BEFORE summing): a
+    sequential Lin-2004 implementation must reproduce n_pairs and the
+    summed 4dp precision/recall/F1 per group, including the
+    both-sides-must-have-grams exclusion."""
+    import random
+    from collections import Counter
+
+    from atiesh_spark.operators.evaluate import corpus_rouge_n
+
+    rng = random.Random(2004)
+    vocab = ["the", "cat", "sat", "on", "mat"]
+
+    def sent():
+        return " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(0, 5)))
+
+    rows = [(i, f"g{i % 2}", sent(), sent()) for i in range(40)]
+    n = 2
+
+    def grams(toks):
+        return Counter(" ".join(toks[i:i + n])
+                       for i in range(len(toks) - n + 1))
+
+    want = {}
+    for g in {r[1] for r in rows}:
+        n_pairs = 0
+        sp = sr = sf = 0.0
+        for _, _, cand, ref in (r for r in rows if r[1] == g):
+            cg, rg = grams(cand.split()), grams(ref.split())
+            ct, rt = sum(cg.values()), sum(rg.values())
+            if ct == 0 or rt == 0:
+                continue
+            n_pairs += 1
+            clip = sum(min(c, rg[t]) for t, c in cg.items())
+            p, r_ = clip / ct, clip / rt
+            f1 = 2 * p * r_ / (p + r_) if clip > 0 else 0.0
+            sp += round(p, 4)
+            sr += round(r_, 4)
+            sf += round(f1, 4)
+        want[g] = (n_pairs, round(sp, 4), round(sr, 4), round(sf, 4))
+
+    got = {
+        r["grp"]: (r["n_pairs"], r["sum_p"], r["sum_r"], r["sum_f1"])
+        for r in corpus_rouge_n(_pairs(spark, rows),
+                                "pair_id", "cand", "ref", "grp",
+                                n=n).collect()
+    }
+    for g in want:
+        assert got[g][0] == want[g][0], g
+        for gi, wi in zip(got[g][1:], want[g][1:]):
+            assert gi == pytest.approx(wi, abs=2e-4), g
+
+
 class TestCorpusBleu:
     def test_hand_computed_single_pair(self, spark):
         # cand unigrams clipped 5/6; bigrams 3/5 -> (3+1)/(5+1);
