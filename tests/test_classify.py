@@ -399,6 +399,45 @@ def test_calibration_report_bins_and_ece(spark):
     assert all(0 <= r["ece"] <= 1 for r in rep)
 
 
+def test_temperature_fit_matches_python_grid_reference(spark):
+    """Randomized differential: the whole documented fit — clamp,
+    logit, sigmoid at every grid T, mean NLL, argmin with smallest-T
+    ties — replayed sequentially on 120 random (score, label) rows
+    including exact 0/1 boundary scores; best_t must match exactly
+    and the NLLs to their 4dp rounding."""
+    import math
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.classify import temperature_fit
+
+    rng = random.Random(2017)
+    rows = [(rng.random(), float(rng.random() < 0.5)) for _ in range(116)]
+    rows += [(0.0, 1.0), (1.0, 0.0), (0.0, 0.0), (1.0, 1.0)]
+    grid = [round((i + 1) / 5, 1) for i in range(25)]
+    eps = 1e-6
+
+    def nll(t):
+        tot = 0.0
+        for s, y in rows:
+            z = math.log(min(max(s, eps), 1 - eps)
+                         / (1 - min(max(s, eps), 1 - eps)))
+            p = 1.0 / (1.0 + math.exp(-z / t))
+            tot += -(y * math.log(max(p, 1e-12))
+                     + (1 - y) * math.log(max(1 - p, 1e-12)))
+        return tot / len(rows)
+
+    curve = [(nll(t), t) for t in grid]
+    best_t = min(curve, key=lambda p: (p[0], p[1]))[1]
+
+    df = spark.createDataFrame(rows, "p double, y double")
+    r = temperature_fit(df, "p", "y").collect()[0]
+    assert r["best_t"] == best_t
+    assert r["nll_uncal"] == pytest.approx(round(nll(1.0), 4), abs=1e-4)
+    assert r["nll_cal"] == pytest.approx(round(nll(best_t), 4), abs=1e-4)
+
+
 def test_temperature_fit_recovers_planted_temperature(spark):
     import math
 
