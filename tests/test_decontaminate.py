@@ -103,6 +103,35 @@ def test_bloom_positions_mergeable_and_bounded(spark):
         bloom_positions(a, "s", 0, k)
 
 
+def test_bloom_positions_match_python_reference(spark):
+    """The filter is documented as engine-portable (any engine with
+    md5 can rebuild it bit-identically) — so rebuild it in Python:
+    Kirsch-Mitzenmacher positions (h1 + i*h2) mod m over 48-bit md5
+    halves for random strings, including unicode and a string whose
+    md5 half is large enough to stress the long arithmetic."""
+    import hashlib
+    import random
+
+    from atiesh_spark.operators.decontaminate import bloom_positions
+
+    rng = random.Random(48)
+    items = ["".join(rng.choice("abcdé 123") for _ in range(rng.randint(1, 12)))
+             for _ in range(60)]
+    m, k = 509, 5  # prime m: no power-of-two masking accidents
+
+    def ref_pos(s: str) -> set[int]:
+        h = hashlib.md5(s.encode()).hexdigest()
+        h1, h2 = int(h[:12], 16), int(h[12:24], 16)
+        return {(h1 + i * h2) % m for i in range(k)}
+
+    want = set()
+    for s in set(items):
+        want |= ref_pos(s)
+    df = spark.createDataFrame([(s,) for s in items], "s string")
+    got = {r["pos"] for r in bloom_positions(df, "s", m, k).collect()}
+    assert got == want
+
+
 def test_two_stage_equals_one_stage_exact(spark):
     from atiesh_spark.operators.decontaminate import (
         decontaminate,
