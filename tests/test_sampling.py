@@ -236,6 +236,40 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
     assert sorted(c.values()) == list(range(500))
 
 
+def test_weighted_sample_matches_python_reference(spark):
+    """The draw is documented as a pure function of (key, weight) any
+    engine can replay — so replay it: -ln((md5_60(key)+1)/2^60)/w
+    rounded 6dp, smallest-k with key tiebreak, computed sequentially
+    over 80 random rows (duplicate weights, zero/NULL exclusions) and
+    compared row-for-row including the emitted sample_key. Also pins
+    the nesting property on the same data (k=10 prefix of k=25)."""
+    import hashlib
+    import math
+    import random
+
+    from atiesh_spark.operators.sampling import weighted_sample
+
+    rng = random.Random(106)
+    rows = [(f"k{i}", round(rng.choice([0.5, 1.0, 2.0, rng.uniform(0.1, 5)]), 3))
+            for i in range(76)]
+    rows += [("z0", 0.0), ("zn", -1.0), (None, 2.0), ("dup", 1.0)]
+
+    def es_key(key: str, w: float) -> float:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        return round(-math.log((h + 1) / float(1 << 60)) / w, 6)
+
+    eligible = [(s, w) for s, w in rows if s is not None and w > 0]
+    ranked = sorted(((es_key(s, w), s) for s, w in eligible))
+
+    df = spark.createDataFrame(rows, "doc string, w double")
+    got25 = [(r["sample_key"], r["doc"])
+             for r in weighted_sample(df, "doc", "w", 25).collect()]
+    assert sorted(got25) == ranked[:25]
+    got10 = [(r["sample_key"], r["doc"])
+             for r in weighted_sample(df, "doc", "w", 10).collect()]
+    assert sorted(got10) == ranked[:10]  # nested prefix
+
+
 def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
     from atiesh_spark.operators.sampling import StreamingWeightedSample, weighted_sample
 
