@@ -167,6 +167,96 @@ def test_fleiss_kappa_contracts(spark):
         fleiss_kappa(empty, "item", "cat")
 
 
+def test_fleiss_kappa_matches_python_reference_random_matrix(spark):
+    """Randomized differential: a random 30-item x 6-rater x 4-category
+    rating matrix scored by the paper's formulas in plain Python must
+    match p_bar, p_e and the 4dp kappa."""
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.preference import fleiss_kappa
+
+    rng = random.Random(1971)
+    n_items, n_raters, cats = 30, 6, ["a", "b", "c", "d"]
+    rows = [(i, rng.choice(cats))
+            for i in range(n_items) for _ in range(n_raters)]
+
+    from collections import Counter
+    per_item = [Counter(c for it, c in rows if it == i)
+                for i in range(n_items)]
+    p_bar = sum(
+        (sum(v * v for v in cnt.values()) - n_raters)
+        / (n_raters * (n_raters - 1))
+        for cnt in per_item
+    ) / n_items
+    total = n_items * n_raters
+    p_e = sum(
+        (sum(cnt[c] for cnt in per_item) / total) ** 2 for c in cats
+    )
+    kappa = (p_bar - p_e) / (1 - p_e)
+
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (n_items, n_raters)
+    assert r["p_bar"] == pytest.approx(p_bar, abs=1e-4)
+    assert r["p_e"] == pytest.approx(p_e, abs=1e-4)
+    assert r["kappa"] == pytest.approx(round(kappa, 4), abs=1e-4)
+
+
+def test_preference_transitivity_matches_bruteforce_tournament(spark):
+    """Randomized differential: 200 judgments over 9 items; the
+    majority tournament, tie/closed/circular-triad counts recomputed
+    by O(n^3) enumeration must match every reported column."""
+    import random
+    from itertools import combinations
+
+    from atiesh_spark.operators.preference import preference_transitivity
+
+    rng = random.Random(1940)
+    items = list(range(9))
+    judgments = []
+    for _ in range(200):
+        a, b = rng.sample(items, 2)
+        judgments.append((a, b) if rng.random() < 0.6 else (b, a))
+
+    from collections import Counter
+    cnt = Counter(judgments)
+    edge = {}
+    ties = 0
+    pairs_seen = set()
+    for a, b in combinations(items, 2):
+        w_ab, w_ba = cnt[(a, b)], cnt[(b, a)]
+        if w_ab + w_ba == 0:
+            continue
+        pairs_seen.add((a, b))
+        if w_ab > w_ba:
+            edge[(a, b)] = True   # a beats b
+        elif w_ba > w_ab:
+            edge[(b, a)] = True
+        else:
+            ties += 1
+    closed = circular = 0
+    for t in combinations(items, 3):
+        es = [(x, y) for x, y in combinations(t, 2)]
+        if all((x, y) in edge or (y, x) in edge for x, y in es):
+            closed += 1
+            wins = Counter()
+            for x, y in es:
+                wins[x if (x, y) in edge else y] += 1
+            if sorted(wins.values()) == [1, 1, 1]:  # 3-cycle
+                circular += 1
+
+    df = spark.createDataFrame(judgments, "w long, l long")
+    r = preference_transitivity(df, "w", "l").collect()[0]
+    n_items_ref = len({v for j in judgments for v in j})
+    assert r["n_items"] == n_items_ref
+    assert r["n_pairs"] == len(pairs_seen)
+    assert r["n_ties"] == ties
+    assert r["closed_triples"] == closed
+    assert r["circular_triads"] == circular
+
+
 def test_preference_transitivity_planted_cycle(spark):
     from atiesh_spark.operators.preference import preference_transitivity
 
