@@ -257,6 +257,98 @@ def test_preference_transitivity_matches_bruteforce_tournament(spark):
     assert r["circular_triads"] == circular
 
 
+def test_win_rate_matrix_matches_python_reference(spark):
+    """Randomized differential: 300 judgments over 7 items; per-pair
+    counts, Wilson intervals at z=1.96 and the decided flag recomputed
+    sequentially must match every row to the 4dp rounding."""
+    import math
+    import random
+    from collections import Counter
+    from itertools import combinations
+
+    import pytest
+
+    from atiesh_spark.operators.preference import win_rate_matrix
+
+    rng = random.Random(1927)
+    items = list(range(7))
+    judgments = []
+    for _ in range(300):
+        a, b = rng.sample(items, 2)
+        judgments.append((a, b) if rng.random() < 0.65 else (b, a))
+    cnt = Counter(judgments)
+    z = 1.96
+
+    want = {}
+    for a, b in combinations(items, 2):
+        w1, n = cnt[(a, b)], cnt[(a, b)] + cnt[(b, a)]
+        if n == 0:
+            continue
+        p = w1 / n
+        z2 = z * z
+        denom = 1 + z2 / n
+        center = (p + z2 / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / denom
+        lo, hi = center - half, center + half
+        want[(a, b)] = (n, w1, round(p, 4), round(lo, 4), round(hi, 4),
+                        lo > 0.5 or hi < 0.5)
+
+    df = spark.createDataFrame(judgments, "w long, l long")
+    got = {
+        (r["item_1"], r["item_2"]):
+            (r["n"], r["wins_1"], r["rate_1"], r["lo_1"], r["hi_1"],
+             r["decided"])
+        for r in win_rate_matrix(df, "w", "l").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert got[k][5] == want[k][5], k
+        for gi, wi in zip(got[k][2:5], want[k][2:5]):
+            assert gi == pytest.approx(wi, abs=1e-4), k
+
+
+def test_bcubed_matches_bruteforce_random_clusterings(spark):
+    """Randomized differential: 50 items under random predicted and
+    true clusterings; B-cubed precision/recall recomputed by the
+    per-item O(n^2) definition (not the operator's group-size-squares
+    formulation) must match to the 6dp rounding."""
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.cluster import bcubed_eval
+
+    rng = random.Random(1998)
+    n = 50
+    pred = {i: rng.randint(0, 6) for i in range(n)}
+    truth = {i: rng.randint(0, 4) for i in range(n)}
+
+    def item_scores(i):
+        same_pred = [j for j in range(n) if pred[j] == pred[i]]
+        same_truth = [j for j in range(n) if truth[j] == truth[i]]
+        both = [j for j in same_pred if truth[j] == truth[i]]
+        return len(both) / len(same_pred), len(both) / len(same_truth)
+
+    ps, rs = zip(*(item_scores(i) for i in range(n)))
+    p_want, r_want = sum(ps) / n, sum(rs) / n
+    f_want = 2 * p_want * r_want / (p_want + r_want)
+
+    pred_df = spark.createDataFrame(
+        [(i, f"p{c}") for i, c in pred.items()],
+        "doc_id long, cluster_rep string",
+    )
+    truth_df = spark.createDataFrame(
+        [(i, f"t{c}") for i, c in truth.items()],
+        "doc_id long, truth_rep string",
+    )
+    r = bcubed_eval(pred_df, truth_df, "doc_id").collect()[0]
+    assert r["n_items"] == n
+    assert r["precision"] == pytest.approx(p_want, abs=1e-6)
+    assert r["recall"] == pytest.approx(r_want, abs=1e-6)
+    assert r["f1"] == pytest.approx(f_want, abs=1e-6)
+
+
 def test_preference_transitivity_planted_cycle(spark):
     from atiesh_spark.operators.preference import preference_transitivity
 
