@@ -357,6 +357,46 @@ class TestPhraseSearch:
                phrase_search(idx, ["go", "go"]).collect()}
         assert out == {1: 2}  # positions 1-2 and 2-3
 
+    def test_matches_bruteforce_on_random_corpus(self, spark):
+        """Randomized differential: overlapping-occurrence counts for
+        random 2-4-token phrases over 40 random docs recomputed by a
+        sequential sliding-window scan — the positional-join pipeline
+        must return exactly the docs with >= 1 occurrence and the
+        exact counts (including self-overlapping phrases like
+        'go go')."""
+        import random
+
+        from atiesh_spark.operators.retrieval import (
+            phrase_search,
+            positional_postings,
+        )
+
+        rng = random.Random(1111)
+        vocab = ["go", "stop", "fast", "key", "the"]
+        texts = [" ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(0, 15)))
+                 for _ in range(40)]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        idx = positional_postings(docs)
+        for _ in range(6):
+            phrase = [rng.choice(vocab)
+                      for _ in range(rng.randint(2, 4))]
+            want = {}
+            for i, t in enumerate(texts):
+                toks = t.split()
+                c = sum(
+                    toks[j:j + len(phrase)] == phrase
+                    for j in range(len(toks) - len(phrase) + 1)
+                )
+                if c:
+                    want[i] = c
+            got = {r["doc_id"]: r["n_occurrences"]
+                   for r in phrase_search(idx, phrase).collect()}
+            assert got == want, phrase
+
     def test_indexed_equals_direct_scan(self, spark):
         from pyspark.sql import functions as F
 
