@@ -547,6 +547,48 @@ def test_rare_shingle_candidates_df_ignores_in_doc_repeats(spark):
     assert [(r["id_1"], r["id_2"]) for r in pairs] == [(1, 2)]
 
 
+def test_candidate_eval_matches_set_algebra_random_pairs(spark):
+    """Randomized differential: random predicted/truth pair sets with
+    mixed orientations and duplicates; tp/fp/fn and P/R/F1 recomputed
+    by plain set algebra after the same (min,max) normalization must
+    match exactly."""
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.dedup import candidate_eval
+
+    rng = random.Random(42)
+
+    def rand_pairs(m):
+        out = []
+        for _ in range(m):
+            a, b = rng.sample(range(20), 2)
+            if rng.random() < 0.5:
+                a, b = b, a
+            out.append((a, b))
+        out += out[: m // 4]  # duplicates must collapse
+        return out
+
+    pred_rows, truth_rows = rand_pairs(35), rand_pairs(25)
+    pset = {(min(a, b), max(a, b)) for a, b in pred_rows}
+    tset = {(min(a, b), max(a, b)) for a, b in truth_rows}
+    tp = len(pset & tset)
+    fp = len(pset - tset)
+    fn = len(tset - pset)
+    prec, rec = tp / len(pset), tp / len(tset)
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else None
+
+    pred = spark.createDataFrame(pred_rows, "id_1 long, id_2 long")
+    truth = spark.createDataFrame(truth_rows, "id_1 long, id_2 long")
+    r = candidate_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["tp"], r["fp"], r["fn"]) == \
+        (len(pset), len(tset), tp, fp, fn)
+    assert r["precision"] == pytest.approx(prec, abs=1e-6)
+    assert r["recall"] == pytest.approx(rec, abs=1e-6)
+    assert r["f1"] == pytest.approx(f1, abs=1e-6)
+
+
 def test_candidate_eval_known_metrics(spark):
     from atiesh_spark.operators.dedup import candidate_eval
 
