@@ -49,6 +49,76 @@ def test_ks_statistic_known_values(spark):
         ks_statistic(a2.filter("v > 99"), b2, "v")
 
 
+def test_drift_report_matches_python_reference(spark):
+    """Randomized differential for the PSI report: A-bounds equal-width
+    binning with edge clamping, the full emitted grid, union-of-
+    categories, Laplace smoothing and per-bin contribs recomputed
+    sequentially must match every row (numeric + categorical) and the
+    per-feature psi to its 6dp rounding."""
+    import math
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.profile import drift_report
+
+    rng = random.Random(25)
+    a_num = [float(rng.randint(0, 100)) for _ in range(90)]
+    b_num = [float(rng.randint(-20, 130)) for _ in range(70)]  # clamps
+    cats = ["x", "y", "z", "w"]
+    a_cat = [rng.choice(cats[:3]) for _ in range(90)]
+    b_cat = [rng.choice(cats[1:]) for _ in range(70)]
+    bins, s = 10, 0.5
+
+    df_a = spark.createDataFrame(list(zip(a_num, a_cat)), "v double, c string")
+    df_b = spark.createDataFrame(list(zip(b_num, b_cat)), "v double, c string")
+    got = {
+        (r["feature"], r["bin_idx"], r["category"]): r
+        for r in drift_report(df_a, df_b, numeric_cols=["v"],
+                              categorical_cols=["c"],
+                              num_bins=bins, smoothing=s).collect()
+    }
+
+    # numeric reference
+    lo, hi = min(a_num), max(a_num)
+    width = (hi - lo) / bins
+
+    def bin_of(v):
+        return min(bins - 1, max(0, math.floor((v - lo) / width)))
+
+    rows = {}
+    for i in range(bins):
+        na = sum(bin_of(v) == i for v in a_num)
+        nb = sum(bin_of(v) == i for v in b_num)
+        rows[("v", i, None)] = (na, nb)
+    for cat in sorted(set(a_cat) | set(b_cat)):
+        rows[("c", None, cat)] = (a_cat.count(cat), b_cat.count(cat))
+
+    for feat in ("v", "c"):
+        keys = [k for k in rows if k[0] == feat]
+        k_ = len(keys)
+        na_tot = sum(rows[k][0] for k in keys)
+        nb_tot = sum(rows[k][1] for k in keys)
+        psi = 0.0
+        for k in keys:
+            na, nb = rows[k]
+            p_a = (na + s) / (na_tot + s * k_)
+            p_b = (nb + s) / (nb_tot + s * k_)
+            contrib = (p_a - p_b) * math.log(p_a / p_b)
+            psi += contrib
+            r = got[k]
+            assert (r["n_a"], r["n_b"]) == (na, nb), k
+            assert r["p_a"] == pytest.approx(p_a, abs=1e-6), k
+            assert r["p_b"] == pytest.approx(p_b, abs=1e-6), k
+            assert r["contrib"] == pytest.approx(contrib, abs=1e-6), k
+            if k[1] is not None:
+                assert r["lo_edge"] == pytest.approx(
+                    lo + k[1] * width, abs=1e-6), k
+        for k in keys:
+            assert got[k]["psi"] == pytest.approx(psi, abs=2e-6), feat
+    assert set(got) == set(rows)
+
+
 def test_ks_spearman_mwu_match_bruteforce_random_samples(spark):
     """Randomized differentials for the three rank statistics against
     independent restatements: KS vs a direct sup over both empirical
