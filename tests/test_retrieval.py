@@ -310,6 +310,60 @@ def test_retrieval_eval_hand_computed(spark):
     assert b.mrr == 1.0 and b.ndcg_at_5 == 1.0 and b.recall_at_5 == 1.0
 
 
+def test_retrieval_eval_matches_python_reference_random_runs(spark):
+    """Randomized differential: 12 queries x 20-doc rankings against
+    random qrels (some empty, some larger than k); MRR, NDCG@k,
+    recall@k and n_rel recomputed sequentially from the definitions
+    must match every row to the 4dp rounding."""
+    import math
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.retrieval import retrieval_eval
+
+    rng = random.Random(2002)
+    k = 10
+    queries = [f"q{i}" for i in range(12)]
+    runs_rows, qrels_rows = [], []
+    truth = {}
+    for q in queries:
+        docs = [f"d{j}" for j in range(20)]
+        rng.shuffle(docs)
+        runs_rows += [(q, d, r + 1) for r, d in enumerate(docs)]
+        rel = set(rng.sample([f"d{j}" for j in range(25)],
+                             rng.choice([0, 1, 3, 8, 15])))
+        qrels_rows += [(q, d) for d in sorted(rel)]
+        truth[q] = (docs, rel)
+
+    def ref(q):
+        docs, rel = truth[q]
+        top = docs[:k]
+        n_rel = len(rel)
+        hits = [r + 1 for r, d in enumerate(top) if d in rel]
+        mrr = 1.0 / hits[0] if hits else 0.0
+        dcg = sum(1.0 / math.log2(r + 1) for r in hits)
+        idcg = sum(1.0 / math.log2(r + 1)
+                   for r in range(1, min(k, n_rel) + 1))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        recall = len(hits) / n_rel if n_rel else 0.0
+        return (round(mrr, 4), round(ndcg, 4), round(recall, 4), n_rel)
+
+    runs = spark.createDataFrame(
+        runs_rows, "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id string, doc_id string")
+    got = {r["query_id"]: r
+           for r in retrieval_eval(runs, qrels, k=k).collect()}
+    assert set(got) == set(queries)
+    for q in queries:
+        mrr, ndcg, recall, n_rel = ref(q)
+        assert got[q]["n_rel"] == n_rel, q
+        assert got[q]["mrr"] == pytest.approx(mrr, abs=1e-4), q
+        assert got[q][f"ndcg_at_{k}"] == pytest.approx(ndcg, abs=1e-4), q
+        assert got[q][f"recall_at_{k}"] == pytest.approx(recall, abs=1e-4), q
+
+
 def test_retrieval_eval_no_qrels_query_zeroes(spark):
     from atiesh_spark.operators.retrieval import retrieval_eval
 
