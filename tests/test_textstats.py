@@ -238,6 +238,81 @@ def test_winnow_shared_substring_guarantee(spark):
     assert 0.1 < frac < 0.8
 
 
+def test_char_entropy_matches_python_reference(spark):
+    """Randomized differential: Shannon entropy of each doc's char
+    distribution recomputed with collections.Counter must match the
+    HOF pipeline to its 4dp rounding, unicode and runs included."""
+    import math
+    import random
+    from collections import Counter
+
+    import pytest
+
+    from atiesh_spark.operators.textstats import char_entropy
+
+    rng = random.Random(35)
+    texts = ["".join(rng.choice("aabé !9") for _ in range(rng.randint(0, 60)))
+             for _ in range(25)] + ["", "zzzzzz", None]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def ref(t):
+        if not t:
+            return 0, 0.0
+        cnt = Counter(t)
+        n = len(t)
+        ent = -sum(c / n * math.log2(c / n) for c in cnt.values())
+        return n, round(ent, 4)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars_seen"], r["char_entropy"])
+           for r in char_entropy(df).collect()}
+    for i, t in rows:
+        n, e = ref(t)
+        assert got[i][0] == n, i
+        assert got[i][1] == pytest.approx(e, abs=1e-4), i
+
+
+def test_classification_report_matches_sklearn_style_reference(spark):
+    """Randomized differential: a 200-row noisy 4-class prediction
+    table scored by direct confusion counting (per-class tp/fp/fn,
+    P/R/F1 with empty-denominator NULLs) must match every row —
+    including a class never predicted and a prediction never true."""
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.textstats import classification_report
+
+    rng = random.Random(911)
+    classes = ["en", "fr", "de", "xx"]
+    rows = []
+    for _ in range(200):
+        y = rng.choice(classes[:3])  # 'xx' never a true label
+        p = y if rng.random() < 0.7 else rng.choice(classes)
+        rows.append((y, p))
+    rows += [("zz", "en")] * 3  # 'zz' never predicted
+
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {r["label"]: r for r in
+           classification_report(df, "y", "p").collect()}
+
+    labels = {y for y, _ in rows}
+    assert set(got) == labels
+    for lab in labels:
+        n = sum(y == lab for y, _ in rows)
+        tp = sum(y == lab and p == lab for y, p in rows)
+        n_pred = sum(p == lab for _, p in rows)
+        r = got[lab]
+        assert (r["n"], r["tp"], r["fp"], r["fn"]) == \
+            (n, tp, n_pred - tp, n - tp), lab
+        if n_pred:
+            assert r["precision"] == pytest.approx(tp / n_pred, abs=1e-6)
+        else:
+            assert r["precision"] is None
+        assert r["recall"] == pytest.approx(tp / n, abs=1e-6)
+        assert r["f1"] == pytest.approx(2 * tp / (n + n_pred), abs=1e-6)
+
+
 def test_winnow_matches_sequential_python_reference(spark):
     """Randomized differential against a direct sequential
     implementation of classic winnowing (Schleimer 2003, leftmost
