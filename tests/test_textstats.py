@@ -238,6 +238,87 @@ def test_winnow_shared_substring_guarantee(spark):
     assert 0.1 < frac < 0.8
 
 
+def test_gopher_rules_match_python_replay(spark):
+    """Randomized differential: every measured signal and rule verdict
+    of the Gopher gate replayed in plain Python over 30 random docs
+    stuffed with bullets, ellipses, hash runs, stop words and unicode
+    glyphs — all 16 columns must match row for row."""
+    import random
+    import re
+
+    import pytest
+
+    from atiesh_spark.operators.textstats import (
+        GOPHER_STOP_WORDS,
+        gopher_rules,
+    )
+
+    rng = random.Random(2021)
+    frag = ["the", "cat", "##", "...", "word", "•", "-", "longishword",
+            "be", "x1", "…", "*", "with", "zz...", "a#b"]
+    docs = []
+    for _ in range(28):
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            lines.append(" ".join(rng.choice(frag)
+                                  for _ in range(rng.randint(0, 9))))
+        docs.append("\n".join(lines))
+    docs += ["", "   \n  \n"]
+    rows = [(i, t) for i, t in enumerate(docs)]
+    args = dict(min_words=3, max_words=40, min_mean_word_len=1.5,
+                max_mean_word_len=6.0, max_symbol_word_ratio=0.2,
+                max_bullet_line_frac=0.5, max_ellipsis_line_frac=0.4,
+                min_alpha_word_frac=0.6, min_stop_words=1)
+
+    def replay(t):
+        words = [w for w in re.split(r"\s+", t) if w]
+        nw = len(words)
+        mean_wl = round(sum(len(w) for w in words) / nw, 6) if nw else None
+        n_hash = t.count("#")
+        n_ell = (len(t) - len(t.replace("...", ""))) / 3
+        sym = round((n_hash + n_ell) / nw, 6) if nw else None
+        lines = [ln for ln in t.split("\n") if ln.strip()]
+        nl = len(lines)
+        bul = round(sum(bool(re.search(r"^\s*([-*•])", ln))
+                        for ln in lines) / nl, 6) if nl else None
+        ell = round(sum(bool(re.search(r"(\.\.\.|…)\s*$", ln))
+                        for ln in lines) / nl, 6) if nl else None
+        alpha = round(sum(bool(re.search("[A-Za-z]", w))
+                          for w in words) / nw, 6) if nw else None
+        lower = {w.lower() for w in words}
+        n_stop = sum(s in lower for s in GOPHER_STOP_WORDS)
+        ok_wc = args["min_words"] <= nw <= args["max_words"]
+        ok_wl = True if mean_wl is None else \
+            args["min_mean_word_len"] <= mean_wl <= args["max_mean_word_len"]
+        ok_sym = True if sym is None else sym <= args["max_symbol_word_ratio"]
+        ok_bul = True if bul is None else bul <= args["max_bullet_line_frac"]
+        ok_ell = True if ell is None else ell <= args["max_ellipsis_line_frac"]
+        ok_alpha = True if alpha is None else \
+            alpha >= args["min_alpha_word_frac"]
+        ok_stop = n_stop >= args["min_stop_words"]
+        return (nw, mean_wl, sym, bul, ell, alpha, n_stop,
+                ok_wc, ok_wl, ok_sym, ok_bul, ok_ell, ok_alpha, ok_stop,
+                ok_wc and ok_wl and ok_sym and ok_bul and ok_ell
+                and ok_alpha and ok_stop)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           gopher_rules(df, "doc_id", "text", **args).collect()}
+    fields = ["n_words", "mean_word_len", "symbol_word_ratio",
+              "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+              "n_stop_words", "ok_word_count", "ok_word_len",
+              "ok_symbol_ratio", "ok_bullets", "ok_ellipsis", "ok_alpha",
+              "ok_stop_words", "pass"]
+    for i, t in rows:
+        want = replay(t)
+        for f, w in zip(fields, want):
+            g = got[i][f]
+            if isinstance(w, float):
+                assert g == pytest.approx(w, abs=1e-6), (i, f)
+            else:
+                assert g == w, (i, f, g, w)
+
+
 def test_char_entropy_matches_python_reference(spark):
     """Randomized differential: Shannon entropy of each doc's char
     distribution recomputed with collections.Counter must match the
