@@ -238,6 +238,59 @@ def test_winnow_shared_substring_guarantee(spark):
     assert 0.1 < frac < 0.8
 
 
+def test_repetition_stats_match_python_replay(spark):
+    """Randomized differential: duplicate-line fractions and the
+    top-bigram coverage (count-desc, bigram-asc tie-break) replayed
+    sequentially over 25 random docs with planted boilerplate lines
+    and repeated phrases must match every column."""
+    import random
+    import re
+    from collections import Counter
+
+    import pytest
+
+    from atiesh_spark.operators.textstats import repetition_stats
+
+    rng = random.Random(57)
+    docs = []
+    for _ in range(23):
+        lines = []
+        for _ in range(rng.randint(0, 7)):
+            if rng.random() < 0.3 and lines:
+                lines.append(rng.choice(lines))  # boilerplate repeat
+            else:
+                lines.append(" ".join(
+                    rng.choice(["the cat", "nav bar", "x", "the", "cat"])
+                    for _ in range(rng.randint(0, 4))))
+        docs.append("\n".join(lines))
+    docs += ["", "one"]
+    rows = [(i, t) for i, t in enumerate(docs)]
+
+    def replay(t):
+        lines = [ln for ln in t.split("\n") if len(ln) > 0]
+        nl = len(lines)
+        dup = round(1 - len(set(lines)) / nl, 4) if nl else 0.0
+        toks = [w for w in re.split(r"\s+", t) if w]
+        bgs = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        if bgs:
+            top, topc = min(bgs.items(), key=lambda kv: (-kv[1], kv[0]))
+            frac = round(topc * len(top) / max(len(t), 1), 4)
+        else:
+            top, frac = "", 0.0
+        return nl, dup, top, frac
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_stats(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        nl, dup, top, frac = replay(t)
+        r = got[i]
+        assert r["n_lines"] == nl, i
+        assert r["dup_line_frac"] == pytest.approx(dup, abs=1e-4), i
+        assert r["top_bigram"] == top, (i, t)
+        assert r["top_bigram_char_frac"] == pytest.approx(frac, abs=1e-4), i
+
+
 def test_gopher_rules_match_python_replay(spark):
     """Randomized differential: every measured signal and rule verdict
     of the Gopher gate replayed in plain Python over 30 random docs
