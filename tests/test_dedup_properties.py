@@ -547,6 +547,76 @@ def test_rare_shingle_candidates_df_ignores_in_doc_repeats(spark):
     assert [(r["id_1"], r["id_2"]) for r in pairs] == [(1, 2)]
 
 
+def test_edit_distance_pairs_match_python_dp(spark):
+    """Randomized differential: noisy near-dup strings (substitutions,
+    insertions, deletions, unicode) verified against a classic
+    Wagner-Fischer DP — lev exact, sim to its 4dp rounding, threshold
+    and empty-pair exclusions replayed."""
+    import random
+
+    import pytest
+
+    from atiesh_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(190)
+
+    def perturb(s):
+        s = list(s)
+        for _ in range(rng.randint(0, 4)):
+            op = rng.random()
+            i = rng.randrange(max(len(s), 1)) if s else 0
+            if op < 0.4 and s:
+                s[i] = rng.choice("abcé0")
+            elif op < 0.7:
+                s.insert(i, rng.choice("xyz"))
+            elif s:
+                del s[i]
+        return "".join(s)
+
+    base = ["hello world text", "the quick brown fox", "données été",
+            "aaaaaaaa", ""]
+    texts = {}
+    i = 0
+    for b in base:
+        for _ in range(3):
+            texts[i] = perturb(b)
+            i += 1
+    cand_rows = [(a, b) for a in texts for b in texts if a < b]
+    thr = 0.6
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for ii, cs in enumerate(s, 1):
+            cur = [ii]
+            for jj, ct in enumerate(t, 1):
+                cur.append(min(prev[jj] + 1, cur[-1] + 1,
+                               prev[jj - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for a, b in cand_rows:
+        s, t = texts[a], texts[b]
+        mx = max(len(s), len(t))
+        if mx == 0:
+            continue
+        d = lev(s, t)
+        sim = round(1 - d / mx, 4)
+        if sim >= thr:
+            want[(a, b)] = (d, sim)
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    cand = spark.createDataFrame(cand_rows, "id_1 long, id_2 long")
+    got = {(r["id_1"], r["id_2"]): (r["lev"], r["sim"])
+           for r in edit_distance_pairs(df, "doc_id", "text", cand,
+                                        threshold=thr).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-4), k
+
+
 def test_candidate_eval_matches_set_algebra_random_pairs(spark):
     """Randomized differential: random predicted/truth pair sets with
     mixed orientations and duplicates; tp/fp/fn and P/R/F1 recomputed
