@@ -172,6 +172,41 @@ def test_pack_documents_greedy_per_shard(spark):
         pack_documents(df, "doc_id", "cost", budget=0)
 
 
+def test_pack_documents_matches_python_replay_random_costs(spark):
+    """Randomized differential: md5 shard assignment and the per-shard
+    greedy running-sum packing (doc belongs to the pack where it
+    STARTS) replayed sequentially over 120 docs with random costs,
+    oversized docs included — shard and pack_id must match row for
+    row."""
+    import hashlib
+    import random
+
+    from atiesh_spark.operators.sampling import pack_documents
+
+    rng = random.Random(157)
+    rows = [(i, rng.choice([5, 17, 30, 99, 250])) for i in range(120)]
+    budget, shards = 100, 4
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % shards
+
+    want = {}
+    by_shard: dict[int, list] = {}
+    for i, c in rows:
+        by_shard.setdefault(shard_of(i), []).append((i, c))
+    for s, docs in by_shard.items():
+        run = 0
+        for i, c in sorted(docs):
+            want[i] = (s, run // budget)
+            run += c
+
+    df = spark.createDataFrame(rows, "doc_id long, cost int")
+    got = {r["doc_id"]: (r["shard"], r["pack_id"])
+           for r in pack_documents(df, "doc_id", "cost",
+                                   budget=budget, shards=shards).collect()}
+    assert got == want
+
+
 def test_pack_documents_partitioning_independent(spark):
     from atiesh_spark.operators.sampling import pack_documents
 
