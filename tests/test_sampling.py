@@ -207,6 +207,34 @@ def test_pack_documents_matches_python_replay_random_costs(spark):
     assert got == want
 
 
+def test_deterministic_split_matches_python_replay(spark):
+    """Randomized differential: the md5-bucket split boundaries
+    (cumulative rounded cutoffs over 10k buckets) replayed
+    sequentially for 300 random keys and three named fractions must
+    match every assignment — the exact-boundary arithmetic is where a
+    cumulative-rounding bug would silently shift ~0.01% of a corpus."""
+    import hashlib
+
+    from atiesh_spark.operators.sampling import deterministic_split
+
+    fractions = {"train": 0.823, "val": 0.1, "test": 0.077}
+    keys = [f"doc-{i}" for i in range(300)]
+
+    def replay(key):
+        b = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 10_000
+        cum = 0.0
+        for name, frac in fractions.items():
+            cum += frac
+            if b < int(round(cum * 10_000)):
+                return name
+        return None
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {r["key"]: r["split"] for r in
+           deterministic_split(df, "key", fractions).collect()}
+    assert got == {k: replay(k) for k in keys}
+
+
 def test_pack_documents_partitioning_independent(spark):
     from atiesh_spark.operators.sampling import pack_documents
 
