@@ -334,8 +334,6 @@ def test_viterbi_matches_exhaustive_enumeration():
                     if len(p) != 1:
                         return None
                     lp = _UNK_LOGP
-                if len(p) > max_len and p not in table:
-                    return None
                 if len(p) > max_len:
                     return None
                 total += lp
