@@ -69,7 +69,12 @@ def curate_corpus(
     keep = exact_dedup(gated, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    deduped = gated.join(keep, id_col, "left_semi")
+    # Stage materialization: the deduped survivors feed the budget
+    # take's digest pass, the final take, and a report branch —
+    # checkpointing runs the quality gate + dedup join exactly once
+    # (the "persist the cleaned corpus between stages" discipline every
+    # production pipeline applies before multi-pass consumers).
+    deduped = gated.join(keep, id_col, "left_semi").localCheckpoint()
     selected = budgeted_take(deduped, lang_col, cost_col, budget=budget,
                              order_col=id_col)
 

@@ -129,25 +129,11 @@ def temperature_weights(
     )
 
 
-def mixture_take(
-    df: DataFrame,
-    strata_col: str,
-    cost_col: str,
-    budgets: dict[str, int],
-    order_col: str,
-    default_budget: int = 0,
-) -> DataFrame:
-    """Assemble a data MIXTURE: per-stratum cost budgets in one pass.
-
-    ``budgets`` maps stratum value -> budget (e.g. {"en": 80_000,
-    "fr": 20_000} chars — the 80/20 mixture recipe of a pretraining
-    run). Rows are taken per stratum in deterministic ``order_col``
-    order until that stratum's cumulative cost passes its own budget
-    (first row over the line kept); strata not in ``budgets`` get
-    ``default_budget`` (0 = excluded entirely). Same single window
-    shuffle as ``budgeted_take`` — the budget just varies by key via a
-    literal map lookup, so recipes of any width cost one pass.
-    """
+def _budget_lookup(
+    strata_col: str, budgets: dict[str, int], default_budget: int
+) -> Column:
+    """Literal per-stratum budget column (stringified-key map lookup
+    with a default) — shared by both cumulative-take paths."""
     if default_budget < 0 or any(b < 0 for b in budgets.values()):
         raise ValueError("budgets must be >= 0")
     pairs: list = []
@@ -156,13 +142,34 @@ def mixture_take(
         # lookup below — an int stratum key would otherwise depend on
         # implicit coercion (or raise AnalysisException)
         pairs.extend([F.lit(str(k)), F.lit(int(v))])
-    budget_col = F.coalesce(
+    return F.coalesce(
         # try_: ANSI element_at raises on missing map keys
         F.try_element_at(F.create_map(*pairs), F.col(strata_col).cast("string"))
         if pairs
         else F.lit(None).cast("int"),
         F.lit(int(default_budget)),
     )
+
+
+def _cumulative_take_window(
+    df: DataFrame,
+    strata_col: str,
+    cost_col: str,
+    budgets: dict[str, int],
+    order_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """The one-window restatement of :func:`mixture_take` — the exact
+    semantics in four lines of SQL, kept as the differential reference
+    (tests pin ``mixture_take`` row-for-row against it) and matching the
+    registered DuckDB oracles verbatim.
+
+    NOT the production path: ``Window.partitionBy(strata)`` is one task
+    per stratum, so a 10-language corpus serializes onto 10 cores no
+    matter how many executors exist — the scale failure mode
+    ``mixture_take`` exists to avoid.
+    """
+    budget_col = _budget_lookup(strata_col, budgets, default_budget)
     w = (
         Window.partitionBy(strata_col)
         .orderBy(order_col)
@@ -177,6 +184,299 @@ def mixture_take(
         )
         .drop("__budget", "__running")
     )
+
+
+def _na_key(x):
+    """Normalize a stratum value to a dict key (NaN/None -> None)."""
+    if x is None:
+        return None
+    if isinstance(x, float) and x != x:
+        return None
+    return x
+
+
+def mixture_take(
+    df: DataFrame,
+    strata_col: str,
+    cost_col: str,
+    budgets: dict[str, int],
+    order_col: str,
+    default_budget: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assemble a data MIXTURE: per-stratum cost budgets, range-parallel.
+
+    ``budgets`` maps stratum value -> budget (e.g. {"en": 80_000,
+    "fr": 20_000} chars — the 80/20 mixture recipe of a pretraining
+    run). Rows are taken per stratum in deterministic ``order_col``
+    order until that stratum's cumulative cost passes its own budget
+    (first row over the line kept); strata not in ``budgets`` get
+    ``default_budget`` (0 = excluded entirely). ``order_col`` MUST be
+    unique within each stratum (a doc id, not a cost) — ties would make
+    the running sum partition-layout-dependent, and the survivor
+    join-back keys on (stratum, order).
+
+    The obvious plan — ``SUM(cost) OVER (PARTITION BY stratum ORDER BY
+    order)`` — is ONE TASK PER STRATUM: a 10-language corpus serializes
+    onto 10 cores at any cluster size (at 1000 executors the skew is
+    fatal). This is instead a CUTOFF computation on the NARROW
+    (stratum, order, cost) projection, exploiting that with
+    non-negative costs the running sum is monotone, so the kept set per
+    stratum is exactly a PREFIX in ``order_col`` and the whole take
+    reduces to one cutoff value per stratum:
+
+      1. ``repartitionByRange(stratum, order)`` + sortWithinPartitions
+         on the 3-column projection, ``localCheckpoint``-ed to pin the
+         sampled range boundaries between passes (the
+         :func:`global_index` discipline) — every stratum now spans as
+         many parallel tasks as its data needs.
+      2. One tiny aggregation collects per-(partition, stratum) cost
+         sums and minima. Range partitioning makes each stratum a
+         contiguous partition span, so this digest is
+         O(partitions + strata) rows — the bounded-driver-state pattern
+         every collect in this repo follows. The driver locates, per
+         stratum, the single partition its budget line crosses (or
+         none: the whole stratum fits its budget).
+      3. ONLY the crossing partitions — at most one per stratum — are
+         scanned through an Arrow ``mapInPandas`` to find each
+         stratum's cutoff order value (the last row with running-sum
+         -before < budget; the first row over the line is kept). One
+         output row per crossing stratum.
+      4. The result is ``df`` filtered by a row-local predicate against
+         the broadcast cutoff table (null-safe joined on the stratum):
+         budget > 0 AND cost IS NOT NULL AND (no cutoff | order IS
+         NULL | order <= cutoff). The corpus itself never shuffles,
+         never crosses Arrow, and Catalyst's pruning/pushdown on ``df``
+         stays fully intact — strictly fewer exchanges than the window
+         plan, at any scale.
+
+    If the digest detects a negative or NaN cost (prefix property
+    broken), the general fallback runs instead: the same two-pass
+    prefix sum evaluated per row over every partition, survivors
+    null-safe LEFT SEMI joined back (one wide shuffle, same as the
+    window plan, still no per-stratum task).
+
+    Semantics are pinned row-for-row against the one-window
+    restatement (:func:`_cumulative_take_window`) by a randomized
+    differential test on BOTH paths, including NULL strata (their own
+    group), NULL order (sorts first), and NULL cost (dropped,
+    contributes nothing).
+    """
+    narrow_cols = list(dict.fromkeys([strata_col, order_col, cost_col]))
+    for reserved in ("__budget", "__pid", "__cut_g", "__cut_order", "__has_cut"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input must not contain the reserved column {reserved!r}"
+            )
+    budget_col = _budget_lookup(strata_col, budgets, default_budget)
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # NOT sorted here: the per-partition partial sums are order-free, so
+    # the corpus-wide sort would be pure waste — only the (few) crossing
+    # partitions get sortWithinPartitions, just before their cutoff scan
+    # lazy checkpoint: the partials job right below is the first action,
+    # so it both computes the digest AND pins the sampled range
+    # boundaries in one job — later passes reuse the materialized
+    # partitions, which is all the boundary-pinning needs
+    ranged = (
+        df.select(*narrow_cols)
+        .withColumn("__budget", budget_col)
+        .repartitionByRange(n, strata_col, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    partials = (
+        ranged.groupBy("__pid", strata_col)
+        .agg(
+            F.sum(cost_col).alias("__s"),
+            F.min(cost_col).alias("__m"),
+            F.first("__budget").alias("__b"),
+        )
+        .collect()
+    )
+    per_stratum: dict = {}
+    monotone = True
+    for r in partials:
+        s, m = r["__s"], r["__m"]
+        # NaN sum or negative min breaks the prefix property the cutoff
+        # path relies on (min() hides NaN in Spark; sum() propagates it)
+        if (s is not None and s != s) or (m is not None and m < 0):
+            monotone = False
+        per_stratum.setdefault(_na_key(r[strata_col]), []).append(
+            (r["__pid"], s, r["__b"])
+        )
+    if not monotone:
+        return _general_take_joinback(
+            df, ranged, strata_col, order_col, cost_col, per_stratum
+        )
+
+    # locate, per stratum, the one partition where the running cost
+    # crosses the budget; strata that never cross keep every row
+    crossing: dict = {}  # (pid, stratum) -> (offset_before, budget)
+    for gk, lst in per_stratum.items():
+        b = lst[0][2]
+        if b is None or b <= 0:
+            continue  # budget > 0 predicate below drops these anyway
+        acc = 0
+        for pid, s, _ in sorted(lst, key=lambda t: t[0]):
+            if s is not None:
+                if acc + s >= b:
+                    crossing[(pid, gk)] = (acc, b)
+                    break
+                acc += s
+
+    keep_base = (budget_col > 0) & F.col(cost_col).isNotNull()
+    if not crossing:
+        return df.filter(keep_base)
+
+    bc = spark.sparkContext.broadcast(crossing)
+    scan = ranged.filter(
+        F.col("__pid").isin(sorted({pid for pid, _ in crossing}))
+    ).sortWithinPartitions(strata_col, order_col)
+    from pyspark.sql.types import StructField, StructType
+
+    narrow_fields = {f.name: f for f in ranged.schema.fields}
+    cut_schema = StructType(
+        [
+            narrow_fields[strata_col],
+            StructField("__cut_order", narrow_fields[order_col].dataType, True),
+        ]
+    )
+
+    def find_cuts(batches):
+        import numpy as np
+        import pandas as pd
+
+        # stratum -> [running cost so far, last kept order or None]
+        state: dict = {}
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            g = pdf[strata_col].to_numpy(object)
+            c = pdf[cost_col].to_numpy()
+            na = pdf[cost_col].isna().to_numpy()
+            filled = np.where(na, 0, c) if na.any() else c
+            orders = pdf[order_col]
+            i = 0
+            while i < m:
+                gk = _na_key(g[i])
+                j = i + 1
+                while j < m and _na_key(g[j]) == gk:
+                    j += 1
+                hit = bc.value.get((pid, gk))
+                if hit is not None:
+                    offset, b = hit
+                    st = state.setdefault(gk, [offset, None])
+                    cum = st[0] + np.cumsum(filled[i:j])
+                    # kept rows have running-sum-BEFORE < budget; rows
+                    # are order-sorted, so the last such row is the cut
+                    kept = (cum - filled[i:j]) < b
+                    if kept.any():
+                        last = i + int(np.nonzero(kept)[0][-1])
+                        ov = orders.iloc[last]
+                        st[1] = None if pd.isna(ov) else ov
+                    st[0] = cum[-1]
+                i = j
+        if state:
+            yield pd.DataFrame(
+                {
+                    strata_col: [gk for gk in state],
+                    "__cut_order": [st[1] for st in state.values()],
+                },
+                dtype=object,
+            )
+
+    # cuts stays LAZY: it reads the pinned checkpoint, so it is safe to
+    # evaluate inside the final query (as the broadcast build side) —
+    # one fewer eager job per take
+    cuts = (
+        scan.mapInPandas(find_cuts, schema=cut_schema)
+        .withColumnRenamed(strata_col, "__cut_g")
+        .withColumn("__has_cut", F.lit(True))
+    )
+    # null-safe: a NULL stratum is a real group; its cutoff row carries
+    # a NULL key that a plain equi-join would silently miss
+    joined = df.join(
+        F.broadcast(cuts), df[strata_col].eqNullSafe(cuts["__cut_g"]), "left"
+    )
+    keep = keep_base & (
+        F.col("__has_cut").isNull()
+        | F.col(order_col).isNull()  # NULL order sorts first: kept iff
+        | (F.col(order_col) <= F.col("__cut_order"))  # any row is
+    )
+    return joined.filter(keep).drop("__cut_g", "__cut_order", "__has_cut")
+
+
+def _general_take_joinback(
+    df: DataFrame,
+    ranged: DataFrame,
+    strata_col: str,
+    order_col: str,
+    cost_col: str,
+    per_stratum: dict,
+) -> DataFrame:
+    """:func:`mixture_take` fallback for non-monotone costs (negative or
+    NaN): the :func:`global_index` two-pass prefix sum evaluated PER ROW
+    over every partition — per-stratum offsets broadcast, an Arrow
+    ``mapInPandas`` adds offset + local prefix and applies the cutoff
+    row-by-row, survivors null-safe LEFT SEMI joined back to the full
+    rows. One wide shuffle (the join), same as the window plan — but
+    still never a one-task-per-stratum window.
+    """
+    spark = df.sparkSession
+    offsets: dict = {}
+    for gk, lst in per_stratum.items():
+        acc = 0
+        for pid, s, _ in sorted(lst, key=lambda t: t[0]):
+            offsets[(pid, gk)] = acc
+            if s is not None:
+                acc += s
+    bc = spark.sparkContext.broadcast(offsets)
+    out_schema = ranged.select(strata_col, order_col).schema
+
+    def take(batches):
+        import numpy as np
+
+        carry: dict = {}  # stratum -> cost accumulated so far THIS partition
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            g = pdf[strata_col].to_numpy(object)
+            c = pdf[cost_col].to_numpy()
+            b = pdf["__budget"].to_numpy()
+            na = pdf[cost_col].isna().to_numpy()
+            # integral cost stays exact int64; nullable/float goes f64
+            filled = np.where(na, 0, c) if na.any() else c
+            keep = np.zeros(m, dtype=bool)
+            # strata are contiguous runs (sorted within partition):
+            # vectorize per run, few runs per batch
+            i = 0
+            while i < m:
+                gk = _na_key(g[i])
+                j = i + 1
+                while j < m and _na_key(g[j]) == gk:
+                    j += 1
+                start = carry.get(gk)
+                if start is None:
+                    start = bc.value.get((pid, gk), 0)
+                cum = np.cumsum(filled[i:j])
+                prev = start + cum - filled[i:j]
+                keep[i:j] = (b[i:j] > 0) & ~na[i:j] & (prev < b[i:j])
+                carry[gk] = start + (cum[-1] if j > i else 0)
+                i = j
+            yield pdf.loc[keep, [strata_col, order_col]]
+
+    survivors = ranged.sortWithinPartitions(strata_col, order_col).mapInPandas(
+        take, schema=out_schema
+    )
+    cond = df[strata_col].eqNullSafe(survivors[strata_col]) & df[
+        order_col
+    ].eqNullSafe(survivors[order_col])
+    return df.join(survivors, cond, "left_semi")
 
 
 def pack_documents(
@@ -233,9 +533,10 @@ def budgeted_take(
     tiebreak-free secondary guard by never being the sort key.
 
     The token-budget sampler: cap each language/source at N tokens.
-    One shuffle (window over group); no driver state. The single-budget
-    special case of ``mixture_take`` (delegates, so the cumulative-take
-    semantics live in exactly one place).
+    The single-budget special case of ``mixture_take`` (delegates, so
+    the cumulative-take semantics — and its range-parallel two-pass
+    plan, never a one-task-per-group window — live in exactly one
+    place). Driver state is the O(partitions + groups) offset digest.
     """
     return mixture_take(
         df, group_col, cost_col, budgets={}, order_col=order_col,

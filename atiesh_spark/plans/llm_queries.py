@@ -200,8 +200,9 @@ def q48_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Token-budget sampling: per language, take docs in deterministic "
     "doc_id order until ~5000 chars are accumulated (first row over the "
-    "line kept). One window shuffle, no driver state — the per-source "
-    "cap step of a data-mixture pipeline.",
+    "line kept). Range-parallel cutoff plan (never a one-task-per-"
+    "language window); driver state is the O(partitions + langs) offset "
+    "digest — the per-source cap step of a data-mixture pipeline.",
 )
 def q49_token_budget_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atiesh_spark.operators.sampling import budgeted_take
@@ -920,10 +921,10 @@ def q57_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang
     """,
     doc="Data-mixture assembly: per-language char budgets (en 8000 / fr "
-    "3000 / zh 2000, others excluded) applied in ONE window pass — the "
-    "mixture-recipe step of a pretraining pipeline (q49 is the "
-    "single-budget special case). Deterministic doc_id order; first row "
-    "over each line kept.",
+    "3000 / zh 2000, others excluded) via the range-parallel cutoff "
+    "plan (never a one-task-per-language window) — the mixture-recipe "
+    "step of a pretraining pipeline (q49 is the single-budget special "
+    "case). Deterministic doc_id order; first row over each line kept.",
 )
 def q56_mixture_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atiesh_spark.operators.sampling import mixture_take

@@ -1467,13 +1467,21 @@ def q117_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = docs.select(
         "doc_id", "lang", "n_chars", normalize_text("text").alias("norm_text")
     )
+    # Stage materialization (the production discipline for multi-pass
+    # consumers): the normalized+gated corpus is read by the dedup join
+    # (both sides), the budget take's digest pass, the final take, and
+    # two report branches — checkpointing it runs the pandas-UDF
+    # normalize exactly ONCE instead of once per branch, and the
+    # deduped survivors likewise (the dedup join computes once). At
+    # cluster scale this is "persist the cleaned corpus between
+    # stages", which every real pipeline does anyway.
     clean = blocklist_filter(
         normed, "norm_text", ["slow scan", "dup table"], engine="inplan"
-    )
+    ).localCheckpoint()
     keep = exact_dedup(clean, "doc_id", "norm_text").select(
         F.col("keep_id").alias("doc_id")
     )
-    deduped = clean.join(keep, "doc_id", "left_semi")
+    deduped = clean.join(keep, "doc_id", "left_semi").localCheckpoint()
     selected = budgeted_take(deduped, "lang", "n_chars", budget=4000,
                              order_col="doc_id")
 

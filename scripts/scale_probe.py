@@ -242,6 +242,72 @@ def main() -> None:
         out[name] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)}
         print(f"  {name}: {a}s -> {b}s ({out[name]['ratio']}x)", file=sys.stderr)
 
+    # budgeted_take skew probe (round 12): the cumulative token-budget
+    # take on a lang-skewed corpus (98% one language, budget = ~half
+    # the dominant stratum). The one-window plan is ONE TASK for the
+    # dominant language — wall-clock pinned to a single core (and that
+    # task's sort spills) regardless of cluster size; the shipped
+    # range-parallel cutoff plan spreads the same prefix sum over all
+    # partitions. The sf0.1 documents table (60k rows) is far below the
+    # single-core saturation point, so this cell synthesizes row counts
+    # where the serialization is visible: 5M rows base, 5M x COPIES
+    # scaled (row count is the probe's scale axis — the operator only
+    # ever touches the narrow (lang, doc_id, cost) projection anyway).
+    if only is None or "budgeted_take_skew" in only:
+        import pandas as _pd
+        from pyspark.sql import functions as _SF
+
+        from atiesh_spark.operators.sampling import (
+            _cumulative_take_window,
+            mixture_take,
+        )
+
+        def skewed_rows(n: int):
+            return spark.range(n).select(
+                _SF.col("id").alias("doc_id"),
+                _SF.when(_SF.col("id") % 50 > 0, _SF.lit("en"))
+                .otherwise(_SF.lit("fr"))
+                .alias("lang"),
+                (_SF.pmod(_SF.col("id") * 2654435761, _SF.lit(997)) + 1)
+                .alias("cost"),
+            )
+
+        def _warm(batches):
+            yield _pd.DataFrame({"n": [sum(len(p) for p in batches)]})
+
+        # warm the python workers so the range path isn't billed for
+        # 32 cold interpreter starts the bench context never pays
+        skewed_rows(1_000_000).repartition(32).mapInPandas(
+            _warm, "n long"
+        ).collect()
+
+        base_n, big_n = 5_000_000, 5_000_000 * COPIES
+
+        def run_take(n: int, fn) -> float:
+            # budget ~ half the dominant stratum's total cost (mean
+            # cost 499, 98% of rows are en)
+            budget = int(n * 0.98 * 499 * 0.5)
+            t0 = time.perf_counter()
+            fn(
+                skewed_rows(n), "lang", "cost", {},
+                "doc_id", default_budget=budget,
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 2)
+
+        cell = {
+            "rows_base": base_n,
+            "rows_scaled": big_n,
+            "window_base_sec": run_take(base_n, _cumulative_take_window),
+            "window_scaled_sec": run_take(big_n, _cumulative_take_window),
+            "range_base_sec": run_take(base_n, mixture_take),
+            "range_scaled_sec": run_take(big_n, mixture_take),
+        }
+        cell["scaled_speedup"] = round(
+            cell["window_scaled_sec"] / cell["range_scaled_sec"], 2
+        )
+        out["budgeted_take_skew"] = cell
+        print(f"  budgeted_take_skew: {cell}", file=sys.stderr)
+
     if only is not None:
         print(json.dumps({"copies": COPIES, "queries": out}))
         return

@@ -832,3 +832,19 @@ def test_round10_ingestion_plan_shapes(spark):
         assert n_ex <= cap, (name, n_ex, cap)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_budgeted_take_family_no_per_group_window(spark):
+    """The cumulative budget take must stay range-parallel: a
+    ``Window PARTITION BY lang`` is one task per language, which
+    serializes the whole corpus onto a handful of cores at 1000
+    executors. mixture_take's two-pass prefix sum has no Window at
+    all — gate every composite that embeds it."""
+    for name in (
+        "q49_token_budget_take",
+        "q56_mixture_take",
+        "q82_curation_pipeline",
+        "q117_pretrain_pipeline",
+    ):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name

@@ -675,3 +675,118 @@ class TestExcessLossWeights:
             pg, "dom", "n", "bits").collect()}
         assert out["big"]["excess"] == 0.0
         assert out["small"]["excess"] == 9.0
+
+
+class TestMixtureTakeRangeParallel:
+    """Path-equality pin: the range-parallel two-pass mixture_take must
+    match the one-window restatement (_cumulative_take_window) row for
+    row — the same digest-vs-distributed pin the Bradley-Terry MM has."""
+
+    @staticmethod
+    def _key(r):
+        return tuple((c, r[c]) for c in sorted(r.asDict()))
+
+    def _assert_paths_equal(self, df, strata, cost, budgets, order, default):
+        from atiesh_spark.operators.sampling import (
+            _cumulative_take_window,
+            mixture_take,
+        )
+
+        fast = mixture_take(
+            df, strata, cost, budgets, order, default_budget=default
+        ).collect()
+        ref = _cumulative_take_window(
+            df, strata, cost, budgets, order, default_budget=default
+        ).collect()
+        assert sorted(map(self._key, fast), key=repr) == sorted(
+            map(self._key, ref), key=repr
+        )
+        return fast
+
+    def test_randomized_skewed_with_nulls(self, spark):
+        import random
+
+        rng = random.Random(12)
+        langs = ["en"] * 60 + ["fr"] * 20 + ["zh"] * 10 + ["de", "ja", None]
+        rows = []
+        for i in range(2000):
+            lang = rng.choice(langs)
+            cost = None if rng.random() < 0.05 else rng.randint(1, 400)
+            rows.append((lang, i, cost))
+        df = spark.createDataFrame(
+            rows, "lang string, doc_id int, cost int"
+        ).repartition(13)
+        for budgets, default in [
+            ({"en": 5000, "fr": 800, "zh": 1}, 0),
+            ({}, 3000),
+            ({"en": 0}, 500),
+        ]:
+            self._assert_paths_equal(df, "lang", "cost", budgets, "doc_id", default)
+
+    def test_null_order_and_null_stratum_groups(self, spark):
+        # NULL order sorts first (taken first); NULL stratum is its own
+        # group under the default budget; NULL cost rows are dropped but
+        # never consume budget.
+        rows = [
+            ("a", None, 30), ("a", 1, 30), ("a", 2, 30),
+            (None, 1, 10), (None, 2, 10), (None, 3, 100),
+            ("b", 1, None), ("b", 2, 5),
+        ]
+        df = spark.createDataFrame(rows, "g string, ord int, cost int")
+        fast = self._assert_paths_equal(df, "g", "cost", {}, "ord", 40)
+        got = {(r["g"], r["ord"]) for r in fast}
+        assert got == {
+            (None, 1), (None, 2), (None, 3),
+            ("a", None), ("a", 1),
+            ("b", 2),
+        }
+
+    def test_dominant_group_spans_many_partitions(self, spark):
+        # one group >> num_partitions rows: the per-stratum prefix must
+        # chain offsets across every partition it spans
+        rows = [("en", i, 1) for i in range(5000)] + [("fr", i, 1000) for i in range(3)]
+        df = spark.createDataFrame(rows, "lang string, doc_id int, cost int")
+        from atiesh_spark.operators.sampling import mixture_take
+
+        out = mixture_take(
+            df, "lang", "cost", {"en": 3777, "fr": 1500}, "doc_id",
+            num_partitions=16,
+        ).collect()
+        en = sorted(r["doc_id"] for r in out if r["lang"] == "en")
+        fr = sorted(r["doc_id"] for r in out if r["lang"] == "fr")
+        assert en == list(range(3777))
+        assert fr == [0, 1]  # row 0 (1000) then row 1 crosses 1500
+
+    def test_no_per_group_window_in_plan(self, spark):
+        from atiesh_spark.operators.sampling import budgeted_take
+
+        df = spark.createDataFrame(
+            [("a", 1, 5)], "g string, ord int, cost int"
+        )
+        plan = budgeted_take(
+            df, "g", "cost", budget=10, order_col="ord"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_reserved_columns_rejected(self, spark):
+        from atiesh_spark.operators.sampling import mixture_take
+
+        df = spark.createDataFrame([("a", 1, 5, 0)],
+                                   "g string, ord int, cost int, __pid int")
+        with pytest.raises(ValueError, match="__pid"):
+            mixture_take(df, "g", "cost", {}, "ord", default_budget=10)
+
+    def test_negative_costs_fall_back_to_general_path(self, spark):
+        # negative costs break the prefix property (the window semantics
+        # re-admit later rows); the general per-row path must still
+        # match the one-window restatement exactly
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (rng.choice(["a", "b", "c"]), i,
+             None if rng.random() < 0.1 else rng.randint(-50, 100))
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "g string, ord int, cost int")
+        self._assert_paths_equal(df, "g", "cost", {"a": 300}, "ord", 500)
