@@ -106,13 +106,28 @@ ANCHORS: dict[str, float] = {
 }
 
 
+# Per-cell noise floor (round-11 verdict item 4): a cell only counts
+# as a per-cell breach when BOTH hold. Sub-half-second cells move
+# +-0.1s on JVM warm-state alone, and anchors tightened to a cell's own
+# best-of invite phantom ratio breaches (the r11 q08 case: 0.47s vs a
+# 0.20s anchor = 2.35x, solo re-measure 1.38x) — the absolute-excess
+# floor makes the checker state the "aggregate is the machine gate,
+# per-cell breaches need real seconds behind them" policy instead of
+# leaving it to prose.
+BREACH_RATIO = 2.0
+BREACH_MIN_EXCESS_SEC = 0.5
+
+
 def check_anchors(artifact_path: str) -> int:
     """Compute per-cell ratio (artifact sec / anchor sec) for every
     anchored cell in a BENCH artifact, print the table plus the
     anchored-sum aggregate, and return nonzero if the AGGREGATE
-    breaches the 2x gate. Per-cell breaches are listed (solo
-    re-measurement is the prescribed follow-up — single cells move
-    under co-tenant load; see the artifact's loadavg field)."""
+    breaches the 2x gate. A per-cell BREACH requires ratio >=
+    BREACH_RATIO AND >= BREACH_MIN_EXCESS_SEC absolute excess over the
+    anchor (noise-floor policy); ratio-only exceedances under the floor
+    print as 'noise-band'. Solo re-measurement is the prescribed
+    follow-up for breaches — single cells move under co-tenant load;
+    see the artifact's loadavg field."""
     with open(artifact_path) as fh:
         record = json.load(fh)
     if "queries" not in record and isinstance(record.get("parsed"), dict):
@@ -124,14 +139,25 @@ def check_anchors(artifact_path: str) -> int:
             rows.append((name, sec, ANCHORS[name], sec / ANCHORS[name]))
         else:
             missing.append(name)
+    breaches = 0
     for name, sec, anchor, ratio in sorted(rows, key=lambda r: -r[3]):
-        flag = " <-- >=2x" if ratio >= 2.0 else ""
+        flag = ""
+        if ratio >= BREACH_RATIO:
+            if sec - anchor >= BREACH_MIN_EXCESS_SEC:
+                flag = " <-- BREACH (>=2x and >=0.5s over anchor)"
+                breaches += 1
+            else:
+                flag = " (noise-band: >=2x but under the 0.5s excess floor)"
         print(f"  {name}: {sec:.3f}s / {anchor:.2f}s = {ratio:.2f}x{flag}")
     got = sum(r[1] for r in rows)
     want = sum(r[2] for r in rows)
     agg = got / want if want else float("nan")
     print(f"anchored cells: {len(rows)}; unanchored: {missing or 'none'}")
-    print(f"aggregate: {got:.1f}s / {want:.1f}s anchored = {agg:.2f}x")
+    print(f"per-cell breaches (policy: >={BREACH_RATIO}x AND "
+          f">={BREACH_MIN_EXCESS_SEC}s excess): {breaches}")
+    print(f"aggregate: {got:.1f}s / {want:.1f}s anchored = {agg:.2f}x"
+          f" ({'FAIL' if agg >= 2.0 else 'pass'}; the aggregate is the"
+          " machine gate)")
     if record.get("loadavg") is not None:
         print(f"artifact loadavg: {record['loadavg']} "
               f"cpus: {record.get('cpus')}")
