@@ -204,3 +204,57 @@ def test_transition_matrix_matches_bruteforce(spark):
         totals[a] += n
     expect = {p: (n, _round_half_up(n / totals[p[0]], 4)) for p, n in c.items()}
     assert got == expect
+
+
+def test_window_overlap_pairs_matches_sequential_replay(spark):
+    """q93's Manber mod-p window sampling replayed sequentially: every
+    position hashed, the md5-mod-rate content gate, distinct (doc,
+    hash), the doc-frequency cap, and O(n^2) pair counting — the full
+    chain, not just the planted-copy property the corpus tests pin."""
+    import hashlib
+    from itertools import combinations
+
+    from atiesh_spark.operators.corpus import window_overlap_pairs
+
+    rng = random.Random(93)
+    width, stride, max_df, min_shared = 8, 4, 3, 1
+    # tiny alphabet so windows genuinely repeat across docs (exercising
+    # the doc-frequency cap), plus empties and shorter-than-width docs
+    alpha = "ab "
+    rows = []
+    for i in range(60):
+        n = rng.choice([0, 3, 7, 8, 20, 50, 120])
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(n))))
+
+    def windows(text: str) -> set[str]:
+        if not text:
+            return set()
+        out = set()
+        for start in range(max(len(text) - width, 0) + 1):
+            w = text[start:start + width]
+            h = hashlib.md5(w.encode()).hexdigest()
+            if int(h[:15], 16) % stride == 0:
+                out.add(h)
+        return out
+
+    per_doc = {i: windows(t) for i, t in rows}
+    freq: dict[str, int] = {}
+    for ws in per_doc.values():
+        for h in ws:
+            freq[h] = freq.get(h, 0) + 1
+    rare = {i: {h for h in ws if freq[h] <= max_df}
+            for i, ws in per_doc.items()}
+    expect = {}
+    for i, j in combinations(sorted(per_doc), 2):
+        n = len(rare[i] & rare[j])
+        if n >= min_shared:
+            expect[(i, j)] = n
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_1"], r["id_2"]): r["n_shared"]
+           for r in window_overlap_pairs(
+               df, "doc_id", "text", width=width, stride=stride,
+               min_shared=min_shared, max_doc_freq=max_df,
+           ).collect()}
+    assert expect, "degenerate fixture: no overlapping pairs generated"
+    assert got == expect
