@@ -34,6 +34,8 @@ def curate_corpus(
     max_chars: int = 100_000,
     max_mean_word_len: float = 20.0,
     budget: int = 5_000,
+    bucketed_table: str | None = None,
+    num_buckets: int = 32,
 ) -> DataFrame:
     """Curate a document corpus and report per language:
     (lang, n_candidates, n_after_quality, n_after_dedup, n_selected,
@@ -51,6 +53,17 @@ def curate_corpus(
     Languages whose every document fails a stage still report (their
     later-stage counts are 0) — a silent vanishing language is exactly
     what the report exists to catch.
+
+    ``bucketed_table``: the 100-TB path for stage 2's survivor semi
+    join — by default the corpus makes ONE full-width shuffle on
+    ``id_col`` to meet the survivor keys (the accepted floor for the
+    ad-hoc call). Passing a table name instead persists the gate
+    survivors ONCE as a ``write_bucketed`` managed table bucketed by
+    ``id_col`` (``num_buckets``), and the semi join plans with NO
+    exchange on the corpus side — only the narrow keep-id keys shuffle
+    into the buckets. The shuffle is paid at write time and amortized
+    over every later join/aggregation on the id (incremental re-runs,
+    downstream enrichment) — the ``sources/bucketing`` discipline.
     """
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     mean_wl = F.when(
@@ -63,6 +76,12 @@ def curate_corpus(
         & (F.col(cost_col) <= max_chars)
         & (mean_wl <= max_mean_word_len)
     )
+    if bucketed_table is not None:
+        from atiesh_spark.sources.bucketing import write_bucketed
+
+        write_bucketed(gated, bucketed_table, [id_col],
+                       num_buckets=num_buckets, sort_cols=[id_col])
+        gated = docs.sparkSession.table(bucketed_table)
     # exact_dedup emits (digest, keep_id, n_dups); the min-id survivors'
     # full rows come back via a LEFT SEMI join on the id — the text
     # column itself never shuffles twice

@@ -44,3 +44,46 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_curation_bucketed_corpus_semi_join_no_corpus_exchange(spark):
+    """curate_corpus(bucketed_table=...): the dedup survivor semi join
+    must plan with NO exchange on the corpus side — only the narrow
+    keep-id keys shuffle into the buckets (the 100-TB path; the default
+    ad-hoc call accepts one corpus-width shuffle as its floor)."""
+    from atiesh_spark.operators.curation import curate_corpus
+    from atiesh_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        report = curate_corpus(docs, bucketed_table="corpus_b",
+                               num_buckets=8)
+        # the composite's report must be unchanged by the layout choice
+        plain = curate_corpus(docs)
+        canon = lambda df: sorted(map(tuple, df.collect()))
+        assert canon(report) == canon(plain)
+
+        # plan check on the survivor semi join over the bucketed table
+        gated = read_table(spark, "corpus_b")
+        keep = exact_dedup(gated, "doc_id", "text").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        deduped = gated.join(keep, "doc_id", "left_semi")
+        plan = deduped._sc._jvm.PythonSQLUtils.explainString(
+            deduped._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        # the corpus branch (the left ':-' spine of the semi join) must
+        # contain NO exchange — it reads the buckets and sorts locally;
+        # the keys side keeps its digest groupBy exchange plus the
+        # narrow shuffle INTO the buckets
+        corpus_branch = [
+            ln for ln in plan.splitlines() if ln.lstrip().startswith(":")
+        ]
+        assert corpus_branch, plan
+        assert not any("Exchange" in ln for ln in corpus_branch), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS corpus_b")
