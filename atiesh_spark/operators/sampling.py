@@ -401,10 +401,12 @@ def mixture_take(
     joined = df.join(
         F.broadcast(cuts), df[strata_col].eqNullSafe(cuts["__cut_g"]), "left"
     )
+    # NULL order sorts first, so that row is the stratum's first — and a
+    # crossing stratum always keeps its first row (prev = 0 < budget)
     keep = keep_base & (
         F.col("__has_cut").isNull()
-        | F.col(order_col).isNull()  # NULL order sorts first: kept iff
-        | (F.col(order_col) <= F.col("__cut_order"))  # any row is
+        | F.col(order_col).isNull()
+        | (F.col(order_col) <= F.col("__cut_order"))
     )
     return joined.filter(keep).drop("__cut_g", "__cut_order", "__has_cut")
 
