@@ -82,14 +82,16 @@ ANCHORS: dict[str, float] = {
     # r4 additions
     "q85_global_index": 0.72, "q98_pca_embeddings": 2.40,
     "q107_bm25_topk": 1.22, "q111_nb_classify": 2.62,
-    # r5 additions
-    "q117_pretrain_pipeline": 1.51, "q135_threshold_sweep": 0.46,
+    # r5 additions (q117 re-anchored 1.51 -> 1.64 and q82 below
+    # 0.73 -> 1.77 in r12: the budget take went range-parallel and the
+    # composites materialize their deduped stage — BASELINE.md r12 note)
+    "q117_pretrain_pipeline": 1.64, "q135_threshold_sweep": 0.46,
     "q136_drift_report": 0.89, "q139_leakage_safe_split": 0.39,
     "q140_quantile_rollup": 0.84,
     # r6 additions (q163 re-anchored 0.79 -> 0.96: the r10 verdict
     # showed the 0.79 recording was an unusually fast outlier; 0.96 is
     # the r9/r10 solo best-of-3)
-    "q82_curation_pipeline": 0.73, "q143_ivf_pq_bench": 7.34,
+    "q82_curation_pipeline": 1.77, "q143_ivf_pq_bench": 7.34,
     "q144_url_canonicalize": 0.50, "q146_markup_strip": 0.46,
     "q148_intra_doc_line_dedup": 0.32, "q149_gopher_rules": 1.65,
     "q150_dataset_card": 0.51, "q152_sentence_chunks": 0.35,
