@@ -343,33 +343,162 @@ def perplexity_buckets(
     bucket_idx NULL and label 'unscored' rather than polluting the
     tiers. Ties order by (score, id): ntile over a TOTAL order, so the
     split is deterministic under retries and across engines.
+    ``id_col`` must be unique within each language (it is the tiebreak
+    that makes the order total).
 
-    Engine shape: ONE per-language window shuffle — the score column is
-    assumed precomputed (compose with ``ngram_lm_scores``, whose count
-    tables broadcast), so the whole split adds a single exchange to the
-    scoring plan.
+    Engine shape — NEVER ``ntile() OVER (PARTITION BY lang)``: that is
+    one task per language, so the dominant language of a real crawl
+    serializes onto a single core at any cluster size (the same
+    fall-over class as the pre-round-12 ``budgeted_take``). Equal-count
+    tiers are fully determined by the ``buckets - 1`` BOUNDARY ROWS per
+    language (the last (score, id) of each tier), so instead:
+
+      1. range-partition the narrow (lang, score, id) projection (lazy
+         ``localCheckpoint`` pins the sampled boundaries in the same
+         job as the digest);
+      2. collect per-(partition, lang) row counts — O(partitions +
+         langs) driver rows — and locate, per language, which partition
+         holds each boundary rank (Spark/standard-SQL ntile sizing:
+         the first n % k tiers get one extra row);
+      3. scan ONLY those partitions (sorted locally) through an Arrow
+         ``mapInPandas`` that emits the boundary (lang, score, id)
+         tuples — at most buckets - 1 rows per language;
+      4. bucket_idx = 1 + |boundaries strictly before the row| — a
+         row-local codegen ``aggregate`` over the language's broadcast
+         boundary array (null-safe joined on lang). The corpus itself
+         never shuffles and Catalyst pruning stays intact.
+
+    Pinned row-for-row against the one-window ntile restatement by a
+    randomized differential (skewed languages, ties, NULL lang/score,
+    n < buckets languages).
     """
-    from pyspark.sql.window import Window
-
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     if len(labels) != buckets:
         raise ValueError(f"need exactly {buckets} labels, got {len(labels)}")
-    w = (
-        Window.partitionBy(lang_col)
-        .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    for reserved in ("__pid", "__bnds", "__bnd_g", "__has_bnd"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input must not contain the reserved column {reserved!r}"
+            )
+    from atiesh_spark.operators.sampling import _na_key
+
+    spark = df.sparkSession
+    scored_in = df.filter(F.col(score_col).isNotNull())
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        scored_in.select(lang_col, score_col, id_col)
+        .repartitionByRange(n_parts, lang_col, score_col, id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    scored = df.filter(F.col(score_col).isNotNull()).withColumn(
-        "bucket_idx", F.ntile(buckets).over(w)
+    partials = (
+        ranged.groupBy("__pid", lang_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
     )
+    per_lang: dict = {}
+    for r in partials:
+        per_lang.setdefault(_na_key(r[lang_col]), []).append(
+            (r["__pid"], r["__n"])
+        )
+    # boundary rank of tier b (1-based, b < buckets) under ntile sizing:
+    # q = n // k extra-row tiers are the first r = n % k
+    targets: dict = {}  # (pid, lang) -> [local_rank, ...]
+    for gk, lst in per_lang.items():
+        lst.sort(key=lambda t: t[0])
+        n = sum(c for _, c in lst)
+        q, r = divmod(n, buckets)
+        bounds = sorted(
+            {b * (q + 1) if b <= r else r * (q + 1) + (b - r) * q
+             for b in range(1, buckets)} - {0}
+        )
+        offset = 0
+        it = iter(lst)
+        pid, cnt = next(it)
+        for rank in bounds:
+            while rank > offset + cnt:
+                offset += cnt
+                pid, cnt = next(it)
+            targets.setdefault((pid, gk), []).append(rank - offset)
+    bc = spark.sparkContext.broadcast(targets)
+    scan = ranged.filter(
+        F.col("__pid").isin(sorted({pid for pid, _ in targets}))
+    ).sortWithinPartitions(lang_col, score_col, id_col)
+    bnd_schema = ranged.select(lang_col, score_col, id_col).schema
+
+    def find_bounds(batches):
+        import pandas as pd
+
+        pos: dict = {}  # lang -> rows of this lang seen so far (this pid)
+        out_rows: list = []
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            g = pdf[lang_col].to_numpy(object)
+            i = 0
+            while i < m:
+                gk = _na_key(g[i])
+                j = i + 1
+                while j < m and _na_key(g[j]) == gk:
+                    j += 1
+                ranks = bc.value.get((pid, gk))
+                if ranks is not None:
+                    seen = pos.get(gk, 0)
+                    for rank in ranks:
+                        if seen < rank <= seen + (j - i):
+                            row = pdf.iloc[i + (rank - seen - 1)]
+                            out_rows.append(
+                                (gk, row[score_col], row[id_col])
+                            )
+                    pos[gk] = seen + (j - i)
+                i = j
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    lang_col: [t[0] for t in out_rows],
+                    score_col: [t[1] for t in out_rows],
+                    id_col: [t[2] for t in out_rows],
+                },
+                dtype=object,
+            )
+
+    # one array of boundary (score, id) structs per language — at most
+    # (buckets - 1) x |langs| rows total, broadcast to the corpus
+    bnds = (
+        scan.mapInPandas(find_bounds, schema=bnd_schema)
+        .groupBy(lang_col)
+        .agg(
+            F.collect_list(F.struct(score_col, id_col)).alias("__bnds")
+        )
+        .withColumnRenamed(lang_col, "__bnd_g")
+    )
+    joined = scored_in.join(
+        F.broadcast(bnds),
+        scored_in[lang_col].eqNullSafe(bnds["__bnd_g"]),
+        "left",
+    )
+    s, d = F.col(score_col), F.col(id_col)
+    before = F.aggregate(
+        F.coalesce(F.col("__bnds"), F.array()),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            (x[score_col] < s) | ((x[score_col] == s) & (x[id_col] < d)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    bucket_idx = (before + 1).cast("int")
     label_expr = F.element_at(
-        F.array(*[F.lit(x) for x in labels]), F.col("bucket_idx")
+        F.array(*[F.lit(x) for x in labels]), bucket_idx
     )
-    out = scored.select(
+    out = joined.select(
         F.col(id_col),
         F.col(lang_col),
         F.col(score_col),
-        "bucket_idx",
+        bucket_idx.alias("bucket_idx"),
         label_expr.alias("bucket"),
     )
     unscored = df.filter(F.col(score_col).isNull()).select(

@@ -258,3 +258,53 @@ def test_window_overlap_pairs_matches_sequential_replay(spark):
            ).collect()}
     assert expect, "degenerate fixture: no overlapping pairs generated"
     assert got == expect
+
+
+def test_perplexity_buckets_matches_window_ntile(spark):
+    """q170's boundary-based range-parallel tiering vs the one-window
+    ntile restatement (which also matches the DuckDB oracle verbatim):
+    skewed languages, heavy score ties, NULL lang, NULL scores, and
+    languages with fewer rows than buckets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.textstats import perplexity_buckets
+
+    rng = random.Random(170)
+    langs = ["en"] * 10 + ["fr"] * 3 + ["zh", "tiny", None]
+    rows = []
+    for i in range(800):
+        lang = rng.choice(langs)
+        score = None if rng.random() < 0.05 else round(rng.uniform(1, 3), 1)
+        rows.append((i, lang, score))
+    # a language with fewer rows than buckets
+    rows += [(9001, "rare", 2.5), (9002, "rare", 2.5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, bpc double"
+    ).repartition(7)
+
+    for k, labels in ((3, ("head", "middle", "tail")),
+                      (5, ("a", "b", "c", "d", "e"))):
+        got = {r["doc_id"]: (r["bucket_idx"], r["bucket"])
+               for r in perplexity_buckets(
+                   df, "doc_id", "lang", "bpc", buckets=k, labels=labels
+               ).collect()}
+        w = Window.partitionBy("lang").orderBy(
+            F.col("bpc").asc(), F.col("doc_id").asc()
+        )
+        ref_scored = (
+            df.filter(F.col("bpc").isNotNull())
+            .withColumn("bucket_idx", F.ntile(k).over(w))
+            .withColumn(
+                "bucket",
+                F.element_at(F.array(*[F.lit(x) for x in labels]),
+                             F.col("bucket_idx")),
+            )
+        )
+        ref = {r["doc_id"]: (r["bucket_idx"], r["bucket"])
+               for r in ref_scored.collect()}
+        for i, lang, score in rows:
+            if score is None:
+                assert got[i] == (None, "unscored"), i
+            else:
+                assert got[i] == ref[i], (i, lang, score, k)

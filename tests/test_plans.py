@@ -848,3 +848,11 @@ def test_budgeted_take_family_no_per_group_window(spark):
     ):
         plan = plan_of(spark, name)
         assert "Window" not in plan, name
+
+
+def test_ccnet_buckets_no_per_language_window(spark):
+    """q170's equal-count tiering must stay boundary-based: an
+    ``ntile() OVER (PARTITION BY lang)`` is one task per language —
+    the dominant language of a real crawl on a single core."""
+    plan = plan_of(spark, "q170_ccnet_buckets")
+    assert "Window" not in plan
