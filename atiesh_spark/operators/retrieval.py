@@ -195,9 +195,27 @@ def bm25_join(
         F.count(F.lit(1)).alias("n_terms_hit"),
         F.round(F.sum("__s"), round_to).alias("score"),
     )
-    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col(id_col))
+    # TWO-PHASE top-k (the curation.cap_per_group discipline): a plain
+    # row_number() OVER (PARTITION BY query) funnels every candidate of
+    # a query through ONE task — and a stopword-bearing query's
+    # candidate set is nearly the corpus. Phase 1 ranks within
+    # (query, md5-shard of doc id) and keeps k per shard, bounding the
+    # hottest task; phase 2 re-ranks the <= k * shards survivors per
+    # query — provably identical output (each global top-k row is in
+    # its own shard's top-k).
+    from atiesh_spark.operators.sampling import hash_bucket
+
+    shards = 16
+    w1 = Window.partitionBy("__qid", hash_bucket(id_col, shards)).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
     return (
-        per_pair.withColumn("rank", F.row_number().over(w))
+        per_pair.withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .withColumnRenamed("__qid", query_id_col)
     )
