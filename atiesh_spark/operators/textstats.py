@@ -384,7 +384,15 @@ def perplexity_buckets(
     from atiesh_spark.operators.sampling import _na_key
 
     spark = df.sparkSession
-    scored_in = df.filter(F.col(score_col).isNotNull())
+    # the operator's output is exactly (id, lang, score) + the bucket,
+    # and the digest pass / boundary scan / final join / unscored
+    # branch all read the input — checkpoint the 3-column projection so
+    # an expensive upstream (LM scoring is a corpus-wide trigram
+    # explode) runs ONCE, not once per consumer
+    narrow = df.select(id_col, lang_col, score_col).localCheckpoint(
+        eager=False
+    )
+    scored_in = narrow.filter(F.col(score_col).isNotNull())
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         scored_in.select(lang_col, score_col, id_col)
@@ -501,7 +509,7 @@ def perplexity_buckets(
         bucket_idx.alias("bucket_idx"),
         label_expr.alias("bucket"),
     )
-    unscored = df.filter(F.col(score_col).isNull()).select(
+    unscored = narrow.filter(F.col(score_col).isNull()).select(
         F.col(id_col),
         F.col(lang_col),
         F.col(score_col),
