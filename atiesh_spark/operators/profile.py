@@ -231,11 +231,21 @@ def cdf_normalize(
     rank (window NULL ordering differs between engines, so excluding
     them is the only portable semantics).
 
-    Scale note: exact ranks genuinely need the per-group sort — this IS
-    a window over the fact table, unlike the moments-broadcast
-    operators. When an approximate CDF is acceptable at 100 TB, bin
-    against broadcast quantile bounds instead (the ``winsorize`` /
-    ``histogram`` pattern) and no full-data sort happens.
+    Engine shape — NEVER ``percent_rank() OVER (PARTITION BY group)``
+    on the fact table: with a low-cardinality group (market segment,
+    language) that is one task sorting the whole group (the
+    budgeted_take failure class). Since ties share a rank,
+    percent_rank is a pure function of the (group, value) pair:
+    ``cum_count_of_smaller_values / (n_group - 1)``. So the fact table
+    reduces to a per-(group, value) count digest (map-side combined,
+    bounded by distinct-value cardinality — the KS/Spearman
+    contract: scores are rounded by construction), the cumulative
+    count runs as a window over the DIGEST (per-group tasks of
+    cardinality size, not group size), and the ranks join back on
+    (group, value) — broadcast when the digest is small (AQE decides),
+    never a full-fact single-task sort. Division is the same
+    ``(rank - 1) / (n - 1)`` double expression Spark's percent_rank
+    evaluates, so results are bit-identical (differential-tested).
     """
     from pyspark.sql.window import Window
 
@@ -243,10 +253,48 @@ def cdf_normalize(
         raise ValueError("group_cols must be non-empty")
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} collides with an input column")
+    reserved = {"__v", "__c", "__n", "__cum"} | {f"__g{i}" for i in range(len(group_cols))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
     v = F.col(value_col)
-    w = Window.partitionBy(*group_cols).orderBy(v)
-    ranked = df.filter(v.isNotNull()).withColumn(
-        out_col, F.round(F.percent_rank().over(w), round_to)
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(
+            *[F.col(g).alias(f"__g{i}") for i, g in enumerate(group_cols)],
+            v.alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    gcols = [f"__g{i}" for i in range(len(group_cols))]
+    w_before = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*gcols)
+    ranks = counts.select(
+        *gcols,
+        "__v",
+        F.coalesce(F.sum("__c").over(w_before), F.lit(0)).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    ).select(
+        *gcols,
+        "__v",
+        F.round(
+            F.when(F.col("__n") > 1,
+                   F.col("__cum") / (F.col("__n") - 1))
+            .otherwise(F.lit(0.0)),
+            round_to,
+        ).alias(out_col),
+    )
+    cond = v == F.col("__v")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))
+    ranked = (
+        df.filter(v.isNotNull())
+        .join(ranks, cond)
+        .drop("__v", *gcols)
     )
     skipped = df.filter(v.isNull()).withColumn(
         out_col, F.lit(None).cast("double")

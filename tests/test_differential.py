@@ -308,3 +308,37 @@ def test_perplexity_buckets_matches_window_ntile(spark):
                 assert got[i] == (None, "unscored"), i
             else:
                 assert got[i] == ref[i], (i, lang, score, k)
+
+
+def test_cdf_normalize_matches_window_percent_rank(spark):
+    """q99's digest-based percent_rank vs the fact-table window
+    restatement: heavy ties, NULL groups, NULL values, single-row
+    groups (percent_rank 0.0), and multi-column groups."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from atiesh_spark.operators.profile import cdf_normalize
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(900):
+        g = rng.choice(["a", "a", "a", "b", None])
+        h = rng.choice([1, 2])
+        val = None if rng.random() < 0.06 else float(rng.randrange(20))
+        rows.append((i, g, h, val))
+    rows.append((9001, "solo", 9, 5.0))  # single-row group
+    df = spark.createDataFrame(rows, "id long, g string, h int, v double")
+
+    got = {r["id"]: r["pct_rank"]
+           for r in cdf_normalize(df, ["g", "h"], "v").collect()}
+    w = Window.partitionBy("g", "h").orderBy("v")
+    ref = {r["id"]: r["pct_rank"] for r in (
+        df.filter(F.col("v").isNotNull())
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 4))
+        .unionByName(
+            df.filter(F.col("v").isNull())
+            .withColumn("pct_rank", F.lit(None).cast("double"))
+        )
+        .collect()
+    )}
+    assert got == ref
