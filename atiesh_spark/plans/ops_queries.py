@@ -8825,11 +8825,23 @@ def q209_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qe"), F.col("de")), 4).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+    # two-phase top-k rank (cap_per_group discipline): the eval only
+    # consumes ranks <= 10, and a per-query window over the brute-force
+    # run would sort the whole corpus in one task per query
+    from atiesh_spark.operators.sampling import hash_bucket
+
+    w1 = Window.partitionBy("query_id", hash_bucket("doc_id", 16)).orderBy(
         F.desc("sim"), F.asc("doc_id")
     )
-    runs = scored.select(
-        "query_id", "doc_id", F.row_number().over(w).alias("rank")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+    runs = (
+        scored.withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "doc_id", F.row_number().over(w2).alias("rank")
+        )
     )
     qrels = (
         q.select("query_id", "qlabel")
