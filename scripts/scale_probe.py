@@ -236,13 +236,10 @@ def main() -> None:
     # warmup
     run("q26_minhash_lsh", "/root/testdata/sf0.01")
     out = {}
-    for name in HEAVY if only is None else [n for n in HEAVY if n in only]:
-        a = run(name, BASE)
-        b = run(name, OUT)
-        out[name] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)}
-        print(f"  {name}: {a}s -> {b}s ({out[name]['ratio']}x)", file=sys.stderr)
-
-    # budgeted_take skew probe (round 12): the cumulative token-budget
+    # budgeted_take skew probe (round 12) — runs FIRST: its 50M-row
+    # frames are the largest in the probe and need a clean heap, not
+    # one littered with 45 cells of checkpoint blocks (a late slot
+    # OOM'd the whole run once): the cumulative token-budget
     # take on a lang-skewed corpus (98% one language, budget = ~half
     # the dominant stratum). The one-window plan is ONE TASK for the
     # dominant language — wall-clock pinned to a single core (and that
@@ -292,7 +289,14 @@ def main() -> None:
                 skewed_rows(n), "lang", "cost", {},
                 "doc_id", default_budget=budget,
             ).write.format("noop").mode("overwrite").save()
-            return round(time.perf_counter() - t0, 2)
+            el = round(time.perf_counter() - t0, 2)
+            # drop the 50M-row checkpoint/window litter before the
+            # next cell: this is the largest frame in the whole probe
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            return el
 
         cell = {
             "rows_base": base_n,
@@ -307,6 +311,13 @@ def main() -> None:
         )
         out["budgeted_take_skew"] = cell
         print(f"  budgeted_take_skew: {cell}", file=sys.stderr)
+
+    for name in HEAVY if only is None else [n for n in HEAVY if n in only]:
+        a = run(name, BASE)
+        b = run(name, OUT)
+        out[name] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": round(b / a, 2)}
+        print(f"  {name}: {a}s -> {b}s ({out[name]['ratio']}x)", file=sys.stderr)
+
 
     if only is not None:
         print(json.dumps({"copies": COPIES, "queries": out}))
