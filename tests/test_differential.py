@@ -342,3 +342,48 @@ def test_cdf_normalize_matches_window_percent_rank(spark):
         .collect()
     )}
     assert got == ref
+
+
+def test_bootstrap_ci_matches_sequential_replay(spark):
+    """q229's Poisson bootstrap replayed sequentially: md5(id:replica)
+    -> uniform -> Poisson(1) weight via the CDF table, exact integer
+    ratio replica means, nearest-rank 5th/95th percentiles — the full
+    documented chain on random integer metrics (a formula replay: it
+    pins determinism and engine portability of every step)."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from atiesh_spark.operators.profile import _POISSON1_CDF, bootstrap_ci
+
+    rng = random.Random(229)
+    rows = [(i, rng.randrange(0, 500)) for i in range(300)]
+    replicas = 40
+
+    def weight(doc_id: int, b: int) -> int:
+        h = hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()
+        u = int(h[:15], 16) / float(1 << 60)
+        for k, c in enumerate(_POISSON1_CDF):
+            if u < c:
+                return k
+        return 6
+
+    n = len(rows)
+    sx = sum(v for _, v in rows)
+    means = []
+    for b in range(replicas):
+        wx = sum(weight(i, b) * v for i, v in rows)
+        w = sum(weight(i, b) for i, _ in rows)
+        means.append(wx / w if w > 0 else sx / n)
+    means.sort()
+    lo = means[max(1, math.ceil(0.05 * replicas)) - 1]
+    hi = means[math.ceil(0.95 * replicas) - 1]
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = bootstrap_ci(df, "id", "v", replicas=replicas).collect()[0]
+    assert got["n"] == n
+    assert got["mean"] == pytest.approx(round(sx / n, 4), abs=1e-9)
+    assert got["ci_lo"] == pytest.approx(round(lo, 4), abs=1e-9)
+    assert got["ci_hi"] == pytest.approx(round(hi, 4), abs=1e-9)
+    assert got["ci_lo"] <= got["mean"] <= got["ci_hi"]
