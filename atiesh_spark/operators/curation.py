@@ -36,6 +36,7 @@ def curate_corpus(
     budget: int = 5_000,
     bucketed_table: str | None = None,
     num_buckets: int = 32,
+    bucketed_table_mode: str = "errorifexists",
 ) -> DataFrame:
     """Curate a document corpus and report per language:
     (lang, n_candidates, n_after_quality, n_after_dedup, n_selected,
@@ -64,6 +65,12 @@ def curate_corpus(
     into the buckets. The shuffle is paid at write time and amortized
     over every later join/aggregation on the id (incremental re-runs,
     downstream enrichment) — the ``sources/bucketing`` discipline.
+
+    The bucketed write happens EAGERLY at call time (building the
+    report DataFrame is otherwise lazy). ``bucketed_table_mode`` is the
+    save mode for that write and defaults to ``errorifexists`` so an
+    existing table with the same name is never silently clobbered;
+    pass ``overwrite`` explicitly to refresh a previous run's table.
     """
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     mean_wl = F.when(
@@ -80,7 +87,8 @@ def curate_corpus(
         from atiesh_spark.sources.bucketing import write_bucketed
 
         write_bucketed(gated, bucketed_table, [id_col],
-                       num_buckets=num_buckets, sort_cols=[id_col])
+                       num_buckets=num_buckets, sort_cols=[id_col],
+                       mode=bucketed_table_mode)
         gated = docs.sparkSession.table(bucketed_table)
     # exact_dedup emits (digest, keep_id, n_dups); the min-id survivors'
     # full rows come back via a LEFT SEMI join on the id — the text

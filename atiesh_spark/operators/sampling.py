@@ -187,12 +187,64 @@ def _cumulative_take_window(
 
 
 def _na_key(x):
-    """Normalize a stratum value to a dict key (NaN/None -> None)."""
+    """Normalize a stratum value to a dict key (NaN/None -> None).
+
+    The NaN branch exists ONLY to undo the Arrow/pandas representation
+    of SQL NULL: a nullable float column surfaces NULL as NaN inside
+    ``mapInPandas`` kernels, so NaN-seen-in-pandas means NULL-in-Spark.
+    A REAL NaN stratum value would be ambiguous here (Spark's
+    groupBy/eqNullSafe keep NaN distinct from NULL), which is why
+    :func:`_reject_nan_stratum` raises on genuine NaN strata at digest
+    time — driver-side Rows, unlike pandas, do distinguish the two.
+    """
     if x is None:
         return None
     if isinstance(x, float) and x != x:
         return None
     return x
+
+
+def _reject_nan_stratum(value, col: str, op: str) -> None:
+    """Raise on a REAL NaN stratum/group value (as seen driver-side in a
+    collected Row, where NULL is None and NaN is float('nan'), so the
+    two are distinguishable — unlike in the Arrow kernels, where pandas
+    surfaces SQL NULL of a float column as NaN too).
+
+    Spark groups NaN separately from NULL (NaN = NaN in groupBy /
+    eqNullSafe), but the partition-scan kernels cannot tell them apart,
+    so supporting NaN strata would silently merge the two groups. Loud
+    rejection instead: normalize or filter NaN strata upstream.
+    """
+    if isinstance(value, float) and value != value:
+        raise ValueError(
+            f"{op}: {col!r} contains NaN stratum values; NaN strata are "
+            "not supported (the Arrow partition scan cannot distinguish "
+            "NaN from SQL NULL) — filter or normalize them first"
+        )
+
+
+def _task_pid(pdf, expected: int | None) -> int:
+    """Enforce the one-``__pid``-per-task invariant the partition-scan
+    kernels rely on (per-stratum state is keyed only by group, and
+    driver offsets are attributed per stored partition id).
+
+    The invariant holds because the explicit ``repartitionByRange(n,
+    ...)`` disables AQE coalescing and ``localCheckpoint`` pins the
+    partitions — but nothing in the plan ENFORCES it, so a future
+    coalesce slipped between checkpoint and scan would silently
+    mis-attribute offsets. This check makes that corruption a loud
+    failure instead: every batch must carry a single ``__pid`` equal to
+    the task's first.
+    """
+    pids = pdf["__pid"].to_numpy()
+    pid = int(pids[0])
+    if (pids != pid).any() or (expected is not None and expected != pid):
+        raise RuntimeError(
+            "partition-pinning invariant violated: one task observed "
+            "multiple __pid values (a coalesce/repartition was inserted "
+            "between the localCheckpoint and the partition scan)"
+        )
+    return pid
 
 
 def mixture_take(
@@ -259,11 +311,18 @@ def mixture_take(
     Semantics are pinned row-for-row against the one-window
     restatement (:func:`_cumulative_take_window`) by a randomized
     differential test on BOTH paths, including NULL strata (their own
-    group), NULL order (sorts first), and NULL cost (dropped,
-    contributes nothing).
+    group), NULL order (sorts first), NULL cost (dropped, contributes
+    nothing), and NaN cost (poisons the stratum's running sum from the
+    NaN row onward — the NaN row and everything after it in order is
+    dropped, exactly as ``SUM() OVER`` computes it). NaN STRATUM values
+    are rejected loudly at digest time: Spark groups NaN separately
+    from NULL, but the Arrow scan cannot tell the two apart — filter or
+    normalize NaN strata upstream.
     """
     narrow_cols = list(dict.fromkeys([strata_col, order_col, cost_col]))
-    for reserved in ("__budget", "__pid", "__cut_g", "__cut_order", "__has_cut"):
+    for reserved in (
+        "__budget", "__pid", "__nan", "__cut_g", "__cut_order", "__has_cut"
+    ):
         if reserved in df.columns:
             raise ValueError(
                 f"input must not contain the reserved column {reserved!r}"
@@ -302,6 +361,7 @@ def mixture_take(
         # path relies on (min() hides NaN in Spark; sum() propagates it)
         if (s is not None and s != s) or (m is not None and m < 0):
             monotone = False
+        _reject_nan_stratum(r[strata_col], strata_col, "mixture_take")
         per_stratum.setdefault(_na_key(r[strata_col]), []).append(
             (r["__pid"], s, r["__b"])
         )
@@ -349,11 +409,12 @@ def mixture_take(
 
         # stratum -> [running cost so far, last kept order or None]
         state: dict = {}
+        task_pid = None
         for pdf in batches:
             m = len(pdf)
             if m == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
+            pid = task_pid = _task_pid(pdf, task_pid)
             g = pdf[strata_col].to_numpy(object)
             c = pdf[cost_col].to_numpy()
             na = pdf[cost_col].isna().to_numpy()
@@ -426,7 +487,20 @@ def _general_take_joinback(
     row-by-row, survivors null-safe LEFT SEMI joined back to the full
     rows. One wide shuffle (the join), same as the window plan — but
     still never a one-task-per-stratum window.
+
+    NaN costs match ``SUM() OVER`` exactly: NaN POISONS the stratum's
+    running sum from the NaN row onward (every later row's
+    running-before is NaN, and ``NaN < budget`` is false in both Spark
+    and numpy), so the NaN row and everything after it in the stratum
+    is dropped — while NULL costs contribute 0 and only drop their own
+    row. pandas cannot tell the two apart (Arrow surfaces SQL NULL of a
+    float column as NaN), so a Spark-side ``isnan`` flag travels with
+    the scan and only TRUE NULLs are zero-filled before the prefix
+    cumsum; genuine NaN stays in place and propagates through
+    ``np.cumsum``, the per-task carry, and the driver offsets alike.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
     spark = df.sparkSession
     offsets: dict = {}
     for gk, lst in per_stratum.items():
@@ -437,22 +511,39 @@ def _general_take_joinback(
                 acc += s
     bc = spark.sparkContext.broadcast(offsets)
     out_schema = ranged.select(strata_col, order_col).schema
+    # pandas conflates SQL NULL with NaN for float columns, and the two
+    # have OPPOSITE window semantics (NULL contributes 0 and drops only
+    # itself; NaN poisons the running sum onward) — flag genuine NaN
+    # Spark-side, where the distinction still exists
+    cost_type = ranged.schema[cost_col].dataType
+    nan_flag = (
+        F.isnan(F.col(cost_col))
+        if isinstance(cost_type, (DoubleType, FloatType))
+        else F.lit(False)
+    )
+    scan_src = ranged.withColumn("__nan", F.coalesce(nan_flag, F.lit(False)))
 
     def take(batches):
         import numpy as np
 
         carry: dict = {}  # stratum -> cost accumulated so far THIS partition
+        task_pid = None
         for pdf in batches:
             m = len(pdf)
             if m == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
+            pid = task_pid = _task_pid(pdf, task_pid)
             g = pdf[strata_col].to_numpy(object)
             c = pdf[cost_col].to_numpy()
             b = pdf["__budget"].to_numpy()
-            na = pdf[cost_col].isna().to_numpy()
-            # integral cost stays exact int64; nullable/float goes f64
-            filled = np.where(na, 0, c) if na.any() else c
+            na = pdf[cost_col].isna().to_numpy()  # NULL or NaN — conflated
+            nan = pdf["__nan"].to_numpy().astype(bool)
+            null = na & ~nan  # true SQL NULLs only
+            # true NULLs contribute 0 (SUM skips them); genuine NaN is
+            # left in place so np.cumsum poisons the prefix from there
+            # on, matching SUM() OVER. Integral cost stays exact int64;
+            # nullable/float goes f64.
+            filled = np.where(null, 0, c) if null.any() else c
             keep = np.zeros(m, dtype=bool)
             # strata are contiguous runs (sorted within partition):
             # vectorize per run, few runs per batch
@@ -472,7 +563,7 @@ def _general_take_joinback(
                 i = j
             yield pdf.loc[keep, [strata_col, order_col]]
 
-    survivors = ranged.sortWithinPartitions(strata_col, order_col).mapInPandas(
+    survivors = scan_src.sortWithinPartitions(strata_col, order_col).mapInPandas(
         take, schema=out_schema
     )
     cond = df[strata_col].eqNullSafe(survivors[strata_col]) & df[
@@ -616,11 +707,13 @@ def global_index(
 
     def add_index(batches):
         pos: int | None = None
+        task_pid = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            task_pid = _task_pid(pdf, task_pid)
             if pos is None:
-                pos = bc.value[int(pdf["__pid"].iloc[0])]
+                pos = bc.value[task_pid]
             out = pdf.drop(columns="__pid")
             out[index_col] = range(pos, pos + len(pdf))
             pos += len(pdf)

@@ -381,7 +381,11 @@ def perplexity_buckets(
             raise ValueError(
                 f"input must not contain the reserved column {reserved!r}"
             )
-    from atiesh_spark.operators.sampling import _na_key
+    from atiesh_spark.operators.sampling import (
+        _na_key,
+        _reject_nan_stratum,
+        _task_pid,
+    )
 
     spark = df.sparkSession
     # the operator's output is exactly (id, lang, score) + the bucket,
@@ -407,6 +411,7 @@ def perplexity_buckets(
     )
     per_lang: dict = {}
     for r in partials:
+        _reject_nan_stratum(r[lang_col], lang_col, "perplexity_buckets")
         per_lang.setdefault(_na_key(r[lang_col]), []).append(
             (r["__pid"], r["__n"])
         )
@@ -440,11 +445,12 @@ def perplexity_buckets(
 
         pos: dict = {}  # lang -> rows of this lang seen so far (this pid)
         out_rows: list = []
+        task_pid = None
         for pdf in batches:
             m = len(pdf)
             if m == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
+            pid = task_pid = _task_pid(pdf, task_pid)
             g = pdf[lang_col].to_numpy(object)
             i = 0
             while i < m:

@@ -87,3 +87,31 @@ def test_curation_bucketed_corpus_semi_join_no_corpus_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS corpus_b")
+
+
+def test_curation_bucketed_table_mode_never_silently_clobbers(spark):
+    """ADVICE r12: the eager bucketed write defaults to errorifexists —
+    a pre-existing table with the same name must not be overwritten
+    unless the caller passes mode='overwrite' explicitly."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from atiesh_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "some document text here", "en", 23) for i in range(6)],
+        "doc_id int, text string, lang string, n_chars int",
+    )
+    try:
+        curate_corpus(docs, bucketed_table="curation_mode_b", num_buckets=2)
+        with pytest.raises((AnalysisException, Py4JJavaError)):
+            curate_corpus(docs, bucketed_table="curation_mode_b",
+                          num_buckets=2)
+        # explicit overwrite refreshes the table
+        report = curate_corpus(docs, bucketed_table="curation_mode_b",
+                               num_buckets=2,
+                               bucketed_table_mode="overwrite")
+        assert report.count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS curation_mode_b")

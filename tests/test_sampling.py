@@ -790,3 +790,84 @@ class TestMixtureTakeRangeParallel:
         ]
         df = spark.createDataFrame(rows, "g string, ord int, cost int")
         self._assert_paths_equal(df, "g", "cost", {"a": 300}, "ord", 500)
+
+
+class TestMixtureTakeNaN:
+    """ADVICE r12: NaN cost must POISON the stratum's running sum from
+    the NaN row onward (matching SUM() OVER), independent of where the
+    partition boundaries fall — while NULL cost contributes 0 and drops
+    only its own row. NaN STRATUM values are rejected loudly."""
+
+    def test_nan_cost_poisons_rest_of_stratum(self, spark):
+        import math
+
+        nan = float("nan")
+        rows = [
+            # stratum a: keep ord 1 only — NaN at ord 2 poisons 3..6
+            ("a", 1, 10.0), ("a", 2, nan), ("a", 3, 10.0),
+            ("a", 4, 10.0), ("a", 5, None), ("a", 6, 10.0),
+            # stratum b: NULL first (dropped, free), then kept rows,
+            # then NaN poisons the tail
+            ("b", 1, None), ("b", 2, 5.0), ("b", 3, 5.0),
+            ("b", 4, nan), ("b", 5, 5.0),
+            # stratum c: untouched by NaN, normal cumulative take
+            ("c", 1, 60.0), ("c", 2, 60.0), ("c", 3, 60.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, ord int, cost double")
+        from atiesh_spark.operators.sampling import mixture_take
+
+        for n_parts in (1, 3, 16):
+            out = mixture_take(
+                df, "g", "cost", {}, "ord", default_budget=100,
+                num_partitions=n_parts,
+            ).collect()
+            got = sorted((r["g"], r["ord"]) for r in out)
+            assert got == [
+                ("a", 1), ("b", 2), ("b", 3), ("c", 1), ("c", 2),
+            ], f"num_partitions={n_parts}: {got}"
+            assert not any(
+                r["cost"] is None or math.isnan(r["cost"]) for r in out
+            )
+
+    def test_randomized_nan_costs_match_window(self, spark):
+        import random
+
+        rng = random.Random(29)
+        rows = []
+        for i in range(800):
+            g = rng.choice(["a"] * 6 + ["b", "c"])
+            r = rng.random()
+            if r < 0.03:
+                cost = float("nan")
+            elif r < 0.10:
+                cost = None
+            else:
+                cost = float(rng.randint(1, 80))
+            rows.append((g, i, cost))
+        df = spark.createDataFrame(
+            rows, "g string, ord int, cost double"
+        ).repartition(11)
+        t = TestMixtureTakeRangeParallel()
+        t._assert_paths_equal(df, "g", "cost", {"a": 900}, "ord", 400)
+
+    def test_nan_stratum_rejected(self, spark):
+        rows = [(1.0, 1, 5), (float("nan"), 2, 5), (None, 3, 5)]
+        df = spark.createDataFrame(rows, "g double, ord int, cost int")
+        from atiesh_spark.operators.sampling import mixture_take
+
+        with pytest.raises(ValueError, match="NaN strat"):
+            mixture_take(df, "g", "cost", {}, "ord", default_budget=10)
+
+    def test_task_pid_invariant_check(self):
+        import pandas as pd
+
+        from atiesh_spark.operators.sampling import _task_pid
+
+        ok = pd.DataFrame({"__pid": [3, 3, 3]})
+        assert _task_pid(ok, None) == 3
+        assert _task_pid(ok, 3) == 3
+        mixed = pd.DataFrame({"__pid": [3, 3, 4]})
+        with pytest.raises(RuntimeError, match="invariant"):
+            _task_pid(mixed, None)
+        with pytest.raises(RuntimeError, match="invariant"):
+            _task_pid(ok, 2)

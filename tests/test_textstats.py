@@ -987,3 +987,18 @@ class TestVocabCoverage:
         )
         r = vocab_coverage(docs, "text", "grp", top_k=100).collect()[0]
         assert r["coverage"] == 1.0 and r["oov_types"] == 0
+
+
+def test_perplexity_buckets_nan_lang_rejected(spark):
+    """ADVICE r12: a genuine NaN language value would silently merge
+    with the NULL-lang group in the driver digest — reject it loudly."""
+    import pytest
+
+    from atiesh_spark.operators.textstats import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.5), (2, float("nan"), 0.7), (3, None, 0.9)],
+        "doc_id int, lang double, bpc double",
+    )
+    with pytest.raises(ValueError, match="NaN strat"):
+        perplexity_buckets(df, "doc_id", "lang", "bpc").collect()
