@@ -49,22 +49,27 @@ def char_shingles(
     """Character k-shingles per document: (id_col, sh).
 
     Built-ins only: sequence + transform + explode stay in codegen.
-    ``distinct=True`` (needed for Jaccard set sizes) costs a full shuffle
-    of the exploded rows; operators that are idempotent over duplicates
-    (MinHash: min over a multiset == min over its set) pass False and
-    skip it.
+    ``distinct=True`` (needed for Jaccard set sizes) dedups ROW-LOCALLY
+    with ``array_distinct`` before the explode: per-doc distinct equals
+    distinct over (id, sh) because ``id_col`` is one row per document
+    (the standing contract of every dedup operator), so the global
+    ``DISTINCT`` exchange of exploded rows is pure waste — and worse
+    than waste: it scattered each doc's shingles across every task, so
+    the downstream per-id aggregation's PARTIAL state held (all ids x
+    agg width) per task instead of (ids / tasks). At 10x sf0.1 that
+    partial state spilled ~8 GB and turned MinHash super-linear
+    (measured r13: 26x at 10x data; row-local distinct restores the
+    co-located-doc shape where partial agg is final agg).
     """
     positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
-    out = (
-        _fanout(df.select(id_col, text_col)).select(
-            F.col(id_col),
-            F.explode(
-                F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(k)))
-            ).alias("sh"),
-        )
+    grams = F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(k)))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return (
+        _fanout(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(grams).alias("sh"))
         .filter(F.length("sh") > 0)
     )
-    return out.distinct() if distinct else out
 
 
 def word_shingles(
@@ -98,7 +103,13 @@ def word_shingles(
             parts.append(F.try_element_at(toks, i + j))
         return F.concat(*parts)  # NULL if the window runs off the end
 
-    out = (
+    grams = F.transform(positions, gram)
+    if distinct:
+        # row-local dedup (== DISTINCT over (id, sh) when id_col is one
+        # row per document) — see char_shingles for why the global
+        # distinct exchange was a scale hazard, not just waste
+        grams = F.array_distinct(grams)
+    return (
         _fanout(df.select(id_col, text_col))
         .select(
             F.col(id_col),
@@ -106,10 +117,9 @@ def word_shingles(
                 F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
             ).alias("__toks"),
         )
-        .select(F.col(id_col), F.explode(F.transform(positions, gram)).alias("sh"))
+        .select(F.col(id_col), F.explode(grams).alias("sh"))
         .filter(F.col("sh").isNotNull())
     )
-    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -208,8 +218,21 @@ def _minhash_wide(
 ) -> DataFrame:
     """MinHash signatures, wide layout: (id_col, mh_0 .. mh_{n-1}).
 
-    Hash family: md5(seed ':' shingle); min taken lexicographically over
-    the hex digest — deterministic and engine-independent.
+    Hash family: the first 15 hex digits of md5(seed ':' shingle) as a
+    LONG (``functions.hashing.md5_long``) — deterministic and
+    engine-independent (``conv(substring(md5(x), 1, 15), 16, 10)`` is
+    portable SQL). The min over these longs picks the same winning
+    shingle as the min over full hex digests except on 60-bit prefix
+    collisions between distinct shingles (~2^-60 per pair —
+    negligible), so LSH band-collision structure is preserved.
+
+    LONGS, not hex strings, deliberately: ``min(string)`` has a
+    variable-width aggregation buffer, which forces Spark into
+    SortAggregate — at 10x sf0.1 that sort materialized and spilled
+    the whole joined shingle stream (~7 GB, measured r13) and made the
+    signature job super-linear. 32 long mins keep the buffer
+    fixed-width, so HashAggregate map-side combine applies and the
+    per-task state is (docs per task) x 256 bytes.
 
     Physical strategy (the 100 TB shape): the hash family is evaluated
     once per DISTINCT shingle (distinct char-k-grams are bounded by
@@ -217,10 +240,14 @@ def _minhash_wide(
     matter how big the corpus), then joined back and reduced with one
     column-min per seed. No row explosion by seed, one shuffle on id.
     """
-    # distinct halves-or-better the rows feeding the 32-column min agg
-    # whenever shingles repeat within documents (measured faster here);
-    # min is idempotent over duplicates, so either setting is correct —
-    # on low-duplication corpora distinct=False skips a shuffle.
+    from atiesh_spark.functions.hashing import md5_long
+    # distinct=True is row-local array_distinct (no shuffle): it
+    # shrinks the rows feeding the 32-column min agg ~10x on natural
+    # text AND keeps each doc's shingles co-located with the doc, so
+    # the min agg's partial state is (docs per task), not (all ids) —
+    # the difference between in-memory combine and a multi-GB spill at
+    # 10x data. min is idempotent over duplicates, so either setting
+    # is correct.
     #
     # The shingle stream feeds both the hash-family dim and the join
     # probe side and IS recomputed (branch re-aliasing defeats
@@ -236,7 +263,7 @@ def _minhash_wide(
     )
     hash_arr = F.array(
         *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary"))
+            md5_long(F.concat(F.lit(f"{s}:"), F.col("sh")), 15)
             for s in range(num_hashes)
         ]
     )
@@ -258,7 +285,8 @@ def _minhash_wide(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signatures, long layout: (id_col, seed, mh)."""
+    """MinHash signatures, tall layout: (id_col, seed, mh) — ``mh`` is
+    the md5_long (60-bit md5 prefix) minhash, see ``_minhash_wide``."""
     wide = _minhash_wide(df, id_col, text_col, k, num_hashes)
     pairs = ", ".join(f"{s}, mh_{s}" for s in range(num_hashes))
     return wide.selectExpr(id_col, f"stack({num_hashes}, {pairs}) AS (seed, mh)")
@@ -277,11 +305,16 @@ def minhash_band_signatures(
     """LSH band signatures: (id_col, band, band_sig) — bands rows per doc.
 
     bands x rows layout (rows = num_hashes/bands); band signature is the
-    md5 of the seed-ordered row minhashes, built from the wide layout
-    with zero extra shuffles, then unpivoted. This is the PERSISTENT
-    dedup state of an incremental pipeline: store it (parquet, bucketed
-    by band_sig) and join each new batch's signatures against it — old
-    docs are never re-shingled.
+    md5 of the seed-ordered row minhashes (decimal-string-joined longs —
+    see ``_minhash_wide`` for the hash family), built from the wide
+    layout with zero extra shuffles, then unpivoted. This is the
+    PERSISTENT dedup state of an incremental pipeline: store it
+    (parquet, bucketed by band_sig) and join each new batch's
+    signatures against it — old docs are never re-shingled. Stores
+    written before the r13 long-minhash change carry the old hex-based
+    band_sig values and must be rebuilt (signatures from the two
+    families never collide, so a mixed store silently finds no
+    matches).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -297,7 +330,7 @@ def minhash_band_signatures(
                 F.concat_ws(
                     "|",
                     *[
-                        F.col(f"mh_{s}")
+                        F.col(f"mh_{s}").cast("string")
                         for s in range(b * rows_per_band, (b + 1) * rows_per_band)
                     ],
                 ).cast("binary")

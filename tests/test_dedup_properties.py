@@ -159,10 +159,10 @@ def test_jaccard_and_containment_match_bruteforce(spark):
 
 def test_minhash_signatures_match_python_reference(spark):
     """Randomized differential for the signature math itself: the
-    documented hash family (md5(seed ':' shingle), lexicographic min
-    over hex digests) re-implemented sequentially must give identical
-    (seed, mh) rows — including sub-k documents whose single shingle
-    is the whole text."""
+    documented hash family (first 15 hex digits of md5(seed ':'
+    shingle) as a long, min over longs) re-implemented sequentially
+    must give identical (seed, mh) rows — including sub-k documents
+    whose single shingle is the whole text."""
     import hashlib
     import random
 
@@ -175,19 +175,19 @@ def test_minhash_signatures_match_python_reference(spark):
     rows = [(i, t) for i, t in enumerate(texts)]
     k, num_hashes = 3, 8
 
-    def ref(text: str) -> dict[int, str]:
+    def ref(text: str) -> dict[int, int]:
         n = max(len(text) - k + 1, 1)
         shingles = {text[i:i + k] for i in range(n)} - {""}
         return {
             s: min(
-                hashlib.md5(f"{s}:{sh}".encode()).hexdigest()
+                int(hashlib.md5(f"{s}:{sh}".encode()).hexdigest()[:15], 16)
                 for sh in shingles
             )
             for s in range(num_hashes)
         }
 
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got: dict[int, dict[int, str]] = {}
+    got: dict[int, dict[int, int]] = {}
     for r in minhash_signatures(
         df, "doc_id", "text", k=k, num_hashes=num_hashes
     ).collect():
