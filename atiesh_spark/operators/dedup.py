@@ -923,8 +923,13 @@ def dedup_savings_report(
     per_cluster = sized.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("__sz"),
         F.sum("__bytes").alias("__tot_bytes"),
-        # survivor = min id; removable bytes = total - survivor's
-        F.min(F.struct(F.col(id_col), F.col("__bytes"))).alias("__surv"),
+        # survivor = min id; removable bytes = total - survivor's.
+        # min_by, NOT min(struct(id, bytes)): a struct agg buffer is
+        # variable-width, which forces SortAggregate and sorts the
+        # whole corpus-sized cluster frame (the q26 r13 lesson); the
+        # (bytes, id) min_by buffer stays fixed-width -> HashAggregate.
+        # Ties cannot happen: id_col is unique within a cluster.
+        F.min_by("__bytes", id_col).alias("__surv_bytes"),
     )
     return (
         per_cluster.groupBy(F.col("__sz").alias("cluster_size"))
@@ -933,7 +938,7 @@ def dedup_savings_report(
             F.sum("__sz").alias("n_docs"),
             F.sum(F.col("__sz") - 1).alias("n_removable"),
             F.sum(
-                F.col("__tot_bytes") - F.col("__surv")["__bytes"]
+                F.col("__tot_bytes") - F.col("__surv_bytes")
             ).alias("removable_bytes"),
         )
         .select(
