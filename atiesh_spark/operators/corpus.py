@@ -1062,10 +1062,18 @@ def source_overlap_matrix(
     """
     from atiesh_spark.operators.dedup import word_shingles
 
-    grams = word_shingles(
-        df.select(source_col, text_col), source_col, text_col,
-        n=n, distinct=True,
-    ).localCheckpoint()  # feeds totals AND both self-join sides
+    # word_shingles' distinct=True is ROW-local (its id-unique
+    # contract); the grain here is the SOURCE, which spans many rows,
+    # so the cross-row distinct over (source, gram) must be explicit.
+    # The row-local array_distinct still pre-shrinks the exchange.
+    grams = (
+        word_shingles(
+            df.select(source_col, text_col), source_col, text_col,
+            n=n, distinct=True,
+        )
+        .distinct()
+        .localCheckpoint()  # feeds totals AND both self-join sides
+    )
     totals = grams.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("__ng")
     )

@@ -52,7 +52,10 @@ def char_shingles(
     ``distinct=True`` (needed for Jaccard set sizes) dedups ROW-LOCALLY
     with ``array_distinct`` before the explode: per-doc distinct equals
     distinct over (id, sh) because ``id_col`` is one row per document
-    (the standing contract of every dedup operator), so the global
+    (the standing contract of every dedup operator — a caller keying
+    by a COARSER grain that spans rows, e.g. per-source, must apply
+    its own global ``.distinct()`` on top, as source_overlap_matrix
+    does), so the global
     ``DISTINCT`` exchange of exploded rows is pure waste — and worse
     than waste: it scattered each doc's shingles across every task, so
     the downstream per-id aggregation's PARTIAL state held (all ids x

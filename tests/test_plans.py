@@ -856,3 +856,37 @@ def test_ccnet_buckets_no_per_language_window(spark):
     the dominant language of a real crawl on a single core."""
     plan = plan_of(spark, "q170_ccnet_buckets")
     assert "Window" not in plan
+
+
+def test_minhash_pipeline_hash_aggregates_only(spark):
+    """r13 plan gate: the MinHash signature pipeline must plan with
+    HashAggregate only — no SortAggregate and no Sort below the per-id
+    aggregation. Two past defects are pinned here: (a) the global
+    DISTINCT over exploded (id, shingle) rows (now a row-local
+    array_distinct) scattered each doc's shingles across every task, so
+    partial agg state held all ids per task and spilled ~8 GB at 10x
+    data; (b) min over md5 hex STRINGS has a variable-width agg buffer,
+    which forces SortAggregate (Spark hash aggregation requires
+    fixed-width buffers) and sorted+spilled the joined shingle stream.
+    The md5_long (60-bit prefix) family keeps the buffer fixed-width.
+    Measured: q26 at 10x sf0.1 went 83s -> 6.4s (26.3x -> 1.71x)."""
+    from atiesh_spark.operators.dedup import (
+        char_shingles, minhash_band_signatures, word_shingles,
+    )
+    from atiesh_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bands = minhash_band_signatures(docs, "doc_id", "text", k=3)
+    plan = bands._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+    # the shingle builders themselves must be shuffle-free row-local
+    # plans (array_distinct, not a DISTINCT exchange)
+    for sh in (
+        char_shingles(docs, "doc_id", "text", 3, distinct=True),
+        word_shingles(docs, "doc_id", "text", 2, distinct=True),
+    ):
+        p = sh._jdf.queryExecution().executedPlan().toString()
+        assert "array_distinct" in p
+        assert "hashpartitioning" not in p  # only the round-robin fanout
+        assert "SortAggregate" not in p and "HashAggregate" not in p
