@@ -27,13 +27,15 @@ on whatever scan reads the rows. The canonical form:
 ``registered_domain`` is the last two host labels, EXCEPT when those
 two labels are themselves a public suffix (``co.uk``, ``com.au``, …),
 in which case the last three are kept. The suffix set is
-``PUBLIC_SUFFIXES_2`` below — a frozen snapshot of the ~200 most
-common two-label public suffixes from the public-suffix list
-(publicsuffix.org), embedded so the rule stays row-local codegen (an
-InSet literal, no external data file, no join). Rarer 2-label
-suffixes and all 3-label suffixes (e.g. ``act.edu.au``) still
-over-aggregate by one level — swap in a broadcast full-PSL table if
-that matters.
+``PUBLIC_SUFFIXES_2`` below — a frozen snapshot of ~800 two-label
+public suffixes from the ICANN section of the public-suffix list
+(publicsuffix.org), covering every major ccTLD registry convention
+plus the long tail (expanded round 13), embedded so the rule stays
+row-local codegen (an InSet literal, no external data file, no
+join). Remaining rare 2-label suffixes, the PSL's PRIVATE section
+(e.g. ``github.io``), and all 3-label suffixes (e.g. ``act.edu.au``)
+still over-aggregate by one level — swap in a broadcast full-PSL
+table if that matters.
 
 No counterpart in the reference (it transports events, it does not
 parse URLs); this extends the training-data surface like the rest of
@@ -139,7 +141,106 @@ PUBLIC_SUFFIXES_2 = (
     "tm.ro",
     # Canada (provincial + federal)
     "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "ns.ca", "on.ca",
-    "qc.ca", "sk.ca",
+    "qc.ca", "sk.ca", "nf.ca", "nl.ca", "nt.ca", "nu.ca", "pe.ca",
+    "yk.ca",
+    # ---- round-13 long-tail expansion (ICANN-section ccSLDs) ----
+    # Latin America tail
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    "com.py", "coop.py", "edu.py", "gov.py", "mil.py", "net.py", "org.py",
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "mil.bo", "net.bo",
+    "org.bo", "tv.bo",
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec", "info.ec",
+    "med.ec", "mil.ec", "net.ec", "org.ec", "pro.ec",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "art.do", "com.do", "edu.do", "gob.do", "gov.do", "mil.do",
+    "net.do", "org.do", "sld.do", "web.do",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.hn", "edu.hn", "gob.hn", "mil.hn", "net.hn", "org.hn",
+    "com.ni", "edu.ni", "gob.ni", "int.ni", "mil.ni", "net.ni", "org.ni",
+    "ac.pa", "com.pa", "edu.pa", "gob.pa", "net.pa", "org.pa", "sld.pa",
+    # Middle East / Central & West Asia
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "com.jo", "edu.jo", "gov.jo", "mil.jo", "name.jo", "net.jo",
+    "org.jo", "sch.jo",
+    "com.kw", "edu.kw", "emb.kw", "gov.kw", "ind.kw", "net.kw", "org.kw",
+    "com.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa", "net.qa",
+    "org.qa", "sch.qa",
+    "com.bh", "edu.bh", "gov.bh", "net.bh", "org.bh",
+    "com.om", "edu.om", "gov.om", "med.om", "net.om", "org.om", "pro.om",
+    "com.ye", "edu.ye", "gov.ye", "mil.ye", "net.ye", "org.ye",
+    "com.sy", "edu.sy", "gov.sy", "mil.sy", "net.sy", "org.sy",
+    "com.iq", "edu.iq", "gov.iq", "mil.iq", "net.iq", "org.iq",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "com.af", "edu.af", "gov.af", "net.af", "org.af",
+    "com.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz", "org.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "com.ge", "edu.ge", "gov.ge", "mil.ge", "net.ge", "org.ge", "pvt.ge",
+    "com.az", "edu.az", "gov.az", "int.az", "mil.az", "net.az",
+    "org.az", "pp.az",
+    "com.am", "net.am", "org.am",
+    "ac.cy", "biz.cy", "com.cy", "gov.cy", "ltd.cy", "net.cy",
+    "org.cy", "tm.cy",
+    "com.mt", "edu.mt", "gov.mt", "net.mt", "org.mt",
+    # Africa tail
+    "ac.ma", "co.ma", "gov.ma", "net.ma", "org.ma", "press.ma",
+    "com.dz", "art.dz", "asso.dz", "edu.dz", "gov.dz", "net.dz",
+    "org.dz", "pol.dz",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "info.tn",
+    "intl.tn", "nat.tn", "net.tn", "org.tn", "rnrt.tn", "tourism.tn",
+    "com.ly", "edu.ly", "gov.ly", "id.ly", "med.ly", "net.ly",
+    "org.ly", "plc.ly", "sch.ly",
+    "com.gh", "edu.gh", "gov.gh", "mil.gh", "org.gh",
+    "biz.et", "com.et", "edu.et", "gov.et", "info.et", "name.et",
+    "net.et", "org.et",
+    "ac.tz", "co.tz", "go.tz", "ne.tz", "or.tz", "sc.tz",
+    "ac.ug", "co.ug", "go.ug", "ne.ug", "or.ug", "sc.ug",
+    "ac.zm", "biz.zm", "co.zm", "com.zm", "edu.zm", "gov.zm",
+    "net.zm", "org.zm", "sch.zm",
+    "ac.zw", "co.zw", "gov.zw", "mil.zw", "org.zw",
+    "ac.bw", "co.bw", "gov.bw", "net.bw", "org.bw",
+    "ac.mz", "co.mz", "edu.mz", "gov.mz", "net.mz", "org.mz",
+    "co.ao", "ed.ao", "gv.ao", "it.ao", "og.ao", "pb.ao",
+    "ac.rw", "co.rw", "gov.rw", "net.rw", "org.rw",
+    "ac.mw", "biz.mw", "co.mw", "com.mw", "edu.mw", "gov.mw",
+    "net.mw", "org.mw",
+    "com.na", "org.na",
+    "ac.mu", "co.mu", "com.mu", "gov.mu", "net.mu", "org.mu",
+    # Asia tail
+    "com.kh", "edu.kh", "gov.kh", "mil.kh", "net.kh", "org.kh", "per.kh",
+    "com.mm", "edu.mm", "gov.mm", "net.mm", "org.mm",
+    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
+    "edu.mn", "gov.mn", "org.mn",
+    "com.mo", "edu.mo", "gov.mo", "net.mo", "org.mo",
+    "com.mv", "edu.mv", "gov.mv", "net.mv", "org.mv",
+    "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
+    # Europe tail
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    "com.hr", "from.hr", "iz.hr", "name.hr",
+    "com.ee", "edu.ee", "fie.ee", "gov.ee", "lib.ee", "med.ee",
+    "org.ee", "riik.ee",
+    "asn.lv", "com.lv", "conf.lv", "edu.lv", "gov.lv", "id.lv",
+    "mil.lv", "net.lv", "org.lv",
+    "gov.lt", "com.ru", "gov.ru", "msk.ru", "net.ru", "org.ru", "spb.ru",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk", "net.mk", "org.mk",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+    "co.me", "edu.me", "gov.me", "net.me", "org.me",
+    "com.md", "org.md",
+    # Oceania / Caribbean tail
+    "ac.fj", "biz.fj", "com.fj", "gov.fj", "info.fj", "name.fj",
+    "net.fj", "org.fj", "pro.fj",
+    "ac.pg", "com.pg", "gov.pg", "mil.pg", "net.pg", "org.pg",
+    "com.ws", "edu.ws", "gov.ws", "net.ws", "org.ws",
+    "com.sb", "edu.sb", "gov.sb", "net.sb", "org.sb",
+    "com.vu", "edu.vu", "net.vu", "org.vu",
+    "com.jm", "edu.jm", "gov.jm", "net.jm", "org.jm",
+    "biz.tt", "co.tt", "com.tt", "edu.tt", "gov.tt", "info.tt",
+    "net.tt", "org.tt", "pro.tt",
+    "com.bb", "edu.bb", "gov.bb", "net.bb", "org.bb",
+    "com.bs", "edu.bs", "gov.bs", "net.bs", "org.bs",
+    "co.gy", "com.gy", "edu.gy", "gov.gy", "net.gy", "org.gy",
 )
 
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
