@@ -38,8 +38,18 @@ def _fanout(df: DataFrame) -> DataFrame:
     partitions; exploding it there serializes the whole fan-out on one
     task. Cost: one round-robin shuffle of the *narrow* pre-explode rows —
     orders of magnitude smaller than the post-explode data it parallelizes.
+
+    WIDENING ONLY, never a coalesce (the ``widen_for_python_stage``
+    discipline): at warehouse scale the input already arrives in
+    thousands of splits, and an unconditional ``repartition(cores)``
+    would COALESCE it — a full shuffle of the (id, text) corpus that
+    buys nothing and narrows the scan. An already-wide layout passes
+    through untouched, so this is a plan-analysis no-op everywhere
+    except the genuinely-narrow inputs it exists for.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 

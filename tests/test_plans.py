@@ -890,3 +890,21 @@ def test_minhash_pipeline_hash_aggregates_only(spark):
         assert "array_distinct" in p
         assert "hashpartitioning" not in p  # only the round-robin fanout
         assert "SortAggregate" not in p and "HashAggregate" not in p
+
+
+def test_fanout_widens_but_never_coalesces(spark):
+    """r13: _fanout must be widening-only (the widen_for_python_stage
+    discipline). At warehouse scale inputs arrive in thousands of
+    splits; an unconditional repartition(cores) would COALESCE them —
+    a full shuffle of the (id, text) corpus that buys nothing."""
+    from atiesh_spark.operators.dedup import _fanout
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert _fanout(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target * 4)
+    out = _fanout(wide)
+    # untouched: same partition count, and no new exchange in the plan
+    assert out.rdd.getNumPartitions() == target * 4
+    assert out is wide
