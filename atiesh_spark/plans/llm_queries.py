@@ -155,7 +155,12 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash+LSH near-dup candidates: 32 md5-family hashes, 4 bands x "
     "8 rows (r=8 keeps j~0.5 collision odds under 2% while j>=0.9 pairs "
     "collide at ~80%); pair join runs per (band, band_sig) bucket — "
-    "linear shuffle, no cross product. The 100 TB dedup workhorse.",
+    "linear shuffle, no cross product. The 100 TB dedup workhorse. "
+    "The oracle mins full md5 hex digests while the engine mins the "
+    "60-bit md5_long prefix (fixed-width agg buffer -> HashAggregate, "
+    "never SortAggregate): both pick the same winning shingle per seed "
+    "up to 2^-60 prefix ties, so the emitted PAIR SET is identical — "
+    "band signatures are internal join keys on both sides.",
 )
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
