@@ -908,3 +908,28 @@ def test_fanout_widens_but_never_coalesces(spark):
     # untouched: same partition count, and no new exchange in the plan
     assert out.rdd.getNumPartitions() == target * 4
     assert out is wide
+
+
+def test_no_new_sort_aggregates_anywhere(spark):
+    """r13 registry-wide gate for the q26 defect class: min/max over
+    var-width values (strings, structs) silently falls back to
+    SortAggregate, which sorts — and at scale spills — the whole input
+    stream. Exactly four queries are allowed to plan one (each triaged
+    and accepted in SCALE.md Round 13: q74 profiles string min/max
+    inside the count-distinct rewrite; q67/q118/q165 argmax-row via
+    max_by/max(struct) rides a stream already shuffled on the same
+    keys; q111 per-doc argmax over a class-bounded frame). Any OTHER
+    query planning a SortAggregate is a regression of the class that
+    made MinHash 26x super-linear at 10x data."""
+    allowed = {
+        "q74_profile_table", "q67_asof_join_bucketed",
+        "q118_resample_ffill", "q165_conversation_validate",
+        "q111_nb_classify",
+    }
+    offenders = {}
+    for name, spec in QUERIES.items():
+        df = spec.spark(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "SortAggregate" in plan and name not in allowed:
+            offenders[name] = plan.count("SortAggregate")
+    assert not offenders, offenders
