@@ -914,7 +914,7 @@ def test_no_new_sort_aggregates_anywhere(spark):
     """r13 registry-wide gate for the q26 defect class: min/max over
     var-width values (strings, structs) silently falls back to
     SortAggregate, which sorts — and at scale spills — the whole input
-    stream. Exactly four queries are allowed to plan one (each triaged
+    stream. Exactly five queries are allowed to plan one (each triaged
     and accepted in SCALE.md Round 13: q74 profiles string min/max
     inside the count-distinct rewrite; q67/q118/q165 argmax-row via
     max_by/max(struct) rides a stream already shuffled on the same
