@@ -31,22 +31,78 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_NARROW_PLAN_NODES = (
+    # optimized-logical-plan nodes that never induce a shuffle: a plan
+    # made only of these is "scan-shaped" and its partition count can be
+    # inspected without materializing anything
+    "Project",
+    "Filter",
+    "Relation",        # file sources ("Relation [cols] parquet")
+    "LogicalRDD",      # localCheckpoint / createDataFrame results
+    "LocalRelation",
+    "InMemoryRelation",
+    "Union",
+    "Generate",        # explode — narrow
+    "Sample",
+    "SubqueryAlias",
+    "Range",
+)
+
+
+def _shuffle_free_scan(df: DataFrame) -> bool:
+    """True iff the optimized logical plan is scan-shaped (no node that
+    can induce a shuffle or broadcast stage). Plan analysis only — never
+    touches ``df.rdd``, so nothing executes."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:  # Spark Connect / plan access unavailable: assume wide
+        return False
+    for line in tree.splitlines():
+        node = line.lstrip(" :+-")
+        if not node:
+            continue
+        # a shuffle=false Repartition ("Repartition 1, false") is a
+        # narrow coalesce; "Repartition N, true" is a real exchange
+        if node.startswith("Repartition ") and node.rstrip().endswith("false"):
+            continue
+        if not node.startswith(_NARROW_PLAN_NODES):
+            return False
+    return True
+
+
 def _fanout(df: DataFrame) -> DataFrame:
     """Spread rows across all cores before an explode-heavy stage.
 
-    A compact input (one parquet file, a broadcast result) arrives in few
-    partitions; exploding it there serializes the whole fan-out on one
-    task. Cost: one round-robin shuffle of the *narrow* pre-explode rows —
-    orders of magnitude smaller than the post-explode data it parallelizes.
+    A compact input (one parquet file, a small createDataFrame) arrives
+    in few partitions; exploding it there serializes the whole fan-out on
+    one task. Cost: one round-robin shuffle of the *narrow* pre-explode
+    rows — orders of magnitude smaller than the post-explode data it
+    parallelizes.
+
+    SCAN-SHAPED INPUTS ONLY: the partition-count probe is gated on the
+    optimized logical plan being shuffle-free (scan/project/filter/...).
+    Anything downstream of a join/aggregate/repartition already arrives
+    at ``spark.sql.shuffle.partitions`` width and passes through
+    untouched — which also means ``df.rdd`` is never called on a plan
+    with materializable stages. (Under AQE, ``.rdd`` finalizes the
+    adaptive plan by EXECUTING every upstream shuffle/broadcast stage as
+    real jobs at composition time, and that work is recomputed by the
+    later action because exchange reuse does not span QueryExecutions —
+    the r13 "plan-analysis no-op" claim was wrong for exactly those
+    inputs.) A caller with a post-join frame that is narrow anyway
+    (e.g. a broadcast-join output of a single-file scan) should widen
+    explicitly before passing it in.
 
     WIDENING ONLY, never a coalesce (the ``widen_for_python_stage``
     discipline): at warehouse scale the input already arrives in
     thousands of splits, and an unconditional ``repartition(cores)``
-    would COALESCE it — a full shuffle of the (id, text) corpus that
-    buys nothing and narrows the scan. An already-wide layout passes
-    through untouched, so this is a plan-analysis no-op everywhere
-    except the genuinely-narrow inputs it exists for.
+    would COALESCE it. Note the skip keys on partition COUNT, not
+    balance — a wide-but-skewed layout (thousands of partitions, data
+    in a few) passes through and keeps its skew; rebalancing that is
+    the caller's call, not this guard's.
     """
+    if not _shuffle_free_scan(df):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
@@ -305,6 +361,16 @@ def minhash_signatures(
     return wide.selectExpr(id_col, f"stack({num_hashes}, {pairs}) AS (seed, mh)")
 
 
+# Canonical format stamp for PERSISTED band-signature stores. Pass this
+# as VersionedStore(format_tag=...) (sources/versioned.py) when storing
+# minhash_band_signatures output for incremental dedup: the r13
+# md5-hex -> md5_long family change proved that signatures from two
+# families never collide, so a mixed store silently finds no duplicates
+# — the stamp turns that into a loud load-time failure. Bump the suffix
+# on ANY change to the minhash hash family or the band concat layout.
+MINHASH_BAND_FORMAT = "minhash-band/md5_long-v2"
+
+
 def minhash_band_signatures(
     df: DataFrame,
     id_col: str,
@@ -327,7 +393,10 @@ def minhash_band_signatures(
     written before the r13 long-minhash change carry the old hex-based
     band_sig values and must be rebuilt (signatures from the two
     families never collide, so a mixed store silently finds no
-    matches).
+    matches). To make that failure LOUD instead of silent, persist via
+    ``VersionedStore(path, format_tag=MINHASH_BAND_FORMAT)``
+    (``sources/versioned.py``): loading a store stamped under a
+    different (or no) family raises instead of joining nothing.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")

@@ -354,8 +354,20 @@ class StreamingBm25Index:
         from atiesh_spark.sources.versioned import VersionedStore
 
         self.id_col, self.text_col = id_col, text_col
-        self.postings = VersionedStore(f"{path}/postings", keep_versions=keep_versions)
-        self.doclens = VersionedStore(f"{path}/doclens", keep_versions=keep_versions)
+        # postings/doclens layout is versioned so a future tokenizer or
+        # schema change refuses to join against old state instead of
+        # silently scoring against a half-migrated index
+        # (sources/versioned.py format stamping).
+        self.postings = VersionedStore(
+            f"{path}/postings",
+            keep_versions=keep_versions,
+            format_tag="bm25/postings-v1",
+        )
+        self.doclens = VersionedStore(
+            f"{path}/doclens",
+            keep_versions=keep_versions,
+            format_tag="bm25/doclens-v1",
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -616,7 +628,11 @@ class StreamingPositionalIndex:
     ) -> None:
         from atiesh_spark.sources.versioned import VersionedStore
 
-        self.store = VersionedStore(path, keep_versions)
+        # positional postings layout stamp — same rationale as
+        # StreamingBm25Index (sources/versioned.py format stamping)
+        self.store = VersionedStore(
+            path, keep_versions, format_tag="positional/postings-v1"
+        )
         self.id_col = id_col
         self.text_col = text_col
 

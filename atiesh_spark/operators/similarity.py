@@ -892,7 +892,16 @@ class StreamingAnnIndex:
             raise ValueError("num_planes must be > 0 (size via auto_num_planes)")
         self.num_planes, self.id_col, self.vec_col = num_planes, id_col, vec_col
         self.op_col = op_col
-        self.store = VersionedStore(path, keep_versions=keep_versions)
+        # buckets are md5_long hyperplane signs of WIDTH num_planes —
+        # both the family and the width are part of the stored bytes, so
+        # both go in the stamp: reopening under a different width (or a
+        # future hash-family migration) fails loudly instead of joining
+        # signatures that can never collide (sources/versioned.py).
+        self.store = VersionedStore(
+            path,
+            keep_versions=keep_versions,
+            format_tag=f"ann-lsh/hyperplane-md5_long-v1/p{num_planes}",
+        )
 
     def _sign(self, df: DataFrame) -> DataFrame:
         # ONE row per key even if the batch carries duplicates (exact

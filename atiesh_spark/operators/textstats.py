@@ -1145,7 +1145,16 @@ class StreamingWinnowIndex:
         if k < 1 or w < 1:
             raise ValueError("k and w must be >= 1")
         self.id_col, self.text_col, self.k, self.w = id_col, text_col, k, w
-        self.store = VersionedStore(path, keep_versions=keep_versions)
+        # fp_hash is the md5-conv gram hash at gram size k, window w —
+        # family and parameters are part of the stored bytes, so the
+        # stamp carries both: a parameter or hash-family change makes
+        # overlap joins silently empty, so loading mismatched state
+        # must raise instead (sources/versioned.py).
+        self.store = VersionedStore(
+            path,
+            keep_versions=keep_versions,
+            format_tag=f"winnow/md5-conv-v1/k{k}w{w}",
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -910,6 +910,32 @@ def test_fanout_widens_but_never_coalesces(spark):
     assert out is wide
 
 
+def test_fanout_never_finalizes_aqe_on_shuffled_inputs(spark):
+    """r14 (ADVICE): under AQE, df.rdd finalizes the adaptive plan by
+    EXECUTING upstream shuffle/broadcast stages as real jobs, and that
+    work is then recomputed by the later action (exchange reuse does
+    not span QueryExecutions). _fanout therefore gates the partition
+    probe on the optimized plan being scan-shaped; anything downstream
+    of a join/aggregate/repartition must pass through IDENTICALLY —
+    identity return proves .rdd was never consulted."""
+    from atiesh_spark.operators.dedup import _fanout, _shuffle_free_scan
+
+    docs = spark.range(100).selectExpr("id", "cast(id as string) AS text")
+
+    # scan-shaped inputs: probe allowed
+    assert _shuffle_free_scan(docs)
+    assert _shuffle_free_scan(docs.filter("id > 3").select("text"))
+    assert _shuffle_free_scan(docs.coalesce(1))          # narrow coalesce
+    assert _shuffle_free_scan(docs.localCheckpoint())    # LogicalRDD
+
+    # shuffle-bearing inputs: no probe, identity passthrough
+    agged = docs.groupBy("text").count()
+    joined = docs.join(docs.selectExpr("id", "text AS t2"), "id")
+    for shuffled in (agged, joined, docs.repartition(2), agged.coalesce(1)):
+        assert not _shuffle_free_scan(shuffled)
+        assert _fanout(shuffled) is shuffled
+
+
 def test_no_new_sort_aggregates_anywhere(spark):
     """r13 registry-wide gate for the q26 defect class: min/max over
     var-width values (strings, structs) silently falls back to
