@@ -213,6 +213,14 @@ def ngram_jaccard_pairs(
     (ideally localCheckpointed) so a caller that also ran MinHash on the
     same corpus pays the shingle explode once, not twice.
     Output: (id_1, id_2, jaccard) with id_1 < id_2.
+
+    CONTRACT — one row per ``id_col``: the self-built shingle path
+    dedups ROW-LOCALLY (``array_distinct``), which equals DISTINCT over
+    (id, sh) only when each id occupies a single row. An input with
+    repeated ids (e.g. chunked documents sharing an id) silently
+    inflates set sizes and therefore deflates Jaccard — pre-aggregate
+    to one row per id, or pass ``shingles=`` already globally distinct
+    on (id, sh).
     """
     if candidates is not None:
         # shingle SETS as per-doc arrays (bounded by |text|, one shuffle
@@ -460,7 +468,10 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` caps the quadratic self-join per bucket (the same
     hub-explosion discipline as ``rare_shingle_candidates``'s max_df and
-    ``textstats.winnow_overlap_pairs``): a NATURALLY hot bucket — a
+    ``textstats.winnow_overlap_pairs``). Like every dedup operator here
+    this assumes ONE ROW PER ``id_col`` (see ``ngram_jaccard_pairs`` —
+    repeated ids silently skew the row-local shingle dedup's set
+    sizes). A NATURALLY hot bucket — a
     boilerplate-identical band over millions of near-identical pages —
     would otherwise self-join quadratically. Buckets larger than the cap
     are STAR-ROUTED, not dropped: every member pairs with the bucket's

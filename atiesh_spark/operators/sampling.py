@@ -223,6 +223,35 @@ def _reject_nan_stratum(value, col: str, op: str) -> None:
         )
 
 
+def _nan_capable(dtype) -> bool:
+    """True iff the Spark SQL type carries IEEE NaN semantics.
+
+    Float/Double are the ONLY Spark types with a NaN value; every other
+    numeric (ints, decimal, interval) cannot hold one, so a False flag
+    for them is exact, not an approximation. Single authority for BOTH
+    NaN paths of the take operators — ``mixture_take``'s monotone
+    digest probe and ``_general_take_joinback``'s NULL/NaN
+    disambiguation flag — so a future NaN-capable type (should Spark
+    ever grow one, e.g. float16) is added here once and both paths
+    move together instead of drifting.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    return isinstance(dtype, (DoubleType, FloatType))
+
+
+def _cost_nan_flag(df: DataFrame, cost_col: str):
+    """Spark-side genuine-NaN flag for a cost column: ``isnan()`` where
+    the type has NaN semantics (:func:`_nan_capable`), literal False
+    otherwise — built BEFORE the Arrow boundary, where NaN and SQL NULL
+    are still distinguishable."""
+    return (
+        F.isnan(F.col(cost_col))
+        if _nan_capable(df.schema[cost_col].dataType)
+        else F.lit(False)
+    )
+
+
 def _task_pid(pdf, expected: int | None) -> int:
     """Enforce the one-``__pid``-per-task invariant the partition-scan
     kernels rely on (per-stratum state is keyed only by group, and
@@ -499,8 +528,6 @@ def _general_take_joinback(
     cumsum; genuine NaN stays in place and propagates through
     ``np.cumsum``, the per-task carry, and the driver offsets alike.
     """
-    from pyspark.sql.types import DoubleType, FloatType
-
     spark = df.sparkSession
     offsets: dict = {}
     for gk, lst in per_stratum.items():
@@ -515,13 +542,24 @@ def _general_take_joinback(
     # have OPPOSITE window semantics (NULL contributes 0 and drops only
     # itself; NaN poisons the running sum onward) — flag genuine NaN
     # Spark-side, where the distinction still exists
-    cost_type = ranged.schema[cost_col].dataType
-    nan_flag = (
-        F.isnan(F.col(cost_col))
-        if isinstance(cost_type, (DoubleType, FloatType))
-        else F.lit(False)
+    if not _nan_capable(ranged.schema[cost_col].dataType):
+        # the digest saw a NaN sum (that's one way callers land here)
+        # from a type this module doesn't know to carry NaN: the __nan
+        # flag below would silently misfile those rows as SQL NULLs
+        # (contribute 0) instead of poisoning the prefix — refuse loudly
+        # until the type is added to _nan_capable.
+        for lst in per_stratum.values():
+            if any(s is not None and s != s for _, s, _ in lst):
+                raise TypeError(
+                    f"{cost_col!r} has type "
+                    f"{ranged.schema[cost_col].dataType.simpleString()}, "
+                    "which this operator does not model as NaN-capable, "
+                    "yet its digest sums contain NaN — add the type to "
+                    "_nan_capable so NULL/NaN disambiguation stays exact"
+                )
+    scan_src = ranged.withColumn(
+        "__nan", F.coalesce(_cost_nan_flag(ranged, cost_col), F.lit(False))
     )
-    scan_src = ranged.withColumn("__nan", F.coalesce(nan_flag, F.lit(False)))
 
     def take(batches):
         import numpy as np

@@ -871,3 +871,27 @@ class TestMixtureTakeNaN:
             _task_pid(mixed, None)
         with pytest.raises(RuntimeError, match="invariant"):
             _task_pid(ok, 2)
+
+    def test_nan_gate_single_authority(self, spark):
+        """r14 (ADVICE): both NaN paths (mixture_take's monotone probe
+        and _general_take_joinback's NULL/NaN flag) gate on the one
+        _nan_capable helper — float/double flag via isnan, every other
+        numeric gets an exact literal False."""
+        from pyspark.sql.types import (
+            DecimalType, DoubleType, FloatType, IntegerType, LongType,
+        )
+
+        from atiesh_spark.operators.sampling import (
+            _cost_nan_flag, _nan_capable,
+        )
+
+        assert _nan_capable(DoubleType()) and _nan_capable(FloatType())
+        assert not _nan_capable(LongType())
+        assert not _nan_capable(IntegerType())
+        assert not _nan_capable(DecimalType(10, 2))
+
+        df = spark.createDataFrame(
+            [(1.0, 1)], "c_double double, c_int int"
+        )
+        assert "isnan" in str(_cost_nan_flag(df, "c_double")).lower()
+        assert "false" in str(_cost_nan_flag(df, "c_int")).lower()
