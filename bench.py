@@ -13,6 +13,12 @@ the JSON): single-pass timings on a shared box showed 3-5x transient
 outliers (co-tenant CPU, JVM GC) on plans that re-measure flat —
 best-of-2 rejects that noise while still timing full execution. The
 BASELINE.md round-3 table was recorded with the same methodology.
+
+Round 14: variance adjudication is MECHANICAL. The artifact embeds a
+q19 canary (best-of-3 at sweep start and end; quiet box < 0.30 s) and
+an automatic solo best-of-3 re-measure for every per-cell anchor
+breach; `--check-anchors` prints breach -> re-measure -> verdict
+(LOAD vs REAL) per cell. See BASELINE.md "Mechanical adjudication".
 """
 
 from __future__ import annotations
@@ -124,6 +130,22 @@ ANCHORS: dict[str, float] = {
 BREACH_RATIO = 2.0
 BREACH_MIN_EXCESS_SEC = 0.5
 
+# Mechanical variance adjudication (round-14 verdict item 4): the
+# load-lottery story stops being prose. Every artifact embeds
+#   (a) a CANARY — q19 best-of-3 timed at sweep start and end. A quiet
+#       box lands 0.16-0.25 s (r13 recordings); >= CANARY_HEALTHY_SEC
+#       means host co-tenancy (invisible to container loadavg) was
+#       present and per-cell movement is suspect wholesale;
+#   (b) for every per-cell breach of the noise-floor policy, an
+#       automatic SOLO BEST-OF-3 RE-MEASURE taken after the sweep, with
+#       its own loadavg snapshot.
+# --check-anchors then prints breach -> re-measure -> verdict per cell
+# (load vs REAL) with no human paragraph needed.
+CANARY_CELL = "q19_topk_orders"
+CANARY_HEALTHY_SEC = 0.30
+REMEASURE_PASSES = 3
+REMEASURE_MAX_CELLS = 10  # bound the tail under pathological load
+
 
 def check_anchors(artifact_path: str) -> int:
     """Compute per-cell ratio (artifact sec / anchor sec) for every
@@ -140,19 +162,37 @@ def check_anchors(artifact_path: str) -> int:
     if "queries" not in record and isinstance(record.get("parsed"), dict):
         record = record["parsed"]  # driver-wrapped BENCH_r{N}.json
     queries = record.get("queries", {})
+    remeasures = record.get("remeasures", {})
+    canary = record.get("canary")
     rows, missing = [], []
     for name, sec in sorted(queries.items()):
         if name in ANCHORS:
             rows.append((name, sec, ANCHORS[name], sec / ANCHORS[name]))
         else:
             missing.append(name)
-    breaches = 0
+    breaches = real = unadjudicated = 0
     for name, sec, anchor, ratio in sorted(rows, key=lambda r: -r[3]):
         flag = ""
         if ratio >= BREACH_RATIO:
             if sec - anchor >= BREACH_MIN_EXCESS_SEC:
-                flag = " <-- BREACH (>=2x and >=0.5s over anchor)"
                 breaches += 1
+                rm = remeasures.get(name)
+                if rm is None:
+                    unadjudicated += 1
+                    flag = (" <-- BREACH, UNADJUDICATED (no re-measure"
+                            " embedded in this artifact)")
+                else:
+                    r2 = rm["best3"] / anchor
+                    excess2 = rm["best3"] - anchor
+                    if r2 < BREACH_RATIO or excess2 < BREACH_MIN_EXCESS_SEC:
+                        flag = (f" <-- breach, re-measure best3 "
+                                f"{rm['best3']:.3f}s = {r2:.2f}x"
+                                f" -> verdict: LOAD")
+                    else:
+                        real += 1
+                        flag = (f" <-- BREACH, re-measure best3 "
+                                f"{rm['best3']:.3f}s = {r2:.2f}x"
+                                f" -> verdict: REAL")
             else:
                 flag = " (noise-band: >=2x but under the 0.5s excess floor)"
         print(f"  {name}: {sec:.3f}s / {anchor:.2f}s = {ratio:.2f}x{flag}")
@@ -161,7 +201,24 @@ def check_anchors(artifact_path: str) -> int:
     agg = got / want if want else float("nan")
     print(f"anchored cells: {len(rows)}; unanchored: {missing or 'none'}")
     print(f"per-cell breaches (policy: >={BREACH_RATIO}x AND "
-          f">={BREACH_MIN_EXCESS_SEC}s excess): {breaches}")
+          f">={BREACH_MIN_EXCESS_SEC}s excess): {breaches} "
+          f"(REAL after re-measure: {real}; load: "
+          f"{breaches - real - unadjudicated}; unadjudicated: "
+          f"{unadjudicated})")
+    if canary:
+        s, e = canary.get("start_best3"), canary.get("end_best3")
+        hmax = canary.get("healthy_max", CANARY_HEALTHY_SEC)
+        verdicts = []
+        for label, v in (("start", s), ("end", e)):
+            if v is None:
+                verdicts.append(f"{label}: n/a")
+            else:
+                verdicts.append(
+                    f"{label}: {v:.3f}s "
+                    f"{'healthy' if v < hmax else 'LOADED'}"
+                )
+        print(f"canary {canary.get('cell')} (healthy < {hmax}s): "
+              + "; ".join(verdicts))
     print(f"aggregate: {got:.1f}s / {want:.1f}s anchored = {agg:.2f}x"
           f" ({'FAIL' if agg >= 2.0 else 'pass'}; the aggregate is the"
           " machine gate)")
@@ -173,6 +230,16 @@ def check_anchors(artifact_path: str) -> int:
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _best_of(spark, name: str, passes: int) -> float:
+    best = None
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        materialize(QUERIES[name].spark(spark, SF_DIR))
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -195,8 +262,12 @@ def main() -> None:
         if s.headline and (full or n not in COLD_CELLS)
     ]
 
-    # JVM/codegen warmup on the smallest table so q1 isn't charged for it.
-    materialize(QUERIES["q19_topk_orders"].spark(spark, SF_DIR))
+    # JVM/codegen warmup on the smallest table so q1 isn't charged for
+    # it — then the START CANARY: q19 best-of-3 certifies the box state
+    # the sweep begins under (quiet ~0.16-0.25s; host co-tenancy that
+    # container loadavg can't see shows up here first).
+    materialize(QUERIES[CANARY_CELL].spark(spark, SF_DIR))
+    canary_start = _best_of(spark, CANARY_CELL, 3)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -218,6 +289,37 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    # Automatic breach re-measure (mechanical adjudication): every cell
+    # whose sweep timing breaches the noise-floor policy gets a solo
+    # best-of-3 taken NOW, after the sweep, with its own loadavg — so
+    # --check-anchors can print breach -> re-measure -> verdict without
+    # a human paragraph. The worst offenders go first in case the
+    # REMEASURE_MAX_CELLS bound bites.
+    breached = sorted(
+        (n for n, sec in timings.items()
+         if n in ANCHORS
+         and sec / ANCHORS[n] >= BREACH_RATIO
+         and sec - ANCHORS[n] >= BREACH_MIN_EXCESS_SEC),
+        key=lambda n: -(timings[n] / ANCHORS[n]),
+    )
+    remeasures: dict[str, dict] = {}
+    for name in breached[:REMEASURE_MAX_CELLS]:
+        try:
+            best3 = _best_of(spark, name, REMEASURE_PASSES)
+        except Exception as exc:
+            errors[f"remeasure:{name}"] = repr(exc)
+            continue
+        remeasures[name] = {
+            "best3": best3,
+            "loadavg1m": round(os.getloadavg()[0], 2),
+        }
+        print(f"  remeasure {name}: {best3}s "
+              f"(sweep {timings[name]}s)", file=sys.stderr)
+
+    # END CANARY: certifies the box state the run closed under (and the
+    # state the re-measures ran under).
+    canary_end = _best_of(spark, CANARY_CELL, 3)
+
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_wall_clock",
@@ -233,7 +335,17 @@ def main() -> None:
                     round(os.getloadavg()[0], 2),
                     round(os.getloadavg()[1], 2)],
         "cpus": len(os.sched_getaffinity(0)),
+        "canary": {
+            "cell": CANARY_CELL,
+            "start_best3": canary_start,
+            "end_best3": canary_end,
+            "healthy_max": CANARY_HEALTHY_SEC,
+        },
     }
+    if remeasures:
+        record["remeasures"] = remeasures
+        if len(breached) > REMEASURE_MAX_CELLS:
+            record["remeasures_capped"] = len(breached) - REMEASURE_MAX_CELLS
     if not full:
         skipped = sorted(
             n for n, s in QUERIES.items() if s.headline and n in COLD_CELLS
