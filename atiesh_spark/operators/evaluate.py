@@ -8,18 +8,25 @@ closing loop is corpus-level n-gram agreement against references —
 BLEU (Papineni et al., ACL 2002) and chrF (Popović, WMT 2015), the
 two metrics every MT/generation pipeline reports.
 
-Scale shape: each (candidate, reference) pair reduces to clipped
-n-gram count AGGREGATES before anything corpus-wide happens. The
-plan is ONE pass: the prepped token array / char stream is
-materialized in its own projection (so split/regexp_replace run once
-per ROW — inlining them into the gram lambdas re-evaluates them per
-gram POSITION, an O(len^2) trap measured at 4x+ on this very module),
-then a single explode emits both sides' grams tagged c/r, a single
-map-side-combined shuffle lands per-(pair, group, n, gram) counts,
-and two narrowing aggregates produce per-(group, n) integer sums.
-The group key rides the gram shuffle (it is functionally dependent
-on the pair id), so no join back to the text table ever happens.
-Nothing is all-pairs; metric cost is linear in corpus tokens.
+Scale shape (rebuilt round 14, the row-local-shingle discipline):
+both sides of a (candidate, reference) pair live in the SAME ROW, so
+the per-pair clipped overlap needs NO shuffle at all — the r13 lesson
+(move per-doc work before the exchange) taken to its limit. The
+prepped token array / char stream is materialized in its own
+projection (so split/regexp_replace run once per ROW — inlining them
+into the gram lambdas re-evaluates them per gram POSITION, an
+O(len^2) trap measured at 4x+ on this very module); then, per order
+n, the two sides' grams are tagged, ARRAY-SORTED and run-length
+walked row-locally (sort + neighbor-compare run ends + one
+slice/filter pass per run — O(k log k) per row, all codegen), which
+yields sum(min(cand_count, ref_count)) per (pair, n) without ever
+exploding gram occurrences. The ONLY shuffle in the whole metric is
+the final per-(group, n) integer-sum aggregate: 6 short rows per
+pair instead of one row per gram occurrence (~2 sides x 6 orders x
+|text| rows — the former plan's shuffle, whose sort/spill made q216
+the steepest non-pinned scale curve at 7.99x for 10x data). Nothing
+is all-pairs; metric cost is linear in corpus tokens and the shuffle
+is corpus-INDEPENDENT per pair.
 
 Determinism: every precision/recall is a ratio of exact integer
 sums; the only float ops are the final log/exp/divide on those
@@ -37,36 +44,34 @@ from atiesh_spark.session import widen_for_python_stage
 __all__ = ["corpus_bleu", "corpus_chrf", "corpus_rouge_n"]
 
 
-def _word_ngrams(col: str, n_max: int, n_min: int = 1) -> str:
-    """SQL for array<struct<n,gram>> of ALL word n-grams
-    n = n_min..n_max over an already-materialized token-array column —
-    one explode covers every order, and the lambda body only slices
-    the bound array reference (never re-tokenizes). Single-order
-    callers (ROUGE-N) pass n_min == n_max so lower orders are never
-    built or shuffled."""
+def _grams_one(col: str, n: int, unit: str) -> str:
+    """SQL for the array<string> of order-``n`` grams over an
+    already-materialized prepped column (token array for ``word``,
+    space-stripped string for ``char``). The lambda body only
+    slices/substrings the bound column reference — never re-tokenizes.
+    """
     # sequence(1, k) with k < 1 DESCENDS ([1, 0]); the filter guard
     # (not greatest()) is what keeps short texts from feeding slice()
     # a zero start.
-    per_n = ", ".join(
+    if unit == "char":
+        return (
+            f"transform(filter(sequence(1, greatest(length({col}), 1)), "
+            f"i -> i + {n} - 1 <= length({col})), "
+            f"i -> substring({col}, i, {n}))"
+        )
+    return (
         f"transform(filter(sequence(1, greatest(size({col}), 1)), "
         f"i -> i + {n} - 1 <= size({col})), "
-        f"i -> struct({n} AS n, "
-        f"concat_ws(' ', slice({col}, i, {n})) AS gram))"
-        for n in range(n_min, n_max + 1)
+        f"i -> concat_ws(' ', slice({col}, i, {n})))"
     )
-    return f"flatten(array({per_n}))"
 
 
-def _char_ngrams(col: str, n_max: int) -> str:
-    """Same device over an already-materialized space-stripped string
-    column (chrF counts character n-grams with whitespace removed)."""
-    per_n = ", ".join(
-        f"transform(filter(sequence(1, greatest(length({col}), 1)), "
-        f"i -> i + {n} - 1 <= length({col})), "
-        f"i -> struct({n} AS n, substring({col}, i, {n}) AS gram))"
-        for n in range(1, n_max + 1)
-    )
-    return f"flatten(array({per_n}))"
+def _gram_total(col: str, n: int, unit: str) -> str:
+    """Closed-form order-``n`` gram count of a prepped column: exactly
+    ``size(_grams_one(...))`` (= max(len - n + 1, 0)) without building
+    the array."""
+    length = f"length({col})" if unit == "char" else f"size({col})"
+    return f"cast(greatest({length} - {n} + 1, 0) AS bigint)"
 
 
 def _clipped_counts(
@@ -76,18 +81,41 @@ def _clipped_counts(
     cand_col: str,
     ref_col: str,
     prep,
-    grams,
+    unit: str,
     n_max: int,
     keep_one_sided: bool = False,
+    n_min: int = 1,
 ) -> DataFrame:
     """Per-(pair, group, n): candidate gram total, reference gram
     total, and the clipped overlap sum(min(cand_count, ref_count)) —
     the shared kernel of BLEU, chrF and ROUGE-N.
 
     ``prep`` maps a raw text column name to the per-row prepped
-    Column (token array / stripped string) — materialized ONCE in
-    its own projection. ``grams`` is _word_ngrams or _char_ngrams
-    over the materialized column.
+    Column (token array / stripped string, NULL-safe) — materialized
+    ONCE in its own projection. ``unit`` is ``"word"`` or ``"char"``.
+    Single-order callers (ROUGE-N) pass ``n_min == n_max`` so lower
+    orders are never built.
+
+    ROW-LOCAL (round 14): both sides of a pair live in one row, so
+    the clipped overlap is computed WITHOUT a gram shuffle. Per order:
+
+      1. tag each side's grams (c=1 candidate, c=0 reference), concat,
+         ``array_sort`` — equal grams become contiguous runs
+         (O(k log k) per row);
+      2. ONE ``aggregate`` pass walks the sorted array carrying
+         (acc, previous gram, run cand-count, run ref-count): a gram
+         change closes the run and adds ``min(cc, rc)``; the finish
+         lambda closes the last run. ``clipped`` = sum over distinct
+         grams of min(cand_count, ref_count), O(k), single pass (the
+         fused form measured ~2x the run-ends/slice variant — one
+         interpreted-lambda walk instead of three).
+
+    Gram totals are closed-form (``_gram_total``). The former plan
+    exploded every gram OCCURRENCE into a (pair, group, n, gram)
+    shuffle — 2 sides x orders x |text| rows whose sort/spill made the
+    metric the steepest non-pinned scale curve (7.99x at 10x data,
+    r13); now the pair row emits ``n_max - n_min + 1`` integer rows
+    and only the per-group reduction shuffles.
 
     ``keep_one_sided`` controls the empty-side convention: corpus
     BLEU/chrF (sacrebleu aggregation) keep a (pair, n) row when only
@@ -97,12 +125,13 @@ def _clipped_counts(
     metrics (ROUGE-N) pass False: a pair with no order-n grams on
     either side has an undefined score and is excluded (the standard
     empty-reference convention; callers document it). Rows where BOTH
-    totals are zero cannot exist — a (pair, n) group only forms from
-    at least one exploded gram row.
+    totals are zero are dropped in every mode, matching the
+    no-gram-rows behavior of the former exploded plan.
     """
-    # Widen BEFORE the gram explode: a single small parquet file scans
-    # as one split, and without this the entire explode+count runs on
-    # one core. At warehouse scale (thousands of files) this is a
+    orders = list(range(n_min, n_max + 1))
+    # Widen BEFORE the gram stage: a single small parquet file scans
+    # as one split, and without this the whole sort/count runs on one
+    # core. At warehouse scale (thousands of files) this is a
     # plan-analysis no-op.
     base = widen_for_python_stage(
         pairs.select(pair_col, group_col, cand_col, ref_col)
@@ -112,42 +141,73 @@ def _clipped_counts(
         prep(cand_col).alias("__c"),
         prep(ref_col).alias("__r"),
     )
-    # One generator row per gram, both sides tagged — a single scan
-    # and a single shuffle cover candidate and reference counts.
-    both = (
-        f"concat("
-        f"transform({grams('__c', n_max)}, "
-        f"g -> struct(g.n AS n, g.gram AS gram, 1 AS is_c)), "
-        f"transform({grams('__r', n_max)}, "
-        f"g -> struct(g.n AS n, g.gram AS gram, 0 AS is_c)))"
+    # Intermediates are materialized as REAL projection columns per
+    # order — each is referenced several times downstream, and
+    # CollapseProject will not re-inline a non-trivial alias referenced
+    # more than once (the same device as word_shingles' token array).
+    srt = base.select(
+        pair_col, "__grp", "__c", "__r",
+        *[
+            F.expr(
+                "array_sort(concat("
+                f"transform({_grams_one('__c', n, unit)}, "
+                "g -> struct(g AS gram, 1 AS c)), "
+                f"transform({_grams_one('__r', n, unit)}, "
+                "g -> struct(g AS gram, 0 AS c))))"
+            ).alias(f"__s{n}")
+            for n in orders
+        ],
     )
-    cnt = (
-        base.select(pair_col, "__grp", F.explode(F.expr(both)).alias("g"))
-        .groupBy(
+    # fused run walk: initial pg = NULL never null-safe-equals a gram,
+    # so the first element always opens a run; min(0, 0) = 0 makes the
+    # empty-array and first-run closes free
+    clipped = (
+        "aggregate(__s{n}, "
+        "struct(cast(0 as bigint) AS acc, cast(null as string) AS pg, "
+        "0 AS cc, 0 AS rc), "
+        "(s, x) -> if(x.gram <=> s.pg, "
+        "struct(s.acc AS acc, s.pg AS pg, s.cc + x.c AS cc, "
+        "(s.rc + 1) - x.c AS rc), "
+        "struct(s.acc + cast(least(s.cc, s.rc) as bigint) AS acc, "
+        "x.gram AS pg, x.c AS cc, 1 - x.c AS rc)), "
+        "s -> s.acc + least(s.cc, s.rc))"
+    )
+    structs = [
+        F.expr(
+            f"struct({n} AS n, "
+            f"{clipped.format(n=n)} AS clipped, "
+            f"{_gram_total('__c', n, unit)} AS c_total, "
+            f"{_gram_total('__r', n, unit)} AS r_total)"
+        )
+        for n in orders
+    ]
+    out = (
+        srt.select(pair_col, "__grp", F.explode(F.array(*structs)).alias("g"))
+        .select(
             pair_col, "__grp",
-            F.col("g.n").alias("n"), F.col("g.gram").alias("gram"),
+            F.col("g.n").alias("n"), F.col("g.clipped").alias("clipped"),
+            F.col("g.c_total").alias("c_total"),
+            F.col("g.r_total").alias("r_total"),
         )
-        .agg(
-            F.sum("g.is_c").alias("c_cnt"),
-            (F.count(F.lit(1)) - F.sum("g.is_c")).alias("r_cnt"),
-        )
-    )
-    out = cnt.groupBy(pair_col, "__grp", "n").agg(
-        F.sum(F.least("c_cnt", "r_cnt")).alias("clipped"),
-        F.sum("c_cnt").alias("c_total"),
-        F.sum("r_cnt").alias("r_total"),
     )
     if keep_one_sided:
-        return out
+        return out.filter((F.col("c_total") > 0) | (F.col("r_total") > 0))
     return out.filter((F.col("c_total") > 0) & (F.col("r_total") > 0))
 
 
 def _word_prep(col: str) -> Column:
-    return F.expr(f"filter(split({col}, '\\\\s+'), x -> x != '')")
+    # NULL-safe: a NULL text produced zero exploded gram rows in the
+    # former plan; the row-local kernel gets the same zero totals from
+    # an empty array.
+    return F.expr(
+        f"coalesce(filter(split({col}, '\\\\s+'), x -> x != ''), array())"
+    )
 
 
 def _char_prep(col: str) -> Column:
-    return F.regexp_replace(F.col(col), r"\s+", "")
+    return F.coalesce(
+        F.regexp_replace(F.col(col), r"\s+", ""), F.lit("")
+    )
 
 
 def corpus_bleu(
@@ -180,7 +240,7 @@ def corpus_bleu(
     """
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _word_prep, _word_ngrams, max_n, keep_one_sided=True,
+        _word_prep, "word", max_n, keep_one_sided=True,
     )
     per_group = counts.groupBy(F.col("__grp").alias("grp"), "n").agg(
         F.sum("clipped").alias("clipped"),
@@ -282,7 +342,7 @@ def corpus_chrf(
     """
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _char_prep, _char_ngrams, max_n, keep_one_sided=True,
+        _char_prep, "char", max_n, keep_one_sided=True,
     )
     per_group = (
         counts.groupBy(F.col("__grp").alias("grp"), "n")
@@ -339,16 +399,13 @@ def corpus_rouge_n(
     are excluded, the standard empty-reference convention — n_pairs
     counts what was scored.
 
-    Same single-shuffle kernel as corpus_bleu; cost linear in corpus
-    tokens.
+    Same row-local kernel as corpus_bleu (the only shuffle is the
+    per-group reduction); cost linear in corpus tokens.
     """
-    # single-order gram builder: orders < n would be exploded,
-    # shuffled, and aggregated only to be filtered out again
+    # single order only: lower orders would be built and dropped again
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _word_prep,
-        lambda c, nm: _word_ngrams(c, nm, n_min=n),
-        n,
+        _word_prep, "word", n, n_min=n,
     )
     p = F.col("clipped") / F.col("c_total")
     r = F.col("clipped") / F.col("r_total")

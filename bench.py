@@ -112,7 +112,10 @@ ANCHORS: dict[str, float] = {
     "q166_bradley_terry": 2.30, "q167_logreg_quality_gate": 2.36,
     # r8/r9/r10 additions
     "q200_gif_frame_sample": 4.27, "q211_html_extract": 1.53,
-    "q216_corpus_chrf": 4.56, "q235_crawl_pipeline": 2.40,
+    # q216 re-anchored 4.56 -> 3.48 in r14: the clipped-count kernel
+    # went row-local (sorted-run walk, no gram shuffle; BASELINE.md
+    # r14 note) — canary-certified solo best-of-3 on the new plan
+    "q216_corpus_chrf": 3.48, "q235_crawl_pipeline": 2.40,
     "q249_pdf_corpus_ingest": 3.28,
     # first recorded value is BENCH_full_r10.json (no BASELINE.md row)
     "q157_pack_offsets": 0.32,
