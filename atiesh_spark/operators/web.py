@@ -25,17 +25,20 @@ on whatever scan reads the rows. The canonical form:
    empty path normalized to ``/``.
 
 ``registered_domain`` is the last two host labels, EXCEPT when those
-two labels are themselves a public suffix (``co.uk``, ``com.au``, …),
-in which case the last three are kept. The suffix set is
-``PUBLIC_SUFFIXES_2`` below — a frozen snapshot of ~800 two-label
-public suffixes from the ICANN section of the public-suffix list
-(publicsuffix.org), covering every major ccTLD registry convention
-plus the long tail (expanded round 13), embedded so the rule stays
-row-local codegen (an InSet literal, no external data file, no
-join). Remaining rare 2-label suffixes, the PSL's PRIVATE section
-(e.g. ``github.io``), and all 3-label suffixes (e.g. ``act.edu.au``)
-still over-aggregate by one level — swap in a broadcast full-PSL
-table if that matters.
+two labels are themselves a public suffix (``co.uk``, ``com.au``,
+``github.io``, …), in which case the last three are kept. The suffix
+set is ``ALL_SUFFIXES_2`` below — ``PUBLIC_SUFFIXES_2`` (a frozen
+snapshot of ~800 two-label public suffixes from the ICANN section of
+the public-suffix list (publicsuffix.org), covering every major ccTLD
+registry convention plus the long tail, expanded round 13) plus
+``PRIVATE_SUFFIXES_2`` (round 14: the high-traffic PRIVATE-section
+hosts — github.io, blogspot.*, netlify.app, … — where every subdomain
+is an independent publisher, which is exactly what per-domain crawl
+caps must respect), embedded so the rule stays row-local codegen (ONE
+InSet literal, no external data file, no join). Remaining rare
+2-label suffixes and all 3-label suffixes (``act.edu.au``,
+``blogspot.co.uk``) still over-aggregate by one level — swap in a
+broadcast full-PSL table if that matters.
 
 No counterpart in the reference (it transports events, it does not
 parse URLs); this extends the training-data surface like the rest of
@@ -243,6 +246,51 @@ PUBLIC_SUFFIXES_2 = (
     "co.gy", "com.gy", "edu.gy", "gov.gy", "net.gy", "org.gy",
 )
 
+#: Round-14: high-traffic TWO-label suffixes from the PSL's PRIVATE
+#: section (publicsuffix.org, public data) — multi-tenant hosting where
+#: each subdomain is an independent publisher (user.github.io and
+#: other-user.github.io must NOT aggregate into one registered domain
+#: when q90-style per-domain crawl caps fire). Same frozen-tuple
+#: discipline as the ICANN snapshot above: feeds the SAME InSet, and
+#: the oracle SQL derives from the same tuple so the engines cannot
+#: drift. Kept to the high-traffic pages/blog/app hosts; rare private
+#: entries and all 3-label suffixes remain the documented
+#: approximation (broadcast full-PSL table is the swap-in).
+PRIVATE_SUFFIXES_2 = (
+    # code/pages hosting
+    "github.io", "githubusercontent.com", "gitlab.io", "bitbucket.io",
+    "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+    "web.app", "firebaseapp.com", "appspot.com", "herokuapp.com",
+    "azurewebsites.net", "cloudapp.net", "cloudfront.net",
+    "amplifyapp.com", "onrender.com", "fly.dev", "deno.dev",
+    "repl.co", "glitch.me", "surge.sh", "neocities.org",
+    "readthedocs.io", "gitbook.io", "webflow.io", "hashnode.dev",
+    "pythonanywhere.com", "000webhostapp.com", "translate.goog",
+    # site builders / blogs / commerce
+    "wordpress.com", "tumblr.com", "wixsite.com", "myshopify.com",
+    "notion.site",
+    # blogspot's per-country 2-label domains (the 3-label ones —
+    # blogspot.com.ar, blogspot.co.uk — stay in the documented gap)
+    "blogspot.com", "blogspot.ae", "blogspot.ba", "blogspot.be",
+    "blogspot.bg", "blogspot.ca", "blogspot.ch", "blogspot.cl",
+    "blogspot.cz", "blogspot.de", "blogspot.dk", "blogspot.fi",
+    "blogspot.fr", "blogspot.gr", "blogspot.hk", "blogspot.hr",
+    "blogspot.hu", "blogspot.ie", "blogspot.in", "blogspot.is",
+    "blogspot.it", "blogspot.jp", "blogspot.kr", "blogspot.li",
+    "blogspot.lt", "blogspot.lu", "blogspot.md", "blogspot.mk",
+    "blogspot.mx", "blogspot.my", "blogspot.nl", "blogspot.no",
+    "blogspot.pe", "blogspot.pt", "blogspot.qa", "blogspot.re",
+    "blogspot.ro", "blogspot.rs", "blogspot.ru", "blogspot.se",
+    "blogspot.sg", "blogspot.si", "blogspot.sk", "blogspot.sn",
+    "blogspot.td", "blogspot.tw", "blogspot.ug", "blogspot.vn",
+)
+
+#: The ONE suffix set the registered-domain rule compiles into its
+#: InSet (ICANN + private sections): a single hash probe per row
+#: either way, so splitting the sections buys nothing at runtime —
+#: they are separate tuples only for provenance.
+ALL_SUFFIXES_2 = PUBLIC_SUFFIXES_2 + PRIVATE_SUFFIXES_2
+
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 
 
@@ -294,7 +342,7 @@ def canonicalize_urls(
     )
     reg_dom = (
         F.when(
-            (F.size(labels) >= 3) & last2.isin(*PUBLIC_SUFFIXES_2),
+            (F.size(labels) >= 3) & last2.isin(*ALL_SUFFIXES_2),
             F.concat_ws(
                 ".",
                 F.element_at(labels, -3),

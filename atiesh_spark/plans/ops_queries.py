@@ -3174,12 +3174,12 @@ _Q144_URL_RE = (
 
 
 def _psl_sql_list() -> str:
-    """The embedded public-suffix snapshot as a SQL IN-list, generated
-    from the SAME tuple the Spark side compiles into its InSet — the
-    two engines cannot drift."""
-    from atiesh_spark.operators.web import PUBLIC_SUFFIXES_2
+    """The embedded suffix snapshot (ICANN + private sections) as a
+    SQL IN-list, generated from the SAME tuple the Spark side compiles
+    into its InSet — the two engines cannot drift."""
+    from atiesh_spark.operators.web import ALL_SUFFIXES_2
 
-    return ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+    return ", ".join(f"'{s}'" for s in ALL_SUFFIXES_2)
 
 
 @register(

@@ -97,13 +97,13 @@ ANCHORS: dict[str, float] = {
     # r6 additions (q163 re-anchored 0.79 -> 0.96: the r10 verdict
     # showed the 0.79 recording was an unusually fast outlier; 0.96 is
     # the r9/r10 solo best-of-3)
-    # q144 re-anchored 0.50 -> 1.00 in r13: the PSL snapshot grew
-    # 490 -> 823 ICANN ccSLDs (full long tail); the larger InSet
-    # literal costs ~0.1-0.3s optimizer walk + a one-time codegen
-    # compile per JVM, both constant at any data scale (BASELINE.md
-    # r13 note; measured planning/exec split on 2026-08-16)
+    # q144 re-anchored 0.50 -> 1.00 (r13: PSL 490 -> 823 ICANN ccSLDs)
+    # -> 1.59 (r14: +83 private-section suffixes, ALL_SUFFIXES_2 = 906;
+    # steady solo over 6 passes on a near-quiet box, canary 0.27 — the
+    # In-literal walk + compile are constant in data size, vanish at
+    # scale; BASELINE.md r14 note)
     "q82_curation_pipeline": 1.77, "q143_ivf_pq_bench": 7.34,
-    "q144_url_canonicalize": 1.00, "q146_markup_strip": 0.46,
+    "q144_url_canonicalize": 1.59, "q146_markup_strip": 0.46,
     "q148_intra_doc_line_dedup": 0.32, "q149_gopher_rules": 1.65,
     "q150_dataset_card": 0.51, "q152_sentence_chunks": 0.35,
     "q163_winnow_fingerprints": 0.96, "q164_winnow_overlap_pairs": 2.62,

@@ -70,14 +70,35 @@ def test_registered_domain_public_suffixes(spark):
 
 
 def test_psl_snapshot_shape():
-    """Every snapshot entry is a lowercase two-label suffix, no dups —
-    the invariant both the Spark InSet and the generated oracle
-    IN-list rely on."""
-    from atiesh_spark.operators.web import PUBLIC_SUFFIXES_2
+    """Every snapshot entry is a lowercase two-label suffix, no dups
+    (within each section AND across them) — the invariant both the
+    Spark InSet and the generated oracle IN-list rely on."""
+    from atiesh_spark.operators.web import (
+        ALL_SUFFIXES_2, PRIVATE_SUFFIXES_2, PUBLIC_SUFFIXES_2,
+    )
 
-    assert len(PUBLIC_SUFFIXES_2) == len(set(PUBLIC_SUFFIXES_2))
-    for s in PUBLIC_SUFFIXES_2:
+    assert len(ALL_SUFFIXES_2) == len(set(ALL_SUFFIXES_2))
+    assert set(ALL_SUFFIXES_2) == set(PUBLIC_SUFFIXES_2) | set(
+        PRIVATE_SUFFIXES_2
+    )
+    for s in ALL_SUFFIXES_2:
         assert s == s.lower() and s.count(".") == 1 and "'" not in s
+
+
+def test_private_section_registered_domains(spark):
+    """r14: multi-tenant hosts split per subdomain — the behavior
+    per-domain crawl caps depend on."""
+    cases = {
+        "https://alice.github.io/blog": "alice.github.io",
+        "https://bob.github.io/": "bob.github.io",
+        "https://deep.sub.netlify.app/x": "sub.netlify.app",
+        "https://my.blogspot.com/p": "my.blogspot.com",
+        "https://shop.myshopify.com/": "shop.myshopify.com",
+        # github.com is NOT a private suffix — normal last-2 rule
+        "https://gist.github.com/u": "github.com",
+    }
+    for url, want in cases.items():
+        assert _canon(spark, url)["registered_domain"] == want, url
 
 
 def test_domain_stats_dup_share(spark):
