@@ -94,9 +94,11 @@ ANCHORS: dict[str, float] = {
     "q117_pretrain_pipeline": 1.64, "q135_threshold_sweep": 0.46,
     "q136_drift_report": 0.89, "q139_leakage_safe_split": 0.39,
     "q140_quantile_rollup": 0.84,
-    # r6 additions (q163 re-anchored 0.79 -> 0.96: the r10 verdict
-    # showed the 0.79 recording was an unusually fast outlier; 0.96 is
-    # the r9/r10 solo best-of-3)
+    # r6 additions (q163 re-anchored 0.79 -> 0.96 in r10, -> 1.12 in
+    # r14 with q164 2.62 -> 3.45: winnow selection went row-local —
+    # faster same-session than the window plan (1.12 vs 2.85) and two
+    # exchanges lighter, re-anchored to healthy-canary solo best-of-3
+    # of the new plan; BASELINE.md r14 note)
     # q144 re-anchored 0.50 -> 1.00 (r13: PSL 490 -> 823 ICANN ccSLDs)
     # -> 1.59 (r14: +83 private-section suffixes, ALL_SUFFIXES_2 = 906;
     # steady solo over 6 passes on a near-quiet box, canary 0.27 — the
@@ -106,7 +108,7 @@ ANCHORS: dict[str, float] = {
     "q144_url_canonicalize": 1.59, "q146_markup_strip": 0.46,
     "q148_intra_doc_line_dedup": 0.32, "q149_gopher_rules": 1.65,
     "q150_dataset_card": 0.51, "q152_sentence_chunks": 0.35,
-    "q163_winnow_fingerprints": 0.96, "q164_winnow_overlap_pairs": 2.62,
+    "q163_winnow_fingerprints": 1.12, "q164_winnow_overlap_pairs": 3.45,
     # q166 re-anchored 5.22 -> 2.30 in r11: the MM rounds moved
     # driver-side onto the bounded pair digest (BASELINE.md r11 note)
     "q166_bradley_terry": 2.30, "q167_logreg_quality_gate": 2.36,
