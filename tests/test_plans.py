@@ -25,6 +25,27 @@ def plan_of(spark, name: str) -> str:
     )
 
 
+#: One registry-wide executed-plan scan shared by the aggregate gates —
+#: composing all 250 plans costs ~7 minutes, so the two gates must not
+#: each pay it. Keyed by id(spark) so a fresh session (new conftest
+#: scope) re-scans.
+_ALL_PLANS_CACHE: dict = {}
+
+
+def _all_executed_plans(spark) -> dict[str, str]:
+    key = id(spark)
+    if key not in _ALL_PLANS_CACHE:
+        _ALL_PLANS_CACHE.clear()
+        _ALL_PLANS_CACHE[key] = {
+            name: spec.spark(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            for name, spec in QUERIES.items()
+        }
+    return _ALL_PLANS_CACHE[key]
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = plan_of(spark, "q15_revenue_filter")
     assert "PushedFilters:" in plan
@@ -936,6 +957,39 @@ def test_fanout_never_finalizes_aqe_on_shuffled_inputs(spark):
         assert _fanout(shuffled) is shuffled
 
 
+def test_no_new_object_hash_aggregates_anywhere(spark):
+    """r14 companion to the SortAggregate gate (r13 verdict item 8):
+    ObjectHashAggregate serves collect_list/collect_set/percentile
+    buffers, which hold UNBOUNDED per-group state and spill to a
+    sort-based fallback under memory pressure — the same cliff class,
+    one config flip away. The r12/r13 collect-site boundedness sweep
+    was manual; this freezes it: exactly these queries may plan an
+    ObjectHashAggregate (each one's collect is bounded by construction
+    — k-row digests, per-doc spans, per-session sequences, sketch
+    merges — triaged in SCALE.md). Any OTHER query planning one is a
+    new unbounded-state candidate: triage its group cardinality and
+    either fix the plan or extend the allowlist WITH a written
+    rationale."""
+    allowed = {
+        "q09_batch_assembly", "q44_percentiles", "q45_approx_sketches",
+        "q51_jaccard_verified_candidates", "q53_word_jaccard_pairs",
+        "q68_line_dedup", "q77_winsorize", "q80_inverted_index",
+        "q92_mad_outliers", "q97_interarrival_stats",
+        "q100_span_dedup_report", "q111_nb_classify",
+        "q113_centroid_outliers", "q120_hll_rollup",
+        "q131_session_sequences", "q133_containment_pairs",
+        "q150_dataset_card", "q170_ccnet_buckets",
+        "q184_winnow_span_removal", "q214_robots_admission",
+        "q221_span_corruption", "q231_phrase_search",
+        "q235_crawl_pipeline",
+    }
+    offenders = {}
+    for name, plan in _all_executed_plans(spark).items():
+        if "ObjectHashAggregate" in plan and name not in allowed:
+            offenders[name] = plan.count("ObjectHashAggregate")
+    assert not offenders, offenders
+
+
 def test_no_new_sort_aggregates_anywhere(spark):
     """r13 registry-wide gate for the q26 defect class: min/max over
     var-width values (strings, structs) silently falls back to
@@ -953,9 +1007,7 @@ def test_no_new_sort_aggregates_anywhere(spark):
         "q111_nb_classify",
     }
     offenders = {}
-    for name, spec in QUERIES.items():
-        df = spec.spark(spark, SF_SMALL)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in _all_executed_plans(spark).items():
         if "SortAggregate" in plan and name not in allowed:
             offenders[name] = plan.count("SortAggregate")
     assert not offenders, offenders
