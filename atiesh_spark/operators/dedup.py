@@ -31,43 +31,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-_NARROW_PLAN_NODES = (
-    # optimized-logical-plan nodes that never induce a shuffle: a plan
-    # made only of these is "scan-shaped" and its partition count can be
-    # inspected without materializing anything
-    "Project",
-    "Filter",
-    "Relation",        # file sources ("Relation [cols] parquet")
-    "LogicalRDD",      # localCheckpoint / createDataFrame results
-    "LocalRelation",
-    "InMemoryRelation",
-    "Union",
-    "Generate",        # explode — narrow
-    "Sample",
-    "SubqueryAlias",
-    "Range",
-)
-
-
 def _shuffle_free_scan(df: DataFrame) -> bool:
-    """True iff the optimized logical plan is scan-shaped (no node that
-    can induce a shuffle or broadcast stage). Plan analysis only — never
-    touches ``df.rdd``, so nothing executes."""
-    try:
-        tree = df._jdf.queryExecution().optimizedPlan().treeString()
-    except Exception:  # Spark Connect / plan access unavailable: assume wide
-        return False
-    for line in tree.splitlines():
-        node = line.lstrip(" :+-")
-        if not node:
-            continue
-        # a shuffle=false Repartition ("Repartition 1, false") is a
-        # narrow coalesce; "Repartition N, true" is a real exchange
-        if node.startswith("Repartition ") and node.rstrip().endswith("false"):
-            continue
-        if not node.startswith(_NARROW_PLAN_NODES):
-            return False
-    return True
+    """Shared gate — see :func:`atiesh_spark.session.shuffle_free_scan`
+    (kept as an alias here because the r14 plan tests and operator
+    modules reference it by this name)."""
+    from atiesh_spark.session import shuffle_free_scan
+
+    return shuffle_free_scan(df)
 
 
 def _fanout(df: DataFrame) -> DataFrame:

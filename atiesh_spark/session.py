@@ -62,6 +62,50 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_NARROW_PLAN_NODES = (
+    # optimized-logical-plan nodes that never induce a shuffle or
+    # broadcast stage: a plan made only of these is "scan-shaped" and
+    # its partition count can be inspected without materializing
+    # anything
+    "Project",
+    "Filter",
+    "Relation",        # file sources ("Relation [cols] parquet")
+    "LogicalRDD",      # localCheckpoint / createDataFrame results
+    "LocalRelation",
+    "InMemoryRelation",
+    "Union",
+    "Generate",        # explode — narrow
+    "Sample",
+    "SubqueryAlias",
+    "Range",
+)
+
+
+def shuffle_free_scan(df) -> bool:
+    """True iff the optimized logical plan is scan-shaped (no node that
+    can induce a shuffle or broadcast stage). Plan analysis only —
+    never touches ``df.rdd``, so nothing executes. The gate every
+    partition-count probe must pass first: under AQE, ``df.rdd``
+    finalizes the adaptive plan by EXECUTING upstream shuffle/broadcast
+    stages as real jobs, and that work is recomputed by the later
+    action because exchange reuse does not span QueryExecutions."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:  # Spark Connect / plan access unavailable: assume wide
+        return False
+    for line in tree.splitlines():
+        node = line.lstrip(" :+-")
+        if not node:
+            continue
+        # a shuffle=false Repartition ("Repartition 1, false") is a
+        # narrow coalesce; "Repartition N, true" is a real exchange
+        if node.startswith("Repartition ") and node.rstrip().endswith("false"):
+            continue
+        if not node.startswith(_NARROW_PLAN_NODES):
+            return False
+    return True
+
+
 def widen_for_python_stage(df, min_partitions: int | None = None):
     """Give a CPU-bound Arrow/pandas stage (codec decode, perceptual
     hashing, archive parsing) enough partitions to use every core.
@@ -76,7 +120,16 @@ def widen_for_python_stage(df, min_partitions: int | None = None):
     cheap next to the decode it unblocks. Widening only, never a
     coalesce: an already-wide layout passes through untouched, so
     blob-sized rows are never shuffled at scale.
+
+    SCAN-SHAPED INPUTS ONLY (round 14, the ``_fanout`` fix): the
+    partition probe is gated on :func:`shuffle_free_scan`, so a frame
+    downstream of a join/aggregate — which already arrives at
+    ``spark.sql.shuffle.partitions`` width — passes through untouched
+    and ``df.rdd`` never finalizes AQE eagerly. A caller with a
+    narrow-but-shuffled frame should widen explicitly.
     """
+    if not shuffle_free_scan(df):
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

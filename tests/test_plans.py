@@ -956,6 +956,18 @@ def test_fanout_never_finalizes_aqe_on_shuffled_inputs(spark):
         assert not _shuffle_free_scan(shuffled)
         assert _fanout(shuffled) is shuffled
 
+    # widen_for_python_stage shares the gate (session.py is the single
+    # authority): still widens narrow scans, identity on shuffled frames
+    from atiesh_spark.session import widen_for_python_stage
+
+    target = spark.sparkContext.defaultParallelism
+    narrow_scan = docs.coalesce(1)
+    assert (
+        widen_for_python_stage(narrow_scan).rdd.getNumPartitions() == target
+    )
+    assert widen_for_python_stage(agged) is agged
+    assert widen_for_python_stage(joined) is joined
+
 
 def test_no_new_object_hash_aggregates_anywhere(spark):
     """r14 companion to the SortAggregate gate (r13 verdict item 8):
