@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atiesh_spark.plans.registry import register
+from atiesh_spark.session import widen_for_python_stage
 from atiesh_spark.sources.tables import load_table
 
 # DuckDB mirror of functions/hashing.md5_long(col, 15): same digest, same
@@ -4525,7 +4526,7 @@ def q161_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_ppm(w, h, arr.astype(np.uint8).tobytes()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_ppm(media, "doc_id", "blob").select(
         "media_id", "format", "width", "height", "mean_r", "mean_g", "mean_b"
     )
@@ -4608,7 +4609,7 @@ def q162_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_wav(sr, s.astype("<i2").tobytes()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_wav(media, "doc_id", "blob").select(
         "media_id", "sample_rate", "channels", "n_frames", "duration_ms",
         "peak", "zero_crossings", "sum_sq", "rms"
@@ -7587,7 +7588,7 @@ def q194_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_jpeg_baseline(px, quality=100))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_jpeg(media, "doc_id", "blob").select(
         "media_id", "format", "width", "height", "n_components",
         "mean_r", "mean_g", "mean_b",
@@ -7888,7 +7889,7 @@ def q197_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_png(px, filters=None))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_png(media, "doc_id", "blob").select(
         "media_id", "format", "width", "height", "n_channels",
         "mean_r", "mean_g", "mean_b",
@@ -8029,7 +8030,7 @@ def q199_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_jpeg_baseline(px, quality=100))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     hashes = phash_images(media, "doc_id", "blob", codec="jpeg")
     return near_dup_pairs_by_phash(hashes, max_distance=0, bands=4)
 
@@ -8112,7 +8113,7 @@ def q200_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_gif(frames, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return sample_gif_frames(media, "doc_id", "blob", stride=2).select(
         "media_id", "frame_idx", "width", "height",
         "mean_r", "mean_g", "mean_b",
@@ -8181,7 +8182,7 @@ def q201_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_wav(8000, pcm))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     feats = spectral_features(media, "doc_id", "blob", frame=256)
     planted = F.lit(3) + (F.col("media_id") * 3 + F.col("window_idx") * 7) % 60
     amp = F.lit(0.25) + (F.col("media_id") % 5) * F.lit(0.125)
@@ -8246,7 +8247,7 @@ def synth_seeded_wav(docs: DataFrame, seeds: int) -> DataFrame:
                 blobs.append(encode_wav(8000, pcm))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
 
 
 def synth_seeded_gif(docs: DataFrame, seeds: int) -> DataFrame:
@@ -8287,7 +8288,7 @@ def synth_seeded_gif(docs: DataFrame, seeds: int) -> DataFrame:
                 blobs.append(encode_gif(frames, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
 
 
 @register(
@@ -8375,7 +8376,7 @@ def synth_mixed_media(docs: DataFrame) -> DataFrame:
                 blobs.append(blob[:4] if did % 17 == 0 else blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
 
 
 @register(
@@ -10969,7 +10970,7 @@ def q234_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_avi_mjpeg(frames, w, h, fps=25))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return sample_frames_mjpeg(media, "doc_id", "blob", every_n=2).select(
         "media_id", "frame_idx", "ts_ms", "width", "height",
         "mean_r", "mean_g", "mean_b",
@@ -11359,7 +11360,7 @@ def q236_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_jpeg_progressive(px, quality=100))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_jpeg(media, "doc_id", "blob").select(
         "media_id", "format", "width", "height", "n_components",
         "mean_r", "mean_g", "mean_b",
@@ -11431,7 +11432,7 @@ def q237_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_bmp(px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_bmp(media, "doc_id", "blob").select(
         "media_id", "format", "width", "height", "n_channels",
         "mean_r", "mean_g", "mean_b",
@@ -11541,7 +11542,7 @@ def q238_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_tiff(media, "doc_id", "blob").select(
         "media_id", "format", "width", "height", "n_channels",
         "mean_r", "mean_g", "mean_b",
@@ -11741,7 +11742,7 @@ def q241_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_bmp(px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     resized = resize_image(media, "doc_id", "blob", 4, 3)
     return decode_png(resized, "media_id", "resized_blob").select(
         "media_id", "width", "height", "n_channels",
@@ -11918,7 +11919,7 @@ def q242_mpeg_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_mpeg_audio(media, "doc_id", "blob").select(
         "media_id", "layer", "sample_rate", "bitrate_kbps", "channels",
         "n_frames", "n_samples", "alloc_sum", "sfidx_sum", "code_sum",
@@ -12023,7 +12024,7 @@ def q243_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs = [_pdf_fixture_blob(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"pdf_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="pdf_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="pdf_id long, blob binary")
     return parse_pdf_pages(media, "blob", id_cols=("pdf_id",)).select(
         "pdf_id", "page_index", "text", "n_chars",
     )
@@ -12202,7 +12203,7 @@ def q245_wav_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    media = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    media = widen_for_python_stage(docs).mapInPandas(synth, schema="doc_id long, blob binary")
     return decode_wav(media, "doc_id", "blob").select(
         "media_id", "sample_rate", "channels", "n_frames", "duration_ms",
         "peak", "zero_crossings", "sum_sq", "rms",

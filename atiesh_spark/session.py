@@ -78,6 +78,17 @@ _NARROW_PLAN_NODES = (
     "Sample",
     "SubqueryAlias",
     "Range",
+    # Python evaluation stages are narrow: each task feeds its own
+    # partition through the Python worker, no exchange is induced, so
+    # .rdd on a plan made of these (over a scan) materializes nothing.
+    # FlatMapGroupsInPandas is deliberately NOT here — groupBy().
+    # applyInPandas realizes as an Exchange, the exact eager-AQE hazard
+    # this gate exists to block. (Without these two entries the r14
+    # gate silently stopped widening chained map stages — a GIF decode
+    # fed by a mapInPandas synth stage ran one-task; measured q200
+    # 3.2 -> 4.1 s solo at sf0.1, worse the heavier the codec.)
+    "MapInPandas",
+    "MapInArrow",
 )
 
 

@@ -969,6 +969,39 @@ def test_fanout_never_finalizes_aqe_on_shuffled_inputs(spark):
     assert widen_for_python_stage(joined) is joined
 
 
+def test_widen_treats_python_map_chains_as_narrow(spark):
+    """r14 regression fix: MapInPandas / MapInArrow are NARROW (each
+    task feeds its own partition through the Python worker — no
+    exchange), so a codec stage chained after a synth/parse map stage
+    must still be widened; the first r14 gate cut silently stopped
+    doing so and q200's GIF decode ran one-task (3.2 -> 4.1 s solo).
+    FlatMapGroupsInPandas (groupBy().applyInPandas) realizes as an
+    Exchange and must stay excluded — identity passthrough."""
+    from atiesh_spark.session import shuffle_free_scan, widen_for_python_stage
+
+    docs = spark.range(64).selectExpr("id", "cast(id as string) AS text")
+    narrow = docs.coalesce(1)
+
+    def ident(batches):
+        yield from batches
+
+    mip = narrow.mapInPandas(ident, "id long, text string")
+    mia = narrow.mapInArrow(lambda it: it, "id long, text string")
+    chained = mip.mapInPandas(ident, "id long, text string").select("id")
+    for df in (mip, mia, chained):
+        assert shuffle_free_scan(df)
+        assert (
+            widen_for_python_stage(df).rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+
+    grouped = docs.groupBy("text").applyInPandas(
+        lambda k, p: p, "id long, text string"
+    )
+    assert not shuffle_free_scan(grouped)
+    assert widen_for_python_stage(grouped) is grouped
+
+
 def test_no_new_object_hash_aggregates_anywhere(spark):
     """r14 companion to the SortAggregate gate (r13 verdict item 8):
     ObjectHashAggregate serves collect_list/collect_set/percentile
