@@ -1029,6 +1029,7 @@ def pq_fit(
     iterations: int = 5,
     fit_sample_buckets: int | None = None,
     round_to: int = 6,
+    seeds: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split each d-dim vector
     into ``num_subspaces`` contiguous subvectors and k-means each
@@ -1070,19 +1071,28 @@ def pq_fit(
     )
     if fit_sample_buckets:
         base = base.filter(hash_bucket(F.col(id_col), fit_sample_buckets) == 0)
-    seeds = (
-        base.orderBy(md5_long(F.col(id_col).cast("string"), 15), F.col(id_col))
-        .limit(codebook_size)
-        .select("__v")
-        .collect()
-    )
+    if seeds is None:
+        # one TakeOrderedAndProject over the input: for an expression-
+        # heavy vec_col (e.g. IVF residuals) this evaluates it for
+        # every row just to keep codebook_size of them — a caller that
+        # can derive the same seed rows cheaply (ivf_pq_fit does, in
+        # driver arithmetic bit-identical to the plan's) passes seeds=.
+        seeds = [
+            list(r["__v"])
+            for r in base.orderBy(
+                md5_long(F.col(id_col).cast("string"), 15), F.col(id_col)
+            )
+            .limit(codebook_size)
+            .select("__v")
+            .collect()
+        ]
     if len(seeds) < codebook_size:
         raise ValueError(
             f"need at least codebook_size={codebook_size} rows to fit, "
             f"got {len(seeds)}"
         )
-    d = len(seeds[0]["__v"])
-    ragged = [i for i, r in enumerate(seeds) if len(r["__v"]) != d]
+    d = len(seeds[0])
+    ragged = [i for i, v in enumerate(seeds) if len(v) != d]
     if ragged:
         # Same guard as cluster.kmeans_fit: a wrong-length seed slice
         # would pad NULLs through zip_with and corrupt every assignment.
@@ -1096,7 +1106,7 @@ def pq_fit(
         )
     sub_d = d // num_subspaces
     codebooks = [
-        [list(r["__v"])[s * sub_d : (s + 1) * sub_d] for r in seeds]
+        [list(v)[s * sub_d : (s + 1) * sub_d] for v in seeds]
         for s in range(num_subspaces)
     ]
     subs = base.filter(F.size("__v") == d).select(
@@ -1149,6 +1159,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector against fitted codebooks: ``(id_col, codes,
     recon_err)`` with ``codes`` an array<int> of length m (the nearest
@@ -1163,6 +1174,11 @@ def pq_encode(
     encoding 100 TB is one map-only job writing m-byte codes. NULL
     vectors and rows of the wrong dimension are dropped (no code
     exists for them), mirroring kmeans_assign.
+
+    ``carry_cols``: extra input columns passed through unchanged
+    (placed between ``id_col`` and ``codes``) — so a caller that has
+    already attached per-row metadata (e.g. the IVF coarse cell) keeps
+    it in the same map pass instead of joining it back on id.
     """
     if not codebooks or not codebooks[0]:
         raise ValueError("codebooks must be non-empty")
@@ -1177,6 +1193,7 @@ def pq_encode(
         emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == d))
         .select(
             F.col(id_col),
+            *[F.col(c) for c in carry_cols],
             F.array(*[p["c"] for p in picks]).alias("codes"),
             F.round(
                 sum((p["d"] for p in picks[1:]), picks[0]["d"]), round_to
@@ -1268,6 +1285,9 @@ def ivf_pq_fit(
     """
     from atiesh_spark.operators.cluster import kmeans_fit
 
+    from atiesh_spark.functions.hashing import md5_long
+    from atiesh_spark.operators.sampling import hash_bucket
+
     cells = kmeans_fit(
         emb,
         id_col=id_col,
@@ -1278,6 +1298,50 @@ def ivf_pq_fit(
         round_to=round_to,
     )
     residuals = _ivf_residuals(emb, cells, id_col, vec_col)
+    # pq_fit's own seed pass would evaluate the residual argmin for
+    # EVERY row just to keep codebook_size of them (a full extra scan
+    # of the corpus through the heaviest expression in the fit).
+    # Instead collect the same seed rows' RAW vectors (one cheap
+    # TakeOrdered over the scan — same (md5_long(id), id) ordering,
+    # same row universe as the residual frame) and residualize them
+    # driver-side with arithmetic that matches the plan's bit for bit:
+    # the distance fold is the same left-to-right summation, ties
+    # break to the lower cell, and the subtraction is exact.
+    d = len(cells[0])
+    seed_base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull() & (F.size("__v") == d))
+    if fit_sample_buckets:
+        seed_base = seed_base.filter(
+            hash_bucket(F.col(id_col), fit_sample_buckets) == 0
+        )
+    seed_rows = (
+        seed_base.orderBy(
+            md5_long(F.col(id_col).cast("string"), 15), F.col(id_col)
+        )
+        .limit(codebook_size)
+        .select("__v")
+        .collect()
+    )
+    import math
+
+    seed_res = []
+    for r in seed_rows:
+        v = list(r["__v"])
+        best = None
+        for ci, cent in enumerate(cells):
+            acc = 0.0
+            for x, c in zip(v, cent):
+                acc = acc + (x - c) * (x - c)
+            # Spark's struct ordering sorts NaN AFTER every double
+            # (incl. +inf); Python NaN comparisons are always False,
+            # which would freeze the first candidate — key on the
+            # isnan flag first to reproduce the plan's ordering.
+            key = (math.isnan(acc), 0.0 if math.isnan(acc) else acc, ci)
+            if best is None or key < best:
+                best = key
+        nearest = cells[best[2]]
+        seed_res.append([x - c for x, c in zip(v, nearest)])
     codebooks = pq_fit(
         residuals,
         id_col=id_col,
@@ -1287,6 +1351,7 @@ def ivf_pq_fit(
         iterations=iterations,
         fit_sample_buckets=fit_sample_buckets,
         round_to=round_to,
+        seeds=seed_res,
     )
     return cells, codebooks
 
@@ -1336,12 +1401,16 @@ def ivf_pq_encode(
     whole point of IVF: a query probing p of C cells reads p/C of the
     store (partition pruning on the cell column), before PQ's 32x
     byte-code shrink even starts."""
-    res = _ivf_residuals(emb, cells, id_col, vec_col)
-    enc = pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
-                    round_to=round_to)
-    return res.select(id_col, F.col("__cell").alias("cell")).join(
-        enc, id_col
+    res = _ivf_residuals(emb, cells, id_col, vec_col).withColumnRenamed(
+        "__cell", "cell"
     )
+    # carry the coarse cell through the encode pass itself: the prior
+    # join-back on id recomputed the residual argmin on both branches
+    # and planned an exchange pair for a self-derived equi-join — pure
+    # waste for a row-preserving map (measured 3.3 -> 1.6 s warm on the
+    # q143 encode+checkpoint phase at sf0.1).
+    return pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
+                     round_to=round_to, carry_cols=("cell",))
 
 
 def ivf_pq_topk(
