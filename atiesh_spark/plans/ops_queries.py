@@ -12453,7 +12453,16 @@ def q249_pdf_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("pdf_id"),
         F.col("body").alias("blob"),
     )
-    return parse_pdf_pages(members, "blob", id_cols=("pdf_id",)).select(
+    # The pack exchange bounds the whole downstream stage at the
+    # archive count (AQE then coalesces the tiny partitions further),
+    # so the PDF parse — the expensive Python stage — would run on a
+    # handful of cores. Re-spread the per-member rows (small: one
+    # PDF blob each) so the parse uses the full box; the target tracks
+    # defaultParallelism, not a local constant.
+    return parse_pdf_pages(
+        members.repartition(spark.sparkContext.defaultParallelism),
+        "blob", id_cols=("pdf_id",)
+    ).select(
         "pdf_id", "page_index", "text", "n_chars",
     )
 
