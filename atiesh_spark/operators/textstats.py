@@ -810,7 +810,19 @@ def ngram_lm_scores(
     # the per-doc frame (distinct-sized input), and scoring is a
     # weighted average over per-doc DISTINCT grams instead of re-joining
     # every occurrence.
-    per_doc = grams.groupBy(id_col, "sh").agg(F.count(F.lit(1)).alias("__n"))
+    # Materialized: this frame feeds FOUR consumers (k-gram table,
+    # prefix table, vocab, and the scoring probe), and branch
+    # re-aliasing defeats ReuseExchange — unmaterialized, the corpus
+    # was scanned and gram-exploded once PER consumer (5 scans in the
+    # q94 physical plan; measured 3.2 -> 2.0 s solo at sf0.1). One
+    # explode + one map-side-combined shuffle is also the honest cost
+    # at 100 TB: the (doc, gram, count) frame is the algorithm's
+    # working set.
+    per_doc = (
+        grams.groupBy(id_col, "sh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
+    )
     ck = per_doc.groupBy("sh").agg(F.sum("__n").alias("__ck"))
     prefix = ck.groupBy(F.substring("sh", 1, k - 1).alias("__pfx")).agg(
         F.sum("__ck").alias("__cp")
