@@ -216,6 +216,12 @@ def nb_train(
             ).alias("log_default"),
         )
     )
+    # One row per label: materialize. The frame is consumed three
+    # times (token_dim's class axis, predict's prior/default axis,
+    # predict's label dim) and each broadcast build otherwise re-runs
+    # the whole class-statistics subtree — the q111 plan carried 40
+    # parquet scans of the same corpus before this.
+    classes = classes.localCheckpoint()
     # Dense per-token class vector: map of observed counts + the class
     # axis from a broadcast one-row array of (idx, total, default).
     class_arr = classes.agg(
@@ -305,25 +311,33 @@ def nb_predict(
         .groupBy(id_col, "class_idx")
         .agg(F.round(F.sum("__llk"), round_to).alias("__score"))
     )
+    # argmax over a struct of (double, int) ONLY: max(struct) always
+    # plans a SortAggregate (struct buffers are not hash-aggregatable)
+    # — accepted in the registry triage because the input is already
+    # the hash-reduced (doc, class) frame — but carrying the label
+    # string inside the buffer also dragged it through the sort and
+    # the partial-agg state. Keep the sorted rows fixed-width and
+    # attach the label after the reduction via the broadcast class dim.
     best = (
-        scores.join(
-            F.broadcast(classes.select("class_idx", F.col("label").alias("__label"))),
-            "class_idx",
-        )
-        .groupBy(id_col)
+        scores.groupBy(id_col)
         .agg(
             F.max(
                 F.struct(
                     F.col("__score").alias("s"),
                     (-F.col("class_idx")).alias("neg_idx"),
-                    F.col("__label").alias("label"),
                 )
             ).alias("__best")
+        )
+        .join(
+            F.broadcast(
+                classes.select("class_idx", F.col("label").alias("__label"))
+            ),
+            F.col("class_idx") == -F.col("__best.neg_idx"),
         )
     )
     return best.select(
         F.col(id_col),
-        F.col("__best.label").alias("pred_label"),
+        F.col("__label").alias("pred_label"),
         F.col("__best.s").alias("log_score"),
     )
 
