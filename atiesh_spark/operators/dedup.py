@@ -611,6 +611,13 @@ def connected_components(
     # fraction (neutral on the driver testdata, whose synthetic docs are
     # near-dup-heavy; the win appears when singletons dominate).
     edge_nodes = edges.select("src").distinct()
+    # Self-loops make the neighbor-min aggregation cover each node's OWN
+    # label, so the per-round least(label, nmin) left-join back to labels
+    # disappears — one join per round instead of two before the pointer
+    # jump. n extra rows against 2|pairs| edge rows, materialized once.
+    prop_edges = edges.unionByName(
+        edge_nodes.select("src", F.col("src").alias("dst"))
+    ).localCheckpoint()
     def _label_digest(lbls: DataFrame):
         # type-agnostic convergence scalar: labels only ever decrease, so
         # an unchanged hash-sum means no label changed (a false equality
@@ -627,17 +634,12 @@ def connected_components(
     ).localCheckpoint()
     prev_sum = _label_digest(labels)
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
+        # min over neighbors ∪ self (the self-loop rows) == the old
+        # least(own, neighbor-min) — same label function, one join less
         stepped = (
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
+            prop_edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
         )
         # pointer jump: label <- label(label); every id has a label row
         parents = stepped.select(

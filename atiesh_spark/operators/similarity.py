@@ -16,6 +16,8 @@ callers round scores before ranking so ties break identically everywhere.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,22 +123,86 @@ def lsh_bucket_signatures(
     10x data at target=1024). Smaller targets cut compute
     proportionally and lower recall (more boundary misses).
     """
-    if num_planes is None:
-        num_planes = auto_num_planes(emb.count(), target_bucket_size)
+    num_planes = _resolve_planes(emb, num_planes, target_bucket_size)
     return emb.select(
         F.col(id_col), _bucket_expr(vec_col, num_planes).alias("bucket")
     )
 
 
+def _resolve_planes(
+    emb: DataFrame, num_planes: int | None, target_bucket_size: int
+) -> int:
+    """None -> auto_num_planes from the corpus row count (parquet
+    metadata count, not a scan); an explicit count passes through."""
+    if num_planes is None:
+        return auto_num_planes(emb.count(), target_bucket_size)
+    return num_planes
+
+
+# Width of the driver-side precomputed sign table per hyperplane. The
+# sign for (plane, dim) is data-independent, so evaluating md5 per ROW
+# per plane per dimension (the pre-r14 plan: ~planes x dim md5 calls
+# per vector, the dominant per-row cost of every LSH operator) was pure
+# waste — the first _SIGN_LIT_DIMS dims ship as one plan literal and
+# the per-row work drops to a slice + dot. Rows with MORE dims than the
+# table fall back row-locally to the md5 expression (bit-identical by
+# construction), so correctness never depends on the table width.
+_SIGN_LIT_DIMS = 1024
+
+
+def _plane_sign_lit(plane: int) -> Column:
+    """Driver-side replica of ``_hyperplane_sign`` for dims
+    0.._SIGN_LIT_DIMS-1, as an array<double> literal. Must stay
+    bit-identical to the in-plan expression: first md5 hex nibble of
+    "plane:dim", low bit -> {-1.0, +1.0}.
+
+    Shipped as ONE string literal parsed by from_json, NOT
+    ``F.lit(list)``: the latter builds a CreateArray with
+    _SIGN_LIT_DIMS literal children, and that 1024-node subtree —
+    copied into every projection branch — made ANALYSIS/OPTIMIZATION
+    time explode (q210's plan build went 1.6 -> 11.5 s). from_json of
+    a foldable string is a single analyzer node that ConstantFolding
+    collapses to one array literal before execution; the values are
+    exact in JSON (±1.0), so the doubles are bit-identical."""
+    payload = "[" + ",".join(
+        "1.0" if s > 0 else "-1.0" for s in _plane_sign_values(plane)
+    ) + "]"
+    return F.from_json(F.lit(payload), "array<double>")
+
+
+@_functools.lru_cache(maxsize=None)
+def _plane_sign_values(plane: int) -> tuple[float, ...]:
+    import hashlib
+
+    return tuple(
+        float(
+            (int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) % 2)
+            * 2
+            - 1
+        )
+        for d in range(_SIGN_LIT_DIMS)
+    )
+
+
 def _bucket_expr(vec_col: str, num_planes: int) -> Column:
     """The signature column itself — row-local codegen, reusable on any
-    frame carrying the vector (no join back by id needed)."""
+    frame carrying the vector (no join back by id needed).
+
+    Signs come from the precomputed literal table (see _SIGN_LIT_DIMS);
+    the md5-expression path survives only as the per-row fallback for
+    vectors wider than the table. Both paths produce the same IEEE
+    doubles in the same fold order, so the rounded projection — and
+    therefore every bucket string — is unchanged."""
     v = as_double(vec_col)
+    size = F.size(F.col(vec_col))
     sig_bits = []
     for p in range(num_planes):
-        dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
-        signs = F.transform(dims, lambda d: _hyperplane_sign(F.lit(p), d))
-        proj = F.round(dot(v, signs), 6)
+        fast = dot(v, F.slice(_plane_sign_lit(p), 1, size))
+        dims = F.sequence(F.lit(0), size - 1)
+        slow = dot(v, F.transform(dims, lambda d: _hyperplane_sign(F.lit(p), d)))
+        proj = F.round(
+            F.when(size <= F.lit(_SIGN_LIT_DIMS), fast).otherwise(slow), 6
+        )
         sig_bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*sig_bits)
 
@@ -167,10 +233,16 @@ def lsh_ann_topk(
     """
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits must be 0 or 1 (wider probing: use repeated tables)")
-    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col, target_bucket_size)
-    with_sig = emb.join(sigs, id_col)
+    num_planes = _resolve_planes(emb, num_planes, target_bucket_size)
+    # bucket is a row-local expression — computing it in place removes
+    # the (emb x signatures) self-join shuffle the old layout paid
+    with_sig = emb.withColumn("bucket", _bucket_expr(vec_col, num_planes))
+    # query norm rides the one-row broadcast (norm(as_double(v)) is the
+    # exact fold cosine() uses) so candidate scoring pays one norm, not two
     q = with_sig.filter(F.col(id_col) == query_vec_id).select(
-        as_double(vec_col).alias("__q"), F.col("bucket").alias("__qb")
+        as_double(vec_col).alias("__q"),
+        norm(as_double(vec_col)).alias("__qn"),
+        F.col("bucket").alias("__qb"),
     )
     if probe_bits == 1:
         # explode the query row into its probe set: own bucket + every
@@ -187,6 +259,7 @@ def lsh_ann_topk(
         )
         q = q.select(
             "__q",
+            "__qn",
             F.explode(F.array_union(F.array(F.col("__qb")), flips)).alias("__qb"),
         )
     candidates = with_sig.join(
@@ -194,7 +267,11 @@ def lsh_ann_topk(
     )
     scored = candidates.select(
         F.col(id_col),
-        F.round(cosine(as_double(vec_col), F.col("__q")), round_to).alias("sim"),
+        F.round(
+            dot(as_double(vec_col), F.col("__q"))
+            / (norm(as_double(vec_col)) * F.col("__qn")),
+            round_to,
+        ).alias("sim"),
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
@@ -284,13 +361,27 @@ def knn_join(
     """
     from pyspark.sql import Window
 
-    sigs = lsh_bucket_signatures(emb, num_planes, id_col, vec_col, target_bucket_size)
-    with_sig = emb.join(sigs, id_col).localCheckpoint()  # both join sides reuse
+    num_planes = _resolve_planes(emb, num_planes, target_bucket_size)
+    # bucket/doubles/norm are row-local: compute them in place (no
+    # signature join-back shuffle) and checkpoint the per-VECTOR work
+    # — cast-to-double and the norm fold — once, so the O(bucket^2)
+    # pair stage pays only the dot product per pair, not two norms and
+    # two array casts. norm(as_double(v)) here is the exact expression
+    # cosine() folds, so sim values are bit-identical.
+    vd = as_double(vec_col)
+    with_sig = emb.select(
+        F.col(id_col),
+        vd.alias("__vd"),
+        norm(vd).alias("__n"),
+        _bucket_expr(vec_col, num_planes).alias("bucket"),
+    ).localCheckpoint()  # both join sides reuse
     a = with_sig.select(
-        F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"), "bucket"
+        F.col(id_col).alias("id_1"), F.col("__vd").alias("__v1"),
+        F.col("__n").alias("__n1"), "bucket",
     )
     b = with_sig.select(
-        F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"), "bucket"
+        F.col(id_col).alias("id_2"), F.col("__vd").alias("__v2"),
+        F.col("__n").alias("__n2"), "bucket",
     )
     # cosine is symmetric: score each unordered pair ONCE (id_1 < id_2),
     # then emit both orientations from the same row via explode — half
@@ -303,7 +394,11 @@ def knn_join(
         .select(
             "id_1",
             "id_2",
-            F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
+            F.round(
+                dot(F.col("__v1"), F.col("__v2"))
+                / (F.col("__n1") * F.col("__n2")),
+                round_to,
+            ).alias("sim"),
         )
     )
     sym = half.select(
@@ -347,28 +442,45 @@ def embedding_near_dup_pairs(
     method='brute': exact all-pairs — the correctness oracle / verifier
     for candidate sets; quadratic, small corpora only.
     """
+    # per-vector work (double cast + norm fold) is hoisted out of the
+    # O(pairs) stage on both paths; norm(as_double(v)) is the exact
+    # expression cosine() folds, so sim values are bit-identical
+    vd = as_double(vec_col)
     if method == "brute":
-        a = emb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"))
-        b = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"))
+        a = emb.select(
+            F.col(id_col).alias("id_1"), vd.alias("__v1"), norm(vd).alias("__n1")
+        )
+        b = emb.select(
+            F.col(id_col).alias("id_2"), vd.alias("__v2"), norm(vd).alias("__n2")
+        )
         pairs = a.join(F.broadcast(b), F.col("id_1") < F.col("id_2"))
     else:
-        sigs = lsh_bucket_signatures(
-            emb, num_planes=num_planes, id_col=id_col, vec_col=vec_col,
-            target_bucket_size=target_bucket_size,
+        num_planes = _resolve_planes(emb, num_planes, target_bucket_size)
+        # bucket is row-local: no signature join-back shuffle
+        with_sig = emb.select(
+            F.col(id_col),
+            vd.alias("__vd"),
+            norm(vd).alias("__n"),
+            _bucket_expr(vec_col, num_planes).alias("bucket"),
         )
-        with_sig = emb.join(sigs, id_col)
         a = with_sig.select(
-            F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1"), "bucket"
+            F.col(id_col).alias("id_1"), F.col("__vd").alias("__v1"),
+            F.col("__n").alias("__n1"), "bucket",
         )
         b = with_sig.select(
-            F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2"), "bucket"
+            F.col(id_col).alias("id_2"), F.col("__vd").alias("__v2"),
+            F.col("__n").alias("__n2"), "bucket",
         )
         pairs = a.join(b, "bucket").filter(F.col("id_1") < F.col("id_2"))
     return (
         pairs.select(
             "id_1",
             "id_2",
-            F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
+            F.round(
+                dot(F.col("__v1"), F.col("__v2"))
+                / (F.col("__n1") * F.col("__n2")),
+                round_to,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -425,11 +537,16 @@ def semantic_dedup(
     cells = model.transform(feats).select(id_col, F.col("prediction").alias("cell"))
     with_cell = emb.join(cells, id_col)
 
+    # per-vector norms hoisted out of the O(cell^2) pair stage;
+    # norm(as_double(v)) is the exact fold cosine() uses — bit-identical
+    vd = as_double(vec_col)
     a = with_cell.select(
-        F.col(id_col).alias("id_1"), "cell", as_double(vec_col).alias("__v1")
+        F.col(id_col).alias("id_1"), "cell", vd.alias("__v1"),
+        norm(vd).alias("__n1"),
     )
     b = with_cell.select(
-        F.col(id_col).alias("id_2"), "cell", as_double(vec_col).alias("__v2")
+        F.col(id_col).alias("id_2"), "cell", vd.alias("__v2"),
+        norm(vd).alias("__n2"),
     )
     edges = (
         a.join(b, "cell")
@@ -437,7 +554,11 @@ def semantic_dedup(
         .select(
             "id_1",
             "id_2",
-            F.round(cosine(F.col("__v1"), F.col("__v2")), round_to).alias("sim"),
+            F.round(
+                dot(F.col("__v1"), F.col("__v2"))
+                / (F.col("__n1") * F.col("__n2")),
+                round_to,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("id_1", "id_2")
@@ -680,18 +801,30 @@ def hard_negatives(
     from pyspark.sql import Window
 
     labeled = emb.filter(F.col(label_col).isNotNull())
-    sigs = lsh_bucket_signatures(labeled, num_planes, id_col, vec_col, target_bucket_size)
-    with_sig = labeled.join(sigs, id_col).localCheckpoint()  # both sides reuse
+    num_planes = _resolve_planes(labeled, num_planes, target_bucket_size)
+    # bucket/doubles/norm are row-local (no signature join-back); the
+    # checkpoint holds the per-vector work so the O(bucket^2) stage
+    # pays only the dot per pair — see knn_join for the identity note
+    vd = as_double(vec_col)
+    with_sig = labeled.select(
+        F.col(id_col),
+        F.col(label_col),
+        vd.alias("__vd"),
+        norm(vd).alias("__n"),
+        _bucket_expr(vec_col, num_planes).alias("bucket"),
+    ).localCheckpoint()  # both sides reuse
     a = with_sig.select(
         F.col(id_col).alias("id_1"),
         F.col(label_col).alias("label_1"),
-        F.col(vec_col).alias("__v1"),
+        F.col("__vd").alias("__v1"),
+        F.col("__n").alias("__n1"),
         "bucket",
     )
     b = with_sig.select(
         F.col(id_col).alias("id_2"),
         F.col(label_col).alias("label_2"),
-        F.col(vec_col).alias("__v2"),
+        F.col("__vd").alias("__v2"),
+        F.col("__n").alias("__n2"),
         "bucket",
     )
     # score each unordered cross-label pair once, mirror via explode
@@ -703,7 +836,11 @@ def hard_negatives(
         )
         .select(
             "id_1", "label_1", "id_2", "label_2",
-            F.round(cosine(as_double("__v1"), as_double("__v2")), round_to).alias("sim"),
+            F.round(
+                dot(F.col("__v1"), F.col("__v2"))
+                / (F.col("__n1") * F.col("__n2")),
+                round_to,
+            ).alias("sim"),
         )
     )
     sym = half.select(
@@ -1680,20 +1817,27 @@ def bitext_margin_pairs(
     """
     from pyspark.sql import Window
 
+    # per-vector norms hoisted out of the O(bucket^2) candidate stage;
+    # norm(as_double(v)) is the exact fold cosine() uses — bit-identical
     sig_a = emb_a.select(
         F.col(id_col).alias("id_a"),
         as_double(vec_col).alias("__va"),
+        norm(as_double(vec_col)).alias("__na"),
         _bucket_expr(vec_col, num_planes).alias("bucket"),
     )
     sig_b = emb_b.select(
         F.col(id_col).alias("id_b"),
         as_double(vec_col).alias("__vb"),
+        norm(as_double(vec_col)).alias("__nb"),
         _bucket_expr(vec_col, num_planes).alias("bucket"),
     )
     cand = sig_a.join(sig_b, "bucket").select(
         "id_a", "id_b",
-        F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
-            .alias("sim"),
+        F.round(
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+            round_to,
+        ).alias("sim"),
     )
     wa = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
     wb = Window.partitionBy("id_b").orderBy(F.desc("sim"), F.asc("id_a"))

@@ -44,6 +44,54 @@ def test_lsh_bucket_contains_query(spark):
     assert ann[0]["vec_id"] == 0  # query is in its own bucket, sim 1.0
 
 
+def test_bucket_expr_literal_signs_match_md5_path(spark):
+    """The r14 precomputed-sign-literal fast path must reproduce the
+    md5-expression path bit for bit — including the row-local fallback
+    for vectors wider than the literal table (_SIGN_LIT_DIMS)."""
+    from atiesh_spark.operators.similarity import (
+        _SIGN_LIT_DIMS,
+        _bucket_expr,
+        _hyperplane_sign,
+        as_double,
+        dot,
+    )
+
+    rows = [
+        (1, [0.5, -0.25, 0.0, 1.75] * 16),          # typical 64-dim
+        (2, [-1.0] * 7),                             # odd width, all-negative
+        (3, [0.0] * 8),                              # zero vector (boundary)
+        (4, [1e-7, -1e-7] * 33),                     # near the rounded boundary
+        (5, [0.125 * ((d % 13) - 6) for d in range(_SIGN_LIT_DIMS + 9)]),
+    ]                                                # wider than the table
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def md5_bucket(vec_col: str, num_planes: int):
+        # the pre-r14 expression: per-row md5 signs for every (plane, dim)
+        v = as_double(vec_col)
+        bits = []
+        for p in range(num_planes):
+            dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
+            signs = F.transform(dims, lambda d: _hyperplane_sign(F.lit(p), d))
+            proj = F.round(dot(v, signs), 6)
+            bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    got = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", _bucket_expr("embedding", 5).alias("b")
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", md5_bucket("embedding", 5).alias("b")
+        ).collect()
+    }
+    assert got == want
+    assert all(len(b) == 5 for b in got.values())
+
+
 def test_auto_num_planes_sizing():
     """planes ~= log2(n / target): holds expected bucket size constant as
     the corpus grows — the rule that keeps per-bucket pairing from going
