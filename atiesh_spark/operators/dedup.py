@@ -100,14 +100,33 @@ def char_shingles(
     (measured r13: 26x at 10x data; row-local distinct restores the
     co-located-doc shape where partial agg is final agg).
     """
-    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
-    grams = F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(k)))
+    grams = _char_gram_array(text_col, k)
     if distinct:
         grams = F.array_distinct(grams)
     return (
         _fanout(df.select(id_col, text_col))
         .select(F.col(id_col), F.explode(grams).alias("sh"))
         .filter(F.length("sh") > 0)
+    )
+
+
+def _char_gram_array(text_col: str, k: int):
+    """All char k-grams of ``text_col`` as an array column (with
+    duplicates; the truncated tail gram of a short text included,
+    matching ``char_shingles``)."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
+    return F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(k)))
+
+
+def char_gram_set(text_col: str, k: int):
+    """The per-row DISTINCT char k-gram SET as an array column — the
+    row-local equivalent of collecting ``char_shingles(distinct=True)``
+    back per id (same one-row-per-id contract). Set membership is
+    identical: array_distinct before vs. after the length filter
+    commutes, and explode+collect_set adds only a shuffle."""
+    return F.filter(
+        F.array_distinct(_char_gram_array(text_col, k)),
+        lambda g: F.length(g) > 0,
     )
 
 
@@ -193,17 +212,52 @@ def ngram_jaccard_pairs(
     on (id, sh).
     """
     if candidates is not None:
-        # shingle SETS as per-doc arrays (bounded by |text|, one shuffle
-        # keyed on id), joined onto the pairs by plain id keys; the
-        # intersection runs as codegen array_intersect per pair — no
-        # (id, shingle)-keyed join of the full shingle stream (measured
-        # ~2x the whole-stage cost of this layout at sf0.1).
-        sh = shingles if shingles is not None else char_shingles(df, id_col, text_col, k)
-        sets_ = sh.groupBy(id_col).agg(F.collect_set("sh").alias("__shs"))
+        # shingle SETS as per-doc arrays, joined onto the pairs by plain
+        # id keys; the intersection runs as codegen array_intersect per
+        # pair — no (id, shingle)-keyed join of the full shingle stream
+        # (measured ~2x the whole-stage cost of this layout at sf0.1).
+        # Default path (r14): the set is built ROW-LOCALLY from the text
+        # (char_gram_set) — zero shuffle, no explode, and the a/b
+        # branches stay scan-shaped so the planner sees honest scan
+        # stats for its join-strategy choice. An injected ``shingles``
+        # frame (a caller's non-char-gram unit, e.g. q53's word
+        # bigrams) still pays one collect_set shuffle, materialized
+        # once so the a/b branches don't run it twice.
+        # Row-count note vs. the collect_set path: a doc whose shingle
+        # SET is empty keeps a row (empty array) instead of vanishing
+        # from the inner join; its pairs score jaccard 0 (or null for
+        # empty-vs-empty) and cannot pass a positive threshold — and no
+        # candidate generator here emits pairs for empty-shingle docs.
+        if shingles is not None:
+            sets_ = (
+                shingles.groupBy(id_col)
+                .agg(F.collect_set("sh").alias("__shs"))
+                .localCheckpoint()
+            )
+        else:
+            # _fanout: the gram-set expression is ~|text| substrings per
+            # row — on a narrow single-split scan it would serialize on
+            # one task (and each a/b branch re-runs it); widen the small
+            # pre-gram rows first, same discipline as char_shingles
+            sets_ = _fanout(df.select(id_col, text_col)).select(
+                F.col(id_col), char_gram_set(text_col, k).alias("__shs")
+            )
         a = sets_.select(F.col(id_col).alias("id_1"), F.col("__shs").alias("__sh1"))
         b = sets_.select(F.col(id_col).alias("id_2"), F.col("__shs").alias("__sh2"))
+        # Widen the pair rows BEFORE attaching the sets: the scoring
+        # stage inherits the probe side's layout, and AQE's bytes-based
+        # coalescing shrinks the candidates' distinct() exchange to one
+        # partition at bench scale (the pair rows are two ids — a few
+        # MB), serializing the per-pair array_intersect — the expensive
+        # part — on one core. One round-robin exchange of (id_1, id_2)
+        # metadata rows is the guide-§8 cheap proxy shuffle; unlike the
+        # scan-gated _fanout this must apply to a post-shuffle frame,
+        # and one partition per core is the right width for a CPU-bound
+        # streaming stage at any scale.
+        target = df.sparkSession.sparkContext.defaultParallelism
         scored = (
             candidates.select("id_1", "id_2")
+            .repartition(target)
             .join(a, "id_1")
             .join(b, "id_2")
             .select(
@@ -320,7 +374,21 @@ def _minhash_wide(
     # unbounded), which this function cannot see — there the caller
     # decides via broadcast_dim (None = auto: broadcast only the
     # self-built bounded case; AQE picks the strategy otherwise).
-    sh_hashes = sh.select("sh").distinct().select("sh", hash_arr.alias("hs"))
+    # Widen the distinct-shingle dim BEFORE evaluating the hash family:
+    # AQE's bytes-based coalescing shrinks the distinct() exchange of
+    # short shingle strings to one partition at bench scale, which
+    # serializes the num_hashes x |dim| md5 evaluations (the projection
+    # sits above the coalesced exchange) on one core — measured 9.9 ->
+    # 3.9 s on the word-bigram dim (q53). One extra round-robin exchange
+    # of the already-distinct strings is metadata-cheap, and one
+    # partition per core is the right width for a CPU-bound streaming
+    # projection at any scale (a dim wider than cores coalesces to
+    # core-width — still streaming, no per-partition state).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    sh_hashes = (
+        sh.select("sh").distinct().repartition(target)
+        .select("sh", hash_arr.alias("hs"))
+    )
     if broadcast_dim is None:
         broadcast_dim = shingles is None and k <= 4
     joined = sh.join(F.broadcast(sh_hashes) if broadcast_dim else sh_hashes, "sh")

@@ -540,8 +540,8 @@ def q51_jaccard_verified_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     from atiesh_spark.operators.dedup import char_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    # one shingle explode serves both stages (candidate generation and
-    # verification) — materialized once, ~halves the pipeline cost
+    # candidate generation needs the EXPLODED shingle stream (hash-dim
+    # join + per-id min agg) — materialized once for its two branches
     sh = char_shingles(docs, "doc_id", "text", k=3).localCheckpoint()
     # broadcast_dim: the injected shingles are char 3-grams, so the
     # distinct-shingle universe is bounded (~|charset|^3) and the
@@ -550,8 +550,12 @@ def q51_jaccard_verified_candidates(spark: SparkSession, sf_dir: str) -> DataFra
         docs, "doc_id", "text", k=3, num_hashes=32, bands=4,
         shingles=sh, broadcast_dim=True,
     )
+    # verification does NOT take shingles=: it needs per-doc SETS, which
+    # ngram_jaccard_pairs builds row-locally from the text (char_gram_set)
+    # — re-deriving ~300 substrings per doc is far cheaper than the
+    # collect_set shuffle of the exploded stream the injection forced
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.7, candidates=cands, shingles=sh
+        docs, "doc_id", "text", k=3, threshold=0.7, candidates=cands
     )
 
 
