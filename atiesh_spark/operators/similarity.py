@@ -1130,7 +1130,31 @@ def _codebook_lit(cb: list[list[float]]) -> Column:
     fine at kmeans scale (k ~ 8-32) but at PQ scale (m * k = hundreds of
     codebooks entries) the unrolled tree makes Catalyst ANALYSIS the
     bottleneck, not execution. Iterating a single literal with one
-    higher-order function keeps the plan tree O(m) regardless of k."""
+    higher-order function keeps the plan tree O(m) regardless of k.
+
+    Shipped as from_json of ONE string literal (r14): the previous
+    ``zip_with(lit(codes), lit(vecs), struct)`` does NOT constant-fold
+    (higher-order functions are never foldable), so every ROW re-built
+    the k structs and their arrays before the argmin even ran — per-row
+    allocation proportional to k * d, pure waste for a constant.
+    JsonToStructs of a foldable input IS folded by ConstantFolding, so
+    the plan carries a single array<struct> Literal. json.dumps floats
+    are shortest-round-trip reprs, exact for every finite double; a
+    non-finite entry (NaN/inf codebook from degenerate input) is not
+    representable in JSON and falls back to the per-row construction."""
+    import json
+    import math
+
+    if all(math.isfinite(x) for cent in cb for x in cent):
+        payload = json.dumps(
+            [
+                {"c": i, "v": [float(x) for x in cent]}
+                for i, cent in enumerate(cb)
+            ]
+        )
+        return F.from_json(
+            F.lit(payload), "array<struct<c:int,v:array<double>>>"
+        )
     vecs = F.lit([[float(x) for x in cent] for cent in cb])
     codes = F.lit(list(range(len(cb)))).cast("array<int>")
     return F.zip_with(
