@@ -58,3 +58,38 @@ def test_edit_distance_pairs_verifies_candidates(spark):
         edit_distance_pairs(df, "doc_id", "text", cand, threshold=0)
     with pytest.raises(ValueError):
         edit_distance_pairs(df, "doc_id", "text", cand, max_chars=0)
+
+
+def test_char_gram_set_matches_exploded_shingle_sets(spark):
+    """`char_gram_set` (the r14 row-local set build used by the Jaccard
+    candidates path) must equal collect_set over char_shingles for every
+    text shape: normal, shorter than k (truncated tail gram), repeated
+    grams, and empty (empty SET, where the exploded path yields no row)."""
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.dedup import char_gram_set, char_shingles
+
+    rows = [
+        (1, "abcabcab"),       # repeats collapse
+        (2, "ab"),             # shorter than k=3 -> one truncated gram
+        (3, ""),               # empty -> empty set
+        (4, "aaaa"),           # single distinct gram
+        (5, "xy zw"),          # whitespace is a char like any other
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["s"])
+        for r in df.select(
+            "doc_id", char_gram_set("text", 3).alias("s")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: sorted(r["s"])
+        for r in char_shingles(df, "doc_id", "text", k=3, distinct=True)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("s"))
+        .collect()
+    }
+    for doc_id, grams in got.items():
+        assert grams == want.get(doc_id, []), doc_id
+    assert set(got) == {1, 2, 3, 4, 5}

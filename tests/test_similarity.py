@@ -1072,3 +1072,42 @@ def test_bitext_margin_degenerate_neighborhood_is_ansi_safe(spark):
     # bucket, forcing the degenerate candidates to meet
     assert bitext_margin_pairs(a, b_zero, k=2, num_planes=0).collect() == []
     assert bitext_margin_pairs(a, b_neg, k=2, num_planes=0).collect() == []
+
+
+def test_codebook_lit_folds_and_matches_per_row_construction(spark):
+    """The r14 from_json codebook literal must (a) constant-fold to a
+    single Literal — higher-order constructions never fold, which was
+    the per-row-rebuild defect — and (b) carry exactly the values the
+    legacy zip_with construction produced, including awkward doubles."""
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.similarity import _codebook_lit
+
+    cb = [
+        [0.1 + 0.2, -1.0 / 3.0],          # non-terminating binary reprs
+        [1e-300, -1e300],                  # extreme magnitudes
+        [0.0, -0.0],                       # signed zero survives JSON? (-0.0
+    ]                                      # parses to -0.0 in Java too)
+    legacy = F.zip_with(
+        F.lit(list(range(len(cb)))).cast("array<int>"),
+        F.lit([[float(x) for x in c] for c in cb]),
+        lambda c, v: F.struct(c.alias("c"), v.alias("v")),
+    )
+    df = spark.range(1).select(
+        _codebook_lit(cb).alias("new"), legacy.alias("old")
+    )
+    row = df.first()
+    assert [tuple(e) for e in row["new"]] == [tuple(e) for e in row["old"]]
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # folded: the executed plan must not contain the json parser node
+    assert "from_json" not in plan
+
+    # non-finite entries are not JSON-representable: the fallback path
+    # must engage and still produce the right structs per row
+    import math
+
+    cb_nan = [[float("nan"), 1.0]]
+    r = spark.range(1).select(_codebook_lit(cb_nan).alias("b")).first()["b"]
+    assert r[0]["c"] == 0 and math.isnan(r[0]["v"][0]) and r[0]["v"][1] == 1.0
