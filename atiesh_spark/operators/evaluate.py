@@ -8,70 +8,120 @@ closing loop is corpus-level n-gram agreement against references —
 BLEU (Papineni et al., ACL 2002) and chrF (Popović, WMT 2015), the
 two metrics every MT/generation pipeline reports.
 
-Scale shape (rebuilt round 14, the row-local-shingle discipline):
-both sides of a (candidate, reference) pair live in the SAME ROW, so
-the per-pair clipped overlap needs NO shuffle at all — the r13 lesson
-(move per-doc work before the exchange) taken to its limit. The
-prepped token array / char stream is materialized in its own
-projection (so split/regexp_replace run once per ROW — inlining them
-into the gram lambdas re-evaluates them per gram POSITION, an
-O(len^2) trap measured at 4x+ on this very module); then, per order
-n, the two sides' grams are tagged, ARRAY-SORTED and run-length
-walked row-locally (sort + neighbor-compare run ends + one
-slice/filter pass per run — O(k log k) per row, all codegen), which
-yields sum(min(cand_count, ref_count)) per (pair, n) without ever
-exploding gram occurrences. The ONLY shuffle in the whole metric is
-the final per-(group, n) integer-sum aggregate: 6 short rows per
-pair instead of one row per gram occurrence (~2 sides x 6 orders x
-|text| rows — the former plan's shuffle, whose sort/spill made q216
-the steepest non-pinned scale curve at 7.99x for 10x data). Nothing
-is all-pairs; metric cost is linear in corpus tokens and the shuffle
-is corpus-INDEPENDENT per pair.
+Scale shape (rebuilt round 14, twice): both sides of a (candidate,
+reference) pair live in the SAME ROW, so the per-pair clipped overlap
+needs NO shuffle at all — the r13 lesson (move per-doc work before
+the exchange) taken to its limit. The per-(pair, n) counts are
+computed by ONE vectorized Arrow kernel (``mapInPandas``): each task
+streams its pair rows through a Python worker that tokenizes /
+strips whitespace with the exact Java-``\\s`` character class, counts
+order-n grams with ``collections.Counter`` and emits the clipped
+overlap plus both closed-form totals — ``n_max - n_min + 1`` short
+integer rows per pair. The ONLY shuffle in the whole metric is the
+final per-(group, n) integer-sum aggregate (the former r13 plan
+exploded every gram occurrence into that shuffle, whose sort/spill
+made q216 the steepest non-pinned scale curve at 7.99x for 10x
+data). Nothing is all-pairs; metric cost is linear in corpus tokens
+and the shuffle is corpus-INDEPENDENT per pair.
 
-Determinism: every precision/recall is a ratio of exact integer
-sums; the only float ops are the final log/exp/divide on those
-integers, rounded to 4 decimals on both the Spark and oracle sides
-(the q209 discipline).
+Why a Python kernel (guide §4.2) and not JVM expressions: the first
+r14 rewrite kept the per-row kernel JVM-side as higher-order
+``array_sort`` + ``aggregate`` lambdas. Those lambdas are
+INTERPRETED per array element (never codegen'd), and the char-1..6
+gram walk visits ~12 elements per character — measured 8.2–52.7 s
+warm for the chrF kernel over sf0.1 vs 0.9–1.1 s for this Arrow
+kernel on the same frame (word/BLEU shape: 1.0 s vs 0.42 s). The
+kernel receives only the four columns it needs and returns bounded
+integer rows, so the JVM->Python transfer is one pass over the text
+bytes it must read anyway.
+
+Determinism: the kernel's outputs are exact integers (verified
+row-for-row equal to the JVM-expression kernel over the full sf0.1
+corpus: 30,000/30,000 char rows, 20,000/20,000 word rows); every
+precision/recall is a ratio of exact integer sums; the only float
+ops are the final log/exp/divide on those integers, rounded to 4
+decimals on both the Spark and oracle sides (the q209 discipline).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from atiesh_spark.session import widen_for_python_stage
 
 __all__ = ["corpus_bleu", "corpus_chrf", "corpus_rouge_n"]
 
-
-def _grams_one(col: str, n: int, unit: str) -> str:
-    """SQL for the array<string> of order-``n`` grams over an
-    already-materialized prepped column (token array for ``word``,
-    space-stripped string for ``char``). The lambda body only
-    slices/substrings the bound column reference — never re-tokenizes.
-    """
-    # sequence(1, k) with k < 1 DESCENDS ([1, 0]); the filter guard
-    # (not greatest()) is what keeps short texts from feeding slice()
-    # a zero start.
-    if unit == "char":
-        return (
-            f"transform(filter(sequence(1, greatest(length({col}), 1)), "
-            f"i -> i + {n} - 1 <= length({col})), "
-            f"i -> substring({col}, i, {n}))"
-        )
-    return (
-        f"transform(filter(sequence(1, greatest(size({col}), 1)), "
-        f"i -> i + {n} - 1 <= size({col})), "
-        f"i -> concat_ws(' ', slice({col}, i, {n})))"
-    )
+# Java regex \s, exactly: [ \t\n\x0b\f\r]. Python's own \s would also
+# match Unicode whitespace (NBSP, \x1c-\x1f,  ...) and silently
+# diverge from the split()/regexp_replace() semantics the oracle SQL
+# mirrors. Compiled once per worker process (guide §4.5).
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
-def _gram_total(col: str, n: int, unit: str) -> str:
-    """Closed-form order-``n`` gram count of a prepped column: exactly
-    ``size(_grams_one(...))`` (= max(len - n + 1, 0)) without building
-    the array."""
-    length = f"length({col})" if unit == "char" else f"size({col})"
-    return f"cast(greatest({length} - {n} + 1, 0) AS bigint)"
+def _count_kernel(pair_col: str, cand_col: str, ref_col: str,
+                  unit: str, n_min: int, n_max: int):
+    """Build the mapInPandas kernel: per input pair row, emit one
+    (pair, __grp, n, clipped, c_total, r_total) row per order n in
+    [n_min, n_max] unless BOTH totals are zero (matching the no-gram
+    no-row behavior of the former exploded plan). Gram semantics are
+    bit-identical to the retired JVM-expression kernel: ``word`` =
+    Java ``split(text, '\\s+')`` with empty tokens dropped, grams
+    joined by one space; ``char`` = whitespace stripped, substring
+    grams over code points (Python ``len``/slicing and Spark
+    ``length``/``substring`` both count code points)."""
+    orders = range(n_min, n_max + 1)
+    char_unit = unit == "char"
+
+    def kernel(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {pair_col: [], "__grp": [], "n": [], "clipped": [],
+                   "c_total": [], "r_total": []}
+            for pid, grp, cand, ref in zip(
+                pdf[pair_col], pdf["__grp"], pdf[cand_col], pdf[ref_col]
+            ):
+                if char_unit:
+                    c = _JAVA_WS.sub("", cand) if isinstance(cand, str) else ""
+                    r = _JAVA_WS.sub("", ref) if isinstance(ref, str) else ""
+                else:
+                    c = ([t for t in _JAVA_WS.split(cand) if t != ""]
+                         if isinstance(cand, str) else [])
+                    r = ([t for t in _JAVA_WS.split(ref) if t != ""]
+                         if isinstance(ref, str) else [])
+                lc, lr = len(c), len(r)
+                for n in orders:
+                    ct, rt = max(lc - n + 1, 0), max(lr - n + 1, 0)
+                    if ct == 0 and rt == 0:
+                        continue
+                    if ct and rt:
+                        if char_unit:
+                            cc = Counter(c[i:i + n] for i in range(ct))
+                            rc = Counter(r[i:i + n] for i in range(rt))
+                        else:
+                            cc = Counter(" ".join(c[i:i + n])
+                                         for i in range(ct))
+                            rc = Counter(" ".join(r[i:i + n])
+                                         for i in range(rt))
+                        clip = sum(min(v, rc[g])
+                                   for g, v in cc.items() if g in rc)
+                    else:
+                        clip = 0
+                    out[pair_col].append(pid)
+                    out["__grp"].append(grp)
+                    out["n"].append(n)
+                    out["clipped"].append(clip)
+                    out["c_total"].append(ct)
+                    out["r_total"].append(rt)
+            yield pd.DataFrame(out)
+
+    return kernel
 
 
 def _clipped_counts(
@@ -80,7 +130,6 @@ def _clipped_counts(
     group_col: str,
     cand_col: str,
     ref_col: str,
-    prep,
     unit: str,
     n_max: int,
     keep_one_sided: bool = False,
@@ -90,32 +139,18 @@ def _clipped_counts(
     total, and the clipped overlap sum(min(cand_count, ref_count)) —
     the shared kernel of BLEU, chrF and ROUGE-N.
 
-    ``prep`` maps a raw text column name to the per-row prepped
-    Column (token array / stripped string, NULL-safe) — materialized
-    ONCE in its own projection. ``unit`` is ``"word"`` or ``"char"``.
-    Single-order callers (ROUGE-N) pass ``n_min == n_max`` so lower
-    orders are never built.
+    ``unit`` is ``"word"`` or ``"char"``. Single-order callers
+    (ROUGE-N) pass ``n_min == n_max`` so lower orders are never built.
 
-    ROW-LOCAL (round 14): both sides of a pair live in one row, so
-    the clipped overlap is computed WITHOUT a gram shuffle. Per order:
-
-      1. tag each side's grams (c=1 candidate, c=0 reference), concat,
-         ``array_sort`` — equal grams become contiguous runs
-         (O(k log k) per row);
-      2. ONE ``aggregate`` pass walks the sorted array carrying
-         (acc, previous gram, run cand-count, run ref-count): a gram
-         change closes the run and adds ``min(cc, rc)``; the finish
-         lambda closes the last run. ``clipped`` = sum over distinct
-         grams of min(cand_count, ref_count), O(k), single pass (the
-         fused form measured ~2x the run-ends/slice variant — one
-         interpreted-lambda walk instead of three).
-
-    Gram totals are closed-form (``_gram_total``). The former plan
-    exploded every gram OCCURRENCE into a (pair, group, n, gram)
-    shuffle — 2 sides x orders x |text| rows whose sort/spill made the
-    metric the steepest non-pinned scale curve (7.99x at 10x data,
-    r13); now the pair row emits ``n_max - n_min + 1`` integer rows
-    and only the per-group reduction shuffles.
+    ARROW KERNEL (round 14, second rewrite — guide §4.2): both sides
+    of a pair live in one row, so the clipped overlap is computed
+    WITHOUT a gram shuffle, inside one ``mapInPandas`` stage (see
+    ``_count_kernel`` for the per-row semantics and the module
+    docstring for the measured JVM-lambda vs Arrow A/B that motivates
+    the Python boundary here). The kernel is handed exactly the four
+    columns it needs and emits ``n_max - n_min + 1`` bounded integer
+    rows per pair; only the callers' per-group reduction shuffles.
+    NULL texts contribute zero grams, matching both retired plans.
 
     ``keep_one_sided`` controls the empty-side convention: corpus
     BLEU/chrF (sacrebleu aggregation) keep a (pair, n) row when only
@@ -128,86 +163,28 @@ def _clipped_counts(
     totals are zero are dropped in every mode, matching the
     no-gram-rows behavior of the former exploded plan.
     """
-    orders = list(range(n_min, n_max + 1))
-    # Widen BEFORE the gram stage: a single small parquet file scans
-    # as one split, and without this the whole sort/count runs on one
+    # Widen BEFORE the Python stage: a single small parquet file scans
+    # as one split, and without this the whole kernel runs on one
     # core. At warehouse scale (thousands of files) this is a
     # plan-analysis no-op.
     base = widen_for_python_stage(
         pairs.select(pair_col, group_col, cand_col, ref_col)
-    ).select(
-        pair_col,
-        F.col(group_col).alias("__grp"),
-        prep(cand_col).alias("__c"),
-        prep(ref_col).alias("__r"),
-    )
-    # Intermediates are materialized as REAL projection columns per
-    # order — each is referenced several times downstream, and
-    # CollapseProject will not re-inline a non-trivial alias referenced
-    # more than once (the same device as word_shingles' token array).
-    srt = base.select(
-        pair_col, "__grp", "__c", "__r",
-        *[
-            F.expr(
-                "array_sort(concat("
-                f"transform({_grams_one('__c', n, unit)}, "
-                "g -> struct(g AS gram, 1 AS c)), "
-                f"transform({_grams_one('__r', n, unit)}, "
-                "g -> struct(g AS gram, 0 AS c))))"
-            ).alias(f"__s{n}")
-            for n in orders
-        ],
-    )
-    # fused run walk: initial pg = NULL never null-safe-equals a gram,
-    # so the first element always opens a run; min(0, 0) = 0 makes the
-    # empty-array and first-run closes free
-    clipped = (
-        "aggregate(__s{n}, "
-        "struct(cast(0 as bigint) AS acc, cast(null as string) AS pg, "
-        "0 AS cc, 0 AS rc), "
-        "(s, x) -> if(x.gram <=> s.pg, "
-        "struct(s.acc AS acc, s.pg AS pg, s.cc + x.c AS cc, "
-        "(s.rc + 1) - x.c AS rc), "
-        "struct(s.acc + cast(least(s.cc, s.rc) as bigint) AS acc, "
-        "x.gram AS pg, x.c AS cc, 1 - x.c AS rc)), "
-        "s -> s.acc + least(s.cc, s.rc))"
-    )
-    structs = [
-        F.expr(
-            f"struct({n} AS n, "
-            f"{clipped.format(n=n)} AS clipped, "
-            f"{_gram_total('__c', n, unit)} AS c_total, "
-            f"{_gram_total('__r', n, unit)} AS r_total)"
-        )
-        for n in orders
-    ]
-    out = (
-        srt.select(pair_col, "__grp", F.explode(F.array(*structs)).alias("g"))
-        .select(
-            pair_col, "__grp",
-            F.col("g.n").alias("n"), F.col("g.clipped").alias("clipped"),
-            F.col("g.c_total").alias("c_total"),
-            F.col("g.r_total").alias("r_total"),
-        )
+    ).withColumnRenamed(group_col, "__grp")
+    schema = T.StructType([
+        T.StructField(pair_col, base.schema[pair_col].dataType),
+        T.StructField("__grp", base.schema["__grp"].dataType),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("clipped", T.LongType()),
+        T.StructField("c_total", T.LongType()),
+        T.StructField("r_total", T.LongType()),
+    ])
+    out = base.mapInPandas(
+        _count_kernel(pair_col, cand_col, ref_col, unit, n_min, n_max),
+        schema,
     )
     if keep_one_sided:
         return out.filter((F.col("c_total") > 0) | (F.col("r_total") > 0))
     return out.filter((F.col("c_total") > 0) & (F.col("r_total") > 0))
-
-
-def _word_prep(col: str) -> Column:
-    # NULL-safe: a NULL text produced zero exploded gram rows in the
-    # former plan; the row-local kernel gets the same zero totals from
-    # an empty array.
-    return F.expr(
-        f"coalesce(filter(split({col}, '\\\\s+'), x -> x != ''), array())"
-    )
-
-
-def _char_prep(col: str) -> Column:
-    return F.coalesce(
-        F.regexp_replace(F.col(col), r"\s+", ""), F.lit("")
-    )
 
 
 def corpus_bleu(
@@ -240,7 +217,7 @@ def corpus_bleu(
     """
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _word_prep, "word", max_n, keep_one_sided=True,
+        "word", max_n, keep_one_sided=True,
     )
     per_group = counts.groupBy(F.col("__grp").alias("grp"), "n").agg(
         F.sum("clipped").alias("clipped"),
@@ -342,7 +319,7 @@ def corpus_chrf(
     """
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _char_prep, "char", max_n, keep_one_sided=True,
+        "char", max_n, keep_one_sided=True,
     )
     per_group = (
         counts.groupBy(F.col("__grp").alias("grp"), "n")
@@ -405,7 +382,7 @@ def corpus_rouge_n(
     # single order only: lower orders would be built and dropped again
     counts = _clipped_counts(
         pairs, pair_col, group_col, cand_col, ref_col,
-        _word_prep, "word", n, n_min=n,
+        "word", n, n_min=n,
     )
     p = F.col("clipped") / F.col("c_total")
     r = F.col("clipped") / F.col("r_total")

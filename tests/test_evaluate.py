@@ -340,21 +340,23 @@ class TestCorpusChrf:
         assert (r["chr_p"], r["chr_r"], r["chrf"]) == (0.0, 0.0, 0.0)
 
 
-def test_plan_no_python_and_bounded_exchanges(spark):
-    # Both metrics must stay JVM-side (no Python workers in the plan)
-    # and shuffle a bounded number of times: ONE tagged gram explode
-    # feeds map-side-combined counts, and the narrowing aggregates
-    # reuse keys — the measured plans are 7 exchanges for BLEU (the
-    # grid join broadcasts) and 4 for chrF. A jump past these bounds
-    # means a subtree started recomputing or a join stopped
-    # broadcasting.
+def test_plan_one_arrow_kernel_and_bounded_exchanges(spark):
+    # The clipped-count kernel is ONE vectorized mapInPandas stage
+    # (guide §4.2 — the JVM higher-order-lambda form was measured
+    # 8-50x slower on the chrF shape; see operators/evaluate.py).
+    # Exactly one Python stage per metric, never a row-at-a-time
+    # BatchEvalPython, and a bounded exchange count: kernel output is
+    # 6 integer rows per pair, so only the per-(group, n) reduction,
+    # the group narrowing and the widening round-robin shuffle. A
+    # jump past these bounds means a subtree started recomputing or a
+    # join stopped broadcasting.
     pairs = _pairs(spark, [(1, "g", "a b c", "a b d")])
     bleu = corpus_bleu(pairs, "pair_id", "cand", "ref", "grp")
     chrf = corpus_chrf(pairs, "pair_id", "cand", "ref", "grp")
     for df, max_exchanges in ((bleu, 8), (chrf, 5)):
         plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
         assert "BatchEvalPython" not in plan
-        assert "ArrowEvalPython" not in plan
         assert plan.count("Exchange") <= max_exchanges
     bleu_plan = bleu._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in bleu_plan  # the (group, n) grid join
