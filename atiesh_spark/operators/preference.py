@@ -97,7 +97,16 @@ def bradley_terry(
         .localCheckpoint()
     )
     spark = comparisons.sparkSession
-    n_items = wins.count()
+    # ONE stats job instead of wins.count() + sym.count(): every item
+    # appears as sym.__i (both directions are unioned in), so the item
+    # count is countDistinct(__i) — and sym is localCheckpointed, so
+    # this aggregate scans the tiny materialized pair digest, not the
+    # comparison stream.
+    stats = sym.groupBy().agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.countDistinct("__i").alias("__ni"),
+    ).collect()[0]
+    n_items, n_pairs = stats["__ni"], stats["__np"]
     if n_items > max_items:
         raise ValueError(
             f"{n_items} items exceeds max_items={max_items}; use a "
@@ -116,11 +125,13 @@ def bradley_terry(
     # overhead. Past the pair budget, the original per-round
     # broadcast-join loop runs instead (ratings stay a k-row digest
     # collected per round, never a literal tree).
-    n_pairs = sym.count()
     if n_pairs <= max_digest_pairs:
         import numpy as np
 
-        items = sorted({r["__i"] for r in wins.select("__i").collect()})
+        # ONE collect of the checkpointed wins digest serves both the
+        # item universe and the win totals (it was two jobs).
+        w_rows = wins.collect()
+        items = sorted({r["__i"] for r in w_rows})
         idx = {it: x for x, it in enumerate(items)}
         rows = sorted(
             (r["__i"], r["__j"], r["__g"]) for r in sym.collect()
@@ -129,7 +140,7 @@ def bradley_terry(
         jj = np.array([idx[j] for _, j, _ in rows], dtype=np.int64)
         gg = np.array([g for _, _, g in rows], dtype=np.float64)
         Wv = np.zeros(len(items))
-        for r in wins.collect():
+        for r in w_rows:
             Wv[idx[r["__i"]]] = r["__W"]
         pv = np.full(len(items), 1.0 / n_items)
         for _ in range(iters):
