@@ -180,6 +180,54 @@ def word_shingles(
     )
 
 
+def word_gram_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document DISTINCT word n-gram SET as an array column:
+    (id_col, __shs) — the row-local equivalent of collecting
+    ``word_shingles(distinct=True)`` back per id (same one-row-per-id
+    contract), mirroring ``char_gram_set`` for the word unit. Exploding
+    ``__shs`` reproduces the ``word_shingles`` rows exactly (same
+    grams, nulls filtered, row-locally distinct), so one row-local
+    build can feed BOTH a MinHash candidate stage (explode) and the
+    Jaccard verify stage (sets as-is) with zero shuffles — the former
+    q53 plan built the exploded frame, then paid a collect_set shuffle
+    to reassemble the very arrays this emits.
+
+    The token array is materialized as its own projection before the
+    positional transform (the word_shingles O(words^2) re-tokenize
+    trap), which is why this is a DataFrame builder, not a Column
+    expression like ``char_gram_set``.
+    """
+    toks = F.col("__toks")
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    )
+
+    def gram(i):
+        parts = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.try_element_at(toks, i + j))
+        return F.concat(*parts)  # NULL if the window runs off the end
+
+    grams = F.filter(
+        F.array_distinct(F.transform(positions, gram)),
+        lambda g: g.isNotNull(),
+    )
+    return (
+        _fanout(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+            ).alias("__toks"),
+        )
+        .select(F.col(id_col), grams.alias("__shs"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -188,6 +236,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    gram_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.
 
@@ -201,6 +250,10 @@ def ngram_jaccard_pairs(
     ``shingles`` accepts a precomputed DISTINCT (id_col, sh) frame
     (ideally localCheckpointed) so a caller that also ran MinHash on the
     same corpus pays the shingle explode once, not twice.
+    ``gram_sets`` accepts a per-doc distinct shingle-SET frame
+    (id_col, __shs array) — e.g. ``word_gram_sets`` — and skips the
+    collect_set reassembly shuffle in the candidates path entirely;
+    it takes precedence over ``shingles`` there.
     Output: (id_1, id_2, jaccard) with id_1 < id_2.
 
     CONTRACT — one row per ``id_col``: the self-built shingle path
@@ -228,7 +281,9 @@ def ngram_jaccard_pairs(
         # from the inner join; its pairs score jaccard 0 (or null for
         # empty-vs-empty) and cannot pass a positive threshold — and no
         # candidate generator here emits pairs for empty-shingle docs.
-        if shingles is not None:
+        if gram_sets is not None:
+            sets_ = gram_sets
+        elif shingles is not None:
             sets_ = (
                 shingles.groupBy(id_col)
                 .agg(F.collect_set("sh").alias("__shs"))

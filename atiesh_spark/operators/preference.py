@@ -416,8 +416,16 @@ def preference_transitivity(
         .count()
     )
     spark = comparisons.sparkSession
-    n_pairs = edges.count()
-    n_ties = edges.filter(F.col("__dir") == 0).count()
+    # one aggregate over the checkpointed edge digest instead of a
+    # count() plus a filtered count() — the tie total is a conditional
+    # sum of the same rows (same per-job-overhead fusion as
+    # bradley_terry's stats job)
+    pair_stats = edges.groupBy().agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.when(F.col("__dir") == 0, 1).otherwise(0)).alias("__nt"),
+    ).collect()[0]
+    n_pairs = pair_stats["__np"]
+    n_ties = int(pair_stats["__nt"] or 0)
     # directed majority edges, both orientations normalized to (src, dst)
     dir_e = edges.filter(F.col("__dir") != 0).select(
         F.when(F.col("__dir") == 1, F.col("__i")).otherwise(F.col("__j")).alias("s"),

@@ -645,19 +645,23 @@ shingles AS (SELECT DISTINCT doc_id, sh FROM ws0 WHERE sh IS NOT NULL)
     doc="Word-bigram Jaccard near-dup pairs via the same MinHash-LSH "
     "candidate pipeline as q51 — the shingle unit (word n-grams, the "
     "standard granularity for natural-text dedup) plugs into the generic "
-    "shingles= slot of both operators; one explode serves candidate "
-    "generation and verification.",
+    "shingles=/gram_sets= slots of both operators; ONE row-local "
+    "gram-set build (word_gram_sets, checkpointed as compact per-doc "
+    "arrays) serves verification directly and candidate generation via "
+    "a cheap explode — no collect_set reassembly shuffle.",
 )
 def q53_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from atiesh_spark.operators.dedup import word_shingles
+    from atiesh_spark.operators.dedup import word_gram_sets
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=2).localCheckpoint()
+    sets = word_gram_sets(docs, "doc_id", "text", n=2).localCheckpoint()
+    sh = sets.select("doc_id", F.explode("__shs").alias("sh"))
     cands = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=4, shingles=sh
     )
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.5, candidates=cands, shingles=sh
+        docs, "doc_id", "text", threshold=0.5, candidates=cands,
+        gram_sets=sets,
     )
 
 

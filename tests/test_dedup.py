@@ -25,6 +25,60 @@ def test_dedup_savings_report_accounting(spark):
     assert sum(r["n_docs"] for r in got.values()) == 6
 
 
+def test_word_gram_sets_matches_exploded_word_shingles(spark):
+    """`word_gram_sets` (the r14 row-local word-set build q53 feeds to
+    the Jaccard candidates path AND explodes for MinHash) must equal
+    collect_set over word_shingles for every text shape: normal,
+    fewer tokens than n (no grams -> empty set, where the exploded
+    path yields no row), repeated grams, empty/whitespace-only text,
+    and multi-space separators."""
+    from pyspark.sql import functions as F
+
+    from atiesh_spark.operators.dedup import word_gram_sets, word_shingles
+
+    rows = [
+        (1, "a b c a b"),        # repeats collapse
+        (2, "one"),              # fewer than n=2 tokens -> empty set
+        (3, ""),                 # empty -> empty set
+        (4, "x  y\tz"),          # multi-space / tab separators
+        (5, "w w w w"),          # single distinct gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = word_gram_sets(df, "doc_id", "text", n=2)
+    got = {
+        r["doc_id"]: sorted(r["__shs"]) for r in sets.collect()
+    }
+    want = {
+        r["doc_id"]: sorted(r["s"])
+        for r in word_shingles(df, "doc_id", "text", n=2, distinct=True)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("s"))
+        .collect()
+    }
+    for doc_id, grams in got.items():
+        assert grams == want.get(doc_id, []), doc_id
+    assert set(got) == {1, 2, 3, 4, 5}
+    # the exploded view reproduces word_shingles rows exactly
+    exploded = sorted(
+        (r["doc_id"], r["sh"])
+        for r in sets.select(
+            "doc_id", F.explode("__shs").alias("sh")
+        ).collect()
+    )
+    direct = sorted(
+        (r["doc_id"], r["sh"])
+        for r in word_shingles(
+            df, "doc_id", "text", n=2, distinct=True
+        ).collect()
+    )
+    assert exploded == direct
+    # and the set build itself is shuffle-free row-local code
+    p = sets._jdf.queryExecution().executedPlan().toString()
+    assert "array_distinct" in p
+    assert "hashpartitioning" not in p  # only the round-robin fanout
+    assert "SortAggregate" not in p and "HashAggregate" not in p
+
+
 def test_edit_distance_pairs_verifies_candidates(spark):
     import pytest
 

@@ -1017,7 +1017,8 @@ def test_no_new_object_hash_aggregates_anywhere(spark):
     rationale."""
     allowed = {
         "q09_batch_assembly", "q44_percentiles", "q45_approx_sketches",
-        "q51_jaccard_verified_candidates", "q53_word_jaccard_pairs",
+        # q51/q53 left this list in r14: their collect_set reassembly
+        # was replaced by row-local char_gram_set / word_gram_sets
         "q68_line_dedup", "q77_winsorize", "q80_inverted_index",
         "q92_mad_outliers", "q97_interarrival_stats",
         "q100_span_dedup_report", "q111_nb_classify",
