@@ -680,21 +680,80 @@ def winnow_overlap_pairs(
     so pair work is bounded by |kept hashes| * max_df^2 and boilerplate
     fingerprints (page chrome, license headers — present everywhere)
     never explode. ``min_shared`` prunes the accidental single-hash
-    collisions before the per-doc size join. Pass ``fingerprints=`` to
-    reuse an existing ``winnow_fingerprints`` frame (e.g. a persisted
-    index) instead of re-fingerprinting the corpus.
+    collisions before the per-doc sizes attach. Pass ``fingerprints=``
+    to reuse an existing ``winnow_fingerprints`` frame (e.g. a
+    persisted index) instead of re-fingerprinting the corpus.
+
+    Engine shape (round 14): when fingerprinting inline, the per-doc
+    DISTINCT hash set is built ROW-LOCALLY (the window min of plain
+    gram hashes — ``(min of packed hash*2^24+pos) div 2^24`` IS the
+    plain window min, so dropping positions changes nothing — then
+    ``array_distinct``), and the doc's fingerprint count rides each
+    exploded row. That deletes the global (id, hash) DISTINCT
+    exchange, the per-doc sizes aggregation exchange, and both closing
+    size joins; the per-doc (id, hash-array) frame is
+    ``localCheckpoint``-ed once because three consumers (df counts and
+    both pair sides) would otherwise re-run the md5 fingerprinting —
+    and because explode over an unmaterialized attribute invites an
+    InferFiltersFromGenerate + pushdown re-evaluation bomb (see the
+    in-body comment).
+    The ``fingerprints=`` path keeps the distinct + sizes-join shape —
+    positions arrive pre-selected there, and joining sizes onto the
+    few surviving pairs beats attaching n_fp to every (id, hash) row.
     """
     if max_df < 2:
         raise ValueError("max_df must be >= 2 (a pair needs two docs)")
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
-    fp = (
-        fingerprints
-        if fingerprints is not None
-        else winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    )
-    docfp = fp.select(F.col(id_col), "fp_hash").distinct()
-    sizes = docfp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_fp"))
+    inline = fingerprints is None
+    if inline:
+        if k < 1 or w < 1:
+            raise ValueError("k and w must be >= 1")
+        # Plain (unpacked) gram hashes: overlap matching never needs
+        # positions, and the window min of plain hashes equals the
+        # hash part of winnow_fingerprints' packed min (pos < 2^24).
+        hs = (
+            f"transform(sequence(1, length(__s) - {k} + 1), "
+            f"i -> cast(conv(substring(md5(substring(__s, i, {k})), 1, 9), "
+            f"16, 10) AS bigint))"
+        )
+        least_terms = ", ".join(
+            f"element_at(__hs, i + {j})" for j in range(w)
+        )
+        hset = (
+            f"array_distinct(if(size(__hs) <= {w}, array(array_min(__hs)), "
+            f"transform(sequence(1, size(__hs) - {w} + 1), "
+            f"i -> least({least_terms}))))"
+        )
+        from atiesh_spark.operators.dedup import _fanout
+
+        # Checkpoint the ARRAY form, BEFORE the explode. Two reasons:
+        # (1) three consumers (df counts, both pair sides) must not
+        # re-run the md5 fingerprinting; (2) explode over a plain
+        # attribute makes InferFiltersFromGenerate add size(..) > 0,
+        # and predicate pushdown then substitutes the WHOLE fingerprint
+        # expression into that filter below every Project — lower(text)
+        # re-evaluated per gram and the gram array rebuilt per
+        # element_at, measured O(doc_len^2)-catastrophic (a 2 s corpus
+        # pass became >15 min). A materialized array is the one explode
+        # input that filter can inspect for free.
+        doc = (
+            _fanout(
+                df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__s"))
+            )
+            .filter(F.length("__s") >= k)
+            .select(F.col(id_col), F.expr(hs).alias("__hs"))
+            .select(F.col(id_col), F.expr(hset).alias("__hset"))
+            .localCheckpoint()
+        )
+        docfp = doc.select(
+            F.col(id_col),
+            F.size("__hset").alias("__n_fp"),
+            F.explode("__hset").alias("fp_hash"),
+        )
+    else:
+        docfp = fingerprints.select(F.col(id_col), "fp_hash").distinct()
+        sizes = docfp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_fp"))
     keep = (
         docfp.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -702,27 +761,37 @@ def winnow_overlap_pairs(
         .select("fp_hash")
     )
     rare = docfp.join(keep, "fp_hash", "left_semi")
-    a = rare.select("fp_hash", F.col(id_col).alias("id_1"))
-    b = rare.select("fp_hash", F.col(id_col).alias("id_2"))
+    carry1 = [F.col("__n_fp").alias("__n1")] if inline else []
+    carry2 = [F.col("__n_fp").alias("__n2")] if inline else []
+    a = rare.select("fp_hash", F.col(id_col).alias("id_1"), *carry1)
+    b = rare.select("fp_hash", F.col(id_col).alias("id_2"), *carry2)
+    # inline path: every pair row carries both docs' n_fp (constant per
+    # id), so min() re-attaches them inside the one pair aggregate and
+    # no sizes join exists at all
+    aggs = [F.count(F.lit(1)).alias("shared_fp")]
+    if inline:
+        aggs += [F.min("__n1").alias("__n1"), F.min("__n2").alias("__n2")]
     shared = (
         a.join(b, "fp_hash")
         .filter(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .agg(*aggs)
         .filter(F.col("shared_fp") >= min_shared)
     )
-    s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("__n_fp").alias("__n1"))
-    s2 = sizes.select(F.col(id_col).alias("id_2"), F.col("__n_fp").alias("__n2"))
-    return (
-        shared.join(s1, "id_1")
-        .join(s2, "id_2")
-        .select(
-            "id_1",
-            "id_2",
-            "shared_fp",
-            F.round(F.col("shared_fp") / F.col("__n1"), 4).alias("frac_1"),
-            F.round(F.col("shared_fp") / F.col("__n2"), 4).alias("frac_2"),
+    if not inline:
+        s1 = sizes.select(
+            F.col(id_col).alias("id_1"), F.col("__n_fp").alias("__n1")
         )
+        s2 = sizes.select(
+            F.col(id_col).alias("id_2"), F.col("__n_fp").alias("__n2")
+        )
+        shared = shared.join(s1, "id_1").join(s2, "id_2")
+    return shared.select(
+        "id_1",
+        "id_2",
+        "shared_fp",
+        F.round(F.col("shared_fp") / F.col("__n1"), 4).alias("frac_1"),
+        F.round(F.col("shared_fp") / F.col("__n2"), 4).alias("frac_2"),
     )
 
 

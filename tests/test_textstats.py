@@ -572,6 +572,43 @@ def test_winnow_overlap_pairs_detects_quote_and_caps_boilerplate(spark):
         winnow_overlap_pairs(df, "doc_id", "text", max_df=1)
 
 
+def test_winnow_overlap_pairs_inline_matches_fingerprints_path(spark):
+    """The round-14 inline path (row-local per-doc hash sets, sizes
+    carried through the pair aggregate) must produce row-identical
+    output to the ``fingerprints=`` path (global distinct + closing
+    size joins) — they are the same math over the same selections.
+    Repetitive text makes the same hash select at multiple positions,
+    so the row-local array_distinct is genuinely exercised against the
+    (id, hash)-level DISTINCT."""
+    from atiesh_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    quote = "the xq77 rare mnop passage qr88 zz"
+    rows = [
+        (1, f"alpha alpha alpha {quote} tail words here alpha alpha"),
+        (2, f"beta opening text {quote} and a different ending beta"),
+        (3, f"gamma body repeats gamma gamma gamma {quote} gamma"),
+        (4, "delta unrelated content with no shared passage at all"),
+        (5, "epsilon also unrelated filler filler filler filler"),
+        (6, "zz"),  # shorter than k: no fingerprints either path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=5, w=4, max_df=3, min_shared=2)
+    inline = winnow_overlap_pairs(df, "doc_id", "text", **kw)
+    external = winnow_overlap_pairs(
+        df,
+        "doc_id",
+        "text",
+        fingerprints=winnow_fingerprints(df, "doc_id", "text", k=5, w=4),
+        **kw,
+    )
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, external.collect()))
+    assert a == b and len(a) >= 3  # all three quote pairs survive
+
+
 def test_perplexity_buckets_ccnet_split(spark):
     from atiesh_spark.operators.textstats import perplexity_buckets
 
