@@ -667,14 +667,27 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
 
 
 def pca_project(
-    df: DataFrame, id_col: str, vec_col: str, mean: list, components: list
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: list,
+    components: list,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Project vectors onto a fitted PCA basis: (id_col, p0..p{k-1}).
+    """Project vectors onto a fitted PCA basis: (id_col, *carry_cols,
+    p0..p{k-1}).
 
     The basis is a broadcast CONSTANT (literal arrays in the plan), so
     projection is row-local codegen — centered dot products via
     zip_with + aggregate, no shuffle, no UDF — and composes with any
     downstream operator (k-NN on p*, histogram per component, ...).
+
+    ``carry_cols`` rides extra input columns through the projection —
+    the projection is row-local, so a consumer that needs both the
+    source vector and its projection (reconstruction checks, residual
+    re-ranking) must NOT join this frame back to ``df`` by id: that is
+    an exchange pair (or a broadcast build) for a relationship the row
+    already holds.
     """
     centered = F.zip_with(
         as_double(vec_col),
@@ -693,7 +706,9 @@ def pca_project(
         ).alias(f"p{ci}")
         for ci, comp in enumerate(components)
     ]
-    return df.select(F.col(id_col), *cols)
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], *cols
+    )
 
 
 def quantize_embeddings(

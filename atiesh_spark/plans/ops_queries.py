@@ -456,14 +456,18 @@ def q98_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps, eigs, total_var = pca_fit(emb, "embedding", k=4)
-    proj = pca_project(emb, "vec_id", "embedding", mean, comps)
 
     centered = F.zip_with(
         as_double("embedding"),
         F.array(*[F.lit(m) for m in mean]),
         lambda x, m: x - m,
     )
-    full = emb.join(proj, "vec_id").withColumn("__c", centered)
+    # projection is row-local: carry the source vector through it
+    # instead of joining proj back to emb by id (an exchange/broadcast
+    # pair for a relationship every row already holds)
+    full = pca_project(
+        emb, "vec_id", "embedding", mean, comps, carry_cols=("embedding",)
+    ).withColumn("__c", centered)
     residual = F.col("__c")
     for ci, comp in enumerate(comps):
         pc = F.col(f"p{ci}")

@@ -233,6 +233,34 @@ def test_pca_recovers_planted_structure(spark):
             assert abs(d_orig - d_proj) < 1e-9
 
 
+def test_pca_project_carry_cols_match_join_attach(spark):
+    """carry_cols must ride the source column through the row-local
+    projection with values identical to the join-by-id attach it
+    replaces (the q98 verify pass), and default to absent."""
+    from atiesh_spark.operators.similarity import pca_fit, pca_project
+
+    rows = [(i, [float((i % 9) - 4), 7.0, float((i * 7) % 5 - 2)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    mean, comps, _, _ = pca_fit(df, "embedding", k=2)
+    carried = pca_project(
+        df, "vec_id", "embedding", mean, comps, carry_cols=("embedding",)
+    )
+    assert carried.columns == ["vec_id", "embedding", "p0", "p1"]
+    joined = df.join(
+        pca_project(df, "vec_id", "embedding", mean, comps), "vec_id"
+    ).select("vec_id", "embedding", "p0", "p1")
+    a = {r["vec_id"]: (r["embedding"], r["p0"], r["p1"])
+         for r in carried.collect()}
+    b = {r["vec_id"]: (r["embedding"], r["p0"], r["p1"])
+         for r in joined.collect()}
+    assert a == b
+    # default signature unchanged: no carried columns
+    assert pca_project(df, "vec_id", "embedding", mean, comps).columns == [
+        "vec_id", "p0", "p1",
+    ]
+
+
 def test_pca_fit_validates_k(spark):
     import pytest
 
