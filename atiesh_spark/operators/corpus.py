@@ -888,12 +888,13 @@ def span_corruption(
 
     if not 0 < rate_pct < 100:
         raise ValueError("rate_pct must be in (0, 100)")
-    base = _fanout(df.select(id_col, text_col)).select(
-        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
-    ).filter(F.size("__toks") > 0)
-    pos = base.select(
+    # posexplode the tokenize EXPRESSION directly: empty/null token
+    # arrays yield no rows (the old size > 0 filter), and an attribute
+    # explode would make InferFiltersFromGenerate + pushdown re-run the
+    # split inside a filter (see retrieval.bm25_topk).
+    pos = _fanout(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.posexplode("__toks").alias("__i", "__tok"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("__i", "__tok"),
     ).select(
         id_col, "__tok",
         (F.col("__i") + 1).alias("__p"),
@@ -1014,8 +1015,14 @@ def vocab_growth(
         F.count(F.lit(1)).alias("__docs"),
         F.sum("__n").alias("__tokens"),
     )
+    # explode the tokenize EXPRESSION directly (see retrieval.bm25_topk:
+    # an attribute explode triggers an inferred size() filter that
+    # re-runs the split twice more per row)
     first_seen = (
-        per_doc.select("__t", F.explode("__toks").alias("__g"))
+        df.select(
+            (md5_long(F.col(id_col).cast("string")) % tranches).alias("__t"),
+            F.explode(ws_tokens(F.col(text_col))).alias("__g"),
+        )
         .groupBy("__g")
         .agg(F.min("__t").alias("__first"))
         .groupBy(F.col("__first").alias("__t"))

@@ -116,9 +116,16 @@ def bloom_positions(
     (the benchmark), it broadcasts; the corpus side never shuffles."""
     if m_bits <= 0 or k_hashes <= 0:
         raise ValueError("m_bits and k_hashes must be positive")
+    # explode the positions EXPRESSION, not a "ps" alias: explode over
+    # an attribute makes InferFiltersFromGenerate add size(..) > 0 and
+    # pushdown substitutes the md5 hashing into that filter, doubling
+    # the per-item hash work (see retrieval.bm25_topk)
     return (
-        items.select(_bloom_pos(F.col(item_col), m_bits, k_hashes).alias("ps"))
-        .select(F.explode("ps").alias("pos"))
+        items.select(
+            F.explode(
+                _bloom_pos(F.col(item_col), m_bits, k_hashes)
+            ).alias("pos")
+        )
         .distinct()
     )
 

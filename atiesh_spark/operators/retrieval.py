@@ -88,9 +88,14 @@ def bm25_topk(
     corpus = lengths.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
     )
-    # Only the query's postings survive into the tf shuffle.
+    # Only the query's postings survive into the tf shuffle. Explode
+    # the tokenize EXPRESSION, not the __toks attribute: explode over
+    # an attribute makes InferFiltersFromGenerate add size(..) > 0 and
+    # pushdown substitutes the tokenizer into that filter — the split
+    # ran 3x per row (2x in the pushed filter, 1x in the Project).
     tf = (
-        base.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        _fanout(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("__t"))
         .filter(F.col("__t").isin(terms))
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
@@ -172,9 +177,12 @@ def bm25_join(
     )
     # tf over the union of all query terms (semi-filtered at the explode),
     # then re-joined to per-query term lists — df stays per-TERM exact.
+    # Explode the tokenize EXPRESSION (see bm25_topk: an attribute
+    # explode triggers an inferred size() filter that re-runs the split).
     all_terms = qterms.select("__t").distinct()
     tf = (
-        base.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        _fanout(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("__t"))
         .join(F.broadcast(all_terms), "__t", "left_semi")
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
@@ -504,13 +512,13 @@ def positional_postings(
     from atiesh_spark.functions.text import ws_tokens
     from atiesh_spark.operators.dedup import _fanout
 
-    base = _fanout(docs.select(id_col, text_col)).select(
-        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
-    )
+    # posexplode the tokenize EXPRESSION (see bm25_topk: an attribute
+    # explode triggers an inferred size() filter that re-runs the split)
     return (
-        base.select(
+        _fanout(docs.select(id_col, text_col))
+        .select(
             id_col,
-            F.posexplode("__toks").alias("__p0", "token"),
+            F.posexplode(ws_tokens(F.col(text_col))).alias("__p0", "token"),
         )
         .groupBy("token", id_col)
         .agg(

@@ -1036,6 +1036,51 @@ def test_no_new_object_hash_aggregates_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_no_filter_reevaluation_bombs_anywhere(spark):
+    """r14 gate for the q164 winnow defect class: explode over an
+    ATTRIBUTE makes InferFiltersFromGenerate add size(attr) > 0, and
+    predicate pushdown (which is cost-blind) substitutes the attr's
+    defining expression into that filter below every Project — in the
+    worst case NESTED (an alias referencing another expensive alias
+    several times inlines a full copy per reference), which turned a
+    2 s winnow corpus pass into >15 min of interpreted per-gram
+    re-evaluation. Two frozen facts:
+
+    (a) exactly these queries may plan a Filter that re-evaluates an
+        expensive array builder (each is the query's OWN gate over a
+        derived column — one bounded extra evaluation per row, triaged
+        in OPTIMIZATION_r14.md); any other query doing so is a new
+        instance of the class (fix: explode the expression instead of
+        the alias, or localCheckpoint the array before the explode);
+    (b) NO query may plan a Filter whose condition holds more than 6
+        lambdafunctions — the nested-substitution signature (the q164
+        bomb line carried 10+; the largest accepted own-gate carries 5).
+    """
+    import re
+
+    pat = re.compile(
+        r"(?:size|isnotnull)\((?:filter|split|transform|aggregate|"
+        r"zip_with|sequence|array_distinct|flatten)"
+    )
+    allowed = {
+        "q82_curation_pipeline", "q115_blocklist_hits",
+        "q215_corpus_bleu", "q216_corpus_chrf", "q217_corpus_rouge2",
+        "q224_luhn_card_audit",
+    }
+    rebuilders, bombs = {}, {}
+    for name, plan in _all_executed_plans(spark).items():
+        for line in plan.splitlines():
+            ls = line.strip(" :+-")
+            if not ls.startswith("Filter"):
+                continue
+            if pat.search(ls) and name not in allowed:
+                rebuilders[name] = rebuilders.get(name, 0) + 1
+            if ls.count("lambdafunction") > 6:
+                bombs[name] = ls.count("lambdafunction")
+    assert not rebuilders, rebuilders
+    assert not bombs, bombs
+
+
 def test_no_new_sort_aggregates_anywhere(spark):
     """r13 registry-wide gate for the q26 defect class: min/max over
     var-width values (strings, structs) silently falls back to
