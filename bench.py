@@ -86,7 +86,7 @@ ANCHORS: dict[str, float] = {
     "q68_line_dedup": 1.06, "q93_window_overlap": 1.57,
     "q94_lm_quality": 2.2,
     # r4 additions
-    "q85_global_index": 0.72, "q98_pca_embeddings": 2.40,
+    "q85_global_index": 0.72, "q98_pca_embeddings": 2.07,
     "q107_bm25_topk": 1.22, "q111_nb_classify": 2.62,
     # r5 additions (q117 re-anchored 1.51 -> 1.64 and q82 below
     # 0.73 -> 1.77 in r12: the budget take went range-parallel and the
@@ -98,7 +98,10 @@ ANCHORS: dict[str, float] = {
     # r14 with q164 2.62 -> 3.45: winnow selection went row-local —
     # faster same-session than the window plan (1.12 vs 2.85) and two
     # exchanges lighter, re-anchored to healthy-canary solo best-of-3
-    # of the new plan; BASELINE.md r14 note)
+    # of the new plan; BASELINE.md r14 note. q164 re-anchored again
+    # 3.45 -> 2.18 late in r14: the overlap stage's distinct/sizes
+    # exchanges and both size joins went row-local too — solo A/B
+    # 3.46 -> 2.00, certified best-of-3 2.18; BASELINE.md r14 note)
     # q144 re-anchored 0.50 -> 1.00 (r13: PSL 490 -> 823 ICANN ccSLDs)
     # -> 1.59 (r14: +83 private-section suffixes, ALL_SUFFIXES_2 = 906;
     # steady solo over 6 passes on a near-quiet box, canary 0.27 — the
@@ -108,7 +111,7 @@ ANCHORS: dict[str, float] = {
     "q144_url_canonicalize": 1.59, "q146_markup_strip": 0.46,
     "q148_intra_doc_line_dedup": 0.32, "q149_gopher_rules": 1.65,
     "q150_dataset_card": 0.51, "q152_sentence_chunks": 0.35,
-    "q163_winnow_fingerprints": 1.12, "q164_winnow_overlap_pairs": 3.45,
+    "q163_winnow_fingerprints": 1.12, "q164_winnow_overlap_pairs": 2.18,
     # q166 re-anchored 5.22 -> 2.30 in r11: the MM rounds moved
     # driver-side onto the bounded pair digest (BASELINE.md r11 note)
     "q166_bradley_terry": 2.30, "q167_logreg_quality_gate": 2.36,
