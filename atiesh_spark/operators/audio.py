@@ -232,23 +232,49 @@ def audio_near_dup_pairs(
     # into three. The checkpoint is the narrow (id, int64) digest —
     # ~16 bytes/row vs the megabyte blobs it came from — the same
     # discipline as the SimHash block join (dedup.py:545).
+    # Grid-salted self-join (round 15, the similarity.py
+    # _block_counts_map scheme, in-plan variant): the gram key space is
+    # data-sized (never driver-collected), but the df aggregate already
+    # exists — the block count g = ceil(df / block_rows) rides the same
+    # join that attaches rareness, zero extra exchanges. Pre-r15 the
+    # pair join's parallelism was capped at the distinct-gram count and
+    # a popular gram (df near max_df) was a single-task df^2 straggler;
+    # now an a-side copy carries block i = hash(id) mod g for every j,
+    # a b-side copy block j for every i, the join keys on
+    # (fp_hash, i, j), and each ordered pair meets in EXACTLY ONE cell
+    # — the joined multiset, the < predicate and the per-pair counts
+    # are identical by construction. g=1 grams plan as before.
+    block_rows = 256  # pairs-per-cell ~ block^2 = 64k count-only rows
     rare = (
         keys.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
-        .select("fp_hash")
+        .select(
+            "fp_hash",
+            F.ceil(F.col("df") / F.lit(block_rows)).cast("int").alias("__g"),
+        )
     )
     keyed = keys.join(rare, "fp_hash")
-    a, b = keyed.alias("a"), keyed.alias("b")
+    a = keyed.select(
+        F.col("media_id").alias("__id_a"), "fp_hash",
+        F.pmod(F.xxhash64("media_id"), F.col("__g")).cast("int").alias("__i"),
+        F.explode(F.sequence(F.lit(0), F.col("__g") - 1)).alias("__j"),
+    )
+    b = keyed.select(
+        F.col("media_id").alias("__id_b"), "fp_hash",
+        F.explode(F.sequence(F.lit(0), F.col("__g") - 1)).alias("__i"),
+        F.pmod(F.xxhash64("media_id"), F.col("__g")).cast("int").alias("__j"),
+    )
+    from atiesh_spark.operators.similarity import _grid_spread
+
     return (
-        a.join(
-            b,
-            (F.col("a.fp_hash") == F.col("b.fp_hash"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+        _grid_spread(a, "fp_hash", "__i", "__j")
+        .join(_grid_spread(b, "fp_hash", "__i", "__j"),
+              ["fp_hash", "__i", "__j"])
+        .filter(F.col("__id_a") < F.col("__id_b"))
         .groupBy(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
+            F.col("__id_a").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)

@@ -17,6 +17,7 @@ callers round scores before ranking so ties break identically everywhere.
 from __future__ import annotations
 
 import functools as _functools
+import os as _os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -97,6 +98,97 @@ def auto_num_planes(n_vectors: int, target_bucket_size: int = 1024) -> int:
     if n_vectors <= 0:
         return 1
     return max(1, math.ceil(math.log2(max(n_vectors / max(target_bucket_size, 1), 2.0))))
+
+
+# --- grid-salted per-key self-join (round 15, r14-verdict item 1) ---
+#
+# With a FIXED plane count the per-bucket population grows linearly
+# with the corpus and per-bucket pair work quadratically — and the pair
+# join's parallelism is capped at the number of DISTINCT keys (16
+# buckets at num_planes=4), so one hot bucket is a single-task
+# straggler no matter how many cores exist (guide §2.2/§2.5). AQE's
+# skew splitter never fires here: it splits oversized shuffle-INPUT
+# partitions (>256 MB), and a quadratic self-join's input is tiny
+# while its OUTPUT explodes. The classic fix is the grid/block
+# self-join: split each key's rows into g = ceil(n_key / block_rows)
+# blocks; an a-side row (block i = a deterministic id hash mod g)
+# replicates across every j, a b-side row (block j) across every i,
+# and the join keys on (key, i, j).
+#
+# OUTPUT-IDENTITY PROOF: for any two rows x, y sharing a key with
+# block count g, the ordered pair (x as id_1, y as id_2) satisfies the
+# equi-key in exactly one cell — (i, j) = (h(x) mod g, h(y) mod g) —
+# because x carries __i = h(x) mod g on every a-side copy and y
+# carries __j = h(y) mod g on every b-side copy. So the joined row
+# multiset (and therefore everything downstream of the unchanged
+# id_1 < id_2 predicate) is exactly the plain key-equi-join's, while
+# per-cell pair work is bounded near block_rows^2 and the shuffle key
+# space grows from |keys| to sum(g_k^2) — enough distinct keys to
+# spread hot buckets over every core. Replication factor is g per
+# side, linear in bucket size, paid only by keys that outgrow
+# block_rows: a g=1 key plans exactly as before (one cell, (0,0)).
+#
+# block_rows is the per-task work knob (pairs-per-cell ~ block^2; 1024
+# -> ~1M pair evaluations per cell, a sub-second task at 64 dims) —
+# parameterised for cluster tuning, NOT a local[32] constant: the same
+# value bounds task size at any scale because it is defined in rows,
+# not partitions.
+_PAIR_BLOCK_ROWS = int(_os.environ.get("ATIESH_PAIR_BLOCK_ROWS", "1024"))
+
+
+def _block_counts_map(keyed: DataFrame, key_col: str, block_rows: int) -> Column:
+    """Driver-collected {key: ceil(count/block_rows)} shipped as ONE
+    foldable from_json map literal (the _codebook_lit discipline —
+    a naive per-entry literal tree bloats analysis). BOUNDED key
+    spaces only: 2^num_planes signatures, n_cells cells — never a
+    data-sized key domain (those attach g via the in-plan count join,
+    see audio_near_dup_pairs). The count pass runs over the caller's
+    already-checkpointed digest frame, so it re-runs no upstream scan."""
+    import json as _json
+
+    rows = (
+        keyed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    payload = _json.dumps(
+        {str(r[key_col]): -(-r["__n"] // block_rows) for r in rows}
+    )
+    return F.from_json(F.lit(payload), "map<string,int>")
+
+
+def _grid_g(keyed: DataFrame, key_col: str, block_rows: int) -> Column:
+    """The per-row block count g as a row-local expression (map-literal
+    lookup on the key; 1 for keys the count pass never saw — vacuous,
+    such keys have no rows)."""
+    return F.coalesce(
+        F.element_at(
+            _block_counts_map(keyed, key_col, block_rows),
+            F.col(key_col).cast("string"),
+        ),
+        F.lit(1),
+    )
+
+
+def _grid_spread(side: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition a grid-join side by its (key, i, j) cell.
+
+    Without this the salt never becomes parallelism: the planner
+    broadcasts the (small-stats) other side and the probe side keeps
+    its upstream partitioning — a 1-split checkpointed scan ran the
+    whole sf1 pair stage on ONE task (measured: q55 sf1 107.7 s, 36.6x
+    at 10x data, with the salt columns present but unspread). An
+    explicit fixed-N repartition (AQE never coalesces a user
+    repartition with an explicit count) puts each grid cell on its
+    hash partition: under a broadcast join the stream side is N-wide;
+    under the at-scale sort-merge join both sides are already
+    co-partitioned on the join key, so these ARE the join's exchanges,
+    not extras. N = 4x defaultParallelism — cores-derived (the bench
+    runs at two core counts), never a data- or local[32]-constant;
+    per-cell work is already bounded by block_rows^2, so N only needs
+    to exceed core count for spread, not track data size."""
+    n = side.sparkSession.sparkContext.defaultParallelism * 4
+    return side.repartition(n, *[F.col(c) for c in key_cols])
 
 
 def lsh_bucket_signatures(
@@ -374,14 +466,25 @@ def knn_join(
         vd.alias("__vd"),
         norm(vd).alias("__n"),
         _bucket_expr(vec_col, num_planes).alias("bucket"),
-    ).localCheckpoint()  # both join sides reuse
+    ).localCheckpoint()  # both join sides + the bucket-count pass reuse
+    # grid-salt the pair join (see _block_counts_map block comment):
+    # counts come from the checkpointed signature pass, g rides each
+    # row as a map-literal lookup, and the join keys on (bucket, i, j)
+    # so a hot bucket spreads over g^2 cells instead of one task. The
+    # pair multiset is provably identical (each ordered pair meets in
+    # exactly one cell) and g=1 buckets plan as before.
+    g = _grid_g(with_sig, "bucket", _PAIR_BLOCK_ROWS)
     a = with_sig.select(
         F.col(id_col).alias("id_1"), F.col("__vd").alias("__v1"),
         F.col("__n").alias("__n1"), "bucket",
+        F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("__i"),
+        F.explode(F.sequence(F.lit(0), g - 1)).alias("__j"),
     )
     b = with_sig.select(
         F.col(id_col).alias("id_2"), F.col("__vd").alias("__v2"),
         F.col("__n").alias("__n2"), "bucket",
+        F.explode(F.sequence(F.lit(0), g - 1)).alias("__i"),
+        F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("__j"),
     )
     # cosine is symmetric: score each unordered pair ONCE (id_1 < id_2),
     # then emit both orientations from the same row via explode — half
@@ -389,7 +492,9 @@ def knn_join(
     # pass, and nothing materialized (the per-bucket pair frame is
     # O(sum bucket_size^2) — far too big to checkpoint at scale).
     half = (
-        a.join(b, "bucket")
+        _grid_spread(a, "bucket", "__i", "__j")
+        .join(_grid_spread(b, "bucket", "__i", "__j"),
+              ["bucket", "__i", "__j"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select(
             "id_1",
@@ -456,22 +561,37 @@ def embedding_near_dup_pairs(
         pairs = a.join(F.broadcast(b), F.col("id_1") < F.col("id_2"))
     else:
         num_planes = _resolve_planes(emb, num_planes, target_bucket_size)
-        # bucket is row-local: no signature join-back shuffle
+        # bucket is row-local: no signature join-back shuffle. The
+        # checkpoint serves BOTH join sides and the grid-salt count
+        # pass (pre-r15 each side recomputed the scan + bucket fold).
         with_sig = emb.select(
             F.col(id_col),
             vd.alias("__vd"),
             norm(vd).alias("__n"),
             _bucket_expr(vec_col, num_planes).alias("bucket"),
-        )
+        ).localCheckpoint()
+        # grid-salt the pair join (see _block_counts_map block comment):
+        # hot buckets spread over g^2 cells, pair multiset provably
+        # identical, g=1 buckets plan as before.
+        g = _grid_g(with_sig, "bucket", _PAIR_BLOCK_ROWS)
         a = with_sig.select(
             F.col(id_col).alias("id_1"), F.col("__vd").alias("__v1"),
             F.col("__n").alias("__n1"), "bucket",
+            F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("__i"),
+            F.explode(F.sequence(F.lit(0), g - 1)).alias("__j"),
         )
         b = with_sig.select(
             F.col(id_col).alias("id_2"), F.col("__vd").alias("__v2"),
             F.col("__n").alias("__n2"), "bucket",
+            F.explode(F.sequence(F.lit(0), g - 1)).alias("__i"),
+            F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("__j"),
         )
-        pairs = a.join(b, "bucket").filter(F.col("id_1") < F.col("id_2"))
+        pairs = (
+            _grid_spread(a, "bucket", "__i", "__j")
+            .join(_grid_spread(b, "bucket", "__i", "__j"),
+                  ["bucket", "__i", "__j"])
+            .filter(F.col("id_1") < F.col("id_2"))
+        )
     return (
         pairs.select(
             "id_1",
@@ -535,21 +655,38 @@ def semantic_dedup(
     )
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(fit_on)
     cells = model.transform(feats).select(id_col, F.col("prediction").alias("cell"))
-    with_cell = emb.join(cells, id_col)
 
     # per-vector norms hoisted out of the O(cell^2) pair stage;
-    # norm(as_double(v)) is the exact fold cosine() uses — bit-identical
+    # norm(as_double(v)) is the exact fold cosine() uses — bit-identical.
+    # Checkpointed: both join sides and the grid-salt count pass reuse
+    # it (pre-r15 each side re-ran the KMeans transform join).
     vd = as_double(vec_col)
+    with_cell = (
+        emb.join(cells, id_col)
+        .select(
+            F.col(id_col), "cell", vd.alias("__vd"), norm(vd).alias("__n")
+        )
+        .localCheckpoint()
+    )
+    # grid-salt the per-cell pair join (see _block_counts_map block
+    # comment): a hot cell spreads over g^2 grid cells, pair multiset
+    # provably identical, g=1 cells plan as before.
+    g = _grid_g(with_cell, "cell", _PAIR_BLOCK_ROWS)
     a = with_cell.select(
-        F.col(id_col).alias("id_1"), "cell", vd.alias("__v1"),
-        norm(vd).alias("__n1"),
+        F.col(id_col).alias("id_1"), "cell", F.col("__vd").alias("__v1"),
+        F.col("__n").alias("__n1"),
+        F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("__i"),
+        F.explode(F.sequence(F.lit(0), g - 1)).alias("__j"),
     )
     b = with_cell.select(
-        F.col(id_col).alias("id_2"), "cell", vd.alias("__v2"),
-        norm(vd).alias("__n2"),
+        F.col(id_col).alias("id_2"), "cell", F.col("__vd").alias("__v2"),
+        F.col("__n").alias("__n2"),
+        F.explode(F.sequence(F.lit(0), g - 1)).alias("__i"),
+        F.pmod(F.xxhash64(F.col(id_col)), g).cast("int").alias("__j"),
     )
     edges = (
-        a.join(b, "cell")
+        _grid_spread(a, "cell", "__i", "__j")
+        .join(_grid_spread(b, "cell", "__i", "__j"), ["cell", "__i", "__j"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select(
             "id_1",

@@ -154,6 +154,20 @@ CANARY_HEALTHY_SEC = 0.30
 REMEASURE_PASSES = 3
 REMEASURE_MAX_CELLS = 10  # bound the tail under pathological load
 
+# Round 15 (r14 verdict item 6): REACT to an unhealthy start canary
+# instead of just recording it. Host co-tenancy is invisible to
+# container loadavg and episodic (the r14 sweep started at 1.602 s
+# canary and ended healthy at 0.158 s) — sleeping through the episode
+# costs minutes; sweeping through it poisons every cell. If the start
+# canary reads >= CANARY_HEALTHY_SEC, sleep CANARY_RETRY_SLEEP_SEC and
+# re-take it, up to CANARY_MAX_RETRIES times; if it never recovers the
+# sweep proceeds anyway (an artifact late is better than none) with
+# "canary_unhealthy_start": true stamped in the JSON — ONE flag for
+# PERF to read instead of per-cell forensics. Additions only: headline
+# computation, cell set and best-of-2 protocol untouched.
+CANARY_MAX_RETRIES = 6
+CANARY_RETRY_SLEEP_SEC = 60
+
 
 def check_anchors(artifact_path: str) -> int:
     """Compute per-cell ratio (artifact sec / anchor sec) for every
@@ -227,6 +241,11 @@ def check_anchors(artifact_path: str) -> int:
                 )
         print(f"canary {canary.get('cell')} (healthy < {hmax}s): "
               + "; ".join(verdicts))
+        if record.get("canary_unhealthy_start"):
+            print("canary_unhealthy_start: true — the sweep began under "
+                  f"host co-tenancy that {canary.get('start_retries', 0)} "
+                  "bounded retries could not wait out; per-cell movement "
+                  "in this artifact is suspect wholesale")
     print(f"aggregate: {got:.1f}s / {want:.1f}s anchored = {agg:.2f}x"
           f" ({'FAIL' if agg >= 2.0 else 'pass'}; the aggregate is the"
           " machine gate)")
@@ -276,6 +295,18 @@ def main() -> None:
     # container loadavg can't see shows up here first).
     materialize(QUERIES[CANARY_CELL].spark(spark, SF_DIR))
     canary_start = _best_of(spark, CANARY_CELL, 3)
+    canary_retries = 0
+    while canary_start >= CANARY_HEALTHY_SEC and canary_retries < CANARY_MAX_RETRIES:
+        canary_retries += 1
+        print(
+            f"  start canary {canary_start}s >= {CANARY_HEALTHY_SEC}s "
+            f"(host co-tenancy); sleeping {CANARY_RETRY_SLEEP_SEC}s "
+            f"(retry {canary_retries}/{CANARY_MAX_RETRIES})",
+            file=sys.stderr,
+        )
+        time.sleep(CANARY_RETRY_SLEEP_SEC)
+        canary_start = _best_of(spark, CANARY_CELL, 3)
+    canary_unhealthy_start = canary_start >= CANARY_HEALTHY_SEC
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -350,6 +381,10 @@ def main() -> None:
             "healthy_max": CANARY_HEALTHY_SEC,
         },
     }
+    if canary_retries:
+        record["canary"]["start_retries"] = canary_retries
+    if canary_unhealthy_start:
+        record["canary_unhealthy_start"] = True
     if remeasures:
         record["remeasures"] = remeasures
         if len(breached) > REMEASURE_MAX_CELLS:
