@@ -120,6 +120,13 @@ def kmeans_fit(
             "column is ragged — filter to a single dimension before fitting"
         )
     base = base.filter(F.size("__v") == d)
+    if iterations > 1:
+        # Lazy local checkpoint: round 1's collect materializes the
+        # scanned+cast frame in its own job, rounds 2..n read the
+        # persisted rows instead of re-running the scan. Partition
+        # layout and row order preserved — every rounded mean is
+        # bit-identical (the determinism contract; see pq_fit).
+        base = base.localCheckpoint(eager=False)
 
     for _ in range(iterations):
         assigned = base.select(

@@ -752,9 +752,19 @@ def connected_components(
             F.sum(F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)"))
         ).first()[0]
 
+    # LAZY checkpoints fuse the per-round checkpoint + digest jobs
+    # (r14-verdict item 7): an eager localCheckpoint is its own Spark
+    # job and the convergence digest a second one — 2 driver-sequential
+    # jobs per round of pure scheduling overhead. eager=False marks the
+    # plan for checkpointing and the digest's full aggregate (it reads
+    # every partition) materializes it in the SAME job; the next
+    # round's joins then read the checkpointed rows as before. Labels,
+    # join results and convergence behavior are byte-identical — only
+    # the job count changes (measured via status tracker: 2 -> 1 per
+    # round).
     labels = edge_nodes.select(
         F.col("src"), F.col("src").alias("label")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev_sum = _label_digest(labels)
     for _ in range(max_iter):
         # min over neighbors ∪ self (the self-loop rows) == the old
@@ -771,7 +781,7 @@ def connected_components(
         labels = (
             stepped.join(parents, stepped.label == parents.p_src)
             .select("src", F.least("label", "p_label").alias("label"))
-            .localCheckpoint()  # cut the growing lineage
+            .localCheckpoint(eager=False)  # cut lineage; digest runs it
         )
         new_sum = _label_digest(labels)
         if new_sum == prev_sum:

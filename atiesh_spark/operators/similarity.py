@@ -1432,6 +1432,17 @@ def pq_fit(
             )
         ).alias("__s", "__sv")
     )
+    if iterations > 1:
+        # Every Lloyd round re-ran the whole upstream frame — the scan,
+        # the cast, the subvector explode, and for ivf_pq_fit the full
+        # per-row residual expression (coarse argmin + subtract, the
+        # heaviest expression in the fit). A LAZY local checkpoint
+        # materializes it inside round 1's own collect (no extra job)
+        # and rounds 2..n read the persisted rows. Partition layout and
+        # row order are preserved, so every rounded mean — and the
+        # determinism contract across the driver's two core counts — is
+        # bit-identical. iterations=1 (q143) keeps the direct plan.
+        subs = subs.localCheckpoint(eager=False)
     for _ in range(iterations):
         # every subspace's codebook in one literal, indexed by __s —
         # no per-subspace when-chain, constant-size plan tree

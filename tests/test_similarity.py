@@ -1139,3 +1139,34 @@ def test_codebook_lit_folds_and_matches_per_row_construction(spark):
     cb_nan = [[float("nan"), 1.0]]
     r = spark.range(1).select(_codebook_lit(cb_nan).alias("b")).first()["b"]
     assert r[0]["c"] == 0 and math.isnan(r[0]["v"][0]) and r[0]["v"][1] == 1.0
+
+
+def test_grid_salted_pair_join_output_identical(spark, monkeypatch):
+    """The r15 grid-salted pair join must be a pure parallelism change:
+    forcing every bucket to split (block_rows=3 -> g in the tens) has
+    to produce byte-identical rows to the degenerate g=1 grid (huge
+    block_rows), for both knn_join (ranked) and the near-dup pair set.
+    This pins the exactly-one-cell-per-ordered-pair argument with data."""
+    import atiesh_spark.operators.similarity as sim
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    def rows(block):
+        monkeypatch.setattr(sim, "_PAIR_BLOCK_ROWS", block)
+        knn = sorted(
+            tuple(r)
+            for r in sim.knn_join(emb, k=3, num_planes=2).collect()
+        )
+        pairs = sorted(
+            tuple(r)
+            for r in sim.embedding_near_dup_pairs(
+                emb, threshold=0.3, num_planes=2
+            ).collect()
+        )
+        return knn, pairs
+
+    knn_salted, pairs_salted = rows(3)
+    knn_plain, pairs_plain = rows(10**9)
+    assert knn_salted == knn_plain
+    assert pairs_salted == pairs_plain
+    assert len(pairs_salted) > 0 and len(knn_salted) > 0
