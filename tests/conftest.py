@@ -12,7 +12,11 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="atiesh-spark-tests", cpus=8, shuffle_partitions=8)
+    import os
+    cpus = int(os.environ.get("ATIESH_TEST_CPUS", "8"))
+    s = get_spark(
+        app_name="atiesh-spark-tests", cpus=cpus, shuffle_partitions=cpus
+    )
     yield s
     s.stop()
 

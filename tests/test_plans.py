@@ -25,25 +25,51 @@ def plan_of(spark, name: str) -> str:
     )
 
 
-#: One registry-wide executed-plan scan shared by the aggregate gates —
-#: composing all 250 plans costs ~7 minutes, so the two gates must not
-#: each pay it. Keyed by id(spark) so a fresh session (new conftest
-#: scope) re-scans.
+#: One registry-wide plan scan shared by ALL the aggregate gates —
+#: composing all 250 plans costs ~7 minutes (building each query
+#: executes its eager checkpoints), so the gates must not each pay it.
+#: Each query's QueryExecution yields BOTH the executed (physical)
+#: string the aggregate/filter gates read and the optimized (logical)
+#: string the shuffle_free_scan classification gate reads — one
+#: composition pass, four consumers. Keyed by id(spark) so a fresh
+#: session (new conftest scope) re-scans. The consuming gates carry
+#: @pytest.mark.planscan and are deselected by default (pytest.ini) so
+#: the driver's budget-capped `pytest tests/ -x -q` run stays green;
+#: run them explicitly with `-m planscan` (or everything with
+#: `-m "planscan or not planscan"`) — recorded every round in
+#: OPTIMIZATION_r*.md.
 _ALL_PLANS_CACHE: dict = {}
 
 
-def _all_executed_plans(spark) -> dict[str, str]:
+def _logical_node_names(jplan, out: set) -> None:
+    """True nodeName()s by JVM tree walk — treeString parsing would
+    misread multi-line literals (robots rules, PSL suffixes) as nodes."""
+    out.add(jplan.nodeName())
+    kids = jplan.children()
+    for i in range(kids.size()):
+        _logical_node_names(kids.apply(i), out)
+
+
+def _all_plans(spark) -> dict[str, tuple[str, str, frozenset]]:
     key = id(spark)
     if key not in _ALL_PLANS_CACHE:
         _ALL_PLANS_CACHE.clear()
-        _ALL_PLANS_CACHE[key] = {
-            name: spec.spark(spark, SF_SMALL)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            for name, spec in QUERIES.items()
-        }
+        plans = {}
+        for name, spec in QUERIES.items():
+            qe = spec.spark(spark, SF_SMALL)._jdf.queryExecution()
+            names: set = set()
+            _logical_node_names(qe.optimizedPlan(), names)
+            plans[name] = (
+                qe.executedPlan().toString(),
+                qe.optimizedPlan().treeString(),
+                frozenset(names),
+            )
+        _ALL_PLANS_CACHE[key] = plans
     return _ALL_PLANS_CACHE[key]
+
+
+def _all_executed_plans(spark) -> dict[str, str]:
+    return {name: ex for name, (ex, _, _) in _all_plans(spark).items()}
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -1002,6 +1028,7 @@ def test_widen_treats_python_map_chains_as_narrow(spark):
     assert widen_for_python_stage(grouped) is grouped
 
 
+@pytest.mark.planscan
 def test_no_new_object_hash_aggregates_anywhere(spark):
     """r14 companion to the SortAggregate gate (r13 verdict item 8):
     ObjectHashAggregate serves collect_list/collect_set/percentile
@@ -1036,6 +1063,7 @@ def test_no_new_object_hash_aggregates_anywhere(spark):
     assert not offenders, offenders
 
 
+@pytest.mark.planscan
 def test_no_filter_reevaluation_bombs_anywhere(spark):
     """r14 gate for the q164 winnow defect class: explode over an
     ATTRIBUTE makes InferFiltersFromGenerate add size(attr) > 0, and
@@ -1081,6 +1109,7 @@ def test_no_filter_reevaluation_bombs_anywhere(spark):
     assert not bombs, bombs
 
 
+@pytest.mark.planscan
 def test_no_new_sort_aggregates_anywhere(spark):
     """r13 registry-wide gate for the q26 defect class: min/max over
     var-width values (strings, structs) silently falls back to
@@ -1102,3 +1131,60 @@ def test_no_new_sort_aggregates_anywhere(spark):
         if "SortAggregate" in plan and name not in allowed:
             offenders[name] = plan.count("SortAggregate")
     assert not offenders, offenders
+
+
+@pytest.mark.planscan
+def test_shuffle_free_scan_classifies_every_registry_node(spark):
+    """r14 verdict item 8: ``session.shuffle_free_scan`` classifies
+    optimized-plan nodes by treeString prefix and fails SAFE on an
+    unknown node (returns False -> the widen gate becomes identity and
+    a narrow Python stage silently runs one-task — the q200 regression
+    class). This gate enumerates every node name the registry's 250
+    optimized plans actually emit and asserts each is KNOWN — either
+    narrow (`_NARROW_PLAN_NODES`) or in the frozen wide list below —
+    so a Spark upgrade that renames a node degrades LOUDLY (this test
+    lists it) instead of silently never widening again. Node names
+    come from a JVM tree walk (nodeName()), not treeString parsing —
+    multi-line string literals in plans would otherwise read as fake
+    nodes."""
+    from atiesh_spark.session import _NARROW_PLAN_NODES
+
+    KNOWN_WIDE = (
+        "Join", "Aggregate", "Sort", "Window", "WindowGroupLimit",
+        "Repartition",            # shuffle=true form; =false is narrow
+        "RepartitionByExpression",
+        "GlobalLimit", "LocalLimit", "Limit", "Deduplicate", "Distinct",
+        "Expand", "FlatMapGroupsInPandas", "Intersect", "Except",
+        "CollectMetrics", "WithCTE", "CTERelationDef", "CTERelationRef",
+        "DeserializeToObject", "SerializeFromObject",
+        "MapElements", "TypedFilter", "AppendColumns", "OneRowRelation",
+        "ReturnAnswer", "Offset", "Tail",
+    )
+    unknown: dict[str, set] = {}
+    for name, (_, _, nodes) in _all_plans(spark).items():
+        for node in nodes:
+            if node.startswith(_NARROW_PLAN_NODES) or node.startswith(
+                KNOWN_WIDE
+            ):
+                continue
+            unknown.setdefault(node, set()).add(name)
+    assert not unknown, {
+        k: sorted(v)[:3] for k, v in unknown.items()
+    }
+
+
+def test_jaccard_sets_attach_joins_broadcast(spark):
+    """r14 verdict item 4 (the q51 watch item): the row-local gram-sets
+    frames must BROADCAST onto the widened candidate pairs at bench
+    scale — if a Spark change or a stats regression flips the set
+    attach to a sort-merge join, the array-heavy set rows get shuffled
+    and sorted per pair side (a silent ~10x at the next scale jump).
+    At true scale the planner's fallback to SMJ once the sets frame
+    outgrows the 64 MB estimate is the HONEST shape (a per-doc frame
+    cannot broadcast forever) — this gate pins bench scale only, where
+    the estimate is far under the threshold; the flip point itself is
+    probed in SCALE.md."""
+    plan = plan_of(spark, "q51_jaccard_verified_candidates")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
