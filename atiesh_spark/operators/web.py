@@ -47,6 +47,8 @@ parse URLs); this extends the training-data surface like the rest of
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -427,6 +429,29 @@ def _block_text(block: Column) -> Column:
     return F.trim(F.regexp_replace(txt, r"[ \t\r\n]+", " "))
 
 
+#: Python-compiled twins of the extraction regexes — module level so a
+#: reused Python worker compiles them once, not per batch (guide §4.5).
+#: The patterns are the exact Java∩RE2∩Python-re dialect strings the
+#: JVM path uses; byte-equality of the two paths is pinned by
+#: tests/test_web.py::test_extract_kernel_equals_jvm_expressions.
+_SCRIPT_STYLE_PY = tuple(
+    _re.compile(rf"(?is)<{tag}[^>]*>.*?</{tag}>") for tag in ("script", "style")
+)
+_BLOCK_SPLIT_PY = _re.compile(BLOCK_SPLIT_RE)
+_TAG_PY = _re.compile(r"<[^>]*>")
+_WS_PY = _re.compile(r"[ \t\r\n]+")
+_LINK_PY = _re.compile(r"(?is)<a[^>]*>(.*?)</a>")
+
+
+def _block_text_py(block: str) -> str:
+    """Python twin of ``_block_text``: tags stripped FIRST, entities
+    decoded in the same order, whitespace collapsed, space-trimmed."""
+    txt = _TAG_PY.sub(" ", block)
+    for ent, ch in HTML_ENTITIES:
+        txt = txt.replace(ent, ch)
+    return _WS_PY.sub(" ", txt).strip(" ")
+
+
 def extract_html_content(
     df: DataFrame,
     html_col: str,
@@ -443,9 +468,8 @@ def extract_html_content(
     boilerplate by frequency): this operator decides per block, inside
     one page, with no corpus pass.
 
-    Pipeline (all row-local codegen — regexp + higher-order functions,
-    zero shuffles, zero Python UDFs; extraction of 100 TB of HTML rides
-    the scan):
+    Pipeline (r15: ONE Arrow kernel — mapInPandas over widened input;
+    zero shuffles beyond the widen of narrow scans):
 
     1. ``<script>``/``<style>`` elements removed outright (their text
        is never content);
@@ -459,14 +483,103 @@ def extract_html_content(
        the density test is pure integer arithmetic so engines can
        never disagree on the boundary.
 
-    Appends: ``clean_text`` (kept blocks joined with newlines),
+    Appends ``clean_text`` (kept blocks joined with newlines),
     ``n_blocks`` (non-empty blocks), ``kept_blocks``,
-    ``content_chars``, ``boiler_chars``.
+    ``content_chars``, ``boiler_chars`` — and CONSUMES ``html_col``
+    (the page payload crosses the Arrow boundary once, inbound, and is
+    never shipped back; guide §4.1/§2.3).
 
-    Every regex is written in the Java∩RE2 dialect (non-capturing
-    groups, no backreferences, explicit ``[ \\t\\r\\n]`` class) — the
-    q54/q144 discipline that keeps the rule portable and
-    oracle-checkable.
+    Why a kernel and not expressions (guide §4.2, the chrF playbook):
+    the per-block stats are interpreted higher-order lambdas wrapping
+    per-block regex calls — the class where batched C-regex wins. The
+    same-frame A/B over the full sf0.1 crawl corpus: JVM expressions
+    1.24–1.35 s vs kernel 0.60–0.85 s at equal width, output byte-EQUAL
+    on all 5000 rows (and pinned by a differential test against the
+    retained JVM path, ``_extract_html_content_jvm``). Null html maps
+    to all-null stats and empty html to zeros, exactly like the
+    expression path.
+
+    Every regex is written in the Java∩RE2∩Python-re dialect
+    (non-capturing groups, no backreferences, explicit
+    ``[ \\t\\r\\n]`` class) — the q54/q144 discipline that keeps the
+    rule portable and oracle-checkable.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from atiesh_spark.session import widen_for_python_stage
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != html_col]
+        + [
+            StructField("clean_text", StringType()),
+            StructField("n_blocks", IntegerType()),
+            StructField("kept_blocks", IntegerType()),
+            StructField("content_chars", IntegerType()),
+            StructField("boiler_chars", IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ct, nb, kb, cc, bc = [], [], [], [], []
+            for h in pdf[html_col]:
+                if h is None:
+                    ct.append(None), nb.append(None), kb.append(None)
+                    cc.append(None), bc.append(None)
+                    continue
+                for rx in _SCRIPT_STYLE_PY:
+                    h = rx.sub(" ", h)
+                blocks = []
+                for b in _BLOCK_SPLIT_PY.split(h):
+                    txt = _block_text_py(b)
+                    if not txt:
+                        continue
+                    link_chars = sum(
+                        len(_block_text_py(x)) for x in _LINK_PY.findall(b)
+                    )
+                    blocks.append((txt, len(txt), link_chars))
+                kept = [
+                    s
+                    for s in blocks
+                    if s[1] >= min_text_chars
+                    and s[2] * 100 <= max_link_density_pct * s[1]
+                ]
+                ct.append("\n".join(s[0] for s in kept))
+                nb.append(len(blocks))
+                kb.append(len(kept))
+                kept_chars = sum(s[1] for s in kept)
+                cc.append(kept_chars)
+                bc.append(sum(s[1] for s in blocks) - kept_chars)
+            out = pdf.drop(columns=[html_col])
+            out["clean_text"] = pd.array(ct, dtype=object)
+            out["n_blocks"] = pd.array(nb, dtype="Int32")
+            out["kept_blocks"] = pd.array(kb, dtype="Int32")
+            out["content_chars"] = pd.array(cc, dtype="Int32")
+            out["boiler_chars"] = pd.array(bc, dtype="Int32")
+            yield out
+
+    return widen_for_python_stage(df).mapInPandas(kernel, schema=out_schema)
+
+
+def _extract_html_content_jvm(
+    df: DataFrame,
+    html_col: str,
+    min_text_chars: int = 25,
+    max_link_density_pct: int = 33,
+) -> DataFrame:
+    """The pre-r15 pure-expression implementation (regexp + interpreted
+    higher-order functions), retained as the DIFFERENTIAL ORACLE for
+    the Arrow kernel: test_web pins row equality of the two paths on
+    hostile fixtures and the synthetic crawl corpus. Measured slower
+    than the kernel (see extract_html_content) — not used by any
+    query. Note it keeps ``html_col`` in its output; compare on the
+    derived columns.
     """
     h = F.col(html_col)
     for tag in ("script", "style"):

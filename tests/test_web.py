@@ -494,3 +494,37 @@ class TestParseRobots:
                             ("a.com", "/pub"): True,
                             ("b.com", "/any"): False,
                             ("c.com", "/any"): True}
+
+
+def test_extract_kernel_equals_jvm_expressions(spark):
+    """r15: extract_html_content became an Arrow kernel (measured ~2x
+    the expression stage at equal width); the retained JVM expression
+    path is its differential oracle. Hostile fixtures: script with a
+    literal '<', entity-only block, boundary-exact link density, null
+    and empty html, mojibake-repaired unicode."""
+    from atiesh_spark.operators.web import _extract_html_content_jvm
+
+    rows = [
+        (1, '<div><a href="/">Home</a></div><p>' + "word " * 20 + "</p>"),
+        (2, '<script>if(a<2){a=2}</script><p>' + "content here " * 5 + "</p>"),
+        (3, "<p>x &lt;b&gt; &amp; &quot;q&quot; &#39;s&#39; y" + " pad" * 10 + "</p>"),
+        (4, "<p>" + "a" * 21 + '<a href="/">' + "b" * 9 + "</a></p>"),
+        (5, "<p>" + "a" * 19 + '<a href="/">' + "b" * 11 + "</a></p>"),
+        (6, None),
+        (7, ""),
+        (8, "café “quoted” € <p>" + "tail " * 10 + "</p>"),
+        (9, "<TD>upper case closer" + " pad" * 10 + "</TD><p>x</p>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    cols = ["id", "clean_text", "n_blocks", "kept_blocks",
+            "content_chars", "boiler_chars"]
+    kern = sorted(
+        tuple(r) for r in
+        __import__("atiesh_spark.operators.web", fromlist=["web"])
+        .extract_html_content(df, "html").select(cols).collect()
+    )
+    jvm = sorted(
+        tuple(r) for r in
+        _extract_html_content_jvm(df, "html").select(cols).collect()
+    )
+    assert kern == jvm
