@@ -266,7 +266,14 @@ def bpe_learn(
         sym = F.col("symbols")
         for a, b, _ in selected:
             sym = _merge_fold(sym, a, b)
-        words = words.select("word", "n_word", sym.alias("symbols")).localCheckpoint()
+        # LAZY checkpoint (r15, the connected-components fusion): the
+        # gain-stats full aggregate below reads every partition, so it
+        # materializes the round's fold in the SAME job instead of an
+        # eager checkpoint job followed by a stats job — 3 -> 2 jobs
+        # per round, identical rows.
+        words = words.select("word", "n_word", sym.alias("symbols")).localCheckpoint(
+            eager=False
+        )
         stats = words.agg(
             *[_sym_count(a + b).alias(f"c{i}") for i, (a, b, _) in enumerate(selected)]
         ).first()
@@ -296,6 +303,8 @@ def apply_bpe(
     tokenizers.
     """
 
+    from atiesh_spark.session import widen_for_python_stage
+
     def tokenize_word(w: Column) -> Column:
         sym = _chars(w)
         for _, a, b, _, _ in merges:
@@ -308,7 +317,12 @@ def apply_bpe(
             tokenize_word,
         )
     )
-    return df.withColumn(out_col, toks)
+    # The nested merge folds are interpreted lambda walks — on a
+    # narrow single-split scan the whole tokenization serialized on
+    # ONE task (measured 12.0 s for the sf0.1 corpus at 6 merges;
+    # 0.55 s once spread). Widening is gated on scan-shaped inputs,
+    # so shuffled/pre-widened frames pass through untouched.
+    return widen_for_python_stage(df).withColumn(out_col, toks)
 
 
 def apply_bpe_batched(

@@ -89,6 +89,14 @@ _NARROW_PLAN_NODES = (
     # 3.2 -> 4.1 s solo at sf0.1, worse the heavier the codec.)
     "MapInPandas",
     "MapInArrow",
+    # Scalar Python-UDF projections (Arrow or pickled) are narrow too:
+    # each task feeds its own partition through the Python worker, no
+    # exchange. Missing entries here were a FALSE NEGATIVE the r15
+    # registry-wide node-classification gate caught on its first run —
+    # every plan carrying a scalar UDF was classified wide and the
+    # widen gate silently refused to spread it (the q200 class).
+    "ArrowEvalPython",
+    "BatchEvalPython",
 )
 
 

@@ -1153,6 +1153,8 @@ def test_shuffle_free_scan_classifies_every_registry_node(spark):
         "Join", "Aggregate", "Sort", "Window", "WindowGroupLimit",
         "Repartition",            # shuffle=true form; =false is narrow
         "RepartitionByExpression",
+        # nodeName() spelling of the narrow treeString "Relation":
+        "LogicalRelation",
         "GlobalLimit", "LocalLimit", "Limit", "Deduplicate", "Distinct",
         "Expand", "FlatMapGroupsInPandas", "Intersect", "Except",
         "CollectMetrics", "WithCTE", "CTERelationDef", "CTERelationRef",
